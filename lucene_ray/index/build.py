@@ -1,0 +1,134 @@
+"""Index build driver: Dataset -> segments -> global stats -> manifest.
+
+The pipeline shape (SURVEY.md §3.1 Ray translation):
+
+    read_parquet(columns=[id, text])          # prune at the read
+      -> map_batches(SegmentBuilder, batch_size=None)   # one segment/partition
+      -> (tiny) manifest rows to the driver
+    global field stats   = sums over manifest rows
+    global term stats    = ray groupby('term').sum over per-segment
+                           terms.parquet partials (pre-aggregated: each term
+                           appears <= n_segments times -> the shuffle moves
+                           only the vocab, not the postings)
+    manifest.json written atomically LAST (the segments_N commit point,
+    index/SegmentInfos.java:54-133).
+
+Rebuilding over an existing index dir skips segments whose fingerprint
+matches (resume from per-partition checkpoints).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
+from lucene_ray.index.segment import SegmentBuilder
+
+
+def build_index(
+    source: "ray.data.Dataset | str",
+    index_dir: str,
+    analyzer: Analyzer = StandardAnalyzer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_segments: int | None = None,
+    with_positions: bool = False,
+) -> dict:
+    """Build (or resume) an inverted index; returns the global manifest."""
+    if isinstance(source, str):
+        ds = ray.data.read_parquet(source, columns=[id_col, text_col])
+    else:
+        ds = source.select_columns([id_col, text_col])
+    if num_segments is not None:
+        ds = ds.repartition(num_segments)
+
+    builder = SegmentBuilder(
+        index_dir,
+        analyzer=analyzer,
+        text_col=text_col,
+        id_col=id_col,
+        with_positions=with_positions,
+    )
+    manifest_rows = ds.map_batches(
+        builder, batch_size=None, batch_format="pyarrow"
+    ).take_all()  # tiny: one row per segment
+
+    segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
+    # doc-range disjointness (needed so per-term posting runs concatenate in
+    # global docID order at merge time)
+    for a, b in zip(segments, segments[1:]):
+        if a["max_doc_id"] >= b["doc_base"]:
+            raise ValueError(
+                f"overlapping segment doc ranges: {a['segment_id']} / {b['segment_id']}"
+            )
+
+    doc_count = sum(r["doc_count"] for r in segments)
+    sum_ttf = sum(r["sum_total_term_freq"] for r in segments)
+
+    # global term stats (df/ttf) -- partial aggregates per segment, then a
+    # small groupby shuffle over (term, df, ttf) rows.
+    term_files = [os.path.join(r["path"], "terms.parquet") for r in segments]
+    stats_dir = os.path.join(index_dir, "global_terms")
+    tmp_stats = os.path.join(index_dir, f".tmp-global_terms-{uuid.uuid4().hex[:8]}")
+    tds = ray.data.read_parquet(term_files, columns=["term", "df", "ttf"])
+    from ray.data.aggregate import Sum
+
+    agg = tds.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+    agg = agg.sort("term")
+    os.makedirs(tmp_stats, exist_ok=True)
+    agg.write_parquet(tmp_stats)
+    if os.path.isdir(stats_dir):
+        import shutil
+
+        shutil.rmtree(stats_dir)
+    os.replace(tmp_stats, stats_dir)
+
+    manifest = {
+        "doc_count": doc_count,
+        "sum_total_term_freq": sum_ttf,
+        "text_col": text_col,
+        "id_col": id_col,
+        "with_positions": with_positions,
+        "analyzer": {
+            "lowercase": analyzer.lowercase,
+            "stop_words": sorted(analyzer.stop_words),
+            "max_token_length": analyzer.max_token_length,
+        },
+        "segments": [
+            {k: r[k] for k in (
+                "segment_id", "path", "doc_base", "max_doc_id", "doc_count",
+                "sum_total_term_freq", "n_terms", "postings_bytes",
+                "fingerprint", "build_secs", "terms_per_sec", "skipped",
+            )}
+            for r in segments
+        ],
+    }
+    tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def read_global_term_stats(index_dir: str, terms: list[str] | None = None) -> pa.Table:
+    """Global (df, ttf) per term; with ``terms`` given, prunes via parquet
+    predicate pushdown (the table is term-sorted, so row groups prune)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(index_dir, "global_terms"), format="parquet")
+    if terms is None:
+        return dset.to_table()
+    return dset.to_table(filter=pads.field("term").isin(terms))

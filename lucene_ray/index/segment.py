@@ -1,0 +1,304 @@
+"""SPIMI segment construction: one immutable segment per input partition.
+
+The Ray-Data translation of Lucene's DocumentsWriterPerThread: each
+``map_batches`` task receives one whole input block (``batch_size=None``),
+inverts it in task-local memory (the shared-nothing DWPT model,
+index/DocumentsWriterPerThreadPool.java:43,115), and flushes one immutable
+segment directory (DocumentsWriterPerThread.flush,
+index/DocumentsWriterPerThread.java:442-566):
+
+    segments/<segment_id>/
+        terms.parquet     term -> (df, ttf, offset, length) sorted by term
+                          (the terms-dictionary role of the Lucene103
+                          block-tree, blocktree/Lucene103BlockTreeTermsWriter.java:211 —
+                          a sorted Arrow table + binary search instead of a trie)
+        postings.bin      concatenated postings blobs (codec/postings.py)
+        docs.parquet      doc_id, doc_len, norm  (norms column,
+                          codecs/lucene90/Lucene90NormsFormat.java:83)
+        positions.parquet optional (term, doc_id, pos) exploded rows
+        meta.json         written atomically LAST -> the per-partition
+                          checkpoint/lineage record (input fingerprint,
+                          counts, terms/sec, postings bytes)
+
+Doc IDs inside a segment are local (doc_id - doc_base), mirroring Lucene's
+per-leaf docBase; ``meta.json`` carries the base. A rerun that finds a
+completed segment with the same fingerprint skips it (resumability — the
+commit-point semantics of index/SegmentInfos.java:54-133 applied per
+partition).
+
+Norms: norm byte = SmallFloat.intToByte4(field length), field length =
+number of tokens after stop filtering (Similarity.computeNorm,
+search/similarities/Similarity.java:151-160).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
+from lucene_ray.analysis.batch import tokenize_column
+from lucene_ray.codec.postings import encode_postings
+from lucene_ray.util.smallfloat import int_to_byte4_array
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("segment_id", pa.string()),
+        ("path", pa.string()),
+        ("doc_base", pa.int64()),
+        ("max_doc_id", pa.int64()),
+        ("doc_count", pa.int64()),
+        ("sum_total_term_freq", pa.int64()),
+        ("n_terms", pa.int64()),
+        ("postings_bytes", pa.int64()),
+        ("build_secs", pa.float64()),
+        ("terms_per_sec", pa.float64()),
+        ("fingerprint", pa.string()),
+        ("skipped", pa.bool_()),
+    ]
+)
+
+
+def _fingerprint(doc_ids: np.ndarray, text_bytes: int) -> str:
+    return f"{doc_ids.shape[0]}:{int(doc_ids.sum())}:{text_bytes}"
+
+
+class SegmentBuilder:
+    """Callable for ``map_batches`` (stateless task — config only).
+
+    Input batch: columns (id_col:int64, text_col:string). Output: one
+    manifest row per segment built (MANIFEST_SCHEMA).
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        analyzer: Analyzer = StandardAnalyzer,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        with_positions: bool = False,
+    ) -> None:
+        self.index_dir = index_dir
+        self.analyzer = analyzer
+        self.text_col = text_col
+        self.id_col = id_col
+        self.with_positions = with_positions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        if batch.num_rows == 0:
+            return MANIFEST_SCHEMA.empty_table()
+
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        if not (np.diff(order) > 0).all():
+            batch = batch.take(pa.array(order))
+            doc_ids = doc_ids[order]
+        if doc_ids.shape[0] > 1 and not (np.diff(doc_ids) > 0).all():
+            raise ValueError("duplicate doc_ids within a partition")
+
+        base = int(doc_ids[0])
+        max_doc = int(doc_ids[-1])
+        segment_id = f"seg-{base:012d}-{max_doc:012d}"
+        seg_dir = os.path.join(self.index_dir, "segments", segment_id)
+        texts = batch[self.text_col]
+        text_bytes = texts.nbytes
+        fp = _fingerprint(doc_ids, text_bytes)
+
+        # Resume: a completed segment with the same fingerprint is skipped.
+        meta_path = os.path.join(seg_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") == fp:
+                meta["skipped"] = True
+                meta["build_secs"] = 0.0
+                return self._manifest_row(meta)
+
+        local_ids = (doc_ids - base).astype(np.int64)
+        flat_terms, doc_idx, positions = tokenize_column(
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+            self.analyzer,
+        )
+
+        # per-doc lengths -> norms
+        doc_len = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(doc_len, doc_idx, 1)
+        norms = int_to_byte4_array(doc_len)
+
+        # invert: term codes via arrow dictionary encode, then aggregate
+        # (code, doc) -> freq with one np.unique over a fused int64 key.
+        dict_arr = pc.dictionary_encode(flat_terms)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dict_arr.dictionary
+        # lexicographic term order (== UTF-8 byte order == codepoint order)
+        sort_idx = pc.array_sort_indices(vocab)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[sort_idx.to_numpy(zero_copy_only=False)] = np.arange(len(vocab))
+        sorted_vocab = vocab.take(sort_idx)
+        codes = rank[codes]
+
+        n_docs = batch.num_rows
+        key = codes * n_docs + doc_idx[: codes.shape[0]]
+        ukey, freqs = np.unique(key, return_counts=True)
+        p_codes = ukey // n_docs
+        p_docs = local_ids[ukey % n_docs]
+        freqs = freqs.astype(np.uint32)
+        p_norms = norms[ukey % n_docs]
+
+        # slice ranges per term (ukey sorted by code then doc)
+        term_starts = np.searchsorted(p_codes, np.arange(len(vocab) + 1))
+
+        os.makedirs(os.path.join(self.index_dir, "segments"), exist_ok=True)
+        tmp_dir = os.path.join(
+            self.index_dir, "segments", f".tmp-{segment_id}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(tmp_dir, exist_ok=True)
+        try:
+            meta = self._write_segment(
+                tmp_dir,
+                segment_id,
+                base,
+                max_doc,
+                doc_ids,
+                doc_len,
+                norms,
+                sorted_vocab,
+                term_starts,
+                p_docs,
+                freqs,
+                p_norms,
+                fp,
+                flat_terms if self.with_positions else None,
+                codes if self.with_positions else None,
+                doc_idx if self.with_positions else None,
+                positions if self.with_positions else None,
+                local_ids if self.with_positions else None,
+            )
+            meta["build_secs"] = time.perf_counter() - t0
+            meta["terms_per_sec"] = (
+                len(flat_terms) / meta["build_secs"] if meta["build_secs"] > 0 else 0.0
+            )
+            with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            try:
+                os.replace(tmp_dir, seg_dir)
+            except OSError:
+                # another (retried) task won the rename — theirs is complete
+                import shutil
+
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+        finally:
+            if os.path.isdir(tmp_dir):
+                import shutil
+
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+        meta["skipped"] = False
+        return self._manifest_row(meta)
+
+    def _write_segment(
+        self,
+        out_dir: str,
+        segment_id: str,
+        base: int,
+        max_doc: int,
+        doc_ids: np.ndarray,
+        doc_len: np.ndarray,
+        norms: np.ndarray,
+        sorted_vocab: pa.Array,
+        term_starts: np.ndarray,
+        p_docs: np.ndarray,
+        freqs: np.ndarray,
+        p_norms: np.ndarray,
+        fingerprint: str,
+        flat_terms,
+        codes,
+        doc_idx,
+        positions,
+        local_ids,
+    ) -> dict:
+        n_terms = len(sorted_vocab)
+        blobs: list[bytes] = []
+        offsets = np.empty(n_terms, dtype=np.int64)
+        lengths = np.empty(n_terms, dtype=np.int64)
+        df = np.empty(n_terms, dtype=np.int64)
+        ttf = np.empty(n_terms, dtype=np.int64)
+        off = 0
+        for t in range(n_terms):
+            lo, hi = term_starts[t], term_starts[t + 1]
+            blob = encode_postings(p_docs[lo:hi], freqs[lo:hi], p_norms[lo:hi])
+            blobs.append(blob)
+            offsets[t] = off
+            lengths[t] = len(blob)
+            off += len(blob)
+            df[t] = hi - lo
+            ttf[t] = int(freqs[lo:hi].sum())
+
+        with open(os.path.join(out_dir, "postings.bin"), "wb") as f:
+            for b in blobs:
+                f.write(b)
+
+        pq.write_table(
+            pa.table(
+                {
+                    "term": sorted_vocab,
+                    "df": df,
+                    "ttf": ttf,
+                    "offset": offsets,
+                    "length": lengths,
+                }
+            ),
+            os.path.join(out_dir, "terms.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "doc_len": doc_len,
+                    "norm": norms.astype(np.int32),
+                }
+            ),
+            os.path.join(out_dir, "docs.parquet"),
+        )
+        if flat_terms is not None:
+            # exploded positions, sorted by (term, doc, pos) for pruning
+            order = np.lexsort((positions, doc_idx, codes))
+            pq.write_table(
+                pa.table(
+                    {
+                        "term": pc.take(flat_terms, pa.array(order)),
+                        "doc_id": local_ids[doc_idx[order]] + base,
+                        "pos": positions[order].astype(np.int32),
+                    }
+                ),
+                os.path.join(out_dir, "positions.parquet"),
+                row_group_size=1 << 17,
+            )
+
+        return {
+            "segment_id": segment_id,
+            "path": os.path.join(self.index_dir, "segments", segment_id),
+            "doc_base": base,
+            "max_doc_id": max_doc,
+            "doc_count": int(doc_ids.shape[0]),
+            "sum_total_term_freq": int(doc_len.sum()),
+            "n_terms": int(n_terms),
+            "postings_bytes": int(off),
+            "fingerprint": fingerprint,
+            "terms_per_sec": 0.0,
+            "build_secs": 0.0,
+        }
+
+    @staticmethod
+    def _manifest_row(meta: dict) -> pa.Table:
+        row = {k.name: [meta.get(k.name)] for k in MANIFEST_SCHEMA}
+        if row["skipped"][0] is None:
+            row["skipped"] = [False]
+        return pa.table(row, schema=MANIFEST_SCHEMA)

@@ -1,0 +1,126 @@
+"""Distributed query serving: an actor pool over mmap'd segments.
+
+The IndexSearcher + LeafSlice executor model (search/IndexSearcher.java:106-108,
+323-437) as long-lived Ray actors: each actor owns a disjoint set of
+segments, memory-maps their posting blobs once in ``__init__`` (the
+stateful-stage rule — setup once per actor, not per query), and serves
+``search(query, k)`` requests. The driver broadcasts the query + global
+term stats, each actor returns its local top-k, and the driver reduces with
+TopDocs.merge ordering (search/TopDocs.java:203-228).
+
+This is one of the few places the Dataset API genuinely can't express the
+semantics (a latency-bound request/response service over shared mutable-free
+state), so plain ``@ray.remote`` actors are used, per SURVEY.md §7.2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from lucene_ray.analysis.analyzers import Analyzer
+from lucene_ray.index.build import load_manifest
+from lucene_ray.search import query as Q
+from lucene_ray.search.query import collect_scored_terms, query_from_dict
+from lucene_ray.search.scoring import EvalContext, eval_query
+from lucene_ray.search.searcher import TopDocs, merge_topk
+from lucene_ray.search.segreader import SegmentReader
+
+
+@ray.remote
+class QueryExecutor:
+    """Owns N segments; state (mmap handles, term dicts) built once."""
+
+    def __init__(self, segment_paths: list[str], doc_count: int, sum_ttf: int, mode: str):
+        self.readers = [SegmentReader(p) for p in segment_paths]
+        self.doc_count = doc_count
+        self.sum_ttf = sum_ttf
+        self.mode = mode
+
+    def search(
+        self, query_dict: dict, k: int, term_stats: dict, threshold: float
+    ) -> tuple[np.ndarray, np.ndarray, int, bool]:
+        query = query_from_dict(query_dict)
+        ctx = EvalContext(term_stats, self.doc_count, self.sum_ttf, mode=self.mode)
+        ctx.threshold = threshold
+        docs = np.empty(0, dtype=np.int64)
+        scores = np.empty(0, dtype=np.float64)
+        total = 0
+        exact = True
+        for reader in self.readers:
+            d, s, e = eval_query(reader, query, ctx)
+            exact &= e
+            total += int(d.shape[0])
+            if d.shape[0]:
+                docs = np.concatenate([docs, d + reader.doc_base])
+                scores = np.concatenate([scores, s])
+                docs, scores = merge_topk(docs, scores, k)
+            if docs.shape[0] >= k:
+                ctx.threshold = max(threshold, float(scores[-1]))
+        return docs, scores, total, exact
+
+    def ping(self) -> bool:
+        return True
+
+
+class DistributedSearcher:
+    """Fan-out/merge front-end over a QueryExecutor pool."""
+
+    def __init__(self, index_dir: str, num_executors: int = 4, mode: str = "f32"):
+        m = load_manifest(index_dir)
+        self.index_dir = index_dir
+        self.doc_count = m["doc_count"]
+        self.sum_ttf = m["sum_total_term_freq"]
+        self.mode = mode
+        self.analyzer = Analyzer(
+            lowercase=m["analyzer"]["lowercase"],
+            stop_words=frozenset(m["analyzer"]["stop_words"]),
+            max_token_length=m["analyzer"]["max_token_length"],
+        )
+        paths = [s["path"] for s in m["segments"]]
+        n = min(num_executors, max(1, len(paths)))
+        shards = [paths[i::n] for i in range(n)]
+        self.executors = [
+            QueryExecutor.remote(shard, self.doc_count, self.sum_ttf, mode)
+            for shard in shards
+            if shard
+        ]
+        ray.get([e.ping.remote() for e in self.executors])
+        self._stats_cache: dict[str, tuple[int, int]] = {}
+
+    def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            from lucene_ray.index.build import read_global_term_stats
+
+            tbl = read_global_term_stats(self.index_dir, missing)
+            got = dict(
+                zip(
+                    tbl["term"].to_pylist(),
+                    zip(tbl["df"].to_pylist(), tbl["ttf"].to_pylist()),
+                )
+            )
+            for t in missing:
+                self._stats_cache[t] = got.get(t, (0, 0))
+        return {t: self._stats_cache[t] for t in terms}
+
+    def parse(self, text: str) -> Q.Query:
+        from lucene_ray.search.parser import parse_query
+
+        return parse_query(text, self.analyzer)
+
+    def search(self, query: "Q.Query | str", k: int = 10) -> TopDocs:
+        if isinstance(query, str):
+            query = self.parse(query)
+        terms: set[str] = set()
+        collect_scored_terms(query, terms)
+        stats = self.term_stats(terms)
+        qd = query.to_dict()
+        futures = [e.search.remote(qd, k, stats, -np.inf) for e in self.executors]
+        results = ray.get(futures)
+        docs = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
+        scores = np.concatenate([r[1] for r in results]) if results else np.empty(0, np.float64)
+        docs, scores = merge_topk(docs, scores, k)
+        total = sum(r[2] for r in results)
+        exact = all(r[3] for r in results)
+        return TopDocs(total, "EQ" if exact else "GTE", docs, scores)

@@ -1,0 +1,137 @@
+"""Classic query parser — the subset of Lucene's classic syntax we serve.
+
+Grammar modeled on queryparser/classic/QueryParserBase.java:90-464:
+
+    query     := clause+
+    clause    := [+|-] atom [^boost]
+    atom      := '"' words '"' [~slop]      phrase
+               | '[' t TO t ']' / '{..}'   term range (incl/excl bounds)
+               | word'~'[n]                 fuzzy (default 2 edits)
+               | word with * or ?           wildcard (trailing-*-only -> prefix)
+               | word                       term
+    field prefixes ("text:term") are accepted; only the default text field
+    exists, so the prefix is validated and stripped.
+
+Bare clauses are SHOULD, '+' is MUST, '-' is MUST_NOT; explicit AND/OR/NOT
+connectors rewrite like the reference's default OR semantics. Query terms
+run through Analyzer.normalize (lowercase), and phrase words through the
+full analyzer (QueryParser analyzes quoted text).
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
+from lucene_ray.search import query as Q
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+        \"[^\"]*\"(?:~\d+)?        # phrase with optional slop
+      | \[[^\]]*\]                 # inclusive range
+      | \{[^}]*\}                  # exclusive range
+      | AND | OR | NOT
+      | [+-]?[^\s]+                # term-ish
+    )
+    """,
+    re.VERBOSE,
+)
+
+_RANGE_RE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", re.IGNORECASE)
+
+
+def parse_query(text: str, analyzer: Analyzer = StandardAnalyzer) -> Q.Query:
+    tokens = [m.group(1) for m in _TOKEN_RE.finditer(text.strip())]
+    if not tokens:
+        return Q.MatchAllDocsQuery()
+
+    must: list[Q.Query] = []
+    should: list[Q.Query] = []
+    must_not: list[Q.Query] = []
+
+    pending_op: str | None = None
+    prev_to_must = False
+    for raw in tokens:
+        if raw in ("AND", "OR", "NOT"):
+            pending_op = raw
+            continue
+        occur = "should"
+        if raw.startswith("+"):
+            occur, raw = "must", raw[1:]
+        elif raw.startswith("-"):
+            occur, raw = "must_not", raw[1:]
+        if pending_op == "NOT":
+            occur = "must_not"
+        elif pending_op == "AND":
+            occur = "must"
+            if prev_to_must and should:
+                must.append(should.pop())
+        q, boost = _parse_atom(raw, analyzer)
+        if q is None:
+            pending_op = None
+            continue
+        if boost != 1.0:
+            q = Q.BoostQuery(q, boost)
+        {"must": must, "should": should, "must_not": must_not}[occur].append(q)
+        prev_to_must = occur == "should"
+        pending_op = None
+
+    if len(should) == 1 and not must and not must_not:
+        return should[0]
+    if len(must) == 1 and not should and not must_not:
+        return must[0]
+    return Q.BooleanQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+
+
+def _parse_atom(raw: str, analyzer: Analyzer) -> tuple[Q.Query | None, float]:
+    boost = 1.0
+    m = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
+    if m and not raw.startswith('"'):
+        boost = float(m.group(1))
+        raw = raw[: m.start()]
+    if raw.startswith('"'):
+        mm = re.match(r'^"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$', raw)
+        body = mm.group(1)
+        slop = int(mm.group(2) or 0)
+        if mm.group(3):
+            boost = float(mm.group(3))
+        words = tuple(analyzer.tokens(body))
+        if not words:
+            return None, boost
+        if len(words) == 1:
+            return Q.TermQuery(words[0]), boost
+        return Q.PhraseQuery(words, slop=slop), boost
+
+    rm = _RANGE_RE.match(raw)
+    if rm:
+        lo = None if rm.group(2) == "*" else analyzer.normalize(rm.group(2))
+        hi = None if rm.group(3) == "*" else analyzer.normalize(rm.group(3))
+        return (
+            Q.TermRangeQuery(lo, hi, rm.group(1) == "[", rm.group(4) == "]"),
+            boost,
+        )
+
+    # field prefix (only the default text field exists)
+    if ":" in raw and not raw.startswith("http"):
+        field, rest = raw.split(":", 1)
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", field):
+            raw = rest
+
+    fm = re.match(r"^(.+?)~(\d*)$", raw)
+    if fm and "*" not in raw and "?" not in raw:
+        max_e = int(fm.group(2)) if fm.group(2) else 2
+        return Q.FuzzyQuery(analyzer.normalize(fm.group(1)), max_edits=max_e), boost
+
+    if "*" in raw or "?" in raw:
+        norm = analyzer.normalize(raw)
+        if norm.endswith("*") and "*" not in norm[:-1] and "?" not in norm:
+            return Q.PrefixQuery(norm[:-1]), boost
+        return Q.WildcardQuery(norm), boost
+
+    terms = analyzer.tokens(raw)
+    if not terms:
+        return None, boost
+    if len(terms) == 1:
+        return Q.TermQuery(terms[0]), boost
+    return Q.PhraseQuery(tuple(terms)), boost

@@ -1,0 +1,561 @@
+"""Per-segment query evaluation — vectorized block-max scoring.
+
+This is the engine's Scorer/BulkScorer layer. Strategy per query shape
+(BooleanScorerSupplier's choice, search/BooleanScorerSupplier.java):
+
+* single term            -> block-max posting scan (ImpactsDISI semantics,
+                            search/ImpactsDISI.java + MaxScoreCache.java:74-140):
+                            upper bounds for ALL blocks computed in one
+                            vectorized call from the skip table's
+                            (max_freq, min_norm) impacts; blocks whose bound
+                            is below the current minCompetitiveScore are
+                            never decoded.
+* pure disjunction       -> block-max MaxScore (search/MaxScoreBulkScorer.java:26):
+                            terms split into essential / non-essential by
+                            their max score vs the threshold; essential
+                            lists are decoded (block-pruned), non-essential
+                            scores are probed only at candidate docs by
+                            skip-table-targeted block decode (the WAND-style
+                            advanceShallow).
+* conjunction            -> leapfrog replaced by sorted-array intersection
+                            starting from the rarest term
+                            (ConjunctionDISI semantics, search/ConjunctionDISI.java:37,166).
+* MUST_NOT               -> sorted anti-join (ReqExclScorer, search/ReqExclScorer.java:26).
+* phrase                 -> positional intersection over the positions
+                            columns (ExactPhraseMatcher, search/ExactPhraseMatcher.java:37,141).
+
+Pruning never changes results: bounds are conservative (>= any true score
+in the block), verified by tests that compare pruned vs exhaustive runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_ray.search import query as Q
+from lucene_ray.search.segreader import SegmentReader
+from lucene_ray.search.similarity import make_scorer
+
+_DOC_SHIFT = np.int64(1) << np.int64(32)
+
+
+class EvalContext:
+    """Per-query state shared across segments: global-stats scorers and the
+    running score threshold (minCompetitiveScore feedback,
+    search/TopScoreDocCollector.java:106-164)."""
+
+    __slots__ = ("term_stats", "doc_count", "sum_ttf", "mode", "k1", "b", "_scorers", "threshold")
+
+    def __init__(self, term_stats, doc_count, sum_ttf, mode="f32", k1=1.2, b=0.75):
+        self.term_stats = term_stats  # term -> (df, ttf), GLOBAL stats
+        self.doc_count = doc_count
+        self.sum_ttf = sum_ttf
+        self.mode = mode
+        self.k1 = k1
+        self.b = b
+        self._scorers = {}
+        self.threshold = -np.inf
+
+    def scorer(self, term: str, boost: float = 1.0):
+        key = (term, boost)
+        s = self._scorers.get(key)
+        if s is None:
+            df, _ttf = self.term_stats.get(term, (0, 0))
+            if df == 0:
+                return None
+            s = make_scorer(df, self.doc_count, self.sum_ttf,
+                            mode=self.mode, k1=self.k1, b=self.b, boost=boost)
+            self._scorers[key] = s
+        return s
+
+    def phrase_scorer(self, terms, boost: float = 1.0):
+        """BM25 for phrases: idf = sum over terms' f32 idfs accumulated in
+        double then cast (BM25Similarity.idfExplain(termStats[]))."""
+        dfs = [self.term_stats.get(t, (0, 0))[0] for t in terms]
+        if any(df == 0 for df in dfs):
+            return None
+        if self.mode == "f32":
+            from lucene_ray.search.similarity import BM25Scorer, idf_f32
+
+            s = BM25Scorer(1, self.doc_count, self.sum_ttf, k1=self.k1, b=self.b)
+            idf_sum = np.float32(sum(float(idf_f32(df, self.doc_count)) for df in dfs))
+            s.idf = idf_sum
+            s.weight = np.float32(boost) * idf_sum
+            return s
+        from lucene_ray.search.similarity import BM25ScorerF64
+
+        s = BM25ScorerF64(1, self.doc_count, self.sum_ttf, k1=self.k1, b=self.b, boost=boost)
+        s.idf = float(
+            sum(np.log(1.0 + (self.doc_count - df + 0.5) / (df + 0.5)) for df in dfs)
+        )
+        return s
+
+
+# ---------------------------------------------------------------------------
+# term-level primitives
+# ---------------------------------------------------------------------------
+
+def decode_term(reader: SegmentReader, idx: int, scorer, threshold: float):
+    """(local_docs, scores, pruned) decoding only competitive blocks."""
+    r = reader.postings_reader(idx)
+    if np.isfinite(threshold) and threshold > 0:
+        ubs = scorer.max_score(r.max_freq, r.min_norm)
+        keep = np.nonzero(ubs >= threshold)[0]
+        pruned = keep.size < r.n_blocks
+    else:
+        keep = np.arange(r.n_blocks)
+        pruned = False
+    docs, freqs, norms = r.decode_blocks(keep)
+    return docs, scorer.score(freqs, norms), pruned
+
+
+def docs_only(reader: SegmentReader, idx: int) -> np.ndarray:
+    docs, _f, _n = reader.postings_reader(idx).decode_all()
+    return docs
+
+
+def scores_at(reader: SegmentReader, idx: int, scorer, targets: np.ndarray):
+    """Probe a posting list at sorted target docs (advance via skip table).
+
+    Returns (mask, scores) aligned with ``targets``; decodes only the blocks
+    that can contain a target (np.searchsorted over the skip table's
+    last_doc — the vectorized advanceShallow)."""
+    if targets.shape[0] == 0:
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.float64)
+    r = reader.postings_reader(idx)
+    blocks = np.unique(np.searchsorted(r.last_doc, targets))
+    blocks = blocks[blocks < r.n_blocks]
+    docs, freqs, norms = r.decode_blocks(blocks)
+    if docs.shape[0] == 0:
+        return np.zeros(targets.shape[0], dtype=bool), np.zeros(
+            targets.shape[0], dtype=np.float64
+        )
+    pos = np.searchsorted(docs, targets)
+    pos_c = np.minimum(pos, docs.shape[0] - 1)
+    mask = docs[pos_c] == targets
+    scores = np.zeros(targets.shape[0], dtype=np.float64)
+    if scorer is not None and mask.any():
+        all_scores = scorer.score(freqs, norms)
+        scores[mask] = all_scores[pos_c[mask]].astype(np.float64)
+    return mask, scores
+
+
+# ---------------------------------------------------------------------------
+# boolean shapes
+# ---------------------------------------------------------------------------
+
+def _union_maxscore(reader, term_boosts, ctx, count_matches=False):
+    """Disjunction over plain terms with MaxScore essential/non-essential
+    partitioning. Returns (docs, scores, counts|None, exact)."""
+    entries = []  # (idx, scorer, max_score)
+    for term, boost in term_boosts:
+        idx = reader.term_index(term)
+        if idx < 0:
+            continue
+        scorer = ctx.scorer(term, boost)
+        if scorer is None:
+            continue
+        r = reader.postings_reader(idx)
+        ubs = scorer.max_score(r.max_freq, r.min_norm)
+        entries.append((idx, scorer, float(ubs.max()) if ubs.size else 0.0))
+    if not entries:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, np.float64), (np.empty(0, np.int64) if count_matches else None), True
+
+    thr = ctx.threshold
+    entries.sort(key=lambda e: -e[2])
+    total = sum(e[2] for e in entries)
+    # non-essential = maximal suffix whose max-score sum stays below thr
+    # (MaxScoreBulkScorer essential/non-essential split)
+    n_ess = len(entries)
+    if np.isfinite(thr) and thr > 0 and not count_matches:
+        suffix = 0.0
+        while n_ess > 1 and suffix + entries[n_ess - 1][2] < thr:
+            suffix += entries[n_ess - 1][2]
+            n_ess -= 1
+    essential, non_essential = entries[:n_ess], entries[n_ess:]
+
+    docs_parts, score_parts = [], []
+    pruned_any = False
+    for idx, scorer, ms in essential:
+        # a block can be skipped when even combined with every other term's
+        # max score it cannot reach the threshold
+        others = total - ms
+        block_thr = thr - others if (np.isfinite(thr) and not count_matches) else -np.inf
+        d, s, pruned = decode_term(reader, idx, scorer, block_thr)
+        pruned_any |= pruned
+        docs_parts.append(d)
+        score_parts.append(s.astype(np.float64))
+    cat_docs = np.concatenate(docs_parts)
+    cat_scores = np.concatenate(score_parts)
+    docs, inv, counts = np.unique(cat_docs, return_inverse=True, return_counts=True)
+    scores = np.zeros(docs.shape[0], dtype=np.float64)
+    np.add.at(scores, inv, cat_scores)
+    if count_matches:
+        counts = counts.astype(np.int64)
+    for idx, scorer, _ms in non_essential:
+        mask, s = scores_at(reader, idx, scorer, docs)
+        scores += s.astype(np.float64)
+        if count_matches:
+            counts += mask.astype(np.int64)
+    return docs, scores, (counts if count_matches else None), not pruned_any
+
+
+def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
+    """Evaluate a query on one segment -> (local_docs sorted, scores f64, exact).
+
+    ``exact`` is False when block-max pruning may have dropped non-competitive
+    matching docs (then the doc list is top-k-complete but not hit-complete).
+    """
+    if isinstance(q, Q.TermQuery):
+        docs, scores, c, exact = _union_maxscore(reader, [(q.term, q.boost)], ctx)
+        return docs, scores, exact
+
+    if isinstance(q, Q.SynonymQuery):
+        return _eval_synonym(reader, q, ctx)
+
+    if isinstance(q, Q.BoostQuery):
+        d, s, e = eval_query(reader, _push_boost(q.query, q.boost), ctx)
+        return d, s, e
+
+    if isinstance(q, Q.ConstantScoreQuery):
+        sub_ctx = _unpruned(ctx)
+        d, _s, _e = eval_query(reader, q.query, sub_ctx)
+        return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
+
+    if isinstance(q, Q.MatchAllDocsQuery):
+        d = (reader.doc_ids - reader.doc_base).astype(np.int64)
+        return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
+
+    if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
+                      Q.FuzzyQuery, Q.TermRangeQuery, Q.TermInSetQuery)):
+        return _eval_multiterm(reader, q, ctx)
+
+    if isinstance(q, Q.PhraseQuery):
+        return _eval_phrase(reader, q, ctx)
+
+    if isinstance(q, Q.BooleanQuery):
+        return _eval_bool(reader, q, ctx)
+
+    raise ValueError(f"unsupported query {q!r}")
+
+
+def _push_boost(q: Q.Query, boost: float) -> Q.Query:
+    import dataclasses
+
+    return dataclasses.replace(q, boost=q.boost * boost)
+
+
+def _unpruned(ctx: EvalContext) -> EvalContext:
+    sub = EvalContext(ctx.term_stats, ctx.doc_count, ctx.sum_ttf, ctx.mode, ctx.k1, ctx.b)
+    sub._scorers = ctx._scorers
+    return sub
+
+
+def _eval_synonym(reader, q: Q.SynonymQuery, ctx):
+    """Blended stats: df = max, ttf = sum (SynonymQuery.java:52); freq summed
+    across the variant terms, then scored once."""
+    dfs = [ctx.term_stats.get(t, (0, 0)) for t in q.terms]
+    df = max((d for d, _ in dfs), default=0)
+    ttf = sum(t for _, t in dfs)
+    if df == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    scorer = make_scorer(df, ctx.doc_count, ctx.sum_ttf, mode=ctx.mode,
+                         k1=ctx.k1, b=ctx.b, boost=q.boost)
+    del ttf
+    docs_parts, freq_parts, norm_parts = [], [], []
+    for t in q.terms:
+        idx = reader.term_index(t)
+        if idx < 0:
+            continue
+        d, f, n = reader.postings_reader(idx).decode_all()
+        docs_parts.append(d)
+        freq_parts.append(f.astype(np.int64))
+        norm_parts.append(n)
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    cat_d = np.concatenate(docs_parts)
+    cat_f = np.concatenate(freq_parts)
+    cat_n = np.concatenate(norm_parts)
+    docs, inv = np.unique(cat_d, return_inverse=True)
+    freqs = np.zeros(docs.shape[0], dtype=np.int64)
+    np.add.at(freqs, inv, cat_f)
+    norms = np.zeros(docs.shape[0], dtype=np.uint8)
+    norms[inv] = cat_n  # same doc -> same norm byte
+    return docs, scorer.score(freqs, norms).astype(np.float64), True
+
+
+def _eval_multiterm(reader, q, ctx):
+    """Multi-term queries rewrite to a constant-score union of the matching
+    dictionary terms (MultiTermQuery CONSTANT_SCORE rewrite,
+    search/MultiTermQuery.java:86-119)."""
+    if isinstance(q, Q.PrefixQuery):
+        idxs = reader.terms_matching_prefix(q.prefix)
+    elif isinstance(q, Q.WildcardQuery):
+        idxs = reader.terms_matching_regex("^" + _wildcard_to_regex(q.pattern) + "$")
+    elif isinstance(q, Q.RegexpQuery):
+        idxs = reader.terms_matching_regex("^(?:" + q.pattern + ")$")
+    elif isinstance(q, Q.TermRangeQuery):
+        idxs = reader.term_range(q.lower, q.upper, q.include_lower, q.include_upper)
+    elif isinstance(q, Q.TermInSetQuery):
+        idxs = np.array(
+            sorted(i for i in (reader.term_index(t) for t in q.terms) if i >= 0),
+            dtype=np.int64,
+        )
+    elif isinstance(q, Q.FuzzyQuery):
+        idxs = _fuzzy_expand(reader, q)
+    else:  # pragma: no cover
+        raise ValueError(q)
+    if idxs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    parts = [docs_only(reader, int(i)) for i in idxs]
+    docs = np.unique(np.concatenate(parts))
+    return docs, np.full(docs.shape[0], float(q.boost), dtype=np.float64), True
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+def _fuzzy_expand(reader, q: Q.FuzzyQuery) -> np.ndarray:
+    """Edit-distance expansion over the dictionary. The reference compiles a
+    Levenshtein automaton (util/automaton/LevenshteinAutomata.java); we run a
+    banded edit-distance scan over the (prefix-pruned) term table — same
+    accepted set, O(dict) instead of O(automaton)."""
+    cand = (
+        reader.terms_matching_prefix(q.term[: q.prefix_length])
+        if q.prefix_length
+        else np.arange(len(reader.terms))
+    )
+    base = q.term
+    maxe = q.max_edits
+    keep = []
+    lb = len(base)
+    for i in cand:
+        t = reader.terms[i]
+        if abs(len(t) - lb) > maxe:
+            continue
+        if _edit_distance_leq(base, t, maxe):
+            keep.append(i)
+    return np.asarray(keep, dtype=np.int64)
+
+
+def _edit_distance_leq(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein (with transpositions, like FuzzyQuery's default
+    Damerau automaton) — early-exits when the band exceeds k."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        row_min = cur[0] if lo == 1 else k + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+            row_min = min(row_min, v)
+        if j < lb:
+            cur[j + 1 :] = [k + 1] * (lb - j)
+        if row_min > k:
+            return False
+        prev2, prev = prev, cur
+    return prev[lb] <= k
+
+
+def _eval_phrase(reader, q: Q.PhraseQuery, ctx):
+    """Exact phrase via positional intersection: occurrence keys
+    doc<<32 | (pos - i) intersected across terms (ExactPhraseMatcher
+    semantics); sloppy matching (slop>0) via within-window check."""
+    terms = list(q.terms)
+    tbl = reader.positions_table(terms)
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    t_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    d_arr = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
+    p_arr = tbl["pos"].to_numpy().astype(np.int64)
+
+    if q.slop == 0:
+        cand = None
+        for i, t in enumerate(terms):
+            sel = t_arr == t
+            keys = d_arr[sel] * _DOC_SHIFT + (p_arr[sel] - i)
+            keys = keys[p_arr[sel] >= i]
+            cand = keys if cand is None else np.intersect1d(cand, keys, assume_unique=True)
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64), True
+        docs, freqs = np.unique(cand >> np.int64(32), return_counts=True)
+    else:
+        docs, freqs = _sloppy_phrase(terms, t_arr, d_arr, p_arr, q.slop)
+        if docs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+
+    scorer = ctx.phrase_scorer(terms, q.boost)
+    if scorer is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
+    norms = reader.norms[rows]
+    return docs, scorer.score(freqs, norms).astype(np.float64), True
+
+
+def _sloppy_phrase(terms, t_arr, d_arr, p_arr, slop):
+    """Sloppy match: docs where all terms occur with span width <= len+slop.
+
+    Conservative ordered-window implementation (SloppyPhraseMatcher's
+    semantics for the common case; freq = number of matching start
+    positions of the first term)."""
+    per_term = []
+    for t in terms:
+        sel = t_arr == t
+        per_term.append((d_arr[sel], p_arr[sel]))
+    base_docs = per_term[0][0]
+    docs_all = np.unique(base_docs)
+    for d, _p in per_term[1:]:
+        docs_all = np.intersect1d(docs_all, np.unique(d), assume_unique=True)
+    out_docs, out_freqs = [], []
+    for doc in docs_all:
+        starts = np.sort(per_term[0][1][per_term[0][0] == doc])
+        ok = np.ones(starts.shape[0], dtype=bool)
+        prev_pos = starts
+        for i, (d, p) in enumerate(per_term[1:], start=1):
+            pos_i = np.sort(p[d == doc])
+            nxt = np.searchsorted(pos_i, prev_pos + 1)
+            valid = nxt < pos_i.shape[0]
+            cand = np.where(valid, pos_i[np.minimum(nxt, pos_i.shape[0] - 1)], -1)
+            ok &= valid & (cand - starts <= i + slop)
+            prev_pos = cand
+        f = int(ok.sum())
+        if f:
+            out_docs.append(doc)
+            out_freqs.append(f)
+    return np.asarray(out_docs, dtype=np.int64), np.asarray(out_freqs, dtype=np.int64)
+
+
+def _eval_bool(reader, q: Q.BooleanQuery, ctx):
+    # pure disjunction of plain terms -> MaxScore path
+    if (
+        not q.must
+        and not q.must_not
+        and not q.filter
+        and q.should
+        and all(isinstance(s, Q.TermQuery) for s in q.should)
+    ):
+        msm = max(1, q.minimum_should_match)
+        need_counts = msm > 1
+        docs, scores, counts, exact = _union_maxscore(
+            reader,
+            [(s.term, s.boost * q.boost) for s in q.should],
+            ctx,
+            count_matches=need_counts,
+        )
+        if need_counts:
+            keep = counts >= msm
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores, exact
+
+    sub_ctx = _unpruned(ctx)  # inner clauses must be hit-complete
+    exact = True
+
+    docs = None
+    scores = None
+    # MUST: intersect, scores summed
+    for m in q.must:
+        d, s, _ = eval_query(reader, m, sub_ctx)
+        if docs is None:
+            docs, scores = d, s.astype(np.float64)
+        else:
+            docs, ia, ib = np.intersect1d(docs, d, assume_unique=True, return_indices=True)
+            scores = scores[ia] + s[ib]
+        if docs.shape[0] == 0:
+            return docs, np.empty(0, np.float64), True
+
+    # FILTER: intersect, no score contribution
+    for fq in q.filter:
+        d, _s, _ = eval_query(reader, fq, sub_ctx)
+        if docs is None:
+            docs = d
+            scores = np.zeros(d.shape[0], dtype=np.float64)
+        else:
+            docs, ia, _ib = np.intersect1d(docs, d, assume_unique=True, return_indices=True)
+            scores = scores[ia]
+        if docs.shape[0] == 0:
+            return docs, np.empty(0, np.float64), True
+
+    # SHOULD
+    if q.should:
+        if docs is None:
+            parts = [eval_query(reader, s, sub_ctx) for s in q.should]
+            cat_d = np.concatenate([p[0] for p in parts])
+            cat_s = np.concatenate([p[1] for p in parts])
+            docs, inv, counts = np.unique(cat_d, return_inverse=True, return_counts=True)
+            scores = np.zeros(docs.shape[0], dtype=np.float64)
+            np.add.at(scores, inv, cat_s)
+            msm = max(1, q.minimum_should_match)
+            if msm > 1:
+                # counts from unique() double-count a doc matching one clause
+                # twice only if a clause yields duplicate docs (it can't:
+                # per-clause docs are unique)
+                keep = counts >= msm
+                docs, scores = docs[keep], scores[keep]
+        else:
+            match_count = np.zeros(docs.shape[0], dtype=np.int64)
+            for s in q.should:
+                if isinstance(s, Q.TermQuery):
+                    idx = reader.term_index(s.term)
+                    scorer = ctx.scorer(s.term, s.boost)
+                    if idx < 0 or scorer is None:
+                        continue
+                    mask, sc = scores_at(reader, idx, scorer, docs)
+                else:
+                    d, sc_all, _ = eval_query(reader, s, sub_ctx)
+                    pos = np.searchsorted(d, docs)
+                    pos_c = np.minimum(pos, max(d.shape[0] - 1, 0))
+                    mask = (d.shape[0] > 0) & (d[pos_c] == docs) if d.shape[0] else np.zeros(docs.shape[0], bool)
+                    sc = np.zeros(docs.shape[0], dtype=np.float64)
+                    sc[mask] = sc_all[pos_c[mask]]
+                scores = scores + sc.astype(np.float64)
+                match_count += mask.astype(np.int64)
+            if q.minimum_should_match > 0:
+                keep = match_count >= q.minimum_should_match
+                docs, scores = docs[keep], scores[keep]
+
+    if docs is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+
+    # MUST_NOT: sorted anti-join
+    if q.must_not:
+        excl_parts = []
+        for mn in q.must_not:
+            d, _s, _ = eval_query(reader, mn, sub_ctx)
+            excl_parts.append(d)
+        if excl_parts:
+            excl = np.unique(np.concatenate(excl_parts))
+            keep = ~np.isin(docs, excl, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+
+    if q.boost != 1.0 and (q.must or q.filter):
+        scores = scores * q.boost
+    return docs, scores, exact

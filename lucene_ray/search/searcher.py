@@ -1,0 +1,160 @@
+"""IndexSearcher equivalent: query -> per-segment evaluation -> merged top-k.
+
+Mirrors the reference lifecycle (search/IndexSearcher.java:623,831):
+term stats are gathered ONCE globally (TermStates.build semantics,
+index/TermStates.java:96-140 — here a pruned read of the index's
+``global_terms`` parquet), each segment is scored independently, and
+per-segment top-k results merge with the TopDocs.merge tie-break —
+score desc, then segment order, then docID (search/TopDocs.java:203-228);
+since our segments are disjoint ascending docID ranges, that reduces to
+(score desc, global docID asc), exactly HitQueue's ordering.
+
+The searcher feeds the best k-th score back into the evaluation context as
+segments are visited (minCompetitiveScore, TopScoreDocCollector.java:106-164),
+so later segments prune posting blocks via block-max impacts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_ray.analysis.analyzers import Analyzer
+from lucene_ray.index.build import load_manifest, read_global_term_stats
+from lucene_ray.search import query as Q
+from lucene_ray.search.query import collect_scored_terms
+from lucene_ray.search.scoring import EvalContext, eval_query
+from lucene_ray.search.segreader import SegmentReader
+
+
+@dataclass
+class TopDocs:
+    total_hits: int
+    relation: str  # "EQ" exact | "GTE" lower bound (pruning engaged)
+    doc_ids: np.ndarray  # global doc ids
+    scores: np.ndarray
+
+
+def merge_topk(
+    docs: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (score desc, doc asc) — HitQueue ordering."""
+    if docs.shape[0] > max(4 * k, 4096):
+        # cheap pre-cut: keep everything scoring >= the k-th best score so
+        # score ties survive for the docID tie-break
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        keep = scores >= kth
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))
+    order = order[:k]
+    return docs[order], scores[order]
+
+
+class Searcher:
+    def __init__(self, index_dir: str, mode: str = "f32"):
+        self.index_dir = index_dir
+        self.mode = mode
+        m = load_manifest(index_dir)
+        self.manifest = m
+        self.doc_count = m["doc_count"]
+        self.sum_ttf = m["sum_total_term_freq"]
+        self.analyzer = Analyzer(
+            lowercase=m["analyzer"]["lowercase"],
+            stop_words=frozenset(m["analyzer"]["stop_words"]),
+            max_token_length=m["analyzer"]["max_token_length"],
+        )
+        self.readers = [SegmentReader(s["path"]) for s in m["segments"]]
+        self._stats_cache: dict[str, tuple[int, int]] = {}
+
+    # -- global stats (TermStates.build) ------------------------------------
+    def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            tbl = read_global_term_stats(self.index_dir, missing)
+            got = dict(
+                zip(
+                    tbl["term"].to_pylist(),
+                    zip(tbl["df"].to_pylist(), tbl["ttf"].to_pylist()),
+                )
+            )
+            for t in missing:
+                self._stats_cache[t] = got.get(t, (0, 0))
+        return {t: self._stats_cache[t] for t in terms}
+
+    def make_context(self, query: Q.Query) -> EvalContext:
+        terms: set[str] = set()
+        collect_scored_terms(query, terms)
+        return EvalContext(
+            self.term_stats(terms), self.doc_count, self.sum_ttf, mode=self.mode
+        )
+
+    def parse(self, text: str) -> Q.Query:
+        from lucene_ray.search.parser import parse_query
+
+        return parse_query(text, self.analyzer)
+
+    def search(self, query: "Q.Query | str", k: int = 10, prune: bool = True) -> TopDocs:
+        if isinstance(query, str):
+            query = self.parse(query)
+        ctx = self.make_context(query)
+        if not prune:
+            ctx_threshold_enabled = False
+        else:
+            ctx_threshold_enabled = True
+
+        best_docs = np.empty(0, dtype=np.int64)
+        best_scores = np.empty(0, dtype=np.float64)
+        total = 0
+        exact_all = True
+        for reader in self.readers:
+            d, s, exact = eval_query(reader, query, ctx)
+            exact_all &= exact
+            total += int(d.shape[0])
+            if d.shape[0]:
+                gdocs = d + reader.doc_base
+                best_docs = np.concatenate([best_docs, gdocs])
+                best_scores = np.concatenate([best_scores, s])
+                best_docs, best_scores = merge_topk(best_docs, best_scores, k)
+            if ctx_threshold_enabled and best_docs.shape[0] >= k:
+                ctx.threshold = float(best_scores[-1])
+        return TopDocs(
+            total_hits=total,
+            relation="EQ" if exact_all else "GTE",
+            doc_ids=best_docs,
+            scores=best_scores,
+        )
+
+    def count(self, query: "Q.Query | str") -> int:
+        """TotalHitCountCollector — exact hit count, no scoring shortcuts."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        ctx = self.make_context(query)  # threshold stays -inf -> no pruning
+        return sum(int(eval_query(r, query, ctx)[0].shape[0]) for r in self.readers)
+
+    def search_after(
+        self, query: "Q.Query | str", k: int, after_score: float, after_doc: int
+    ) -> TopDocs:
+        """Resumable pagination (IndexSearcher.searchAfter,
+        search/IndexSearcher.java:587-599): keep hits strictly worse than the
+        cursor in (score desc, doc asc) order."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        ctx = self.make_context(query)
+        all_docs = np.empty(0, dtype=np.int64)
+        all_scores = np.empty(0, dtype=np.float64)
+        total = 0
+        exact_all = True
+        for reader in self.readers:
+            d, s, exact = eval_query(reader, query, ctx)
+            exact_all &= exact
+            total += int(d.shape[0])
+            if d.shape[0] == 0:
+                continue
+            gdocs = d + reader.doc_base
+            keep = (s < after_score) | ((s == after_score) & (gdocs > after_doc))
+            gdocs, s = gdocs[keep], s[keep]
+            all_docs = np.concatenate([all_docs, gdocs])
+            all_scores = np.concatenate([all_scores, s])
+            all_docs, all_scores = merge_topk(all_docs, all_scores, k)
+        return TopDocs(total, "EQ" if exact_all else "GTE", all_docs, all_scores)

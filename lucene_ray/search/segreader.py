@@ -1,0 +1,128 @@
+"""Per-segment read path: sorted term dictionary + mmap'd postings.
+
+The IndexSearcher-leaf equivalent (search/IndexSearcher.java:77): the term
+dictionary is the segment's sorted ``terms.parquet`` (binary search replaces
+the block-tree trie, blocktree/Lucene103BlockTreeTermsWriter.java:211-223);
+``postings.bin`` is opened with ``np.memmap`` so actors page in only the
+blobs they touch (MMapDirectory model, store/MMapDirectory.java:87).
+
+Multi-term expansion (prefix / wildcard / regexp / fuzzy / range,
+search/MultiTermQuery.java:52-119) is a vectorized scan or sorted-range
+slice over the same term table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from lucene_ray.codec.postings import PostingsReader
+
+
+class SegmentReader:
+    __slots__ = (
+        "path",
+        "doc_base",
+        "doc_count",
+        "terms",
+        "df",
+        "ttf",
+        "offsets",
+        "lengths",
+        "postings",
+        "_norms",
+        "_doc_ids",
+        "meta",
+    )
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.doc_base = int(self.meta["doc_base"])
+        self.doc_count = int(self.meta["doc_count"])
+        t = pq.read_table(os.path.join(path, "terms.parquet"))
+        # numpy unicode array -> vectorized searchsorted for exact lookup
+        # and range/prefix slicing (term order == UTF-8 order for our data)
+        self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        self.df = t["df"].to_numpy()
+        self.ttf = t["ttf"].to_numpy()
+        self.offsets = t["offset"].to_numpy()
+        self.lengths = t["length"].to_numpy()
+        self.postings = np.memmap(
+            os.path.join(path, "postings.bin"), dtype=np.uint8, mode="r"
+        )
+        self._norms = None
+        self._doc_ids = None
+
+    # -- term dictionary ---------------------------------------------------
+    def term_index(self, term: str) -> int:
+        """Index of ``term`` in the sorted dictionary, or -1."""
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def term_range(self, lower: str | None, upper: str | None,
+                   include_lower: bool = True, include_upper: bool = True) -> np.ndarray:
+        """Indices of terms in [lower, upper] (TermRangeQuery expansion)."""
+        lo = 0
+        if lower is not None:
+            lo = int(np.searchsorted(self.terms, lower, side="left" if include_lower else "right"))
+        hi = len(self.terms)
+        if upper is not None:
+            hi = int(np.searchsorted(self.terms, upper, side="right" if include_upper else "left"))
+        return np.arange(lo, max(lo, hi))
+
+    def terms_matching_prefix(self, prefix: str) -> np.ndarray:
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "￿"))
+        return np.arange(lo, hi)
+
+    def terms_matching_regex(self, pattern: str) -> np.ndarray:
+        """Full-dictionary regex scan (RegexpQuery/WildcardQuery expansion)."""
+        import pyarrow as pa
+
+        arr = pa.array(self.terms, type=pa.string())
+        mask = pc.match_substring_regex(arr, pattern)
+        return np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+
+    # -- postings ----------------------------------------------------------
+    def postings_reader(self, term_idx: int) -> PostingsReader:
+        off = int(self.offsets[term_idx])
+        return PostingsReader(self.postings[off : off + int(self.lengths[term_idx])])
+
+    def postings_for(self, term: str) -> PostingsReader | None:
+        i = self.term_index(term)
+        return None if i < 0 else self.postings_reader(i)
+
+    # -- doc-side columns (lazy) --------------------------------------------
+    @property
+    def norms(self) -> np.ndarray:
+        if self._norms is None:
+            d = pq.read_table(os.path.join(self.path, "docs.parquet"), columns=["norm"])
+            self._norms = d["norm"].to_numpy().astype(np.uint8)
+        return self._norms
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        if self._doc_ids is None:
+            d = pq.read_table(os.path.join(self.path, "docs.parquet"), columns=["doc_id"])
+            self._doc_ids = d["doc_id"].to_numpy()
+        return self._doc_ids
+
+    def positions_table(self, terms: list[str]):
+        """(term, doc_id, pos) rows for the given terms (phrase queries)."""
+        import pyarrow.dataset as pads
+
+        path = os.path.join(self.path, "positions.parquet")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "index was built without positions (with_positions=False)"
+            )
+        dset = pads.dataset(path, format="parquet")
+        return dset.to_table(filter=pads.field("term").isin(terms))

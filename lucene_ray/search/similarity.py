@@ -1,0 +1,160 @@
+"""BM25 scoring — exact float32 port of Lucene's BM25Similarity.
+
+Reference: lucene/core/src/java/org/apache/lucene/search/similarities/
+BM25Similarity.java:139-286 — idf = (float) log(1 + (N - n + 0.5)/(n + 0.5))
+computed in double then cast to float; a 256-entry float cache
+``1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))``; and the score
+``weight - weight / (1 + freq * invNorm)`` evaluated in float32 (op order
+matters for rank-identity — BM25Similarity.java:265-274).
+
+Two scorers:
+  * :class:`BM25Scorer` — float32, bit-identical to Lucene; used by the
+    engine's top-k path and the golden-rank tests.
+  * :func:`bm25_score_f64` — float64 with a plain expression tree
+    ``idf * freq / (freq + K)`` mirroring the DuckDB oracle SQL so the
+    driver's value-hash comparison is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_ray.util.smallfloat import LENGTH_TABLE_F32, LENGTH_TABLE_INT
+
+
+def idf_f32(doc_freq: int, doc_count: int) -> np.float32:
+    """BM25Similarity.idf — double log, cast to float32."""
+    # exactly Math.log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5)):
+    # the 1 + x addition happens in double before the log (NOT log1p).
+    v = np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+    return np.float32(v)
+
+
+def avg_field_length_f32(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    """BM25Similarity.avgFieldLength — double division, cast to float32."""
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+class BM25Scorer:
+    """Per-term scorer with Lucene's precomputed 256-entry invNorm cache.
+
+    BM25Similarity.scorer (BM25Similarity.java:216-224) builds
+    ``cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))`` in
+    float32; score(freq, normByte) = weight - weight / (1 + freq * cache[b]).
+    """
+
+    __slots__ = ("k1", "b", "idf", "avgdl", "weight", "cache")
+
+    def __init__(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+    ) -> None:
+        k1f = np.float32(k1)
+        bf = np.float32(b)
+        self.k1 = k1f
+        self.b = bf
+        self.idf = idf_f32(doc_freq, doc_count)
+        self.avgdl = avg_field_length_f32(sum_total_term_freq, doc_count)
+        # float32 evaluation order identical to Java:
+        # 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))
+        one = np.float32(1.0)
+        with np.errstate(divide="ignore"):
+            self.cache = one / (
+                k1f * ((one - bf) + bf * LENGTH_TABLE_F32 / self.avgdl)
+            )
+        self.weight = np.float32(boost) * self.idf
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """Vectorized float32 score for parallel freq/norm arrays."""
+        inv = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        f = np.asarray(freqs).astype(np.float32)
+        one = np.float32(1.0)
+        return self.weight - self.weight / (one + f * inv)
+
+    def max_score(self, max_freq: int | np.ndarray, min_norm: int | np.ndarray):
+        """Score upper bound for a block given its max freq / min norm byte.
+
+        Valid because score is monotone increasing in freq and in invNorm,
+        and invNorm is monotone decreasing in encoded length (norm byte) —
+        the MaxScoreCache premise (search/MaxScoreCache.java:74-140).
+        """
+        return self.score(np.asarray(max_freq), np.asarray(min_norm))
+
+
+class BM25ScorerF64:
+    """Float64 scorer with the plain ``idf * f/(f+K)`` expression tree —
+    matches the DuckDB oracle SQL bit-for-bit (modulo libm ulp). Same
+    interface as :class:`BM25Scorer` so the query engine is scorer-agnostic.
+    """
+
+    __slots__ = ("df", "doc_count", "sum_ttf", "k1", "b", "idf", "avgdl", "boost")
+
+    def __init__(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+    ) -> None:
+        self.df = doc_freq
+        self.doc_count = doc_count
+        self.sum_ttf = sum_total_term_freq
+        self.k1 = k1
+        self.b = b
+        self.boost = boost
+        self.avgdl = sum_total_term_freq / doc_count
+        self.idf = np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        return self.boost * (
+            self.idf * f / (f + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+
+    def max_score(self, max_freq, min_norm):
+        return self.score(np.asarray(max_freq), np.asarray(min_norm))
+
+
+def make_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    mode: str = "f32",
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+):
+    """Scorer factory: ``mode='f32'`` = Lucene-exact, ``'f64'`` = oracle-SQL-exact."""
+    cls = BM25Scorer if mode == "f32" else BM25ScorerF64
+    return cls(doc_freq, doc_count, sum_total_term_freq, k1=k1, b=b, boost=boost)
+
+
+def bm25_score_f64(
+    freqs: np.ndarray,
+    norm_bytes: np.ndarray,
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> np.ndarray:
+    """Float64 BM25 matching the DuckDB oracle expression exactly:
+
+    ``ln(1 + (N - df + 0.5)/(df + 0.5)) * freq / (freq + k1*(1 - b + b*dl/avgdl))``
+
+    with dl = smallfloat-decoded doc length and avgdl = sum_ttf/doc_count.
+    Every op is IEEE double, same expression tree as the SQL.
+    """
+    dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(np.float64)
+    avgdl = sum_total_term_freq / doc_count
+    idf = np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+    f = np.asarray(freqs).astype(np.float64)
+    return idf * f / (f + k1 * (1.0 - b + b * dl / avgdl))

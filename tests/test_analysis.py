@@ -1,0 +1,79 @@
+"""Analyzer golden tests — the assertTokenStreamContents pattern
+(test-framework/.../analysis/BaseTokenStreamTestCase.java:145) over the
+FIXTURES.md edge-case corpus."""
+
+import pyarrow as pa
+
+from lucene_ray.analysis.analyzers import EnglishAnalyzer, StandardAnalyzer
+from lucene_ray.analysis.batch import tokenize_column
+from lucene_ray.analysis.tokenizer import tokenize, tokenize_with_offsets
+
+GOLDEN = {
+    "": [],
+    "   ": [],
+    "one": ["one"],
+    "3.14 1,000,000 C++ O'Brien can't state-of-the-art a@b.com http://x.y/z": [
+        "3.14", "1,000,000", "C", "O'Brien", "can't",
+        "state", "of", "the", "art", "a", "b.com", "http", "x.y", "z",
+    ],
+    "naïve café 東京 한글 🚀 test": ["naïve", "café", "東", "京", "한글", "test"],
+    "foo_bar under_score_chain": ["foo_bar", "under_score_chain"],
+    "the and of to a in is it": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "trailing. dots. stay: out": ["trailing", "dots", "stay", "out"],
+}
+
+
+def test_golden_tokens():
+    for text, want in GOLDEN.items():
+        assert tokenize(text) == want, text
+
+
+def test_max_token_length_chop():
+    toks = tokenize("x" * 300)
+    assert toks == ["x" * 255, "x" * 45]
+    toks = tokenize("y" * 255)
+    assert toks == ["y" * 255]
+
+
+def test_offsets_and_positions():
+    out = tokenize_with_offsets("ab cd  ef")
+    assert out == [("ab", 0, 0, 2), ("cd", 1, 3, 5), ("ef", 2, 7, 9)]
+
+
+def test_lowercase_and_stop():
+    assert StandardAnalyzer.tokens("The Quick FOX") == ["the", "quick", "fox"]
+    # StandardAnalyzer default stop set is EMPTY (StandardAnalyzer.java:34-96)
+    assert StandardAnalyzer.tokens("the and of") == ["the", "and", "of"]
+    assert EnglishAnalyzer.tokens("the quick fox") == ["quick", "fox"]
+
+
+def test_stop_filter_keeps_position_gaps():
+    # StopFilter keeps position increments (analysis/StopFilter.java:25)
+    tp = EnglishAnalyzer.tokens_with_positions("the quick the fox")
+    assert tp == [("quick", 1), ("fox", 3)]
+
+
+def test_batch_fast_path_matches_python():
+    texts = ["key agg row scan", "a  b  c", "", "hash part value"]
+    flat, doc_idx, pos = tokenize_column(pa.array(texts))
+    want = [StandardAnalyzer.tokens(t) for t in texts]
+    got = [[] for _ in texts]
+    for t, d in zip(flat.to_pylist(), doc_idx):
+        got[d].append(t)
+    assert got == want
+
+
+def test_batch_mixed_path_matches_python():
+    texts = ["simple lower text", "Mixed CASE can't 3.14", "東京 test", ""]
+    flat, doc_idx, pos = tokenize_column(pa.array(texts))
+    want = [StandardAnalyzer.tokens(t) for t in texts]
+    got = [[] for _ in texts]
+    for t, d in zip(flat.to_pylist(), doc_idx):
+        got[d].append(t)
+    assert got == want
+
+
+def test_batch_positions_dense_per_doc():
+    texts = ["a b c", "d e"]
+    _flat, doc_idx, pos = tokenize_column(pa.array(texts))
+    assert pos.tolist() == [0, 1, 2, 0, 1]

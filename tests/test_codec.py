@@ -1,0 +1,101 @@
+"""Postings codec conformance — the RandomPostingsTester pattern
+(test-framework/.../index/RandomPostingsTester.java:91): random lists at
+sizes straddling block boundaries round-trip exactly; skip and impact
+entries dominate their blocks."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.codec.forutil import (
+    BLOCK_SIZE,
+    decode_pfor_block,
+    encode_pfor_block,
+    pack_bits,
+    unpack_bits,
+)
+from lucene_ray.codec.postings import PostingsReader, encode_postings
+
+SIZES = [1, 2, 255, 256, 257, 511, 512, 8191, 8192, 8193, 100_000]
+
+
+def _random_postings(rng, n, doc_space=None):
+    doc_space = doc_space or max(n * 20, 1000)
+    docs = np.sort(rng.choice(doc_space, size=n, replace=False)).astype(np.int64)
+    # freqs include >2**7 outliers to force PFor exceptions
+    freqs = rng.integers(1, 300, size=n).astype(np.uint32)
+    freqs[rng.random(n) < 0.02] = rng.integers(1000, 100_000)
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    return docs, freqs, norms
+
+
+def test_pack_unpack_bits():
+    rng = np.random.default_rng(1)
+    for width in range(0, 33):
+        vals = rng.integers(0, 2**width if width else 1, size=256, dtype=np.uint64).astype(np.uint32)
+        buf = np.frombuffer(pack_bits(vals, width), dtype=np.uint8)
+        out = unpack_bits(buf, 256, width)
+        assert (out == vals).all(), width
+
+
+def test_pfor_block_roundtrip_and_exceptions():
+    rng = np.random.default_rng(2)
+    for trial in range(50):
+        n = int(rng.integers(1, 257))
+        vals = rng.integers(0, 100, size=n).astype(np.uint32)
+        k = int(rng.integers(0, min(8, n)))
+        if k:
+            vals[rng.choice(n, k, replace=False)] = rng.integers(2**20, 2**30)
+        blob = np.frombuffer(encode_pfor_block(vals), dtype=np.uint8)
+        out, end = decode_pfor_block(blob, 0, n)
+        assert end == blob.shape[0]
+        assert (out == vals).all()
+        # exception count bounded (PForUtil.MAX_EXCEPTIONS)
+        assert blob[1] <= 7
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_postings_roundtrip(n):
+    rng = np.random.default_rng(n)
+    docs, freqs, norms = _random_postings(rng, n)
+    blob = encode_postings(docs, freqs, norms)
+    r = PostingsReader(blob)
+    assert r.df == n
+    d, f, nm = r.decode_all()
+    assert (d == docs).all()
+    assert (f == freqs).all()
+    assert (nm == norms).all()
+
+
+def test_skip_and_impacts_dominate_blocks():
+    rng = np.random.default_rng(99)
+    docs, freqs, norms = _random_postings(rng, 5000)
+    r = PostingsReader(encode_postings(docs, freqs, norms))
+    for b in range(r.n_blocks):
+        d, f, nm = r.decode_block(b)
+        assert int(r.last_doc[b]) == int(d[-1])
+        assert int(r.max_freq[b]) == int(f.max())  # impact upper bound
+        assert int(r.min_norm[b]) == int(nm.min())
+        lo = b * BLOCK_SIZE
+        assert (d == docs[lo : lo + d.shape[0]]).all()
+
+
+def test_targeted_block_decode():
+    rng = np.random.default_rng(5)
+    docs, freqs, norms = _random_postings(rng, 3000)
+    r = PostingsReader(encode_postings(docs, freqs, norms))
+    d, f, nm = r.decode_blocks(np.array([0, 5, r.n_blocks - 1]))
+    want = np.concatenate(
+        [docs[:256], docs[5 * 256 : 6 * 256], docs[(r.n_blocks - 1) * 256 :]]
+    )
+    assert (d == want).all()
+
+
+def test_dense_docids_minimal_width():
+    # dense 0..n-1 doc ids -> all deltas 1 -> 1 bit/doc
+    n = 4096
+    docs = np.arange(n, dtype=np.int64)
+    freqs = np.ones(n, dtype=np.uint32)
+    norms = np.full(n, 17, dtype=np.uint8)
+    blob = encode_postings(docs, freqs, norms)
+    # docs ~1 bit, freqs ~0 bits (all 1 -> width 1), norms constant width ~5
+    assert len(blob) < n * 2

@@ -1,0 +1,228 @@
+"""CheckHits-style search correctness: engine top-k vs brute-force scoring
+of every doc with the ported BM25 formula
+(test-framework/.../search/CheckHits.java:181-333 pattern), plus invariance
+across pruning and partition counts, and boolean/phrase semantics."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.search import query as Q
+from lucene_ray.search.searcher import Searcher
+from lucene_ray.search.similarity import BM25Scorer
+
+
+def brute_topk(bf, terms, k, mode="or", msm=0):
+    """Brute-force BM25 over the whole corpus (scores f32, HitQueue order)."""
+    N, sum_ttf = bf["doc_count"], bf["sum_ttf"]
+    total = np.zeros(N, dtype=np.float64)
+    match = np.zeros(N, dtype=np.int64)
+    for t in terms:
+        freqs = np.array([d.count(t) for d in bf["tokens"]])
+        df = int((freqs > 0).sum())
+        if df == 0:
+            continue
+        sc = BM25Scorer(df, N, sum_ttf)
+        s = sc.score(freqs, bf["norms"]).astype(np.float64)
+        s[freqs == 0] = 0.0
+        total += s
+        match += (freqs > 0).astype(np.int64)
+    if mode == "or":
+        mask = match >= max(1, msm)
+    else:
+        mask = match == len(terms)
+    docs = bf["ids"][mask]
+    scores = total[mask]
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order], int(mask.sum())
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    idx, _m = built_index
+    return Searcher(idx)
+
+
+TERMS = ["table", "key", "window", "spark", "customer", "slow"]
+
+
+@pytest.mark.parametrize("term", TERMS)
+def test_term_query_rank_identical(searcher, brute_force, term):
+    td = searcher.search(Q.TermQuery(term), k=10)
+    bd, bs, total = brute_topk(brute_force, [term], 10)
+    assert td.doc_ids.tolist() == bd.tolist()
+    assert td.scores.tolist() == bs.tolist()  # exact float32 reproduction
+    if td.relation == "EQ":
+        assert td.total_hits == total
+
+
+def test_absent_term(searcher):
+    td = searcher.search(Q.TermQuery("zzzqqqabsent"), k=10)
+    assert td.total_hits == 0 and td.doc_ids.shape[0] == 0
+
+
+def test_disjunction_rank_identical(searcher, brute_force):
+    terms = ["table", "window", "spark"]
+    q = Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in terms))
+    td = searcher.search(q, k=15)
+    bd, bs, _ = brute_topk(brute_force, terms, 15)
+    assert td.doc_ids.tolist() == bd.tolist()
+    np.testing.assert_allclose(td.scores, bs, rtol=0, atol=0)
+
+
+def test_conjunction(searcher, brute_force):
+    terms = ["table", "key"]
+    q = Q.BooleanQuery(must=tuple(Q.TermQuery(t) for t in terms))
+    td = searcher.search(q, k=10)
+    bd, bs, total = brute_topk(brute_force, terms, 10, mode="and")
+    assert td.doc_ids.tolist() == bd.tolist()
+    np.testing.assert_allclose(td.scores, bs)
+    assert td.total_hits == total
+
+
+def test_min_should_match(searcher, brute_force):
+    terms = ["table", "window", "spark"]
+    q = Q.BooleanQuery(
+        should=tuple(Q.TermQuery(t) for t in terms), minimum_should_match=2
+    )
+    td = searcher.search(q, k=10)
+    bd, bs, total = brute_topk(brute_force, terms, 10, msm=2)
+    assert td.doc_ids.tolist() == bd.tolist()
+    assert td.total_hits == total
+
+
+def test_must_not(searcher, brute_force):
+    q = Q.BooleanQuery(must=(Q.TermQuery("table"),), must_not=(Q.TermQuery("key"),))
+    td = searcher.search(q, k=10)
+    has_t = np.array([("table" in d) and ("key" not in d) for d in brute_force["tokens"]])
+    bd, bs, total = brute_topk(brute_force, ["table"], 10**9)
+    keep = [i for i, d in enumerate(bd) if has_t[list(brute_force["ids"]).index(d)]]
+    want = bd[keep][:10]
+    assert td.doc_ids.tolist() == want.tolist()
+
+
+def test_pruning_equals_exhaustive(searcher):
+    """Block-max pruning must not change results (QueryUtils.check pattern)."""
+    for qtext in ["table", "key value", "spark window customer"]:
+        q = searcher.parse(qtext)
+        pruned = searcher.search(q, k=5, prune=True)
+        full = searcher.search(q, k=5, prune=False)
+        assert pruned.doc_ids.tolist() == full.doc_ids.tolist()
+        assert pruned.scores.tolist() == full.scores.tolist()
+
+
+def test_partition_count_invariance(sf_dir, tmp_path, brute_force):
+    """Same results at any segmentation (SURVEY §5 adaptation (d))."""
+    from lucene_ray.index.build import build_index
+
+    idx2 = str(tmp_path / "idx2")
+    build_index(f"{sf_dir}/documents.parquet", idx2, num_segments=1)
+    s2 = Searcher(idx2)
+    idx3 = str(tmp_path / "idx3")
+    build_index(f"{sf_dir}/documents.parquet", idx3, num_segments=7)
+    s3 = Searcher(idx3)
+    for term in ["table", "key"]:
+        a = s2.search(Q.TermQuery(term), k=10)
+        b = s3.search(Q.TermQuery(term), k=10)
+        assert a.doc_ids.tolist() == b.doc_ids.tolist()
+        assert a.scores.tolist() == b.scores.tolist()
+
+
+def test_phrase_query(searcher, brute_force):
+    q = Q.PhraseQuery(("key", "value"))
+    td = searcher.search(q, k=10)
+    # brute force: count adjacent occurrences
+    want = []
+    for i, toks in enumerate(brute_force["tokens"]):
+        f = sum(
+            1
+            for j in range(len(toks) - 1)
+            if toks[j] == "key" and toks[j + 1] == "value"
+        )
+        if f:
+            want.append((int(brute_force["ids"][i]), f))
+    assert set(td.doc_ids.tolist()) <= {d for d, _ in want}
+    assert td.total_hits == len(want)
+
+
+def test_multiterm_queries(searcher, brute_force):
+    vocab = sorted({t for toks in brute_force["tokens"] for t in toks})
+    pref = [t for t in vocab if t.startswith("s")]
+    td = searcher.search(Q.PrefixQuery("s"), k=10**9)
+    want_docs = {
+        int(brute_force["ids"][i])
+        for i, toks in enumerate(brute_force["tokens"])
+        if any(t in pref for t in toks)
+    }
+    assert set(td.doc_ids.tolist()) == want_docs
+    # constant score
+    assert (td.scores == 1.0).all()
+
+    td2 = searcher.search(Q.TermInSetQuery(("table", "spark")), k=10**9)
+    want2 = {
+        int(brute_force["ids"][i])
+        for i, toks in enumerate(brute_force["tokens"])
+        if "table" in toks or "spark" in toks
+    }
+    assert set(td2.doc_ids.tolist()) == want2
+
+    td3 = searcher.search(Q.TermRangeQuery("a", "c"), k=10**9)
+    rng_terms = [t for t in vocab if "a" <= t <= "c"]
+    want3 = {
+        int(brute_force["ids"][i])
+        for i, toks in enumerate(brute_force["tokens"])
+        if any(t in rng_terms for t in toks)
+    }
+    assert set(td3.doc_ids.tolist()) == want3
+
+
+def test_fuzzy_query(searcher, brute_force):
+    td = searcher.search(Q.FuzzyQuery("tabl", max_edits=1), k=10**9)
+    want = {
+        int(brute_force["ids"][i])
+        for i, toks in enumerate(brute_force["tokens"])
+        if "table" in toks  # edit distance 1
+    }
+    assert want <= set(td.doc_ids.tolist())
+
+
+def test_match_all_and_count(searcher, brute_force):
+    td = searcher.search(Q.MatchAllDocsQuery(), k=5)
+    assert td.total_hits == brute_force["doc_count"]
+    assert searcher.count(Q.TermQuery("table")) == sum(
+        1 for d in brute_force["tokens"] if "table" in d
+    )
+
+
+def test_search_after_pagination(searcher):
+    q = Q.TermQuery("table")
+    page1 = searcher.search(q, k=5)
+    page2 = searcher.search_after(
+        q, k=5, after_score=float(page1.scores[-1]), after_doc=int(page1.doc_ids[-1])
+    )
+    full = searcher.search(q, k=10)
+    assert page1.doc_ids.tolist() + page2.doc_ids.tolist() == full.doc_ids.tolist()
+
+
+def test_parser_roundtrip(searcher):
+    q = searcher.parse('+table -key "key value" spark^2 tabl~1 sp*')
+    assert isinstance(q, Q.BooleanQuery)
+    assert len(q.must) == 1 and len(q.must_not) == 1 and len(q.should) == 4
+    q2 = searcher.parse("table AND key")
+    assert isinstance(q2, Q.BooleanQuery) and len(q2.must) == 2
+    q3 = searcher.parse('"key value"~2')
+    assert isinstance(q3, Q.PhraseQuery) and q3.slop == 2
+    q4 = searcher.parse("[table TO window]")
+    assert isinstance(q4, Q.TermRangeQuery)
+
+
+def test_distributed_searcher_matches_local(built_index):
+    from lucene_ray.search.executor import DistributedSearcher
+
+    idx, _ = built_index
+    local = Searcher(idx)
+    dist = DistributedSearcher(idx, num_executors=2)
+    for qtext in ["table", "key value window", '+table -key']:
+        a = local.search(local.parse(qtext), k=10, prune=False)
+        b = dist.search(qtext, k=10)
+        assert a.doc_ids.tolist() == b.doc_ids.tolist()
+        assert a.scores.tolist() == b.scores.tolist()
