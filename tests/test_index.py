@@ -1,0 +1,94 @@
+"""Index build, resume, global stats, and merge correctness."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.build import build_index, load_manifest, read_global_term_stats
+from lucene_ray.index.merge import force_merge
+from lucene_ray.search.query import BooleanQuery, TermQuery
+from lucene_ray.search.searcher import Searcher
+
+
+def test_manifest_and_stats(built_index, brute_force):
+    idx, m = built_index
+    assert m["doc_count"] == brute_force["doc_count"]
+    assert m["sum_total_term_freq"] == brute_force["sum_ttf"]
+    # segments disjoint & ordered
+    segs = m["segments"]
+    for a, b in zip(segs, segs[1:]):
+        assert a["max_doc_id"] < b["doc_base"]
+    # lineage fields present (north rule: per-partition lineage + metrics)
+    for s in segs:
+        assert s["fingerprint"] and s["postings_bytes"] > 0
+        assert s["terms_per_sec"] >= 0
+
+
+def test_global_term_stats_match_brute(built_index, brute_force):
+    idx, _ = built_index
+    tbl = read_global_term_stats(idx, ["table", "key"])
+    got = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+    for t in ("table", "key"):
+        want = sum(1 for toks in brute_force["tokens"] if t in toks)
+        assert got[t] == want
+
+
+def test_resume_skips_completed_segments(sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    m1 = build_index(f"{sf_dir}/documents.parquet", idx, num_segments=3)
+    assert all(not s["skipped"] for s in m1["segments"])
+    m2 = build_index(f"{sf_dir}/documents.parquet", idx, num_segments=3)
+    assert all(s["skipped"] for s in m2["segments"])
+    assert [s["segment_id"] for s in m1["segments"]] == [
+        s["segment_id"] for s in m2["segments"]
+    ]
+
+
+def test_norms_match_smallfloat(built_index, brute_force):
+    idx, m = built_index
+    from lucene_ray.util.smallfloat import int_to_byte4
+
+    for s in m["segments"][:2]:
+        d = pq.read_table(os.path.join(s["path"], "docs.parquet"))
+        ids = d["doc_id"].to_numpy()
+        lens = d["doc_len"].to_numpy()
+        norms = d["norm"].to_numpy()
+        id_list = list(brute_force["ids"])
+        for i in range(0, len(ids), 37):
+            row = id_list.index(ids[i])
+            assert lens[i] == len(brute_force["tokens"][row])
+            assert norms[i] == int_to_byte4(int(lens[i]))
+
+
+def test_force_merge_rank_identical(sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    midx = str(tmp_path / "merged")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=6)
+    mm = force_merge(idx, midx, hot_term_df=100, salt_buckets=3)
+    assert mm["segments"][0]["merge_fan_in"] == 6
+    a, b = Searcher(idx), Searcher(midx)
+    assert b.doc_count == a.doc_count and b.sum_ttf == a.sum_ttf
+    for t in ["table", "key", "spark"]:
+        ta, tb = a.search(TermQuery(t), k=10), b.search(TermQuery(t), k=10)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        assert ta.scores.tolist() == tb.scores.tolist()
+        assert ta.total_hits == tb.total_hits
+    q = BooleanQuery(should=(TermQuery("spark"), TermQuery("window")))
+    assert a.search(q, k=10).doc_ids.tolist() == b.search(q, k=10).doc_ids.tolist()
+
+
+def test_merged_df_ttf_consistent(sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    midx = str(tmp_path / "merged")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=5)
+    force_merge(idx, midx, hot_term_df=10, salt_buckets=4)  # everything hot
+    gt = pq.read_table(os.path.join(idx, "global_terms")).sort_by("term")
+    mt = pq.read_table(
+        os.path.join(load_manifest(midx)["segments"][0]["path"], "terms.parquet")
+    ).sort_by("term")
+    assert gt["term"].to_pylist() == mt["term"].to_pylist()
+    assert gt["df"].to_pylist() == mt["df"].to_pylist()
+    assert gt["ttf"].to_pylist() == mt["ttf"].to_pylist()
