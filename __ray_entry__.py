@@ -1,44 +1,895 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 top-k query set)
+on sf0.001. ``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2 inventory + the training-data-pipeline extras); each takes
+``sf_dir`` and returns a table the driver hashes against ``oracle_sql()``'s
+DuckDB result on the same parquet views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Scoring entries use the engine's float64 oracle mode (same IEEE expression
+tree as the SQL — see lucene_ray/search/similarity.py); the Lucene-exact
+float32 path is covered by the pytest rank-identity suite and by the
+rows-only ``bm25_topk_f32`` entry. Floats are rounded to 4 decimals on BOTH
+sides; top-k ranking uses the ROUNDED score (desc) then doc_id so selection
+is deterministic across numpy/DuckDB.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+K1, B = 1.2, 0.75
+
+# ---------------------------------------------------------------------------
+# shared index cache (one build per sf_dir per process, resumable on disk)
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = "/tmp/lucene_ray_idx"
+
+
+def _index_dir(sf_dir: str) -> str:
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, num_segments=4, with_positions=True)
+    return idx
+
+
+_SEARCHERS: dict[tuple[str, str], Any] = {}
+
+
+def _searcher(sf_dir: str, mode: str = "f64"):
+    key = (sf_dir, mode)
+    if key not in _SEARCHERS:
+        from lucene_ray.search.searcher import Searcher
+
+        _SEARCHERS[key] = Searcher(_index_dir(sf_dir), mode=mode)
+    return _SEARCHERS[key]
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    """DuckDB-equivalent ROUND(x, 4): half away from zero on x*1e4 —
+    numpy's np.round is half-to-even and disagrees at exact .5 boundaries
+    (e.g. 1/32 -> 0.0313 vs 0.0312)."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+
+def _all_hits_table(sf_dir: str, query) -> pa.Table:
+    s = _searcher(sf_dir)
+    docs, scores = s.search_all(query)
+    order = np.argsort(docs)
+    return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
+
+
+def _topk_table(sf_dir: str, query, k: int) -> pa.Table:
+    """Top-k by (round4(score) desc, doc_id asc) — deterministic vs SQL."""
+    s = _searcher(sf_dir)
+    docs, scores = s.search_all(query)
+    r = _round4(scores)
+    order = np.lexsort((docs, -r))[:k]
+    return pa.table(
+        {
+            "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+            "doc_id": docs[order],
+            "score": r[order],
+        }
+    )
+
+
+def _pages_ds(sf_dir: str):
+    from lucene_ray.data.webpages import webpages_dataset
+
+    return webpages_dataset(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_QUERIES = [
+    "table",
+    "key value",
+    "+table -key",
+    '"key value"',
+    "spark window customer",
+]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Build the inverted index over sf0.001 web text and run the flagship
+    BM25 top-10 query set (float32 Lucene-exact path, block-max pruning)."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(sf_dir, mode="f32")
+    out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for qid, qtext in enumerate(FLAGSHIP_QUERIES):
+        td = s.search(qtext, k=10)
+        n = td.doc_ids.shape[0]
+        out["qid"].extend([qid] * n)
+        out["rank"].extend(range(1, n + 1))
+        out["doc_id"].extend(int(d) for d in td.doc_ids)
+        out["score"].extend(float(x) for x in td.scores)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.search import query as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+
+    # ---- BM25 / boolean / positional search (engine over real index) ----
+    q["term_query"] = lambda sf: _all_hits_table(sf, Q.TermQuery("table"))
+    q["term_query_topk"] = lambda sf: _topk_table(sf, Q.TermQuery("window"), 10)
+    q["boolean_and"] = lambda sf: _all_hits_table(
+        sf, Q.BooleanQuery(must=(Q.TermQuery("key"), Q.TermQuery("table")))
+    )
+    q["boolean_or_topk"] = lambda sf: _topk_table(
+        sf,
+        Q.BooleanQuery(
+            should=(Q.TermQuery("spark"), Q.TermQuery("window"), Q.TermQuery("customer"))
+        ),
+        20,
+    )
+    q["boolean_must_not"] = lambda sf: _all_hits_table(
+        sf, Q.BooleanQuery(must=(Q.TermQuery("table"),), must_not=(Q.TermQuery("key"),))
+    )
+    q["boolean_msm"] = lambda sf: _all_hits_table(
+        sf,
+        Q.BooleanQuery(
+            should=(Q.TermQuery("spark"), Q.TermQuery("window"), Q.TermQuery("customer")),
+            minimum_should_match=2,
+        ),
+    )
+    q["boolean_filter"] = lambda sf: _all_hits_table(
+        sf, Q.BooleanQuery(must=(Q.TermQuery("table"),), filter=(Q.TermQuery("window"),))
+    )
+
+    def _phrase(sf):
+        s = _searcher(sf)
+        docs, freqs = s.phrase_freqs(("key", "value"))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "phrase_freq": freqs[order]})
+
+    q["phrase_query"] = _phrase
+
+    def _docs_only(sf, query):
+        s = _searcher(sf)
+        docs, _sc = s.search_all(query)
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["prefix_query"] = lambda sf: _docs_only(sf, Q.PrefixQuery("s"))
+    q["wildcard_query"] = lambda sf: _docs_only(sf, Q.WildcardQuery("s?ow"))
+    q["regexp_query"] = lambda sf: _docs_only(sf, Q.RegexpQuery("s.*k"))
+    q["fuzzy_query"] = lambda sf: _docs_only(
+        sf, Q.FuzzyQuery("tble", max_edits=1, transpositions=False)
+    )
+    q["term_range_query"] = lambda sf: _docs_only(sf, Q.TermRangeQuery("scan", "sort"))
+    q["term_in_set"] = lambda sf: _docs_only(sf, Q.TermInSetQuery(("spark", "window")))
+    q["synonym_query"] = lambda sf: _all_hits_table(
+        sf, Q.SynonymQuery(("spark", "stream"))
+    )
+
+    # ---- index statistics (global aggregates off the index) ----
+    def _term_stats(sf):
+        from lucene_ray.index.build import read_global_term_stats
+
+        t = read_global_term_stats(_index_dir(sf)).sort_by("term")
+        return t.select(["term", "df", "ttf"])
+
+    q["term_stats"] = _term_stats
+
+    def _field_stats(sf):
+        s = _searcher(sf)
+        return pa.table(
+            {
+                "doc_count": pa.array([s.doc_count], type=pa.int64()),
+                "sum_ttf": pa.array([s.sum_ttf], type=pa.int64()),
+                "avgdl": pa.array([round(s.sum_ttf / s.doc_count, 4)]),
+            }
+        )
+
+    q["field_stats"] = _field_stats
+
+    def _hft(sf):
+        from lucene_ray.pipelines.facets import high_freq_terms
+
+        return high_freq_terms(_index_dir(sf), k=10, by="df").select(["term", "df"])
+
+    q["high_freq_terms"] = _hft
+
+    def _doc_norms(sf):
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.build import load_manifest
+        from lucene_ray.util.smallfloat import LENGTH_TABLE_INT
+
+        m = load_manifest(_index_dir(sf))
+        tbls = [
+            pq.read_table(os.path.join(s["path"], "docs.parquet"))
+            for s in m["segments"]
+        ]
+        t = pa.concat_tables(tbls).sort_by("doc_id")
+        quant = LENGTH_TABLE_INT[t["norm"].to_numpy()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "doc_len": t["doc_len"],
+                "quantized_len": quant,
+            }
+        )
+
+    q["doc_norms"] = _doc_norms
+
+    def _match_all_count(sf):
+        s = _searcher(sf)
+        return pa.table({"n": pa.array([s.count(Q.MatchAllDocsQuery())], type=pa.int64())})
+
+    q["match_all_count"] = _match_all_count
+
+    # ---- analysis pipelines over the webpage corpus ----
+    def _token_stats(sf):
+        from lucene_ray.pipelines.textstats import token_stats
+
+        t = pa.concat_tables(
+            token_stats(_pages_ds(sf)).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+        return t.select(["doc_id", "token_count", "distinct_terms"])
+
+    q["token_stats"] = _token_stats
+
+    def _quality(sf):
+        from lucene_ray.pipelines.textstats import quality_scores
+
+        t = pa.concat_tables(
+            quality_scores(_pages_ds(sf)).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "token_count": t["token_count"],
+                "stopword_count": t["stopword_count"],
+                "stopword_ratio": _round4(t["stopword_ratio"].to_numpy()),
+            }
+        )
+
+    q["quality_scores"] = _quality
+
+    def _shingles(sf):
+        from lucene_ray.pipelines.textstats import shingle_counts
+
+        return pa.concat_tables(
+            shingle_counts(_pages_ds(sf), n=2).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+
+    q["shingle_counts"] = _shingles
+
+    # ---- webpage corpus / HTML extraction / dedup ----
+    def _html_extract(sf):
+        from lucene_ray.pipelines.html import extract_text
+
+        t = pa.concat_tables(
+            extract_text(_pages_ds(sf), concurrency=2)
+            .select_columns(["doc_id", "url", "extracted_title", "extracted_text"])
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by("doc_id")
+
+    q["html_extract"] = _html_extract
+
+    def _dedup(sf):
+        from lucene_ray.pipelines.dedup import dedup_exact
+
+        t = pa.concat_tables(
+            dedup_exact(_pages_ds(sf))
+            .select_columns(["doc_id", "url"])
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by("doc_id")
+
+    q["dedup_exact"] = _dedup
+
+    def _dedup_content(sf):
+        from lucene_ray.pipelines.dedup import dedup_exact_content
+
+        t = pa.concat_tables(
+            dedup_exact_content(_pages_ds(sf))
+            .select_columns(["doc_id"])
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by("doc_id")
+
+    q["dedup_exact_content"] = _dedup_content
+
+    def _jaccard(sf):
+        from lucene_ray.pipelines.dedup import jaccard_pairs
+
+        t = pa.concat_tables(
+            jaccard_pairs(_pages_ds(sf), shingle_n=2, threshold=0.8)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        t = t.sort_by([("a", "ascending"), ("b", "ascending")])
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "jaccard": _round4(t["jaccard"].to_numpy())}
+        )
+
+    q["jaccard_pairs"] = _jaccard
+
+    # ---- facets / grouping / sorting over documents ----
+    def _facet(sf, field):
+        import ray.data
+
+        from lucene_ray.pipelines.facets import facet_counts
+
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"), columns=[field])
+        t = facet_counts(ds, field).to_pandas()
+        return pa.table({field: t[field], "n": t["count()"].astype("int64")})
+
+    q["facet_lang_counts"] = lambda sf: _facet(sf, "lang")
+    q["facet_source_counts"] = lambda sf: _facet(sf, "source")
+
+    def _distinct(sf):
+        import ray.data
+
+        from lucene_ray.pipelines.facets import distinct_values
+
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"), columns=["source"])
+        return distinct_values(ds, "source")
+
+    q["distinct_sources"] = _distinct
+
+    def _sort_topk(sf):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        t = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10).to_pandas()
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    q["sort_by_field_topk"] = _sort_topk
+
+    def _grouped_topk(sf):
+        import ray.data
+
+        from lucene_ray.pipelines.facets import grouped_top_k
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+        )
+        t = grouped_top_k(ds, "lang", "n_chars", 2).to_pandas()
+        t = t.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        return pa.Table.from_pandas(t[["lang", "doc_id", "n_chars"]], preserve_index=False)
+
+    q["grouped_topk"] = _grouped_topk
+
+    def _range_facet(sf):
+        import ray.data
+
+        from lucene_ray.pipelines.facets import range_facets
+
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"), columns=["n_chars"])
+        t = range_facets(ds, "n_chars", [0, 200, 400, 100000]).to_pandas()
+        return pa.table({"bucket": t["bucket"].astype("int64"), "n": t["count()"].astype("int64")})
+
+    q["range_facet_nchars"] = _range_facet
+
+    def _numeric_range(sf):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        t = ds.filter(expr="n_chars >= 200 and n_chars < 400").select_columns(["doc_id"]).to_pandas()
+        return pa.Table.from_pandas(t.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
+
+    q["point_range_query"] = _numeric_range
+
+    # ---- ANN over embeddings ----
+    def _knn(sf):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from lucene_ray.pipelines.ann import knn_brute_cosine
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 3)
+        Qm = np.stack(head["embedding"].to_pylist())
+        n = pq.ParquetFile(emb_path).metadata.num_rows
+        full = knn_brute_cosine(ray.data.read_parquet(emb_path), Qm, k=n)
+        qid = full["query_id"].to_numpy()
+        nid = full["neighbor_id"].to_numpy()
+        cos = _round4(full["cosine"].to_numpy())
+        out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+        for j in range(3):
+            sel = qid == j
+            order = np.lexsort((nid[sel], -cos[sel]))[:10]
+            out["query_id"].append(np.full(10, j, dtype=np.int64))
+            out["rank"].append(np.arange(1, 11, dtype=np.int64))
+            out["neighbor_id"].append(nid[sel][order])
+            out["cosine"].append(cos[sel][order])
+        # query ids are vec_ids 0,1,2 (head rows)
+        vec_ids = head["vec_id"].to_numpy()
+        out["query_id"] = [vec_ids[a] for a in out["query_id"]]
+        return pa.table({k: np.concatenate(v) for k, v in out.items()})
+
+    q["knn_cosine_topk"] = _knn
+
+    # ---- events (streaming-shaped) ----
+    def _events_window(sf):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["ts", "event_type", "value"]
+        )
+
+        def bucket(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hour = pc.floor_temporal(b["ts"], unit="hour")
+            hour_epoch = pc.divide(hour.cast(pa.int64()), 1_000_000)
+            return pa.table(
+                {"hour_epoch": hour_epoch, "event_type": b["event_type"], "value": b["value"]}
+            )
+
+        from ray.data.aggregate import Count, Sum
+
+        t = (
+            ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby(["hour_epoch", "event_type"])
+            .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+            .to_pandas()
+        )
+        t = t.sort_values(["hour_epoch", "event_type"]).reset_index(drop=True)
+        t["sum_value"] = _round4(t["sum_value"].to_numpy())
+        t["n"] = t["n"].astype("int64")
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    q["events_tumbling_window"] = _events_window
+
+    # ---- rows-only entries (non-SQL-expressible; driver does a weaker check) ----
+    def _bm25_f32(sf):
+        s = _searcher(sf, mode="f32")
+        td = s.search("spark window customer", k=10)
+        return pa.table(
+            {
+                "rank": np.arange(1, td.doc_ids.shape[0] + 1, dtype=np.int64),
+                "doc_id": td.doc_ids,
+                "score": td.scores.astype(np.float64),
+            }
+        )
+
+    q["bm25_topk_f32"] = _bm25_f32
+
+    def _minhash(sf):
+        from lucene_ray.pipelines.dedup import minhash_lsh_candidates
+
+        t = pa.concat_tables(
+            minhash_lsh_candidates(_pages_ds(sf))
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+    q["minhash_lsh_candidates"] = _minhash
+
+    def _simhash(sf):
+        from lucene_ray.pipelines.dedup import simhash_fingerprints
+
+        return pa.concat_tables(
+            simhash_fingerprints(_pages_ds(sf))
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+
+    q["simhash_fingerprints"] = _simhash
+
+    def _langid(sf):
+        from lucene_ray.pipelines.textstats import lang_id
+
+        t = pa.concat_tables(
+            lang_id(_pages_ds(sf), concurrency=2)
+            .select_columns(["doc_id", "lang", "lang_pred"])
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by("doc_id")
+
+    q["lang_id"] = _langid
+
+    def _fps(sf):
+        from lucene_ray.pipelines.textstats import doc_fingerprints
+
+        return pa.concat_tables(
+            doc_fingerprints(_pages_ds(sf))
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+
+    q["doc_fingerprints"] = _fps
+
+    def _bpe(sf):
+        from lucene_ray.pipelines.textstats import bpe_ish_token_count
+
+        return pa.concat_tables(
+            bpe_ish_token_count(_pages_ds(sf))
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+
+    q["bpe_token_count"] = _bpe
+
+    def _ivf(sf):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from lucene_ray.pipelines.ann import knn_ivf_cosine
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        Qm = np.stack(pq.read_table(emb_path).slice(0, 3)["embedding"].to_pylist())
+        t = knn_ivf_cosine(ray.data.read_parquet(emb_path), Qm, k=10, n_centroids=8, nprobe=4)
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"],
+                "neighbor_id": t["neighbor_id"],
+                "cosine": _round4(t["cosine"].to_numpy()),
+            }
+        )
+
+    q["knn_ivf_cosine"] = _ivf
+
+    def _merged(sf):
+        import shutil
+
+        from lucene_ray.index.merge import force_merge
+        from lucene_ray.search.searcher import Searcher
+
+        idx = _index_dir(sf)
+        midx = idx + "-merged"
+        if not os.path.exists(os.path.join(midx, "manifest.json")):
+            force_merge(idx, midx, hot_term_df=50, salt_buckets=4)
+        s = Searcher(midx, mode="f64")
+        from lucene_ray.search import query as Q2
+
+        docs, scores = s.search_all(Q2.TermQuery("table"))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
+
+    q["force_merge_term_query"] = _merged
+
+    def _media(sf):
+        import ray.data
+
+        from lucene_ray.pipelines.multimodal import decode_features, synth_media_table
+
+        media = ray.data.from_arrow(synth_media_table(200))
+        t = pa.concat_tables(
+            decode_features(media, concurrency=2)
+            .select_columns(["media_id", "mime", "width", "height"])
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by("media_id")
+
+    q["media_decode_meta"] = _media
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+# shared CTE prelude: tokenization, doc lengths, smallfloat-quantized
+# lengths (intToByte4 roundtrip — identity < 24, else 4 significant bits),
+# field stats. Mirrors the engine bit-for-bit in float64.
+_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf
+)
+"""
+
+
+def _term_cte(name: str, term: str) -> str:
+    """Per-doc BM25 score CTE for one term (f64, engine-identical tree)."""
+    return f"""
+, tf_{name} AS (
+  SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = '{term}' GROUP BY doc_id
+), df_{name} AS (SELECT count(*)::DOUBLE AS df FROM tf_{name})
+, sc_{name} AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+           (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+  FROM tf_{name} t
+  CROSS JOIN df_{name} d CROSS JOIN stats s
+  JOIN dlq q ON t.doc_id = q.doc_id
+)"""
+
+
+_POS_CTE = """
+, toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+, pos AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p FROM toklist)
+"""
+
+_STOPWORDS_SQL = (
+    "'a','an','and','are','as','at','be','but','by','for','if','in','into','is',"
+    "'it','no','not','of','on','or','such','that','the','their','then','there',"
+    "'these','they','this','to','was','will','with'"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["term_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t ORDER BY doc_id"
+    )
+    o["term_query_topk"] = (
+        _PRELUDE + _term_cte("t", "window")
+        + """ SELECT row_number() OVER (ORDER BY ROUND(score,4) DESC, doc_id) AS rank,
+                     doc_id, ROUND(score, 4) AS score
+              FROM sc_t ORDER BY ROUND(score,4) DESC, doc_id LIMIT 10"""
+    )
+    o["boolean_and"] = (
+        _PRELUDE + _term_cte("a", "key") + _term_cte("b", "table")
+        + """ SELECT a.doc_id, ROUND(a.score + b.score, 4) AS score
+              FROM sc_a a JOIN sc_b b ON a.doc_id = b.doc_id ORDER BY a.doc_id"""
+    )
+    o["boolean_or_topk"] = (
+        _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "window") + _term_cte("c", "customer")
+        + """ , uni AS (
+                SELECT doc_id, sum(score) AS score FROM (
+                  SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b UNION ALL SELECT * FROM sc_c
+                ) GROUP BY doc_id)
+              SELECT row_number() OVER (ORDER BY ROUND(score,4) DESC, doc_id) AS rank,
+                     doc_id, ROUND(score,4) AS score
+              FROM uni ORDER BY ROUND(score,4) DESC, doc_id LIMIT 20"""
+    )
+    o["boolean_must_not"] = (
+        _PRELUDE + _term_cte("a", "table") + _term_cte("b", "key")
+        + """ SELECT a.doc_id, ROUND(a.score, 4) AS score FROM sc_a a
+              WHERE a.doc_id NOT IN (SELECT doc_id FROM sc_b) ORDER BY a.doc_id"""
+    )
+    o["boolean_msm"] = (
+        _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "window") + _term_cte("c", "customer")
+        + """ , uni AS (
+                SELECT doc_id, sum(score) AS score, count(*) AS m FROM (
+                  SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b UNION ALL SELECT * FROM sc_c
+                ) GROUP BY doc_id)
+              SELECT doc_id, ROUND(score,4) AS score FROM uni WHERE m >= 2 ORDER BY doc_id"""
+    )
+    o["boolean_filter"] = (
+        _PRELUDE + _term_cte("a", "table") + _term_cte("b", "window")
+        + """ SELECT a.doc_id, ROUND(a.score, 4) AS score
+              FROM sc_a a JOIN sc_b b ON a.doc_id = b.doc_id ORDER BY a.doc_id"""
+    )
+    o["phrase_query"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """ SELECT a.doc_id, count(*)::BIGINT AS phrase_freq
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              WHERE a.term = 'key' AND b.term = 'value'
+              GROUP BY a.doc_id ORDER BY a.doc_id"""
+    )
+    o["prefix_query"] = (
+        _PRELUDE
+        + " SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's%' ORDER BY doc_id"
+    )
+    o["wildcard_query"] = (
+        _PRELUDE
+        + " SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, '^s.ow$') ORDER BY doc_id"
+    )
+    o["regexp_query"] = (
+        _PRELUDE
+        + " SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, '^(?:s.*k)$') ORDER BY doc_id"
+    )
+    o["fuzzy_query"] = (
+        _PRELUDE
+        + " SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'tble') <= 1 ORDER BY doc_id"
+    )
+    o["term_range_query"] = (
+        _PRELUDE
+        + " SELECT DISTINCT doc_id FROM tok WHERE term BETWEEN 'scan' AND 'sort' ORDER BY doc_id"
+    )
+    o["term_in_set"] = (
+        _PRELUDE
+        + " SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark','window') ORDER BY doc_id"
+    )
+    # synonym: df = max over variants, ttf = sum; freq summed then scored once
+    o["synonym_query"] = (
+        _PRELUDE
+        + """
+, vf AS (
+  SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+  WHERE term IN ('spark','stream') GROUP BY doc_id
+), vdf AS (
+  SELECT greatest(
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term='spark'),
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term='stream'))::DOUBLE AS df
+)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + 1.2 * (1 - 0.75 + 0.75 * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM vf t CROSS JOIN vdf d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
+    o["term_stats"] = (
+        _PRELUDE
+        + """ SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+              FROM tok GROUP BY term ORDER BY term"""
+    )
+    o["field_stats"] = (
+        _PRELUDE
+        + """ SELECT CAST(n AS BIGINT) AS doc_count, CAST(sttf AS BIGINT) AS sum_ttf,
+                     ROUND(sttf / n, 4) AS avgdl FROM stats"""
+    )
+    o["high_freq_terms"] = (
+        _PRELUDE
+        + """ SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+              ORDER BY df DESC, term LIMIT 10"""
+    )
+    o["doc_norms"] = (
+        _PRELUDE
+        + """ SELECT doc_id, dl::BIGINT AS doc_len, dlq::BIGINT AS quantized_len
+              FROM dlq ORDER BY doc_id"""
+    )
+    o["match_all_count"] = "SELECT count(*)::BIGINT AS n FROM documents"
+
+    o["token_stats"] = (
+        _pages_prelude()
+        + """
+, tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM pages)
+SELECT doc_id, count(*)::BIGINT AS token_count,
+       count(DISTINCT term)::BIGINT AS distinct_terms
+FROM tok GROUP BY doc_id ORDER BY doc_id"""
+    )
+    o["quality_scores"] = (
+        _pages_prelude()
+        + f"""
+, tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM pages)
+, agg AS (
+  SELECT doc_id, count(*) AS token_count,
+         sum(CASE WHEN term IN ({_STOPWORDS_SQL}) THEN 1 ELSE 0 END) AS stopword_count
+  FROM tok GROUP BY doc_id)
+SELECT p.doc_id, length(p.text)::BIGINT AS n_chars, a.token_count::BIGINT AS token_count,
+       a.stopword_count::BIGINT AS stopword_count,
+       ROUND(a.stopword_count::DOUBLE / a.token_count, 4) AS stopword_ratio
+FROM pages p JOIN agg a ON p.doc_id = a.doc_id ORDER BY p.doc_id"""
+    )
+    o["shingle_counts"] = (
+        _pages_prelude()
+        + """
+, toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM pages)
+, pos AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p FROM toklist)
+SELECT a.doc_id, count(DISTINCT a.term || ' ' || b.term)::BIGINT AS n_shingles
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+GROUP BY a.doc_id ORDER BY a.doc_id"""
+    )
+    o["html_extract"] = (
+        _pages_prelude()
+        + """
+SELECT doc_id, url, 'doc ' || CAST(CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+                                        ELSE doc_id END AS VARCHAR) AS extracted_title,
+       text AS extracted_text
+FROM pages ORDER BY doc_id"""
+    )
+    o["dedup_exact"] = (
+        _pages_prelude()
+        + """
+SELECT doc_id, url FROM (
+  SELECT doc_id, url,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, doc_id DESC) AS rn
+  FROM pages) WHERE rn = 1 ORDER BY doc_id"""
+    )
+    o["dedup_exact_content"] = (
+        _pages_prelude()
+        + """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY text ORDER BY warc_ts DESC, doc_id DESC) AS rn
+  FROM pages) WHERE rn = 1 ORDER BY doc_id"""
+    )
+    o["jaccard_pairs"] = (
+        _pages_prelude()
+        + """
+, toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM pages)
+, pos AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p FROM toklist)
+, sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS shingle
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1)
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.a, i.b, ROUND(i.c::DOUBLE / (sa.sz + sb.sz - i.c), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE i.c::DOUBLE / (sa.sz + sb.sz - i.c) >= 0.8
+ORDER BY i.a, i.b"""
+    )
+
+    o["facet_lang_counts"] = (
+        "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"
+    )
+    o["facet_source_counts"] = (
+        "SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source ORDER BY source"
+    )
+    o["distinct_sources"] = "SELECT DISTINCT source FROM documents ORDER BY source"
+    o["sort_by_field_topk"] = (
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+    )
+    o["grouped_topk"] = (
+        """SELECT lang, doc_id, n_chars FROM (
+             SELECT lang, doc_id, n_chars,
+                    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+             FROM documents) WHERE rn <= 2 ORDER BY lang, doc_id"""
+    )
+    o["range_facet_nchars"] = (
+        """SELECT bucket, count(*)::BIGINT AS n FROM (
+             SELECT CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS bucket
+             FROM documents) GROUP BY bucket ORDER BY bucket"""
+    )
+    o["point_range_query"] = (
+        "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id"
+    )
+    o["knn_cosine_topk"] = (
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                      FROM embeddings ORDER BY vec_id LIMIT 3)
+           SELECT query_id, rank, neighbor_id, cosine FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cosine,
+                    row_number() OVER (
+                      PARTITION BY q.query_id
+                      ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) DESC,
+                               e.vec_id) AS rank
+             FROM embeddings e CROSS JOIN q)
+           WHERE rank <= 10 ORDER BY query_id, rank"""
+    )
+    o["events_tumbling_window"] = (
+        """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+                  count(*)::BIGINT AS n, ROUND(sum(value), 4) AS sum_value
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    o["force_merge_term_query"] = o["term_query"]
+    return o
+
+
+def _pages_prelude() -> str:
+    from lucene_ray.data.webpages import WEBPAGES_SQL
+
+    return WEBPAGES_SQL

@@ -1,0 +1,183 @@
+"""Benchmark driver (BASELINE.md protocol).
+
+Headline: inverted-index build docs/sec over a deterministic synthetic
+Common-Crawl-style corpus (data/webpages.synth_corpus_dataset) + BM25 query
+latency p50/p99 and QPS over the built index, plus timings for the major
+pipeline operators over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+   "build_docs_per_sec": ..., "query_qps": ..., "query_p50_ms": ...,
+   "query_p99_ms": ..., "scaling"?: {...}}
+
+--scaling: runs the same bench twice in fresh processes at num_cpus=8 and
+32 (N and 4N) on the same input and reports both throughputs + scaling
+efficiency (BASELINE.json north rule, evidenced as two parallelism levels
+since no real multi-node cluster exists in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "120000"))
+
+BENCH_QUERIES = [
+    "w00001",
+    "w00042",
+    "w00123 w00456",
+    "+w00007 -w00002",
+    "w01000 w02000 w03000",
+    "w00005 w00050 w00500 w05000",
+]
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from lucene_ray.data.webpages import synth_corpus_dataset
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.executor import DistributedSearcher
+
+    timings: dict[str, float] = {}
+    idx_dir = f"/tmp/bench_idx_{NUM_CPUS}_{N_DOCS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # warm page cache / synth generator once (untimed)
+    synth_corpus_dataset(min(N_DOCS, 20000)).count()
+
+    # --- headline: index build ---
+    t0 = time.perf_counter()
+    corpus = synth_corpus_dataset(N_DOCS).select_columns(["doc_id", "text"])
+    manifest = build_index(corpus, idx_dir, num_segments=max(NUM_CPUS, 8))
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = round(t_build, 3)
+    build_docs_per_sec = N_DOCS / t_build
+
+    # --- query serving ---
+    searcher = DistributedSearcher(idx_dir, num_executors=min(8, NUM_CPUS))
+    for q in BENCH_QUERIES:  # warm actors + stats cache
+        searcher.search(q, k=10)
+    lat = []
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        for q in BENCH_QUERIES:
+            tq = time.perf_counter()
+            searcher.search(q, k=10)
+            lat.append(time.perf_counter() - tq)
+    t_query = time.perf_counter() - t0
+    timings["query_set"] = round(t_query, 3)
+    lat_ms = np.array(lat) * 1000.0
+    qps = len(lat) / t_query
+
+    # --- pipeline stages over the sf dir ---
+    import ray.data as rd
+
+    from lucene_ray.data.webpages import webpages_dataset
+    from lucene_ray.pipelines.dedup import dedup_exact, minhash_lsh_candidates
+    from lucene_ray.pipelines.html import extract_text
+    from lucene_ray.pipelines.textstats import quality_scores
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    pages = webpages_dataset(SF_DIR)
+    timed("html_extract", lambda: extract_text(webpages_dataset(SF_DIR), concurrency=min(8, NUM_CPUS)).count())
+    timed("dedup_exact", lambda: dedup_exact(webpages_dataset(SF_DIR)).count())
+    timed("minhash_lsh", lambda: minhash_lsh_candidates(webpages_dataset(SF_DIR)).count())
+    timed("quality_scores", lambda: quality_scores(webpages_dataset(SF_DIR)).count())
+
+    def knn():
+        import pyarrow.parquet as pq
+
+        from lucene_ray.pipelines.ann import knn_brute_cosine
+
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        Qm = np.stack(pq.read_table(emb_path).slice(0, 8)["embedding"].to_pylist())
+        knn_brute_cosine(rd.read_parquet(emb_path), Qm, k=10)
+
+    timed("knn_cosine", knn)
+
+    result = {
+        "metric": "index_build_plus_query_headline",
+        "value": round(t_build + t_query, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": N_DOCS,
+        "build_docs_per_sec": round(build_docs_per_sec, 1),
+        "build_tokens_per_sec": round(
+            manifest["sum_total_term_freq"] / t_build, 1
+        ),
+        "postings_bytes": sum(s["postings_bytes"] for s in manifest["segments"]),
+        "n_segments": len(manifest["segments"]),
+        "query_qps": round(qps, 1),
+        "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at num_cpus=8 (N) and 32 (4N), fresh process each."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tput8 = out[8]["build_docs_per_sec"]
+    tput32 = out[32]["build_docs_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    qeff = (out[32]["query_qps"] / out[8]["query_qps"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_build",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "build_docs_per_sec_8": tput8,
+        "build_docs_per_sec_32": tput32,
+        "query_qps_8": out[8]["query_qps"],
+        "query_qps_32": out[32]["query_qps"],
+        "scaling_efficiency_build": round(eff, 3),
+        "scaling_efficiency_query": round(qeff, 3),
+        "sec_8": out[8]["queries"]["index_build"],
+        "sec_32": out[32]["queries"]["index_build"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

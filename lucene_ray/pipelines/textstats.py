@@ -55,6 +55,28 @@ def token_stats(pages, text_col: str = "text"):
     return pages.map_batches(stats, batch_format="pyarrow")
 
 
+def shingle_counts(pages, n: int = 2, text_col: str = "text"):
+    """Distinct word-n-gram count per doc (ShingleFilter analytics,
+    analysis/common/shingle/ShingleFilter.java:43) — counts distinct
+    shingles via 64-bit shingle hashes (collision odds negligible)."""
+    from lucene_ray.pipelines.dedup import _shingle_hashes
+
+    def count(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_idx, sh = _shingle_hashes(texts, n)
+        nrows = b.num_rows
+        out = np.zeros(nrows, dtype=np.int64)
+        if sh.shape[0]:
+            key = np.stack([doc_idx, sh.astype(np.int64)], axis=1)
+            uniq = np.unique(key, axis=0)
+            np.add.at(out, uniq[:, 0], 1)
+        return pa.table({"doc_id": b["doc_id"], "n_shingles": out})
+
+    return pages.map_batches(count, batch_format="pyarrow")
+
+
 def quality_scores(pages, text_col: str = "text"):
     """Heuristic quality features per doc: n_chars, token_count, stopword
     ratio (English 33-word set), type-token ratio, mean word length —

@@ -125,6 +125,7 @@ class FuzzyQuery(Query):
     term: str
     max_edits: int = 2
     prefix_length: int = 0
+    transpositions: bool = True  # Damerau (reference default) vs plain Levenshtein
     boost: float = 1.0
 
     def to_dict(self):
@@ -133,6 +134,7 @@ class FuzzyQuery(Query):
             "term": self.term,
             "max_edits": self.max_edits,
             "prefix_length": self.prefix_length,
+            "transpositions": self.transpositions,
             "boost": self.boost,
         }
 
@@ -227,7 +229,8 @@ def query_from_dict(d: dict) -> Query:
         return RegexpQuery(d["pattern"], d.get("boost", 1.0))
     if t == "fuzzy":
         return FuzzyQuery(
-            d["term"], d.get("max_edits", 2), d.get("prefix_length", 0), d.get("boost", 1.0)
+            d["term"], d.get("max_edits", 2), d.get("prefix_length", 0),
+            d.get("transpositions", True), d.get("boost", 1.0)
         )
     if t == "range":
         return TermRangeQuery(

@@ -345,13 +345,13 @@ def _fuzzy_expand(reader, q: Q.FuzzyQuery) -> np.ndarray:
         t = reader.terms[i]
         if abs(len(t) - lb) > maxe:
             continue
-        if _edit_distance_leq(base, t, maxe):
+        if _edit_distance_leq(base, t, maxe, q.transpositions):
             keep.append(i)
     return np.asarray(keep, dtype=np.int64)
 
 
-def _edit_distance_leq(a: str, b: str, k: int) -> bool:
-    """Banded Levenshtein (with transpositions, like FuzzyQuery's default
+def _edit_distance_leq(a: str, b: str, k: int, transpositions: bool = True) -> bool:
+    """Banded Levenshtein (with transpositions by default, like FuzzyQuery's
     Damerau automaton) — early-exits when the band exceeds k."""
     la, lb = len(a), len(b)
     if abs(la - lb) > k:
@@ -369,7 +369,8 @@ def _edit_distance_leq(a: str, b: str, k: int) -> bool:
             cost = 0 if a[i - 1] == b[j - 1] else 1
             v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
             if (
-                prev2 is not None
+                transpositions
+                and prev2 is not None
                 and i > 1
                 and j > 1
                 and a[i - 1] == b[j - 2]
@@ -386,19 +387,18 @@ def _edit_distance_leq(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
-def _eval_phrase(reader, q: Q.PhraseQuery, ctx):
-    """Exact phrase via positional intersection: occurrence keys
-    doc<<32 | (pos - i) intersected across terms (ExactPhraseMatcher
+def _eval_phrase_freqs(reader, terms: list, slop: int = 0):
+    """(local docs, phrase freqs) via positional intersection: occurrence
+    keys doc<<32 | (pos - i) intersected across terms (ExactPhraseMatcher
     semantics); sloppy matching (slop>0) via within-window check."""
-    terms = list(q.terms)
     tbl = reader.positions_table(terms)
     if tbl.num_rows == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64), True
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     t_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
     d_arr = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
     p_arr = tbl["pos"].to_numpy().astype(np.int64)
 
-    if q.slop == 0:
+    if slop == 0:
         cand = None
         for i, t in enumerate(terms):
             sel = t_arr == t
@@ -406,12 +406,17 @@ def _eval_phrase(reader, q: Q.PhraseQuery, ctx):
             keys = keys[p_arr[sel] >= i]
             cand = keys if cand is None else np.intersect1d(cand, keys, assume_unique=True)
             if cand.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64), True
+                return np.empty(0, np.int64), np.empty(0, np.int64)
         docs, freqs = np.unique(cand >> np.int64(32), return_counts=True)
-    else:
-        docs, freqs = _sloppy_phrase(terms, t_arr, d_arr, p_arr, q.slop)
-        if docs.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        return docs, freqs.astype(np.int64)
+    return _sloppy_phrase(terms, t_arr, d_arr, p_arr, slop)
+
+
+def _eval_phrase(reader, q: Q.PhraseQuery, ctx):
+    terms = list(q.terms)
+    docs, freqs = _eval_phrase_freqs(reader, terms, q.slop)
+    if docs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
 
     scorer = ctx.phrase_scorer(terms, q.boost)
     if scorer is None:

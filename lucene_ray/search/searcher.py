@@ -125,6 +125,37 @@ class Searcher:
             scores=best_scores,
         )
 
+    def search_all(self, query: "Q.Query | str"):
+        """Hit-complete (no pruning) evaluation: every matching doc with its
+        score, as (global doc_ids, scores) — the Weight.bulkScorer-over-
+        everything path used by oracle comparisons and collectors."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        ctx = self.make_context(query)  # threshold -inf -> exhaustive
+        docs_parts, score_parts = [], []
+        for reader in self.readers:
+            d, s, _ = eval_query(reader, query, ctx)
+            if d.shape[0]:
+                docs_parts.append(d + reader.doc_base)
+                score_parts.append(s)
+        if not docs_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(docs_parts), np.concatenate(score_parts)
+
+    def phrase_freqs(self, terms: tuple, slop: int = 0):
+        """(global doc_ids, phrase occurrence counts) for a phrase."""
+        from lucene_ray.search.scoring import _eval_phrase_freqs
+
+        docs_parts, freq_parts = [], []
+        for reader in self.readers:
+            d, f = _eval_phrase_freqs(reader, list(terms), slop)
+            if d.shape[0]:
+                docs_parts.append(d + reader.doc_base)
+                freq_parts.append(f)
+        if not docs_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(docs_parts), np.concatenate(freq_parts)
+
     def count(self, query: "Q.Query | str") -> int:
         """TotalHitCountCollector — exact hit count, no scoring shortcuts."""
         if isinstance(query, str):
