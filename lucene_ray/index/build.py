@@ -60,13 +60,12 @@ def build_index(
     ).take_all()  # tiny: one row per segment
 
     segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
-    # doc-range disjointness (needed so per-term posting runs concatenate in
-    # global docID order at merge time)
-    for a, b in zip(segments, segments[1:]):
-        if a["max_doc_id"] >= b["doc_base"]:
-            raise ValueError(
-                f"overlapping segment doc ranges: {a['segment_id']} / {b['segment_id']}"
-            )
+    # Segment doc ranges are contiguous when the input's block layout is
+    # (parquet fragments read in order), but Ray's streaming executor may
+    # interleave rows across blocks after a repartition — merge.py therefore
+    # re-sorts per-term posting runs by actual doc id rather than assuming
+    # range-disjoint segments. Duplicate doc ids across segments are caught
+    # at merge time.
 
     doc_count = sum(r["doc_count"] for r in segments)
     sum_ttf = sum(r["sum_total_term_freq"] for r in segments)

@@ -71,10 +71,17 @@ def _merge_group(group: pa.Table) -> pa.Table:
         freq_parts.append(f)
         norm_parts.append(nm)
     docs = np.concatenate(docs_parts)
+    freqs = np.concatenate(freq_parts)
+    norms = np.concatenate(norm_parts)
     if not (np.diff(docs) > 0).all():
-        raise ValueError("overlapping doc ranges in merge group")
+        # segments may interleave in doc space (arbitrary input partitioning)
+        # -> k-way merge by actual doc id instead of run concatenation
+        perm = np.argsort(docs, kind="stable")
+        docs, freqs, norms = docs[perm], freqs[perm], norms[perm]
+        if (np.diff(docs) == 0).any():
+            raise ValueError("duplicate doc ids across merged segments")
     base = int(docs[0])
-    blob = encode_postings(docs - base, np.concatenate(freq_parts), np.concatenate(norm_parts))
+    blob = encode_postings(docs - base, freqs, norms)
     return pa.table(
         {
             "term": [group["term"][0].as_py()],
@@ -201,13 +208,14 @@ def _write_merged_segment(tbl: pa.Table, out_dir: str, src_manifest: dict) -> di
                 freq_parts.append(f)
                 norm_parts.append(nm)
             docs = np.concatenate(docs_parts)
-            blob = encode_postings(
-                docs - global_base,
-                np.concatenate(freq_parts),
-                np.concatenate(norm_parts),
-            )
+            fr = np.concatenate(freq_parts)
+            nm_ = np.concatenate(norm_parts)
+            if not (np.diff(docs) > 0).all():
+                perm = np.argsort(docs, kind="stable")
+                docs, fr, nm_ = docs[perm], fr[perm], nm_[perm]
+            blob = encode_postings(docs - global_base, fr, nm_)
             df = int(docs.shape[0])
-            ttf = int(sum(int(f.sum()) for f in freq_parts))
+            ttf = int(fr.sum())
         out_terms.append(terms[i])
         out_df.append(df)
         out_ttf.append(ttf)
@@ -232,11 +240,13 @@ def _write_merged_segment(tbl: pa.Table, out_dir: str, src_manifest: dict) -> di
         ),
         os.path.join(tmp, "terms.parquet"),
     )
-    # docs table: concat of source segments' docs tables
-    doc_tbls = [
+    # docs table: concat of source segments' docs tables, sorted by doc_id
+    # (segreader binary-searches this column; sources may interleave)
+    doc_tbl = pa.concat_tables(
         pq.read_table(os.path.join(s["path"], "docs.parquet")) for s in segs
-    ]
-    pq.write_table(pa.concat_tables(doc_tbls), os.path.join(tmp, "docs.parquet"))
+    )
+    doc_tbl = doc_tbl.take(pc.sort_indices(doc_tbl["doc_id"]))
+    pq.write_table(doc_tbl, os.path.join(tmp, "docs.parquet"))
 
     doc_count = sum(s["doc_count"] for s in segs)
     sum_ttf = sum(s["sum_total_term_freq"] for s in segs)

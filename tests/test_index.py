@@ -80,6 +80,40 @@ def test_force_merge_rank_identical(sf_dir, tmp_path):
     assert a.search(q, k=10).doc_ids.tolist() == b.search(q, k=10).doc_ids.tolist()
 
 
+def test_interleaved_partitions_merge_and_search(sf_dir, tmp_path):
+    """Segments built from an arbitrary (non-contiguous) partitioning of the
+    doc space must merge and search identically to a contiguous build —
+    repartition/streaming execution gives no ordering guarantee."""
+    import pyarrow as pa
+    import ray.data
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy()
+    parts = [docs.take(pa.array(np.where(ids % 3 == r)[0])) for r in range(3)]
+
+    idx = str(tmp_path / "interleaved")
+    midx = str(tmp_path / "interleaved_merged")
+    build_index(ray.data.from_arrow(parts), idx)
+    m = load_manifest(idx)
+    assert len(m["segments"]) == 3
+    bases = sorted(s["doc_base"] for s in m["segments"])
+    maxes = sorted(s["max_doc_id"] for s in m["segments"])
+    assert maxes[0] > bases[1]  # genuinely overlapping ranges
+
+    cidx = str(tmp_path / "contiguous")
+    build_index(f"{sf_dir}/documents.parquet", cidx, num_segments=3)
+    force_merge(idx, midx, hot_term_df=100, salt_buckets=3)
+
+    a, b, c = Searcher(cidx), Searcher(idx), Searcher(midx)
+    for t in ["table", "key", "spark"]:
+        ta = a.search(TermQuery(t), k=10)
+        for s in (b, c):
+            ts = s.search(TermQuery(t), k=10)
+            assert ta.doc_ids.tolist() == ts.doc_ids.tolist()
+            assert ta.scores.tolist() == ts.scores.tolist()
+            assert ta.total_hits == ts.total_hits
+
+
 def test_merged_df_ttf_consistent(sf_dir, tmp_path):
     idx = str(tmp_path / "idx")
     midx = str(tmp_path / "merged")
