@@ -105,6 +105,158 @@ def encode_postings(
     )
 
 
+def encode_postings_many(
+    p_docs: np.ndarray,
+    freqs: np.ndarray,
+    norms: np.ndarray,
+    term_starts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode every term's postings in one vectorized pass.
+
+    ``p_docs``/``freqs``/``norms`` are the partition's postings sorted by
+    (term, doc); ``term_starts`` (int64, len n_terms+1) slices them per term.
+    Returns ``(buffer, offsets, lengths)`` where ``buffer`` is the uint8
+    concatenation of per-term blobs, byte-identical to calling
+    :func:`encode_postings` per term — but with no per-term or per-block
+    Python-loop work in the hot path (the SIMD-batch spirit of
+    codecs/lucene104/ForUtil.java:34 applied across the whole segment).
+    """
+    from lucene_ray.codec.forutil import MAX_EXCEPTIONS, bit_widths
+
+    term_starts = np.asarray(term_starts, dtype=np.int64)
+    n_terms = term_starts.shape[0] - 1
+    P = int(term_starts[-1])
+    if n_terms == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64), np.empty(0, np.int64)
+    p_docs = np.asarray(p_docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.uint32)
+    norms = np.asarray(norms, dtype=np.uint8)
+
+    df = np.diff(term_starts)
+    assert (df > 0).all()
+    nb = (df + BLOCK_SIZE - 1) // BLOCK_SIZE  # blocks per term
+    total_blocks = int(nb.sum())
+    term_first_block = np.cumsum(nb) - nb
+    term_of_block = np.repeat(np.arange(n_terms), nb)
+    blk_in_term = np.arange(total_blocks) - term_first_block[term_of_block]
+    block_start = term_starts[:-1][term_of_block] + blk_in_term * BLOCK_SIZE
+    block_end = np.minimum(block_start + BLOCK_SIZE, term_starts[1:][term_of_block])
+    block_n = block_end - block_start
+
+    # doc-id deltas (prev = -1 at each term's list start)
+    deltas = np.empty(P, dtype=np.uint32)
+    if P > 1:
+        np.subtract(p_docs[1:], p_docs[:-1], out=deltas[1:], casting="unsafe")
+    deltas[term_starts[:-1]] = p_docs[term_starts[:-1]] + 1
+
+    # ---- sub-block value stream: per block, (deltas, freqs, norms) ----
+    n_subs = 3 * total_blocks
+    sub_n = np.repeat(block_n, 3)
+    sub_starts = np.cumsum(sub_n) - sub_n  # in the 3P value stream
+    total_vals = 3 * P
+    sub_of_value = np.repeat(np.arange(n_subs), sub_n)
+    pos_in_sub = np.arange(total_vals) - sub_starts[sub_of_value]
+    src_row = np.repeat(block_start, 3)[sub_of_value] + pos_in_sub
+    stream_sel = np.repeat(np.tile(np.array([0, 1, 2]), total_blocks), sub_n)
+    V = np.where(
+        stream_sel == 0,
+        deltas[src_row],
+        np.where(stream_sel == 1, freqs[src_row], norms[src_row]),
+    ).astype(np.uint32)
+
+    # ---- per-sub base width: smallest w with <= MAX_EXCEPTIONS wider ----
+    w = bit_widths(V)
+    counts = np.zeros((n_subs, 34), dtype=np.int64)
+    np.add.at(counts, (sub_of_value, w), 1)
+    exceed = sub_n[:, None] - counts.cumsum(axis=1)
+    base = (exceed <= MAX_EXCEPTIONS).argmax(axis=1).astype(np.int64)
+    wmax = np.maximum.reduceat(w, sub_starts)
+    small = sub_n <= MAX_EXCEPTIONS
+    base = np.where(small | (base >= wmax), wmax, base)
+
+    # ---- exceptions ----
+    exc_mask = w > base[sub_of_value]
+    exc_sub = sub_of_value[exc_mask]
+    n_exc = np.bincount(exc_sub, minlength=n_subs).astype(np.int64)
+    exc_rank = np.arange(exc_sub.shape[0]) - (np.cumsum(n_exc) - n_exc)[exc_sub]
+    exc_high = (V[exc_mask] >> base[exc_sub].astype(np.uint32)).astype(np.uint32)
+
+    # ---- payload packing (per-sub byte-aligned flat bitstream) ----
+    payload_bytes = (sub_n * base + 7) // 8
+    payload_start = np.cumsum(payload_bytes) - payload_bytes
+    total_payload = int(payload_bytes.sum())
+    base_of_value = base[sub_of_value]
+    value_bit_start = payload_start[sub_of_value] * 8 + pos_in_sub * base_of_value
+    flat = np.zeros(total_payload * 8, dtype=np.uint8)
+    for j in range(int(base.max()) if n_subs else 0):
+        m = base_of_value > j
+        if not m.any():
+            break
+        flat[value_bit_start[m] + j] = (V[m] >> np.uint32(j)) & 1
+    packed = np.packbits(flat, bitorder="little") if total_payload else np.empty(0, np.uint8)
+
+    # ---- sub-block assembly into one data region ----
+    sub_len = 2 + payload_bytes + 5 * n_exc
+    sub_dst = np.cumsum(sub_len) - sub_len
+    total_data = int(sub_len.sum())
+    data = np.zeros(total_data, dtype=np.uint8)
+    data[sub_dst] = base.astype(np.uint8)
+    data[sub_dst + 1] = n_exc.astype(np.uint8)
+    if total_payload:
+        shift = np.repeat(sub_dst + 2 - payload_start, payload_bytes)
+        data[shift + np.arange(total_payload)] = packed
+    if exc_sub.shape[0]:
+        pos_dst = sub_dst[exc_sub] + 2 + payload_bytes[exc_sub] + exc_rank
+        data[pos_dst] = pos_in_sub[exc_mask].astype(np.uint8)
+        hi_dst = sub_dst[exc_sub] + 2 + payload_bytes[exc_sub] + n_exc[exc_sub] + 4 * exc_rank
+        for k in range(4):
+            data[hi_dst + k] = ((exc_high >> np.uint32(8 * k)) & 0xFF).astype(np.uint8)
+
+    # ---- per-block skip/impact arrays ----
+    block_len = sub_len.reshape(total_blocks, 3).sum(axis=1)
+    cs = np.cumsum(block_len)
+    prefix = (cs - block_len)[term_first_block]
+    end_off_rel = (cs - prefix[term_of_block]).astype(np.uint32)
+    last_doc = p_docs[block_end - 1].astype(np.int32)
+    max_freq = np.maximum.reduceat(freqs, block_start).astype(np.uint32)
+    min_norm = np.minimum.reduceat(norms, block_start).astype(np.uint8)
+
+    # ---- final per-term blobs: header + skips + data slice ----
+    # (fully scatter-assembled: the data region is already term-contiguous)
+    header_len = _HEADER + 13 * nb
+    data_len = np.add.reduceat(block_len, term_first_block)
+    blob_len = header_len + data_len
+    offsets = np.cumsum(blob_len) - blob_len
+    out = np.empty(int(blob_len.sum()), dtype=np.uint8)
+
+    hdr_bytes = np.stack(
+        [df.astype(np.uint32), nb.astype(np.uint32)], axis=1
+    ).view(np.uint8).reshape(n_terms, 8)
+    out[offsets[:, None] + np.arange(8)] = hdr_bytes
+
+    o_term = offsets[term_of_block]
+    nb_term = nb[term_of_block]
+    b4 = np.arange(4)
+    out[(o_term + 8 + 4 * blk_in_term)[:, None] + b4] = (
+        last_doc.view(np.uint8).reshape(total_blocks, 4)
+    )
+    out[(o_term + 8 + 4 * nb_term + 4 * blk_in_term)[:, None] + b4] = (
+        end_off_rel.view(np.uint8).reshape(total_blocks, 4)
+    )
+    out[(o_term + 8 + 8 * nb_term + 4 * blk_in_term)[:, None] + b4] = (
+        max_freq.view(np.uint8).reshape(total_blocks, 4)
+    )
+    out[o_term + 8 + 12 * nb_term + blk_in_term] = min_norm
+
+    total_data_bytes = int(data_len.sum())
+    if total_data_bytes:
+        term_data_dst = offsets + header_len
+        term_data_src = (cs - block_len)[term_first_block]
+        shift = np.repeat(term_data_dst - term_data_src, data_len)
+        out[shift + np.arange(total_data_bytes)] = data
+    return out, offsets, blob_len
+
+
 class PostingsReader:
     """Zero-copy reader over an encoded postings blob (bytes / memmap slice).
 
@@ -160,24 +312,94 @@ class PostingsReader:
     def decode_blocks(
         self, block_idx: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Decode a selected (sorted) subset of blocks, concatenated."""
+        """Decode a selected (sorted) subset of blocks, concatenated.
+
+        Fully vectorized: all selected blocks' payload bytes are gathered
+        into one contiguous buffer, bit-unpacked in a single pass per bit
+        position (<= 32 iterations total per stream), and doc deltas are
+        prefix-summed per block with one reduceat — no per-block Python.
+        """
         if block_idx.size == 0:
             return (
                 np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.uint32),
                 np.empty(0, dtype=np.uint8),
             )
-        docs_parts, freq_parts, norm_parts = [], [], []
-        for b in block_idx:
-            d, f, nm = self.decode_block(int(b))
-            docs_parts.append(d)
-            freq_parts.append(f)
-            norm_parts.append(nm)
-        return (
-            np.concatenate(docs_parts),
-            np.concatenate(freq_parts),
-            np.concatenate(norm_parts),
+        block_idx = np.asarray(block_idx, dtype=np.int64)
+        nb = block_idx.shape[0]
+        # copy the selected blocks' byte ranges out of the (possibly mmap'd)
+        # blob once — everything after operates on a plain ndarray
+        starts = np.where(
+            block_idx > 0, self.end_off[block_idx - 1].astype(np.int64), 0
+        ) + self.data_start
+        ends = self.end_off[block_idx].astype(np.int64) + self.data_start
+        lens = ends - starts
+        total = int(lens.sum())
+        gidx = np.repeat(starts - (np.cumsum(lens) - lens), lens) + np.arange(total)
+        buf = np.asarray(self.buf[gidx])
+        local_start = np.cumsum(lens) - lens  # block start within buf
+
+        n_vals = np.minimum(
+            BLOCK_SIZE, self.df - block_idx * BLOCK_SIZE
+        ).astype(np.int64)
+        P = int(n_vals.sum())
+        val_block = np.repeat(np.arange(nb), n_vals)
+        pos_in_block = np.arange(P) - (np.cumsum(n_vals) - n_vals)[val_block]
+
+        streams = []
+        s = local_start
+        for _ in range(3):
+            base = buf[s].astype(np.int64)
+            nexc = buf[s + 1].astype(np.int64)
+            payload_nbytes = (n_vals * base + 7) // 8
+            vals = np.zeros(P, dtype=np.uint32)
+            base_v = base[val_block]
+            if int(base.max()):
+                pbytes = int(payload_nbytes.sum())
+                pidx = (
+                    np.repeat(
+                        (s + 2) - (np.cumsum(payload_nbytes) - payload_nbytes),
+                        payload_nbytes,
+                    )
+                    + np.arange(pbytes)
+                )
+                bits = np.unpackbits(buf[pidx], bitorder="little")
+                pl_bit_start = (np.cumsum(payload_nbytes) - payload_nbytes)[
+                    val_block
+                ] * 8 + pos_in_block * base_v
+                for j in range(int(base.max())):
+                    m = base_v > j
+                    if not m.any():
+                        break
+                    vals[m] |= bits[pl_bit_start[m] + j].astype(np.uint32) << np.uint32(j)
+            tot_exc = int(nexc.sum())
+            if tot_exc:
+                exc_block = np.repeat(np.arange(nb), nexc)
+                exc_rank = np.arange(tot_exc) - (np.cumsum(nexc) - nexc)[exc_block]
+                pos_base = s + 2 + payload_nbytes
+                epos = buf[pos_base[exc_block] + exc_rank].astype(np.int64)
+                hb = pos_base[exc_block] + nexc[exc_block] + 4 * exc_rank
+                high = (
+                    buf[hb].astype(np.uint32)
+                    | (buf[hb + 1].astype(np.uint32) << 8)
+                    | (buf[hb + 2].astype(np.uint32) << 16)
+                    | (buf[hb + 3].astype(np.uint32) << 24)
+                )
+                tgt = (np.cumsum(n_vals) - n_vals)[exc_block] + epos
+                vals[tgt] |= high << base[exc_block].astype(np.uint32)
+            streams.append(vals)
+            s = s + 2 + payload_nbytes + 5 * nexc
+
+        deltas, freqs, norms = streams
+        prev_last = np.where(
+            block_idx > 0, self.last_doc[block_idx - 1].astype(np.int64), -1
         )
+        docs = deltas.astype(np.int64).cumsum()
+        block_first = np.cumsum(n_vals) - n_vals
+        # subtract the running sum accumulated before each block, add prev_last
+        correction = (prev_last - (docs[block_first] - deltas[block_first]))[val_block]
+        docs = docs + correction
+        return docs, freqs, norms.astype(np.uint8)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.decode_blocks(np.arange(self.n_blocks))

@@ -45,7 +45,7 @@ import pyarrow.parquet as pq
 
 from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
 from lucene_ray.analysis.batch import tokenize_column
-from lucene_ray.codec.postings import encode_postings
+from lucene_ray.codec.postings import encode_postings_many
 from lucene_ray.util.smallfloat import int_to_byte4_array
 
 MANIFEST_SCHEMA = pa.schema(
@@ -225,25 +225,15 @@ class SegmentBuilder:
         local_ids,
     ) -> dict:
         n_terms = len(sorted_vocab)
-        blobs: list[bytes] = []
-        offsets = np.empty(n_terms, dtype=np.int64)
-        lengths = np.empty(n_terms, dtype=np.int64)
-        df = np.empty(n_terms, dtype=np.int64)
-        ttf = np.empty(n_terms, dtype=np.int64)
-        off = 0
-        for t in range(n_terms):
-            lo, hi = term_starts[t], term_starts[t + 1]
-            blob = encode_postings(p_docs[lo:hi], freqs[lo:hi], p_norms[lo:hi])
-            blobs.append(blob)
-            offsets[t] = off
-            lengths[t] = len(blob)
-            off += len(blob)
-            df[t] = hi - lo
-            ttf[t] = int(freqs[lo:hi].sum())
+        buf, offsets, lengths = encode_postings_many(
+            p_docs, freqs, p_norms, term_starts
+        )
+        off = int(buf.shape[0])
+        df = np.diff(term_starts)
+        ttf = np.add.reduceat(freqs.astype(np.int64), term_starts[:-1])
 
         with open(os.path.join(out_dir, "postings.bin"), "wb") as f:
-            for b in blobs:
-                f.write(b)
+            buf.tofile(f)
 
         pq.write_table(
             pa.table(

@@ -99,3 +99,33 @@ def test_dense_docids_minimal_width():
     blob = encode_postings(docs, freqs, norms)
     # docs ~1 bit, freqs ~0 bits (all 1 -> width 1), norms constant width ~5
     assert len(blob) < n * 2
+
+
+def test_encode_many_byte_identical_to_per_term():
+    """Conformance (RandomPostingsTester pattern): the batched segment-wide
+    encoder must emit byte-identical blobs to the per-term reference path,
+    across sizes spanning block boundaries (1, 7, 8, 255, 256, 257, 511,
+    512, 2000)."""
+    from lucene_ray.codec.postings import encode_postings_many
+
+    rng = np.random.default_rng(11)
+    sizes = [1, 7, 8, 255, 256, 257, 511, 512, 2000]
+    all_docs, all_freqs, all_norms, starts = [], [], [], [0]
+    for n in sizes:
+        d, f, nm = _random_postings(rng, n)
+        all_docs.append(d)
+        all_freqs.append(f)
+        all_norms.append(nm)
+        starts.append(starts[-1] + n)
+    p_docs = np.concatenate(all_docs)
+    freqs = np.concatenate(all_freqs)
+    norms = np.concatenate(all_norms)
+    buf, offsets, lengths = encode_postings_many(
+        p_docs, freqs, norms, np.asarray(starts, dtype=np.int64)
+    )
+    assert int(offsets[0]) == 0
+    assert int((offsets + lengths)[-1]) == buf.shape[0]
+    for t, n in enumerate(sizes):
+        want = encode_postings(all_docs[t], all_freqs[t], all_norms[t])
+        got = buf[int(offsets[t]) : int(offsets[t] + lengths[t])].tobytes()
+        assert got == want, f"term {t} (df={n}) blob mismatch"
