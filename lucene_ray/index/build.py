@@ -42,7 +42,13 @@ def build_index(
 ) -> dict:
     """Build (or resume) an inverted index; returns the global manifest."""
     if isinstance(source, str):
-        ds = ray.data.read_parquet(source, columns=[id_col, text_col])
+        # one output segment per read block: pin the block count at the read
+        # (no repartition pass) — otherwise Ray splits files into ~2x-cpu
+        # blocks and the segment count (and all per-segment fixed cost)
+        # silently tracks the executor size instead of the data layout
+        kw = {"override_num_blocks": num_segments} if num_segments else {}
+        ds = ray.data.read_parquet(source, columns=[id_col, text_col], **kw)
+        num_segments = None
     else:
         ds = source.select_columns([id_col, text_col])
     if num_segments is not None:
@@ -71,19 +77,35 @@ def build_index(
     sum_ttf = sum(r["sum_total_term_freq"] for r in segments)
 
     # global term stats (df/ttf) -- partial aggregates per segment, then a
-    # small groupby shuffle over (term, df, ttf) rows.
+    # small groupby over (term, df, ttf) rows. The shuffle moves only the
+    # vocab (<= n_segments rows per term), never postings. Below a row
+    # threshold the reduce runs as one driver-side pyarrow group_by (C++
+    # hash agg, ~ms) — a Ray Data groupby has seconds of fixed all-to-all
+    # cost that would dominate small builds; past the threshold (web-scale
+    # vocab x many segments) the distributed path takes over.
     term_files = [os.path.join(r["path"], "terms.parquet") for r in segments]
     stats_dir = os.path.join(index_dir, "global_terms")
     tmp_stats = os.path.join(index_dir, f".tmp-global_terms-{uuid.uuid4().hex[:8]}")
-    tds = ray.data.read_parquet(term_files, columns=["term", "df", "ttf"])
-    from ray.data.aggregate import Sum
-
-    agg = tds.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
-    )
-    agg = agg.sort("term")
+    total_term_rows = sum(r["n_terms"] for r in segments)
     os.makedirs(tmp_stats, exist_ok=True)
-    agg.write_parquet(tmp_stats)
+    if total_term_rows <= 5_000_000:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(term_files, format="parquet").to_table(
+            columns=["term", "df", "ttf"]
+        )
+        agg_tbl = tbl.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
+        agg_tbl = agg_tbl.rename_columns(["term", "df", "ttf"]).sort_by("term")
+        pq.write_table(agg_tbl, os.path.join(tmp_stats, "part-0.parquet"))
+    else:
+        tds = ray.data.read_parquet(term_files, columns=["term", "df", "ttf"])
+        from ray.data.aggregate import Sum
+
+        agg = tds.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+        )
+        agg = agg.sort("term")
+        agg.write_parquet(tmp_stats)
     if os.path.isdir(stats_dir):
         import shutil
 

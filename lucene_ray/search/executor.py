@@ -64,9 +64,22 @@ class QueryExecutor:
 
 
 class DistributedSearcher:
-    """Fan-out/merge front-end over a QueryExecutor pool."""
+    """Fan-out/merge front-end over QueryExecutor pools.
 
-    def __init__(self, index_dir: str, num_executors: int = 4, mode: str = "f32"):
+    ``num_replicas`` > 1 creates independent full copies of the executor
+    pool and round-robins queries between them — the scale-out axis for
+    query *throughput* (the replica-serving model of
+    replicator/nrt/PrimaryNode.java/ReplicaNode.java: same immutable
+    segments, many serving copies), while ``num_executors`` is the
+    scale-out axis for per-query *latency* (segment fan-out)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_executors: int = 4,
+        mode: str = "f32",
+        num_replicas: int = 1,
+    ):
         m = load_manifest(index_dir)
         self.index_dir = index_dir
         self.doc_count = m["doc_count"]
@@ -80,12 +93,17 @@ class DistributedSearcher:
         paths = [s["path"] for s in m["segments"]]
         n = min(num_executors, max(1, len(paths)))
         shards = [paths[i::n] for i in range(n)]
-        self.executors = [
-            QueryExecutor.remote(shard, self.doc_count, self.sum_ttf, mode)
-            for shard in shards
-            if shard
+        self.pools = [
+            [
+                QueryExecutor.remote(shard, self.doc_count, self.sum_ttf, mode)
+                for shard in shards
+                if shard
+            ]
+            for _ in range(max(1, num_replicas))
         ]
-        ray.get([e.ping.remote() for e in self.executors])
+        self.executors = self.pools[0]  # back-compat: first replica
+        ray.get([e.ping.remote() for pool in self.pools for e in pool])
+        self._rr = 0
         self._stats_cache: dict[str, tuple[int, int]] = {}
 
     def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
@@ -116,7 +134,9 @@ class DistributedSearcher:
         collect_scored_terms(query, terms)
         stats = self.term_stats(terms)
         qd = query.to_dict()
-        futures = [e.search.remote(qd, k, stats, -np.inf) for e in self.executors]
+        pool = self.pools[self._rr % len(self.pools)]
+        self._rr += 1
+        futures = [e.search.remote(qd, k, stats, -np.inf) for e in pool]
         results = ray.get(futures)
         docs = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
         scores = np.concatenate([r[1] for r in results]) if results else np.empty(0, np.float64)
