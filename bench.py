@@ -85,15 +85,12 @@ def run_bench() -> dict:
     shutil.rmtree(idx_dir, ignore_errors=True)
     corpus_path = _materialize_corpus()
 
-    # warm workers (imports, codec paths) with a small untimed build + query
-    from lucene_ray.data.webpages import synth_corpus_dataset
-
+    # warm run: a full untimed build+query over the same corpus, so the
+    # timed run measures steady-state throughput (workers spawned, code
+    # imported, page cache hot) rather than first-touch costs
     warm_dir = f"/tmp/bench_warm_{NUM_CPUS}"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    warm = synth_corpus_dataset(
-        min(N_DOCS, 20000), batch_rows=-(-min(N_DOCS, 20000) // NUM_CPUS)
-    ).select_columns(["doc_id", "text"])
-    build_index(warm, warm_dir)
+    build_index(corpus_path, warm_dir, num_segments=N_SEGMENTS)
     DistributedSearcher(warm_dir, num_executors=min(8, NUM_CPUS)).search("w00001", k=10)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
@@ -200,7 +197,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_HEADLINE_ONLY="1",
-            BENCH_DOCS=os.environ.get("BENCH_DOCS", "480000"),
+            BENCH_DOCS=os.environ.get("BENCH_DOCS", "1920000"),
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -80,17 +80,20 @@ def encode_postings(
     off = 0
     for b in range(n_blocks):
         lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, df)
+        nm_min = norm_bytes[lo:hi].min()
+        # freqs stored as freq-1 (freq >= 1 always: an all-ones block packs
+        # to 0 bits); norms as offsets from the block's min_norm impact
         block = (
             encode_pfor_block(deltas[lo:hi])
-            + encode_pfor_block(freqs[lo:hi])
-            + encode_pfor_block(norm_bytes[lo:hi])
+            + encode_pfor_block(freqs[lo:hi] - 1)
+            + encode_pfor_block((norm_bytes[lo:hi] - nm_min).astype(np.uint32))
         )
         off += len(block)
         chunks.append(block)
         last_doc[b] = doc_ids[hi - 1]
         end_off[b] = off
         max_freq[b] = freqs[lo:hi].max()
-        min_norm[b] = norm_bytes[lo:hi].min()
+        min_norm[b] = nm_min
 
     header = np.array([df, n_blocks], dtype=np.uint32).tobytes()
     return b"".join(
@@ -158,13 +161,22 @@ def encode_postings_many(
     val_block = np.repeat(np.arange(total_blocks), block_n)
     pos_in_block = np.arange(P) - block_first[val_block]
 
-    streams = (deltas, freqs.astype(np.uint32), norms.astype(np.uint32))
+    # freq-1 / norm-minus-block-min transforms (see encode_postings)
+    blk_min_norm = np.minimum.reduceat(norms, block_start)
+    streams = (
+        deltas,
+        (freqs - 1).astype(np.uint32),
+        (norms - blk_min_norm[val_block]).astype(np.uint32),
+    )
     bases = []  # per stream: base width per block
     widths = []
     for S in streams:
         w = bit_widths(S).astype(np.uint8)
-        counts = np.zeros((total_blocks, 34), dtype=np.int32)
-        np.add.at(counts, (val_block, w), 1)
+        # (block, width) histogram via one bincount on a fused key —
+        # np.add.at 2-D scatter is ~10x slower
+        counts = np.bincount(
+            val_block * 34 + w, minlength=total_blocks * 34
+        ).reshape(total_blocks, 34)
         exceed = block_n[:, None] - counts.cumsum(axis=1)
         b_ = (exceed <= MAX_EXCEPTIONS).argmax(axis=1).astype(np.int64)
         wmax = np.maximum.reduceat(w, block_first).astype(np.int64)
@@ -184,12 +196,17 @@ def encode_postings_many(
     # bit j (radix-sorted on the uint8 width key): total memory traffic is
     # O(total payload bits), not O(n_values * max_width).
     flat = np.zeros(total_payload * 8, dtype=np.uint8)
+    # int32 bit offsets when the payload permits (halves index traffic in
+    # the bandwidth-bound scatter below)
+    idx_dtype = np.int32 if total_payload * 8 < 2**31 else np.int64
     n_exc_streams = []
     exc_data = []  # (stream, exc_block, exc_rank, exc_pos, exc_high)
     for s, S in enumerate(streams):
         b_ = bases[s]
         base_v = b_[val_block]
-        vbs = payload_start[3 * val_block + s] * 8 + pos_in_block * base_v
+        vbs = (payload_start[3 * val_block + s] * 8 + pos_in_block * base_v).astype(
+            idx_dtype
+        )
         order = np.argsort((33 - base_v).astype(np.uint8), kind="stable")
         Vs = S[order]
         ss_ = vbs[order]
@@ -239,7 +256,7 @@ def encode_postings_many(
     end_off_rel = (cs - prefix[term_of_block]).astype(np.uint32)
     last_doc = p_docs[block_end - 1].astype(np.int32)
     max_freq = np.maximum.reduceat(freqs, block_start).astype(np.uint32)
-    min_norm = np.minimum.reduceat(norms, block_start).astype(np.uint8)
+    min_norm = blk_min_norm.astype(np.uint8)
 
     # ---- final per-term blobs: header + skips + data slice ----
     # (fully scatter-assembled: the data region is already term-contiguous)
@@ -327,7 +344,7 @@ class PostingsReader:
         freqs, p = decode_pfor_block(self.buf, p, n)
         norms, _ = decode_pfor_block(self.buf, p, n)
         docs = deltas.astype(np.int64).cumsum() + prev_last
-        return docs, freqs, norms.astype(np.uint8)
+        return docs, freqs + 1, (norms + np.uint32(self.min_norm[b])).astype(np.uint8)
 
     def decode_blocks(
         self, block_idx: np.ndarray
@@ -427,7 +444,8 @@ class PostingsReader:
         # subtract the running sum accumulated before each block, add prev_last
         correction = (prev_last - (docs[block_first] - deltas[block_first]))[val_block]
         docs = docs + correction
-        return docs, freqs, norms.astype(np.uint8)
+        norms = norms + np.asarray(self.min_norm[block_idx], dtype=np.uint32)[val_block]
+        return docs, freqs + 1, norms.astype(np.uint8)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.decode_blocks(np.arange(self.n_blocks))

@@ -129,8 +129,7 @@ class SegmentBuilder:
         )
 
         # per-doc lengths -> norms
-        doc_len = np.zeros(batch.num_rows, dtype=np.int64)
-        np.add.at(doc_len, doc_idx, 1)
+        doc_len = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
         norms = int_to_byte4_array(doc_len)
 
         # invert: term codes via arrow dictionary encode, then aggregate

@@ -63,6 +63,35 @@ class QueryExecutor:
         return True
 
 
+@ray.remote(num_cpus=0)
+class SearchFrontend:
+    """Per-replica fan-out/merge aggregator (async actor).
+
+    Moves the per-query scatter/gather + TopDocs.merge off the driver: the
+    driver issues ONE remote call per query, the frontend awaits its pool's
+    executors concurrently and reduces (the distributed CollectorManager
+    .reduce / TopDocs.merge step, search/TopDocs.java:203-228). num_cpus=0:
+    the actor is IO-bound glue and must not steal an executor's CPU slot."""
+
+    def __init__(self, executors: list):
+        self.executors = executors
+
+    async def search(self, query_dict: dict, k: int, term_stats: dict, threshold: float):
+        import asyncio
+
+        futs = [
+            e.search.remote(query_dict, k, term_stats, threshold)
+            for e in self.executors
+        ]
+        results = await asyncio.gather(*futs)
+        docs = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        docs, scores = merge_topk(docs, scores, k)
+        total = sum(r[2] for r in results)
+        exact = all(r[3] for r in results)
+        return docs, scores, total, exact
+
+
 class DistributedSearcher:
     """Fan-out/merge front-end over QueryExecutor pools.
 
@@ -103,6 +132,7 @@ class DistributedSearcher:
         ]
         self.executors = self.pools[0]  # back-compat: first replica
         ray.get([e.ping.remote() for pool in self.pools for e in pool])
+        self.frontends = [SearchFrontend.remote(pool) for pool in self.pools]
         self._rr = 0
         self._stats_cache: dict[str, tuple[int, int]] = {}
 
@@ -134,13 +164,7 @@ class DistributedSearcher:
         collect_scored_terms(query, terms)
         stats = self.term_stats(terms)
         qd = query.to_dict()
-        pool = self.pools[self._rr % len(self.pools)]
+        fe = self.frontends[self._rr % len(self.frontends)]
         self._rr += 1
-        futures = [e.search.remote(qd, k, stats, -np.inf) for e in pool]
-        results = ray.get(futures)
-        docs = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
-        scores = np.concatenate([r[1] for r in results]) if results else np.empty(0, np.float64)
-        docs, scores = merge_topk(docs, scores, k)
-        total = sum(r[2] for r in results)
-        exact = all(r[3] for r in results)
+        docs, scores, total, exact = ray.get(fe.search.remote(qd, k, stats, -np.inf))
         return TopDocs(total, "EQ" if exact else "GTE", docs, scores)
