@@ -37,9 +37,11 @@ _CACHE_ROOT = "/tmp/lucene_ray_idx"
 
 
 def _index_dir(sf_dir: str) -> str:
+    from lucene_ray.codec.postings import CODEC_VERSION
+
     docs = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha1(
-        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}".encode()
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}".encode()
     ).hexdigest()[:12]
     idx = os.path.join(_CACHE_ROOT, tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
@@ -193,6 +195,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["synonym_query"] = lambda sf: _all_hits_table(
         sf, Q.SynonymQuery(("spark", "stream"))
     )
+    q["dis_max_query"] = lambda sf: _all_hits_table(
+        sf,
+        Q.DisjunctionMaxQuery(
+            (Q.TermQuery("spark"), Q.TermQuery("window")), tie_breaker=0.3
+        ),
+    )
+    q["boost_query"] = lambda sf: _all_hits_table(
+        sf, Q.BoostQuery(Q.TermQuery("table"), 2.5)
+    )
+
+    def _search_after(sf):
+        s = _searcher(sf)
+        qq = Q.TermQuery("window")
+        page1 = s.search(qq, k=10)
+        td = s.search_after(qq, 10, float(page1.scores[-1]), int(page1.doc_ids[-1]))
+        return pa.table(
+            {
+                "rank": np.arange(11, 11 + td.doc_ids.shape[0], dtype=np.int64),
+                "doc_id": td.doc_ids,
+                "score": _round4(td.scores),
+            }
+        )
+
+    q["search_after_page2"] = _search_after
 
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
@@ -697,6 +723,27 @@ def oracle_sql() -> dict[str, str]:
         _PRELUDE + _term_cte("a", "table") + _term_cte("b", "window")
         + """ SELECT a.doc_id, ROUND(a.score, 4) AS score
               FROM sc_a a JOIN sc_b b ON a.doc_id = b.doc_id ORDER BY a.doc_id"""
+    )
+    o["dis_max_query"] = (
+        _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "window")
+        + """ , uni AS (
+                SELECT doc_id, max(score) AS m, sum(score) AS s FROM (
+                  SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b
+                ) GROUP BY doc_id)
+              SELECT doc_id, ROUND(m + 0.3 * (s - m), 4) AS score
+              FROM uni ORDER BY doc_id"""
+    )
+    o["boost_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score * 2.5, 4) AS score FROM sc_t ORDER BY doc_id"
+    )
+    o["search_after_page2"] = (
+        _PRELUDE + _term_cte("t", "window")
+        + """ SELECT * FROM (
+                SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+                       doc_id, ROUND(score, 4) AS score
+                FROM sc_t ORDER BY score DESC, doc_id
+              ) WHERE rank BETWEEN 11 AND 20"""
     )
     o["phrase_query"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE

@@ -50,6 +50,9 @@ from lucene_ray.codec.forutil import (
 
 _HEADER = np.dtype(np.uint32).itemsize * 2
 
+# bump on any on-disk layout change (index caches key on this)
+CODEC_VERSION = 2
+
 
 def encode_postings(
     doc_ids: np.ndarray, freqs: np.ndarray, norm_bytes: np.ndarray

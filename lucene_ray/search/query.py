@@ -204,6 +204,24 @@ class BoostQuery(Query):
         return {"type": "boost", "query": self.query.to_dict(), "boost": self.boost}
 
 
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """search/DisjunctionMaxQuery.java — union of disjuncts scored as
+    max(sub scores) + tie_breaker * (sum of the other matching subs)."""
+
+    queries: tuple
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {
+            "type": "dis_max",
+            "queries": [q.to_dict() for q in self.queries],
+            "tie_breaker": self.tie_breaker,
+            "boost": self.boost,
+        }
+
+
 def query_from_dict(d: dict) -> Query:
     t = d["type"]
     if t == "term":
@@ -245,6 +263,12 @@ def query_from_dict(d: dict) -> Query:
         return ConstantScoreQuery(query_from_dict(d["query"]), d.get("boost", 1.0))
     if t == "boost":
         return BoostQuery(query_from_dict(d["query"]), d["boost"])
+    if t == "dis_max":
+        return DisjunctionMaxQuery(
+            tuple(query_from_dict(q) for q in d["queries"]),
+            d.get("tie_breaker", 0.0),
+            d.get("boost", 1.0),
+        )
     raise ValueError(f"unknown query type {t}")
 
 
@@ -259,3 +283,6 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
             collect_scored_terms(sub, out)
     elif isinstance(q, (ConstantScoreQuery, BoostQuery)):
         collect_scored_terms(q.query, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for sub in q.queries:
+            collect_scored_terms(sub, out)

@@ -237,7 +237,36 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.BooleanQuery):
         return _eval_bool(reader, q, ctx)
 
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return _eval_dismax(reader, q, ctx)
+
     raise ValueError(f"unsupported query {q!r}")
+
+
+def _eval_dismax(reader, q: Q.DisjunctionMaxQuery, ctx):
+    """max(sub) + tie_breaker * (sum - max) over the union of disjunct doc
+    sets (DisjunctionMaxQuery.java scoring contract). Subqueries evaluate
+    unpruned so every union member's full score contributes."""
+    sub_ctx = _unpruned(ctx)
+    docs_parts, score_parts = [], []
+    exact = True
+    for sub in q.queries:
+        d, s, e = eval_query(reader, sub, sub_ctx)
+        exact &= e
+        if d.shape[0]:
+            docs_parts.append(d)
+            score_parts.append(s)
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64), exact
+    cat_d = np.concatenate(docs_parts)
+    cat_s = np.concatenate(score_parts)
+    docs, inv = np.unique(cat_d, return_inverse=True)
+    ssum = np.zeros(docs.shape[0], dtype=np.float64)
+    np.add.at(ssum, inv, cat_s)
+    smax = np.zeros(docs.shape[0], dtype=np.float64)
+    np.maximum.at(smax, inv, cat_s)
+    scores = (smax + q.tie_breaker * (ssum - smax)) * q.boost
+    return docs, scores, exact
 
 
 def _push_boost(q: Q.Query, boost: float) -> Q.Query:
