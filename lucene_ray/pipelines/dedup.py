@@ -68,14 +68,61 @@ def hash_strings(arr: pa.Array, seed: int = 0) -> np.ndarray:
 
 def dedup_exact(pages, key: str = "url"):
     """Latest-wins exact dedup: keep the row with max (warc_ts, doc_id) per
-    key. groupby(key) hash-shuffle; groups are tiny (dup cardinality)."""
-    import pandas as pd
+    key (IndexWriter.updateDocument semantics).
 
-    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-        i = g.sort_values(["warc_ts", "doc_id"]).index[-1]
-        return g.loc[[i]]
+    Shape: fuse (warc_ts, doc_id) into one orderable int64, take the native
+    ``groupby(key).max`` C-aggregate (no per-group Python — a map_groups
+    UDF pays ~100us of pandas per group, ruinous at 10^9 keys), then keep
+    exactly the rows whose fused rank is a winner. Winner ranks are unique
+    per row, so membership filtering reproduces full winner rows without a
+    join. The winner set is broadcast via ray.put; at 10^12-doc scale
+    replace the broadcast with a hash-bucket semi-join on ``key`` (both
+    sides partitioned by hash(key), no global set)."""
+    import ray
+    from ray.data.aggregate import Max
 
-    return pages.groupby(key).map_groups(keep_latest, batch_format="pandas")
+    def _fused(b: pa.Table) -> np.ndarray:
+        ts = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # ms resolution keeps (ts << 22) inside int64; doc_id < 2**22 in
+        # every corpus here; fused stays monotone in (warc_ts, doc_id)
+        return ((ts // 1000) << np.int64(22)) | ids.astype(np.int64)
+
+    def local_winners(b: pa.Table) -> pa.Table:
+        # block-local combiner: ONE (key, max rank) row per key leaves the
+        # block, so the groupby shuffles keys + int64 ranks — never the
+        # full rows (html/text stay put)
+        fused = _fused(b)
+        keys = b[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        t = pa.table({key: keys, "_rank": fused})
+        return t.group_by(key).aggregate([("_rank", "max")]).rename_columns(
+            [key, "_rank"]
+        )
+
+    winners = (
+        pages.map_batches(local_winners, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Max("_rank", alias_name="_keep"))
+    )
+    keep = np.sort(
+        pa.concat_tables(
+            winners.select_columns(["_keep"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        )["_keep"].to_numpy()
+    )
+    keep_ref = ray.put(keep)
+
+    def filter_winners(b: pa.Table) -> pa.Table:
+        k = ray.get(keep_ref)
+        fused = _fused(b)
+        pos = np.searchsorted(k, fused)
+        pos_c = np.minimum(pos, k.shape[0] - 1)
+        return b.filter(pa.array(k[pos_c] == fused))
+
+    return pages.map_batches(filter_winners, batch_format="pyarrow")
 
 
 def dedup_exact_content(pages, text_col: str = "text"):
@@ -156,23 +203,118 @@ def minhash_lsh_candidates(pages, text_col: str = "text", num_hashes: int = 64,
             }
         )
 
-    import pandas as pd
+    # Bucket pair expansion WITHOUT per-group UDFs: a groupby().map_groups
+    # pays Python per bucket and almost every bucket is a singleton (ruinous
+    # at scale). Instead: one global sort on the fused bucket key, then a
+    # vectorized per-block run scan — only multi-doc runs (rare) loop in
+    # Python; runs touching a block edge are deferred to a tiny second pass
+    # since they may continue in the neighbouring block.
+    def fuse_key(b: pa.Table) -> pa.Table:
+        k = _mix64(
+            b["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            ^ (b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15))
+        ).astype(np.int64)
+        return pa.table({"key": k, "doc_id": b["doc_id"]})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.shape[0] < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ii, jj = np.triu_indices(ids.shape[0], k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def _run_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        run = np.sort(ids)
+        ii, jj = np.triu_indices(run.shape[0], k=1)
+        return run[ii], run[jj]
 
-    cand = (
+    def detect(b: pa.Table) -> pa.Table:
+        keys = b["key"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = keys.shape[0]
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        starts = np.nonzero(np.diff(keys, prepend=keys[0] - 1))[0]
+        ends = np.append(starts[1:], n)
+        lens = ends - starts
+        a_parts, b_parts, k_parts = [], [], []
+        # boundary runs (first + last of the block): defer raw rows
+        edge = {0, lens.shape[0] - 1}
+        for r in edge:
+            s, e = starts[r], ends[r]
+            a_parts.append(ids[s:e])
+            b_parts.append(np.full(e - s, -1, dtype=np.int64))
+            k_parts.append(keys[s:e])
+        # interior multi-doc runs: vectorized pair expansion (rare)
+        for r in np.nonzero(lens >= 2)[0]:
+            if r in edge:
+                continue
+            aa, bb = _run_pairs(ids[starts[r]:ends[r]])
+            a_parts.append(aa)
+            b_parts.append(bb)
+            k_parts.append(np.zeros(aa.shape[0], dtype=np.int64))
+        return pa.table(
+            {
+                "a": np.concatenate(a_parts).astype(np.int64),
+                "b": np.concatenate(b_parts),
+                "key": np.concatenate(k_parts),
+            }
+        )
+
+    def boundary_pairs(b: pa.Table) -> pa.Table:
+        # all deferred rows of the whole dataset in one tiny block
+        keys = b["key"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        out = detect(pa.table({"key": keys, "doc_id": ids}))
+        # no further deferral possible: expand every run incl. edges
+        a_parts, b_parts = [out["a"].to_numpy()[out["b"].to_numpy() >= 0]], [
+            out["b"].to_numpy()[out["b"].to_numpy() >= 0]
+        ]
+        m = out["b"].to_numpy() == -1
+        ek, ei = out["key"].to_numpy()[m], out["a"].to_numpy()[m]
+        es = np.nonzero(np.diff(ek, prepend=ek[0] - 1))[0] if ek.shape[0] else np.empty(0, np.int64)
+        ee = np.append(es[1:], ek.shape[0])
+        for s, e in zip(es, ee):
+            if e - s >= 2:
+                aa, bb = _run_pairs(ei[s:e])
+                a_parts.append(aa)
+                b_parts.append(bb)
+        return pa.table(
+            {
+                "a": np.concatenate(a_parts).astype(np.int64),
+                "b": np.concatenate(b_parts).astype(np.int64),
+            }
+        )
+
+    mixed = (
         pages.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(fuse_key, batch_format="pyarrow")
+        .sort("key")
+        .map_batches(detect, batch_format="pyarrow")
+        .materialize()
     )
-    # distinct pairs (a doc pair can collide in several bands)
-    return cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    inner = mixed.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["b"], 0)).drop_columns(["key"]),
+        batch_format="pyarrow",
+    )
+    deferred = (
+        mixed.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.filter(pc.equal(b["b"], -1))["key"],
+                    "doc_id": b.filter(pc.equal(b["b"], -1))["a"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(boundary_pairs, batch_size=None, batch_format="pyarrow")
+    )
+    cand = inner.union(deferred)
+    # distinct pairs (a doc pair can collide in several bands): native
+    # count aggregate (C-vectorized), then drop the count
+    return (
+        cand.groupby(["a", "b"])
+        .count()
+        .map_batches(lambda b: b.drop_columns(["count()"]), batch_format="pyarrow")
     )
 
 
