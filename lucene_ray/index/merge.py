@@ -59,39 +59,179 @@ def _explode_segment(row: dict, salt_of: dict, n_salts: int) -> list[dict]:
     return out
 
 
-def _merge_group(group: pa.Table) -> pa.Table:
-    """Re-encode one (term, salt) group's runs into a single blob."""
-    order = np.argsort(group["doc_base"].to_numpy())
-    blobs = group["blob"].to_pylist()
-    docs_parts, freq_parts, norm_parts = [], [], []
-    for i in order:
-        r = PostingsReader(blobs[i])
-        d, f, nm = r.decode_all()
-        docs_parts.append(d + int(group["doc_base"][int(i)].as_py()))
-        freq_parts.append(f)
-        norm_parts.append(nm)
-    docs = np.concatenate(docs_parts)
-    freqs = np.concatenate(freq_parts)
-    norms = np.concatenate(norm_parts)
-    if not (np.diff(docs) > 0).all():
-        # segments may interleave in doc space (arbitrary input partitioning)
-        # -> k-way merge by actual doc id instead of run concatenation
+def _make_merge_group(global_base: int):
+    """Group fn: re-encode one (term, salt) group's runs into a single blob
+    with doc ids relative to the GLOBAL base — every merged blob then shares
+    one doc_base, so shard segments never re-encode cold terms."""
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        order = np.argsort(group["doc_base"].to_numpy())
+        blobs = group["blob"].to_pylist()
+        docs_parts, freq_parts, norm_parts = [], [], []
+        for i in order:
+            r = PostingsReader(blobs[i])
+            d, f, nm = r.decode_all()
+            docs_parts.append(d + int(group["doc_base"][int(i)].as_py()))
+            freq_parts.append(f)
+            norm_parts.append(nm)
+        docs = np.concatenate(docs_parts)
+        freqs = np.concatenate(freq_parts)
+        norms = np.concatenate(norm_parts)
+        if not (np.diff(docs) > 0).all():
+            # segments may interleave in doc space (arbitrary input
+            # partitioning) -> k-way merge by actual doc id
+            perm = np.argsort(docs, kind="stable")
+            docs, freqs, norms = docs[perm], freqs[perm], norms[perm]
+            if (np.diff(docs) == 0).any():
+                raise ValueError("duplicate doc ids across merged segments")
+        blob = encode_postings(docs - global_base, freqs, norms)
+        return pa.table(
+            {
+                "term": [group["term"][0].as_py()],
+                "salt": [int(group["salt"][0].as_py())],
+                "df": [int(docs.shape[0])],
+                "ttf": [int(freqs.astype(np.int64).sum())],
+                "blob": pa.array([blob], type=pa.large_binary()),
+            }
+        )
+
+    return merge_group
+
+
+def _make_fuse_term(global_base: int):
+    """Group fn: concatenate one hot term's salt-bucket blobs (all already
+    at the global base) into one doc-ordered blob."""
+
+    def fuse(group: pa.Table) -> pa.Table:
+        docs_parts, freq_parts, norm_parts = [], [], []
+        for blob in group["blob"].to_pylist():
+            d, f, nm = PostingsReader(blob).decode_all()
+            docs_parts.append(d)
+            freq_parts.append(f)
+            norm_parts.append(nm)
+        docs = np.concatenate(docs_parts)
+        freqs = np.concatenate(freq_parts)
+        norms = np.concatenate(norm_parts)
         perm = np.argsort(docs, kind="stable")
         docs, freqs, norms = docs[perm], freqs[perm], norms[perm]
-        if (np.diff(docs) == 0).any():
-            raise ValueError("duplicate doc ids across merged segments")
-    base = int(docs[0])
-    blob = encode_postings(docs - base, freqs, norms)
-    return pa.table(
-        {
-            "term": [group["term"][0].as_py()],
-            "salt": [int(group["salt"][0].as_py())],
-            "doc_base": [base],
-            "df": [int(docs.shape[0])],
-            "ttf": [int(sum(int(f.sum()) for f in freq_parts))],
-            "blob": pa.array([blob], type=pa.large_binary()),
+        blob = encode_postings(docs, freqs, norms)
+        return pa.table(
+            {
+                "term": [group["term"][0].as_py()],
+                "salt": [0],
+                "df": [int(docs.shape[0])],
+                "ttf": [int(freqs.astype(np.int64).sum())],
+                "blob": pa.array([blob], type=pa.large_binary()),
+            }
+        )
+
+    return fuse
+
+
+class _ShardWriter:
+    """map_batches callable: one term-range shard segment per input batch.
+
+    Rows arrive term-sorted with one row per term, so a batch is a clean
+    term range; the segment layout is identical to build segments except
+    meta.docs_path points at the shared merged docs table and owns_docs
+    marks exactly one shard as the doc-space owner (MatchAllDocsQuery)."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        global_base: int,
+        max_doc: int,
+        doc_count: int,
+        sum_ttf: int,
+        docs_path: str,
+        fingerprint: str,
+        merge_fan_in: int,
+    ) -> None:
+        self.out_dir = out_dir
+        self.global_base = global_base
+        self.max_doc = max_doc
+        self.doc_count = doc_count
+        self.sum_ttf = sum_ttf
+        self.docs_path = docs_path
+        self.fingerprint = fingerprint
+        self.merge_fan_in = merge_fan_in
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return pa.table({"segment_id": pa.array([], pa.string()),
+                             "path": pa.array([], pa.string()),
+                             "min_term": pa.array([], pa.string()),
+                             "n_terms": pa.array([], pa.int64()),
+                             "postings_bytes": pa.array([], pa.int64())})
+        idx = pc.sort_indices(b["term"])
+        b = b.take(idx)
+        terms = b["term"]
+        first = terms[0].as_py()
+        last = terms[-1].as_py()
+        seg_id = "mseg-" + hashlib.sha1(
+            f"{first}:{last}:{b.num_rows}".encode()
+        ).hexdigest()[:12]
+        parent = os.path.join(self.out_dir, "segments")
+        os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(parent, f".tmp-{seg_id}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp, exist_ok=True)
+
+        blobs = b["blob"]
+        lengths = pc.binary_length(blobs).to_numpy().astype(np.int64)
+        offsets = np.cumsum(lengths) - lengths
+        with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+            for blob in blobs.to_pylist():
+                f.write(blob)
+        pq.write_table(
+            pa.table(
+                {
+                    "term": terms,
+                    "df": b["df"].to_numpy().astype(np.int64),
+                    "ttf": b["ttf"].to_numpy().astype(np.int64),
+                    "offset": offsets,
+                    "length": lengths,
+                }
+            ),
+            os.path.join(tmp, "terms.parquet"),
+        )
+        meta = {
+            "segment_id": seg_id,
+            "path": os.path.join(parent, seg_id),
+            "doc_base": self.global_base,
+            "max_doc_id": self.max_doc,
+            "doc_count": self.doc_count,
+            "sum_total_term_freq": self.sum_ttf,
+            "n_terms": int(b.num_rows),
+            "postings_bytes": int(lengths.sum()),
+            "fingerprint": self.fingerprint,
+            "build_secs": 0.0,
+            "terms_per_sec": 0.0,
+            "skipped": False,
+            "merge_fan_in": self.merge_fan_in,
+            "docs_path": self.docs_path,
+            "owns_docs": False,
         }
-    )
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        final = os.path.join(parent, seg_id)
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return pa.table(
+            {
+                "segment_id": [seg_id],
+                "path": [final],
+                "min_term": [first],
+                "n_terms": [int(b.num_rows)],
+                "postings_bytes": [int(lengths.sum())],
+            }
+        )
 
 
 def force_merge(
@@ -99,32 +239,41 @@ def force_merge(
     out_dir: str,
     hot_term_df: int = 100_000,
     salt_buckets: int = 8,
+    terms_per_shard: int = 1 << 20,
 ) -> dict:
-    """Merge ALL segments of ``index_dir`` into one doc-ordered segment set
-    under ``out_dir`` via a (term, salt) shuffle. Returns the new manifest.
+    """Merge ALL segments of ``index_dir`` into term-range-sharded merged
+    segments under ``out_dir`` via a (term, salt) shuffle; every stage is
+    distributed — the driver only assembles the (tiny) manifest.
 
     ``hot_term_df``: terms whose global df exceeds this split into
-    ``salt_buckets`` doc-range buckets before the shuffle (skew handling);
-    others use a single salt so they re-encode in one group.
+    ``salt_buckets`` doc-range buckets before the shuffle (skew handling),
+    then fuse in a second (small) per-term group stage; cold terms merge in
+    one group and are final immediately. ``terms_per_shard`` bounds the
+    vocab slice each output shard holds.
+
+    Scale note: all shards share one merged docs table (norms); bucketing
+    the docs table by doc range is the follow-up for 10^12-doc indexes.
     """
     m = load_manifest(index_dir)
     segs = sorted(m["segments"], key=lambda s: s["doc_base"])
+    global_base = int(min(s["doc_base"] for s in segs))
+    max_doc = int(max(s["max_doc_id"] for s in segs))
+    doc_count = sum(s["doc_count"] for s in segs)
+    sum_ttf = sum(s["sum_total_term_freq"] for s in segs)
+    fingerprint = "merged:" + ",".join(s["fingerprint"] for s in segs)
 
     # global df (already aggregated at build) -> hot set
-    hot: set[str] = set()
     gt = pq.read_table(os.path.join(index_dir, "global_terms"))
-    dfs = gt["df"].to_numpy()
-    terms_all = gt["term"].to_pylist()
-    for t, df in zip(terms_all, dfs):
-        if df > hot_term_df:
-            hot.add(t)
+    hot = set(
+        t for t, df in zip(gt["term"].to_pylist(), gt["df"].to_numpy())
+        if df > hot_term_df
+    )
 
     n_salts = max(1, min(salt_buckets, len(segs)))
     # salt = source segment's rank bucket: doc-contiguous by construction
     salt_of_hot = {
         s["segment_id"]: (i * n_salts) // len(segs) for i, s in enumerate(segs)
     }
-    salt_of_cold = {s["segment_id"]: 0 for s in segs}
 
     rows = ray.data.from_items(
         [{k: s[k] for k in ("segment_id", "path", "doc_base")} for s in segs]
@@ -149,137 +298,71 @@ def force_merge(
     merged = (
         rows.map_batches(explode, batch_size=1, batch_format="pyarrow")
         .groupby(["term", "salt"])
-        .map_groups(_merge_group, batch_format="pyarrow")
+        .map_groups(_make_merge_group(global_base), batch_format="pyarrow")
+        .materialize()  # vocab-sized rows, read by both branches below
     )
 
-    # collect merged posting rows and write one segment (single doc range).
-    # At web scale this final write would itself be sharded by term range;
-    # locally the merged vocab fits one task.
-    tbl = pa.concat_tables(
-        merged.iter_batches(batch_format="pyarrow", batch_size=8192)
-    )
-    return _write_merged_segment(tbl, out_dir, m)
-
-
-def _write_merged_segment(tbl: pa.Table, out_dir: str, src_manifest: dict) -> dict:
-    # order rows by (term, salt): salt buckets are doc-contiguous ascending,
-    # so per-term chunks concatenate to one globally doc-ordered list
     import pyarrow.compute as pc
 
-    idx = pc.sort_indices(
-        tbl, sort_keys=[("term", "ascending"), ("doc_base", "ascending")]
+    hot_list = sorted(hot)
+
+    def cold_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b["term"], value_set=pa.array(hot_list))))
+
+    def hot_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["term"], value_set=pa.array(hot_list)))
+
+    cold = merged.map_batches(cold_rows, batch_format="pyarrow")
+    final_rows = cold
+    if hot_list:
+        fused_hot = (
+            merged.map_batches(hot_rows, batch_format="pyarrow")
+            .groupby("term")
+            .map_groups(_make_fuse_term(global_base), batch_format="pyarrow")
+        )
+        final_rows = cold.union(fused_hot)
+
+    # shared merged docs table (doc_id-sorted for binary search)
+    docs_dir = os.path.join(out_dir, "docs")
+    if not os.path.isdir(docs_dir):
+        tmp_docs = os.path.join(out_dir, f".tmp-docs-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_docs, exist_ok=True)
+        ray.data.read_parquet(
+            [os.path.join(s["path"], "docs.parquet") for s in segs]
+        ).sort("doc_id").write_parquet(tmp_docs)
+        os.replace(tmp_docs, docs_dir)
+
+    writer = _ShardWriter(
+        out_dir, global_base, max_doc, doc_count, sum_ttf,
+        docs_dir, fingerprint, len(segs),
     )
-    tbl = tbl.take(idx)
-    terms = tbl["term"].to_pylist()
-    blobs = tbl["blob"].to_pylist()
-    doc_bases = tbl["doc_base"].to_numpy()
-    dfs = tbl["df"].to_numpy()
-    ttfs = tbl["ttf"].to_numpy()
-
-    segs = sorted(src_manifest["segments"], key=lambda s: s["doc_base"])
-    global_base = int(segs[0]["doc_base"])
-    max_doc = int(segs[-1]["max_doc_id"])
-    seg_id = f"seg-{global_base:012d}-{max_doc:012d}"
-    seg_dir_parent = os.path.join(out_dir, "segments")
-    os.makedirs(seg_dir_parent, exist_ok=True)
-    tmp = os.path.join(seg_dir_parent, f".tmp-{seg_id}-{uuid.uuid4().hex[:8]}")
-    os.makedirs(tmp, exist_ok=True)
-
-    # fuse each term's salt-chunks into one blob by re-basing doc ids once
-    out_terms, out_df, out_ttf, out_off, out_len = [], [], [], [], []
-    chunks: list[bytes] = []
-    off = 0
-    i = 0
-    n = len(terms)
-    while i < n:
-        j = i
-        while j < n and terms[j] == terms[i]:
-            j += 1
-        if j - i == 1 and int(doc_bases[i]) == global_base:
-            blob = blobs[i]
-            df = int(dfs[i])
-            ttf = int(ttfs[i])
-        else:
-            docs_parts, freq_parts, norm_parts = [], [], []
-            for k in range(i, j):
-                r = PostingsReader(blobs[k])
-                d, f, nm = r.decode_all()
-                docs_parts.append(d + int(doc_bases[k]))
-                freq_parts.append(f)
-                norm_parts.append(nm)
-            docs = np.concatenate(docs_parts)
-            fr = np.concatenate(freq_parts)
-            nm_ = np.concatenate(norm_parts)
-            if not (np.diff(docs) > 0).all():
-                perm = np.argsort(docs, kind="stable")
-                docs, fr, nm_ = docs[perm], fr[perm], nm_[perm]
-            blob = encode_postings(docs - global_base, fr, nm_)
-            df = int(docs.shape[0])
-            ttf = int(fr.sum())
-        out_terms.append(terms[i])
-        out_df.append(df)
-        out_ttf.append(ttf)
-        out_off.append(off)
-        out_len.append(len(blob))
-        chunks.append(blob)
-        off += len(blob)
-        i = j
-
-    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
-        for c in chunks:
-            f.write(c)
-    pq.write_table(
-        pa.table(
-            {
-                "term": out_terms,
-                "df": np.asarray(out_df, dtype=np.int64),
-                "ttf": np.asarray(out_ttf, dtype=np.int64),
-                "offset": np.asarray(out_off, dtype=np.int64),
-                "length": np.asarray(out_len, dtype=np.int64),
-            }
-        ),
-        os.path.join(tmp, "terms.parquet"),
+    shard_rows = (
+        final_rows.sort("term")
+        .map_batches(writer, batch_size=terms_per_shard, batch_format="pyarrow")
+        .take_all()  # tiny: one row per shard
     )
-    # docs table: concat of source segments' docs tables, sorted by doc_id
-    # (segreader binary-searches this column; sources may interleave)
-    doc_tbl = pa.concat_tables(
-        pq.read_table(os.path.join(s["path"], "docs.parquet")) for s in segs
-    )
-    doc_tbl = doc_tbl.take(pc.sort_indices(doc_tbl["doc_id"]))
-    pq.write_table(doc_tbl, os.path.join(tmp, "docs.parquet"))
+    shard_rows.sort(key=lambda r: r["min_term"])
 
-    doc_count = sum(s["doc_count"] for s in segs)
-    sum_ttf = sum(s["sum_total_term_freq"] for s in segs)
-    meta = {
-        "segment_id": seg_id,
-        "path": os.path.join(seg_dir_parent, seg_id),
-        "doc_base": global_base,
-        "max_doc_id": max_doc,
-        "doc_count": doc_count,
-        "sum_total_term_freq": sum_ttf,
-        "n_terms": len(out_terms),
-        "postings_bytes": off,
-        "fingerprint": "merged:" + ",".join(s["fingerprint"] for s in segs),
-        "build_secs": 0.0,
-        "terms_per_sec": 0.0,
-        "skipped": False,
-        "merge_fan_in": len(segs),
-    }
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump(meta, f)
-    final = os.path.join(seg_dir_parent, seg_id)
-    if os.path.isdir(final):
-        import shutil
+    # exactly one shard owns the doc space (MatchAllDocsQuery source)
+    first_meta_path = os.path.join(shard_rows[0]["path"], "meta.json")
+    with open(first_meta_path) as f:
+        meta0 = json.load(f)
+    meta0["owns_docs"] = True
+    tmpm = first_meta_path + ".tmp"
+    with open(tmpm, "w") as f:
+        json.dump(meta0, f)
+    os.replace(tmpm, first_meta_path)
 
-        shutil.rmtree(final)
-    os.replace(tmp, final)
+    segments = []
+    for i, r in enumerate(shard_rows):
+        with open(os.path.join(r["path"], "meta.json")) as f:
+            segments.append(json.load(f))
 
-    manifest = dict(src_manifest)
-    manifest["segments"] = [meta]
-    # merged index reuses the build's global term stats
+    manifest = dict(m)
+    manifest["segments"] = segments
     import shutil as _sh
 
-    gsrc = os.path.join(os.path.dirname(segs[0]["path"]), "..", "global_terms")
+    gsrc = os.path.join(index_dir, "global_terms")
     gdst = os.path.join(out_dir, "global_terms")
     if not os.path.isdir(gdst):
         _sh.copytree(os.path.abspath(gsrc), gdst)

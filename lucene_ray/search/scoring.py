@@ -224,6 +224,11 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
 
     if isinstance(q, Q.MatchAllDocsQuery):
+        # term-sharded merged segments share one doc space; only the shard
+        # flagged owns_docs emits it (otherwise every shard would repeat
+        # every doc)
+        if not reader.meta.get("owns_docs", True):
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)
         return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
 

@@ -59,6 +59,10 @@ class SegmentReader:
         self._norms = None
         self._doc_ids = None
 
+    def _docs_file(self) -> str:
+        # term-sharded merged segments share one docs table (meta.docs_path)
+        return self.meta.get("docs_path") or os.path.join(self.path, "docs.parquet")
+
     # -- term dictionary ---------------------------------------------------
     def term_index(self, term: str) -> int:
         """Index of ``term`` in the sorted dictionary, or -1."""
@@ -104,14 +108,14 @@ class SegmentReader:
     @property
     def norms(self) -> np.ndarray:
         if self._norms is None:
-            d = pq.read_table(os.path.join(self.path, "docs.parquet"), columns=["norm"])
+            d = pq.read_table(self._docs_file(), columns=["norm"])
             self._norms = d["norm"].to_numpy().astype(np.uint8)
         return self._norms
 
     @property
     def doc_ids(self) -> np.ndarray:
         if self._doc_ids is None:
-            d = pq.read_table(os.path.join(self.path, "docs.parquet"), columns=["doc_id"])
+            d = pq.read_table(self._docs_file(), columns=["doc_id"])
             self._doc_ids = d["doc_id"].to_numpy()
         return self._doc_ids
 

@@ -126,3 +126,26 @@ def test_merged_df_ttf_consistent(sf_dir, tmp_path):
     assert gt["term"].to_pylist() == mt["term"].to_pylist()
     assert gt["df"].to_pylist() == mt["df"].to_pylist()
     assert gt["ttf"].to_pylist() == mt["ttf"].to_pylist()
+
+
+def test_sharded_merge_rank_identical(sf_dir, tmp_path):
+    """Term-range-sharded merged segments (terms_per_shard small enough to
+    force several shards) must search identically to the source index, and
+    MatchAllDocsQuery must count every doc exactly once (owns_docs)."""
+    from lucene_ray.search.query import MatchAllDocsQuery
+
+    idx = str(tmp_path / "idx")
+    midx = str(tmp_path / "sharded")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=5)
+    mm = force_merge(idx, midx, hot_term_df=100, salt_buckets=3, terms_per_shard=10)
+    assert len(mm["segments"]) > 2  # actually sharded
+    assert sum(1 for s in mm["segments"] if s.get("owns_docs")) == 1
+    a, b = Searcher(idx), Searcher(midx)
+    for t in ["table", "key", "spark", "window"]:
+        ta, tb = a.search(TermQuery(t), k=10), b.search(TermQuery(t), k=10)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        assert ta.scores.tolist() == tb.scores.tolist()
+        assert ta.total_hits == tb.total_hits
+    q = BooleanQuery(should=(TermQuery("spark"), TermQuery("window")))
+    assert a.search(q, k=10).doc_ids.tolist() == b.search(q, k=10).doc_ids.tolist()
+    assert b.count(MatchAllDocsQuery()) == a.count(MatchAllDocsQuery())
