@@ -161,6 +161,107 @@ def _shingle_hashes(texts: pa.Array, n: int = 3) -> tuple[np.ndarray, np.ndarray
     return doc_idx[valid], out_h[valid]
 
 
+
+def _run_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    run = np.sort(ids)
+    ii, jj = np.triu_indices(run.shape[0], k=1)
+    return run[ii], run[jj]
+
+
+def bucket_pairs_dataset(kv, max_bucket: int | None = None):
+    """All within-bucket doc pairs of a (key:int64, doc_id:int64) Dataset,
+    WITHOUT per-group UDFs: a groupby().map_groups pays Python per bucket
+    and most buckets are singletons (ruinous at scale). Instead: one global
+    sort on the key, then a vectorized per-block run scan — only multi-doc
+    runs (rare) loop in Python; runs touching a block edge are deferred to
+    a tiny second pass since they may continue in the neighbouring block.
+    ``max_bucket`` skips buckets larger than the cap (stopword-grade keys).
+    Each bucket emits its pairs exactly once (multiplicity = #buckets the
+    pair shares — dedup downstream if needed)."""
+
+    def detect(b: pa.Table) -> pa.Table:
+        keys = b["key"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = keys.shape[0]
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        starts = np.nonzero(np.diff(keys, prepend=keys[0] - 1))[0]
+        ends = np.append(starts[1:], n)
+        lens = ends - starts
+        a_parts, b_parts, k_parts = [], [], []
+        # boundary runs (first + last of the block): defer raw rows
+        edge = {0, lens.shape[0] - 1}
+        for r in edge:
+            s, e = starts[r], ends[r]
+            a_parts.append(ids[s:e])
+            b_parts.append(np.full(e - s, -1, dtype=np.int64))
+            k_parts.append(keys[s:e])
+        # interior multi-doc runs: vectorized pair expansion (rare)
+        for r in np.nonzero(lens >= 2)[0]:
+            if r in edge:
+                continue
+            if max_bucket is not None and lens[r] > max_bucket:
+                continue
+            aa, bb = _run_pairs(ids[starts[r]:ends[r]])
+            a_parts.append(aa)
+            b_parts.append(bb)
+            k_parts.append(np.zeros(aa.shape[0], dtype=np.int64))
+        return pa.table(
+            {
+                "a": np.concatenate(a_parts).astype(np.int64),
+                "b": np.concatenate(b_parts),
+                "key": np.concatenate(k_parts),
+            }
+        )
+
+    def boundary_pairs(b: pa.Table) -> pa.Table:
+        # all deferred rows of the whole dataset in one tiny block
+        keys = b["key"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if keys.shape[0] == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        a_parts, b_parts = [], []
+        es = np.nonzero(np.diff(keys, prepend=keys[0] - 1))[0]
+        ee = np.append(es[1:], keys.shape[0])
+        for s, e in zip(es, ee):
+            if e - s >= 2 and (max_bucket is None or e - s <= max_bucket):
+                aa, bb = _run_pairs(ids[s:e])
+                a_parts.append(aa)
+                b_parts.append(bb)
+        if not a_parts:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a": np.concatenate(a_parts).astype(np.int64),
+                "b": np.concatenate(b_parts).astype(np.int64),
+            }
+        )
+
+    mixed = kv.sort("key").map_batches(detect, batch_format="pyarrow").materialize()
+    inner = mixed.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["b"], 0)).drop_columns(["key"]),
+        batch_format="pyarrow",
+    )
+    deferred = (
+        mixed.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.filter(pc.equal(b["b"], -1))["key"],
+                    "doc_id": b.filter(pc.equal(b["b"], -1))["a"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(boundary_pairs, batch_size=None, batch_format="pyarrow")
+    )
+    return inner.union(deferred)
+
+
 def minhash_signatures(texts: pa.Array, num_hashes: int = 64, shingle_n: int = 3) -> np.ndarray:
     """(n_docs, num_hashes) MinHash matrix (universal-hash permutations)."""
     doc_idx, sh = _shingle_hashes(texts, shingle_n)
@@ -203,12 +304,7 @@ def minhash_lsh_candidates(pages, text_col: str = "text", num_hashes: int = 64,
             }
         )
 
-    # Bucket pair expansion WITHOUT per-group UDFs: a groupby().map_groups
-    # pays Python per bucket and almost every bucket is a singleton (ruinous
-    # at scale). Instead: one global sort on the fused bucket key, then a
-    # vectorized per-block run scan — only multi-doc runs (rare) loop in
-    # Python; runs touching a block edge are deferred to a tiny second pass
-    # since they may continue in the neighbouring block.
+    # pair expansion via the shared sorted-run scanner (no per-group UDFs)
     def fuse_key(b: pa.Table) -> pa.Table:
         k = _mix64(
             b["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -217,98 +313,11 @@ def minhash_lsh_candidates(pages, text_col: str = "text", num_hashes: int = 64,
         ).astype(np.int64)
         return pa.table({"key": k, "doc_id": b["doc_id"]})
 
-    def _run_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        run = np.sort(ids)
-        ii, jj = np.triu_indices(run.shape[0], k=1)
-        return run[ii], run[jj]
-
-    def detect(b: pa.Table) -> pa.Table:
-        keys = b["key"].to_numpy(zero_copy_only=False)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        n = keys.shape[0]
-        if n == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "key": pa.array([], pa.int64())})
-        starts = np.nonzero(np.diff(keys, prepend=keys[0] - 1))[0]
-        ends = np.append(starts[1:], n)
-        lens = ends - starts
-        a_parts, b_parts, k_parts = [], [], []
-        # boundary runs (first + last of the block): defer raw rows
-        edge = {0, lens.shape[0] - 1}
-        for r in edge:
-            s, e = starts[r], ends[r]
-            a_parts.append(ids[s:e])
-            b_parts.append(np.full(e - s, -1, dtype=np.int64))
-            k_parts.append(keys[s:e])
-        # interior multi-doc runs: vectorized pair expansion (rare)
-        for r in np.nonzero(lens >= 2)[0]:
-            if r in edge:
-                continue
-            aa, bb = _run_pairs(ids[starts[r]:ends[r]])
-            a_parts.append(aa)
-            b_parts.append(bb)
-            k_parts.append(np.zeros(aa.shape[0], dtype=np.int64))
-        return pa.table(
-            {
-                "a": np.concatenate(a_parts).astype(np.int64),
-                "b": np.concatenate(b_parts),
-                "key": np.concatenate(k_parts),
-            }
+    cand = bucket_pairs_dataset(
+        pages.map_batches(to_bands, batch_format="pyarrow").map_batches(
+            fuse_key, batch_format="pyarrow"
         )
-
-    def boundary_pairs(b: pa.Table) -> pa.Table:
-        # all deferred rows of the whole dataset in one tiny block
-        keys = b["key"].to_numpy(zero_copy_only=False)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, keys))
-        keys, ids = keys[order], ids[order]
-        out = detect(pa.table({"key": keys, "doc_id": ids}))
-        # no further deferral possible: expand every run incl. edges
-        a_parts, b_parts = [out["a"].to_numpy()[out["b"].to_numpy() >= 0]], [
-            out["b"].to_numpy()[out["b"].to_numpy() >= 0]
-        ]
-        m = out["b"].to_numpy() == -1
-        ek, ei = out["key"].to_numpy()[m], out["a"].to_numpy()[m]
-        es = np.nonzero(np.diff(ek, prepend=ek[0] - 1))[0] if ek.shape[0] else np.empty(0, np.int64)
-        ee = np.append(es[1:], ek.shape[0])
-        for s, e in zip(es, ee):
-            if e - s >= 2:
-                aa, bb = _run_pairs(ei[s:e])
-                a_parts.append(aa)
-                b_parts.append(bb)
-        return pa.table(
-            {
-                "a": np.concatenate(a_parts).astype(np.int64),
-                "b": np.concatenate(b_parts).astype(np.int64),
-            }
-        )
-
-    mixed = (
-        pages.map_batches(to_bands, batch_format="pyarrow")
-        .map_batches(fuse_key, batch_format="pyarrow")
-        .sort("key")
-        .map_batches(detect, batch_format="pyarrow")
-        .materialize()
     )
-    inner = mixed.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["b"], 0)).drop_columns(["key"]),
-        batch_format="pyarrow",
-    )
-    deferred = (
-        mixed.map_batches(
-            lambda b: pa.table(
-                {
-                    "key": b.filter(pc.equal(b["b"], -1))["key"],
-                    "doc_id": b.filter(pc.equal(b["b"], -1))["a"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .repartition(1)
-        .map_batches(boundary_pairs, batch_size=None, batch_format="pyarrow")
-    )
-    cand = inner.union(deferred)
     # distinct pairs (a doc pair can collide in several bands): native
     # count aggregate (C-vectorized), then drop the count
     return (
@@ -325,7 +334,6 @@ def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
     pairs -> groupby(pair) counts intersections -> |A∪B| from per-doc
     shingle counts (broadcast) -> filter. The oracle-checkable ground truth
     for the MinHash pipeline."""
-    import pandas as pd
     import ray
 
     def to_shingles(b: pa.Table) -> pa.Table:
@@ -348,18 +356,15 @@ def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
     sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
     sizes_ref = ray.put(sizes)
 
-    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.shape[0] < 2 or (
-            max_shingle_df is not None and ids.shape[0] > max_shingle_df
-        ):
-            # max_shingle_df caps stopword-grade shingles at scale (documented
-            # approximation; None = exact, required for the oracle check)
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ii, jj = np.triu_indices(ids.shape[0], k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
-
-    pairs = shingles.groupby("shingle").map_groups(cooccur, batch_format="pandas")
+    # max_shingle_df caps stopword-grade shingles at scale (documented
+    # approximation; None = exact, required for the oracle check)
+    pairs = bucket_pairs_dataset(
+        shingles.map_batches(
+            lambda b: pa.table({"key": b["shingle"], "doc_id": b["doc_id"]}),
+            batch_format="pyarrow",
+        ),
+        max_bucket=max_shingle_df,
+    )
     inter = pairs.groupby(["a", "b"]).count()
 
     def finish(b: pa.Table) -> pa.Table:
