@@ -20,6 +20,7 @@ from __future__ import annotations
 import html as _htmlmod
 import re
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -41,7 +42,11 @@ class HtmlTextExtractor:
 
     def _extract_one(self, raw: bytes) -> tuple[str, str]:
         m = self.title_re.search(raw)
-        title = m.group(1).decode("utf-8", "replace").strip() if m else ""
+        title = (
+            _htmlmod.unescape(m.group(1).decode("utf-8", "replace")).strip()
+            if m
+            else ""
+        )
         body = raw
         bm = re.search(rb"<body[^>]*>(.*?)</body>", raw, re.S | re.I)
         if bm:
@@ -57,6 +62,47 @@ class HtmlTextExtractor:
         return title, text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = batch["html"]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        try:
+            s = pc.cast(h, pa.string())
+        except pa.ArrowInvalid:
+            return self._call_slow(batch)  # non-UTF8 bytes: row-wise decode
+
+        # vectorized RE2 chain (the HTMLStripCharFilter pipeline as Arrow
+        # kernels; backreference-free patterns since RE2 has no backrefs)
+        title = pc.struct_field(
+            pc.extract_regex(s, r"(?is)<title[^>]*>(?P<t>.*?)</title>"), "t"
+        )
+        title = pc.utf8_trim_whitespace(pc.fill_null(title, ""))
+        body = pc.struct_field(
+            pc.extract_regex(s, r"(?is)<body[^>]*>(?P<b>.*?)</body>"), "b"
+        )
+        body = pc.if_else(pc.is_null(body), s, body)
+        body = pc.replace_substring_regex(body, r"(?s)<!--.*?-->", "")
+        body = pc.replace_substring_regex(body, r"(?is)<script[^>]*>.*?</script>", "")
+        body = pc.replace_substring_regex(body, r"(?is)<style[^>]*>.*?</style>", "")
+        body = pc.replace_substring_regex(body, r"<[^>]+>", "")
+        body = pc.utf8_trim_whitespace(body)
+
+        # entity unescape: only rows that actually contain '&' take the
+        # exact-python path (html.unescape supports every named entity)
+        texts = body.to_pylist()
+        titles = title.to_pylist()
+        amp_b = np.nonzero(pc.match_substring(body, "&").to_numpy(zero_copy_only=False))[0]
+        for i in amp_b:
+            texts[i] = _htmlmod.unescape(texts[i])
+        amp_t = np.nonzero(pc.match_substring(title, "&").to_numpy(zero_copy_only=False))[0]
+        for i in amp_t:
+            titles[i] = _htmlmod.unescape(titles[i])
+        return batch.append_column(
+            "extracted_title", pa.array(titles, type=pa.string())
+        ).append_column("extracted_text", pa.array(texts, type=pa.string()))
+
+    def _call_slow(self, batch: pa.Table) -> pa.Table:
         titles, texts = [], []
         for raw in batch["html"].to_pylist():
             t, x = self._extract_one(raw)

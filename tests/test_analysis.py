@@ -77,3 +77,30 @@ def test_batch_positions_dense_per_doc():
     texts = ["a b c", "d e"]
     _flat, doc_idx, pos = tokenize_column(pa.array(texts))
     assert pos.tolist() == [0, 1, 2, 0, 1]
+
+
+def test_html_extract_vectorized_matches_rowwise():
+    """The Arrow-RE2 fast path must be byte-identical to the row-wise
+    python extractor on edge-case HTML (entities, comments, scripts,
+    missing body/title)."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.html import HtmlTextExtractor
+
+    pages = [
+        b"<html><head><title>doc 1</title></head><body><p>plain text here</p></body></html>",
+        b"<html><body><p>a &amp; b &lt;tag&gt; &#39;quoted&#39; &copy;</p></body></html>",
+        b"<html><head><title>t &amp; u</title></head><body><!-- hidden --><p>vis</p></body></html>",
+        b"<html><body><script type='x'>var a = '<p>no</p>';</script><p>yes</p></body></html>",
+        b"<html><body><style>p { color: red }</style><p>styled</p></body></html>",
+        b"<p>no body wrapper at all</p>",
+        b"<html><body></body></html>",
+        "<html><head><title>unicode éü</title></head><body><p>café 中文</p></body></html>".encode(),
+    ]
+    batch = pa.table({"html": pa.array(pages, type=pa.binary()),
+                      "doc_id": pa.array(range(len(pages)), type=pa.int64())})
+    ex = HtmlTextExtractor()
+    fast = ex(batch)
+    slow = ex._call_slow(batch)
+    assert fast["extracted_text"].to_pylist() == slow["extracted_text"].to_pylist()
+    assert fast["extracted_title"].to_pylist() == slow["extracted_title"].to_pylist()
