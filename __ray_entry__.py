@@ -220,6 +220,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["search_after_page2"] = _search_after
 
+    def _multi_phrase(sf):
+        s = _searcher(sf)
+        docs, freqs = s.multi_phrase_freqs((("key", "agg"), ("value",)))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "phrase_freq": freqs[order]})
+
+    q["multi_phrase_query"] = _multi_phrase
+    q["common_terms_query"] = lambda sf: _all_hits_table(
+        sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
+    )
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
         from lucene_ray.index.build import read_global_term_stats
@@ -751,6 +762,31 @@ def oracle_sql() -> dict[str, str]:
               FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
               WHERE a.term = 'key' AND b.term = 'value'
               GROUP BY a.doc_id ORDER BY a.doc_id"""
+    )
+    o["multi_phrase_query"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """ SELECT a.doc_id, count(*)::BIGINT AS phrase_freq
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              WHERE a.term IN ('key', 'agg') AND b.term = 'value'
+              GROUP BY a.doc_id ORDER BY a.doc_id"""
+    )
+    # df-split scoring: docs must match a low-df term (df <= 100); high-df
+    # terms add score where they co-occur — same classification the engine
+    # derives from global term stats
+    o["common_terms_query"] = (
+        _PRELUDE + _term_cte("a", "dup") + _term_cte("b", "batch") + _term_cte("c", "scan")
+        + """ , low AS (
+                SELECT doc_id, score FROM sc_a WHERE (SELECT df FROM df_a) <= 100
+                UNION ALL SELECT doc_id, score FROM sc_b WHERE (SELECT df FROM df_b) <= 100
+                UNION ALL SELECT doc_id, score FROM sc_c WHERE (SELECT df FROM df_c) <= 100)
+            , high AS (
+                SELECT doc_id, score FROM sc_a WHERE (SELECT df FROM df_a) > 100
+                UNION ALL SELECT doc_id, score FROM sc_b WHERE (SELECT df FROM df_b) > 100
+                UNION ALL SELECT doc_id, score FROM sc_c WHERE (SELECT df FROM df_c) > 100)
+              SELECT doc_id, ROUND(sum(score), 4) AS score FROM (
+                SELECT * FROM low UNION ALL
+                SELECT * FROM high WHERE doc_id IN (SELECT doc_id FROM low)
+              ) GROUP BY doc_id ORDER BY doc_id"""
     )
     o["prefix_query"] = (
         _PRELUDE

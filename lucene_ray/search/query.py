@@ -205,6 +205,42 @@ class BoostQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """search/MultiPhraseQuery.java:236 — exact phrase where each position
+    accepts any of several alternative terms."""
+
+    positions: tuple  # tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {
+            "type": "multi_phrase",
+            "positions": [list(p) for p in self.positions],
+            "boost": self.boost,
+        }
+
+
+@dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """queries/CommonTermsQuery.java:55 — df-split scoring: docs must match
+    at least one low-frequency term (df <= max_doc_freq); high-frequency
+    terms only add score where they co-occur. With no low-freq terms the
+    query degrades to a plain disjunction of the high-freq terms."""
+
+    terms: tuple
+    max_doc_freq: int = 1000
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {
+            "type": "common_terms",
+            "terms": list(self.terms),
+            "max_doc_freq": self.max_doc_freq,
+            "boost": self.boost,
+        }
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """search/DisjunctionMaxQuery.java — union of disjuncts scored as
     max(sub scores) + tie_breaker * (sum of the other matching subs)."""
@@ -269,6 +305,14 @@ def query_from_dict(d: dict) -> Query:
             d.get("tie_breaker", 0.0),
             d.get("boost", 1.0),
         )
+    if t == "multi_phrase":
+        return MultiPhraseQuery(
+            tuple(tuple(p) for p in d["positions"]), d.get("boost", 1.0)
+        )
+    if t == "common_terms":
+        return CommonTermsQuery(
+            tuple(d["terms"]), d.get("max_doc_freq", 1000), d.get("boost", 1.0)
+        )
     raise ValueError(f"unknown query type {t}")
 
 
@@ -286,3 +330,8 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
     elif isinstance(q, DisjunctionMaxQuery):
         for sub in q.queries:
             collect_scored_terms(sub, out)
+    elif isinstance(q, MultiPhraseQuery):
+        for p in q.positions:
+            out.update(p)
+    elif isinstance(q, CommonTermsQuery):
+        out.update(q.terms)

@@ -245,7 +245,70 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.DisjunctionMaxQuery):
         return _eval_dismax(reader, q, ctx)
 
+    if isinstance(q, Q.MultiPhraseQuery):
+        return _eval_multiphrase(reader, q, ctx)
+
+    if isinstance(q, Q.CommonTermsQuery):
+        # df-split rewrite (CommonTermsQuery.java:55): low-freq terms drive
+        # matching, high-freq terms only add score where they co-occur
+        low, high = [], []
+        for t in q.terms:
+            df, _ttf = ctx.term_stats.get(t, (0, 0))
+            (low if df <= q.max_doc_freq else high).append(
+                Q.TermQuery(t, boost=q.boost)
+            )
+        if not low:
+            rw = Q.BooleanQuery(should=tuple(high))
+        else:
+            rw = Q.BooleanQuery(
+                must=(Q.BooleanQuery(should=tuple(low)),), should=tuple(high)
+            )
+        return eval_query(reader, rw, ctx)
+
     raise ValueError(f"unsupported query {q!r}")
+
+
+def _eval_multiphrase_freqs(reader, positions) -> tuple:
+    """(local docs, phrase freqs): per position the occurrence-key set is
+    the UNION over that position's alternatives (deduped), intersected
+    across positions (MultiPhraseQuery.java:236 / ExactPhraseMatcher)."""
+    flat = [t for p in positions for t in p]
+    tbl = reader.positions_table(flat)
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    d_arr = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
+    p_arr = tbl["pos"].to_numpy().astype(np.int64)
+
+    cand = None
+    for i, alts in enumerate(positions):
+        sel = np.isin(t_arr, list(alts))
+        keys = d_arr[sel] * _DOC_SHIFT + (p_arr[sel] - i)
+        keys = np.unique(keys[p_arr[sel] >= i])
+        cand = keys if cand is None else np.intersect1d(cand, keys, assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs, freqs = np.unique(cand >> np.int64(32), return_counts=True)
+    return docs, freqs.astype(np.int64)
+
+
+def _eval_multiphrase(reader, q: Q.MultiPhraseQuery, ctx):
+    """Exact multi-phrase: occurrence keys per position are the UNION over
+    that position's alternatives, deduped, then intersected across
+    positions (MultiPhraseQuery.java:236 / ExactPhraseMatcher semantics).
+    Scored as a phrase with idf summed over every involved term."""
+    flat = [t for p in q.positions for t in p]
+    docs, freqs = _eval_multiphrase_freqs(reader, q.positions)
+    if docs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    # idf over the terms that exist (absent alternatives contribute nothing)
+    present = [t for t in flat if ctx.term_stats.get(t, (0, 0))[0] > 0]
+    scorer = ctx.phrase_scorer(present, q.boost) if present else None
+    if scorer is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
+    norms = reader.norms[rows]
+    return docs, scorer.score(freqs, norms).astype(np.float64), True
 
 
 def _eval_dismax(reader, q: Q.DisjunctionMaxQuery, ctx):

@@ -142,6 +142,21 @@ class Searcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(docs_parts), np.concatenate(score_parts)
 
+    def multi_phrase_freqs(self, positions: tuple):
+        """(global doc_ids, occurrence counts) for a multi-phrase — each
+        position accepts any of its alternative terms."""
+        from lucene_ray.search.scoring import _eval_multiphrase_freqs
+
+        docs_parts, freq_parts = [], []
+        for reader in self.readers:
+            d, f = _eval_multiphrase_freqs(reader, positions)
+            if d.shape[0]:
+                docs_parts.append(d + reader.doc_base)
+                freq_parts.append(f)
+        if not docs_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(docs_parts), np.concatenate(freq_parts)
+
     def phrase_freqs(self, terms: tuple, slop: int = 0):
         """(global doc_ids, phrase occurrence counts) for a phrase."""
         from lucene_ray.search.scoring import _eval_phrase_freqs
