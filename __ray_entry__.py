@@ -231,6 +231,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
     )
 
+    def _mlt(sf):
+        import pyarrow.dataset as pads
+
+        s = _searcher(sf)
+        doc = pads.dataset(os.path.join(sf, "documents.parquet")).to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id") == 42,
+        )
+        return _all_hits_table(sf, s.more_like_this(doc["text"][0].as_py(), 10))
+
+    q["more_like_this"] = _mlt
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
         from lucene_ray.index.build import read_global_term_stats
@@ -787,6 +799,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM low UNION ALL
                 SELECT * FROM high WHERE doc_id IN (SELECT doc_id FROM low)
               ) GROUP BY doc_id ORDER BY doc_id"""
+    )
+    o["more_like_this"] = (
+        _PRELUDE
+        + f"""
+, src AS (SELECT term, count(*)::DOUBLE AS f FROM tok WHERE doc_id = 42 GROUP BY term)
+, dfs AS (SELECT t.term, count(DISTINCT t.doc_id)::DOUBLE AS df
+          FROM tok t JOIN src s ON t.term = s.term GROUP BY t.term)
+, sel AS (SELECT s.term FROM src s JOIN dfs d ON s.term = d.term CROSS JOIN stats
+          ORDER BY s.f * ln(stats.n / d.df) DESC, s.term LIMIT 10)
+, tfq AS (SELECT t.term, t.doc_id, count(*)::DOUBLE AS f FROM tok t
+          WHERE t.term IN (SELECT term FROM sel) GROUP BY 1, 2)
+, per AS (SELECT tf.doc_id,
+            ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.f /
+              (tf.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+          FROM tfq tf JOIN dfs d ON tf.term = d.term
+          CROSS JOIN stats s JOIN dlq q ON tf.doc_id = q.doc_id)
+SELECT doc_id, ROUND(sum(score), 4) AS score FROM per GROUP BY doc_id ORDER BY doc_id"""
     )
     o["prefix_query"] = (
         _PRELUDE

@@ -142,6 +142,26 @@ class Searcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(docs_parts), np.concatenate(score_parts)
 
+    def more_like_this(self, text: str, max_terms: int = 10):
+        """Query-by-document (queries/mlt/MoreLikeThis.java:149): analyze
+        the text, rank its terms by tf * ln(doc_count / df) (terms absent
+        from the index are skipped), keep the top ``max_terms`` (ties by
+        term asc), and return the disjunction of those terms."""
+        from collections import Counter
+
+        from lucene_ray.search import query as Q
+
+        tf = Counter(self.analyzer.tokens(text))
+        stats = self.term_stats(set(tf))
+        scored = []
+        for t, f in tf.items():
+            df, _ttf = stats.get(t, (0, 0))
+            if df > 0:
+                scored.append((-f * np.log(self.doc_count / df), t))
+        scored.sort()
+        top = [t for _s, t in scored[:max_terms]]
+        return Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in top))
+
     def multi_phrase_freqs(self, positions: tuple):
         """(global doc_ids, occurrence counts) for a multi-phrase — each
         position accepts any of its alternative terms."""
