@@ -243,6 +243,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["more_like_this"] = _mlt
 
+    def _sloppy(sf):
+        s = _searcher(sf)
+        docs, freqs = s.phrase_freqs(("key", "value"), slop=2)
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "phrase_freq": freqs[order]})
+
+    q["sloppy_phrase_query"] = _sloppy
+
+    def _drill_down(sf):
+        import ray.data as rd
+
+        s = _searcher(sf)
+        docs, _sc = s.search_all(Q.TermQuery("table"))
+        from lucene_ray.pipelines.facets import drill_down_counts
+
+        ds = rd.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        t = drill_down_counts(ds, docs, "lang").to_pandas()
+        return pa.table(
+            {"lang": t["lang"], "n": t["count()"].astype("int64")}
+        )
+
+    q["drill_down_facet"] = _drill_down
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
         from lucene_ray.index.build import read_global_term_stats
@@ -799,6 +824,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM low UNION ALL
                 SELECT * FROM high WHERE doc_id IN (SELECT doc_id FROM low)
               ) GROUP BY doc_id ORDER BY doc_id"""
+    )
+    o["drill_down_facet"] = (
+        _PRELUDE
+        + """ SELECT lang, count(*)::BIGINT AS n FROM documents
+              WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              GROUP BY lang ORDER BY lang"""
+    )
+    # 2-term sloppy phrase: greedy next-occurrence == exists-within-window
+    o["sloppy_phrase_query"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """ SELECT a.doc_id, count(*)::BIGINT AS phrase_freq
+              FROM pos a
+              WHERE a.term = 'key' AND EXISTS (
+                SELECT 1 FROM pos b
+                WHERE b.doc_id = a.doc_id AND b.term = 'value'
+                  AND b.p > a.p AND b.p <= a.p + 3)
+              GROUP BY a.doc_id ORDER BY a.doc_id"""
     )
     o["more_like_this"] = (
         _PRELUDE

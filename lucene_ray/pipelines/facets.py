@@ -77,3 +77,23 @@ def high_freq_terms(index_dir: str, k: int = 20, by: str = "df") -> pa.Table:
     t = pq.read_table(f"{index_dir}/global_terms")
     order = np.lexsort((np.asarray(t["term"].to_pylist(), dtype=object), -t[by].to_numpy()))[:k]
     return t.take(pa.array(order))
+
+
+def drill_down_counts(ds, doc_ids: np.ndarray, field: str, id_col: str = "doc_id"):
+    """Facet counts restricted to a query's matching doc set — the
+    drill-down half of facet/DrillSideways.java: search produces doc ids,
+    the matching rows facet with a plain groupby. The doc set is broadcast
+    once via ray.put and membership-filtered per batch (sorted
+    searchsorted), so only (field) values of matching rows shuffle."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(doc_ids, dtype=np.int64)))
+
+    def filt(b: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ids, v), 0, max(ids.shape[0] - 1, 0))
+        mask = ids[pos] == v if ids.shape[0] else np.zeros(v.shape[0], bool)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow").groupby(field).count().sort(field)
