@@ -31,16 +31,16 @@ from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
 from lucene_ray.index.segment import SegmentBuilder
 
 
-def build_index(
-    source: "ray.data.Dataset | str",
+def _build_segments(
+    source,
     index_dir: str,
-    analyzer: Analyzer = StandardAnalyzer,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_segments: int | None = None,
-    with_positions: bool = False,
-) -> dict:
-    """Build (or resume) an inverted index; returns the global manifest."""
+    analyzer: Analyzer,
+    text_col: str,
+    id_col: str,
+    num_segments: int | None,
+    with_positions: bool,
+) -> list[dict]:
+    """Run the SPIMI segment stage; returns one manifest row per segment."""
     if isinstance(source, str):
         # one output segment per read block: pin the block count at the read
         # (no repartition pass) — otherwise Ray splits files into ~2x-cpu
@@ -61,28 +61,19 @@ def build_index(
         id_col=id_col,
         with_positions=with_positions,
     )
-    manifest_rows = ds.map_batches(
+    return ds.map_batches(
         builder, batch_size=None, batch_format="pyarrow"
     ).take_all()  # tiny: one row per segment
 
-    segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
-    # Segment doc ranges are contiguous when the input's block layout is
-    # (parquet fragments read in order), but Ray's streaming executor may
-    # interleave rows across blocks after a repartition — merge.py therefore
-    # re-sorts per-term posting runs by actual doc id rather than assuming
-    # range-disjoint segments. Duplicate doc ids across segments are caught
-    # at merge time.
 
-    doc_count = sum(r["doc_count"] for r in segments)
-    sum_ttf = sum(r["sum_total_term_freq"] for r in segments)
-
-    # global term stats (df/ttf) -- partial aggregates per segment, then a
-    # small groupby over (term, df, ttf) rows. The shuffle moves only the
-    # vocab (<= n_segments rows per term), never postings. Below a row
-    # threshold the reduce runs as one driver-side pyarrow group_by (C++
-    # hash agg, ~ms) — a Ray Data groupby has seconds of fixed all-to-all
-    # cost that would dominate small builds; past the threshold (web-scale
-    # vocab x many segments) the distributed path takes over.
+def _write_global_stats(index_dir: str, segments: list[dict]) -> None:
+    """Global term stats (df/ttf): partial aggregates per segment, then a
+    small groupby over (term, df, ttf) rows. The shuffle moves only the
+    vocab (<= n_segments rows per term), never postings. Below a row
+    threshold the reduce runs as one driver-side pyarrow group_by (C++
+    hash agg, ~ms) — a Ray Data groupby has seconds of fixed all-to-all
+    cost that would dominate small builds; past the threshold (web-scale
+    vocab x many segments) the distributed path takes over."""
     term_files = [os.path.join(r["path"], "terms.parquet") for r in segments]
     stats_dir = os.path.join(index_dir, "global_terms")
     tmp_stats = os.path.join(index_dir, f".tmp-global_terms-{uuid.uuid4().hex[:8]}")
@@ -112,6 +103,33 @@ def build_index(
         shutil.rmtree(stats_dir)
     os.replace(tmp_stats, stats_dir)
 
+
+def build_index(
+    source: "ray.data.Dataset | str",
+    index_dir: str,
+    analyzer: Analyzer = StandardAnalyzer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_segments: int | None = None,
+    with_positions: bool = False,
+) -> dict:
+    """Build (or resume) an inverted index; returns the global manifest."""
+    manifest_rows = _build_segments(
+        source, index_dir, analyzer, text_col, id_col, num_segments, with_positions
+    )
+    segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
+    # Segment doc ranges are contiguous when the input's block layout is
+    # (parquet fragments read in order), but Ray's streaming executor may
+    # interleave rows across blocks after a repartition — merge.py therefore
+    # re-sorts per-term posting runs by actual doc id rather than assuming
+    # range-disjoint segments. Duplicate doc ids across segments are caught
+    # at merge time.
+
+    doc_count = sum(r["doc_count"] for r in segments)
+    sum_ttf = sum(r["sum_total_term_freq"] for r in segments)
+
+    _write_global_stats(index_dir, segments)
+
     manifest = {
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
@@ -132,6 +150,50 @@ def build_index(
             for r in segments
         ],
     }
+    tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+def add_documents(
+    source: "ray.data.Dataset | str",
+    index_dir: str,
+    num_segments: int | None = None,
+) -> dict:
+    """Incremental indexing: add new docs (ids disjoint from the existing
+    index) as NEW segments, recompute global stats over the union, and
+    commit an updated manifest — the NRT add/flush model (new segments
+    appear, old segments untouched; IndexWriter.addDocument + commit).
+    Combined with deletes.delete_docs this gives updateDocument semantics:
+    delete old version's ids, add the new rows."""
+    m = load_manifest(index_dir)
+    analyzer = Analyzer(
+        lowercase=m["analyzer"]["lowercase"],
+        stop_words=frozenset(m["analyzer"]["stop_words"]),
+        max_token_length=m["analyzer"]["max_token_length"],
+    )
+    new_rows = _build_segments(
+        source, index_dir, analyzer, m["text_col"], m["id_col"],
+        num_segments, m["with_positions"],
+    )
+    old_keys = {s["segment_id"] for s in m["segments"]}
+    combined = list(m["segments"]) + [
+        {k: r[k] for k in (
+            "segment_id", "path", "doc_base", "max_doc_id", "doc_count",
+            "sum_total_term_freq", "n_terms", "postings_bytes",
+            "fingerprint", "build_secs", "terms_per_sec", "skipped",
+        )}
+        for r in new_rows
+        if r["segment_id"] not in old_keys
+    ]
+    segments = sorted(combined, key=lambda r: r["doc_base"])
+    _write_global_stats(index_dir, segments)
+    manifest = dict(m)
+    manifest["doc_count"] = sum(r["doc_count"] for r in segments)
+    manifest["sum_total_term_freq"] = sum(r["sum_total_term_freq"] for r in segments)
+    manifest["segments"] = segments
     tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -31,11 +31,17 @@ from lucene_ray.search.segreader import SegmentReader
 class QueryExecutor:
     """Owns N segments; state (mmap handles, term dicts) built once."""
 
-    def __init__(self, segment_paths: list[str], doc_count: int, sum_ttf: int, mode: str):
+    def __init__(self, segment_paths: list[str], doc_count: int, sum_ttf: int,
+                 mode: str, tombstones=None):
         self.readers = [SegmentReader(p) for p in segment_paths]
         self.doc_count = doc_count
         self.sum_ttf = sum_ttf
         self.mode = mode
+        self.tombstones = (
+            np.asarray(tombstones, dtype=np.int64)
+            if tombstones is not None
+            else np.empty(0, np.int64)
+        )
 
     def search(
         self, query_dict: dict, k: int, term_stats: dict, threshold: float
@@ -47,14 +53,21 @@ class QueryExecutor:
         scores = np.empty(0, dtype=np.float64)
         total = 0
         exact = True
+        from lucene_ray.index.deletes import mask_live
+
         for reader in self.readers:
             d, s, e = eval_query(reader, query, ctx)
             exact &= e
-            total += int(d.shape[0])
             if d.shape[0]:
-                docs = np.concatenate([docs, d + reader.doc_base])
+                gdocs = d + reader.doc_base
+                live = mask_live(gdocs, self.tombstones)
+                gdocs, s = gdocs[live], s[live]
+                total += int(gdocs.shape[0])
+                docs = np.concatenate([docs, gdocs])
                 scores = np.concatenate([scores, s])
                 docs, scores = merge_topk(docs, scores, k)
+            else:
+                total += 0
             if docs.shape[0] >= k:
                 ctx.threshold = max(threshold, float(scores[-1]))
         return docs, scores, total, exact
@@ -119,12 +132,15 @@ class DistributedSearcher:
             stop_words=frozenset(m["analyzer"]["stop_words"]),
             max_token_length=m["analyzer"]["max_token_length"],
         )
+        from lucene_ray.index.deletes import load_tombstones
+
+        tombstones = load_tombstones(index_dir)
         paths = [s["path"] for s in m["segments"]]
         n = min(num_executors, max(1, len(paths)))
         shards = [paths[i::n] for i in range(n)]
         self.pools = [
             [
-                QueryExecutor.remote(shard, self.doc_count, self.sum_ttf, mode)
+                QueryExecutor.remote(shard, self.doc_count, self.sum_ttf, mode, tombstones)
                 for shard in shards
                 if shard
             ]

@@ -65,6 +65,9 @@ class Searcher:
             max_token_length=m["analyzer"]["max_token_length"],
         )
         self.readers = [SegmentReader(s["path"]) for s in m["segments"]]
+        from lucene_ray.index.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(index_dir)  # sorted global ids
         self._stats_cache: dict[str, tuple[int, int]] = {}
 
     # -- global stats (TermStates.build) ------------------------------------
@@ -107,12 +110,16 @@ class Searcher:
         best_scores = np.empty(0, dtype=np.float64)
         total = 0
         exact_all = True
+        from lucene_ray.index.deletes import mask_live
+
         for reader in self.readers:
             d, s, exact = eval_query(reader, query, ctx)
             exact_all &= exact
-            total += int(d.shape[0])
             if d.shape[0]:
                 gdocs = d + reader.doc_base
+                live = mask_live(gdocs, self.tombstones)
+                gdocs, s = gdocs[live], s[live]
+                total += int(gdocs.shape[0])
                 best_docs = np.concatenate([best_docs, gdocs])
                 best_scores = np.concatenate([best_scores, s])
                 best_docs, best_scores = merge_topk(best_docs, best_scores, k)
@@ -132,12 +139,16 @@ class Searcher:
         if isinstance(query, str):
             query = self.parse(query)
         ctx = self.make_context(query)  # threshold -inf -> exhaustive
+        from lucene_ray.index.deletes import mask_live
+
         docs_parts, score_parts = [], []
         for reader in self.readers:
             d, s, _ = eval_query(reader, query, ctx)
             if d.shape[0]:
-                docs_parts.append(d + reader.doc_base)
-                score_parts.append(s)
+                gdocs = d + reader.doc_base
+                live = mask_live(gdocs, self.tombstones)
+                docs_parts.append(gdocs[live])
+                score_parts.append(s[live])
         if not docs_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(docs_parts), np.concatenate(score_parts)
@@ -195,8 +206,14 @@ class Searcher:
         """TotalHitCountCollector — exact hit count, no scoring shortcuts."""
         if isinstance(query, str):
             query = self.parse(query)
+        from lucene_ray.index.deletes import mask_live
+
         ctx = self.make_context(query)  # threshold stays -inf -> no pruning
-        return sum(int(eval_query(r, query, ctx)[0].shape[0]) for r in self.readers)
+        n = 0
+        for r in self.readers:
+            d = eval_query(r, query, ctx)[0]
+            n += int(mask_live(d + r.doc_base, self.tombstones).sum())
+        return n
 
     def search_after(
         self, query: "Q.Query | str", k: int, after_score: float, after_doc: int
@@ -217,7 +234,11 @@ class Searcher:
             total += int(d.shape[0])
             if d.shape[0] == 0:
                 continue
+            from lucene_ray.index.deletes import mask_live
+
             gdocs = d + reader.doc_base
+            live = mask_live(gdocs, self.tombstones)
+            gdocs, s = gdocs[live], s[live]
             keep = (s < after_score) | ((s == after_score) & (gdocs > after_doc))
             gdocs, s = gdocs[keep], s[keep]
             all_docs = np.concatenate([all_docs, gdocs])

@@ -149,3 +149,43 @@ def test_sharded_merge_rank_identical(sf_dir, tmp_path):
     q = BooleanQuery(should=(TermQuery("spark"), TermQuery("window")))
     assert a.search(q, k=10).doc_ids.tolist() == b.search(q, k=10).doc_ids.tolist()
     assert b.count(MatchAllDocsQuery()) == a.count(MatchAllDocsQuery())
+
+
+def test_deletes_and_incremental_add(sf_dir, tmp_path):
+    """Tombstone deletes mask hits everywhere (top-k, search_all, count);
+    add_documents appends new segments and updates global stats — together
+    they give updateDocument semantics (IndexWriter.java:1553-1617)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.index.build import add_documents
+    from lucene_ray.index.deletes import delete_docs, load_tombstones
+
+    idx = str(tmp_path / "upd")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=3)
+    s0 = Searcher(idx)
+    base_hits = s0.search(TermQuery("table"), k=5)
+    victim = int(base_hits.doc_ids[0])
+
+    delete_docs(idx, [victim])
+    s1 = Searcher(idx)
+    td = s1.search(TermQuery("table"), k=5)
+    assert victim not in td.doc_ids.tolist()
+    assert td.total_hits == base_hits.total_hits - 1
+    docs, _ = s1.search_all(TermQuery("table"))
+    assert victim not in docs.tolist()
+    assert s1.count(TermQuery("table")) == base_hits.total_hits - 1
+    assert load_tombstones(idx).tolist() == [victim]
+
+    # re-add the doc's content under a fresh id (the "update" half)
+    new_id = 1_000_000 + victim
+    t = pa.table({"doc_id": pa.array([new_id], type=pa.int64()),
+                  "text": pa.array(["table table table fresh update"], type=pa.string())})
+    m2 = add_documents(ray.data.from_arrow(t), idx)
+    assert m2["doc_count"] == s0.doc_count + 1
+    s2 = Searcher(idx)
+    docs2, _ = s2.search_all(TermQuery("table"))
+    assert new_id in docs2.tolist() and victim not in docs2.tolist()
+    # global df refreshed over the union
+    tbl = read_global_term_stats(idx, ["fresh"])
+    assert tbl.num_rows == 1 and tbl["df"][0].as_py() == 1
