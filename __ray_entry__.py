@@ -268,6 +268,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["drill_down_facet"] = _drill_down
 
+    def _suggest(sf):
+        s = _searcher(sf)
+        t = s.suggest("s", k=8)
+        return pa.table(
+            {
+                "rank": np.arange(1, t.num_rows + 1, dtype=np.int64),
+                "term": t["term"],
+                "df": t["df"].to_numpy().astype(np.int64),
+            }
+        )
+
+    q["suggest_prefix"] = _suggest
+
+    def _highlight(sf):
+        import pyarrow.dataset as pads
+
+        from lucene_ray.analysis.analyzers import StandardAnalyzer
+        from lucene_ray.search.highlight import highlight_batch
+
+        docs = pads.dataset(os.path.join(sf, "documents.parquet")).to_table(
+            columns=["doc_id", "text"], filter=pads.field("doc_id") < 50
+        )
+        return highlight_batch(docs, {"key", "value"}, StandardAnalyzer, window=10)
+
+    q["highlight_passages"] = _highlight
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
         from lucene_ray.index.build import read_global_term_stats
@@ -824,6 +850,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM low UNION ALL
                 SELECT * FROM high WHERE doc_id IN (SELECT doc_id FROM low)
               ) GROUP BY doc_id ORDER BY doc_id"""
+    )
+    # best window of 10 tokens by query-term count, ties -> earliest start
+    o["highlight_passages"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """ , lens AS (
+                SELECT doc_id, len(ts) AS n, ts FROM toklist WHERE doc_id < 50)
+            , m AS (SELECT doc_id, p FROM pos
+                    WHERE term IN ('key', 'value') AND doc_id < 50)
+            , starts AS (
+                SELECT doc_id, unnest(range(0, greatest(n - 10, 0) + 1)) AS s
+                FROM lens)
+            , scored AS (
+                SELECT st.doc_id, st.s,
+                       (SELECT count(*) FROM m
+                        WHERE m.doc_id = st.doc_id AND m.p >= st.s AND m.p < st.s + 10) AS c
+                FROM starts st)
+            , best AS (
+                SELECT doc_id, s FROM (
+                  SELECT doc_id, s, c,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, s) AS rn
+                  FROM scored) WHERE rn = 1 AND c > 0)
+            SELECT b.doc_id, b.s AS start,
+                   array_to_string(l.ts[b.s + 1 : b.s + 10], ' ') AS snippet
+            FROM best b JOIN lens l ON b.doc_id = l.doc_id
+            ORDER BY b.doc_id"""
+    )
+    o["suggest_prefix"] = (
+        _PRELUDE
+        + """ , dfs AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+                WHERE term LIKE 's%' GROUP BY term)
+              SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df
+              FROM dfs ORDER BY df DESC, term LIMIT 8"""
     )
     o["drill_down_facet"] = (
         _PRELUDE

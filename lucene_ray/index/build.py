@@ -215,3 +215,53 @@ def read_global_term_stats(index_dir: str, terms: list[str] | None = None) -> pa
     if terms is None:
         return dset.to_table()
     return dset.to_table(filter=pads.field("term").isin(terms))
+
+
+def add_indexes(dst_index_dir: str, src_index_dirs: list[str]) -> dict:
+    """Import foreign indexes' segments wholesale — metadata + file copy
+    with NO re-indexing (IndexWriter.addIndexes(Directory...),
+    index/IndexWriter.java:3051 / misc/IndexMergeTool.java): the model for
+    a distributed build where N independent builders each produce an index
+    shard and one writer ingests them. Doc-id spaces must be disjoint
+    (ours are global, so shard builds over disjoint inputs satisfy this);
+    duplicate doc ids surface at the next force_merge. Global term stats
+    recompute over the union; tombstones union too."""
+    import shutil
+
+    from lucene_ray.index.deletes import delete_docs, load_tombstones
+
+    m = load_manifest(dst_index_dir)
+    combined = {s["segment_id"]: s for s in m["segments"]}
+    seg_parent = os.path.join(dst_index_dir, "segments")
+    os.makedirs(seg_parent, exist_ok=True)
+    all_tombs = [load_tombstones(dst_index_dir)]
+    for src in src_index_dirs:
+        sm = load_manifest(src)
+        for s in sm["segments"]:
+            if s["segment_id"] in combined:
+                continue
+            dst_path = os.path.join(seg_parent, s["segment_id"])
+            if not os.path.isdir(dst_path):
+                tmp = dst_path + f".tmp-{uuid.uuid4().hex[:8]}"
+                shutil.copytree(s["path"], tmp)
+                os.replace(tmp, dst_path)
+            combined[s["segment_id"]] = {**s, "path": dst_path}
+        all_tombs.append(load_tombstones(src))
+
+    segments = sorted(combined.values(), key=lambda r: r["doc_base"])
+    _write_global_stats(dst_index_dir, segments)
+    import numpy as np
+
+    tombs = np.unique(np.concatenate(all_tombs)) if any(t.size for t in all_tombs) else None
+    if tombs is not None and tombs.size:
+        delete_docs(dst_index_dir, tombs)
+
+    manifest = dict(m)
+    manifest["doc_count"] = sum(r["doc_count"] for r in segments)
+    manifest["sum_total_term_freq"] = sum(r["sum_total_term_freq"] for r in segments)
+    manifest["segments"] = segments
+    tmp = os.path.join(dst_index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(dst_index_dir, "manifest.json"))
+    return manifest

@@ -173,6 +173,28 @@ class Searcher:
         top = [t for _s, t in scored[:max_terms]]
         return Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in top))
 
+    def suggest(self, prefix: str, k: int = 10):
+        """Prefix completion ranked by global df (the AnalyzingInfixSuggester
+        role, suggest/analyzing/AnalyzingInfixSuggester.java:97, with
+        popularity = document frequency) straight off the sorted global
+        term dictionary — no extra index needed."""
+        import pyarrow.dataset as pads
+        import os
+
+        dset = pads.dataset(
+            os.path.join(self.index_dir, "global_terms"), format="parquet"
+        )
+        import pyarrow.compute as pc_
+
+        t = dset.to_table(
+            filter=(pads.field("term") >= prefix)
+            & (pads.field("term") < prefix + "\uffff")
+        )
+        order = np.lexsort(
+            (np.asarray(t["term"].to_pylist(), dtype=object), -t["df"].to_numpy())
+        )[:k]
+        return t.take(order)
+
     def multi_phrase_freqs(self, positions: tuple):
         """(global doc_ids, occurrence counts) for a multi-phrase — each
         position accepts any of its alternative terms."""

@@ -189,3 +189,44 @@ def test_deletes_and_incremental_add(sf_dir, tmp_path):
     # global df refreshed over the union
     tbl = read_global_term_stats(idx, ["fresh"])
     assert tbl.num_rows == 1 and tbl["df"][0].as_py() == 1
+
+
+def test_add_indexes_wholesale_import(sf_dir, tmp_path):
+    """addIndexes(Directory...): two shard builds over disjoint halves
+    import into one index with no re-encode; search equals a direct build
+    over the whole corpus."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.index.build import add_indexes
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy()
+    half = int(np.median(ids))
+    lo = docs.take(pa.array(np.where(ids <= half)[0]))
+    hi = docs.take(pa.array(np.where(ids > half)[0]))
+
+    a_dir, b_dir, full_dir = (str(tmp_path / n) for n in ("shard_a", "shard_b", "full"))
+    build_index(ray.data.from_arrow(lo), a_dir, num_segments=2)
+    build_index(ray.data.from_arrow(hi), b_dir, num_segments=2)
+    build_index(f"{sf_dir}/documents.parquet", full_dir, num_segments=4)
+
+    m = add_indexes(a_dir, [b_dir])
+    assert m["doc_count"] == docs.num_rows
+    sa, sf_ = Searcher(a_dir), Searcher(full_dir)
+    for t in ["table", "key", "spark"]:
+        ta, tb = sf_.search(TermQuery(t), k=10), sa.search(TermQuery(t), k=10)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        assert ta.scores.tolist() == tb.scores.tolist()
+        assert ta.total_hits == tb.total_hits
+
+
+def test_suggest_prefix_by_df(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    t = s.suggest("s", k=5)
+    assert t.num_rows >= 1
+    terms = t["term"].to_pylist()
+    dfs = t["df"].to_pylist()
+    assert all(x.startswith("s") for x in terms)
+    assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
