@@ -59,10 +59,23 @@ def _explode_segment(row: dict, salt_of: dict, n_salts: int) -> list[dict]:
     return out
 
 
-def _make_merge_group(global_base: int):
+_EMPTY_MERGED = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int64()),
+        ("df", pa.int64()),
+        ("ttf", pa.int64()),
+        ("blob", pa.large_binary()),
+    ]
+)
+
+
+def _make_merge_group(global_base: int, tombs_ref=None):
     """Group fn: re-encode one (term, salt) group's runs into a single blob
     with doc ids relative to the GLOBAL base — every merged blob then shares
-    one doc_base, so shard segments never re-encode cold terms."""
+    one doc_base, so shard segments never re-encode cold terms. Tombstoned
+    docs are squeezed out here (DocIDMerger semantics: merge is the
+    compaction that physically drops deletes)."""
 
     def merge_group(group: pa.Table) -> pa.Table:
         order = np.argsort(group["doc_base"].to_numpy())
@@ -84,6 +97,15 @@ def _make_merge_group(global_base: int):
             docs, freqs, norms = docs[perm], freqs[perm], norms[perm]
             if (np.diff(docs) == 0).any():
                 raise ValueError("duplicate doc ids across merged segments")
+        if tombs_ref is not None:
+            import ray as _ray
+
+            from lucene_ray.index.deletes import mask_live
+
+            live = mask_live(docs, _ray.get(tombs_ref))
+            docs, freqs, norms = docs[live], freqs[live], norms[live]
+            if docs.shape[0] == 0:
+                return _EMPTY_MERGED.empty_table()
         blob = encode_postings(docs - global_base, freqs, norms)
         return pa.table(
             {
@@ -269,6 +291,11 @@ def force_merge(
         if df > hot_term_df
     )
 
+    from lucene_ray.index.deletes import load_tombstones
+
+    tombs = load_tombstones(index_dir)
+    tombs_ref = ray.put(tombs) if tombs.shape[0] else None
+
     n_salts = max(1, min(salt_buckets, len(segs)))
     # salt = source segment's rank bucket: doc-contiguous by construction
     salt_of_hot = {
@@ -298,7 +325,7 @@ def force_merge(
     merged = (
         rows.map_batches(explode, batch_size=1, batch_format="pyarrow")
         .groupby(["term", "salt"])
-        .map_groups(_make_merge_group(global_base), batch_format="pyarrow")
+        .map_groups(_make_merge_group(global_base, tombs_ref), batch_format="pyarrow")
         .materialize()  # vocab-sized rows, read by both branches below
     )
 
@@ -322,15 +349,30 @@ def force_merge(
         )
         final_rows = cold.union(fused_hot)
 
-    # shared merged docs table (doc_id-sorted for binary search)
+    # shared merged docs table (doc_id-sorted for binary search), minus
+    # tombstoned docs — the merge is the compaction that drops deletes
     docs_dir = os.path.join(out_dir, "docs")
     if not os.path.isdir(docs_dir):
         tmp_docs = os.path.join(out_dir, f".tmp-docs-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp_docs, exist_ok=True)
-        ray.data.read_parquet(
+        dds = ray.data.read_parquet(
             [os.path.join(s["path"], "docs.parquet") for s in segs]
-        ).sort("doc_id").write_parquet(tmp_docs)
+        )
+        if tombs_ref is not None:
+            from lucene_ray.index.deletes import mask_live
+
+            def drop_deleted(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return b.filter(pa.array(mask_live(ids, ray.get(tombs_ref))))
+
+            dds = dds.map_batches(drop_deleted, batch_format="pyarrow")
+        dds.sort("doc_id").write_parquet(tmp_docs)
         os.replace(tmp_docs, docs_dir)
+    if tombs.shape[0]:
+        # live doc stats from the compacted docs table
+        live_ds = ray.data.read_parquet(docs_dir)
+        doc_count = live_ds.count()
+        sum_ttf = int(live_ds.sum("doc_len"))
 
     writer = _ShardWriter(
         out_dir, global_base, max_doc, doc_count, sum_ttf,
@@ -359,13 +401,21 @@ def force_merge(
             segments.append(json.load(f))
 
     manifest = dict(m)
+    manifest["doc_count"] = doc_count
+    manifest["sum_total_term_freq"] = sum_ttf
     manifest["segments"] = segments
-    import shutil as _sh
+    if tombs.shape[0]:
+        # deletes are now physical: recompute term stats from the shards
+        from lucene_ray.index.build import _write_global_stats
 
-    gsrc = os.path.join(index_dir, "global_terms")
-    gdst = os.path.join(out_dir, "global_terms")
-    if not os.path.isdir(gdst):
-        _sh.copytree(os.path.abspath(gsrc), gdst)
+        _write_global_stats(out_dir, segments)
+    else:
+        import shutil as _sh
+
+        gsrc = os.path.join(index_dir, "global_terms")
+        gdst = os.path.join(out_dir, "global_terms")
+        if not os.path.isdir(gdst):
+            _sh.copytree(os.path.abspath(gsrc), gdst)
     tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
     with open(tmpm, "w") as f:
         json.dump(manifest, f, indent=1)

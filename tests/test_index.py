@@ -230,3 +230,36 @@ def test_suggest_prefix_by_df(built_index):
     dfs = t["df"].to_pylist()
     assert all(x.startswith("s") for x in terms)
     assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
+
+
+def test_force_merge_compacts_deletes(sf_dir, tmp_path):
+    """Merging an index with tombstones physically drops the deleted docs
+    (DocIDMerger 'deleted docs squeezed out'): stats shrink, the merged
+    index carries no tombstones, results match the masked source."""
+    from lucene_ray.index.deletes import delete_docs, load_tombstones
+    from lucene_ray.search.query import MatchAllDocsQuery
+
+    idx = str(tmp_path / "delsrc")
+    midx = str(tmp_path / "delmerged")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=4)
+    s0 = Searcher(idx)
+    victims = s0.search(TermQuery("table"), k=3).doc_ids.tolist()
+    delete_docs(idx, victims)
+
+    mm = force_merge(idx, midx, hot_term_df=100, salt_buckets=3)
+    assert load_tombstones(midx).shape[0] == 0  # deletes are physical now
+    assert mm["doc_count"] == s0.doc_count - len(victims)
+
+    s1, s2 = Searcher(idx), Searcher(midx)  # s1 masks, s2 is compacted
+    for t in ["table", "key", "spark"]:
+        ta, tb = s1.search(TermQuery(t), k=10), s2.search(TermQuery(t), k=10)
+        # same hits; scores legitimately differ because the compacted index
+        # has FRESH stats (df/doc_count shrank) while the source's stats are
+        # stale-until-merge (BufferedUpdatesStream semantics)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        assert ta.total_hits == tb.total_hits
+    assert s2.count(MatchAllDocsQuery()) == s0.doc_count - len(victims)
+    # df stats reflect the drop
+    tbl = read_global_term_stats(midx, ["table"])
+    src_tbl = read_global_term_stats(idx, ["table"])
+    assert tbl["df"][0].as_py() == src_tbl["df"][0].as_py() - len(victims)
