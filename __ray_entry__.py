@@ -848,7 +848,9 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, score FROM sc_c WHERE (SELECT df FROM df_c) > 100)
               SELECT doc_id, ROUND(sum(score), 4) AS score FROM (
                 SELECT * FROM low UNION ALL
-                SELECT * FROM high WHERE doc_id IN (SELECT doc_id FROM low)
+                SELECT * FROM high
+                WHERE doc_id IN (SELECT doc_id FROM low)
+                   OR (SELECT count(*) FROM low) = 0
               ) GROUP BY doc_id ORDER BY doc_id"""
     )
     # best window of 10 tokens by query-term count, ties -> earliest start
