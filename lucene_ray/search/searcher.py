@@ -178,14 +178,13 @@ class Searcher:
         role, suggest/analyzing/AnalyzingInfixSuggester.java:97, with
         popularity = document frequency) straight off the sorted global
         term dictionary — no extra index needed."""
-        import pyarrow.dataset as pads
         import os
+
+        import pyarrow.dataset as pads
 
         dset = pads.dataset(
             os.path.join(self.index_dir, "global_terms"), format="parquet"
         )
-        import pyarrow.compute as pc_
-
         t = dset.to_table(
             filter=(pads.field("term") >= prefix)
             & (pads.field("term") < prefix + "\uffff")
