@@ -572,6 +572,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_tumbling_window"] = _events_window
 
+    def _events_sliding(sf):
+        """1-hour windows sliding every 30 min: each event lands in the two
+        windows covering it (assignment fan-out in map_batches, then one
+        groupby — the standard distributed sliding-window shape)."""
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["ts", "event_type", "value"]
+        )
+        S = 1800  # slide (s); window = 2 * S
+
+        def assign(b: pa.Table) -> pa.Table:
+            sec = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+            w1 = (sec // S) * S
+            parts = []
+            for w in (w1 - S, w1):
+                parts.append(
+                    pa.table(
+                        {
+                            "window_epoch": pa.array(w, type=pa.int64()),
+                            "event_type": b["event_type"],
+                            "value": b["value"],
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        t = (
+            ds.map_batches(assign, batch_format="pyarrow")
+            .groupby(["window_epoch", "event_type"])
+            .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+            .to_pandas()
+        )
+        t = t.sort_values(["window_epoch", "event_type"]).reset_index(drop=True)
+        t["sum_value"] = _round4(t["sum_value"].to_numpy())
+        t["n"] = t["n"].astype("int64")
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    q["events_sliding_window"] = _events_sliding
+
     # ---- rows-only entries (non-SQL-expressible; driver does a weaker check) ----
     def _bm25_f32(sf):
         s = _searcher(sf, mode="f32")
@@ -1099,6 +1140,17 @@ ORDER BY i.a, i.b"""
         """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
                   count(*)::BIGINT AS n, ROUND(sum(value), 4) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    o["events_sliding_window"] = (
+        """WITH e AS (
+             SELECT epoch_us(ts) // 1000000 AS t, event_type, value FROM events)
+           , w AS (
+             SELECT (t // 1800) * 1800 AS window_epoch, event_type, value FROM e
+             UNION ALL
+             SELECT (t // 1800) * 1800 - 1800 AS window_epoch, event_type, value FROM e)
+           SELECT window_epoch, event_type, count(*)::BIGINT AS n,
+                  ROUND(sum(value), 4) AS sum_value
+           FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
     )
     o["force_merge_term_query"] = o["term_query"]
     return o
