@@ -8,7 +8,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from lucene_ray.index.build import build_index, load_manifest, read_global_term_stats
-from lucene_ray.index.merge import force_merge
+from lucene_ray.index.merge import force_merge, tiered_merge
 from lucene_ray.search.query import BooleanQuery, TermQuery
 from lucene_ray.search.searcher import Searcher
 
@@ -263,3 +263,23 @@ def test_force_merge_compacts_deletes(sf_dir, tmp_path):
     tbl = read_global_term_stats(midx, ["table"])
     src_tbl = read_global_term_stats(idx, ["table"])
     assert tbl["df"][0].as_py() == src_tbl["df"][0].as_py() - len(victims)
+
+
+def test_tiered_merge_rank_identical(sf_dir, tmp_path):
+    """Doc-range tiered merge (group_size adjacent segments -> one) must be
+    rank-identical to the source, with real per-segment docs tables."""
+    idx = str(tmp_path / "tm_src")
+    midx = str(tmp_path / "tm_out")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=6)
+    mm = tiered_merge(idx, midx, group_size=3, hot_term_df=100, salt_buckets=3)
+    assert len(mm["segments"]) == 2
+    assert all(s["merge_fan_in"] == 3 for s in mm["segments"])
+    a, b = Searcher(idx), Searcher(midx)
+    assert b.doc_count == a.doc_count and b.sum_ttf == a.sum_ttf
+    for t in ["table", "key", "spark", "window"]:
+        ta, tb = a.search(TermQuery(t), k=10), b.search(TermQuery(t), k=10)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        assert ta.scores.tolist() == tb.scores.tolist()
+        assert ta.total_hits == tb.total_hits
+    q = BooleanQuery(should=(TermQuery("spark"), TermQuery("window")))
+    assert a.search(q, k=10).doc_ids.tolist() == b.search(q, k=10).doc_ids.tolist()
