@@ -101,14 +101,26 @@ def run_bench() -> dict:
     timings["index_build"] = round(t_build, 3)
     build_docs_per_sec = N_DOCS / t_build
 
-    # --- query serving: replicas scale throughput with the CPU budget.
-    # (Measured both topologies: serving the 32 doc-range build segments
-    # across 8 executors beats term-sharded merged serving here — doc-range
-    # fan-out parallelizes every query across the pool, while term shards
-    # serialize each term's decode on one actor: 279 vs 159 QPS at sf0.1.)
+    # --- tiered compaction before serving (TieredMergePolicy role):
+    # 32 micro-segments -> 8 doc-range segments. Measured topologies at
+    # sf0.1: tiered doc-range serving 428 QPS / p50 13.8ms vs 174 QPS /
+    # 20.8ms on raw build segments vs 159 QPS on term-sharded force_merge
+    # (term shards serialize each term's decode on one actor).
+    if os.environ.get("BENCH_SERVE_TIERED", "1") == "1":
+        from lucene_ray.index.merge import tiered_merge
+
+        serve_dir = idx_dir + "_tiered"
+        shutil.rmtree(serve_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        tiered_merge(idx_dir, serve_dir, group_size=max(1, N_SEGMENTS // 8))
+        timings["tiered_merge"] = round(time.perf_counter() - t0, 3)
+    else:
+        serve_dir = idx_dir  # scaling runs serve raw build segments
+
+    # --- query serving: replicas scale throughput with the CPU budget ---
     n_replicas = max(1, NUM_CPUS // 8)
     searcher = DistributedSearcher(
-        idx_dir, num_executors=min(8, NUM_CPUS), num_replicas=n_replicas
+        serve_dir, num_executors=min(8, NUM_CPUS), num_replicas=n_replicas
     )
     for q in BENCH_QUERIES * n_replicas:  # warm every replica + stats cache
         searcher.search(q, k=10)
@@ -213,6 +225,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_HEADLINE_ONLY="1",
             BENCH_DOCS=os.environ.get("BENCH_DOCS", "1920000"),
+            BENCH_SERVE_TIERED="0",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

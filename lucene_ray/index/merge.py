@@ -37,6 +37,32 @@ from lucene_ray.codec.postings import PostingsReader, encode_postings
 from lucene_ray.index.build import load_manifest
 
 
+def _segment_postings_table(seg_path: str) -> pa.Table:
+    """(term, blob) for every term of a segment, zero-copy: blobs are
+    stored contiguously in term order, so the whole postings.bin becomes
+    one LargeBinary array built straight from the (offset, length) table —
+    no per-term Python slicing."""
+    terms = pq.read_table(os.path.join(seg_path, "terms.parquet"))
+    with open(os.path.join(seg_path, "postings.bin"), "rb") as f:
+        buf = f.read()
+    offs = terms["offset"].to_numpy()
+    lens = terms["length"].to_numpy()
+    n = terms.num_rows
+    bounds = np.empty(n + 1, dtype=np.int64)
+    bounds[:-1] = offs
+    bounds[-1] = offs[-1] + lens[-1] if n else 0
+    if not (np.diff(bounds) == lens).all():
+        # non-contiguous layout (shouldn't happen): slice per term
+        blobs = pa.array(
+            [buf[o : o + l] for o, l in zip(offs, lens)], type=pa.large_binary()
+        )
+    else:
+        blobs = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(bounds.tobytes()), pa.py_buffer(buf)]
+        )
+    return pa.table({"term": terms["term"], "blob": blobs})
+
+
 def _explode_segment(row: dict, salt_of: dict, n_salts: int) -> list[dict]:
     """One input row per source segment -> posting rows (term, salt, ...)."""
     seg_path = row["path"]
@@ -306,21 +332,32 @@ def force_merge(
         [{k: s[k] for k in ("segment_id", "path", "doc_base")} for s in segs]
     )
 
+    hot_arr = pa.array(sorted(hot), type=pa.string())
+
     def explode(batch: pa.Table) -> pa.Table:
-        out_rows = []
+        import pyarrow.compute as pc
+
+        parts = []
         for row in batch.to_pylist():
-            for r in _explode_segment(row, salt_of_hot, n_salts):
-                if r["term"] not in hot:
-                    r["salt"] = 0
-                out_rows.append(r)
-        return pa.table(
-            {
-                "term": [r["term"] for r in out_rows],
-                "salt": [r["salt"] for r in out_rows],
-                "doc_base": [r["doc_base"] for r in out_rows],
-                "blob": pa.array([r["blob"] for r in out_rows], type=pa.large_binary()),
-            }
-        )
+            t = _segment_postings_table(row["path"])
+            salt = np.where(
+                pc.is_in(t["term"], value_set=hot_arr).to_numpy(zero_copy_only=False),
+                salt_of_hot[row["segment_id"]],
+                0,
+            ).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "term": t["term"],
+                        "salt": pa.array(salt),
+                        "doc_base": pa.array(
+                            np.full(t.num_rows, row["doc_base"], dtype=np.int64)
+                        ),
+                        "blob": t["blob"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     merged = (
         rows.map_batches(explode, batch_size=1, batch_format="pyarrow")
@@ -474,24 +511,34 @@ def tiered_merge(
         [{k: s[k] for k in ("segment_id", "path", "doc_base")} for s in segs]
     )
 
+    hot_arr = pa.array(sorted(hot), type=pa.string())
+
     def explode(batch: pa.Table) -> pa.Table:
-        out_rows = []
+        import pyarrow.compute as pc
+
+        parts = []
         for row in batch.to_pylist():
             gid = gid_of_seg[row["segment_id"]]
-            for r in _explode_segment(row, salt_of, n_salts):
-                if r["term"] not in hot:
-                    r["salt"] = 0
-                r["gid"] = gid
-                out_rows.append(r)
-        return pa.table(
-            {
-                "gid": [r["gid"] for r in out_rows],
-                "term": [r["term"] for r in out_rows],
-                "salt": [r["salt"] for r in out_rows],
-                "doc_base": [r["doc_base"] for r in out_rows],
-                "blob": pa.array([r["blob"] for r in out_rows], type=pa.large_binary()),
-            }
-        )
+            t = _segment_postings_table(row["path"])
+            salt = np.where(
+                pc.is_in(t["term"], value_set=hot_arr).to_numpy(zero_copy_only=False),
+                salt_of[row["segment_id"]],
+                0,
+            ).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "gid": pa.array(np.full(t.num_rows, gid, dtype=np.int64)),
+                        "term": t["term"],
+                        "salt": pa.array(salt),
+                        "doc_base": pa.array(
+                            np.full(t.num_rows, row["doc_base"], dtype=np.int64)
+                        ),
+                        "blob": t["blob"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def merge_group(group: pa.Table) -> pa.Table:
         gid = int(group["gid"][0].as_py())
