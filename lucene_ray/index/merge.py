@@ -464,238 +464,156 @@ def tiered_merge(
     index_dir: str,
     out_dir: str,
     group_size: int = 4,
-    hot_term_df: int = 100_000,
-    salt_buckets: int = 4,
+    hot_term_df: int = 100_000,  # kept for API compat; unused (no shuffle)
+    salt_buckets: int = 4,  # kept for API compat; unused (no shuffle)
 ) -> dict:
     """Doc-range compaction — the TieredMergePolicy role
     (index/TieredMergePolicy.java:76-83,314): adjacent (doc-base-ordered)
-    groups of ``group_size`` segments merge into ONE segment each, all
-    groups in a single distributed (group, term, salt) shuffle. Output
-    segments use the standard build layout (own docs.parquet, doc-range
-    doc_base), so serving fan-out across them is unchanged — this is the
-    merge you run to stop serving 10^3 micro-segments per actor.
-    Tombstoned docs are squeezed out (DocIDMerger), like force_merge."""
+    groups of ``group_size`` segments merge into ONE segment each.
+
+    SHUFFLE-FREE: because the group's sources are doc-range partitions of
+    the same term space, one task per group reads its sources wholesale,
+    decodes every posting, re-sorts by (term, doc), squeezes out
+    tombstoned docs (DocIDMerger), and re-encodes with the segment-wide
+    vectorized encoder — no (term, salt) exchange is needed (only the
+    GLOBAL term merge in force_merge needs one). Output segments use the
+    standard build layout, so serving fan-out is unchanged; this is the
+    merge that keeps per-actor segment counts bounded as incremental
+    add_documents accumulates segments."""
+    from lucene_ray.codec.postings import encode_postings_many
     from lucene_ray.index.deletes import load_tombstones, mask_live
+    from lucene_ray.search.segreader import SegmentReader
 
     m = load_manifest(index_dir)
     segs = sorted(m["segments"], key=lambda s: s["doc_base"])
     groups = [segs[i : i + group_size] for i in range(0, len(segs), group_size)]
-    gid_of_seg = {
-        s["segment_id"]: g for g, grp in enumerate(groups) for s in grp
-    }
-    group_base = {g: int(min(s["doc_base"] for s in grp)) for g, grp in enumerate(groups)}
-    group_max = {g: int(max(s["max_doc_id"] for s in grp)) for g, grp in enumerate(groups)}
-    group_paths = {g: [s["path"] for s in grp] for g, grp in enumerate(groups)}
-    group_fp = {
-        g: "tiered:" + ",".join(s["fingerprint"] for s in grp)
-        for g, grp in enumerate(groups)
-    }
 
     tombs = load_tombstones(index_dir)
     tombs_ref = ray.put(tombs) if tombs.shape[0] else None
 
-    # hot terms from global stats (salt-split skew handling, as force_merge)
-    gt = pq.read_table(os.path.join(index_dir, "global_terms"))
-    hot = set(
-        t for t, df in zip(gt["term"].to_pylist(), gt["df"].to_numpy())
-        if df > hot_term_df
-    )
-    n_salts = max(1, min(salt_buckets, group_size))
-    salt_of = {
-        s["segment_id"]: (i * n_salts) // max(len(grp), 1)
+    items = [
+        {
+            "paths": [s["path"] for s in grp],
+            "base": int(min(s["doc_base"] for s in grp)),
+            "maxd": int(max(s["max_doc_id"] for s in grp)),
+            "fp": "tiered:" + ",".join(s["fingerprint"] for s in grp),
+        }
         for grp in groups
-        for i, s in enumerate(grp)
-    }
+    ]
 
-    rows = ray.data.from_items(
-        [{k: s[k] for k in ("segment_id", "path", "doc_base")} for s in segs]
-    )
+    def merge_group_task(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for item in batch.to_pylist():
+            paths, base, maxd, fp = (
+                item["paths"], item["base"], item["maxd"], item["fp"],
+            )
+            term_parts, doc_parts, freq_parts, norm_parts = [], [], [], []
+            for p in paths:
+                r = SegmentReader(p)
+                dfs = r.df.astype(np.int64)
+                for ti in range(len(r.terms)):
+                    d, f, nm = r.postings_reader(ti).decode_all()
+                    doc_parts.append(d + r.doc_base)
+                    freq_parts.append(f)
+                    norm_parts.append(nm)
+                term_parts.append(np.repeat(r.terms, dfs))
+            term_of = np.concatenate(term_parts)
+            docs = np.concatenate(doc_parts)
+            freqs = np.concatenate(freq_parts).astype(np.uint32)
+            norms = np.concatenate(norm_parts).astype(np.uint8)
 
-    hot_arr = pa.array(sorted(hot), type=pa.string())
+            vocab, codes = np.unique(term_of, return_inverse=True)
+            order = np.lexsort((docs, codes))
+            codes, docs, freqs, norms = (
+                codes[order], docs[order], freqs[order], norms[order],
+            )
+            if tombs_ref is not None:
+                live = mask_live(docs, ray.get(tombs_ref))
+                codes, docs, freqs, norms = (
+                    codes[live], docs[live], freqs[live], norms[live],
+                )
+            # terms that lost every posting drop from the dictionary
+            keep_codes, codes = np.unique(codes, return_inverse=True)
+            vocab = vocab[keep_codes]
+            term_starts = np.searchsorted(codes, np.arange(len(vocab) + 1))
 
-    def explode(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+            buf, offsets, lengths = encode_postings_many(
+                (docs - base).astype(np.int64), freqs, norms, term_starts
+            )
+            df = np.diff(term_starts)
+            ttf = np.add.reduceat(freqs.astype(np.int64), term_starts[:-1]) if len(
+                vocab
+            ) else np.empty(0, np.int64)
 
-        parts = []
-        for row in batch.to_pylist():
-            gid = gid_of_seg[row["segment_id"]]
-            t = _segment_postings_table(row["path"])
-            salt = np.where(
-                pc.is_in(t["term"], value_set=hot_arr).to_numpy(zero_copy_only=False),
-                salt_of[row["segment_id"]],
-                0,
-            ).astype(np.int64)
-            parts.append(
+            seg_id = f"tseg-{base:012d}-{maxd:012d}"
+            parent = os.path.join(out_dir, "segments")
+            os.makedirs(parent, exist_ok=True)
+            tmp = os.path.join(parent, f".tmp-{seg_id}-{uuid.uuid4().hex[:8]}")
+            os.makedirs(tmp, exist_ok=True)
+            with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+                buf.tofile(f)
+            pq.write_table(
                 pa.table(
                     {
-                        "gid": pa.array(np.full(t.num_rows, gid, dtype=np.int64)),
-                        "term": t["term"],
-                        "salt": pa.array(salt),
-                        "doc_base": pa.array(
-                            np.full(t.num_rows, row["doc_base"], dtype=np.int64)
-                        ),
-                        "blob": t["blob"],
+                        "term": pa.array(vocab, type=pa.string()),
+                        "df": df,
+                        "ttf": ttf,
+                        "offset": offsets,
+                        "length": lengths,
                     }
-                )
+                ),
+                os.path.join(tmp, "terms.parquet"),
             )
-        return pa.concat_tables(parts)
+            import pyarrow.compute as pc
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        gid = int(group["gid"][0].as_py())
-        base = group_base[gid]
-        order = np.argsort(group["doc_base"].to_numpy())
-        blobs = group["blob"].to_pylist()
-        docs_parts, freq_parts, norm_parts = [], [], []
-        for i in order:
-            r = PostingsReader(blobs[i])
-            d, f, nm = r.decode_all()
-            docs_parts.append(d + int(group["doc_base"][int(i)].as_py()))
-            freq_parts.append(f)
-            norm_parts.append(nm)
-        docs = np.concatenate(docs_parts)
-        freqs = np.concatenate(freq_parts)
-        norms = np.concatenate(norm_parts)
-        if not (np.diff(docs) > 0).all():
-            perm = np.argsort(docs, kind="stable")
-            docs, freqs, norms = docs[perm], freqs[perm], norms[perm]
-        if tombs_ref is not None:
-            live = mask_live(docs, ray.get(tombs_ref))
-            docs, freqs, norms = docs[live], freqs[live], norms[live]
-        if docs.shape[0] == 0:
-            return pa.schema(
-                [("gid", pa.int64()), ("term", pa.string()), ("salt", pa.int64()),
-                 ("df", pa.int64()), ("ttf", pa.int64()), ("blob", pa.large_binary())]
-            ).empty_table()
-        blob = encode_postings(docs - base, freqs, norms)
+            doc_tbl = pa.concat_tables(
+                pq.read_table(os.path.join(p, "docs.parquet")) for p in paths
+            )
+            ids = doc_tbl["doc_id"].to_numpy().astype(np.int64)
+            if tombs_ref is not None:
+                doc_tbl = doc_tbl.filter(pa.array(mask_live(ids, ray.get(tombs_ref))))
+            doc_tbl = doc_tbl.take(pc.sort_indices(doc_tbl["doc_id"]))
+            pq.write_table(doc_tbl, os.path.join(tmp, "docs.parquet"))
+
+            meta = {
+                "segment_id": seg_id,
+                "path": os.path.join(parent, seg_id),
+                "doc_base": base,
+                "max_doc_id": maxd,
+                "doc_count": int(doc_tbl.num_rows),
+                "sum_total_term_freq": int(doc_tbl["doc_len"].to_numpy().sum()),
+                "n_terms": int(len(vocab)),
+                "postings_bytes": int(buf.shape[0]),
+                "fingerprint": fp,
+                "build_secs": 0.0,
+                "terms_per_sec": 0.0,
+                "skipped": False,
+                "merge_fan_in": len(paths),
+            }
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            final = os.path.join(parent, seg_id)
+            if os.path.isdir(final):
+                import shutil
+
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+            out_rows.append({"segment_id": seg_id, "path": final})
         return pa.table(
             {
-                "gid": [gid],
-                "term": [group["term"][0].as_py()],
-                "salt": [int(group["salt"][0].as_py())],
-                "df": [int(docs.shape[0])],
-                "ttf": [int(freqs.astype(np.int64).sum())],
-                "blob": pa.array([blob], type=pa.large_binary()),
+                "segment_id": [r["segment_id"] for r in out_rows],
+                "path": [r["path"] for r in out_rows],
             }
         )
 
-    merged = (
-        rows.map_batches(explode, batch_size=1, batch_format="pyarrow")
-        .groupby(["gid", "term", "salt"])
-        .map_groups(merge_group, batch_format="pyarrow")
+    shard_rows = (
+        ray.data.from_items(items)
+        .map_batches(merge_group_task, batch_size=1, batch_format="pyarrow")
+        .take_all()
     )
 
-    def write_group(g):
-        # one output segment per gid group (few groups -> per-group fn ok)
-        import pandas as pd
-
-        if isinstance(g, pd.DataFrame):
-            g = pa.Table.from_pandas(g, preserve_index=False)
-        gid = int(g["gid"][0].as_py())
-        base, maxd = group_base[gid], group_max[gid]
-        idx = g.select(["term", "salt"])
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            pa.table({"t": g["term"], "s": g["salt"]}),
-            sort_keys=[("t", "ascending"), ("s", "ascending")],
-        )
-        g = g.take(order)
-        terms = g["term"].to_pylist()
-        blobs = g["blob"].to_pylist()
-        dfs = g["df"].to_numpy()
-        ttfs = g["ttf"].to_numpy()
-        # fuse multi-salt terms (hot) into one blob per term
-        out_terms, out_df, out_ttf, chunks = [], [], [], []
-        i, n = 0, len(terms)
-        while i < n:
-            j = i
-            while j < n and terms[j] == terms[i]:
-                j += 1
-            if j - i == 1:
-                blob, df_, ttf_ = blobs[i], int(dfs[i]), int(ttfs[i])
-            else:
-                dp, fp, np_ = [], [], []
-                for k in range(i, j):
-                    d, f, nm = PostingsReader(blobs[k]).decode_all()
-                    dp.append(d)
-                    fp.append(f)
-                    np_.append(nm)
-                docs = np.concatenate(dp)
-                fr = np.concatenate(fp)
-                nm_ = np.concatenate(np_)
-                perm = np.argsort(docs, kind="stable")
-                docs, fr, nm_ = docs[perm], fr[perm], nm_[perm]
-                blob = encode_postings(docs, fr, nm_)
-                df_, ttf_ = int(docs.shape[0]), int(fr.sum())
-            out_terms.append(terms[i])
-            out_df.append(df_)
-            out_ttf.append(ttf_)
-            chunks.append(blob)
-            i = j
-
-        seg_id = f"tseg-{base:012d}-{maxd:012d}"
-        parent = os.path.join(out_dir, "segments")
-        os.makedirs(parent, exist_ok=True)
-        tmp = os.path.join(parent, f".tmp-{seg_id}-{uuid.uuid4().hex[:8]}")
-        os.makedirs(tmp, exist_ok=True)
-        lengths = np.asarray([len(c) for c in chunks], dtype=np.int64)
-        offsets = np.cumsum(lengths) - lengths
-        with open(os.path.join(tmp, "postings.bin"), "wb") as f:
-            for c in chunks:
-                f.write(c)
-        pq.write_table(
-            pa.table(
-                {
-                    "term": out_terms,
-                    "df": np.asarray(out_df, dtype=np.int64),
-                    "ttf": np.asarray(out_ttf, dtype=np.int64),
-                    "offset": offsets,
-                    "length": lengths,
-                }
-            ),
-            os.path.join(tmp, "terms.parquet"),
-        )
-        doc_tbl = pa.concat_tables(
-            pq.read_table(os.path.join(p, "docs.parquet")) for p in group_paths[gid]
-        )
-        ids = doc_tbl["doc_id"].to_numpy().astype(np.int64)
-        keep = mask_live(ids, ray.get(tombs_ref)) if tombs_ref is not None else np.ones(
-            ids.shape[0], bool
-        )
-        doc_tbl = doc_tbl.filter(pa.array(keep))
-        doc_tbl = doc_tbl.take(pc.sort_indices(doc_tbl["doc_id"]))
-        pq.write_table(doc_tbl, os.path.join(tmp, "docs.parquet"))
-        meta = {
-            "segment_id": seg_id,
-            "path": os.path.join(parent, seg_id),
-            "doc_base": base,
-            "max_doc_id": maxd,
-            "doc_count": int(doc_tbl.num_rows),
-            "sum_total_term_freq": int(doc_tbl["doc_len"].to_numpy().sum()),
-            "n_terms": len(out_terms),
-            "postings_bytes": int(lengths.sum()),
-            "fingerprint": group_fp[gid],
-            "build_secs": 0.0,
-            "terms_per_sec": 0.0,
-            "skipped": False,
-            "merge_fan_in": len(group_paths[gid]),
-        }
-        with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump(meta, f)
-        final = os.path.join(parent, seg_id)
-        if os.path.isdir(final):
-            import shutil
-
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-        return pa.table({"segment_id": [seg_id], "path": [final]})
-
-    shard_rows = merged.groupby("gid").map_groups(
-        write_group, batch_format="pyarrow"
-    ).take_all()
-
     segments = []
-    for r in sorted(shard_rows, key=lambda r: r["path"]):
+    for r in shard_rows:
         with open(os.path.join(r["path"], "meta.json")) as f:
             segments.append(json.load(f))
     segments.sort(key=lambda s: s["doc_base"])
