@@ -11,9 +11,10 @@ mask hits. ``update_documents`` = delete-by-key + add-as-new-segments, the
 updateDocument(Term, doc) contract (index/IndexWriter.java:1553-1617).
 
 At 10^12-doc scale the tombstone table is hash-bucketed by doc range so
-each query actor loads only its segments' buckets; a merge (force_merge)
-is the compaction that physically drops deleted docs (round-2 follow-up:
-merge currently keeps them — documented limitation).
+each query actor loads only its segments' buckets. Both ``force_merge``
+and ``tiered_merge`` COMPACT tombstoned docs: merged segments physically
+drop deleted docs and the merged index's tombstone set is empty for the
+merged ranges (index/merge.py).
 """
 
 from __future__ import annotations

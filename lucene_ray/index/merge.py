@@ -194,6 +194,7 @@ class _ShardWriter:
         docs_path: str,
         fingerprint: str,
         merge_fan_in: int,
+        positions_path: str | None = None,
     ) -> None:
         self.out_dir = out_dir
         self.global_base = global_base
@@ -203,6 +204,7 @@ class _ShardWriter:
         self.docs_path = docs_path
         self.fingerprint = fingerprint
         self.merge_fan_in = merge_fan_in
+        self.positions_path = positions_path
 
     def __call__(self, b: pa.Table) -> pa.Table:
         import hashlib
@@ -261,6 +263,7 @@ class _ShardWriter:
             "skipped": False,
             "merge_fan_in": self.merge_fan_in,
             "docs_path": self.docs_path,
+            "positions_path": self.positions_path,
             "owns_docs": False,
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -411,9 +414,43 @@ def force_merge(
         doc_count = live_ds.count()
         sum_ttf = int(live_ds.sum("doc_len"))
 
+    # shared merged positions (phrase queries on merged shards): stream the
+    # sources' positions through tombstone filtering into one positions dir
+    # referenced by every shard's meta.positions_path. Doc ids are global,
+    # so no remap; per-source (term,doc,pos) sort survives per-file for
+    # row-group pruning.
+    pos_dir = None
+    src_pos, seen_pos = [], set()
+    for s in segs:
+        local = os.path.join(s["path"], "positions.parquet")
+        if os.path.exists(local):
+            p = local
+        else:
+            with open(os.path.join(s["path"], "meta.json")) as f:
+                p = json.load(f).get("positions_path")
+        if p and p not in seen_pos:
+            seen_pos.add(p)
+            src_pos.append(p)
+    if src_pos:
+        pos_dir = os.path.join(out_dir, "positions")
+        if not os.path.isdir(pos_dir):
+            from lucene_ray.index.deletes import mask_live
+
+            tmp_pos = os.path.join(out_dir, f".tmp-positions-{uuid.uuid4().hex[:8]}")
+            os.makedirs(tmp_pos, exist_ok=True)
+            pds = ray.data.read_parquet(src_pos)
+            if tombs_ref is not None:
+                def drop_deleted_pos(b: pa.Table) -> pa.Table:
+                    ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    return b.filter(pa.array(mask_live(ids, ray.get(tombs_ref))))
+
+                pds = pds.map_batches(drop_deleted_pos, batch_format="pyarrow")
+            pds.write_parquet(tmp_pos)
+            os.replace(tmp_pos, pos_dir)
+
     writer = _ShardWriter(
         out_dir, global_base, max_doc, doc_count, sum_ttf,
-        docs_dir, fingerprint, len(segs),
+        docs_dir, fingerprint, len(segs), positions_path=pos_dir,
     )
     shard_rows = (
         final_rows.sort("term")
@@ -574,6 +611,28 @@ def tiered_merge(
                 doc_tbl = doc_tbl.filter(pa.array(mask_live(ids, ray.get(tombs_ref))))
             doc_tbl = doc_tbl.take(pc.sort_indices(doc_tbl["doc_id"]))
             pq.write_table(doc_tbl, os.path.join(tmp, "docs.parquet"))
+
+            # positional index: concatenate the sources' positions (doc ids
+            # are global so no remap), drop tombstoned docs, keep the
+            # (term, doc, pos) sort for row-group pruning
+            pos_files = [
+                pf for pf in (os.path.join(p, "positions.parquet") for p in paths)
+                if os.path.exists(pf)
+            ]
+            if pos_files:
+                pos_tbl = pa.concat_tables(pq.read_table(pf) for pf in pos_files)
+                if tombs_ref is not None:
+                    pids = pos_tbl["doc_id"].to_numpy().astype(np.int64)
+                    pos_tbl = pos_tbl.filter(
+                        pa.array(mask_live(pids, ray.get(tombs_ref)))
+                    )
+                pos_tbl = pos_tbl.sort_by(
+                    [("term", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+                )
+                pq.write_table(
+                    pos_tbl, os.path.join(tmp, "positions.parquet"),
+                    row_group_size=1 << 17,
+                )
 
             meta = {
                 "segment_id": seg_id,

@@ -198,7 +198,11 @@ def _union_maxscore(reader, term_boosts, ctx, count_matches=False):
         scores += s.astype(np.float64)
         if count_matches:
             counts += mask.astype(np.int64)
-    return docs, scores, (counts if count_matches else None), not pruned_any
+    # A non-empty non-essential set is itself pruning: docs matching ONLY
+    # non-essential terms never enter `docs`, so the hit count is a lower
+    # bound (relation GTE), exactly like block-skip pruning.
+    exact = not pruned_any and not non_essential
+    return docs, scores, (counts if count_matches else None), exact
 
 
 def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
@@ -658,6 +662,9 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
             keep = ~np.isin(docs, excl, assume_unique=True)
             docs, scores = docs[keep], scores[keep]
 
-    if q.boost != 1.0 and (q.must or q.filter):
+    # The general path never folds q.boost into sub-clause scorers (the
+    # term-only MaxScore path above does), so apply it unconditionally here —
+    # including for pure-SHOULD queries of non-TermQuery clauses.
+    if q.boost != 1.0:
         scores = scores * q.boost
     return docs, scores, exact

@@ -252,7 +252,6 @@ class Searcher:
         for reader in self.readers:
             d, s, exact = eval_query(reader, query, ctx)
             exact_all &= exact
-            total += int(d.shape[0])
             if d.shape[0] == 0:
                 continue
             from lucene_ray.index.deletes import mask_live
@@ -260,6 +259,7 @@ class Searcher:
             gdocs = d + reader.doc_base
             live = mask_live(gdocs, self.tombstones)
             gdocs, s = gdocs[live], s[live]
+            total += int(gdocs.shape[0])  # count AFTER tombstone mask, like search()
             keep = (s < after_score) | ((s == after_score) & (gdocs > after_doc))
             gdocs, s = gdocs[keep], s[keep]
             all_docs = np.concatenate([all_docs, gdocs])

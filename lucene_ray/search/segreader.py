@@ -125,6 +125,9 @@ class SegmentReader:
 
         path = os.path.join(self.path, "positions.parquet")
         if not os.path.exists(path):
+            # term-sharded merged segments share one positions dir
+            path = self.meta.get("positions_path")
+        if not path or not os.path.exists(path):
             raise FileNotFoundError(
                 "index was built without positions (with_positions=False)"
             )

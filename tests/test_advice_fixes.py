@@ -1,0 +1,88 @@
+"""Regression tests for round-1 judge/advisor findings (ADVICE.md r1).
+
+Covers: total_hits relation under MaxScore non-essential pruning, positional
+data surviving merges, search_after tombstone accounting, and query-level
+boost on pure-SHOULD general-path boolean queries.
+"""
+
+import numpy as np
+
+from lucene_ray.index.build import build_index
+from lucene_ray.index.merge import force_merge, tiered_merge
+from lucene_ray.search import query as Q
+from lucene_ray.search.searcher import Searcher
+
+
+def test_total_hits_relation_honest_under_maxscore(built_index):
+    """A pruned OR (k=1 -> non-essential split engages) must never report
+    relation EQ with an undercounted total (ADVICE r1 high: _union_maxscore
+    dropped docs matching only non-essential terms with exact=True)."""
+    idx, _ = built_index
+    s = Searcher(idx)
+    q = Q.BooleanQuery(should=(Q.TermQuery("table"), Q.TermQuery("key")))
+    exact = s.count(q)
+    for k in (1, 2, 5):
+        td = s.search(q, k=k)
+        if td.relation == "EQ":
+            assert td.total_hits == exact
+        else:
+            assert td.total_hits <= exact
+    # unpruned run is always exact
+    td = s.search(q, k=5, prune=False)
+    assert td.relation == "EQ" and td.total_hits == exact
+
+
+def test_merged_indexes_keep_positions(built_index, tmp_path):
+    """Phrase queries must work identically on tiered- and force-merged
+    indexes (ADVICE r1 medium: merges dropped positions.parquet while the
+    manifest still claimed with_positions=True)."""
+    idx, _ = built_index
+    src = Searcher(idx)
+    phrase = Q.PhraseQuery(("key", "value"))
+    want = src.search(phrase, k=10)
+    assert want.doc_ids.shape[0] > 0  # the phrase exists in the corpus
+
+    tm = str(tmp_path / "tiered")
+    tiered_merge(idx, tm, group_size=2)
+    got_t = Searcher(tm).search(phrase, k=10)
+    assert got_t.doc_ids.tolist() == want.doc_ids.tolist()
+    assert np.allclose(got_t.scores, want.scores)
+
+    fm = str(tmp_path / "forced")
+    force_merge(idx, fm, hot_term_df=100, salt_buckets=3)
+    got_f = Searcher(fm).search(phrase, k=10)
+    assert got_f.doc_ids.tolist() == want.doc_ids.tolist()
+    assert np.allclose(got_f.scores, want.scores)
+
+
+def test_search_after_total_excludes_tombstones(sf_dir, tmp_path):
+    """search_after must count hits AFTER the tombstone mask, consistent
+    with search() (ADVICE r1 low)."""
+    from lucene_ray.index.deletes import delete_docs
+
+    idx = str(tmp_path / "sa_idx")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=3)
+    s0 = Searcher(idx)
+    q = Q.TermQuery("table")
+    page1 = s0.search(q, k=3, prune=False)
+    victim = int(page1.doc_ids[0])
+    delete_docs(idx, [victim])
+
+    s1 = Searcher(idx)
+    after_score = float(page1.scores[-1])
+    after_doc = int(page1.doc_ids[-1])
+    td = s1.search_after(q, k=5, after_score=after_score, after_doc=after_doc)
+    assert td.total_hits == s1.count(q)
+    assert victim not in td.doc_ids.tolist()
+
+
+def test_pure_should_boost_applies_in_general_path(built_index):
+    """q.boost on a pure-SHOULD BooleanQuery of non-TermQuery clauses must
+    scale scores (ADVICE r1 low: boost was applied only with must/filter)."""
+    idx, _ = built_index
+    s = Searcher(idx)
+    phrase = Q.PhraseQuery(("key", "value"))
+    base = s.search(Q.BooleanQuery(should=(phrase,)), k=10, prune=False)
+    boosted = s.search(Q.BooleanQuery(should=(phrase,), boost=2.0), k=10, prune=False)
+    assert base.doc_ids.tolist() == boosted.doc_ids.tolist()
+    assert np.allclose(boosted.scores, base.scores * 2.0)
