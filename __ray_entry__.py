@@ -37,17 +37,26 @@ _CACHE_ROOT = "/tmp/lucene_ray_idx"
 
 
 def _index_dir(sf_dir: str) -> str:
+    """Multi-field index (default body field + derived ``title`` field =
+    first 4 body tokens) over documents.parquet, cached per corpus."""
     from lucene_ray.codec.postings import CODEC_VERSION
 
     docs = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha1(
-        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}".encode()
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:mf1".encode()
     ).hexdigest()[:12]
     idx = os.path.join(_CACHE_ROOT, tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
+        import ray.data
+
+        from lucene_ray.data.webpages import with_title_column
         from lucene_ray.index.build import build_index
 
-        build_index(docs, idx, num_segments=4, with_positions=True)
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+            with_title_column, batch_format="pyarrow"
+        )
+        build_index(ds, idx, num_segments=4, with_positions=True,
+                    extra_fields={"title": "title"})
     return idx
 
 
@@ -294,11 +303,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["highlight_passages"] = _highlight
 
+    # ---- multi-field: field-scoped term query + BM25F ----
+    q["field_term_query"] = lambda sf: _all_hits_table(
+        sf, Q.TermQuery("table", field="title")
+    )
+
+    def _combined_field(sf):
+        return _all_hits_table(
+            sf,
+            Q.CombinedFieldQuery(
+                ("table", "key"), ((None, 1.0), ("title", 2.0))
+            ),
+        )
+
+    q["combined_field_query"] = _combined_field
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
+        import pyarrow.compute as pc
+
         from lucene_ray.index.build import read_global_term_stats
+        from lucene_ray.index.fields import FIELD_MARK
 
         t = read_global_term_stats(_index_dir(sf)).sort_by("term")
+        # default field only: drop \x01-prefixed field-section keys
+        t = t.filter(pc.invert(pc.starts_with(t["term"], FIELD_MARK)))
         return t.select(["term", "df", "ttf"])
 
     q["term_stats"] = _term_stats
@@ -1153,6 +1182,71 @@ ORDER BY i.a, i.b"""
            FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
     )
     o["force_merge_term_query"] = o["term_query"]
+
+    # ---- multi-field ----
+    # title = first 4 body tokens (data/webpages.py TITLE_SQL); title dl < 24
+    # so the smallfloat norm quantization is the identity — exact dl is the
+    # engine's quantized length bit-for-bit
+    _TITLE_PRELUDE = """
+WITH ttok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:4]) AS term FROM documents
+),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+tstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM tdl)::DOUBLE AS sttf
+)
+"""
+    o["field_term_query"] = (
+        _TITLE_PRELUDE
+        + f"""
+, tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM ttok WHERE term = 'table' GROUP BY doc_id)
+, df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN tstats s JOIN tdl q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
+    # BM25F (CombinedFieldQuery): tf~ = 1.0*tf_body + 2.0*tf_title,
+    # dl~ = 1.0*len_body + 2.0*len_title (exact), avgdl~ = weighted sums / N,
+    # df~ = greatest(df_body, df_title), summed over terms (table, key)
+    def _cfq_term(name: str, term: str) -> str:
+        return f"""
+, bt_{name} AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok  WHERE term = '{term}' GROUP BY doc_id)
+, tt_{name} AS (SELECT doc_id, count(*)::DOUBLE AS f FROM ttok WHERE term = '{term}' GROUP BY doc_id)
+, df_{name} AS (SELECT greatest((SELECT count(*) FROM bt_{name}),
+                                (SELECT count(*) FROM tt_{name}))::DOUBLE AS df)
+, cf_{name} AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         coalesce(b.f, 0) * 1.0 + coalesce(t.f, 0) * 2.0 AS tf
+  FROM bt_{name} b FULL OUTER JOIN tt_{name} t ON b.doc_id = t.doc_id)
+, sc_{name} AS (
+  SELECT c.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * c.tf /
+           (c.tf + {K1} * (1 - {B} + {B} * (bl.dl * 1.0 + tl.dl * 2.0) / s.avgdl)) AS score
+  FROM cf_{name} c CROSS JOIN df_{name} d CROSS JOIN cstats s
+  JOIN bl ON c.doc_id = bl.doc_id JOIN tdl tl ON c.doc_id = tl.doc_id)"""
+
+    o["combined_field_query"] = (
+        """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+ttok AS (SELECT doc_id, unnest(string_split(text, ' ')[1:4]) AS term FROM documents),
+bl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         ((SELECT sum(dl) FROM bl) * 1.0 + (SELECT sum(dl) FROM tdl) * 2.0)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+)"""
+        + _cfq_term("a", "table")
+        + _cfq_term("b", "key")
+        + """
+SELECT doc_id, ROUND(sum(score), 4) AS score FROM (
+  SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b
+) GROUP BY doc_id ORDER BY doc_id"""
+    )
     return o
 
 

@@ -113,6 +113,20 @@ def webpages_dataset(sf_dir: str, include_dups: bool = True):
     )
 
 
+def with_title_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a deterministic ``title`` column: the first 4 body tokens.
+
+    SQL-expressible (the oracle side):
+        array_to_string(string_split(text, ' ')[1:4], ' ')
+    Used to exercise the multi-field index (title + body) — the Document
+    multi-Field model (document/Document.java:40)."""
+    lists = pc.list_slice(pc.split_pattern(batch[text_col], " "), 0, 4)
+    return batch.append_column("title", pc.binary_join(lists, " "))
+
+
+TITLE_SQL = "array_to_string(string_split(text, ' ')[1:4], ' ')"
+
+
 # SQL view of the same mapping (DuckDB), parameterized on dup inclusion —
 # the oracle side of every webpage-table query.
 WEBPAGES_SQL = """

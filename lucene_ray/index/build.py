@@ -39,18 +39,20 @@ def _build_segments(
     id_col: str,
     num_segments: int | None,
     with_positions: bool,
+    extra_fields: dict[str, str] | None = None,
 ) -> list[dict]:
     """Run the SPIMI segment stage; returns one manifest row per segment."""
+    cols = [id_col, text_col] + sorted((extra_fields or {}).values())
     if isinstance(source, str):
         # one output segment per read block: pin the block count at the read
         # (no repartition pass) — otherwise Ray splits files into ~2x-cpu
         # blocks and the segment count (and all per-segment fixed cost)
         # silently tracks the executor size instead of the data layout
         kw = {"override_num_blocks": num_segments} if num_segments else {}
-        ds = ray.data.read_parquet(source, columns=[id_col, text_col], **kw)
+        ds = ray.data.read_parquet(source, columns=cols, **kw)
         num_segments = None
     else:
-        ds = source.select_columns([id_col, text_col])
+        ds = source.select_columns(cols)
     if num_segments is not None:
         ds = ds.repartition(num_segments)
 
@@ -60,6 +62,7 @@ def _build_segments(
         text_col=text_col,
         id_col=id_col,
         with_positions=with_positions,
+        extra_fields=extra_fields,
     )
     return ds.map_batches(
         builder, batch_size=None, batch_format="pyarrow"
@@ -112,10 +115,17 @@ def build_index(
     id_col: str = "doc_id",
     num_segments: int | None = None,
     with_positions: bool = False,
+    extra_fields: dict[str, str] | None = None,
 ) -> dict:
-    """Build (or resume) an inverted index; returns the global manifest."""
+    """Build (or resume) an inverted index; returns the global manifest.
+
+    ``extra_fields`` maps additional field names to source columns; their
+    terms share the segment dictionary under field-prefixed keys with
+    per-field norms (index/fields.py) — the multi-field Document model
+    (document/Document.java:40)."""
     manifest_rows = _build_segments(
-        source, index_dir, analyzer, text_col, id_col, num_segments, with_positions
+        source, index_dir, analyzer, text_col, id_col, num_segments,
+        with_positions, extra_fields,
     )
     segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
     # Segment doc ranges are contiguous when the input's block layout is
@@ -130,22 +140,35 @@ def build_index(
 
     _write_global_stats(index_dir, segments)
 
+    # per-extra-field global sum_ttf (avgdl differs per field)
+    fields: dict[str, dict] = {}
+    for f, col in sorted((extra_fields or {}).items()):
+        fields[f] = {
+            "col": col,
+            "sum_ttf": sum(
+                json.loads(r.get("field_ttf_json") or "{}").get(f, 0)
+                for r in segments
+            ),
+        }
+
     manifest = {
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "text_col": text_col,
         "id_col": id_col,
         "with_positions": with_positions,
+        "fields": fields,
         "analyzer": {
             "lowercase": analyzer.lowercase,
             "stop_words": sorted(analyzer.stop_words),
             "max_token_length": analyzer.max_token_length,
         },
         "segments": [
-            {k: r[k] for k in (
+            {k: r.get(k) for k in (
                 "segment_id", "path", "doc_base", "max_doc_id", "doc_count",
                 "sum_total_term_freq", "n_terms", "postings_bytes",
                 "fingerprint", "build_secs", "terms_per_sec", "skipped",
+                "field_ttf_json",
             )}
             for r in segments
         ],
@@ -177,13 +200,15 @@ def add_documents(
     new_rows = _build_segments(
         source, index_dir, analyzer, m["text_col"], m["id_col"],
         num_segments, m["with_positions"],
+        {f: i["col"] for f, i in m.get("fields", {}).items()} or None,
     )
     old_keys = {s["segment_id"] for s in m["segments"]}
     combined = list(m["segments"]) + [
-        {k: r[k] for k in (
+        {k: r.get(k) for k in (
             "segment_id", "path", "doc_base", "max_doc_id", "doc_count",
             "sum_total_term_freq", "n_terms", "postings_bytes",
             "fingerprint", "build_secs", "terms_per_sec", "skipped",
+            "field_ttf_json",
         )}
         for r in new_rows
         if r["segment_id"] not in old_keys
@@ -193,6 +218,10 @@ def add_documents(
     manifest = dict(m)
     manifest["doc_count"] = sum(r["doc_count"] for r in segments)
     manifest["sum_total_term_freq"] = sum(r["sum_total_term_freq"] for r in segments)
+    for f in manifest.get("fields", {}):
+        manifest["fields"][f]["sum_ttf"] = sum(
+            json.loads(r.get("field_ttf_json") or "{}").get(f, 0) for r in segments
+        )
     manifest["segments"] = segments
     tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as f:

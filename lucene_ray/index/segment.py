@@ -62,6 +62,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("terms_per_sec", pa.float64()),
         ("fingerprint", pa.string()),
         ("skipped", pa.bool_()),
+        ("field_ttf_json", pa.string()),  # per-extra-field sum_ttf, JSON dict
     ]
 )
 
@@ -84,12 +85,18 @@ class SegmentBuilder:
         text_col: str = "text",
         id_col: str = "doc_id",
         with_positions: bool = False,
+        extra_fields: dict[str, str] | None = None,
     ) -> None:
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.text_col = text_col
         self.id_col = id_col
         self.with_positions = with_positions
+        # named fields beyond the default: field name -> source column.
+        # Their terms are stored \x01<field>\x1f-prefixed in the SAME sorted
+        # dictionary (index/fields.py), norms/lengths as norm_<f>/len_<f>
+        # docs.parquet columns (per-field norms, index/FieldInfos.java).
+        self.extra_fields = dict(sorted((extra_fields or {}).items()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -109,7 +116,9 @@ class SegmentBuilder:
         segment_id = f"seg-{base:012d}-{max_doc:012d}"
         seg_dir = os.path.join(self.index_dir, "segments", segment_id)
         texts = batch[self.text_col]
-        text_bytes = texts.nbytes
+        text_bytes = texts.nbytes + sum(
+            batch[c].nbytes for c in self.extra_fields.values()
+        )
         fp = _fingerprint(doc_ids, text_bytes)
 
         # Resume: a completed segment with the same fingerprint is skipped.
@@ -123,43 +132,55 @@ class SegmentBuilder:
                 return self._manifest_row(meta)
 
         local_ids = (doc_ids - base).astype(np.int64)
-        flat_terms, doc_idx, positions = tokenize_column(
-            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
-            self.analyzer,
-        )
-
-        # per-doc lengths -> norms
-        doc_len = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
-        norms = int_to_byte4_array(doc_len)
-
-        # invert: term codes via arrow dictionary encode, then aggregate
-        # (code, doc) -> freq with one np.unique over a fused int64 key.
-        dict_arr = pc.dictionary_encode(flat_terms)
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = dict_arr.dictionary
-        # lexicographic term order (== UTF-8 byte order == codepoint order)
-        sort_idx = pc.array_sort_indices(vocab)
-        rank = np.empty(len(vocab), dtype=np.int64)
-        rank[sort_idx.to_numpy(zero_copy_only=False)] = np.arange(len(vocab))
-        sorted_vocab = vocab.take(sort_idx)
-        codes = rank[codes]
-
         n_docs = batch.num_rows
-        key = codes * n_docs + doc_idx[: codes.shape[0]]
-        ukey, freqs = np.unique(key, return_counts=True)
-        p_codes = ukey // n_docs
-        p_docs = local_ids[ukey % n_docs]
-        freqs = freqs.astype(np.uint32)
-        p_norms = norms[ukey % n_docs]
 
-        # slice ranges per term (ukey sorted by code then doc)
-        term_starts = np.searchsorted(p_codes, np.arange(len(vocab) + 1))
+        # invert the default field plus each named extra field; sections are
+        # concatenated in dictionary-sort order (prefixed field sections
+        # first, by field name, then the default field's plain terms —
+        # index/fields.py guarantees that IS the global sorted order)
+        from lucene_ray.index.fields import field_prefix
+
+        sections = []
+        for fname, col in self.extra_fields.items():
+            sections.append(
+                self._invert_field(
+                    batch[col], n_docs, local_ids, field_prefix(fname), fname
+                )
+            )
+        default_sec = self._invert_field(texts, n_docs, local_ids, "", None)
+        sections.append(default_sec)
+
+        sorted_vocab = pa.concat_arrays([s["vocab"] for s in sections])
+        off_post = 0
+        start_parts = []
+        for s in sections:
+            start_parts.append(s["term_starts"][:-1] + off_post)
+            off_post += int(s["p_docs"].shape[0])
+        start_parts.append(np.array([off_post], dtype=np.int64))
+        term_starts = np.concatenate(start_parts)
+        p_docs = np.concatenate([s["p_docs"] for s in sections])
+        freqs = np.concatenate([s["freqs"] for s in sections])
+        p_norms = np.concatenate([s["p_norms"] for s in sections])
+        doc_len = default_sec["doc_len"]
+        norms = default_sec["norms"]
 
         os.makedirs(os.path.join(self.index_dir, "segments"), exist_ok=True)
         tmp_dir = os.path.join(
             self.index_dir, "segments", f".tmp-{segment_id}-{uuid.uuid4().hex[:8]}"
         )
         os.makedirs(tmp_dir, exist_ok=True)
+        positions_tbl = None
+        if self.with_positions:
+            positions_tbl = pa.concat_tables(
+                [self._positions_table(s, doc_ids) for s in sections]
+            )
+        extra_doc_cols = {}
+        field_ttf = {}
+        for s in sections[:-1]:
+            extra_doc_cols[f"len_{s['field']}"] = s["doc_len"]
+            extra_doc_cols[f"norm_{s['field']}"] = s["norms"].astype(np.int32)
+            field_ttf[s["field"]] = int(s["doc_len"].sum())
+        n_tokens = sum(s["n_tokens"] for s in sections)
         try:
             meta = self._write_segment(
                 tmp_dir,
@@ -175,15 +196,13 @@ class SegmentBuilder:
                 freqs,
                 p_norms,
                 fp,
-                flat_terms if self.with_positions else None,
-                codes if self.with_positions else None,
-                doc_idx if self.with_positions else None,
-                positions if self.with_positions else None,
-                local_ids if self.with_positions else None,
+                positions_tbl,
+                extra_doc_cols,
+                field_ttf,
             )
             meta["build_secs"] = time.perf_counter() - t0
             meta["terms_per_sec"] = (
-                len(flat_terms) / meta["build_secs"] if meta["build_secs"] > 0 else 0.0
+                n_tokens / meta["build_secs"] if meta["build_secs"] > 0 else 0.0
             )
             with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
                 json.dump(meta, f)
@@ -202,6 +221,81 @@ class SegmentBuilder:
         meta["skipped"] = False
         return self._manifest_row(meta)
 
+    def _invert_field(
+        self,
+        texts,
+        n_docs: int,
+        local_ids: np.ndarray,
+        key_prefix: str,
+        field: str | None,
+    ) -> dict:
+        """Tokenize + invert one field's column into posting arrays.
+
+        Term codes via arrow dictionary encode, then (code, doc) -> freq
+        aggregation with one np.unique over a fused int64 key. With a
+        ``key_prefix`` the sorted vocab (and positions terms) are prefixed
+        into the field's dictionary section."""
+        flat_terms, doc_idx, positions = tokenize_column(
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+            self.analyzer,
+        )
+        doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        norms = int_to_byte4_array(doc_len)
+
+        dict_arr = pc.dictionary_encode(flat_terms)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dict_arr.dictionary
+        # lexicographic term order (== UTF-8 byte order == codepoint order)
+        sort_idx = pc.array_sort_indices(vocab)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[sort_idx.to_numpy(zero_copy_only=False)] = np.arange(len(vocab))
+        sorted_vocab = vocab.take(sort_idx)
+        codes = rank[codes]
+
+        key = codes * n_docs + doc_idx[: codes.shape[0]]
+        ukey, freqs = np.unique(key, return_counts=True)
+        p_codes = ukey // n_docs
+        p_docs = local_ids[ukey % n_docs]
+        p_norms = norms[ukey % n_docs]
+        term_starts = np.searchsorted(p_codes, np.arange(len(vocab) + 1))
+
+        if key_prefix:
+            sorted_vocab = pc.binary_join_element_wise(
+                key_prefix, sorted_vocab.cast(pa.string()), ""
+            )
+        return {
+            "field": field,
+            "key_prefix": key_prefix,
+            "vocab": sorted_vocab,
+            "term_starts": term_starts,
+            "p_docs": p_docs,
+            "freqs": freqs.astype(np.uint32),
+            "p_norms": p_norms,
+            "doc_len": doc_len,
+            "norms": norms,
+            "n_tokens": len(flat_terms),
+            "flat_terms": flat_terms if self.with_positions else None,
+            "codes": codes if self.with_positions else None,
+            "doc_idx": doc_idx if self.with_positions else None,
+            "positions": positions if self.with_positions else None,
+        }
+
+    @staticmethod
+    def _positions_table(sec: dict, doc_ids: np.ndarray) -> pa.Table:
+        """Exploded (term, doc_id, pos) rows for one field's section,
+        sorted by (term, doc, pos) for row-group pruning."""
+        order = np.lexsort((sec["positions"], sec["doc_idx"], sec["codes"]))
+        terms = pc.take(sec["flat_terms"], pa.array(order))
+        if sec["key_prefix"]:
+            terms = pc.binary_join_element_wise(sec["key_prefix"], terms, "")
+        return pa.table(
+            {
+                "term": terms,
+                "doc_id": doc_ids[sec["doc_idx"][order]],
+                "pos": sec["positions"][order].astype(np.int32),
+            }
+        )
+
     def _write_segment(
         self,
         out_dir: str,
@@ -217,11 +311,9 @@ class SegmentBuilder:
         freqs: np.ndarray,
         p_norms: np.ndarray,
         fingerprint: str,
-        flat_terms,
-        codes,
-        doc_idx,
-        positions,
-        local_ids,
+        positions_tbl: pa.Table | None,
+        extra_doc_cols: dict[str, np.ndarray],
+        field_ttf: dict[str, int],
     ) -> dict:
         n_terms = len(sorted_vocab)
         buf, offsets, lengths = encode_postings_many(
@@ -246,27 +338,16 @@ class SegmentBuilder:
             ),
             os.path.join(out_dir, "terms.parquet"),
         )
-        pq.write_table(
-            pa.table(
-                {
-                    "doc_id": doc_ids,
-                    "doc_len": doc_len,
-                    "norm": norms.astype(np.int32),
-                }
-            ),
-            os.path.join(out_dir, "docs.parquet"),
-        )
-        if flat_terms is not None:
-            # exploded positions, sorted by (term, doc, pos) for pruning
-            order = np.lexsort((positions, doc_idx, codes))
+        doc_cols = {
+            "doc_id": doc_ids,
+            "doc_len": doc_len,
+            "norm": norms.astype(np.int32),
+        }
+        doc_cols.update(extra_doc_cols)
+        pq.write_table(pa.table(doc_cols), os.path.join(out_dir, "docs.parquet"))
+        if positions_tbl is not None:
             pq.write_table(
-                pa.table(
-                    {
-                        "term": pc.take(flat_terms, pa.array(order)),
-                        "doc_id": local_ids[doc_idx[order]] + base,
-                        "pos": positions[order].astype(np.int32),
-                    }
-                ),
+                positions_tbl,
                 os.path.join(out_dir, "positions.parquet"),
                 row_group_size=1 << 17,
             )
@@ -283,6 +364,7 @@ class SegmentBuilder:
             "fingerprint": fingerprint,
             "terms_per_sec": 0.0,
             "build_secs": 0.0,
+            "field_ttf_json": json.dumps(field_ttf),
         }
 
     @staticmethod
@@ -290,4 +372,6 @@ class SegmentBuilder:
         row = {k.name: [meta.get(k.name)] for k in MANIFEST_SCHEMA}
         if row["skipped"][0] is None:
             row["skipped"] = [False]
+        if row["field_ttf_json"][0] is None:
+            row["field_ttf_json"] = ["{}"]
         return pa.table(row, schema=MANIFEST_SCHEMA)

@@ -69,12 +69,28 @@ def grouped_top_k(ds, group_col: str, sort_col: str, k: int, descending: bool = 
     return ds.groupby(group_col).map_groups(head, batch_format="pandas")
 
 
-def high_freq_terms(index_dir: str, k: int = 20, by: str = "df") -> pa.Table:
+def high_freq_terms(
+    index_dir: str, k: int = 20, by: str = "df", field: str | None = None
+) -> pa.Table:
     """Global top-k terms by df or ttf from the index's aggregated term
-    stats (HighFreqTerms semantics) — reads the tiny global_terms table."""
+    stats (HighFreqTerms semantics) — reads the tiny global_terms table.
+    ``field`` selects one field's dictionary section (None = default field,
+    excluding \\x01-prefixed field keys); terms return unprefixed."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from lucene_ray.index.fields import FIELD_MARK, field_prefix
+
     t = pq.read_table(f"{index_dir}/global_terms")
+    if field is None:
+        t = t.filter(pc.invert(pc.starts_with(t["term"], FIELD_MARK)))
+    else:
+        pref = field_prefix(field)
+        t = t.filter(pc.starts_with(t["term"], pref))
+        t = t.set_column(
+            t.schema.get_field_index("term"), "term",
+            pc.utf8_slice_codeunits(t["term"], len(pref), 2**31 - 1),
+        )
     order = np.lexsort((np.asarray(t["term"].to_pylist(), dtype=object), -t[by].to_numpy()))[:k]
     return t.take(pa.array(order))
 

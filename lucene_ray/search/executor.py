@@ -32,10 +32,11 @@ class QueryExecutor:
     """Owns N segments; state (mmap handles, term dicts) built once."""
 
     def __init__(self, segment_paths: list[str], doc_count: int, sum_ttf: int,
-                 mode: str, tombstones=None):
+                 mode: str, tombstones=None, field_ttf: dict | None = None):
         self.readers = [SegmentReader(p) for p in segment_paths]
         self.doc_count = doc_count
         self.sum_ttf = sum_ttf
+        self.field_ttf = field_ttf or {}
         self.mode = mode
         self.tombstones = (
             np.asarray(tombstones, dtype=np.int64)
@@ -47,7 +48,8 @@ class QueryExecutor:
         self, query_dict: dict, k: int, term_stats: dict, threshold: float
     ) -> tuple[np.ndarray, np.ndarray, int, bool]:
         query = query_from_dict(query_dict)
-        ctx = EvalContext(term_stats, self.doc_count, self.sum_ttf, mode=self.mode)
+        ctx = EvalContext(term_stats, self.doc_count, self.sum_ttf, mode=self.mode,
+                          field_ttf=self.field_ttf)
         ctx.threshold = threshold
         docs = np.empty(0, dtype=np.int64)
         scores = np.empty(0, dtype=np.float64)
@@ -135,12 +137,14 @@ class DistributedSearcher:
         from lucene_ray.index.deletes import load_tombstones
 
         tombstones = load_tombstones(index_dir)
+        self.field_ttf = {f: i["sum_ttf"] for f, i in m.get("fields", {}).items()}
         paths = [s["path"] for s in m["segments"]]
         n = min(num_executors, max(1, len(paths)))
         shards = [paths[i::n] for i in range(n)]
         self.pools = [
             [
-                QueryExecutor.remote(shard, self.doc_count, self.sum_ttf, mode, tombstones)
+                QueryExecutor.remote(shard, self.doc_count, self.sum_ttf, mode,
+                                     tombstones, self.field_ttf)
                 for shard in shards
                 if shard
             ]
@@ -171,11 +175,12 @@ class DistributedSearcher:
     def parse(self, text: str) -> Q.Query:
         from lucene_ray.search.parser import parse_query
 
-        return parse_query(text, self.analyzer)
+        return parse_query(text, self.analyzer, set(self.field_ttf))
 
     def search(self, query: "Q.Query | str", k: int = 10) -> TopDocs:
         if isinstance(query, str):
             query = self.parse(query)
+        query = Q.resolve_fields(query)
         terms: set[str] = set()
         collect_scored_terms(query, terms)
         stats = self.term_stats(terms)

@@ -9,8 +9,9 @@ Grammar modeled on queryparser/classic/QueryParserBase.java:90-464:
                | word'~'[n]                 fuzzy (default 2 edits)
                | word with * or ?           wildcard (trailing-*-only -> prefix)
                | word                       term
-    field prefixes ("text:term") are accepted; only the default text field
-    exists, so the prefix is validated and stripped.
+    field prefixes: "title:term" / 'title:"a phrase"' scope the atom to a
+    named field when ``fields`` lists it; the default text field's name (or
+    an unknown field) strips to the default field.
 
 Bare clauses are SHOULD, '+' is MUST, '-' is MUST_NOT; explicit AND/OR/NOT
 connectors rewrite like the reference's default OR semantics. Query terms
@@ -28,7 +29,7 @@ from lucene_ray.search import query as Q
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        \"[^\"]*\"(?:~\d+)?        # phrase with optional slop
+        [+-]?(?:[A-Za-z_][A-Za-z0-9_]*:)?\"[^\"]*\"(?:~\d+)?  # [field:]phrase [~slop]
       | \[[^\]]*\]                 # inclusive range
       | \{[^}]*\}                  # exclusive range
       | AND | OR | NOT
@@ -41,7 +42,11 @@ _TOKEN_RE = re.compile(
 _RANGE_RE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", re.IGNORECASE)
 
 
-def parse_query(text: str, analyzer: Analyzer = StandardAnalyzer) -> Q.Query:
+def parse_query(
+    text: str,
+    analyzer: Analyzer = StandardAnalyzer,
+    fields: "set[str] | None" = None,
+) -> Q.Query:
     tokens = [m.group(1) for m in _TOKEN_RE.finditer(text.strip())]
     if not tokens:
         return Q.MatchAllDocsQuery()
@@ -67,7 +72,7 @@ def parse_query(text: str, analyzer: Analyzer = StandardAnalyzer) -> Q.Query:
             occur = "must"
             if prev_to_must and should:
                 must.append(should.pop())
-        q, boost = _parse_atom(raw, analyzer)
+        q, boost = _parse_atom(raw, analyzer, fields or set())
         if q is None:
             pending_op = None
             continue
@@ -84,8 +89,22 @@ def parse_query(text: str, analyzer: Analyzer = StandardAnalyzer) -> Q.Query:
     return Q.BooleanQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
 
 
-def _parse_atom(raw: str, analyzer: Analyzer) -> tuple[Q.Query | None, float]:
+def _parse_atom(
+    raw: str, analyzer: Analyzer, fields: set[str]
+) -> tuple[Q.Query | None, float]:
     boost = 1.0
+    # field prefix: scope to a known named field; the default field's name
+    # (or an unknown field) strips to the default, matching classic-parser
+    # behavior of resolving every term against a field
+    field: str | None = None
+    fp = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", raw)
+    if fp and not raw.startswith("http"):
+        name, rest = fp.group(1), fp.group(2)
+        if name in fields:
+            field, raw = name, rest
+        else:
+            raw = rest
+
     m = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
     if m and not raw.startswith('"'):
         boost = float(m.group(1))
@@ -100,38 +119,34 @@ def _parse_atom(raw: str, analyzer: Analyzer) -> tuple[Q.Query | None, float]:
         if not words:
             return None, boost
         if len(words) == 1:
-            return Q.TermQuery(words[0]), boost
-        return Q.PhraseQuery(words, slop=slop), boost
+            return Q.TermQuery(words[0], field=field), boost
+        return Q.PhraseQuery(words, slop=slop, field=field), boost
 
     rm = _RANGE_RE.match(raw)
     if rm:
         lo = None if rm.group(2) == "*" else analyzer.normalize(rm.group(2))
         hi = None if rm.group(3) == "*" else analyzer.normalize(rm.group(3))
         return (
-            Q.TermRangeQuery(lo, hi, rm.group(1) == "[", rm.group(4) == "]"),
+            Q.TermRangeQuery(lo, hi, rm.group(1) == "[", rm.group(4) == "]",
+                             field=field),
             boost,
         )
-
-    # field prefix (only the default text field exists)
-    if ":" in raw and not raw.startswith("http"):
-        field, rest = raw.split(":", 1)
-        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", field):
-            raw = rest
 
     fm = re.match(r"^(.+?)~(\d*)$", raw)
     if fm and "*" not in raw and "?" not in raw:
         max_e = int(fm.group(2)) if fm.group(2) else 2
-        return Q.FuzzyQuery(analyzer.normalize(fm.group(1)), max_edits=max_e), boost
+        return Q.FuzzyQuery(analyzer.normalize(fm.group(1)), max_edits=max_e,
+                            field=field), boost
 
     if "*" in raw or "?" in raw:
         norm = analyzer.normalize(raw)
         if norm.endswith("*") and "*" not in norm[:-1] and "?" not in norm:
-            return Q.PrefixQuery(norm[:-1]), boost
-        return Q.WildcardQuery(norm), boost
+            return Q.PrefixQuery(norm[:-1], field=field), boost
+        return Q.WildcardQuery(norm, field=field), boost
 
     terms = analyzer.tokens(raw)
     if not terms:
         return None, boost
     if len(terms) == 1:
-        return Q.TermQuery(terms[0]), boost
-    return Q.PhraseQuery(tuple(terms)), boost
+        return Q.TermQuery(terms[0], field=field), boost
+    return Q.PhraseQuery(tuple(terms), field=field), boost

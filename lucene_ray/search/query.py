@@ -19,13 +19,19 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
-    """search/TermQuery.java:39 — single-term BM25-scored posting scan."""
+    """search/TermQuery.java:39 — single-term BM25-scored posting scan.
+
+    ``field=None`` targets the index's default field (the Term(field, text)
+    pair of the reference); a named field scopes the term to that field's
+    dictionary section and norms."""
 
     term: str
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
-        return {"type": "term", "term": self.term, "boost": self.boost}
+        return {"type": "term", "term": self.term, "boost": self.boost,
+                "field": self.field}
 
 
 @dataclass(frozen=True)
@@ -62,6 +68,7 @@ class PhraseQuery(Query):
     terms: tuple
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
         return {
@@ -69,6 +76,7 @@ class PhraseQuery(Query):
             "terms": list(self.terms),
             "slop": self.slop,
             "boost": self.boost,
+            "field": self.field,
         }
 
 
@@ -79,9 +87,11 @@ class SynonymQuery(Query):
 
     terms: tuple
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
-        return {"type": "synonym", "terms": list(self.terms), "boost": self.boost}
+        return {"type": "synonym", "terms": list(self.terms),
+                "boost": self.boost, "field": self.field}
 
 
 @dataclass(frozen=True)
@@ -90,9 +100,11 @@ class PrefixQuery(Query):
 
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
-        return {"type": "prefix", "prefix": self.prefix, "boost": self.boost}
+        return {"type": "prefix", "prefix": self.prefix, "boost": self.boost,
+                "field": self.field}
 
 
 @dataclass(frozen=True)
@@ -101,9 +113,11 @@ class WildcardQuery(Query):
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
-        return {"type": "wildcard", "pattern": self.pattern, "boost": self.boost}
+        return {"type": "wildcard", "pattern": self.pattern,
+                "boost": self.boost, "field": self.field}
 
 
 @dataclass(frozen=True)
@@ -112,9 +126,11 @@ class RegexpQuery(Query):
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
-        return {"type": "regexp", "pattern": self.pattern, "boost": self.boost}
+        return {"type": "regexp", "pattern": self.pattern,
+                "boost": self.boost, "field": self.field}
 
 
 @dataclass(frozen=True)
@@ -127,6 +143,7 @@ class FuzzyQuery(Query):
     prefix_length: int = 0
     transpositions: bool = True  # Damerau (reference default) vs plain Levenshtein
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
         return {
@@ -136,6 +153,7 @@ class FuzzyQuery(Query):
             "prefix_length": self.prefix_length,
             "transpositions": self.transpositions,
             "boost": self.boost,
+            "field": self.field,
         }
 
 
@@ -148,6 +166,7 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
         return {
@@ -157,6 +176,7 @@ class TermRangeQuery(Query):
             "include_lower": self.include_lower,
             "include_upper": self.include_upper,
             "boost": self.boost,
+            "field": self.field,
         }
 
 
@@ -167,9 +187,11 @@ class TermInSetQuery(Query):
 
     terms: tuple
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
-        return {"type": "in_set", "terms": list(self.terms), "boost": self.boost}
+        return {"type": "in_set", "terms": list(self.terms),
+                "boost": self.boost, "field": self.field}
 
 
 @dataclass(frozen=True)
@@ -211,11 +233,42 @@ class MultiPhraseQuery(Query):
 
     positions: tuple  # tuple[tuple[str, ...], ...]
     boost: float = 1.0
+    field: str | None = None
 
     def to_dict(self):
         return {
             "type": "multi_phrase",
             "positions": [list(p) for p in self.positions],
+            "boost": self.boost,
+            "field": self.field,
+        }
+
+
+@dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """BM25F over several fields treated as one combined pseudo-field
+    (sandbox/.../search/CombinedFieldQuery.java:303-420 semantics, simple
+    BM25F variant):
+
+        tf~(d,t)  = sum_f w_f * tf_f(d,t)
+        dl~(d)    = sum_f w_f * len_f(d)          (EXACT lengths — the
+                     reference sums smallfloat-quantized per-field norms;
+                     we use exact lengths, a documented deviation)
+        avgdl~    = sum_f w_f * sumTTF_f / docCount
+        df~(t)    = max_f df_f(t)                 (pseudo collection stats)
+        score(d)  = sum_t idf(df~) * tf~ / (tf~ + k1*(1-b+b*dl~/avgdl~))
+
+    ``fields`` is a tuple of (field_name_or_None, weight)."""
+
+    terms: tuple
+    fields: tuple  # tuple[(str | None, float), ...]
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {
+            "type": "combined_field",
+            "terms": list(self.terms),
+            "fields": [[f, w] for f, w in self.fields],
             "boost": self.boost,
         }
 
@@ -261,7 +314,7 @@ class DisjunctionMaxQuery(Query):
 def query_from_dict(d: dict) -> Query:
     t = d["type"]
     if t == "term":
-        return TermQuery(d["term"], d.get("boost", 1.0))
+        return TermQuery(d["term"], d.get("boost", 1.0), d.get("field"))
     if t == "bool":
         return BooleanQuery(
             must=tuple(query_from_dict(q) for q in d.get("must", [])),
@@ -272,27 +325,35 @@ def query_from_dict(d: dict) -> Query:
             boost=d.get("boost", 1.0),
         )
     if t == "phrase":
-        return PhraseQuery(tuple(d["terms"]), d.get("slop", 0), d.get("boost", 1.0))
+        return PhraseQuery(tuple(d["terms"]), d.get("slop", 0), d.get("boost", 1.0),
+                           d.get("field"))
     if t == "synonym":
-        return SynonymQuery(tuple(d["terms"]), d.get("boost", 1.0))
+        return SynonymQuery(tuple(d["terms"]), d.get("boost", 1.0), d.get("field"))
     if t == "prefix":
-        return PrefixQuery(d["prefix"], d.get("boost", 1.0))
+        return PrefixQuery(d["prefix"], d.get("boost", 1.0), d.get("field"))
     if t == "wildcard":
-        return WildcardQuery(d["pattern"], d.get("boost", 1.0))
+        return WildcardQuery(d["pattern"], d.get("boost", 1.0), d.get("field"))
     if t == "regexp":
-        return RegexpQuery(d["pattern"], d.get("boost", 1.0))
+        return RegexpQuery(d["pattern"], d.get("boost", 1.0), d.get("field"))
     if t == "fuzzy":
         return FuzzyQuery(
             d["term"], d.get("max_edits", 2), d.get("prefix_length", 0),
-            d.get("transpositions", True), d.get("boost", 1.0)
+            d.get("transpositions", True), d.get("boost", 1.0), d.get("field")
         )
     if t == "range":
         return TermRangeQuery(
             d.get("lower"), d.get("upper"),
-            d.get("include_lower", True), d.get("include_upper", True), d.get("boost", 1.0),
+            d.get("include_lower", True), d.get("include_upper", True),
+            d.get("boost", 1.0), d.get("field"),
         )
     if t == "in_set":
-        return TermInSetQuery(tuple(d["terms"]), d.get("boost", 1.0))
+        return TermInSetQuery(tuple(d["terms"]), d.get("boost", 1.0), d.get("field"))
+    if t == "combined_field":
+        return CombinedFieldQuery(
+            tuple(d["terms"]),
+            tuple((f, float(w)) for f, w in d["fields"]),
+            d.get("boost", 1.0),
+        )
     if t == "match_all":
         return MatchAllDocsQuery(d.get("boost", 1.0))
     if t == "const":
@@ -307,7 +368,8 @@ def query_from_dict(d: dict) -> Query:
         )
     if t == "multi_phrase":
         return MultiPhraseQuery(
-            tuple(tuple(p) for p in d["positions"]), d.get("boost", 1.0)
+            tuple(tuple(p) for p in d["positions"]), d.get("boost", 1.0),
+            d.get("field"),
         )
     if t == "common_terms":
         return CommonTermsQuery(
@@ -317,7 +379,11 @@ def query_from_dict(d: dict) -> Query:
 
 
 def collect_scored_terms(q: Query, out: set[str]) -> None:
-    """Terms whose global (df, ttf) stats the scorers need."""
+    """Storage keys whose global (df, ttf) stats the scorers need.
+
+    Run AFTER :func:`resolve_fields` so field-scoped terms are already
+    storage keys; CombinedFieldQuery keeps (field, term) pairs and expands
+    here."""
     if isinstance(q, TermQuery):
         out.add(q.term)
     elif isinstance(q, (PhraseQuery, SynonymQuery)):
@@ -335,3 +401,64 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
             out.update(p)
     elif isinstance(q, CommonTermsQuery):
         out.update(q.terms)
+    elif isinstance(q, CombinedFieldQuery):
+        from lucene_ray.index.fields import field_key
+
+        for f, _w in q.fields:
+            for t in q.terms:
+                out.add(field_key(f, t))
+
+
+def resolve_fields(q: Query) -> Query:
+    """Rewrite field-scoped queries into storage-key form: every term of a
+    query with ``field=F`` becomes its ``\\x01F\\x1f``-prefixed dictionary
+    key and ``field`` resets to None, so the whole evaluation layer works
+    on plain keys. Idempotent; queries without fields pass through
+    unchanged. CombinedFieldQuery is left intact (its evaluator needs the
+    (field, term) structure)."""
+    import dataclasses
+
+    from lucene_ray.index.fields import field_key, field_prefix
+
+    if isinstance(q, TermQuery) and q.field:
+        return dataclasses.replace(q, term=field_key(q.field, q.term), field=None)
+    if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery)) and q.field:
+        return dataclasses.replace(
+            q, terms=tuple(field_key(q.field, t) for t in q.terms), field=None
+        )
+    if isinstance(q, PrefixQuery) and q.field:
+        return dataclasses.replace(
+            q, prefix=field_prefix(q.field) + q.prefix, field=None
+        )
+    if isinstance(q, FuzzyQuery) and q.field:
+        return q  # handled field-aware in _fuzzy_expand (band over section)
+    if isinstance(q, (WildcardQuery, RegexpQuery)) and q.field:
+        return q  # handled field-aware in _eval_multiterm (section scan)
+    if isinstance(q, TermRangeQuery) and q.field:
+        pref = field_prefix(q.field)
+        lower = pref + q.lower if q.lower is not None else pref
+        upper = pref + q.upper if q.upper is not None else pref + "￿"
+        return dataclasses.replace(q, lower=lower, upper=upper, field=None)
+    if isinstance(q, MultiPhraseQuery) and q.field:
+        return dataclasses.replace(
+            q,
+            positions=tuple(
+                tuple(field_key(q.field, t) for t in p) for p in q.positions
+            ),
+            field=None,
+        )
+    if isinstance(q, BooleanQuery):
+        return dataclasses.replace(
+            q,
+            must=tuple(resolve_fields(s) for s in q.must),
+            should=tuple(resolve_fields(s) for s in q.should),
+            must_not=tuple(resolve_fields(s) for s in q.must_not),
+            filter=tuple(resolve_fields(s) for s in q.filter),
+        )
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return dataclasses.replace(q, query=resolve_fields(q.query))
+    if isinstance(q, DisjunctionMaxQuery):
+        return dataclasses.replace(
+            q, queries=tuple(resolve_fields(s) for s in q.queries)
+        )
+    return q

@@ -44,17 +44,31 @@ class EvalContext:
     running score threshold (minCompetitiveScore feedback,
     search/TopScoreDocCollector.java:106-164)."""
 
-    __slots__ = ("term_stats", "doc_count", "sum_ttf", "mode", "k1", "b", "_scorers", "threshold")
+    __slots__ = ("term_stats", "doc_count", "sum_ttf", "field_ttf", "mode",
+                 "k1", "b", "_scorers", "threshold")
 
-    def __init__(self, term_stats, doc_count, sum_ttf, mode="f32", k1=1.2, b=0.75):
-        self.term_stats = term_stats  # term -> (df, ttf), GLOBAL stats
+    def __init__(self, term_stats, doc_count, sum_ttf, mode="f32", k1=1.2, b=0.75,
+                 field_ttf=None):
+        self.term_stats = term_stats  # storage key -> (df, ttf), GLOBAL stats
         self.doc_count = doc_count
-        self.sum_ttf = sum_ttf
+        self.sum_ttf = sum_ttf  # default field
+        self.field_ttf = field_ttf or {}  # field name -> sum_ttf (avgdl per field)
         self.mode = mode
         self.k1 = k1
         self.b = b
         self._scorers = {}
         self.threshold = -np.inf
+
+    def field_sum_ttf(self, field: str | None) -> int:
+        if field is None:
+            return self.sum_ttf
+        return self.field_ttf.get(field, self.sum_ttf)
+
+    def _sum_ttf_for(self, key: str) -> int:
+        """Field-local sum_ttf for a storage key (per-field avgdl)."""
+        from lucene_ray.index.fields import split_key
+
+        return self.field_sum_ttf(split_key(key)[0])
 
     def scorer(self, term: str, boost: float = 1.0):
         key = (term, boost)
@@ -63,7 +77,7 @@ class EvalContext:
             df, _ttf = self.term_stats.get(term, (0, 0))
             if df == 0:
                 return None
-            s = make_scorer(df, self.doc_count, self.sum_ttf,
+            s = make_scorer(df, self.doc_count, self._sum_ttf_for(term),
                             mode=self.mode, k1=self.k1, b=self.b, boost=boost)
             self._scorers[key] = s
         return s
@@ -74,17 +88,18 @@ class EvalContext:
         dfs = [self.term_stats.get(t, (0, 0))[0] for t in terms]
         if any(df == 0 for df in dfs):
             return None
+        sttf = self._sum_ttf_for(terms[0])
         if self.mode == "f32":
             from lucene_ray.search.similarity import BM25Scorer, idf_f32
 
-            s = BM25Scorer(1, self.doc_count, self.sum_ttf, k1=self.k1, b=self.b)
+            s = BM25Scorer(1, self.doc_count, sttf, k1=self.k1, b=self.b)
             idf_sum = np.float32(sum(float(idf_f32(df, self.doc_count)) for df in dfs))
             s.idf = idf_sum
             s.weight = np.float32(boost) * idf_sum
             return s
         from lucene_ray.search.similarity import BM25ScorerF64
 
-        s = BM25ScorerF64(1, self.doc_count, self.sum_ttf, k1=self.k1, b=self.b, boost=boost)
+        s = BM25ScorerF64(1, self.doc_count, sttf, k1=self.k1, b=self.b, boost=boost)
         s.idf = float(
             sum(np.log(1.0 + (self.doc_count - df + 0.5) / (df + 0.5)) for df in dfs)
         )
@@ -246,6 +261,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.BooleanQuery):
         return _eval_bool(reader, q, ctx)
 
+    if isinstance(q, Q.CombinedFieldQuery):
+        return _eval_combined_field(reader, q, ctx)
+
     if isinstance(q, Q.DisjunctionMaxQuery):
         return _eval_dismax(reader, q, ctx)
 
@@ -310,9 +328,68 @@ def _eval_multiphrase(reader, q: Q.MultiPhraseQuery, ctx):
     scorer = ctx.phrase_scorer(present, q.boost) if present else None
     if scorer is None:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
+    from lucene_ray.index.fields import split_key
+
     rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
-    norms = reader.norms[rows]
+    norms = reader.norms_for(split_key(flat[0])[0])[rows]
     return docs, scorer.score(freqs, norms).astype(np.float64), True
+
+
+def _eval_combined_field(reader, q: Q.CombinedFieldQuery, ctx):
+    """BM25F — fields blended into one pseudo-field
+    (sandbox/.../search/CombinedFieldQuery.java:303-420 semantics):
+    tf~ = sum_f w_f*tf_f, dl~ = sum_f w_f*len_f (exact lengths; the
+    reference sums quantized per-field norms — documented deviation),
+    avgdl~ = sum_f w_f*sumTTF_f / N, df~ = max_f df_f, summed over terms
+    (a doc matches if any term appears in any listed field). Always
+    hit-complete; computed in float64 for both scorer modes."""
+    from lucene_ray.index.fields import field_key
+
+    k1, b = ctx.k1, ctx.b
+    n = float(ctx.doc_count)
+    avgdl = sum(w * ctx.field_sum_ttf(f) for f, w in q.fields) / n
+
+    dl = None  # weighted per-doc combined length, aligned with reader rows
+    for f, w in q.fields:
+        lf = reader.doc_len_for(f).astype(np.float64)
+        dl = w * lf if dl is None else dl + w * lf
+
+    out_docs, out_scores = [], []
+    for t in q.terms:
+        df = max(
+            (ctx.term_stats.get(field_key(f, t), (0, 0))[0] for f, _w in q.fields),
+            default=0,
+        )
+        if df == 0:
+            continue
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        docs_parts, freq_parts = [], []
+        for f, w in q.fields:
+            idx = reader.term_index(field_key(f, t))
+            if idx < 0:
+                continue
+            d, fr, _nm = reader.postings_reader(idx).decode_all()
+            docs_parts.append(d)
+            freq_parts.append(w * fr.astype(np.float64))
+        if not docs_parts:
+            continue
+        cat_d = np.concatenate(docs_parts)
+        cat_f = np.concatenate(freq_parts)
+        docs, inv = np.unique(cat_d, return_inverse=True)
+        tf = np.zeros(docs.shape[0], dtype=np.float64)
+        np.add.at(tf, inv, cat_f)
+        rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
+        dld = dl[rows]
+        out_docs.append(docs)
+        out_scores.append(idf * tf / (tf + k1 * (1.0 - b + b * dld / avgdl)))
+    if not out_docs:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    cat_d = np.concatenate(out_docs)
+    cat_s = np.concatenate(out_scores)
+    docs, inv = np.unique(cat_d, return_inverse=True)
+    scores = np.zeros(docs.shape[0], dtype=np.float64)
+    np.add.at(scores, inv, cat_s)
+    return docs, scores * q.boost, True
 
 
 def _eval_dismax(reader, q: Q.DisjunctionMaxQuery, ctx):
@@ -348,7 +425,8 @@ def _push_boost(q: Q.Query, boost: float) -> Q.Query:
 
 
 def _unpruned(ctx: EvalContext) -> EvalContext:
-    sub = EvalContext(ctx.term_stats, ctx.doc_count, ctx.sum_ttf, ctx.mode, ctx.k1, ctx.b)
+    sub = EvalContext(ctx.term_stats, ctx.doc_count, ctx.sum_ttf, ctx.mode,
+                      ctx.k1, ctx.b, ctx.field_ttf)
     sub._scorers = ctx._scorers
     return sub
 
@@ -361,8 +439,8 @@ def _eval_synonym(reader, q: Q.SynonymQuery, ctx):
     ttf = sum(t for _, t in dfs)
     if df == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
-    scorer = make_scorer(df, ctx.doc_count, ctx.sum_ttf, mode=ctx.mode,
-                         k1=ctx.k1, b=ctx.b, boost=q.boost)
+    scorer = make_scorer(df, ctx.doc_count, ctx._sum_ttf_for(q.terms[0]),
+                         mode=ctx.mode, k1=ctx.k1, b=ctx.b, boost=q.boost)
     del ttf
     docs_parts, freq_parts, norm_parts = [], [], []
     for t in q.terms:
@@ -390,12 +468,24 @@ def _eval_multiterm(reader, q, ctx):
     """Multi-term queries rewrite to a constant-score union of the matching
     dictionary terms (MultiTermQuery CONSTANT_SCORE rewrite,
     search/MultiTermQuery.java:86-119)."""
+    from lucene_ray.index.fields import field_prefix
+
     if isinstance(q, Q.PrefixQuery):
         idxs = reader.terms_matching_prefix(q.prefix)
     elif isinstance(q, Q.WildcardQuery):
-        idxs = reader.terms_matching_regex("^" + _wildcard_to_regex(q.pattern) + "$")
+        pat = "^" + _wildcard_to_regex(q.pattern) + "$"
+        if q.field:  # anchor the scan inside the field's dictionary section
+            import re as _re
+
+            pat = "^" + _re.escape(field_prefix(q.field)) + _wildcard_to_regex(q.pattern) + "$"
+        idxs = reader.terms_matching_regex(pat)
     elif isinstance(q, Q.RegexpQuery):
-        idxs = reader.terms_matching_regex("^(?:" + q.pattern + ")$")
+        pat = "^(?:" + q.pattern + ")$"
+        if q.field:
+            import re as _re
+
+            pat = "^" + _re.escape(field_prefix(q.field)) + "(?:" + q.pattern + ")$"
+        idxs = reader.terms_matching_regex(pat)
     elif isinstance(q, Q.TermRangeQuery):
         idxs = reader.term_range(q.lower, q.upper, q.include_lower, q.include_upper)
     elif isinstance(q, Q.TermInSetQuery):
@@ -407,6 +497,19 @@ def _eval_multiterm(reader, q, ctx):
         idxs = _fuzzy_expand(reader, q)
     else:  # pragma: no cover
         raise ValueError(q)
+    # a default-field scan must not leak into \x01-prefixed field sections
+    # (e.g. regex '^.*k$' or an unbounded range would otherwise match keys)
+    from lucene_ray.index.fields import FIELD_MARK
+
+    clamp = False
+    if isinstance(q, Q.PrefixQuery):
+        clamp = not q.prefix.startswith(FIELD_MARK)
+    elif isinstance(q, (Q.WildcardQuery, Q.RegexpQuery, Q.FuzzyQuery)):
+        clamp = not q.field
+    elif isinstance(q, Q.TermRangeQuery):
+        clamp = q.lower is None or not q.lower.startswith(FIELD_MARK)
+    if clamp:
+        idxs = idxs[idxs >= reader.default_start]
     if idxs.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
     parts = [docs_only(reader, int(i)) for i in idxs]
@@ -433,17 +536,21 @@ def _fuzzy_expand(reader, q: Q.FuzzyQuery) -> np.ndarray:
     Levenshtein automaton (util/automaton/LevenshteinAutomata.java); we run a
     banded edit-distance scan over the (prefix-pruned) term table — same
     accepted set, O(dict) instead of O(automaton)."""
+    from lucene_ray.index.fields import field_prefix
+
+    sect = field_prefix(q.field) if q.field else ""
     cand = (
-        reader.terms_matching_prefix(q.term[: q.prefix_length])
-        if q.prefix_length
+        reader.terms_matching_prefix(sect + q.term[: q.prefix_length])
+        if q.prefix_length or sect
         else np.arange(len(reader.terms))
     )
     base = q.term
+    strip = len(sect)
     maxe = q.max_edits
     keep = []
     lb = len(base)
     for i in cand:
-        t = reader.terms[i]
+        t = reader.terms[i][strip:] if strip else reader.terms[i]
         if abs(len(t) - lb) > maxe:
             continue
         if _edit_distance_leq(base, t, maxe, q.transpositions):
@@ -522,8 +629,10 @@ def _eval_phrase(reader, q: Q.PhraseQuery, ctx):
     scorer = ctx.phrase_scorer(terms, q.boost)
     if scorer is None:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
+    from lucene_ray.index.fields import split_key
+
     rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
-    norms = reader.norms[rows]
+    norms = reader.norms_for(split_key(terms[0])[0])[rows]
     return docs, scorer.score(freqs, norms).astype(np.float64), True
 
 

@@ -65,6 +65,9 @@ class Searcher:
             max_token_length=m["analyzer"]["max_token_length"],
         )
         self.readers = [SegmentReader(s["path"]) for s in m["segments"]]
+        self.field_ttf = {
+            f: info["sum_ttf"] for f, info in m.get("fields", {}).items()
+        }
         from lucene_ray.index.deletes import load_tombstones
 
         self.tombstones = load_tombstones(index_dir)  # sorted global ids
@@ -89,17 +92,24 @@ class Searcher:
         terms: set[str] = set()
         collect_scored_terms(query, terms)
         return EvalContext(
-            self.term_stats(terms), self.doc_count, self.sum_ttf, mode=self.mode
+            self.term_stats(terms), self.doc_count, self.sum_ttf, mode=self.mode,
+            field_ttf=self.field_ttf,
         )
 
     def parse(self, text: str) -> Q.Query:
         from lucene_ray.search.parser import parse_query
 
-        return parse_query(text, self.analyzer)
+        return parse_query(text, self.analyzer, set(self.field_ttf))
 
-    def search(self, query: "Q.Query | str", k: int = 10, prune: bool = True) -> TopDocs:
+    def _prep(self, query: "Q.Query | str") -> Q.Query:
+        """Parse (if a string) and rewrite field-scoped terms to storage
+        keys (query.resolve_fields) — the per-search rewrite step."""
         if isinstance(query, str):
             query = self.parse(query)
+        return Q.resolve_fields(query)
+
+    def search(self, query: "Q.Query | str", k: int = 10, prune: bool = True) -> TopDocs:
+        query = self._prep(query)
         ctx = self.make_context(query)
         if not prune:
             ctx_threshold_enabled = False
@@ -136,8 +146,7 @@ class Searcher:
         """Hit-complete (no pruning) evaluation: every matching doc with its
         score, as (global doc_ids, scores) — the Weight.bulkScorer-over-
         everything path used by oracle comparisons and collectors."""
-        if isinstance(query, str):
-            query = self.parse(query)
+        query = self._prep(query)
         ctx = self.make_context(query)  # threshold -inf -> exhaustive
         from lucene_ray.index.deletes import mask_live
 
@@ -225,8 +234,7 @@ class Searcher:
 
     def count(self, query: "Q.Query | str") -> int:
         """TotalHitCountCollector — exact hit count, no scoring shortcuts."""
-        if isinstance(query, str):
-            query = self.parse(query)
+        query = self._prep(query)
         from lucene_ray.index.deletes import mask_live
 
         ctx = self.make_context(query)  # threshold stays -inf -> no pruning
@@ -242,8 +250,7 @@ class Searcher:
         """Resumable pagination (IndexSearcher.searchAfter,
         search/IndexSearcher.java:587-599): keep hits strictly worse than the
         cursor in (score desc, doc asc) order."""
-        if isinstance(query, str):
-            query = self.parse(query)
+        query = self._prep(query)
         ctx = self.make_context(query)
         all_docs = np.empty(0, dtype=np.int64)
         all_scores = np.empty(0, dtype=np.float64)

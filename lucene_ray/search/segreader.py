@@ -36,6 +36,7 @@ class SegmentReader:
         "postings",
         "_norms",
         "_doc_ids",
+        "_field_cols",
         "meta",
     )
 
@@ -58,12 +59,19 @@ class SegmentReader:
         )
         self._norms = None
         self._doc_ids = None
+        self._field_cols = {}
 
     def _docs_file(self) -> str:
         # term-sharded merged segments share one docs table (meta.docs_path)
         return self.meta.get("docs_path") or os.path.join(self.path, "docs.parquet")
 
     # -- term dictionary ---------------------------------------------------
+    @property
+    def default_start(self) -> int:
+        """First dictionary index of the DEFAULT field's section (all
+        \\x01-prefixed field sections sort before it — index/fields.py)."""
+        return int(np.searchsorted(self.terms, "\x02"))
+
     def term_index(self, term: str) -> int:
         """Index of ``term`` in the sorted dictionary, or -1."""
         i = int(np.searchsorted(self.terms, term))
@@ -118,6 +126,26 @@ class SegmentReader:
             d = pq.read_table(self._docs_file(), columns=["doc_id"])
             self._doc_ids = d["doc_id"].to_numpy()
         return self._doc_ids
+
+    def _doc_col(self, col: str, dtype) -> np.ndarray:
+        v = self._field_cols.get(col)
+        if v is None:
+            d = pq.read_table(self._docs_file(), columns=[col])
+            v = d[col].to_numpy().astype(dtype)
+            self._field_cols[col] = v
+        return v
+
+    def norms_for(self, field: str | None) -> np.ndarray:
+        """Per-doc norm bytes of a field (None = default field)."""
+        if field is None:
+            return self.norms
+        return self._doc_col(f"norm_{field}", np.uint8)
+
+    def doc_len_for(self, field: str | None) -> np.ndarray:
+        """Per-doc exact token counts of a field (BM25F combined length)."""
+        if field is None:
+            return self._doc_col("doc_len", np.int64)
+        return self._doc_col(f"len_{field}", np.int64)
 
     def positions_table(self, terms: list[str]):
         """(term, doc_id, pos) rows for the given terms (phrase queries)."""

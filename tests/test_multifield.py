@@ -1,0 +1,217 @@
+"""Multi-field index: per-field postings/norms, field:term, BM25F.
+
+Reference model: Document of named Fields with per-field stats
+(document/Document.java:40, index/FieldInfos.java), CombinedFieldQuery
+BM25F (sandbox/.../search/CombinedFieldQuery.java:303-420).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search import query as Q
+from lucene_ray.search.searcher import Searcher
+
+SF_DIR = "/root/testdata/sf0.001"
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def mf_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    from lucene_ray.data.webpages import with_title_column
+
+    idx = str(tmp_path_factory.mktemp("mf") / "index")
+    ds = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(with_title_column, batch_format="pyarrow")
+    manifest = build_index(
+        ds, idx, num_segments=4, with_positions=True,
+        extra_fields={"title": "title"},
+    )
+    return idx, manifest
+
+
+@pytest.fixture(scope="module")
+def mf_brute():
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+    body = [x.split(" ") for x in t["text"].to_pylist()]
+    title = [x[:4] for x in body]
+    return {"ids": ids, "body": body, "title": title}
+
+
+def test_manifest_field_stats(mf_index, mf_brute):
+    _idx, m = mf_index
+    assert "title" in m["fields"]
+    want_ttf = sum(len(x) for x in mf_brute["title"])
+    assert m["fields"]["title"]["sum_ttf"] == want_ttf
+    # default field stats unchanged by the extra field
+    assert m["sum_total_term_freq"] == sum(len(x) for x in mf_brute["body"])
+
+
+def test_field_term_query_matches_brute(mf_index, mf_brute):
+    idx, _ = mf_index
+    s = Searcher(idx, mode="f64")
+    term = "table"
+    docs, scores = s.search_all(Q.TermQuery(term, field="title"))
+    want = {
+        int(i) for i, toks in zip(mf_brute["ids"], mf_brute["title"]) if term in toks
+    }
+    assert set(docs.tolist()) == want
+
+    # f64 score check vs the BM25 formula over TITLE stats (exact doc_len;
+    # title lengths < 24 so smallfloat quantization is the identity)
+    n = float(len(mf_brute["ids"]))
+    df = float(len(want))
+    sttf = float(sum(len(x) for x in mf_brute["title"]))
+    avgdl = sttf / n
+    id2len = {int(i): len(tk) for i, tk in zip(mf_brute["ids"], mf_brute["title"])}
+    id2tf = {
+        int(i): tk.count(term) for i, tk in zip(mf_brute["ids"], mf_brute["title"])
+    }
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    for d, sc in zip(docs.tolist(), scores.tolist()):
+        tf = id2tf[d]
+        want_sc = idf * tf / (tf + K1 * (1 - B + B * id2len[d] / avgdl))
+        assert abs(sc - want_sc) < 1e-9
+
+
+def test_default_field_unchanged_by_extra_field(mf_index, built_index):
+    """Default-field searches on the multi-field index must be identical to
+    the single-field index (same docs, same scores, same totals)."""
+    mf_idx, _ = mf_index
+    sf_idx, _ = built_index
+    a, b = Searcher(sf_idx), Searcher(mf_idx)
+    for t in ["table", "key", "spark", "window"]:
+        ta, tb = a.search(Q.TermQuery(t), k=10), b.search(Q.TermQuery(t), k=10)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        assert ta.scores.tolist() == tb.scores.tolist()
+        assert ta.total_hits == tb.total_hits
+    pa_, pb = (
+        a.search(Q.PhraseQuery(("key", "value")), k=10),
+        b.search(Q.PhraseQuery(("key", "value")), k=10),
+    )
+    assert pa_.doc_ids.tolist() == pb.doc_ids.tolist()
+    assert pa_.scores.tolist() == pb.scores.tolist()
+
+
+def test_multiterm_scans_do_not_cross_fields(mf_index, mf_brute):
+    idx, _ = mf_index
+    s = Searcher(idx)
+    # default-field regex that would match EVERY title key if sections
+    # leaked: '.*' — hit set must equal docs with >= 1 body token
+    docs, _ = s.search_all(Q.RegexpQuery(".+"))
+    want_default = {
+        int(i) for i, tk in zip(mf_brute["ids"], mf_brute["body"]) if tk
+    }
+    assert set(docs.tolist()) == want_default
+    # field-scoped prefix stays inside the title section
+    docs_t, _ = s.search_all(Q.PrefixQuery("tab", field="title"))
+    want_t = {
+        int(i)
+        for i, tk in zip(mf_brute["ids"], mf_brute["title"])
+        if any(w.startswith("tab") for w in tk)
+    }
+    assert set(docs_t.tolist()) == want_t
+    # unbounded default-field range must not include title keys
+    docs_r, _ = s.search_all(Q.TermRangeQuery(None, None))
+    assert set(docs_r.tolist()) == want_default
+
+
+def test_field_phrase_query(mf_index, mf_brute):
+    idx, _ = mf_index
+    s = Searcher(idx)
+    want = set()
+    for i, tk in zip(mf_brute["ids"], mf_brute["title"]):
+        if any(a == "key" and b == "value" for a, b in zip(tk, tk[1:])):
+            want.add(int(i))
+    docs, _ = s.search_all(Q.PhraseQuery(("key", "value"), field="title"))
+    assert set(docs.tolist()) == want
+    assert len(want) > 0 or True  # phrase may be absent in titles; set equality is the test
+
+
+def test_parser_field_syntax(mf_index):
+    idx, _ = mf_index
+    s = Searcher(idx)
+    q = s.parse("title:table")
+    assert isinstance(q, Q.TermQuery) and q.field == "title"
+    q2 = s.parse('title:"key value"')
+    assert isinstance(q2, Q.PhraseQuery) and q2.field == "title"
+    # unknown field strips to default
+    q3 = s.parse("bogus:table")
+    assert isinstance(q3, Q.TermQuery) and q3.field is None
+    # end-to-end: parsed field query == programmatic field query
+    a = s.search("title:table", k=10)
+    b = s.search(Q.TermQuery("table", field="title"), k=10)
+    assert a.doc_ids.tolist() == b.doc_ids.tolist()
+
+
+def test_combined_field_query_bm25f(mf_index, mf_brute):
+    """BM25F vs a numpy brute force of the documented formula."""
+    idx, _ = mf_index
+    s = Searcher(idx, mode="f64")
+    wb, wt = 1.0, 2.0
+    terms = ("table", "key")
+    q = Q.CombinedFieldQuery(terms, ((None, wb), ("title", wt)))
+    docs, scores = s.search_all(q)
+
+    ids = mf_brute["ids"]
+    n = float(len(ids))
+    sttf_b = float(sum(len(x) for x in mf_brute["body"]))
+    sttf_t = float(sum(len(x) for x in mf_brute["title"]))
+    avgdl = (wb * sttf_b + wt * sttf_t) / n
+    got = dict(zip(docs.tolist(), scores.tolist()))
+    want_scores = {}
+    for t in terms:
+        df_b = sum(1 for tk in mf_brute["body"] if t in tk)
+        df_t = sum(1 for tk in mf_brute["title"] if t in tk)
+        df = max(df_b, df_t)
+        if df == 0:
+            continue
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, (bt, tt) in enumerate(zip(mf_brute["body"], mf_brute["title"])):
+            tf = wb * bt.count(t) + wt * tt.count(t)
+            if tf == 0:
+                continue
+            dl = wb * len(bt) + wt * len(tt)
+            sc = idf * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+            want_scores[int(ids[i])] = want_scores.get(int(ids[i]), 0.0) + sc
+    assert set(got) == set(want_scores)
+    for d in got:
+        assert abs(got[d] - want_scores[d]) < 1e-9
+
+
+def test_multifield_survives_merges(mf_index, tmp_path):
+    from lucene_ray.index.merge import force_merge, tiered_merge
+
+    idx, _ = mf_index
+    src = Searcher(idx, mode="f64")
+    fq = Q.TermQuery("table", field="title")
+    cq = Q.CombinedFieldQuery(("table",), ((None, 1.0), ("title", 2.0)))
+    want_f = src.search(fq, k=10)
+    want_c = src.search(cq, k=10)
+
+    tm = str(tmp_path / "tiered")
+    tiered_merge(idx, tm, group_size=2)
+    st = Searcher(tm, mode="f64")
+    got = st.search(fq, k=10)
+    assert got.doc_ids.tolist() == want_f.doc_ids.tolist()
+    assert np.allclose(got.scores, want_f.scores)
+    gc = st.search(cq, k=10)
+    assert gc.doc_ids.tolist() == want_c.doc_ids.tolist()
+    assert np.allclose(gc.scores, want_c.scores)
+
+    fm = str(tmp_path / "forced")
+    force_merge(idx, fm, hot_term_df=100, salt_buckets=3)
+    sf_ = Searcher(fm, mode="f64")
+    got2 = sf_.search(fq, k=10)
+    assert got2.doc_ids.tolist() == want_f.doc_ids.tolist()
+    assert np.allclose(got2.scores, want_f.scores)
