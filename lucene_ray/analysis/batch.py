@@ -3,16 +3,20 @@
 Turns an Arrow string column into flat (term, doc_index, position) arrays
 without per-row Python work where possible:
 
-* **fast path** — rows whose text consists only of lowercase ASCII
-  word-characters and spaces tokenize identically under whitespace split
-  and the UAX#29 analyzer chain, so they go through
-  ``pyarrow.compute.split_pattern`` + ``list_flatten`` (zero Python loops);
-* **slow path** — remaining rows run the full Python analyzer
-  (lucene_ray.analysis.analyzers), preserving exact semantics.
+* **fast path** — printable-ASCII rows tokenize through a chain of RE2
+  kernels that reproduces the UAX#29-approx tokenizer exactly:
+  ``utf8_lower`` (LowerCaseFilter), joiner protection (``.``/``'`` between
+  word chars, ``,`` between digits — MidNumLet/SingleQuote/MidNum), a
+  separator sweep, then ``split_pattern`` + ``list_flatten``. Stop
+  filtering is a vectorized ``is_in`` over the flat token array with
+  position gaps preserved (StopFilter semantics). Zero Python loops.
+* **slow path** — non-ASCII rows (ideographs, combining marks, typographic
+  quotes) and rows with >max_token_length chain runs go through the full
+  Python analyzer, preserving exact semantics.
 
-The split keeps the engine exact on arbitrary unicode while the common
-web-text case stays Arrow-vectorized — the ColumnBatch-style ingest the
-reference is itself moving toward (document/column/ColumnBatch.java:26-43).
+Real web text with case and punctuation stays on the Arrow path — only
+genuinely non-ASCII rows pay Python (round-1 finding: the old fast path
+required ``^[a-z0-9_ ]*$`` and any stop set disabled it entirely).
 """
 
 from __future__ import annotations
@@ -23,9 +27,12 @@ import pyarrow.compute as pc
 
 from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
 
-# Rows matching this are tokenization-trivial: whitespace split == UAX#29,
-# and lowercasing is a no-op. (Underscore joins chains in both paths.)
-_SIMPLE_RE = r"^[a-z0-9_ ]*$"
+# placeholders for protected joiner chars (excluded from the fast-path mask)
+_P_DOT, _P_APOS, _P_COMMA = "\x02", "\x03", "\x04"
+
+# fast-path rows: printable ASCII + whitespace only (no placeholders, no
+# ideographs, no typographic quotes, no combining marks)
+_ASCII_RE = r"^[\x20-\x7e\t\n\r]*$"
 
 
 def tokenize_column(
@@ -45,51 +52,102 @@ def tokenize_column(
     if n == 0:
         return pa.array([], type=pa.string()), np.empty(0, np.int64), np.empty(0, np.int32)
 
-    simple_mask = pc.match_substring_regex(texts, _SIMPLE_RE)
-    simple_mask = pc.fill_null(simple_mask, False)
-    all_simple = bool(pc.all(simple_mask).as_py()) and not analyzer.stop_words
+    lower = analyzer.lowercase
+    wc = "a-z0-9_" if lower else "A-Za-z0-9_"
+    base = pc.utf8_lower(texts) if lower else texts
 
-    if all_simple:
-        return _tokenize_simple(texts)
-
-    # Mixed batch: vectorize the simple rows, Python the rest, then stitch
-    # back together in row order.
-    mask_np = simple_mask.to_numpy(zero_copy_only=False)
-    if analyzer.stop_words:
-        mask_np = np.zeros(n, dtype=bool)  # stop filtering always slow path
-
-    terms_per_row: list[list[str]] = [None] * n  # type: ignore[list-item]
-    pos_per_row: list[np.ndarray] = [None] * n  # type: ignore[list-item]
-
-    simple_rows = np.nonzero(mask_np)[0]
-    if simple_rows.size:
-        sub = texts.take(pa.array(simple_rows))
-        flat, doc_idx, positions = _tokenize_simple(sub)
-        flat_py = flat.to_pylist()
-        bounds = np.searchsorted(doc_idx, np.arange(simple_rows.size + 1))
-        for j, row in enumerate(simple_rows):
-            lo, hi = bounds[j], bounds[j + 1]
-            terms_per_row[row] = flat_py[lo:hi]
-            pos_per_row[row] = positions[lo:hi]
-
-    for row in np.nonzero(~mask_np)[0]:
-        tp = analyzer.tokens_with_positions(texts[int(row)].as_py())
-        terms_per_row[row] = [t for t, _ in tp]
-        pos_per_row[row] = np.fromiter((p for _, p in tp), dtype=np.int32, count=len(tp))
-
-    counts = np.fromiter((len(t) for t in terms_per_row), dtype=np.int64, count=n)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-    flat_terms = pa.array(
-        [t for row in terms_per_row for t in row], type=pa.string()
+    fast = pc.fill_null(pc.match_substring_regex(texts, _ASCII_RE), False)
+    # a chain run that long may need the reference's max-length chopping —
+    # send the whole row to the exact Python path
+    maxlen = analyzer.max_token_length
+    long_run = pc.fill_null(
+        pc.match_substring_regex(base, "[%s'.,]{%d}" % (wc, maxlen + 1)), False
     )
-    positions = (
-        np.concatenate(pos_per_row) if n else np.empty(0, np.int32)
-    ).astype(np.int32)
-    return flat_terms, doc_idx, positions
+    fast = pc.and_(fast, pc.invert(long_run))
+    mask_np = fast.to_numpy(zero_copy_only=False)
+
+    if mask_np.all():
+        flat, doc_idx, positions = _tokenize_ascii(base, wc)
+        return _stop_filter(flat, doc_idx, positions, analyzer.stop_words)
+
+    # Mixed batch: vectorize the fast rows, Python the rest, then stitch
+    # back into doc-major order.
+    term_parts: list[pa.Array] = []
+    doc_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+
+    fast_rows = np.nonzero(mask_np)[0]
+    if fast_rows.size:
+        sub = base.take(pa.array(fast_rows))
+        flat, doc_idx, positions = _tokenize_ascii(sub, wc)
+        flat, doc_idx, positions = _stop_filter(
+            flat, doc_idx, positions, analyzer.stop_words
+        )
+        term_parts.append(flat)
+        doc_parts.append(fast_rows[doc_idx])
+        pos_parts.append(positions)
+
+    slow_rows = np.nonzero(~mask_np)[0]
+    slow_terms: list[str] = []
+    slow_doc: list[np.ndarray] = []
+    slow_pos: list[np.ndarray] = []
+    for row in slow_rows:
+        tp = analyzer.tokens_with_positions(texts[int(row)].as_py())
+        slow_terms.extend(t for t, _ in tp)
+        slow_doc.append(np.full(len(tp), row, dtype=np.int64))
+        slow_pos.append(np.fromiter((p for _, p in tp), dtype=np.int32, count=len(tp)))
+    if slow_rows.size:
+        term_parts.append(pa.array(slow_terms, type=pa.string()))
+        doc_parts.append(np.concatenate(slow_doc) if slow_doc else np.empty(0, np.int64))
+        pos_parts.append(np.concatenate(slow_pos) if slow_pos else np.empty(0, np.int32))
+
+    flat = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                             for p in term_parts])
+    doc_idx = np.concatenate(doc_parts)
+    positions = np.concatenate(pos_parts).astype(np.int32)
+    order = np.argsort(doc_idx, kind="stable")
+    if not (np.diff(order) >= 0).all():
+        flat = flat.take(pa.array(order))
+        doc_idx = doc_idx[order]
+        positions = positions[order]
+    return flat, doc_idx, positions
 
 
-def _tokenize_simple(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """Whitespace-split fast path (rows already verified simple)."""
+def _tokenize_ascii(texts: pa.Array, wc: str) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """UAX#29-approx tokenization of ASCII rows as pure RE2 kernels.
+
+    Joiners (``.``/``'`` between word chars, ``,`` between digits) are
+    protected with placeholder bytes before the separator sweep; two passes
+    handle chains (``a.b.c``, ``1,000,000``) because RE2's GlobalReplace
+    consumes the shared boundary character of adjacent pairs."""
+    t = texts
+    for _ in range(2):
+        t = pc.replace_substring_regex(t, "([%s])\\.([%s])" % (wc, wc), "\\1%s\\2" % _P_DOT)
+        t = pc.replace_substring_regex(t, "([%s])'([%s])" % (wc, wc), "\\1%s\\2" % _P_APOS)
+        t = pc.replace_substring_regex(t, "([0-9]),([0-9])", "\\1%s\\2" % _P_COMMA)
+    t = pc.replace_substring_regex(t, "[^%s%s%s%s]+" % (wc, _P_DOT, _P_APOS, _P_COMMA), " ")
+    t = pc.replace_substring(t, _P_DOT, ".")
+    t = pc.replace_substring(t, _P_APOS, "'")
+    t = pc.replace_substring(t, _P_COMMA, ",")
+    return _split_ws(t)
+
+
+def _stop_filter(
+    flat: pa.Array, doc_idx: np.ndarray, positions: np.ndarray, stop_words
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Vectorized StopFilter: drop stop tokens, keep position gaps."""
+    if not stop_words:
+        return flat, doc_idx, positions
+    sw = pa.array(sorted(stop_words), type=pa.string())
+    keep = pc.invert(pc.is_in(flat, value_set=sw))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if keep_np.all():
+        return flat, doc_idx, positions
+    return pc.filter(flat, keep), doc_idx[keep_np], positions[keep_np]
+
+
+def _split_ws(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Whitespace-split rows already reduced to space-separated tokens."""
     lists = pc.split_pattern(texts, " ")
     # drop empty strings from repeated/leading/trailing spaces
     flat = pc.list_flatten(lists)
@@ -105,9 +163,14 @@ def _tokenize_simple(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]
         flat = pc.filter(flat, keep)
         doc_idx = doc_idx[keep_np]
         # re-number positions densely per doc (empty tokens are not tokens)
-        order_in_doc = _dense_positions(doc_idx)
-        positions = order_in_doc
+        positions = _dense_positions(doc_idx)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
     return flat, doc_idx, positions
+
+
+# back-compat alias (round-1 name)
+_tokenize_simple = _split_ws
 
 
 def _dense_positions(doc_idx: np.ndarray) -> np.ndarray:
