@@ -52,6 +52,19 @@ def tokenize_column(
     if n == 0:
         return pa.array([], type=pa.string()), np.empty(0, np.int64), np.empty(0, np.int32)
 
+    # trivial shortcut: rows of lowercase word chars + spaces tokenize as a
+    # plain whitespace split — no lowering, no joiner chain (the common
+    # case for pre-cleaned corpora; keeps the clean-text build rate)
+    trivial = pc.fill_null(pc.match_substring_regex(texts, r"^[a-z0-9_ ]*$"), False)
+    trivial = pc.and_(
+        trivial,
+        pc.invert(pc.fill_null(pc.match_substring_regex(
+            texts, "[a-z0-9_]{%d}" % (analyzer.max_token_length + 1)), False)),
+    )
+    if bool(pc.all(trivial).as_py()):
+        flat, doc_idx, positions = _split_ws(texts)
+        return _stop_filter(flat, doc_idx, positions, analyzer.stop_words)
+
     lower = analyzer.lowercase
     wc = "a-z0-9_" if lower else "A-Za-z0-9_"
     base = pc.utf8_lower(texts) if lower else texts

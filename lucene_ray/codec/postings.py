@@ -366,7 +366,6 @@ class PostingsReader:
                 np.empty(0, dtype=np.uint8),
             )
         block_idx = np.asarray(block_idx, dtype=np.int64)
-        nb = block_idx.shape[0]
         # copy the selected blocks' byte ranges out of the (possibly mmap'd)
         # blob once — everything after operates on a plain ndarray
         starts = np.where(
@@ -382,73 +381,155 @@ class PostingsReader:
         n_vals = np.minimum(
             BLOCK_SIZE, self.df - block_idx * BLOCK_SIZE
         ).astype(np.int64)
-        P = int(n_vals.sum())
-        val_block = np.repeat(np.arange(nb), n_vals)
-        pos_in_block = np.arange(P) - (np.cumsum(n_vals) - n_vals)[val_block]
+        deltas, freqs, norms = _decode_streams(buf, local_start, n_vals)
 
-        streams = []
-        s = local_start
-        for _ in range(3):
-            base = buf[s].astype(np.int64)
-            nexc = buf[s + 1].astype(np.int64)
-            payload_nbytes = (n_vals * base + 7) // 8
-            vals = np.zeros(P, dtype=np.uint32)
-            base_v = base[val_block]
-            if int(base.max()):
-                pbytes = int(payload_nbytes.sum())
-                pidx = (
-                    np.repeat(
-                        (s + 2) - (np.cumsum(payload_nbytes) - payload_nbytes),
-                        payload_nbytes,
-                    )
-                    + np.arange(pbytes)
-                )
-                bits = np.unpackbits(buf[pidx], bitorder="little")
-                pl_bit_start = (np.cumsum(payload_nbytes) - payload_nbytes)[
-                    val_block
-                ] * 8 + pos_in_block * base_v
-                # width-desc prefix trick (see encode): pass j touches only
-                # values that still have bit j (radix sort on uint8 key)
-                worder = np.argsort((33 - base_v).astype(np.uint8), kind="stable")
-                starts_s = pl_bit_start[worder]
-                whist = np.bincount(base_v, minlength=34)
-                n_above = P - np.cumsum(whist)
-                vals_s = np.zeros(P, dtype=np.uint32)
-                for j in range(int(base.max())):
-                    k = int(n_above[j])
-                    if k == 0:
-                        break
-                    vals_s[:k] |= bits[starts_s[:k] + j].astype(np.uint32) << np.uint32(j)
-                vals[worder] = vals_s
-            tot_exc = int(nexc.sum())
-            if tot_exc:
-                exc_block = np.repeat(np.arange(nb), nexc)
-                exc_rank = np.arange(tot_exc) - (np.cumsum(nexc) - nexc)[exc_block]
-                pos_base = s + 2 + payload_nbytes
-                epos = buf[pos_base[exc_block] + exc_rank].astype(np.int64)
-                hb = pos_base[exc_block] + nexc[exc_block] + 4 * exc_rank
-                high = (
-                    buf[hb].astype(np.uint32)
-                    | (buf[hb + 1].astype(np.uint32) << 8)
-                    | (buf[hb + 2].astype(np.uint32) << 16)
-                    | (buf[hb + 3].astype(np.uint32) << 24)
-                )
-                tgt = (np.cumsum(n_vals) - n_vals)[exc_block] + epos
-                vals[tgt] |= high << base[exc_block].astype(np.uint32)
-            streams.append(vals)
-            s = s + 2 + payload_nbytes + 5 * nexc
-
-        deltas, freqs, norms = streams
+        val_block = np.repeat(np.arange(block_idx.shape[0]), n_vals)
         prev_last = np.where(
             block_idx > 0, self.last_doc[block_idx - 1].astype(np.int64), -1
         )
-        docs = deltas.astype(np.int64).cumsum()
-        block_first = np.cumsum(n_vals) - n_vals
-        # subtract the running sum accumulated before each block, add prev_last
-        correction = (prev_last - (docs[block_first] - deltas[block_first]))[val_block]
-        docs = docs + correction
+        docs = _docs_from_deltas(deltas, n_vals, prev_last, val_block)
         norms = norms + np.asarray(self.min_norm[block_idx], dtype=np.uint32)[val_block]
         return docs, freqs + 1, norms.astype(np.uint8)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.decode_blocks(np.arange(self.n_blocks))
+
+
+def _decode_streams(
+    buf: np.ndarray, local_start: np.ndarray, n_vals: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the three packed streams (deltas, freqs-1, norm offsets) of a
+    run of blocks laid out contiguously in ``buf`` (one entry of
+    ``local_start``/``n_vals`` per block). Fully vectorized: one pass per
+    bit position over the width-desc prefix, one exception scatter."""
+    nb = local_start.shape[0]
+    P = int(n_vals.sum())
+    val_block = np.repeat(np.arange(nb), n_vals)
+    pos_in_block = np.arange(P) - (np.cumsum(n_vals) - n_vals)[val_block]
+
+    streams = []
+    s = local_start
+    for _ in range(3):
+        base = buf[s].astype(np.int64)
+        nexc = buf[s + 1].astype(np.int64)
+        payload_nbytes = (n_vals * base + 7) // 8
+        vals = np.zeros(P, dtype=np.uint32)
+        base_v = base[val_block]
+        if nb and int(base.max()):
+            pbytes = int(payload_nbytes.sum())
+            pidx = (
+                np.repeat(
+                    (s + 2) - (np.cumsum(payload_nbytes) - payload_nbytes),
+                    payload_nbytes,
+                )
+                + np.arange(pbytes)
+            )
+            bits = np.unpackbits(buf[pidx], bitorder="little")
+            pl_bit_start = (np.cumsum(payload_nbytes) - payload_nbytes)[
+                val_block
+            ] * 8 + pos_in_block * base_v
+            # width-desc prefix trick (see encode): pass j touches only
+            # values that still have bit j (radix sort on uint8 key)
+            worder = np.argsort((33 - base_v).astype(np.uint8), kind="stable")
+            starts_s = pl_bit_start[worder]
+            whist = np.bincount(base_v, minlength=34)
+            n_above = P - np.cumsum(whist)
+            vals_s = np.zeros(P, dtype=np.uint32)
+            for j in range(int(base.max())):
+                k = int(n_above[j])
+                if k == 0:
+                    break
+                vals_s[:k] |= bits[starts_s[:k] + j].astype(np.uint32) << np.uint32(j)
+            vals[worder] = vals_s
+        tot_exc = int(nexc.sum())
+        if tot_exc:
+            exc_block = np.repeat(np.arange(nb), nexc)
+            exc_rank = np.arange(tot_exc) - (np.cumsum(nexc) - nexc)[exc_block]
+            pos_base = s + 2 + payload_nbytes
+            epos = buf[pos_base[exc_block] + exc_rank].astype(np.int64)
+            hb = pos_base[exc_block] + nexc[exc_block] + 4 * exc_rank
+            high = (
+                buf[hb].astype(np.uint32)
+                | (buf[hb + 1].astype(np.uint32) << 8)
+                | (buf[hb + 2].astype(np.uint32) << 16)
+                | (buf[hb + 3].astype(np.uint32) << 24)
+            )
+            tgt = (np.cumsum(n_vals) - n_vals)[exc_block] + epos
+            vals[tgt] |= high << base[exc_block].astype(np.uint32)
+        streams.append(vals)
+        s = s + 2 + payload_nbytes + 5 * nexc
+    return tuple(streams)
+
+
+def _docs_from_deltas(
+    deltas: np.ndarray, n_vals: np.ndarray, prev_last: np.ndarray,
+    val_block: np.ndarray,
+) -> np.ndarray:
+    """Per-block prefix-sum of doc deltas with one global cumsum: subtract
+    the running sum accumulated before each block, add its prev_last."""
+    docs = deltas.astype(np.int64).cumsum()
+    block_first = np.cumsum(n_vals) - n_vals
+    correction = (prev_last - (docs[block_first] - deltas[block_first]))[val_block]
+    return docs + correction
+
+
+def decode_many(
+    buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY concatenated term blobs in one vectorized pass.
+
+    ``buf`` is a uint8 array containing every blob; ``offsets``/``lengths``
+    (int64, one per term) locate them. Returns
+    ``(docs int64, freqs uint32, norms uint8, term_starts int64[n+1])``
+    where postings are concatenated in term order — the bulk-merge
+    primitive (SegmentMerger.java:122-174's bulk path): segment merges
+    decode whole segments through this instead of a per-term Python loop.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = offsets.shape[0]
+    if n == 0:
+        return (
+            np.empty(0, np.int64), np.empty(0, np.uint32),
+            np.empty(0, np.uint8), np.zeros(1, np.int64),
+        )
+    buf = np.asarray(buf)
+
+    hdr = buf[offsets[:, None] + np.arange(8)].reshape(-1).view(np.uint32)
+    df = hdr[0::2].astype(np.int64)
+    nbt = hdr[1::2].astype(np.int64)
+    total_blocks = int(nbt.sum())
+    first_block = np.cumsum(nbt) - nbt
+    tob = np.repeat(np.arange(n), nbt)  # term of block
+    bit = np.arange(total_blocks) - first_block[tob]  # block index in term
+
+    skip_base = offsets + _HEADER
+    b4 = np.arange(4)
+    last_doc = buf[(skip_base[tob] + 4 * bit)[:, None] + b4].reshape(-1).view(np.int32)
+    end_off = (
+        buf[(skip_base[tob] + 4 * nbt[tob] + 4 * bit)[:, None] + b4]
+        .reshape(-1).view(np.uint32).astype(np.int64)
+    )
+    min_norm_blk = buf[skip_base[tob] + 12 * nbt[tob] + bit]
+    data_start = skip_base + 13 * nbt
+
+    # block byte ranges (end_off is relative to the term's data start)
+    prev_rel = np.concatenate(([0], end_off[:-1]))
+    start_rel = np.where(bit > 0, prev_rel, 0)
+    abs_start = data_start[tob] + start_rel
+    lens_b = data_start[tob] + end_off - abs_start
+    total = int(lens_b.sum())
+    gidx = np.repeat(abs_start - (np.cumsum(lens_b) - lens_b), lens_b) + np.arange(total)
+    data = np.ascontiguousarray(buf[gidx])
+    local_start = np.cumsum(lens_b) - lens_b
+
+    n_vals = np.minimum(BLOCK_SIZE, df[tob] - bit * BLOCK_SIZE)
+    deltas, freqs, norms = _decode_streams(data, local_start, n_vals)
+
+    val_block = np.repeat(np.arange(total_blocks), n_vals)
+    prev_last_blk = np.concatenate(([-1], last_doc[:-1].astype(np.int64)))
+    prev_last = np.where(bit > 0, prev_last_blk, -1)
+    docs = _docs_from_deltas(deltas, n_vals, prev_last, val_block)
+    norms = (norms + min_norm_blk.astype(np.uint32)[val_block]).astype(np.uint8)
+    term_starts = np.concatenate(([0], np.cumsum(df)))
+    return docs, freqs + 1, norms, term_starts

@@ -8,18 +8,23 @@ IndexMergeTool/addIndexes compacts N indexes to one
 (misc/IndexMergeTool.java, index/IndexWriter.java:3051).
 
 Ray-Data translation (SURVEY.md §7.3): posting rows are exploded to
-``(term, salt, doc_base, blob)`` and shuffled with ``groupby(term, salt)``;
-each group re-encodes its term's posting runs into one blob. **Salt-based
-skew splitting**: a hot term (stopword-grade df) would form one giant group,
-so its rows are salted by source-segment range — each salt bucket merges a
-doc-contiguous sub-run independently, and because doc IDs are globally
-ordered by (doc_base, local id), the per-salt blobs concatenate back in plain
-salt order without another re-encode. Docs within a merged segment keep
-their global IDs (no remap needed — our IDs are (doc_base + local), already
-global and disjoint; Lucene must remap because its IDs are leaf-local).
+``(term, doc_base, blob)`` source runs and range-partitioned with ONE
+``sort("term")`` exchange; each output batch bulk-decodes its whole term
+range with ``decode_many``, k-way-merges by (term, doc) in one lexsort,
+squeezes out tombstones, and re-encodes with ``encode_postings_many`` —
+zero per-term Python (SegmentMerger's bulk path). **Skew**: a hot term is
+at most one row per source segment, so task size is bounded by segment
+size; if a hot term's rows straddle a shard boundary the two shards hold
+doc-disjoint sub-runs, which ``ShardGroupReader`` re-fuses lazily at read
+time. Docs keep their global IDs (no remap needed — our IDs are
+(doc_base + local), already global and disjoint; Lucene must remap
+because its IDs are leaf-local).
 
-Output: one merged segment directory per doc-range group, same layout as
-build segments, so SegmentReader/Searcher work unchanged on merged indexes.
+Serving: the term-range shards of one merged doc space are ONE logical
+segment — ``search/segreader.py ShardGroupReader`` concatenates their
+dictionaries so compound queries see every term (per-shard evaluation
+would split a doc's score across shards). ``tiered_merge`` output uses
+the standard doc-range layout and needs no grouping.
 """
 
 from __future__ import annotations
@@ -33,7 +38,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from lucene_ray.codec.postings import PostingsReader, encode_postings
 from lucene_ray.index.build import load_manifest
 
 
@@ -63,126 +67,33 @@ def _segment_postings_table(seg_path: str) -> pa.Table:
     return pa.table({"term": terms["term"], "blob": blobs})
 
 
-def _explode_segment(row: dict, salt_of: dict, n_salts: int) -> list[dict]:
-    """One input row per source segment -> posting rows (term, salt, ...)."""
-    seg_path = row["path"]
-    terms = pq.read_table(os.path.join(seg_path, "terms.parquet"))
-    with open(os.path.join(seg_path, "postings.bin"), "rb") as f:
-        bin_data = f.read()
-    out = []
-    salt = salt_of[row["segment_id"]]
-    offs = terms["offset"].to_numpy()
-    lens = terms["length"].to_numpy()
-    for i, term in enumerate(terms["term"].to_pylist()):
-        out.append(
-            {
-                "term": term,
-                "salt": salt,
-                "doc_base": row["doc_base"],
-                "blob": bin_data[offs[i] : offs[i] + lens[i]],
-            }
-        )
-    return out
-
-
-_EMPTY_MERGED = pa.schema(
-    [
-        ("term", pa.string()),
-        ("salt", pa.int64()),
-        ("df", pa.int64()),
-        ("ttf", pa.int64()),
-        ("blob", pa.large_binary()),
-    ]
-)
-
-
-def _make_merge_group(global_base: int, tombs_ref=None):
-    """Group fn: re-encode one (term, salt) group's runs into a single blob
-    with doc ids relative to the GLOBAL base — every merged blob then shares
-    one doc_base, so shard segments never re-encode cold terms. Tombstoned
-    docs are squeezed out here (DocIDMerger semantics: merge is the
-    compaction that physically drops deletes)."""
-
-    def merge_group(group: pa.Table) -> pa.Table:
-        order = np.argsort(group["doc_base"].to_numpy())
-        blobs = group["blob"].to_pylist()
-        docs_parts, freq_parts, norm_parts = [], [], []
-        for i in order:
-            r = PostingsReader(blobs[i])
-            d, f, nm = r.decode_all()
-            docs_parts.append(d + int(group["doc_base"][int(i)].as_py()))
-            freq_parts.append(f)
-            norm_parts.append(nm)
-        docs = np.concatenate(docs_parts)
-        freqs = np.concatenate(freq_parts)
-        norms = np.concatenate(norm_parts)
-        if not (np.diff(docs) > 0).all():
-            # segments may interleave in doc space (arbitrary input
-            # partitioning) -> k-way merge by actual doc id
-            perm = np.argsort(docs, kind="stable")
-            docs, freqs, norms = docs[perm], freqs[perm], norms[perm]
-            if (np.diff(docs) == 0).any():
-                raise ValueError("duplicate doc ids across merged segments")
-        if tombs_ref is not None:
-            import ray as _ray
-
-            from lucene_ray.index.deletes import mask_live
-
-            live = mask_live(docs, _ray.get(tombs_ref))
-            docs, freqs, norms = docs[live], freqs[live], norms[live]
-            if docs.shape[0] == 0:
-                return _EMPTY_MERGED.empty_table()
-        blob = encode_postings(docs - global_base, freqs, norms)
-        return pa.table(
-            {
-                "term": [group["term"][0].as_py()],
-                "salt": [int(group["salt"][0].as_py())],
-                "df": [int(docs.shape[0])],
-                "ttf": [int(freqs.astype(np.int64).sum())],
-                "blob": pa.array([blob], type=pa.large_binary()),
-            }
-        )
-
-    return merge_group
-
-
-def _make_fuse_term(global_base: int):
-    """Group fn: concatenate one hot term's salt-bucket blobs (all already
-    at the global base) into one doc-ordered blob."""
-
-    def fuse(group: pa.Table) -> pa.Table:
-        docs_parts, freq_parts, norm_parts = [], [], []
-        for blob in group["blob"].to_pylist():
-            d, f, nm = PostingsReader(blob).decode_all()
-            docs_parts.append(d)
-            freq_parts.append(f)
-            norm_parts.append(nm)
-        docs = np.concatenate(docs_parts)
-        freqs = np.concatenate(freq_parts)
-        norms = np.concatenate(norm_parts)
-        perm = np.argsort(docs, kind="stable")
-        docs, freqs, norms = docs[perm], freqs[perm], norms[perm]
-        blob = encode_postings(docs, freqs, norms)
-        return pa.table(
-            {
-                "term": [group["term"][0].as_py()],
-                "salt": [0],
-                "df": [int(docs.shape[0])],
-                "ttf": [int(freqs.astype(np.int64).sum())],
-                "blob": pa.array([blob], type=pa.large_binary()),
-            }
-        )
-
-    return fuse
+def _blob_column_view(blobs: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(buffer, offsets, lengths) view of a binary column — zero-copy: the
+    Arrow values buffer IS the concatenation of every blob."""
+    if isinstance(blobs, pa.ChunkedArray):
+        blobs = blobs.combine_chunks()
+    odt = np.int64 if pa.types.is_large_binary(blobs.type) else np.int32
+    offs = np.frombuffer(blobs.buffers()[1], dtype=odt)
+    offs = offs[blobs.offset : blobs.offset + len(blobs) + 1].astype(np.int64)
+    buf = np.frombuffer(blobs.buffers()[2], dtype=np.uint8)
+    return buf, offs[:-1], np.diff(offs)
 
 
 class _ShardWriter:
     """map_batches callable: one term-range shard segment per input batch.
 
-    Rows arrive term-sorted with one row per term, so a batch is a clean
-    term range; the segment layout is identical to build segments except
-    meta.docs_path points at the shared merged docs table and owns_docs
-    marks exactly one shard as the doc-space owner (MatchAllDocsQuery)."""
+    Rows arrive term-sorted as (term, doc_base, blob) source runs — several
+    rows per term (one per source segment). The whole batch is decoded with
+    ONE vectorized ``decode_many`` call, k-way-merged by (term, doc) with a
+    single lexsort, tombstone-squeezed (DocIDMerger — the merge is the
+    compaction that drops deletes), and re-encoded with
+    ``encode_postings_many`` — no per-term Python anywhere (the bulk-merge
+    path of SegmentMerger.java:122-174). A hot term's rows may straddle a
+    batch boundary; the resulting shards hold doc-disjoint sub-runs of that
+    term, which the searcher handles like any other pair of segments.
+    Segment layout matches build segments except meta.docs_path points at
+    the shared merged docs table and owns_docs marks exactly one shard as
+    the doc-space owner (MatchAllDocsQuery)."""
 
     def __init__(
         self,
@@ -195,6 +106,7 @@ class _ShardWriter:
         fingerprint: str,
         merge_fan_in: int,
         positions_path: str | None = None,
+        tombs_ref=None,
     ) -> None:
         self.out_dir = out_dir
         self.global_base = global_base
@@ -205,43 +117,84 @@ class _ShardWriter:
         self.fingerprint = fingerprint
         self.merge_fan_in = merge_fan_in
         self.positions_path = positions_path
+        self.tombs_ref = tombs_ref
 
     def __call__(self, b: pa.Table) -> pa.Table:
         import hashlib
 
         import pyarrow.compute as pc
 
+        from lucene_ray.codec.postings import decode_many, encode_postings_many
+
+        empty = pa.table({"segment_id": pa.array([], pa.string()),
+                          "path": pa.array([], pa.string()),
+                          "min_term": pa.array([], pa.string()),
+                          "n_terms": pa.array([], pa.int64()),
+                          "postings_bytes": pa.array([], pa.int64())})
         if b.num_rows == 0:
-            return pa.table({"segment_id": pa.array([], pa.string()),
-                             "path": pa.array([], pa.string()),
-                             "min_term": pa.array([], pa.string()),
-                             "n_terms": pa.array([], pa.int64()),
-                             "postings_bytes": pa.array([], pa.int64())})
+            return empty
         idx = pc.sort_indices(b["term"])
         b = b.take(idx)
-        terms = b["term"]
-        first = terms[0].as_py()
-        last = terms[-1].as_py()
+
+        # ---- bulk decode + k-way merge (all vectorized) ----
+        buf, offs, lens = _blob_column_view(b["blob"])
+        docs, freqs, norms, row_starts = decode_many(buf, offs, lens)
+        df_row = np.diff(row_starts)
+        docs = docs + np.repeat(
+            b["doc_base"].to_numpy().astype(np.int64), df_row
+        )
+        t_np = np.asarray(b["term"].to_pylist(), dtype=object)
+        vocab, codes_row = np.unique(t_np, return_inverse=True)
+        codes = np.repeat(codes_row, df_row)
+        order = np.lexsort((docs, codes))
+        codes, docs, freqs, norms = (
+            codes[order], docs[order], freqs[order], norms[order],
+        )
+        same = np.diff(docs) == 0
+        if same.any() and (same & (np.diff(codes) == 0)).any():
+            raise ValueError("duplicate doc ids across merged segments")
+        if self.tombs_ref is not None:
+            import ray as _ray
+
+            from lucene_ray.index.deletes import mask_live
+
+            live = mask_live(docs, _ray.get(self.tombs_ref))
+            codes, docs, freqs, norms = (
+                codes[live], docs[live], freqs[live], norms[live],
+            )
+            if docs.shape[0] == 0:
+                return empty
+            # terms that lost every posting drop from the dictionary
+            keep_codes, codes = np.unique(codes, return_inverse=True)
+            vocab = vocab[keep_codes]
+        term_starts = np.searchsorted(codes, np.arange(len(vocab) + 1))
+        out_buf, offsets, lengths = encode_postings_many(
+            (docs - self.global_base).astype(np.int64),
+            freqs.astype(np.uint32), norms.astype(np.uint8), term_starts,
+        )
+        df = np.diff(term_starts)
+        ttf = np.add.reduceat(freqs.astype(np.int64), term_starts[:-1])
+
+        first, last = str(vocab[0]), str(vocab[-1])
+        # id must distinguish two shards of the SAME term range (a hot
+        # term's doc-disjoint sub-runs): fold the doc span + volume in
         seg_id = "mseg-" + hashlib.sha1(
-            f"{first}:{last}:{b.num_rows}".encode()
+            f"{first}:{last}:{len(vocab)}:{int(docs[0])}:{int(docs[-1])}"
+            f":{docs.shape[0]}".encode()
         ).hexdigest()[:12]
         parent = os.path.join(self.out_dir, "segments")
         os.makedirs(parent, exist_ok=True)
         tmp = os.path.join(parent, f".tmp-{seg_id}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp, exist_ok=True)
 
-        blobs = b["blob"]
-        lengths = pc.binary_length(blobs).to_numpy().astype(np.int64)
-        offsets = np.cumsum(lengths) - lengths
         with open(os.path.join(tmp, "postings.bin"), "wb") as f:
-            for blob in blobs.to_pylist():
-                f.write(blob)
+            out_buf.tofile(f)
         pq.write_table(
             pa.table(
                 {
-                    "term": terms,
-                    "df": b["df"].to_numpy().astype(np.int64),
-                    "ttf": b["ttf"].to_numpy().astype(np.int64),
+                    "term": pa.array(vocab, type=pa.string()),
+                    "df": df,
+                    "ttf": ttf,
                     "offset": offsets,
                     "length": lengths,
                 }
@@ -255,7 +208,7 @@ class _ShardWriter:
             "max_doc_id": self.max_doc,
             "doc_count": self.doc_count,
             "sum_total_term_freq": self.sum_ttf,
-            "n_terms": int(b.num_rows),
+            "n_terms": int(len(vocab)),
             "postings_bytes": int(lengths.sum()),
             "fingerprint": self.fingerprint,
             "build_secs": 0.0,
@@ -279,7 +232,7 @@ class _ShardWriter:
                 "segment_id": [seg_id],
                 "path": [final],
                 "min_term": [first],
-                "n_terms": [int(b.num_rows)],
+                "n_terms": [int(len(vocab))],
                 "postings_bytes": [int(lengths.sum())],
             }
         )
@@ -293,18 +246,26 @@ def force_merge(
     terms_per_shard: int = 1 << 20,
 ) -> dict:
     """Merge ALL segments of ``index_dir`` into term-range-sharded merged
-    segments under ``out_dir`` via a (term, salt) shuffle; every stage is
-    distributed — the driver only assembles the (tiny) manifest.
+    segments under ``out_dir`` with ONE all-to-all exchange: source posting
+    runs explode to (term, doc_base, blob) rows, a single ``sort("term")``
+    range-partitions the vocabulary, and each output batch bulk-decodes,
+    k-way-merges and re-encodes its whole term range vectorized
+    (``decode_many`` + ``encode_postings_many`` — the SegmentMerger bulk
+    path, SegmentMerger.java:122-174). No per-term Python, no mid-pipeline
+    materialization (both round-1 findings).
 
-    ``hot_term_df``: terms whose global df exceeds this split into
-    ``salt_buckets`` doc-range buckets before the shuffle (skew handling),
-    then fuse in a second (small) per-term group stage; cold terms merge in
-    one group and are final immediately. ``terms_per_shard`` bounds the
-    vocab slice each output shard holds.
+    Skew: a hot term contributes at most one row per source segment, so row
+    granularity bounds task size by segment size; a term whose rows
+    straddle a shard boundary yields doc-disjoint sub-runs in two shards,
+    which the searcher treats like any pair of segments.
+    ``hot_term_df``/``salt_buckets`` are kept for API compatibility
+    (unused — the old (term, salt) groupby is gone). ``terms_per_shard``
+    bounds the rows per output shard.
 
     Scale note: all shards share one merged docs table (norms); bucketing
     the docs table by doc range is the follow-up for 10^12-doc indexes.
     """
+    del hot_term_df, salt_buckets  # no shuffle keys anymore
     m = load_manifest(index_dir)
     segs = sorted(m["segments"], key=lambda s: s["doc_base"])
     global_base = int(min(s["doc_base"] for s in segs))
@@ -313,46 +274,23 @@ def force_merge(
     sum_ttf = sum(s["sum_total_term_freq"] for s in segs)
     fingerprint = "merged:" + ",".join(s["fingerprint"] for s in segs)
 
-    # global df (already aggregated at build) -> hot set
-    gt = pq.read_table(os.path.join(index_dir, "global_terms"))
-    hot = set(
-        t for t, df in zip(gt["term"].to_pylist(), gt["df"].to_numpy())
-        if df > hot_term_df
-    )
-
     from lucene_ray.index.deletes import load_tombstones
 
     tombs = load_tombstones(index_dir)
     tombs_ref = ray.put(tombs) if tombs.shape[0] else None
 
-    n_salts = max(1, min(salt_buckets, len(segs)))
-    # salt = source segment's rank bucket: doc-contiguous by construction
-    salt_of_hot = {
-        s["segment_id"]: (i * n_salts) // len(segs) for i, s in enumerate(segs)
-    }
-
     rows = ray.data.from_items(
         [{k: s[k] for k in ("segment_id", "path", "doc_base")} for s in segs]
     )
 
-    hot_arr = pa.array(sorted(hot), type=pa.string())
-
     def explode(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         parts = []
         for row in batch.to_pylist():
             t = _segment_postings_table(row["path"])
-            salt = np.where(
-                pc.is_in(t["term"], value_set=hot_arr).to_numpy(zero_copy_only=False),
-                salt_of_hot[row["segment_id"]],
-                0,
-            ).astype(np.int64)
             parts.append(
                 pa.table(
                     {
                         "term": t["term"],
-                        "salt": pa.array(salt),
                         "doc_base": pa.array(
                             np.full(t.num_rows, row["doc_base"], dtype=np.int64)
                         ),
@@ -362,32 +300,7 @@ def force_merge(
             )
         return pa.concat_tables(parts)
 
-    merged = (
-        rows.map_batches(explode, batch_size=1, batch_format="pyarrow")
-        .groupby(["term", "salt"])
-        .map_groups(_make_merge_group(global_base, tombs_ref), batch_format="pyarrow")
-        .materialize()  # vocab-sized rows, read by both branches below
-    )
-
-    import pyarrow.compute as pc
-
-    hot_list = sorted(hot)
-
-    def cold_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(pc.is_in(b["term"], value_set=pa.array(hot_list))))
-
-    def hot_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["term"], value_set=pa.array(hot_list)))
-
-    cold = merged.map_batches(cold_rows, batch_format="pyarrow")
-    final_rows = cold
-    if hot_list:
-        fused_hot = (
-            merged.map_batches(hot_rows, batch_format="pyarrow")
-            .groupby("term")
-            .map_groups(_make_fuse_term(global_base), batch_format="pyarrow")
-        )
-        final_rows = cold.union(fused_hot)
+    final_rows = rows.map_batches(explode, batch_size=1, batch_format="pyarrow")
 
     # shared merged docs table (doc_id-sorted for binary search), minus
     # tombstoned docs — the merge is the compaction that drops deletes
@@ -451,6 +364,7 @@ def force_merge(
     writer = _ShardWriter(
         out_dir, global_base, max_doc, doc_count, sum_ttf,
         docs_dir, fingerprint, len(segs), positions_path=pos_dir,
+        tombs_ref=tombs_ref,
     )
     shard_rows = (
         final_rows.sort("term")
@@ -517,9 +431,8 @@ def tiered_merge(
     standard build layout, so serving fan-out is unchanged; this is the
     merge that keeps per-actor segment counts bounded as incremental
     add_documents accumulates segments."""
-    from lucene_ray.codec.postings import encode_postings_many
+    from lucene_ray.codec.postings import decode_many, encode_postings_many
     from lucene_ray.index.deletes import load_tombstones, mask_live
-    from lucene_ray.search.segreader import SegmentReader
 
     m = load_manifest(index_dir)
     segs = sorted(m["segments"], key=lambda s: s["doc_base"])
@@ -544,16 +457,30 @@ def tiered_merge(
             paths, base, maxd, fp = (
                 item["paths"], item["base"], item["maxd"], item["fp"],
             )
+            # bulk decode: the whole source segment in ONE decode_many call
+            # (the round-1 per-term decode loop was the dominant merge cost)
             term_parts, doc_parts, freq_parts, norm_parts = [], [], [], []
             for p in paths:
-                r = SegmentReader(p)
-                dfs = r.df.astype(np.int64)
-                for ti in range(len(r.terms)):
-                    d, f, nm = r.postings_reader(ti).decode_all()
-                    doc_parts.append(d + r.doc_base)
-                    freq_parts.append(f)
-                    norm_parts.append(nm)
-                term_parts.append(np.repeat(r.terms, dfs))
+                tt = pq.read_table(os.path.join(p, "terms.parquet"))
+                with open(os.path.join(p, "meta.json")) as f:
+                    seg_base = int(json.load(f)["doc_base"])
+                seg_buf = np.fromfile(
+                    os.path.join(p, "postings.bin"), dtype=np.uint8
+                )
+                d, fq, nm, st = decode_many(
+                    seg_buf,
+                    tt["offset"].to_numpy().astype(np.int64),
+                    tt["length"].to_numpy().astype(np.int64),
+                )
+                doc_parts.append(d + seg_base)
+                freq_parts.append(fq)
+                norm_parts.append(nm)
+                term_parts.append(
+                    np.repeat(
+                        np.asarray(tt["term"].to_pylist(), dtype=object),
+                        np.diff(st),
+                    )
+                )
             term_of = np.concatenate(term_parts)
             docs = np.concatenate(doc_parts)
             freqs = np.concatenate(freq_parts).astype(np.uint32)

@@ -31,9 +31,16 @@ from lucene_ray.search.segreader import SegmentReader
 class QueryExecutor:
     """Owns N segments; state (mmap handles, term dicts) built once."""
 
-    def __init__(self, segment_paths: list[str], doc_count: int, sum_ttf: int,
+    def __init__(self, segment_paths: list, doc_count: int, sum_ttf: int,
                  mode: str, tombstones=None, field_ttf: dict | None = None):
-        self.readers = [SegmentReader(p) for p in segment_paths]
+        # each entry is one LOGICAL segment: a path (doc-range segment) or
+        # a path group (term-range shards served by one ShardGroupReader)
+        from lucene_ray.search.segreader import open_reader
+
+        self.readers = [
+            SegmentReader(p) if isinstance(p, str) else open_reader(list(p))
+            for p in segment_paths
+        ]
         self.doc_count = doc_count
         self.sum_ttf = sum_ttf
         self.field_ttf = field_ttf or {}
@@ -138,7 +145,11 @@ class DistributedSearcher:
 
         tombstones = load_tombstones(index_dir)
         self.field_ttf = {f: i["sum_ttf"] for f, i in m.get("fields", {}).items()}
-        paths = [s["path"] for s in m["segments"]]
+        from lucene_ray.search.segreader import group_segment_paths
+
+        # fan out LOGICAL segments (a term-shard group must stay together —
+        # compound queries need the whole dictionary in one reader)
+        paths = group_segment_paths(m["segments"])
         n = min(num_executors, max(1, len(paths)))
         shards = [paths[i::n] for i in range(n)]
         self.pools = [

@@ -64,7 +64,9 @@ class Searcher:
             stop_words=frozenset(m["analyzer"]["stop_words"]),
             max_token_length=m["analyzer"]["max_token_length"],
         )
-        self.readers = [SegmentReader(s["path"]) for s in m["segments"]]
+        from lucene_ray.search.segreader import group_segment_paths, open_reader
+
+        self.readers = [open_reader(g) for g in group_segment_paths(m["segments"])]
         self.field_ttf = {
             f: info["sum_ttf"] for f, info in m.get("fields", {}).items()
         }

@@ -161,3 +161,104 @@ class SegmentReader:
             )
         dset = pads.dataset(path, format="parquet")
         return dset.to_table(filter=pads.field("term").isin(terms))
+
+
+class ShardGroupReader(SegmentReader):
+    """ONE logical segment over the term-range shards of a merged index.
+
+    Term-sharded merged segments (index/merge.py force_merge) split the
+    dictionary, not the doc space — every shard covers the same docs. A
+    compound query (AND/OR/phrase) evaluated per shard would see only the
+    terms that landed in that shard and split a doc's score across
+    'segments', so the Searcher must treat the WHOLE shard group as one
+    segment: this reader concatenates the shards' (sorted, disjoint-range)
+    dictionaries into one virtual dictionary and routes posting reads to
+    the owning shard. A term whose sub-runs straddle a shard boundary
+    (adjacent duplicate dictionary entries) is k-way-merged lazily and the
+    re-encoded blob cached — straddles are bounded by the shard count, so
+    the Python cost is O(n_shards), not O(vocab)."""
+
+    def __init__(self, paths: list[str]) -> None:  # noqa: super-init-not-called
+        subs = [SegmentReader(p) for p in paths]
+        subs.sort(key=lambda r: str(r.terms[0]) if len(r.terms) else "")
+        self.shards = subs
+        s0 = subs[0]
+        self.path = s0.path
+        self.meta = dict(s0.meta)
+        self.meta["owns_docs"] = any(s.meta.get("owns_docs") for s in subs)
+        self.doc_base = s0.doc_base
+        self.doc_count = s0.doc_count
+        self.terms = np.concatenate([s.terms for s in subs])
+        self.df = np.concatenate([s.df for s in subs])
+        self.ttf = np.concatenate([s.ttf for s in subs])
+        counts = np.array([len(s.terms) for s in subs], dtype=np.int64)
+        self._starts = np.concatenate(([0], np.cumsum(counts)))
+        self._shard_of = np.repeat(np.arange(len(subs)), counts)
+        self._norms = None
+        self._doc_ids = None
+        self._field_cols = {}
+        self._merged_blobs: dict[int, "PostingsReader"] = {}
+
+    # postings route to the owning shard; straddled terms merge lazily
+    def postings_reader(self, term_idx: int) -> PostingsReader:
+        t = self.terms[term_idx]
+        lo = term_idx
+        while lo > 0 and self.terms[lo - 1] == t:
+            lo -= 1
+        hi = lo
+        while hi + 1 < len(self.terms) and self.terms[hi + 1] == t:
+            hi += 1
+        if lo == hi:
+            s = int(self._shard_of[term_idx])
+            return self.shards[s].postings_reader(term_idx - int(self._starts[s]))
+        cached = self._merged_blobs.get(lo)
+        if cached is not None:
+            return cached
+        from lucene_ray.codec.postings import encode_postings
+
+        parts = []
+        for i in range(lo, hi + 1):
+            s = int(self._shard_of[i])
+            parts.append(self.shards[s].postings_reader(i - int(self._starts[s])).decode_all())
+        docs = np.concatenate([p[0] for p in parts])
+        freqs = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        order = np.argsort(docs, kind="stable")
+        blob = np.frombuffer(
+            encode_postings(docs[order], freqs[order], norms[order]), dtype=np.uint8
+        )
+        r = PostingsReader(blob)
+        self._merged_blobs[lo] = r
+        return r
+
+    # doc-side columns are shared across the group (one docs table)
+    def _docs_file(self) -> str:
+        return self.shards[0]._docs_file()
+
+    def positions_table(self, terms: list[str]):
+        return self.shards[0].positions_table(terms)
+
+
+def group_segment_paths(segments: list[dict]) -> list[list[str]]:
+    """Group manifest segment entries into logical-segment path groups.
+
+    Term-range shards of one merged doc space share ``docs_path`` and MUST
+    be served by one reader (ShardGroupReader); ordinary doc-range segments
+    (no docs_path) stand alone. Returns one path list per logical segment,
+    in manifest order."""
+    groups: dict[str, list[str]] = {}
+    order: list[str] = []
+    for s in segments:
+        key = s.get("docs_path") or s["path"]
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(s["path"])
+    return [groups[k] for k in order]
+
+
+def open_reader(paths: list[str]) -> SegmentReader:
+    """One logical-segment reader for a path group."""
+    if len(paths) == 1:
+        return SegmentReader(paths[0])
+    return ShardGroupReader(paths)

@@ -283,3 +283,44 @@ def test_tiered_merge_rank_identical(sf_dir, tmp_path):
         assert ta.total_hits == tb.total_hits
     q = BooleanQuery(should=(TermQuery("spark"), TermQuery("window")))
     assert a.search(q, k=10).doc_ids.tolist() == b.search(q, k=10).doc_ids.tolist()
+
+
+def test_sharded_merge_cross_shard_compound_queries(sf_dir, tmp_path):
+    """Query terms living in DIFFERENT term shards must still evaluate
+    correctly for compound queries — the shard group is one logical
+    segment (ShardGroupReader), not N independent ones. terms_per_shard=2
+    also forces hot terms' source rows to straddle shard boundaries,
+    exercising the lazy sub-run re-fuse."""
+    from lucene_ray.search.query import PhraseQuery
+
+    idx = str(tmp_path / "idx")
+    midx = str(tmp_path / "xshard")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=5,
+                with_positions=True)
+    mm = force_merge(idx, midx, terms_per_shard=2)
+    assert len(mm["segments"]) >= 8  # heavily sharded
+    a, b = Searcher(idx), Searcher(midx)
+    queries = [
+        BooleanQuery(should=(TermQuery("spark"), TermQuery("window"))),
+        BooleanQuery(must=(TermQuery("key"), TermQuery("table"))),
+        BooleanQuery(should=(TermQuery("spark"), TermQuery("window"),
+                             TermQuery("customer")), minimum_should_match=2),
+        BooleanQuery(must=(TermQuery("table"),), must_not=(TermQuery("key"),)),
+        PhraseQuery(("key", "value")),
+    ]
+    for q in queries:
+        da, sa = a.search_all(q)
+        db, sb = b.search_all(q)
+        oa, ob = np.argsort(da), np.argsort(db)
+        assert da[oa].tolist() == db[ob].tolist()
+        assert np.allclose(sa[oa], sb[ob])
+        ta, tb = a.search(q, k=10), b.search(q, k=10)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        # totals: EQ must be exact; GTE is a valid lower bound (pruning
+        # depends on segment layout, so relations may differ)
+        exact = da.shape[0]
+        for td in (ta, tb):
+            if td.relation == "EQ":
+                assert td.total_hits == exact
+            else:
+                assert td.total_hits <= exact
