@@ -691,13 +691,76 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
             docs, scores = docs[keep], scores[keep]
         return docs, scores, exact
 
-    sub_ctx = _unpruned(ctx)  # inner clauses must be hit-complete
+    sub_ctx = _unpruned(ctx)  # inner general clauses must be hit-complete
     exact = True
+
+    # ---- conjunction: leapfrog term clauses off the rarest term ----
+    # (BlockMaxConjunction(Bulk)Scorer semantics,
+    # search/BlockMaxConjunctionScorer.java / ConjunctionDISI.java:37,166):
+    # the rarest term drives; every other term clause is probed ONLY at the
+    # driver's candidate docs via the skip table (scores_at decodes just
+    # the blocks that can contain a candidate). With an active top-k
+    # threshold and no SHOULD clauses, driver blocks whose block-max bound
+    # plus the other scored terms' global max scores cannot reach the
+    # threshold are never decoded (result then top-k-complete, exact=False).
+    term_must = [m for m in q.must if isinstance(m, Q.TermQuery)]
+    term_filter = [f for f in q.filter if isinstance(f, Q.TermQuery)]
+    gen_must = [m for m in q.must if not isinstance(m, Q.TermQuery)]
+    gen_filter = [f for f in q.filter if not isinstance(f, Q.TermQuery)]
 
     docs = None
     scores = None
-    # MUST: intersect, scores summed
-    for m in q.must:
+    if term_must or term_filter:
+        entries = []  # (term, scorer|None, idx)
+        for t in term_must:
+            idx = reader.term_index(t.term)
+            scorer = ctx.scorer(t.term, t.boost * 1.0)
+            if idx < 0 or scorer is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64), True
+            entries.append((t.term, scorer, idx))
+        for t in term_filter:
+            idx = reader.term_index(t.term)
+            if idx < 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64), True
+            entries.append((t.term, None, idx))
+        # driver = globally rarest clause (fewest postings to decode)
+        dfs = [ctx.term_stats.get(t, (0, 0))[0] for t, _s, _i in entries]
+        drv = int(np.argmin(dfs))
+        d_term, d_scorer, d_idx = entries[drv]
+        others = entries[:drv] + entries[drv + 1 :]
+
+        thr = ctx.threshold
+        block_thr = -np.inf
+        if (
+            d_scorer is not None and np.isfinite(thr) and thr > 0
+            and not q.should and not gen_must and not gen_filter
+            and q.boost > 0
+        ):
+            # sum of the other scored clauses' global max scores
+            others_max = 0.0
+            for _t, sc, idx in others:
+                if sc is not None:
+                    r = reader.postings_reader(idx)
+                    ub = sc.max_score(r.max_freq, r.min_norm)
+                    others_max += float(ub.max()) if ub.size else 0.0
+            # threshold applies to final (q.boost-scaled) scores
+            block_thr = thr / q.boost - others_max
+        if d_scorer is not None:
+            d_docs, d_scores, pruned = decode_term(reader, d_idx, d_scorer, block_thr)
+            exact &= not pruned
+            docs = d_docs
+            scores = d_scores.astype(np.float64)
+        else:
+            docs = docs_only(reader, d_idx)
+            scores = np.zeros(docs.shape[0], dtype=np.float64)
+        for _t, sc, idx in others:
+            if docs.shape[0] == 0:
+                return docs, np.empty(0, np.float64), exact
+            mask, s = scores_at(reader, idx, sc, docs)
+            docs, scores = docs[mask], scores[mask] + s[mask]
+
+    # general MUST clauses: intersect, scores summed
+    for m in gen_must:
         d, s, _ = eval_query(reader, m, sub_ctx)
         if docs is None:
             docs, scores = d, s.astype(np.float64)
@@ -705,10 +768,10 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
             docs, ia, ib = np.intersect1d(docs, d, assume_unique=True, return_indices=True)
             scores = scores[ia] + s[ib]
         if docs.shape[0] == 0:
-            return docs, np.empty(0, np.float64), True
+            return docs, np.empty(0, np.float64), exact
 
-    # FILTER: intersect, no score contribution
-    for fq in q.filter:
+    # general FILTER clauses: intersect, no score contribution
+    for fq in gen_filter:
         d, _s, _ = eval_query(reader, fq, sub_ctx)
         if docs is None:
             docs = d
@@ -717,7 +780,7 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
             docs, ia, _ib = np.intersect1d(docs, d, assume_unique=True, return_indices=True)
             scores = scores[ia]
         if docs.shape[0] == 0:
-            return docs, np.empty(0, np.float64), True
+            return docs, np.empty(0, np.float64), exact
 
     # SHOULD
     if q.should:

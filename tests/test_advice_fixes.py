@@ -86,3 +86,45 @@ def test_pure_should_boost_applies_in_general_path(built_index):
     boosted = s.search(Q.BooleanQuery(should=(phrase,), boost=2.0), k=10, prune=False)
     assert base.doc_ids.tolist() == boosted.doc_ids.tolist()
     assert np.allclose(boosted.scores, base.scores * 2.0)
+
+
+def test_conjunction_leapfrog_block_skip(built_index, monkeypatch):
+    """AND path must decode only the blocks the rarest term can intersect
+    (BlockMaxConjunctionScorer semantics) — not every block of every
+    clause — while staying hit-identical to the unpruned evaluation."""
+    import lucene_ray.codec.postings as cp
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+
+    # hit-completeness first (prune=False path identical)
+    q = Q.BooleanQuery(must=(Q.TermQuery("key"), Q.TermQuery("table")))
+    da, sa = s.search_all(q)
+    td = s.search(q, k=10)
+    order = np.lexsort((da, -sa))[:10]
+    assert td.doc_ids.tolist() == da[order].tolist()
+    assert np.allclose(td.scores, sa[order])
+
+    # count decoded blocks on AND(rare synthetic term pair)
+    counts = {"n": 0}
+    orig = cp.PostingsReader.decode_blocks
+
+    def counting(self, block_idx):
+        counts["n"] += int(np.asarray(block_idx).shape[0])
+        return orig(self, block_idx)
+
+    monkeypatch.setattr(cp.PostingsReader, "decode_blocks", counting)
+    stats = s.term_stats({"key", "table"})
+    rare = min(("key", "table"), key=lambda t: stats[t][0])
+    # rare term's total block count across segments
+    rare_blocks = 0
+    for r in s.readers:
+        i = r.term_index(rare)
+        if i >= 0:
+            rare_blocks += r.postings_reader(i).n_blocks
+    counts["n"] = 0
+    s.search_all(q)
+    # driver decodes all its blocks; the other term decodes at most the
+    # blocks containing driver candidates (<= driver blocks + segments)
+    assert counts["n"] <= 2 * rare_blocks + 2 * len(s.readers)
