@@ -56,7 +56,25 @@ def _index_dir(sf_dir: str) -> str:
             with_title_column, batch_format="pyarrow"
         )
         build_index(ds, idx, num_segments=4, with_positions=True,
-                    extra_fields={"title": "title"})
+                    extra_fields={"title": "title"}, stored_source=docs)
+    return idx
+
+
+def _stem_index_dir(sf_dir: str) -> str:
+    """EnglishStemAnalyzer index (stop words + Porter stem + ASCII fold)."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:stem1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.analysis.analyzers import EnglishStemAnalyzer
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, analyzer=EnglishStemAnalyzer, num_segments=4,
+                    stored_source=docs)
     return idx
 
 
@@ -317,6 +335,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["combined_field_query"] = _combined_field
+
+    def _stored_fetch(sf):
+        """Top-5 hits for a term query with their stored fields fetched
+        back from the source Parquet (storedFields().document(docid))."""
+        s = _searcher(sf)
+        docs, scores = s.search_all(Q.TermQuery("window"))
+        r = _round4(scores)
+        order = np.lexsort((docs, -r))[:5]
+        top = docs[order]
+        t = s.fetch_docs(top.tolist(), columns=["doc_id", "lang", "n_chars", "text"])
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "rank": np.arange(1, top.shape[0] + 1, dtype=np.int64),
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "text_prefix": pc.utf8_slice_codeunits(
+                    t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+                    0, 40,
+                ),
+            }
+        )
+
+    q["stored_fields_fetch"] = _stored_fetch
+
+    def _english_analyzer(sf):
+        """BM25 over an EnglishStemAnalyzer index: the query term stems to
+        meet the index's stemmed dictionary ('value' -> 'valu')."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_stem_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(Q.TermQuery(s.analyzer.normalize("value")))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
+
+    q["english_analyzer_query"] = _english_analyzer
 
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
@@ -728,6 +784,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["knn_ivf_cosine"] = _ivf
+
+    def _ivf_full(sf):
+        """IVF with nprobe = n_centroids probes every bucket, so the result
+        must EQUAL brute-force cosine top-k — the oracle-checkable proof
+        that the IVF machinery (centroid assign, bucket shuffle, probe,
+        merge) is correct; recall at nprobe < n_centroids is pytest-checked."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from lucene_ray.pipelines.ann import knn_ivf_cosine
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 3)
+        Qm = np.stack(head["embedding"].to_pylist())
+        n = pq.ParquetFile(emb_path).metadata.num_rows
+        nc = 8
+        t = knn_ivf_cosine(
+            ray.data.read_parquet(emb_path), Qm, k=n, n_centroids=nc, nprobe=nc
+        )
+        qid = t["query_id"].to_numpy()
+        nid = t["neighbor_id"].to_numpy()
+        cos = _round4(t["cosine"].to_numpy())
+        vec_ids = head["vec_id"].to_numpy()
+        out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+        for j in range(3):
+            sel = qid == j
+            order = np.lexsort((nid[sel], -cos[sel]))[:10]
+            out["query_id"].append(np.full(10, vec_ids[j], dtype=np.int64))
+            out["rank"].append(np.arange(1, 11, dtype=np.int64))
+            out["neighbor_id"].append(nid[sel][order])
+            out["cosine"].append(cos[sel][order])
+        return pa.table({k: np.concatenate(v) for k, v in out.items()})
+
+    q["knn_ivf_full_probe"] = _ivf_full
 
     def _merged(sf):
         import shutil
@@ -1182,6 +1272,109 @@ ORDER BY i.a, i.b"""
            FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
     )
     o["force_merge_term_query"] = o["term_query"]
+    o["knn_ivf_full_probe"] = o["knn_cosine_topk"]
+    o["stored_fields_fetch"] = (
+        _PRELUDE + _term_cte("t", "window")
+        + """
+, top5 AS (
+    SELECT doc_id, row_number() OVER (ORDER BY ROUND(score,4) DESC, doc_id) AS rank
+    FROM sc_t ORDER BY ROUND(score,4) DESC, doc_id LIMIT 5)
+SELECT t5.rank, d.doc_id, d.lang, d.n_chars, substr(d.text, 1, 40) AS text_prefix
+FROM top5 t5 JOIN documents d ON t5.doc_id = d.doc_id ORDER BY t5.rank"""
+    )
+
+    # bpe-ish token count: the engine's GPT-2-style pre-tokenizer regex
+    # (textstats.py) uses a lookahead only to split trailing whitespace;
+    # on the single-spaced corpus this RE2-safe variant counts identically
+    o["bpe_token_count"] = (
+        _pages_prelude()
+        + r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))::BIGINT
+         AS bpe_tokens
+FROM pages ORDER BY doc_id"""
+    )
+
+    # language ID: the engine's trigram-profile heuristic re-expressed in
+    # SQL — profiles are embedded as literals computed by the SAME seed
+    # logic (textstats.LangId), argmax with seed-order tie-break, 'und'
+    # when no profile overlaps
+    from lucene_ray.pipelines.textstats import LangId
+
+    lid = LangId()
+    prof_rows = []
+    for prio, lang in enumerate(LangId.SEEDS):
+        for g in sorted(lid.profiles[lang]):
+            prof_rows.append(f"('{lang}', '{g}', {prio})")
+    o["lang_id"] = (
+        _pages_prelude()
+        + f"""
+, s4 AS (SELECT doc_id, lang,
+                '  ' || lower(substr(text, 1, 400)) || '  ' AS s FROM pages)
+, grams AS (
+    SELECT DISTINCT doc_id, substr(s, CAST(i AS INT) + 1, 3) AS g
+    FROM s4, unnest(range(length(s) - 2)) AS t(i))
+, prof(plang, g, prio) AS (VALUES {', '.join(prof_rows)})
+, ov AS (
+    SELECT gr.doc_id, p.plang, p.prio, count(*) AS ov
+    FROM grams gr JOIN prof p ON gr.g = p.g GROUP BY 1, 2, 3)
+, best AS (
+    SELECT doc_id, plang FROM (
+      SELECT doc_id, plang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ov DESC, prio) AS rn
+      FROM ov WHERE ov > 0) WHERE rn = 1)
+SELECT s4.doc_id, s4.lang, coalesce(b.plang, 'und') AS lang_pred
+FROM s4 LEFT JOIN best b ON s4.doc_id = b.doc_id
+ORDER BY s4.doc_id"""
+    )
+
+    # english analyzer (stop + Porter stem): the stem mapping for the
+    # corpus vocabulary is embedded as literals computed by the SAME
+    # porter_stem used in the engine (only tokens whose stem differs)
+    import glob as _glob
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from lucene_ray.analysis.stem import porter_stem as _ps
+
+    vocab: set = set()
+    for d in sorted(_glob.glob("/root/testdata/sf*/documents.parquet")):
+        t = _pq.read_table(d, columns=["text"])
+        flat = _pc.list_flatten(_pc.split_pattern(t["text"].combine_chunks(), " "))
+        vocab.update(_pc.unique(flat).to_pylist())
+    smap_rows = [
+        f"('{w}', '{_ps(w)}')" for w in sorted(vocab) if w and _ps(w) != w
+    ]
+    smap_values = ", ".join(smap_rows) if smap_rows else "('', '')"
+    o["english_analyzer_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tok1 AS (SELECT doc_id, term FROM tok0 WHERE term NOT IN ({_STOPWORDS_SQL})),
+smap(sterm, stem) AS (VALUES {smap_values}),
+tok AS (SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+        FROM tok1 t LEFT JOIN smap s ON t.term = s.sterm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'valu' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
 
     # ---- multi-field ----
     # title = first 4 body tokens (data/webpages.py TITLE_SQL); title dl < 24

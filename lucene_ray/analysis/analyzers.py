@@ -27,11 +27,30 @@ from lucene_ray.analysis.tokenizer import (
 
 @dataclass(frozen=True)
 class Analyzer:
-    """Configurable analyzer chain (tokenize -> lowercase -> stop)."""
+    """Configurable analyzer chain
+    (tokenize -> lowercase -> ascii-fold -> stop -> stem)."""
 
     lowercase: bool = True
     stop_words: frozenset[str] = field(default_factory=frozenset)
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+    stem: bool = False        # PorterStemFilter (en/PorterStemFilter.java:51)
+    ascii_fold: bool = False  # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java)
+
+    def transform_token(self, term: str) -> str:
+        """Post-stop per-token filters (fold, then stem)."""
+        if self.ascii_fold:
+            from lucene_ray.analysis.stem import ascii_fold
+
+            term = ascii_fold(term)
+        if self.stem:
+            from lucene_ray.analysis.stem import porter_stem
+
+            term = porter_stem(term)
+        return term
+
+    @property
+    def has_token_filters(self) -> bool:
+        return self.stem or self.ascii_fold
 
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
@@ -41,6 +60,8 @@ class Analyzer:
         if self.stop_words:
             sw = self.stop_words
             toks = [t for t in toks if t not in sw]
+        if self.has_token_filters:
+            toks = [self.transform_token(t) for t in toks]
         return toks
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
@@ -51,14 +72,26 @@ class Analyzer:
                 term = term.lower()
             if self.stop_words and term in self.stop_words:
                 continue
+            if self.has_token_filters:
+                term = self.transform_token(term)
             out.append((term, pos))
         return out
 
     def normalize(self, term: str) -> str:
-        """Query-term normalization (Analyzer.normalize — lowercase only)."""
-        return term.lower() if self.lowercase else term
+        """Query-term normalization: lowercase + the token filters (the
+        Analyzer.normalize contract — queries must meet the index's terms)."""
+        if self.lowercase:
+            term = term.lower()
+        if self.has_token_filters:
+            term = self.transform_token(term)
+        return term
 
 
 # Reference defaults.
 StandardAnalyzer = Analyzer()  # empty stop set, like StandardAnalyzer
 EnglishAnalyzer = Analyzer(stop_words=ENGLISH_STOP_WORDS)
+# EnglishAnalyzer's full chain adds PorterStemFilter
+# (en/EnglishAnalyzer.java:109-118); folding bundled for web text
+EnglishStemAnalyzer = Analyzer(
+    stop_words=ENGLISH_STOP_WORDS, stem=True, ascii_fold=True
+)

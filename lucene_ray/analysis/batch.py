@@ -63,7 +63,10 @@ def tokenize_column(
     )
     if bool(pc.all(trivial).as_py()):
         flat, doc_idx, positions = _split_ws(texts)
-        return _stop_filter(flat, doc_idx, positions, analyzer.stop_words)
+        flat, doc_idx, positions = _stop_filter(
+            flat, doc_idx, positions, analyzer.stop_words
+        )
+        return _apply_token_filters(flat, analyzer), doc_idx, positions
 
     lower = analyzer.lowercase
     wc = "a-z0-9_" if lower else "A-Za-z0-9_"
@@ -81,7 +84,10 @@ def tokenize_column(
 
     if mask_np.all():
         flat, doc_idx, positions = _tokenize_ascii(base, wc)
-        return _stop_filter(flat, doc_idx, positions, analyzer.stop_words)
+        flat, doc_idx, positions = _stop_filter(
+            flat, doc_idx, positions, analyzer.stop_words
+        )
+        return _apply_token_filters(flat, analyzer), doc_idx, positions
 
     # Mixed batch: vectorize the fast rows, Python the rest, then stitch
     # back into doc-major order.
@@ -96,6 +102,7 @@ def tokenize_column(
         flat, doc_idx, positions = _stop_filter(
             flat, doc_idx, positions, analyzer.stop_words
         )
+        flat = _apply_token_filters(flat, analyzer)
         term_parts.append(flat)
         doc_parts.append(fast_rows[doc_idx])
         pos_parts.append(positions)
@@ -143,6 +150,21 @@ def _tokenize_ascii(texts: pa.Array, wc: str) -> tuple[pa.Array, np.ndarray, np.
     t = pc.replace_substring(t, _P_APOS, "'")
     t = pc.replace_substring(t, _P_COMMA, ",")
     return _split_ws(t)
+
+
+def _apply_token_filters(flat: pa.Array, analyzer: Analyzer) -> pa.Array:
+    """Per-token filters (fold/stem) mapped over the dictionary-encoded
+    VOCABULARY, not per occurrence: Python cost is O(unique tokens)."""
+    if not analyzer.has_token_filters or len(flat) == 0:
+        return flat
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = pc.dictionary_encode(flat)
+    vocab = d.dictionary.to_pylist()
+    mapped = pa.array(
+        [analyzer.transform_token(t) for t in vocab], type=pa.string()
+    )
+    return pc.take(mapped, d.indices)
 
 
 def _stop_filter(

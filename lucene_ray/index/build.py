@@ -116,13 +116,20 @@ def build_index(
     num_segments: int | None = None,
     with_positions: bool = False,
     extra_fields: dict[str, str] | None = None,
+    stored_source: str | None = None,
 ) -> dict:
     """Build (or resume) an inverted index; returns the global manifest.
 
     ``extra_fields`` maps additional field names to source columns; their
     terms share the segment dictionary under field-prefixed keys with
     per-field norms (index/fields.py) — the multi-field Document model
-    (document/Document.java:40)."""
+    (document/Document.java:40).
+
+    ``stored_source``: parquet path whose rows are the index's stored
+    fields (Searcher.fetch_docs — the storedFields().document(docid) role);
+    defaults to ``source`` when that is a path. Originals stay in Parquet
+    rather than being re-written into segments: fetch is a pruned
+    predicate-pushdown read, and the index never duplicates the corpus."""
     manifest_rows = _build_segments(
         source, index_dir, analyzer, text_col, id_col, num_segments,
         with_positions, extra_fields,
@@ -158,10 +165,13 @@ def build_index(
         "id_col": id_col,
         "with_positions": with_positions,
         "fields": fields,
+        "stored_source": stored_source or (source if isinstance(source, str) else None),
         "analyzer": {
             "lowercase": analyzer.lowercase,
             "stop_words": sorted(analyzer.stop_words),
             "max_token_length": analyzer.max_token_length,
+            "stem": analyzer.stem,
+            "ascii_fold": analyzer.ascii_fold,
         },
         "segments": [
             {k: r.get(k) for k in (
@@ -192,11 +202,7 @@ def add_documents(
     Combined with deletes.delete_docs this gives updateDocument semantics:
     delete old version's ids, add the new rows."""
     m = load_manifest(index_dir)
-    analyzer = Analyzer(
-        lowercase=m["analyzer"]["lowercase"],
-        stop_words=frozenset(m["analyzer"]["stop_words"]),
-        max_token_length=m["analyzer"]["max_token_length"],
-    )
+    analyzer = analyzer_from_manifest(m)
     new_rows = _build_segments(
         source, index_dir, analyzer, m["text_col"], m["id_col"],
         num_segments, m["with_positions"],
@@ -228,6 +234,17 @@ def add_documents(
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
     return manifest
+
+
+def analyzer_from_manifest(m: dict) -> Analyzer:
+    a = m["analyzer"]
+    return Analyzer(
+        lowercase=a["lowercase"],
+        stop_words=frozenset(a["stop_words"]),
+        max_token_length=a["max_token_length"],
+        stem=a.get("stem", False),
+        ascii_fold=a.get("ascii_fold", False),
+    )
 
 
 def load_manifest(index_dir: str) -> dict:

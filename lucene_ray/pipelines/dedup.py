@@ -66,7 +66,19 @@ def hash_strings(arr: pa.Array, seed: int = 0) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def dedup_exact(pages, key: str = "url"):
+def _default_partitions() -> int:
+    """Join partition count sized to the cluster: too many aggregator
+    actors starve a small CPU pool (deadlock on a laptop-sized cluster),
+    too few underparallelize a big one."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(64, cpus))
+
+
+def dedup_exact(pages, key: str = "url", strategy: str = "auto",
+                broadcast_max: int = 2_000_000,
+                num_partitions: int | None = None):
     """Latest-wins exact dedup: keep the row with max (warc_ts, doc_id) per
     key (IndexWriter.updateDocument semantics).
 
@@ -74,10 +86,16 @@ def dedup_exact(pages, key: str = "url"):
     ``groupby(key).max`` C-aggregate (no per-group Python — a map_groups
     UDF pays ~100us of pandas per group, ruinous at 10^9 keys), then keep
     exactly the rows whose fused rank is a winner. Winner ranks are unique
-    per row, so membership filtering reproduces full winner rows without a
-    join. The winner set is broadcast via ray.put; at 10^12-doc scale
-    replace the broadcast with a hash-bucket semi-join on ``key`` (both
-    sides partitioned by hash(key), no global set)."""
+    per row, so a semi-join on the rank alone reproduces full winner rows.
+
+    Two winner-filter strategies (``strategy``):
+    * ``"broadcast"`` — sorted winner-rank array via ``ray.put``, each
+      filter task does a searchsorted membership test. O(#unique keys)
+      memory on every worker: the fast path while the winner set fits.
+    * ``"join"``      — distributed hash semi-join (``Dataset.join`` on the
+      fused rank): nothing driver-side, the scale path for 10^10+ keys.
+    * ``"auto"``      — broadcast while winners <= ``broadcast_max`` rows.
+    """
     import ray
     from ray.data.aggregate import Max
 
@@ -106,6 +124,29 @@ def dedup_exact(pages, key: str = "url"):
         .groupby(key)
         .aggregate(Max("_rank", alias_name="_keep"))
     )
+
+    if strategy == "auto":
+        winners = winners.materialize()  # winner ranks only (key + int64)
+        strategy = "broadcast" if winners.count() <= broadcast_max else "join"
+
+    if strategy == "join":
+        num_partitions = num_partitions or _default_partitions()
+        # distributed hash semi-join on the (globally unique) fused rank —
+        # nothing accumulates on the driver or in worker heaps
+        def add_rank(b: pa.Table) -> pa.Table:
+            return b.append_column("_fused", pa.array(_fused(b)))
+
+        keepers = winners.map_batches(
+            lambda b: pa.table({"_fused": b["_keep"]}), batch_format="pyarrow"
+        )
+        joined = pages.map_batches(add_rank, batch_format="pyarrow").join(
+            keepers, join_type="inner", num_partitions=num_partitions,
+            on=("_fused",),
+        )
+        return joined.map_batches(
+            lambda b: b.drop_columns(["_fused"]), batch_format="pyarrow"
+        )
+
     keep = np.sort(
         pa.concat_tables(
             winners.select_columns(["_keep"]).iter_batches(
@@ -328,12 +369,19 @@ def minhash_lsh_candidates(pages, text_col: str = "text", num_hashes: int = 64,
 
 
 def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
-                  threshold: float = 0.5, max_shingle_df: int | None = None):
+                  threshold: float = 0.5, max_shingle_df: int | None = None,
+                  strategy: str = "auto", broadcast_max: int = 2_000_000,
+                  num_partitions: int | None = None):
     """EXACT all-pairs shingle-Jaccard >= threshold, fully distributed:
     explode (shingle_hash, doc_id) -> groupby(shingle) emits co-occurrence
     pairs -> groupby(pair) counts intersections -> |A∪B| from per-doc
-    shingle counts (broadcast) -> filter. The oracle-checkable ground truth
-    for the MinHash pipeline."""
+    shingle counts -> filter. The oracle-checkable ground truth for the
+    MinHash pipeline.
+
+    Per-doc set sizes attach by ``strategy``: ``"broadcast"`` ships one
+    dict to every task (fast while docs <= ``broadcast_max``); ``"join"``
+    runs two distributed hash joins (sizes onto a, then b) with nothing
+    driver-side — the 10^10+-doc path; ``"auto"`` picks by count."""
     import ray
 
     def to_shingles(b: pa.Table) -> pa.Table:
@@ -350,11 +398,7 @@ def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
         )
 
     shingles = pages.map_batches(to_shingles, batch_format="pyarrow")
-    # per-doc set sizes (small result -> driver broadcast)
     sizes_ds = shingles.groupby("doc_id").count()
-    sizes_df = sizes_ds.to_pandas()
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
-    sizes_ref = ray.put(sizes)
 
     # max_shingle_df caps stopword-grade shingles at scale (documented
     # approximation; None = exact, required for the oracle check)
@@ -366,6 +410,41 @@ def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
         max_bucket=max_shingle_df,
     )
     inter = pairs.groupby(["a", "b"]).count()
+
+    if strategy == "auto":
+        sizes_ds = sizes_ds.materialize()  # (doc_id, count) rows only
+        strategy = "broadcast" if sizes_ds.count() <= broadcast_max else "join"
+
+    if strategy == "join":
+        num_partitions = num_partitions or _default_partitions()
+        # sizes attach via two distributed hash joins — O(1) driver memory
+        sz_a = sizes_ds.map_batches(
+            lambda b: pa.table({"a": b["doc_id"], "_sz_a": b["count()"]}),
+            batch_format="pyarrow",
+        )
+        sz_b = sizes_ds.map_batches(
+            lambda b: pa.table({"b": b["doc_id"], "_sz_b": b["count()"]}),
+            batch_format="pyarrow",
+        )
+        joined = inter.join(
+            sz_a, join_type="inner", num_partitions=num_partitions, on=("a",)
+        ).join(sz_b, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+        def finish_joined(b: pa.Table) -> pa.Table:
+            a = b["a"].to_numpy()
+            bb = b["b"].to_numpy()
+            c = b["count()"].to_numpy().astype(np.float64)
+            sa = b["_sz_a"].to_numpy().astype(np.float64)
+            sb = b["_sz_b"].to_numpy().astype(np.float64)
+            jac = c / (sa + sb - c)
+            keep = jac >= threshold
+            return pa.table({"a": a[keep], "b": bb[keep], "jaccard": jac[keep]})
+
+        return joined.map_batches(finish_joined, batch_format="pyarrow")
+
+    sizes_df = sizes_ds.to_pandas()
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
+    sizes_ref = ray.put(sizes)
 
     def finish(b: pa.Table) -> pa.Table:
         s = ray.get(sizes_ref)

@@ -136,11 +136,9 @@ class DistributedSearcher:
         self.doc_count = m["doc_count"]
         self.sum_ttf = m["sum_total_term_freq"]
         self.mode = mode
-        self.analyzer = Analyzer(
-            lowercase=m["analyzer"]["lowercase"],
-            stop_words=frozenset(m["analyzer"]["stop_words"]),
-            max_token_length=m["analyzer"]["max_token_length"],
-        )
+        from lucene_ray.index.build import analyzer_from_manifest
+
+        self.analyzer = analyzer_from_manifest(m)
         from lucene_ray.index.deletes import load_tombstones
 
         tombstones = load_tombstones(index_dir)

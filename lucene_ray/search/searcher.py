@@ -59,11 +59,9 @@ class Searcher:
         self.manifest = m
         self.doc_count = m["doc_count"]
         self.sum_ttf = m["sum_total_term_freq"]
-        self.analyzer = Analyzer(
-            lowercase=m["analyzer"]["lowercase"],
-            stop_words=frozenset(m["analyzer"]["stop_words"]),
-            max_token_length=m["analyzer"]["max_token_length"],
-        )
+        from lucene_ray.index.build import analyzer_from_manifest
+
+        self.analyzer = analyzer_from_manifest(m)
         from lucene_ray.search.segreader import group_segment_paths, open_reader
 
         self.readers = [open_reader(g) for g in group_segment_paths(m["segments"])]
@@ -163,6 +161,36 @@ class Searcher:
         if not docs_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(docs_parts), np.concatenate(score_parts)
+
+    def fetch_docs(self, doc_ids, columns: "list[str] | None" = None) -> "object":
+        """Stored-field fetch — the searcher.storedFields().document(docid)
+        role (search/IndexSearcher.java / SURVEY §3.2 step 6): return the
+        source rows for ``doc_ids`` IN THE GIVEN ORDER, via a pruned
+        predicate-pushdown read of the index's stored source Parquet
+        (manifest.stored_source). No segment holds a copy of the originals;
+        the read touches only row groups containing the requested ids."""
+        import pyarrow.dataset as pads
+
+        src = self.manifest.get("stored_source")
+        if not src:
+            raise ValueError(
+                "index has no stored-fields source (build_index(stored_source=...))"
+            )
+        ids = [int(d) for d in doc_ids]
+        id_col = self.manifest.get("id_col", "doc_id")
+        if columns is not None and id_col not in columns:
+            columns = [id_col] + list(columns)
+        t = pads.dataset(src, format="parquet").to_table(
+            columns=columns, filter=pads.field(id_col).isin(ids)
+        )
+        got = t[id_col].to_numpy()
+        order = np.argsort(got)
+        pos = np.searchsorted(got[order], np.asarray(ids, dtype=got.dtype))
+        pos = np.clip(pos, 0, max(got.shape[0] - 1, 0))
+        found = got[order][pos] == np.asarray(ids, dtype=got.dtype) if got.shape[0] else np.zeros(len(ids), bool)
+        import pyarrow as _pa
+
+        return t.take(_pa.array(order[pos][found]))
 
     def more_like_this(self, text: str, max_terms: int = 10):
         """Query-by-document (queries/mlt/MoreLikeThis.java:149): analyze

@@ -104,3 +104,57 @@ def test_html_extract_vectorized_matches_rowwise():
     slow = ex._call_slow(batch)
     assert fast["extracted_text"].to_pylist() == slow["extracted_text"].to_pylist()
     assert fast["extracted_title"].to_pylist() == slow["extracted_title"].to_pylist()
+
+
+def test_stem_and_fold_filters_batch_vs_python():
+    """Vectorized vocab-mapped stem/fold must equal the per-row analyzer."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer, EnglishStemAnalyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    texts = [
+        "The running tables were valued by customers",
+        "Café naïve relational conditional operators",
+        "ponies ties caresses plastered motoring",
+        "",
+    ]
+    for an in (EnglishStemAnalyzer, Analyzer(stem=True), Analyzer(ascii_fold=True)):
+        flat, doc_idx, pos = tokenize_column(pa.array(texts), an)
+        want = []
+        for i, t in enumerate(texts):
+            want.extend((tm, i, p) for tm, p in an.tokens_with_positions(t))
+        got = list(zip(flat.to_pylist(), doc_idx.tolist(), pos.tolist()))
+        assert got == want
+
+
+def test_stemmed_index_end_to_end(tmp_path, ray_session):
+    """Index built with EnglishStemAnalyzer: query-side normalize meets the
+    stemmed dictionary ('value' and 'values' hit the same postings)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import EnglishStemAnalyzer
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    t = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array([
+            "the value of values", "valued valuable", "no match here",
+            "café cafe",
+        ]),
+    })
+    idx = str(tmp_path / "stemidx")
+    build_index(ray.data.from_arrow(t), idx, analyzer=EnglishStemAnalyzer,
+                num_segments=1)
+    s = Searcher(idx)
+    a = s.search(s.parse("value"), k=10)
+    b = s.search(s.parse("values"), k=10)
+    assert a.doc_ids.tolist() == b.doc_ids.tolist()
+    assert 0 in a.doc_ids.tolist() and 1 in a.doc_ids.tolist()
+    # folding: café == cafe
+    c = s.search(s.parse("café"), k=10)
+    d = s.search(s.parse("cafe"), k=10)
+    assert c.doc_ids.tolist() == d.doc_ids.tolist() == [3]
