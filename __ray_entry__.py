@@ -321,6 +321,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["highlight_passages"] = _highlight
 
+    def _highlight_index(sf):
+        """Same passages, but per-token (pos, offsets) read from the
+        positional index instead of re-analyzing text."""
+        from lucene_ray.search.highlight import highlight_from_index
+
+        s = _searcher(sf)
+        return highlight_from_index(s, list(range(50)), {"key", "value"}, window=10)
+
+    q["highlight_index_passages"] = _highlight_index
+
     # ---- multi-field: field-scoped term query + BM25F ----
     q["field_term_query"] = lambda sf: _all_hits_table(
         sf, Q.TermQuery("table", field="title")
@@ -1013,11 +1023,15 @@ def oracle_sql() -> dict[str, str]:
                    OR (SELECT count(*) FROM low) = 0
               ) GROUP BY doc_id ORDER BY doc_id"""
     )
-    # best window of 10 tokens by query-term count, ties -> earliest start
+    # best window of 10 tokens by query-term count, ties -> earliest start;
+    # character offsets computed arithmetically over the single-spaced
+    # token list, snippet = exact substr of the original text
     o["highlight_passages"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE
         + """ , lens AS (
-                SELECT doc_id, len(ts) AS n, ts FROM toklist WHERE doc_id < 50)
+                SELECT doc_id, len(string_split(text, ' ')) AS n,
+                       string_split(text, ' ') AS ts, text
+                FROM documents WHERE doc_id < 50)
             , m AS (SELECT doc_id, p FROM pos
                     WHERE term IN ('key', 'value') AND doc_id < 50)
             , starts AS (
@@ -1033,11 +1047,19 @@ def oracle_sql() -> dict[str, str]:
                   SELECT doc_id, s, c,
                          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, s) AS rn
                   FROM scored) WHERE rn = 1 AND c > 0)
-            SELECT b.doc_id, b.s AS start,
-                   array_to_string(l.ts[b.s + 1 : b.s + 10], ' ') AS snippet
-            FROM best b JOIN lens l ON b.doc_id = l.doc_id
-            ORDER BY b.doc_id"""
+            , off AS (
+                SELECT b.doc_id, b.s,
+                       CASE WHEN b.s = 0 THEN 0
+                            ELSE length(array_to_string(l.ts[1 : b.s], ' ')) + 1
+                       END AS so,
+                       length(array_to_string(l.ts[1 : least(b.s + 10, l.n)], ' ')) AS eo,
+                       l.text AS text
+                FROM best b JOIN lens l ON b.doc_id = l.doc_id)
+            SELECT doc_id, s AS start, so AS start_offset, eo AS end_offset,
+                   substr(text, so + 1, eo - so) AS snippet
+            FROM off ORDER BY doc_id"""
     )
+    o["highlight_index_passages"] = o["highlight_passages"]
     o["suggest_prefix"] = (
         _PRELUDE
         + """ , dfs AS (

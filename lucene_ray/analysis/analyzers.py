@@ -77,6 +77,20 @@ class Analyzer:
             out.append((term, pos))
         return out
 
+    def tokens_with_offsets(self, text: str) -> list[tuple[str, int, int, int]]:
+        """(term, position, start_offset, end_offset); offsets span the
+        ORIGINAL surface form (filters may rewrite the term)."""
+        out = []
+        for term, pos, s, e in tokenize_with_offsets(text, self.max_token_length):
+            if self.lowercase:
+                term = term.lower()
+            if self.stop_words and term in self.stop_words:
+                continue
+            if self.has_token_filters:
+                term = self.transform_token(term)
+            out.append((term, pos, s, e))
+        return out
+
     def normalize(self, term: str) -> str:
         """Query-term normalization: lowercase + the token filters (the
         Analyzer.normalize contract — queries must meet the index's terms)."""

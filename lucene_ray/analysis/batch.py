@@ -1,15 +1,19 @@
 """Batch-vectorized analysis for ``map_batches`` hot paths.
 
-Turns an Arrow string column into flat (term, doc_index, position) arrays
-without per-row Python work where possible:
+Turns an Arrow string column into flat (term, doc_index, position[,
+start_offset, end_offset]) arrays without per-row Python work where
+possible:
 
 * **fast path** — printable-ASCII rows tokenize through a chain of RE2
   kernels that reproduces the UAX#29-approx tokenizer exactly:
   ``utf8_lower`` (LowerCaseFilter), joiner protection (``.``/``'`` between
   word chars, ``,`` between digits — MidNumLet/SingleQuote/MidNum), a
-  separator sweep, then ``split_pattern`` + ``list_flatten``. Stop
-  filtering is a vectorized ``is_in`` over the flat token array with
-  position gaps preserved (StopFilter semantics). Zero Python loops.
+  LENGTH-PRESERVING separator sweep (each separator char becomes one
+  space, so character offsets survive), then ``split_pattern`` +
+  ``list_flatten``. Stop filtering is a vectorized ``is_in`` over the flat
+  token array with position gaps preserved (StopFilter semantics); stem /
+  fold filters map over the dictionary-encoded vocabulary. Zero Python
+  loops.
 * **slow path** — non-ASCII rows (ideographs, combining marks, typographic
   quotes) and rows with >max_token_length chain runs go through the full
   Python analyzer, preserving exact semantics.
@@ -34,23 +38,39 @@ _P_DOT, _P_APOS, _P_COMMA = "\x02", "\x03", "\x04"
 # ideographs, no typographic quotes, no combining marks)
 _ASCII_RE = r"^[\x20-\x7e\t\n\r]*$"
 
+_EMPTY5 = (
+    None,
+    np.empty(0, np.int64),
+    np.empty(0, np.int32),
+    np.empty(0, np.int32),
+    np.empty(0, np.int32),
+)
+
 
 def tokenize_column(
-    texts: pa.ChunkedArray | pa.Array, analyzer: Analyzer = StandardAnalyzer
-) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    texts: pa.ChunkedArray | pa.Array,
+    analyzer: Analyzer = StandardAnalyzer,
+    want_offsets: bool = False,
+):
     """Tokenize a string column.
 
-    Returns ``(flat_terms, doc_idx, positions)`` where ``flat_terms`` is a
-    pyarrow string array of every token occurrence in document order,
-    ``doc_idx`` the row index of each occurrence, and ``positions`` the
-    0-based token position within its document (stop-filtered tokens leave
-    gaps, matching StopFilter position increments).
+    Returns ``(flat_terms, doc_idx, positions)`` — or, with
+    ``want_offsets``, ``(flat_terms, doc_idx, positions, starts, ends)``
+    where starts/ends are character offsets of each token's surface form
+    in its source row (offsets refer to the ORIGINAL text even when
+    stem/fold filters rewrite the term — IndexOptions ..._AND_OFFSETS
+    semantics). ``flat_terms`` is a pyarrow string array of every token
+    occurrence in document order, ``doc_idx`` the row index of each
+    occurrence, and ``positions`` the 0-based token position within its
+    document (stop-filtered tokens leave gaps, matching StopFilter
+    position increments).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
     if n == 0:
-        return pa.array([], type=pa.string()), np.empty(0, np.int64), np.empty(0, np.int32)
+        out = (pa.array([], type=pa.string()), *_EMPTY5[1:])
+        return out if want_offsets else out[:3]
 
     # trivial shortcut: rows of lowercase word chars + spaces tokenize as a
     # plain whitespace split — no lowering, no joiner chain (the common
@@ -62,11 +82,10 @@ def tokenize_column(
             texts, "[a-z0-9_]{%d}" % (analyzer.max_token_length + 1)), False)),
     )
     if bool(pc.all(trivial).as_py()):
-        flat, doc_idx, positions = _split_ws(texts)
-        flat, doc_idx, positions = _stop_filter(
-            flat, doc_idx, positions, analyzer.stop_words
-        )
-        return _apply_token_filters(flat, analyzer), doc_idx, positions
+        parts = _split_ws(texts, want_offsets)
+        parts = _stop_filter(parts, analyzer.stop_words)
+        parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
+        return parts if want_offsets else parts[:3]
 
     lower = analyzer.lowercase
     wc = "a-z0-9_" if lower else "A-Za-z0-9_"
@@ -83,73 +102,91 @@ def tokenize_column(
     mask_np = fast.to_numpy(zero_copy_only=False)
 
     if mask_np.all():
-        flat, doc_idx, positions = _tokenize_ascii(base, wc)
-        flat, doc_idx, positions = _stop_filter(
-            flat, doc_idx, positions, analyzer.stop_words
-        )
-        return _apply_token_filters(flat, analyzer), doc_idx, positions
+        parts = _tokenize_ascii(base, wc, want_offsets)
+        parts = _stop_filter(parts, analyzer.stop_words)
+        parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
+        return parts if want_offsets else parts[:3]
 
     # Mixed batch: vectorize the fast rows, Python the rest, then stitch
     # back into doc-major order.
     term_parts: list[pa.Array] = []
-    doc_parts: list[np.ndarray] = []
-    pos_parts: list[np.ndarray] = []
+    num_parts: list[tuple] = []  # (doc, pos, start, end) per part
 
     fast_rows = np.nonzero(mask_np)[0]
     if fast_rows.size:
         sub = base.take(pa.array(fast_rows))
-        flat, doc_idx, positions = _tokenize_ascii(sub, wc)
-        flat, doc_idx, positions = _stop_filter(
-            flat, doc_idx, positions, analyzer.stop_words
+        flat, doc_idx, positions, starts, ends = _pad5(
+            _tokenize_ascii(sub, wc, want_offsets)
         )
+        flat, doc_idx, positions, starts, ends = _pad5(_stop_filter(
+            (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
+            analyzer.stop_words,
+        ))
         flat = _apply_token_filters(flat, analyzer)
         term_parts.append(flat)
-        doc_parts.append(fast_rows[doc_idx])
-        pos_parts.append(positions)
+        num_parts.append((fast_rows[doc_idx], positions, starts, ends))
 
     slow_rows = np.nonzero(~mask_np)[0]
-    slow_terms: list[str] = []
-    slow_doc: list[np.ndarray] = []
-    slow_pos: list[np.ndarray] = []
-    for row in slow_rows:
-        tp = analyzer.tokens_with_positions(texts[int(row)].as_py())
-        slow_terms.extend(t for t, _ in tp)
-        slow_doc.append(np.full(len(tp), row, dtype=np.int64))
-        slow_pos.append(np.fromiter((p for _, p in tp), dtype=np.int32, count=len(tp)))
     if slow_rows.size:
+        slow_terms: list[str] = []
+        sd, sp, ss, se = [], [], [], []
+        for row in slow_rows:
+            tp = analyzer.tokens_with_offsets(texts[int(row)].as_py())
+            slow_terms.extend(t for t, _p, _s, _e in tp)
+            sd.append(np.full(len(tp), row, dtype=np.int64))
+            sp.append(np.fromiter((p for _t, p, _s, _e in tp), dtype=np.int32, count=len(tp)))
+            if want_offsets:
+                ss.append(np.fromiter((s for _t, _p, s, _e in tp), dtype=np.int32, count=len(tp)))
+                se.append(np.fromiter((e for _t, _p, _s, e in tp), dtype=np.int32, count=len(tp)))
         term_parts.append(pa.array(slow_terms, type=pa.string()))
-        doc_parts.append(np.concatenate(slow_doc) if slow_doc else np.empty(0, np.int64))
-        pos_parts.append(np.concatenate(slow_pos) if slow_pos else np.empty(0, np.int32))
+        num_parts.append((
+            np.concatenate(sd) if sd else np.empty(0, np.int64),
+            np.concatenate(sp) if sp else np.empty(0, np.int32),
+            np.concatenate(ss) if ss else None,
+            np.concatenate(se) if se else None,
+        ))
 
     flat = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
                              for p in term_parts])
-    doc_idx = np.concatenate(doc_parts)
-    positions = np.concatenate(pos_parts).astype(np.int32)
+    doc_idx = np.concatenate([p[0] for p in num_parts])
+    positions = np.concatenate([p[1] for p in num_parts]).astype(np.int32)
+    if want_offsets:
+        starts = np.concatenate([p[2] for p in num_parts]).astype(np.int32)
+        ends = np.concatenate([p[3] for p in num_parts]).astype(np.int32)
     order = np.argsort(doc_idx, kind="stable")
     if not (np.diff(order) >= 0).all():
         flat = flat.take(pa.array(order))
         doc_idx = doc_idx[order]
         positions = positions[order]
+        if want_offsets:
+            starts, ends = starts[order], ends[order]
+    if want_offsets:
+        return flat, doc_idx, positions, starts, ends
     return flat, doc_idx, positions
 
 
-def _tokenize_ascii(texts: pa.Array, wc: str) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+def _pad5(parts):
+    return parts if len(parts) == 5 else (*parts, None, None)
+
+
+def _tokenize_ascii(texts: pa.Array, wc: str, want_offsets: bool = False):
     """UAX#29-approx tokenization of ASCII rows as pure RE2 kernels.
 
     Joiners (``.``/``'`` between word chars, ``,`` between digits) are
     protected with placeholder bytes before the separator sweep; two passes
     handle chains (``a.b.c``, ``1,000,000``) because RE2's GlobalReplace
-    consumes the shared boundary character of adjacent pairs."""
+    consumes the shared boundary character of adjacent pairs. All rewrites
+    are one-char-for-one-char, so character offsets are preserved."""
     t = texts
     for _ in range(2):
         t = pc.replace_substring_regex(t, "([%s])\\.([%s])" % (wc, wc), "\\1%s\\2" % _P_DOT)
         t = pc.replace_substring_regex(t, "([%s])'([%s])" % (wc, wc), "\\1%s\\2" % _P_APOS)
         t = pc.replace_substring_regex(t, "([0-9]),([0-9])", "\\1%s\\2" % _P_COMMA)
-    t = pc.replace_substring_regex(t, "[^%s%s%s%s]+" % (wc, _P_DOT, _P_APOS, _P_COMMA), " ")
+    t = pc.replace_substring_regex(t, "[^%s%s%s%s]" % (wc, _P_DOT, _P_APOS, _P_COMMA), " ")
     t = pc.replace_substring(t, _P_DOT, ".")
     t = pc.replace_substring(t, _P_APOS, "'")
     t = pc.replace_substring(t, _P_COMMA, ",")
-    return _split_ws(t)
+    return _split_ws(t, want_offsets)
 
 
 def _apply_token_filters(flat: pa.Array, analyzer: Analyzer) -> pa.Array:
@@ -167,24 +204,27 @@ def _apply_token_filters(flat: pa.Array, analyzer: Analyzer) -> pa.Array:
     return pc.take(mapped, d.indices)
 
 
-def _stop_filter(
-    flat: pa.Array, doc_idx: np.ndarray, positions: np.ndarray, stop_words
-) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """Vectorized StopFilter: drop stop tokens, keep position gaps."""
+def _stop_filter(parts, stop_words):
+    """Vectorized StopFilter: drop stop tokens, keep position gaps (and
+    offsets, when present)."""
+    flat = parts[0]
     if not stop_words:
-        return flat, doc_idx, positions
+        return parts
     sw = pa.array(sorted(stop_words), type=pa.string())
     keep = pc.invert(pc.is_in(flat, value_set=sw))
     keep_np = keep.to_numpy(zero_copy_only=False)
     if keep_np.all():
-        return flat, doc_idx, positions
-    return pc.filter(flat, keep), doc_idx[keep_np], positions[keep_np]
+        return parts
+    out = [pc.filter(flat, keep)]
+    for arr in parts[1:]:
+        out.append(arr[keep_np] if arr is not None else None)
+    return tuple(out)
 
 
-def _split_ws(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """Whitespace-split rows already reduced to space-separated tokens."""
+def _split_ws(texts: pa.Array, want_offsets: bool = False):
+    """Whitespace-split rows already reduced to space-separated tokens
+    (separators all single spaces, so offsets are prefix sums)."""
     lists = pc.split_pattern(texts, " ")
-    # drop empty strings from repeated/leading/trailing spaces
     flat = pc.list_flatten(lists)
     lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lengths)
@@ -192,6 +232,14 @@ def _split_ws(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     positions = (np.arange(doc_idx.shape[0], dtype=np.int64) - offsets[doc_idx]).astype(
         np.int32
     )
+    starts = ends = None
+    if want_offsets:
+        elem_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        gl = elem_len + 1  # token + following space
+        cs = np.cumsum(gl) - gl
+        row_first = offsets[:-1]  # first element index of each row
+        starts = (cs - cs[row_first][doc_idx]).astype(np.int32)
+        ends = (starts + elem_len).astype(np.int32)
     keep = pc.not_equal(flat, "")
     keep_np = keep.to_numpy(zero_copy_only=False)
     if not keep_np.all():
@@ -199,8 +247,12 @@ def _split_ws(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
         doc_idx = doc_idx[keep_np]
         # re-number positions densely per doc (empty tokens are not tokens)
         positions = _dense_positions(doc_idx)
+        if want_offsets:
+            starts, ends = starts[keep_np], ends[keep_np]
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
+    if want_offsets:
+        return flat, doc_idx, positions, starts, ends
     return flat, doc_idx, positions
 
 

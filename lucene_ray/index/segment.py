@@ -235,10 +235,16 @@ class SegmentBuilder:
         aggregation with one np.unique over a fused int64 key. With a
         ``key_prefix`` the sorted vocab (and positions terms) are prefixed
         into the field's dictionary section."""
-        flat_terms, doc_idx, positions = tokenize_column(
+        res = tokenize_column(
             texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
             self.analyzer,
+            want_offsets=self.with_positions,
         )
+        if self.with_positions:
+            flat_terms, doc_idx, positions, off_starts, off_ends = res
+        else:
+            flat_terms, doc_idx, positions = res
+            off_starts = off_ends = None
         doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
         norms = int_to_byte4_array(doc_len)
 
@@ -278,12 +284,18 @@ class SegmentBuilder:
             "codes": codes if self.with_positions else None,
             "doc_idx": doc_idx if self.with_positions else None,
             "positions": positions if self.with_positions else None,
+            "off_starts": off_starts,
+            "off_ends": off_ends,
         }
 
     @staticmethod
     def _positions_table(sec: dict, doc_ids: np.ndarray) -> pa.Table:
-        """Exploded (term, doc_id, pos) rows for one field's section,
-        sorted by (term, doc, pos) for row-group pruning."""
+        """Exploded (term, doc_id, pos, start_offset, end_offset) rows for
+        one field's section, sorted by (term, doc, pos) for row-group
+        pruning. Character offsets are the IndexOptions
+        DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS variant
+        (index/IndexOptions.java:46) — the highlighter's byte-accurate
+        snippet source."""
         order = np.lexsort((sec["positions"], sec["doc_idx"], sec["codes"]))
         terms = pc.take(sec["flat_terms"], pa.array(order))
         if sec["key_prefix"]:
@@ -293,6 +305,8 @@ class SegmentBuilder:
                 "term": terms,
                 "doc_id": doc_ids[sec["doc_idx"][order]],
                 "pos": sec["positions"][order].astype(np.int32),
+                "start_offset": sec["off_starts"][order].astype(np.int32),
+                "end_offset": sec["off_ends"][order].astype(np.int32),
             }
         )
 

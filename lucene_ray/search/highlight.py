@@ -2,9 +2,16 @@
 (highlighter/uhighlight/UnifiedHighlighter.java:96) reduced to its scoring
 core: for a document and a set of query terms, pick the token window with
 the most query-term occurrences (ties -> earliest window) and return its
-start position and text. Runs vectorized per doc (one convolution over a
-term-membership indicator), and as a batch ``map_batches`` stage over a
-corpus for pipeline use.
+start position plus the CHARACTER-OFFSET-accurate snippet sliced from the
+original text (offsets ride with positions in the index — the
+IndexOptions ..._AND_OFFSETS variant, index/IndexOptions.java:46).
+
+Two sources:
+* :func:`highlight_batch` — analyze the text column directly (map_batches
+  stage over a corpus);
+* :func:`highlight_from_index` — read (pos, start_offset, end_offset) rows
+  from the positional index, no re-analysis (the stored-offsets path the
+  reference's postings highlighter uses).
 """
 
 from __future__ import annotations
@@ -28,6 +35,24 @@ def best_passage(tokens: list[str], terms: set[str], window: int = 10):
     return best, " ".join(tokens[best : best + window])
 
 
+def best_passage_offsets(tokens_off, terms: set[str], window: int = 10):
+    """(start_pos, start_offset, end_offset) of the best window over
+    (term, pos, start, end) tuples, or None when no term matches."""
+    n = len(tokens_off)
+    if n == 0:
+        return None
+    ind = np.fromiter(
+        (t in terms for t, _p, _s, _e in tokens_off), dtype=bool, count=n
+    ).astype(np.int32)
+    if not ind.any():
+        return None
+    counts = np.convolve(ind, np.ones(window, dtype=np.int32))[window - 1 :]
+    counts = counts[: max(n - window, 0) + 1]
+    best = int(np.argmax(counts))
+    last = min(best + window, n) - 1
+    return best, int(tokens_off[best][2]), int(tokens_off[last][3])
+
+
 def highlight_batch(
     batch: pa.Table,
     terms: set[str],
@@ -35,19 +60,86 @@ def highlight_batch(
     window: int = 10,
     text_col: str = "text",
 ) -> pa.Table:
-    """map_batches UDF: (doc_id, start, snippet) rows for matching docs."""
-    ids, starts, snippets = [], [], []
+    """map_batches UDF: (doc_id, start, start_offset, end_offset, snippet)
+    rows for matching docs; the snippet is the exact character slice of the
+    original text."""
+    ids, starts, s_offs, e_offs, snippets = [], [], [], [], []
     doc_ids = batch["doc_id"].to_pylist()
     for i, text in enumerate(batch[text_col].to_pylist()):
-        hit = best_passage(analyzer.tokens(text), terms, window)
+        hit = best_passage_offsets(analyzer.tokens_with_offsets(text), terms, window)
         if hit is not None:
+            pos, so, eo = hit
             ids.append(doc_ids[i])
-            starts.append(hit[0])
-            snippets.append(hit[1])
+            starts.append(pos)
+            s_offs.append(so)
+            e_offs.append(eo)
+            snippets.append(text[so:eo])
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
             "start": pa.array(starts, type=pa.int64()),
+            "start_offset": pa.array(s_offs, type=pa.int64()),
+            "end_offset": pa.array(e_offs, type=pa.int64()),
+            "snippet": pa.array(snippets, type=pa.string()),
+        }
+    )
+
+
+def highlight_from_index(searcher, doc_ids, terms: set[str], window: int = 10):
+    """Offset-accurate passages WITHOUT re-analysis: the per-token
+    (pos, start_offset, end_offset) rows come from the positional index,
+    the snippet text from the stored-fields source. ``doc_ids`` are global
+    ids; returns the same schema as :func:`highlight_batch`."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.index.fields import FIELD_MARK
+
+    ids = sorted(int(d) for d in doc_ids)
+    rows = {}
+    for reader in searcher.readers:
+        t = reader.positions_for_docs(ids)
+        if t.num_rows == 0:
+            continue
+        # default field only: \x01-prefixed field-section tokens have their
+        # own position space and would interleave wrongly
+        t = t.filter(pc.invert(pc.starts_with(t["term"], FIELD_MARK)))
+        if t.num_rows == 0:
+            continue
+        d = t["doc_id"].to_numpy()
+        tm = t["term"].to_pylist()
+        p = t["pos"].to_numpy()
+        so = t["start_offset"].to_numpy()
+        eo = t["end_offset"].to_numpy()
+        order = np.lexsort((p, d))
+        for i in order:
+            rows.setdefault(int(d[i]), []).append(
+                (tm[i], int(p[i]), int(so[i]), int(eo[i]))
+            )
+    out_ids, starts, s_offs, e_offs = [], [], [], []
+    for doc in ids:
+        toks = rows.get(doc)
+        if not toks:
+            continue
+        hit = best_passage_offsets(toks, terms, window)
+        if hit is None:
+            continue
+        out_ids.append(doc)
+        starts.append(hit[0])
+        s_offs.append(hit[1])
+        e_offs.append(hit[2])
+    snippets = [None] * len(out_ids)
+    try:
+        fetched = searcher.fetch_docs(out_ids, columns=["text"])
+        texts = fetched["text"].to_pylist()
+        snippets = [t[s:e] for t, s, e in zip(texts, s_offs, e_offs)]
+    except ValueError:
+        pass  # no stored source: offsets only
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "start": pa.array(starts, type=pa.int64()),
+            "start_offset": pa.array(s_offs, type=pa.int64()),
+            "end_offset": pa.array(e_offs, type=pa.int64()),
             "snippet": pa.array(snippets, type=pa.string()),
         }
     )

@@ -147,8 +147,7 @@ class SegmentReader:
             return self._doc_col("doc_len", np.int64)
         return self._doc_col(f"len_{field}", np.int64)
 
-    def positions_table(self, terms: list[str]):
-        """(term, doc_id, pos) rows for the given terms (phrase queries)."""
+    def _positions_dataset(self):
         import pyarrow.dataset as pads
 
         path = os.path.join(self.path, "positions.parquet")
@@ -159,8 +158,23 @@ class SegmentReader:
             raise FileNotFoundError(
                 "index was built without positions (with_positions=False)"
             )
-        dset = pads.dataset(path, format="parquet")
-        return dset.to_table(filter=pads.field("term").isin(terms))
+        return pads.dataset(path, format="parquet")
+
+    def positions_table(self, terms: list[str]):
+        """(term, doc_id, pos[, offsets]) rows for the given terms."""
+        import pyarrow.dataset as pads
+
+        return self._positions_dataset().to_table(
+            filter=pads.field("term").isin(terms)
+        )
+
+    def positions_for_docs(self, doc_ids: list[int]):
+        """All token rows of the given GLOBAL doc ids (highlighting)."""
+        import pyarrow.dataset as pads
+
+        return self._positions_dataset().to_table(
+            filter=pads.field("doc_id").isin(doc_ids)
+        )
 
 
 class ShardGroupReader(SegmentReader):
@@ -235,8 +249,8 @@ class ShardGroupReader(SegmentReader):
     def _docs_file(self) -> str:
         return self.shards[0]._docs_file()
 
-    def positions_table(self, terms: list[str]):
-        return self.shards[0].positions_table(terms)
+    def _positions_dataset(self):
+        return self.shards[0]._positions_dataset()
 
 
 def group_segment_paths(segments: list[dict]) -> list[list[str]]:
