@@ -384,6 +384,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["english_analyzer_query"] = _english_analyzer
 
+    def _synonym_index(sf):
+        """Index built with an index-side synonym injection (fast -> quick
+        at the same position); querying the injected term matches docs
+        containing the source term."""
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:syn1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx,
+                        analyzer=Analyzer(synonyms=(("fast", ("quick",)),)),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery("quick"))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["synonym_index_query"] = _synonym_index
+
+    def _edge_ngrams(sf):
+        import ray.data
+
+        from lucene_ray.analysis.ngram import edge_ngram_counts
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return pa.concat_tables(
+            edge_ngram_counts(ds, min_n=2, max_n=4)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+
+    q["edge_ngram_counts"] = _edge_ngrams
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
         import pyarrow.compute as pc
@@ -828,6 +868,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({k: np.concatenate(v) for k, v in out.items()})
 
     q["knn_ivf_full_probe"] = _ivf_full
+
+    def _emb_near_dup(sf):
+        import ray.data
+
+        from lucene_ray.pipelines.ann import embedding_near_dup
+
+        t = embedding_near_dup(
+            ray.data.read_parquet(os.path.join(sf, "embeddings.parquet")),
+            threshold=0.42, method="exact",
+        )
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "cosine": _round4(t["cosine"].to_numpy())}
+        )
+
+    q["embedding_near_dup"] = _emb_near_dup
 
     def _merged(sf):
         import shutil
@@ -1295,6 +1350,15 @@ ORDER BY i.a, i.b"""
     )
     o["force_merge_term_query"] = o["term_query"]
     o["knn_ivf_full_probe"] = o["knn_cosine_topk"]
+    o["embedding_near_dup"] = (
+        """SELECT x.vec_id AS a, y.vec_id AS b,
+                  ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                               CAST(y.embedding AS DOUBLE[])), 4) AS cosine
+           FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+           WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])) >= 0.42
+           ORDER BY a, b"""
+    )
     o["stored_fields_fetch"] = (
         _PRELUDE + _term_cte("t", "window")
         + """
@@ -1396,6 +1460,47 @@ SELECT t.doc_id,
              (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
 FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
+    )
+
+    # index-side synonym injection: 'quick' rides at 'fast' positions and
+    # counts toward field length
+    o["synonym_index_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tok AS (SELECT * FROM tok0
+        UNION ALL SELECT doc_id, 'quick' FROM tok0 WHERE term = 'fast'),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'quick' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
+    o["edge_ngram_counts"] = (
+        """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, substr(term, 1, CAST(k AS INT)) AS g
+  FROM tok, unnest(range(2, least(4, length(term)) + 1)) AS t(k))
+SELECT d.doc_id, coalesce(g.n, 0)::BIGINT AS n_edge_ngrams
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id) g
+       ON d.doc_id = g.doc_id
+ORDER BY d.doc_id"""
     )
 
     # ---- multi-field ----

@@ -35,6 +35,15 @@ class Analyzer:
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     stem: bool = False        # PorterStemFilter (en/PorterStemFilter.java:51)
     ascii_fold: bool = False  # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java)
+    # index-side synonym injection at the SAME position
+    # (SynonymGraphFilter, analysis/common/.../synonym/SynonymGraphFilter.java:78):
+    # tuple of (source_term, (injected_terms, ...)), matched AFTER the other
+    # filters; injected tokens count toward field length
+    synonyms: tuple = ()
+
+    @property
+    def synonym_map(self) -> dict:
+        return {src: tuple(dsts) for src, dsts in self.synonyms}
 
     def transform_token(self, term: str) -> str:
         """Post-stop per-token filters (fold, then stem)."""
@@ -62,6 +71,9 @@ class Analyzer:
             toks = [t for t in toks if t not in sw]
         if self.has_token_filters:
             toks = [self.transform_token(t) for t in toks]
+        if self.synonyms:
+            syn = self.synonym_map
+            toks = toks + [s for t in toks for s in syn.get(t, ())]
         return toks
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
@@ -75,6 +87,9 @@ class Analyzer:
             if self.has_token_filters:
                 term = self.transform_token(term)
             out.append((term, pos))
+        if self.synonyms:
+            syn = self.synonym_map
+            out = out + [(s, p) for t, p in out for s in syn.get(t, ())]
         return out
 
     def tokens_with_offsets(self, text: str) -> list[tuple[str, int, int, int]]:
@@ -89,6 +104,11 @@ class Analyzer:
             if self.has_token_filters:
                 term = self.transform_token(term)
             out.append((term, pos, s, e))
+        if self.synonyms:
+            syn = self.synonym_map
+            out = out + [
+                (sy, p, s, e) for t, p, s, e in out for sy in syn.get(t, ())
+            ]
         return out
 
     def normalize(self, term: str) -> str:

@@ -84,7 +84,7 @@ def tokenize_column(
     if bool(pc.all(trivial).as_py()):
         parts = _split_ws(texts, want_offsets)
         parts = _stop_filter(parts, analyzer.stop_words)
-        parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
+        parts = _post_filters(parts, analyzer)
         return parts if want_offsets else parts[:3]
 
     lower = analyzer.lowercase
@@ -104,7 +104,7 @@ def tokenize_column(
     if mask_np.all():
         parts = _tokenize_ascii(base, wc, want_offsets)
         parts = _stop_filter(parts, analyzer.stop_words)
-        parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
+        parts = _post_filters(parts, analyzer)
         return parts if want_offsets else parts[:3]
 
     # Mixed batch: vectorize the fast rows, Python the rest, then stitch
@@ -122,7 +122,10 @@ def tokenize_column(
             (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
             analyzer.stop_words,
         ))
-        flat = _apply_token_filters(flat, analyzer)
+        flat, doc_idx, positions, starts, ends = _pad5(_post_filters(
+            (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
+            analyzer,
+        ))
         term_parts.append(flat)
         num_parts.append((fast_rows[doc_idx], positions, starts, ends))
 
@@ -187,6 +190,51 @@ def _tokenize_ascii(texts: pa.Array, wc: str, want_offsets: bool = False):
     t = pc.replace_substring(t, _P_APOS, "'")
     t = pc.replace_substring(t, _P_COMMA, ",")
     return _split_ws(t, want_offsets)
+
+
+def _post_filters(parts, analyzer: Analyzer):
+    """Token filters (fold/stem) then index-side synonym injection."""
+    parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
+    return _apply_synonyms(parts, analyzer)
+
+
+def _apply_synonyms(parts, analyzer: Analyzer):
+    """SynonymGraphFilter (index side): inject mapped terms at the SAME
+    position (and source offsets). Vocabulary-mapped: Python only touches
+    unique source terms; occurrence expansion is numpy repeat. Injected
+    rows append after the doc\'s original tokens (doc-major stable sort),
+    matching the per-row analyzer\'s expansion order."""
+    if not analyzer.synonyms or len(parts[0]) == 0:
+        return parts
+    flat = parts[0]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    syn = analyzer.synonym_map
+    d = pc.dictionary_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary.to_pylist()
+    extras = [syn.get(v, ()) for v in vocab]
+    n_extra = np.array([len(x) for x in extras], dtype=np.int64)
+    occ = n_extra[codes]
+    if occ.sum() == 0:
+        return parts
+    sel = np.nonzero(occ > 0)[0]
+    rep = occ[sel]
+    add_terms = pa.array(
+        [t for i in sel for t in extras[codes[i]]], type=pa.string()
+    )
+    flat2 = pa.concat_arrays([flat, add_terms])
+    others = []
+    for arr in parts[1:]:
+        others.append(
+            np.concatenate([arr, np.repeat(arr[sel], rep)])
+            if arr is not None else None
+        )
+    order = np.argsort(others[0], kind="stable")
+    if not (np.diff(order) >= 0).all():
+        flat2 = flat2.take(pa.array(order))
+        others = [a[order] if a is not None else None for a in others]
+    return (flat2, *others)
 
 
 def _apply_token_filters(flat: pa.Array, analyzer: Analyzer) -> pa.Array:

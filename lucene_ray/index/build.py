@@ -172,6 +172,7 @@ def build_index(
             "max_token_length": analyzer.max_token_length,
             "stem": analyzer.stem,
             "ascii_fold": analyzer.ascii_fold,
+            "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         },
         "segments": [
             {k: r.get(k) for k in (
@@ -244,6 +245,9 @@ def analyzer_from_manifest(m: dict) -> Analyzer:
         max_token_length=a["max_token_length"],
         stem=a.get("stem", False),
         ascii_fold=a.get("ascii_fold", False),
+        synonyms=tuple(
+            (src, tuple(dsts)) for src, dsts in a.get("synonyms", [])
+        ),
     )
 
 

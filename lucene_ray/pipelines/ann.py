@@ -91,6 +91,102 @@ def knn_brute_cosine(embeddings, queries: np.ndarray, k: int = 10,
     )
 
 
+def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact",
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_planes: int = 64, bands: int = 16):
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    * ``method="exact"`` — the full normalized matrix is broadcast once
+      (``ray.put``) and every batch does ONE matmul against it, emitting
+      only its over-threshold pairs (upper triangle by id). Exact;
+      viable while n x d fits the object store.
+    * ``method="lsh"`` — random-hyperplane signatures, banded like
+      MinHash-LSH: sign-bit bands bucket candidates (groupby shuffle of
+      (band_hash, id) pairs only), then candidates verify exactly against
+      the broadcast matrix. The 10^9+-vector scale path (no all-pairs);
+      recall < 1 when a true pair shares no band.
+
+    Returns a pyarrow Table (a, b, cosine) sorted by (a, b).
+    """
+    import pyarrow.compute as _pc
+
+    full = pa.concat_tables(
+        embeddings.map_batches(
+            lambda b: pa.table({id_col: b[id_col], vec_col: b[vec_col]}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_batch_matrix(full[vec_col]))
+    order = np.argsort(all_ids)  # id-sorted for searchsorted lookups
+    all_ids, mat = all_ids[order], mat[order]
+    mat_ref = ray.put((all_ids, mat))
+
+    if method == "exact":
+        def pairs(b: pa.Table) -> pa.Table:
+            ids_all, m_all = ray.get(mat_ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(b[vec_col]))
+            sims = m @ m_all.T  # (batch, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            a, bb = ids[ii], ids_all[jj]
+            keep = a < bb  # upper triangle, no self pairs
+            return pa.table({
+                "a": a[keep], "b": bb[keep],
+                "cosine": sims[ii, jj][keep],
+            })
+
+        t = pa.concat_tables(
+            embeddings.map_batches(pairs, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.take(_pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+
+    # ---- LSH path ----
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((mat.shape[1], n_planes))
+    planes_ref = ray.put(planes)
+    rows_per_band = n_planes // bands
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_batch_matrix(b[vec_col]))
+        bits = (m @ p > 0).astype(np.uint64)  # (n, planes)
+        keys, dids = [], []
+        for band in range(bands):
+            chunk = bits[:, band * rows_per_band : (band + 1) * rows_per_band]
+            h = np.zeros(chunk.shape[0], dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                h = (h << np.uint64(1)) | chunk[:, c]
+            keys.append((h * np.uint64(1000003) + np.uint64(band)).astype(np.int64))
+            dids.append(ids)
+        return pa.table({"key": np.concatenate(keys), "doc_id": np.concatenate(dids)})
+
+    from lucene_ray.pipelines.dedup import bucket_pairs_dataset
+
+    cand = (
+        bucket_pairs_dataset(embeddings.map_batches(to_bands, batch_format="pyarrow"))
+        .groupby(["a", "b"]).count()
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(mat_ref)
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        ia = np.searchsorted(ids_all, a)
+        ib = np.searchsorted(ids_all, bb)
+        cos = np.einsum("ij,ij->i", m_all[ia], m_all[ib])
+        keep = cos >= threshold
+        return pa.table({"a": a[keep], "b": bb[keep], "cosine": cos[keep]})
+
+    t = pa.concat_tables(
+        cand.map_batches(verify, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    return t.take(_pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+
+
 def train_centroids(embeddings, n_centroids: int = 16, iters: int = 10,
                     sample: int = 10_000, vec_col: str = "embedding",
                     seed: int = 42) -> np.ndarray:

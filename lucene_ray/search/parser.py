@@ -33,7 +33,9 @@ _TOKEN_RE = re.compile(
       | \[[^\]]*\]                 # inclusive range
       | \{[^}]*\}                  # exclusive range
       | AND | OR | NOT
-      | [+-]?[^\s]+                # term-ish
+      | [+-]?\(                    # group open (with optional occur)
+      | \)(?:\^\d+(?:\.\d+)?)?     # group close (with optional boost)
+      | [+-]?[^\s()]+              # term-ish
     )
     """,
     re.VERBOSE,
@@ -50,14 +52,27 @@ def parse_query(
     tokens = [m.group(1) for m in _TOKEN_RE.finditer(text.strip())]
     if not tokens:
         return Q.MatchAllDocsQuery()
+    q, _i = _parse_tokens(tokens, 0, analyzer, fields or set())
+    return q if q is not None else Q.MatchAllDocsQuery()
 
+
+def _parse_tokens(
+    tokens: list[str], i: int, analyzer: Analyzer, fields: set[str]
+) -> "tuple[Q.Query | None, int]":
+    """Parse a clause run until ')' or end-of-input (recursive for groups —
+    the classic grammar's '(' query ')' [^boost] production)."""
     must: list[Q.Query] = []
     should: list[Q.Query] = []
     must_not: list[Q.Query] = []
 
     pending_op: str | None = None
     prev_to_must = False
-    for raw in tokens:
+    n = len(tokens)
+    while i < n:
+        raw = tokens[i]
+        if raw == ")" or raw.startswith(")^"):
+            break  # caller consumes the close token
+        i += 1
         if raw in ("AND", "OR", "NOT"):
             pending_op = raw
             continue
@@ -72,7 +87,15 @@ def parse_query(
             occur = "must"
             if prev_to_must and should:
                 must.append(should.pop())
-        q, boost = _parse_atom(raw, analyzer, fields or set())
+        if raw == "(":
+            q, i = _parse_tokens(tokens, i, analyzer, fields)
+            boost = 1.0
+            if i < n and (tokens[i] == ")" or tokens[i].startswith(")^")):
+                if tokens[i].startswith(")^"):
+                    boost = float(tokens[i][2:])
+                i += 1
+        else:
+            q, boost = _parse_atom(raw, analyzer, fields)
         if q is None:
             pending_op = None
             continue
@@ -82,11 +105,17 @@ def parse_query(
         prev_to_must = occur == "should"
         pending_op = None
 
-    if len(should) == 1 and not must and not must_not:
-        return should[0]
+    if not must and not must_not:
+        if not should:
+            return None, i
+        if len(should) == 1:
+            return should[0], i
     if len(must) == 1 and not should and not must_not:
-        return must[0]
-    return Q.BooleanQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+        return must[0], i
+    return (
+        Q.BooleanQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not)),
+        i,
+    )
 
 
 def _parse_atom(

@@ -124,6 +124,20 @@ def decode_term(reader: SegmentReader, idx: int, scorer, threshold: float):
     return docs, scorer.score(freqs, norms), pruned
 
 
+def probe_postings(reader: SegmentReader, idx: int, local_doc: int):
+    """(found, freq, norm_byte) of one doc in one posting list — decodes
+    only the single block that can contain it (explain() support)."""
+    r = reader.postings_reader(idx)
+    b = int(np.searchsorted(r.last_doc, local_doc))
+    if b >= r.n_blocks:
+        return False, 0, 0
+    docs, freqs, norms = r.decode_blocks(np.array([b]))
+    pos = int(np.searchsorted(docs, local_doc))
+    if pos < docs.shape[0] and docs[pos] == local_doc:
+        return True, int(freqs[pos]), int(norms[pos])
+    return False, 0, 0
+
+
 def docs_only(reader: SegmentReader, idx: int) -> np.ndarray:
     docs, _f, _n = reader.postings_reader(idx).decode_all()
     return docs

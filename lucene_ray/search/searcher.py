@@ -162,6 +162,68 @@ class Searcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(docs_parts), np.concatenate(score_parts)
 
+    def explain(self, query: "Q.Query | str", doc_id: int) -> dict:
+        """Score explanation for one document — the Weight.explain role
+        (search/Weight.java; the reference's CheckHits asserts
+        explanation == score, test-framework/.../search/CheckHits.java:181-333).
+        Returns the total score plus a per-term breakdown (df, idf, freq,
+        quantized doc length, partial score) for every scored term that
+        matches the doc."""
+        from lucene_ray.index.fields import split_key
+        from lucene_ray.search.scoring import probe_postings
+        from lucene_ray.util.smallfloat import LENGTH_TABLE_INT
+
+        query = self._prep(query)
+        ctx = self.make_context(query)
+        docs, scores = self.search_all(query)
+        hit = np.nonzero(docs == int(doc_id))[0]
+        matched = hit.size > 0
+        out = {
+            "doc_id": int(doc_id),
+            "matched": bool(matched),
+            "score": float(scores[hit[0]]) if matched else 0.0,
+            "formula": "BM25(k1=%.2f, b=%.2f): sum over terms of "
+                       "idf * tf / (tf + k1*(1-b+b*dl/avgdl))" % (1.2, 0.75),
+            "details": [],
+        }
+        terms: set[str] = set()
+        collect_scored_terms(query, terms)
+        for key in sorted(terms):
+            df, ttf = self.term_stats({key}).get(key, (0, 0))
+            if df == 0:
+                continue
+            field, plain = split_key(key)
+            scorer = ctx.scorer(key)
+            for reader in self.readers:
+                local = int(doc_id) - reader.doc_base
+                idx = reader.term_index(key)
+                if idx < 0:
+                    continue
+                found, freq, norm = probe_postings(reader, idx, local)
+                if not found:
+                    continue
+                partial = float(
+                    scorer.score(
+                        np.array([freq], dtype=np.uint32),
+                        np.array([norm], dtype=np.uint8),
+                    )[0]
+                )
+                out["details"].append(
+                    {
+                        "term": plain,
+                        "field": field,
+                        "df": int(df),
+                        "ttf": int(ttf),
+                        "idf": float(scorer.idf),
+                        "freq": freq,
+                        "quantized_dl": int(LENGTH_TABLE_INT[norm]),
+                        "avgdl": ctx._sum_ttf_for(key) / ctx.doc_count,
+                        "partial_score": partial,
+                    }
+                )
+                break
+        return out
+
     def fetch_docs(self, doc_ids, columns: "list[str] | None" = None) -> "object":
         """Stored-field fetch — the searcher.storedFields().document(docid)
         role (search/IndexSearcher.java / SURVEY §3.2 step 6): return the

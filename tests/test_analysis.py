@@ -158,3 +158,62 @@ def test_stemmed_index_end_to_end(tmp_path, ray_session):
     c = s.search(s.parse("café"), k=10)
     d = s.search(s.parse("cafe"), k=10)
     assert c.doc_ids.tolist() == d.doc_ids.tolist() == [3]
+
+
+def test_synonym_injection_batch_vs_python():
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = Analyzer(synonyms=(("fast", ("quick", "rapid")), ("car", ("auto",))))
+    texts = ["the fast car", "Fast, FAST cars!", "nothing here", ""]
+    flat, di, pos = tokenize_column(pa.array(texts), an)
+    want = []
+    for i, t in enumerate(texts):
+        want.extend((tm, i, p) for tm, p in an.tokens_with_positions(t))
+    got = list(zip(flat.to_pylist(), di.tolist(), pos.tolist()))
+    assert got == want
+    # same position as source -> phrase semantics hold
+    d0 = [(t, p) for t, d, p in got if d == 0]
+    assert ("quick", 1) in d0 and ("rapid", 1) in d0 and ("auto", 2) in d0
+
+
+def test_synonym_index_end_to_end(tmp_path, ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import PhraseQuery, TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    an = Analyzer(synonyms=(("fast", ("quick",)),))
+    t = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(["a fast scan", "a quick scan", "slow scan"]),
+    })
+    idx = str(tmp_path / "syn")
+    build_index(ray.data.from_arrow(t), idx, analyzer=an, num_segments=1,
+                with_positions=True)
+    s = Searcher(idx)
+    docs, _ = s.search_all(TermQuery("quick"))
+    assert set(docs.tolist()) == {0, 1}  # synonym injected for doc 0
+    # phrase across the injected position
+    pdocs, _ = s.search_all(PhraseQuery(("quick", "scan")))
+    assert set(pdocs.tolist()) == {0, 1}
+
+
+def test_edge_ngram_expansion():
+    import pyarrow as pa
+
+    from lucene_ray.analysis.ngram import expand_ngrams, token_ngrams
+
+    assert token_ngrams("spark", 2, 4, edge=True) == ["sp", "spa", "spar"]
+    assert token_ngrams("abc", 2, 3) == ["ab", "bc", "abc"]
+    flat = pa.array(["spark", "go", "spark"])
+    import numpy as np
+
+    grams, gdoc = expand_ngrams(flat, np.array([0, 0, 1]), 2, 3, edge=True)
+    assert grams.to_pylist() == ["sp", "spa", "go", "sp", "spa"]
+    assert gdoc.tolist() == [0, 0, 0, 1, 1]

@@ -168,3 +168,17 @@ def test_jaccard_join_strategy_matches_broadcast(ray_session, sf_dir):
     assert a["a"].to_pylist() == b["a"].to_pylist()
     assert a["b"].to_pylist() == b["b"].to_pylist()
     assert np.allclose(a["jaccard"].to_numpy(), b["jaccard"].to_numpy())
+
+
+def test_embedding_near_dup_lsh_recall(emb_ds):
+    """The hyperplane-LSH scale path must recover most exact pairs (and
+    report only true pairs — candidates verify exactly)."""
+    from lucene_ray.pipelines.ann import embedding_near_dup
+
+    exact = embedding_near_dup(emb_ds, threshold=0.42, method="exact")
+    lsh = embedding_near_dup(emb_ds, threshold=0.42, method="lsh")
+    ep = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    lp = set(zip(lsh["a"].to_pylist(), lsh["b"].to_pylist()))
+    assert ep, "threshold should yield pairs on the fixture embeddings"
+    assert lp <= ep  # precision 1.0 (exact verify)
+    assert len(lp & ep) / len(ep) >= 0.6  # banded recall at 0.42 cosine

@@ -226,3 +226,51 @@ def test_distributed_searcher_matches_local(built_index):
         b = dist.search(qtext, k=10)
         assert a.doc_ids.tolist() == b.doc_ids.tolist()
         assert a.scores.tolist() == b.scores.tolist()
+
+
+def test_parser_grouping_parens(searcher):
+    """Classic-grammar groups: (a OR b) AND c, nested groups, group boost."""
+    q = searcher.parse("+(spark window) +table")
+    assert isinstance(q, Q.BooleanQuery)
+    assert len(q.must) == 2
+    inner = q.must[0]
+    assert isinstance(inner, Q.BooleanQuery) and len(inner.should) == 2
+    # semantics: docs must match table AND (spark OR window)
+    import numpy as np
+
+    docs, _ = searcher.search_all(q)
+    dt, _ = searcher.search_all(Q.TermQuery("table"))
+    ds_, _ = searcher.search_all(
+        Q.BooleanQuery(should=(Q.TermQuery("spark"), Q.TermQuery("window")))
+    )
+    want = np.intersect1d(dt, ds_)
+    assert np.array_equal(np.sort(docs), want)
+    # boosted group scales scores
+    qb = searcher.parse("(spark window)^2")
+    base = searcher.search(searcher.parse("(spark window)"), k=10, prune=False)
+    boosted = searcher.search(qb, k=10, prune=False)
+    assert base.doc_ids.tolist() == boosted.doc_ids.tolist()
+    assert np.allclose(boosted.scores, np.asarray(base.scores) * 2.0)
+    # nested
+    qn = searcher.parse("((key value) table)")
+    assert isinstance(qn, Q.BooleanQuery)
+
+
+def test_explain_matches_score(searcher):
+    """CheckHits invariant: explanation total == search score, and the sum
+    of per-term partials == total for a sum-of-terms query."""
+    import numpy as np
+
+    q = Q.BooleanQuery(should=(Q.TermQuery("spark"), Q.TermQuery("window")))
+    docs, scores = searcher.search_all(q)
+    order = np.argsort(-scores)[:5]
+    for i in order:
+        ex = searcher.explain(q, int(docs[i]))
+        assert ex["matched"]
+        assert abs(ex["score"] - float(scores[i])) < 1e-9
+        assert abs(sum(d["partial_score"] for d in ex["details"]) - ex["score"]) < 1e-9
+    # non-matching doc
+    all_docs = set(docs.tolist())
+    miss = next(d for d in range(100000) if d not in all_docs)
+    ex = searcher.explain(q, miss)
+    assert not ex["matched"] and ex["score"] == 0.0
