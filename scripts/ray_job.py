@@ -1,0 +1,210 @@
+"""Cluster job entry point — the `ray job submit` surface of the engine.
+
+    ray job submit --working-dir . -- python scripts/ray_job.py build \
+        --input /data/pages/*.parquet --index /shared/idx \
+        --segments 256 --positions --field title=extracted_title
+
+    ray job submit -- python scripts/ray_job.py merge \
+        --index /shared/idx --out /shared/idx_tiered --group-size 8
+
+    ray job submit -- python scripts/ray_job.py search \
+        --index /shared/idx_tiered --query '+table -key' --k 10
+
+    ray job submit -- python scripts/ray_job.py bench-queries \
+        --index /shared/idx_tiered --queries queries.txt --replicas 4
+
+On a cluster `ray.init(address="auto")` attaches to the running Ray; in
+this sandbox it falls back to a local session. Builds are resumable: a
+rerun skips fingerprint-matched segments and commits a fresh manifest
+(SegmentInfos-style commit point), and every segment row carries lineage
+(fingerprint, doc range, build secs, terms/sec, postings bytes) — the
+north rule's checkpoint/lineage contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# runnable from anywhere (ray job submit working-dirs included)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        try:
+            ray.init(address="auto", ignore_reinit_error=True,
+                     logging_level="ERROR")
+        except Exception:
+            ray.init(address="local", ignore_reinit_error=True,
+                     include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> dict:
+    from lucene_ray.analysis.analyzers import (
+        Analyzer,
+        EnglishStemAnalyzer,
+        StandardAnalyzer,
+    )
+    from lucene_ray.index.build import build_index
+
+    analyzer = {
+        "standard": StandardAnalyzer,
+        "english": EnglishStemAnalyzer,
+    }.get(args.analyzer, StandardAnalyzer)
+    extra = dict(kv.split("=", 1) for kv in (args.field or []))
+    t0 = time.perf_counter()
+    m = build_index(
+        args.input,
+        args.index,
+        analyzer=analyzer,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        num_segments=args.segments,
+        with_positions=args.positions,
+        extra_fields=extra or None,
+        stored_source=args.input,
+    )
+    secs = time.perf_counter() - t0
+    return {
+        "job": "build",
+        "index": args.index,
+        "docs": m["doc_count"],
+        "segments": len(m["segments"]),
+        "skipped_segments": sum(1 for s in m["segments"] if s.get("skipped")),
+        "postings_bytes": sum(s["postings_bytes"] for s in m["segments"]),
+        "secs": round(secs, 3),
+        "docs_per_sec": round(m["doc_count"] / secs, 1),
+    }
+
+
+def cmd_merge(args) -> dict:
+    t0 = time.perf_counter()
+    if args.mode == "tiered":
+        from lucene_ray.index.merge import tiered_merge
+
+        m = tiered_merge(args.index, args.out, group_size=args.group_size)
+    else:
+        from lucene_ray.index.merge import force_merge
+
+        m = force_merge(args.index, args.out, terms_per_shard=args.terms_per_shard)
+    return {
+        "job": f"merge/{args.mode}",
+        "out": args.out,
+        "segments": len(m["segments"]),
+        "docs": m["doc_count"],
+        "secs": round(time.perf_counter() - t0, 3),
+    }
+
+
+def cmd_search(args) -> dict:
+    from lucene_ray.search.executor import DistributedSearcher
+
+    s = DistributedSearcher(args.index, num_executors=args.executors,
+                            num_replicas=args.replicas)
+    td = s.search(args.query, k=args.k)
+    return {
+        "job": "search",
+        "query": args.query,
+        "total_hits": td.total_hits,
+        "relation": td.relation,
+        "hits": [
+            {"doc_id": int(d), "score": float(x)}
+            for d, x in zip(td.doc_ids, td.scores)
+        ],
+    }
+
+
+def cmd_bench_queries(args) -> dict:
+    import numpy as np
+
+    from lucene_ray.search.executor import DistributedSearcher
+
+    with open(args.queries) as f:
+        qs = [line.strip() for line in f if line.strip()]
+    s = DistributedSearcher(args.index, num_executors=args.executors,
+                            num_replicas=args.replicas)
+    for q in qs:
+        s.search(q, k=args.k)  # warm
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(args.rounds):
+        for q in qs:
+            tq = time.perf_counter()
+            s.search(q, k=args.k)
+            lat.append(time.perf_counter() - tq)
+    total = time.perf_counter() - t0
+    lat_ms = np.asarray(lat) * 1000
+    return {
+        "job": "bench-queries",
+        "n_queries": len(lat),
+        "qps_sequential": round(len(lat) / total, 1),
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ray_job.py")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--segments", type=int, default=None)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--analyzer", default="standard",
+                   choices=["standard", "english"])
+    b.add_argument("--field", action="append",
+                   help="extra field as name=column (repeatable)")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--mode", default="tiered", choices=["tiered", "force"])
+    m.add_argument("--group-size", type=int, default=4)
+    m.add_argument("--terms-per-shard", type=int, default=1 << 20)
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--executors", type=int, default=4)
+    s.add_argument("--replicas", type=int, default=1)
+    s.set_defaults(fn=cmd_search)
+
+    bq = sub.add_parser("bench-queries")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--queries", required=True)
+    bq.add_argument("--k", type=int, default=10)
+    bq.add_argument("--rounds", type=int, default=5)
+    bq.add_argument("--executors", type=int, default=4)
+    bq.add_argument("--replicas", type=int, default=1)
+    bq.set_defaults(fn=cmd_bench_queries)
+
+    args = p.parse_args(argv)
+    _init_ray()
+    try:
+        out = args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
