@@ -52,7 +52,8 @@ class QueryExecutor:
         )
 
     def search(
-        self, query_dict: dict, k: int, term_stats: dict, threshold: float
+        self, query_dict: dict, k: int, term_stats: dict, threshold: float,
+        prune: bool = True,
     ) -> tuple[np.ndarray, np.ndarray, int, bool]:
         query = query_from_dict(query_dict)
         ctx = EvalContext(term_stats, self.doc_count, self.sum_ttf, mode=self.mode,
@@ -77,7 +78,7 @@ class QueryExecutor:
                 docs, scores = merge_topk(docs, scores, k)
             else:
                 total += 0
-            if docs.shape[0] >= k:
+            if prune and docs.shape[0] >= k:
                 ctx.threshold = max(threshold, float(scores[-1]))
         return docs, scores, total, exact
 
@@ -98,11 +99,12 @@ class SearchFrontend:
     def __init__(self, executors: list):
         self.executors = executors
 
-    async def search(self, query_dict: dict, k: int, term_stats: dict, threshold: float):
+    async def search(self, query_dict: dict, k: int, term_stats: dict,
+                     threshold: float, prune: bool = True):
         import asyncio
 
         futs = [
-            e.search.remote(query_dict, k, term_stats, threshold)
+            e.search.remote(query_dict, k, term_stats, threshold, prune)
             for e in self.executors
         ]
         results = await asyncio.gather(*futs)
@@ -198,3 +200,20 @@ class DistributedSearcher:
         self._rr += 1
         docs, scores, total, exact = ray.get(fe.search.remote(qd, k, stats, -np.inf))
         return TopDocs(total, "EQ" if exact else "GTE", docs, scores)
+
+    def count(self, query: "Q.Query | str") -> int:
+        """Exact distributed hit count (TotalHitCountCollector): k large
+        enough is unnecessary — the unpruned per-executor totals sum."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        query = Q.resolve_fields(query)
+        terms: set[str] = set()
+        collect_scored_terms(query, terms)
+        stats = self.term_stats(terms)
+        qd = query.to_dict()
+        fe = self.frontends[self._rr % len(self.frontends)]
+        self._rr += 1
+        _d, _s, total, exact = ray.get(
+            fe.search.remote(qd, 1, stats, -np.inf, False)
+        )
+        return int(total)

@@ -274,3 +274,32 @@ def test_explain_matches_score(searcher):
     miss = next(d for d in range(100000) if d not in all_docs)
     ex = searcher.explain(q, miss)
     assert not ex["matched"] and ex["score"] == 0.0
+
+
+def test_distributed_count_and_sampled_facets(built_index, sf_dir):
+    """DistributedSearcher.count == Searcher.count (no-prune totals), and
+    sampled facet counts are deterministic under a fixed seed."""
+    import pyarrow as pa
+
+    from lucene_ray.search.executor import DistributedSearcher
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    local = Searcher(idx)
+    dist = DistributedSearcher(idx, num_executors=2)
+    for qtext in ["table", "spark window", "+table -key", '"key value"']:
+        assert dist.count(qtext) == local.count(qtext)
+
+    import os
+
+    import ray.data
+
+    from lucene_ray.pipelines.facets import sampled_facet_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    a = sampled_facet_counts(ds, "lang", fraction=0.3, seed=7).to_pandas()
+    b = sampled_facet_counts(ds, "lang", fraction=0.3, seed=7).to_pandas()
+    assert a.equals(b)
+    assert a["count()"].sum() > 0
