@@ -326,6 +326,11 @@ def force_merge(
         live_ds = ray.data.read_parquet(docs_dir)
         doc_count = live_ds.count()
         sum_ttf = int(live_ds.sum("doc_len"))
+        # refresh per-extra-field sums from the compacted docs too
+        live_fields = {
+            f_: int(live_ds.sum(f"len_{f_}"))
+            for f_ in m.get("fields", {})
+        }
 
     # shared merged positions (phrase queries on merged shards): stream the
     # sources' positions through tombstone filtering into one positions dir
@@ -390,6 +395,9 @@ def force_merge(
 
     manifest = dict(m)
     manifest["doc_count"] = doc_count
+    if tombs.shape[0] and m.get("fields"):
+        for f_ in manifest["fields"]:
+            manifest["fields"][f_]["sum_ttf"] = live_fields[f_]
     manifest["sum_total_term_freq"] = sum_ttf
     manifest["segments"] = segments
     if tombs.shape[0]:
@@ -575,6 +583,12 @@ def tiered_merge(
                 "terms_per_sec": 0.0,
                 "skipped": False,
                 "merge_fan_in": len(paths),
+                # per-extra-field sums from the COMPACTED docs table, so
+                # multi-field avgdl stays fresh after deletes are dropped
+                "field_ttf_json": json.dumps({
+                    c[4:]: int(doc_tbl[c].to_numpy().sum())
+                    for c in doc_tbl.column_names if c.startswith("len_")
+                }),
             }
             with open(os.path.join(tmp, "meta.json"), "w") as f:
                 json.dump(meta, f)
@@ -608,6 +622,11 @@ def tiered_merge(
     manifest["doc_count"] = sum(s["doc_count"] for s in segments)
     manifest["sum_total_term_freq"] = sum(s["sum_total_term_freq"] for s in segments)
     manifest["segments"] = segments
+    for f_ in manifest.get("fields", {}):
+        manifest["fields"][f_]["sum_ttf"] = sum(
+            json.loads(s.get("field_ttf_json") or "{}").get(f_, 0)
+            for s in segments
+        )
     if tombs.shape[0]:
         from lucene_ray.index.build import _write_global_stats
 

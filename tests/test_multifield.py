@@ -215,3 +215,48 @@ def test_multifield_survives_merges(mf_index, tmp_path):
     got2 = sf_.search(fq, k=10)
     assert got2.doc_ids.tolist() == want_f.doc_ids.tolist()
     assert np.allclose(got2.scores, want_f.scores)
+
+
+def test_merged_multifield_stats_fresh_after_deletes(mf_index, tmp_path):
+    """Merges that compact tombstones must refresh per-field sum_ttf (title
+    avgdl), not inherit stale sums — BM25F / field queries on the merged
+    index then score with the compacted stats."""
+    import json
+    import shutil
+
+    from lucene_ray.index.deletes import delete_docs
+    from lucene_ray.index.merge import force_merge, tiered_merge
+
+    src_idx, m = mf_index
+    # work on a copy so the shared fixture keeps no tombstones
+    idx = str(tmp_path / "mfdel")
+    shutil.copytree(src_idx, idx)
+    # rewrite copied manifest paths
+    with open(f"{idx}/manifest.json") as f:
+        mm = json.load(f)
+    for s in mm["segments"]:
+        s["path"] = s["path"].replace(src_idx, idx)
+    with open(f"{idx}/manifest.json", "w") as f:
+        json.dump(mm, f)
+
+    s0 = Searcher(idx)
+    victims = s0.search(Q.TermQuery("table", field="title"), k=3).doc_ids.tolist()
+    delete_docs(idx, victims)
+    victim_title_len = 4 * len(victims)  # titles are exactly 4 tokens
+
+    tm = str(tmp_path / "mfdel_tiered")
+    mt = tiered_merge(idx, tm, group_size=2)
+    assert (
+        mt["fields"]["title"]["sum_ttf"]
+        == m["fields"]["title"]["sum_ttf"] - victim_title_len
+    )
+    st = Searcher(tm)
+    docs, _ = st.search_all(Q.TermQuery("table", field="title"))
+    assert not set(victims) & set(docs.tolist())
+
+    fm = str(tmp_path / "mfdel_forced")
+    mf_ = force_merge(idx, fm)
+    assert (
+        mf_["fields"]["title"]["sum_ttf"]
+        == m["fields"]["title"]["sum_ttf"] - victim_title_len
+    )
