@@ -655,32 +655,34 @@ def _sloppy_phrase(terms, t_arr, d_arr, p_arr, slop):
 
     Conservative ordered-window implementation (SloppyPhraseMatcher's
     semantics for the common case; freq = number of matching start
-    positions of the first term)."""
+    positions of the first term). Fully vectorized ACROSS docs: the greedy
+    next-occurrence walk runs as one searchsorted per term over fused
+    (doc << 32 | pos) keys — no per-doc Python."""
     per_term = []
     for t in terms:
         sel = t_arr == t
-        per_term.append((d_arr[sel], p_arr[sel]))
-    base_docs = per_term[0][0]
-    docs_all = np.unique(base_docs)
-    for d, _p in per_term[1:]:
-        docs_all = np.intersect1d(docs_all, np.unique(d), assume_unique=True)
-    out_docs, out_freqs = [], []
-    for doc in docs_all:
-        starts = np.sort(per_term[0][1][per_term[0][0] == doc])
-        ok = np.ones(starts.shape[0], dtype=bool)
-        prev_pos = starts
-        for i, (d, p) in enumerate(per_term[1:], start=1):
-            pos_i = np.sort(p[d == doc])
-            nxt = np.searchsorted(pos_i, prev_pos + 1)
-            valid = nxt < pos_i.shape[0]
-            cand = np.where(valid, pos_i[np.minimum(nxt, pos_i.shape[0] - 1)], -1)
-            ok &= valid & (cand - starts <= i + slop)
-            prev_pos = cand
-        f = int(ok.sum())
-        if f:
-            out_docs.append(doc)
-            out_freqs.append(f)
-    return np.asarray(out_docs, dtype=np.int64), np.asarray(out_freqs, dtype=np.int64)
+        d, p = d_arr[sel].astype(np.int64), p_arr[sel].astype(np.int64)
+        o = np.lexsort((p, d))
+        per_term.append((d[o], p[o]))
+    d0, p0 = per_term[0]
+    if d0.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ok = np.ones(p0.shape[0], dtype=bool)
+    prev = p0.copy()
+    for i, (d, p) in enumerate(per_term[1:], start=1):
+        if d.shape[0] == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        keys = d * _DOC_SHIFT + p
+        tgt = d0 * _DOC_SHIFT + prev + 1
+        idx = np.searchsorted(keys, tgt)
+        valid = idx < keys.shape[0]
+        idxc = np.minimum(idx, keys.shape[0] - 1)
+        same_doc = valid & (d[idxc] == d0)
+        cand = p[idxc]
+        ok &= same_doc & (cand - p0 <= i + slop)
+        prev = np.where(same_doc, cand, prev)
+    out_docs, out_freqs = np.unique(d0[ok], return_counts=True)
+    return out_docs.astype(np.int64), out_freqs.astype(np.int64)
 
 
 def _eval_bool(reader, q: Q.BooleanQuery, ctx):
