@@ -142,6 +142,20 @@ class LangId:
             self.profiles[lang] = set(
                 g for g, _ in sorted(grams.items(), key=lambda kv: -kv[1])[:200]
             )
+        # vectorized ASCII path state (built once per actor): each pure-ASCII
+        # profile trigram packs into a 24-bit code (b0<<16|b1<<8|b2); a
+        # byte-trigram of an ASCII row equals its char-trigram, so overlap
+        # counting becomes isin + bincount. Non-ASCII profile grams can
+        # never occur in an ASCII row and drop from the tables.
+        self.langs = list(self.SEEDS)  # tie-break priority = seed order
+        self.ascii_codes = []
+        for lang in self.langs:
+            codes = [
+                (ord(g[0]) << 16) | (ord(g[1]) << 8) | ord(g[2])
+                for g in self.profiles[lang]
+                if all(ord(c) < 128 for c in g)
+            ]
+            self.ascii_codes.append(np.array(sorted(codes), dtype=np.int64))
 
     def classify(self, text: str) -> str:
         s = f"  {text[:400].lower()}  "
@@ -153,9 +167,67 @@ class LangId:
                 best, score = lang, ov
         return best
 
+    def _classify_ascii_batch(self, texts: pa.Array) -> np.ndarray:
+        """Vectorized classify for pure-ASCII rows -> lang index (-1=und)."""
+        import pyarrow.compute as pc
+
+        padded = pc.binary_join_element_wise(
+            "  ", pc.utf8_lower(pc.utf8_slice_codeunits(texts, 0, 400)), "  ", ""
+        ).cast(pa.large_binary())
+        buf = np.frombuffer(padded.buffers()[2], dtype=np.uint8) \
+            if padded.buffers()[2] else np.empty(0, np.uint8)
+        offs = np.frombuffer(padded.buffers()[1], dtype=np.int64)[
+            padded.offset : padded.offset + len(padded) + 1
+        ]
+        n = len(padded)
+        if buf.shape[0] < 3:
+            return np.full(n, -1, dtype=np.int64)
+        codes = (
+            (buf[:-2].astype(np.int64) << 16)
+            | (buf[1:-1].astype(np.int64) << 8)
+            | buf[2:].astype(np.int64)
+        )
+        lens = offs[1:] - offs[:-1]
+        cnt = np.maximum(lens - 2, 0)
+        row_of = np.repeat(np.arange(n), cnt)
+        starts = offs[:-1]
+        cum = np.cumsum(cnt) - cnt
+        win_idx = np.repeat(starts - cum, cnt) + np.arange(int(cnt.sum()))
+        win_codes = codes[win_idx]
+        # distinct (row, gram) pairs
+        fused = row_of * (1 << 24) + win_codes
+        ufused = np.unique(fused)
+        urow = ufused >> 24
+        ucode = ufused & ((1 << 24) - 1)
+        best = np.full(n, -1, dtype=np.int64)
+        best_ov = np.zeros(n, dtype=np.int64)
+        for li, lcodes in enumerate(self.ascii_codes):
+            hit = np.isin(ucode, lcodes, assume_unique=False)
+            ov = np.bincount(urow[hit], minlength=n)
+            better = ov > best_ov  # strict >: first lang in seed order wins ties
+            best[better] = li
+            best_ov[better] = ov[better]
+        return best
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = [self.classify(t) for t in batch["text"].to_pylist()]
-        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        import pyarrow.compute as pc
+
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ascii_mask = pc.fill_null(
+            pc.match_substring_regex(texts, r"^[\x00-\x7f]*$"), False
+        ).to_numpy(zero_copy_only=False)
+        langs = np.empty(batch.num_rows, dtype=object)
+        a_rows = np.nonzero(ascii_mask)[0]
+        if a_rows.size:
+            li = self._classify_ascii_batch(texts.take(pa.array(a_rows)))
+            langs[a_rows] = np.array(["und"] + self.langs, dtype=object)[li + 1]
+        for row in np.nonzero(~ascii_mask)[0]:
+            langs[row] = self.classify(texts[int(row)].as_py())
+        return batch.append_column(
+            "lang_pred", pa.array(langs.tolist(), type=pa.string())
+        )
 
 
 def lang_id(pages, concurrency: int = 4):
