@@ -61,6 +61,44 @@ def _materialize_corpus() -> str:
     return path
 
 
+def _materialize_realtext_corpus(corpus_path: str) -> str:
+    """Deterministic 'web-real' variant of the corpus: sentence casing,
+    commas and periods injected — rows fail the clean-text shortcut and
+    drive the general RE2 tokenizer chain (untimed, cached)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    path = corpus_path + "_real"
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+
+    def realify(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        # every 5th word gets a trailing comma, every 11th a period; the
+        # first character of each text uppercases (deterministic, cheap)
+        t = pc.replace_substring_regex(
+            t, r"((?:\w+ ){4}\w+) ", "\\1, "
+        )
+        t = pc.replace_substring_regex(
+            t, r"((?:\w+[ ,]+){10}\w+)[ ,]+", "\\1. "
+        )
+        first = pc.utf8_upper(pc.utf8_slice_codeunits(t, 0, 1))
+        rest = pc.utf8_slice_codeunits(t, 1, 2**31 - 1)
+        t = pc.binary_join_element_wise(first, rest, "")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ray.data.read_parquet(corpus_path).map_batches(
+        realify, batch_format="pyarrow"
+    ).write_parquet(tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
@@ -100,6 +138,20 @@ def run_bench() -> dict:
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 3)
     build_docs_per_sec = N_DOCS / t_build
+
+    # --- real-text build: same corpus with case + punctuation (exercises
+    # the general vectorized tokenizer path, not the clean-text shortcut) ---
+    build_docs_per_sec_realtext = None
+    if os.environ.get("BENCH_REALTEXT", "1") == "1":
+        real_path = _materialize_realtext_corpus(corpus_path)
+        real_dir = f"/tmp/bench_idx_real_{NUM_CPUS}_{N_DOCS}"
+        shutil.rmtree(real_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(real_path, real_dir, num_segments=N_SEGMENTS)
+        t_real = time.perf_counter() - t0
+        timings["index_build_realtext"] = round(t_real, 3)
+        build_docs_per_sec_realtext = N_DOCS / t_real
+        shutil.rmtree(real_dir, ignore_errors=True)
 
     # --- tiered compaction before serving (TieredMergePolicy role):
     # 32 micro-segments -> 8 doc-range segments. Measured topologies at
@@ -146,6 +198,8 @@ def run_bench() -> dict:
 
     if os.environ.get("BENCH_HEADLINE_ONLY"):
         result = _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps)
+        if build_docs_per_sec_realtext:
+            result["build_docs_per_sec_realtext"] = round(build_docs_per_sec_realtext, 1)
         ray.shutdown()
         return result
 
@@ -179,6 +233,8 @@ def run_bench() -> dict:
     timed("knn_cosine", knn)
 
     result = _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps)
+    if build_docs_per_sec_realtext:
+        result["build_docs_per_sec_realtext"] = round(build_docs_per_sec_realtext, 1)
     ray.shutdown()
     return result
 
@@ -226,6 +282,7 @@ def run_scaling() -> dict:
             BENCH_HEADLINE_ONLY="1",
             BENCH_DOCS=os.environ.get("BENCH_DOCS", "1920000"),
             BENCH_SERVE_TIERED="0",
+            BENCH_REALTEXT="0",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
