@@ -424,6 +424,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["edge_ngram_counts"] = _edge_ngrams
 
+    def _index_sorted(sf):
+        """setIndexSort: corpus resequenced by (n_chars desc, doc_id) with
+        dense new ids; sorted top-k = first k docs, no scoring."""
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.sorted import build_sorted_index, sorted_topk
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:sort1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_sorted_index(docs, idx, by="n_chars", descending=True,
+                               num_segments=4)
+        s = Searcher(idx)
+        t = sorted_topk(s, 10, columns=["doc_id", "orig_doc_id", "n_chars"])
+        return pa.table(
+            {
+                "rank": t["doc_id"],  # new ids ARE the global sort ranks
+                "doc_id": t["orig_doc_id"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    q["index_sorted_topk"] = _index_sorted
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
         import pyarrow.compute as pc
@@ -1488,6 +1515,12 @@ SELECT t.doc_id,
              (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
 FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
+    )
+
+    o["index_sorted_topk"] = (
+        """SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id)) - 1 AS rank,
+                  doc_id, n_chars
+           FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"""
     )
 
     o["edge_ngram_counts"] = (

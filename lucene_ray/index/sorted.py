@@ -1,0 +1,150 @@
+"""Index sorting — the IndexWriterConfig.setIndexSort role
+(index/IndexWriterConfig.java:475, index/Sorter.java:34): documents laid
+out in sort-key order so sort queries early-exit after k docs.
+
+Lucene sorts within each segment and remaps docids at flush/merge. The
+Ray-Data translation resequences the WHOLE corpus once as a distributed
+pre-pass (docids here are global, so the remap is a corpus transform, not
+a per-segment one):
+
+1. ``ds.sort(by)`` range-partitions the corpus in key order.
+2. The sorted stream writes to Parquet; Ray names output files by task
+   index, so lexicographic file order == global sort order.
+3. A second distributed pass reads the parquet FOOTERS (row counts only)
+   on the driver, prefix-sums them into per-file id offsets, and rewrites
+   each file with ``doc_id = offset + arange`` (original ids preserved in
+   ``orig_<id>``).
+
+``build_sorted_index`` then builds a normal index over the resequenced
+corpus and records ``index_sort`` in the manifest; because doc order IS
+key order, the sorted top-k is the first k live docs of the first
+segments — ``sorted_topk`` reads exactly those rows and never scores
+(the TopFieldCollector early-exit,
+search/TopFieldCollector.java:37 + Sorter-aware leaf early termination).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def sort_corpus(
+    source: "ray.data.Dataset | str",
+    out_dir: str,
+    by: str,
+    descending: bool = False,
+    id_col: str = "doc_id",
+) -> str:
+    """Resequence a corpus in (by, id_col) order with new dense doc ids.
+
+    Output parquet columns: ``doc_id`` (the new global rank),
+    ``orig_<id_col>`` plus every other source column. Deterministic:
+    ties break by the original id ascending."""
+    ds = ray.data.read_parquet(source) if isinstance(source, str) else source
+    tmp = out_dir + f".sorting-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ds.sort([by, id_col], descending=[descending, False])
+        .write_parquet(tmp)
+    )
+    # global rank assignment: footer row counts -> per-file offsets (driver
+    # touches metadata only; the rewrite itself is distributed)
+    files = sorted(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    counts = [pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows for f in files]
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    items = [
+        {"file": os.path.join(tmp, f), "offset": int(o)}
+        for f, o in zip(files, offsets)
+    ]
+
+    out_tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_tmp, exist_ok=True)
+
+    def reseq(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["file"])
+            new_ids = np.arange(row["offset"], row["offset"] + t.num_rows, dtype=np.int64)
+            cols = {"doc_id": pa.array(new_ids), f"orig_{id_col}": t[id_col]}
+            for name in t.column_names:
+                if name != id_col:
+                    cols[name] = t[name]
+            out = pa.table(cols)
+            base = os.path.basename(row["file"])
+            pq.write_table(out, os.path.join(out_tmp, base))
+            out_rows.append(base)
+        return pa.table({"file": out_rows})
+
+    n = (
+        ray.data.from_items(items)
+        .map_batches(reseq, batch_size=1, batch_format="pyarrow")
+        .count()
+    )
+    assert n == len(files)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(out_tmp, out_dir)
+    return out_dir
+
+
+def build_sorted_index(
+    source: "ray.data.Dataset | str",
+    index_dir: str,
+    by: str,
+    descending: bool = False,
+    id_col: str = "doc_id",
+    **build_kwargs,
+) -> dict:
+    """setIndexSort: resequence by ``by`` then build; the manifest records
+    the sort so searchers know doc order == key order."""
+    import json
+
+    from lucene_ray.index.build import build_index
+
+    sorted_dir = os.path.join(index_dir, "sorted_corpus")
+    os.makedirs(index_dir, exist_ok=True)
+    sort_corpus(source, sorted_dir, by, descending, id_col)
+    m = build_index(
+        sorted_dir, index_dir, id_col="doc_id",
+        stored_source=sorted_dir, **build_kwargs,
+    )
+    m["index_sort"] = {"by": by, "descending": descending,
+                       "orig_id_col": f"orig_{id_col}"}
+    tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return m
+
+
+def sorted_topk(searcher, k: int, columns: "list[str] | None" = None) -> pa.Table:
+    """Early-exit top-k on a sort-keyed index: doc order == key order, so
+    the answer is the first k LIVE docs — only the leading segments' doc
+    ids are read, nothing is scored or globally sorted."""
+    sort = searcher.manifest.get("index_sort")
+    if not sort:
+        raise ValueError("index was not built with build_sorted_index")
+    from lucene_ray.index.deletes import mask_live
+
+    taken: list[int] = []
+    for reader in searcher.readers:  # manifest order == doc_base order
+        ids = reader.doc_ids
+        live = mask_live(ids, searcher.tombstones)
+        for d in ids[live]:
+            taken.append(int(d))
+            if len(taken) >= k:
+                break
+        if len(taken) >= k:
+            break
+    return searcher.fetch_docs(taken, columns=columns)

@@ -324,3 +324,42 @@ def test_sharded_merge_cross_shard_compound_queries(sf_dir, tmp_path):
                 assert td.total_hits == exact
             else:
                 assert td.total_hits <= exact
+
+
+def test_index_sorting_early_exit_topk(sf_dir, tmp_path):
+    """setIndexSort as a distributed resequencing pre-pass: doc order ==
+    sort-key order, sorted_topk reads the first k live docs without
+    scoring; results equal the global ORDER BY."""
+    import pyarrow.parquet as pq2
+
+    from lucene_ray.index.sorted import build_sorted_index, sorted_topk
+    from lucene_ray.search.searcher import Searcher
+
+    idx = str(tmp_path / "sortedidx")
+    m = build_sorted_index(
+        f"{sf_dir}/documents.parquet", idx, by="n_chars", descending=True,
+        num_segments=4,
+    )
+    assert m["index_sort"]["by"] == "n_chars"
+    s = Searcher(idx)
+    got = sorted_topk(s, 10, columns=["doc_id", "orig_doc_id", "n_chars"])
+    want = (
+        pq2.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "n_chars"])
+        .sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+        .slice(0, 10)
+    )
+    assert got["orig_doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["n_chars"].to_pylist() == want["n_chars"].to_pylist()
+    # new ids are the global ranks 0..9
+    assert got["doc_id"].to_pylist() == list(range(10))
+    # the index itself still searches (text column intact)
+    td = s.search("table", k=5)
+    assert td.total_hits > 0
+    # early exit survives deletes: tombstone rank 0, top-1 becomes rank 1
+    from lucene_ray.index.deletes import delete_docs
+
+    delete_docs(idx, [0])
+    s2 = Searcher(idx)
+    got2 = sorted_topk(s2, 1, columns=["doc_id"])
+    assert got2["doc_id"].to_pylist() == [1]
