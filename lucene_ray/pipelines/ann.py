@@ -93,7 +93,8 @@ def knn_brute_cosine(embeddings, queries: np.ndarray, k: int = 10,
 
 def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact",
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       n_planes: int = 64, bands: int = 16):
+                       n_planes: int = 64, bands: int = 16,
+                       verify: str = "broadcast"):
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
     * ``method="exact"`` — the full normalized matrix is broadcast once
@@ -102,13 +103,21 @@ def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact"
       viable while n x d fits the object store.
     * ``method="lsh"`` — random-hyperplane signatures, banded like
       MinHash-LSH: sign-bit bands bucket candidates (groupby shuffle of
-      (band_hash, id) pairs only), then candidates verify exactly against
-      the broadcast matrix. The 10^9+-vector scale path (no all-pairs);
-      recall < 1 when a true pair shares no band.
+      (band_hash, id) pairs only), then candidates verify exactly. The
+      10^9+-vector scale path (no all-pairs); recall < 1 when a true pair
+      shares no band. ``verify="broadcast"`` checks candidates against a
+      broadcast matrix (fast while n x d fits the object store);
+      ``verify="join"`` attaches both endpoint vectors via two distributed
+      hash joins — nothing whole-corpus-resident anywhere.
 
     Returns a pyarrow Table (a, b, cosine) sorted by (a, b).
     """
     import pyarrow.compute as _pc
+
+    if method == "lsh" and verify == "join":
+        return _near_dup_lsh_join(
+            embeddings, threshold, id_col, vec_col, n_planes, bands, _pc
+        )
 
     full = pa.concat_tables(
         embeddings.map_batches(
@@ -182,6 +191,89 @@ def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact"
 
     t = pa.concat_tables(
         cand.map_batches(verify, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    return t.take(_pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+
+
+def _near_dup_lsh_join(embeddings, threshold, id_col, vec_col, n_planes,
+                       bands, _pc):
+    """LSH candidates + join-based exact verify: endpoint vectors attach
+    to candidate pairs via two Dataset.join hash joins, so no task ever
+    holds the whole matrix (the 10^9+-vector verify)."""
+    from lucene_ray.pipelines.dedup import _default_partitions, bucket_pairs_dataset
+
+    rng = np.random.default_rng(1234)
+    # plane count is d-dependent; build once from the first batch's dim
+    first = embeddings.limit(1).to_pandas()
+    d = len(first[vec_col].iloc[0])
+    planes = rng.standard_normal((d, n_planes))
+    planes_ref = ray.put(planes)
+    rows_per_band = n_planes // bands
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_batch_matrix(b[vec_col]))
+        bits = (m @ p > 0).astype(np.uint64)
+        keys, dids = [], []
+        for band in range(bands):
+            chunk = bits[:, band * rows_per_band : (band + 1) * rows_per_band]
+            h = np.zeros(chunk.shape[0], dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                h = (h << np.uint64(1)) | chunk[:, c]
+            keys.append((h * np.uint64(1000003) + np.uint64(band)).astype(np.int64))
+            dids.append(ids)
+        return pa.table({"key": np.concatenate(keys), "doc_id": np.concatenate(dids)})
+
+    cand = (
+        bucket_pairs_dataset(embeddings.map_batches(to_bands, batch_format="pyarrow"))
+        .groupby(["a", "b"]).count()
+        .map_batches(lambda b: b.drop_columns(["count()"]), batch_format="pyarrow")
+    )
+    nparts = _default_partitions()
+
+    # Arrow hash joins reject list<float> payloads: ship vectors as
+    # fixed-size binary (d float32s packed per row), unpack after the join
+    def _pack(b: pa.Table, key: str, out: str) -> pa.Table:
+        m32 = _batch_matrix(b[vec_col]).astype(np.float32)
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m32.shape[1] * 4), m32.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(m32).tobytes())],
+        )
+        return pa.table({key: b[id_col], out: arr})
+
+    vec_a = embeddings.map_batches(
+        lambda b: _pack(b, "a", "_va"), batch_format="pyarrow"
+    )
+    vec_b = embeddings.map_batches(
+        lambda b: _pack(b, "b", "_vb"), batch_format="pyarrow"
+    )
+    joined = cand.join(
+        vec_a, join_type="inner", num_partitions=nparts, on=("a",)
+    ).join(vec_b, join_type="inner", num_partitions=nparts, on=("b",))
+
+    def _unpack(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        width = col.type.byte_width // 4
+        raw = np.frombuffer(col.buffers()[1], dtype=np.float32)
+        raw = raw[col.offset * width : (col.offset + len(col)) * width]
+        return raw.reshape(len(col), width).astype(np.float64)
+
+    def score(b: pa.Table) -> pa.Table:
+        va = _normalize(_unpack(b["_va"]))
+        vb = _normalize(_unpack(b["_vb"]))
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        return pa.table({
+            "a": b["a"].to_numpy(zero_copy_only=False)[keep],
+            "b": b["b"].to_numpy(zero_copy_only=False)[keep],
+            "cosine": cos[keep],
+        })
+
+    t = pa.concat_tables(
+        joined.map_batches(score, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
     )
     return t.take(_pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))

@@ -182,3 +182,17 @@ def test_embedding_near_dup_lsh_recall(emb_ds):
     assert ep, "threshold should yield pairs on the fixture embeddings"
     assert lp <= ep  # precision 1.0 (exact verify)
     assert len(lp & ep) / len(ep) >= 0.6  # banded recall at 0.42 cosine
+
+
+def test_embedding_near_dup_join_verify_matches_broadcast(emb_ds):
+    """The join-based verify (10^9+-vector path) must produce the same
+    pairs/cosines as the broadcast verify for the same LSH candidates."""
+    from lucene_ray.pipelines.ann import embedding_near_dup
+
+    a = embedding_near_dup(emb_ds, threshold=0.42, method="lsh",
+                           verify="broadcast")
+    b = embedding_near_dup(emb_ds, threshold=0.42, method="lsh",
+                           verify="join")
+    assert a["a"].to_pylist() == b["a"].to_pylist()
+    assert a["b"].to_pylist() == b["b"].to_pylist()
+    assert np.allclose(a["cosine"].to_numpy(), b["cosine"].to_numpy())
