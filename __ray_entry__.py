@@ -775,6 +775,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_sliding_window"] = _events_sliding
 
+    def _events_sessions(sf):
+        """Gap-based per-user sessionization (streaming session windows):
+        one sort, vectorized per-block scan, tiny boundary pass."""
+        import ray.data
+
+        from lucene_ray.pipelines.events import sessionize
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "events.parquet"),
+            columns=["user_id", "ts", "value"],
+        )
+        t = pa.concat_tables(
+            sessionize(ds, gap_s=1800)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        t = t.sort_by([("user_id", "ascending"), ("session_start", "ascending")])
+        return pa.table({
+            "user_id": t["user_id"],
+            "session_start": t["session_start"],
+            "n_events": t["n_events"],
+            "sum_value": _round4(t["sum_value"].to_numpy()),
+        })
+
+    q["events_sessionization"] = _events_sessions
+
     # ---- rows-only entries (non-SQL-expressible; driver does a weaker check) ----
     def _bm25_f32(sf):
         s = _searcher(sf, mode="f32")
@@ -1374,6 +1399,22 @@ ORDER BY i.a, i.b"""
            SELECT window_epoch, event_type, count(*)::BIGINT AS n,
                   ROUND(sum(value), 4) AS sum_value
            FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    o["events_sessionization"] = (
+        """WITH e AS (
+             SELECT user_id, epoch_us(ts) // 1000000 AS t, value FROM events),
+           o AS (
+             SELECT user_id, t, value,
+                    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+                         THEN 1 ELSE 0 END AS new
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+           s AS (
+             SELECT user_id, t, value,
+                    SUM(new) OVER (PARTITION BY user_id ORDER BY t) AS sid
+             FROM o)
+           SELECT user_id, min(t)::BIGINT AS session_start,
+                  count(*)::BIGINT AS n_events, ROUND(sum(value), 4) AS sum_value
+           FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
     )
     o["force_merge_term_query"] = o["term_query"]
     o["knn_ivf_full_probe"] = o["knn_cosine_topk"]

@@ -1,0 +1,135 @@
+"""Streaming-shaped event operators (SURVEY §2.11).
+
+Sessionization — the classic gap-window: consecutive events of one user
+belong to one session while inter-event gaps stay <= ``gap_s``. The
+distributed shape mirrors dedup's sorted-run scanner: ONE global sort on
+(user, ts), a fully vectorized per-block session scan, and a tiny second
+pass over only the blocks' EDGE sessions (a block's first/last session
+may continue in the neighbouring block; interior sessions are provably
+complete because a confirmed >gap boundary closes them). No per-user
+Python, no per-group UDFs — the shuffle moves events once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_start", pa.int64()),  # epoch seconds
+        ("n_events", pa.int64()),
+        ("sum_value", pa.float64()),
+    ]
+)
+
+
+def _scan_sessions(u: np.ndarray, t: np.ndarray, v: np.ndarray, gap_s: int):
+    """(session_of_row, starts) for rows sorted by (user, ts)."""
+    if u.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.ones(u.shape[0], dtype=bool)
+    new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > gap_s)
+    sid = np.cumsum(new) - 1
+    starts = np.nonzero(new)[0]
+    return sid, starts
+
+
+def sessionize(events, gap_s: int = 1800, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value"):
+    """Dataset of (user_id, session_start, n_events, sum_value) sessions."""
+
+    def block_sessions(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((
+            b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False), u,
+        ))
+        t = (b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000)[order]
+        u = u[order]
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        sid, starts = _scan_sessions(u, t, v, gap_s)
+        if sid.shape[0] == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "_edge": pa.array([], pa.bool_()),
+                "_ts": pa.array([], pa.int64()),
+                "_value": pa.array([], pa.float64()),
+            })
+        n_sessions = int(sid[-1]) + 1
+        counts = np.bincount(sid, minlength=n_sessions)
+        sums = np.zeros(n_sessions)
+        np.add.at(sums, sid, v)
+        first_last = {0, n_sessions - 1}
+        interior = np.ones(n_sessions, dtype=bool)
+        for e in first_last:
+            interior[e] = False
+        # interior sessions are final; edge sessions emit their RAW events
+        # (deferred to the boundary pass)
+        rows_int = interior[sid]
+        out_int = pa.table({
+            "user_id": u[starts][interior],
+            "session_start": t[starts][interior],
+            "n_events": counts[interior].astype(np.int64),
+            "sum_value": sums[interior],
+            "_edge": np.zeros(int(interior.sum()), dtype=bool),
+            "_ts": np.zeros(int(interior.sum()), dtype=np.int64),
+            "_value": np.zeros(int(interior.sum())),
+        })
+        edge_rows = ~rows_int
+        out_edge = pa.table({
+            "user_id": u[edge_rows],
+            "session_start": np.zeros(int(edge_rows.sum()), dtype=np.int64),
+            "n_events": np.zeros(int(edge_rows.sum()), dtype=np.int64),
+            "sum_value": np.zeros(int(edge_rows.sum())),
+            "_edge": np.ones(int(edge_rows.sum()), dtype=bool),
+            "_ts": t[edge_rows],
+            "_value": v[edge_rows],
+        })
+        return pa.concat_tables([out_int, out_edge])
+
+    mixed = (
+        events.sort([user_col, ts_col])
+        .map_batches(block_sessions, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = mixed.map_batches(
+        lambda b: b.filter(pc.invert(b["_edge"])).select(
+            ["user_id", "session_start", "n_events", "sum_value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def boundary(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((t, u))
+        u, t, v = u[order], t[order], v[order]
+        sid, starts = _scan_sessions(u, t, v, gap_s)
+        if sid.shape[0] == 0:
+            return _SESSION_SCHEMA.empty_table()
+        n_sessions = int(sid[-1]) + 1
+        counts = np.bincount(sid, minlength=n_sessions)
+        sums = np.zeros(n_sessions)
+        np.add.at(sums, sid, v)
+        return pa.table({
+            "user_id": u[starts],
+            "session_start": t[starts],
+            "n_events": counts.astype(np.int64),
+            "sum_value": sums,
+        }, schema=_SESSION_SCHEMA)
+
+    deferred = (
+        mixed.map_batches(
+            lambda b: b.filter(b["_edge"]).select(["user_id", "_ts", "_value"]),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(boundary, batch_size=None, batch_format="pyarrow")
+    )
+    return interior.union(deferred)

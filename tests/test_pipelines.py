@@ -196,3 +196,35 @@ def test_embedding_near_dup_join_verify_matches_broadcast(emb_ds):
     assert a["a"].to_pylist() == b["a"].to_pylist()
     assert a["b"].to_pylist() == b["b"].to_pylist()
     assert np.allclose(a["cosine"].to_numpy(), b["cosine"].to_numpy())
+
+
+def test_sessionize_boundary_merging(ray_session):
+    """Sessions spanning block boundaries must merge exactly once — build a
+    corpus where one user's session crosses every block edge."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.events import sessionize
+
+    # user 1: events every 60s for 300 events (ONE long session); user 2:
+    # isolated events 2h apart (one session each); shuffled into 8 blocks
+    ts1 = np.arange(300) * 60
+    ts2 = np.arange(20) * 7200 + 7
+    u = np.concatenate([np.ones(300, np.int64), np.full(20, 2, np.int64)])
+    t = np.concatenate([ts1, ts2]) * 1_000_000
+    rng = np.random.default_rng(0)
+    order = rng.permutation(u.shape[0])
+    tbl = pa.table({
+        "user_id": u[order],
+        "ts": pa.array(t[order]).cast(pa.timestamp("us")),
+        "value": np.ones(u.shape[0]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out = pa.concat_tables(
+        sessionize(ds, gap_s=1800)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    ).sort_by([("user_id", "ascending"), ("session_start", "ascending")])
+    u_out = out["user_id"].to_pylist()
+    n_out = out["n_events"].to_pylist()
+    assert u_out.count(1) == 1 and n_out[u_out.index(1)] == 300
+    assert u_out.count(2) == 20
