@@ -800,6 +800,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_sessionization"] = _events_sessions
 
+    def _events_json(sf):
+        """Vectorized JSON field extraction from the events props column
+        (RE2 kernel, no per-row json.loads) + aggregate by extracted key."""
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["event_type", "props"]
+        )
+
+        def extract(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            k = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+            kv = pc.struct_field(k, "k").cast(pa.int64())
+            return pa.table({"event_type": b["event_type"], "k": kv})
+
+        from ray.data.aggregate import Count, Sum
+
+        t = (
+            ds.map_batches(extract, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+            .to_pandas()
+        )
+        t = t.sort_values("event_type").reset_index(drop=True)
+        t["n"] = t["n"].astype("int64")
+        t["sum_k"] = t["sum_k"].astype("int64")
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    q["events_json_extract"] = _events_json
+
+    def _monitor(sf):
+        """Percolator: 4 registered queries matched against the streamed
+        corpus (per-batch MemoryIndex + standard query evaluation)."""
+        import ray.data
+
+        from lucene_ray.pipelines.monitor import monitor_matches
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        queries = ["table", "+key -value", '"key value"', "sp*"]
+        t = pa.concat_tables(
+            monitor_matches(ds, queries, concurrency=2)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+    q["monitor_matches"] = _monitor
+
     # ---- rows-only entries (non-SQL-expressible; driver does a weaker check) ----
     def _bm25_f32(sf):
         s = _searcher(sf, mode="f32")
@@ -1399,6 +1449,29 @@ ORDER BY i.a, i.b"""
            SELECT window_epoch, event_type, count(*)::BIGINT AS n,
                   ROUND(sum(value), 4) AS sum_value
            FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    o["monitor_matches"] = (
+        _PRELUDE + _POS_CTE
+        + """
+SELECT doc_id, query_id FROM (
+  SELECT DISTINCT doc_id, 0::BIGINT AS query_id FROM tok WHERE term = 'table'
+  UNION ALL
+  SELECT doc_id, 1 FROM (
+    SELECT DISTINCT doc_id FROM tok WHERE term = 'key') k
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'value')
+  UNION ALL
+  SELECT DISTINCT a.doc_id, 2 FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'key' AND b.term = 'value'
+  UNION ALL
+  SELECT DISTINCT doc_id, 3 FROM tok WHERE term LIKE 'sp%'
+) ORDER BY query_id, doc_id"""
+    )
+    o["events_json_extract"] = (
+        """SELECT event_type,
+                  count(*)::BIGINT AS n,
+                  sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+           FROM events GROUP BY event_type ORDER BY event_type"""
     )
     o["events_sessionization"] = (
         """WITH e AS (

@@ -228,3 +228,27 @@ def test_sessionize_boundary_merging(ray_session):
     n_out = out["n_events"].to_pylist()
     assert u_out.count(1) == 1 and n_out[u_out.index(1)] == 300
     assert u_out.count(2) == 20
+
+
+def test_monitor_percolation_matches_searcher(built_index, sf_dir):
+    """Percolator matches over the doc stream must equal the inverted
+    index's hit sets for the same queries (Monitor/MemoryIndex role)."""
+    import ray.data
+
+    from lucene_ray.pipelines.monitor import monitor_matches
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    queries = ["table", "+key -value", '"key value"', "sp*"]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = pa.concat_tables(
+        monitor_matches(ds, queries, concurrency=2)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    qid = t["query_id"].to_numpy()
+    did = t["doc_id"].to_numpy()
+    for i, q in enumerate(queries):
+        want, _sc = s.search_all(q)
+        assert set(did[qid == i].tolist()) == set(want.tolist()), q
