@@ -308,6 +308,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["suggest_prefix"] = _suggest
 
+    def _spell(sf):
+        s = _searcher(sf)
+        return s.spell_correct("kye", max_edits=2, k=5)
+
+    q["spell_correct"] = _spell
+
     def _highlight(sf):
         import pyarrow.dataset as pads
 
@@ -1224,6 +1230,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE term LIKE 's%' GROUP BY term)
               SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df
               FROM dfs ORDER BY df DESC, term LIMIT 8"""
+    )
+    o["spell_correct"] = (
+        _PRELUDE
+        + """ , dfs AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+            , cand AS (
+                SELECT term, df, levenshtein(term, 'kye')::BIGINT AS distance
+                FROM dfs WHERE levenshtein(term, 'kye') <= 2)
+            SELECT row_number() OVER (ORDER BY distance, df DESC, term) AS rank,
+                   term, distance, df
+            FROM cand ORDER BY distance, df DESC, term LIMIT 5"""
     )
     o["drill_down_facet"] = (
         _PRELUDE

@@ -572,6 +572,29 @@ def _fuzzy_expand(reader, q: Q.FuzzyQuery) -> np.ndarray:
     return np.asarray(keep, dtype=np.int64)
 
 
+def _edit_distance(a: str, b: str, k: int) -> int:
+    """Plain banded Levenshtein distance, capped at k+1 (spell check —
+    DuckDB's levenshtein() has no transpositions, so neither does this)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [k + 1] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        row_min = cur[0] if lo == 1 else k + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = v
+            row_min = min(row_min, v)
+        if row_min > k:
+            return k + 1
+        prev = cur
+    return min(prev[lb], k + 1)
+
+
 def _edit_distance_leq(a: str, b: str, k: int, transpositions: bool = True) -> bool:
     """Banded Levenshtein (with transpositions by default, like FuzzyQuery's
     Damerau automaton) — early-exits when the band exceeds k."""

@@ -295,6 +295,40 @@ class Searcher:
         )[:k]
         return t.take(order)
 
+    def spell_correct(self, term: str, max_edits: int = 2, k: int = 5):
+        """Did-you-mean — the DirectSpellChecker role
+        (suggest/spell/DirectSpellChecker.java): dictionary terms within
+        ``max_edits`` plain-Levenshtein edits of ``term``, ranked by
+        (distance asc, df desc, term asc). Scans the tiny global term
+        stats (default field section); at web scale the scan would bucket
+        by length/prefix the way the reference's LevenshteinAutomata
+        prunes the FST."""
+        from lucene_ray.index.build import read_global_term_stats
+        from lucene_ray.index.fields import FIELD_MARK
+        from lucene_ray.search.scoring import _edit_distance
+
+        t = read_global_term_stats(self.index_dir)
+        rows = []
+        lb = len(term)
+        for cand, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            if cand.startswith(FIELD_MARK) or abs(len(cand) - lb) > max_edits:
+                continue
+            dist = _edit_distance(term, cand, max_edits)
+            if dist <= max_edits:
+                rows.append((dist, -int(df), cand))
+        rows.sort()
+        import pyarrow as _pa
+
+        top = rows[:k]
+        return _pa.table(
+            {
+                "rank": _pa.array(range(1, len(top) + 1), type=_pa.int64()),
+                "term": [r[2] for r in top],
+                "distance": _pa.array([r[0] for r in top], type=_pa.int64()),
+                "df": _pa.array([-r[1] for r in top], type=_pa.int64()),
+            }
+        )
+
     def multi_phrase_freqs(self, positions: tuple):
         """(global doc_ids, occurrence counts) for a multi-phrase — each
         position accepts any of its alternative terms."""
