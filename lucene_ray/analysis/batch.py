@@ -181,14 +181,38 @@ def _tokenize_ascii(texts: pa.Array, wc: str, want_offsets: bool = False):
     consumes the shared boundary character of adjacent pairs. All rewrites
     are one-char-for-one-char, so character offsets are preserved."""
     t = texts
+    # every rewrite allocates a fresh string array — under full-machine
+    # concurrency the chain is memory-bandwidth-bound, so each pass runs
+    # only when a cheap scan finds its pattern (most batches have no
+    # apostrophes, and joiner CHAINS like a.b.c are rare)
+    def _any(pattern: str) -> bool:
+        return bool(pc.any(pc.fill_null(
+            pc.match_substring_regex(t, pattern), False)).as_py())
+
+    protects = (
+        ("([%s])\\.([%s])" % (wc, wc), _P_DOT, "."),
+        ("([%s])'([%s])" % (wc, wc), _P_APOS, "'"),
+        ("([0-9]),([0-9])", _P_COMMA, ","),
+    )
+    used = []
     for _ in range(2):
-        t = pc.replace_substring_regex(t, "([%s])\\.([%s])" % (wc, wc), "\\1%s\\2" % _P_DOT)
-        t = pc.replace_substring_regex(t, "([%s])'([%s])" % (wc, wc), "\\1%s\\2" % _P_APOS)
-        t = pc.replace_substring_regex(t, "([0-9]),([0-9])", "\\1%s\\2" % _P_COMMA)
-    t = pc.replace_substring_regex(t, "[^%s%s%s%s]" % (wc, _P_DOT, _P_APOS, _P_COMMA), " ")
-    t = pc.replace_substring(t, _P_DOT, ".")
-    t = pc.replace_substring(t, _P_APOS, "'")
-    t = pc.replace_substring(t, _P_COMMA, ",")
+        changed = False
+        for pat, ph, _orig in protects:
+            if _any(pat):
+                t = pc.replace_substring_regex(t, pat, "\\1%s\\2" % ph)
+                changed = True
+                if ph not in used:
+                    used.append(ph)
+        if not changed:
+            break
+    # spaces stay in the allowed class (they are already separators), so the
+    # sweep touches only real punctuation; runs collapse when offsets are
+    # not needed, chars map 1:1 (length-preserving) when they are
+    sep = "[^%s%s%s%s ]" % (wc, _P_DOT, _P_APOS, _P_COMMA)
+    t = pc.replace_substring_regex(t, sep if want_offsets else sep + "+", " ")
+    for _pat, ph, orig in protects:
+        if ph in used:
+            t = pc.replace_substring(t, ph, orig)
     return _split_ws(t, want_offsets)
 
 
