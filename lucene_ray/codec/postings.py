@@ -513,6 +513,14 @@ def decode_many(
     min_norm_blk = buf[skip_base[tob] + 12 * nbt[tob] + bit]
     data_start = skip_base + 13 * nbt
 
+    # lengths cross-check: each blob's data must end exactly at
+    # offset + length (catches a corrupt/misaligned (offset, length) table
+    # before it silently mis-decodes)
+    last_block = np.cumsum(nbt) - 1
+    blob_end = data_start + end_off[last_block]
+    if not np.array_equal(blob_end, offsets + lengths):
+        raise ValueError("blob (offset, length) table disagrees with skip data")
+
     # block byte ranges (end_off is relative to the term's data start)
     prev_rel = np.concatenate(([0], end_off[:-1]))
     start_rel = np.where(bit > 0, prev_rel, 0)

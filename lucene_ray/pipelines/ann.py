@@ -91,6 +91,30 @@ def knn_brute_cosine(embeddings, queries: np.ndarray, k: int = 10,
     )
 
 
+def _make_band_mapper(planes_ref, bands: int, rows_per_band: int,
+                      id_col: str, vec_col: str):
+    """Shared hyperplane-signature banding stage (sign-bit bands fused into
+    int64 bucket keys) — used by both near-dup verify paths so the
+    candidate sets can never diverge."""
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_batch_matrix(b[vec_col]))
+        bits = (m @ p > 0).astype(np.uint64)
+        keys, dids = [], []
+        for band in range(bands):
+            chunk = bits[:, band * rows_per_band : (band + 1) * rows_per_band]
+            h = np.zeros(chunk.shape[0], dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                h = (h << np.uint64(1)) | chunk[:, c]
+            keys.append((h * np.uint64(1000003) + np.uint64(band)).astype(np.int64))
+            dids.append(ids)
+        return pa.table({"key": np.concatenate(keys), "doc_id": np.concatenate(dids)})
+
+    return to_bands
+
+
 def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact",
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        n_planes: int = 64, bands: int = 16,
@@ -155,22 +179,7 @@ def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact"
     rng = np.random.default_rng(1234)
     planes = rng.standard_normal((mat.shape[1], n_planes))
     planes_ref = ray.put(planes)
-    rows_per_band = n_planes // bands
-
-    def to_bands(b: pa.Table) -> pa.Table:
-        p = ray.get(planes_ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(_batch_matrix(b[vec_col]))
-        bits = (m @ p > 0).astype(np.uint64)  # (n, planes)
-        keys, dids = [], []
-        for band in range(bands):
-            chunk = bits[:, band * rows_per_band : (band + 1) * rows_per_band]
-            h = np.zeros(chunk.shape[0], dtype=np.uint64)
-            for c in range(chunk.shape[1]):
-                h = (h << np.uint64(1)) | chunk[:, c]
-            keys.append((h * np.uint64(1000003) + np.uint64(band)).astype(np.int64))
-            dids.append(ids)
-        return pa.table({"key": np.concatenate(keys), "doc_id": np.concatenate(dids)})
+    to_bands = _make_band_mapper(planes_ref, bands, n_planes // bands, id_col, vec_col)
 
     from lucene_ray.pipelines.dedup import bucket_pairs_dataset
 
@@ -209,22 +218,7 @@ def _near_dup_lsh_join(embeddings, threshold, id_col, vec_col, n_planes,
     d = len(first[vec_col].iloc[0])
     planes = rng.standard_normal((d, n_planes))
     planes_ref = ray.put(planes)
-    rows_per_band = n_planes // bands
-
-    def to_bands(b: pa.Table) -> pa.Table:
-        p = ray.get(planes_ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(_batch_matrix(b[vec_col]))
-        bits = (m @ p > 0).astype(np.uint64)
-        keys, dids = [], []
-        for band in range(bands):
-            chunk = bits[:, band * rows_per_band : (band + 1) * rows_per_band]
-            h = np.zeros(chunk.shape[0], dtype=np.uint64)
-            for c in range(chunk.shape[1]):
-                h = (h << np.uint64(1)) | chunk[:, c]
-            keys.append((h * np.uint64(1000003) + np.uint64(band)).astype(np.int64))
-            dids.append(ids)
-        return pa.table({"key": np.concatenate(keys), "doc_id": np.concatenate(dids)})
+    to_bands = _make_band_mapper(planes_ref, bands, n_planes // bands, id_col, vec_col)
 
     cand = (
         bucket_pairs_dataset(embeddings.map_batches(to_bands, batch_format="pyarrow"))

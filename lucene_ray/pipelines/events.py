@@ -41,12 +41,24 @@ def sessionize(events, gap_s: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts", value_col: str = "value"):
     """Dataset of (user_id, session_start, n_events, sum_value) sessions."""
 
+    def _epoch_seconds(col) -> np.ndarray:
+        """ts column -> epoch seconds: timestamps scale by their unit,
+        integer columns are taken AS seconds already."""
+        if pa.types.is_timestamp(col.type):
+            div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[
+                col.type.unit
+            ]
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False) // div
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
     def block_sessions(b: pa.Table) -> pa.Table:
         u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((
-            b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False), u,
-        ))
-        t = (b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000)[order]
+        tsec = _epoch_seconds(
+            b[ts_col].combine_chunks() if isinstance(b[ts_col], pa.ChunkedArray)
+            else b[ts_col]
+        )
+        order = np.lexsort((tsec, u))
+        t = tsec[order]
         u = u[order]
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)[order]
         sid, starts = _scan_sessions(u, t, v, gap_s)

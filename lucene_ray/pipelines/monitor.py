@@ -164,8 +164,10 @@ _MONITORS: dict = {}
 
 
 def _monitor_call(batch, query_texts, analyzer, text_col, id_col):
-    # per-process monitor cache: queries parse once per worker, not per batch
-    key = (query_texts, id(analyzer), text_col, id_col)
+    # per-process monitor cache: queries parse once per worker, not per
+    # batch. Keyed on the analyzer's VALUE (frozen dataclass) — id() could
+    # collide after GC address reuse and match the wrong analysis chain.
+    key = (query_texts, analyzer, text_col, id_col)
     m = _MONITORS.get(key)
     if m is None:
         m = QueryMonitor(list(query_texts), analyzer, text_col, id_col)

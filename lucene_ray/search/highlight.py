@@ -129,9 +129,16 @@ def highlight_from_index(searcher, doc_ids, terms: set[str], window: int = 10):
         e_offs.append(hit[2])
     snippets = [None] * len(out_ids)
     try:
-        fetched = searcher.fetch_docs(out_ids, columns=["text"])
-        texts = fetched["text"].to_pylist()
-        snippets = [t[s:e] for t, s, e in zip(texts, s_offs, e_offs)]
+        id_col = searcher.manifest.get("id_col", "doc_id")
+        text_col = searcher.manifest.get("text_col", "text")
+        fetched = searcher.fetch_docs(out_ids, columns=[id_col, text_col])
+        # fetch silently drops ids missing from the source: align by id
+        by_id = dict(zip(fetched[id_col].to_pylist(),
+                         fetched[text_col].to_pylist()))
+        snippets = [
+            (by_id[d][s:e] if d in by_id else None)
+            for d, s, e in zip(out_ids, s_offs, e_offs)
+        ]
     except ValueError:
         pass  # no stored source: offsets only
     return pa.table(

@@ -49,6 +49,15 @@ def parse_query(
     analyzer: Analyzer = StandardAnalyzer,
     fields: "set[str] | None" = None,
 ) -> Q.Query:
+    # Query-side analysis must NOT run the index-side synonym injection:
+    # injected terms ride at the SAME position in the index, but tokens()
+    # appends them, which would turn "world" into PhraseQuery(world, earth)
+    # — a query that can never match. Synonym matching happens because the
+    # INDEX carries the injected postings.
+    if analyzer.synonyms:
+        import dataclasses
+
+        analyzer = dataclasses.replace(analyzer, synonyms=())
     tokens = [m.group(1) for m in _TOKEN_RE.finditer(text.strip())]
     if not tokens:
         return Q.MatchAllDocsQuery()

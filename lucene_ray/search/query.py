@@ -437,7 +437,9 @@ def resolve_fields(q: Query) -> Query:
     if isinstance(q, TermRangeQuery) and q.field:
         pref = field_prefix(q.field)
         lower = pref + q.lower if q.lower is not None else pref
-        upper = pref + q.upper if q.upper is not None else pref + "￿"
+        # open upper bound must cap the WHOLE field section, including
+        # astral-plane terms (CJK Ext-B ideographs sort above ￿)
+        upper = pref + q.upper if q.upper is not None else pref + chr(0x10FFFF)
         return dataclasses.replace(q, lower=lower, upper=upper, field=None)
     if isinstance(q, MultiPhraseQuery) and q.field:
         return dataclasses.replace(

@@ -245,13 +245,15 @@ class Searcher:
         t = pads.dataset(src, format="parquet").to_table(
             columns=columns, filter=pads.field(id_col).isin(ids)
         )
+        import pyarrow as _pa
+
+        if t.num_rows == 0 or not ids:
+            return t.slice(0, 0)
         got = t[id_col].to_numpy()
         order = np.argsort(got)
         pos = np.searchsorted(got[order], np.asarray(ids, dtype=got.dtype))
-        pos = np.clip(pos, 0, max(got.shape[0] - 1, 0))
-        found = got[order][pos] == np.asarray(ids, dtype=got.dtype) if got.shape[0] else np.zeros(len(ids), bool)
-        import pyarrow as _pa
-
+        pos = np.clip(pos, 0, got.shape[0] - 1)
+        found = got[order][pos] == np.asarray(ids, dtype=got.dtype)
         return t.take(_pa.array(order[pos][found]))
 
     def more_like_this(self, text: str, max_terms: int = 10):

@@ -217,3 +217,34 @@ def test_edge_ngram_expansion():
     grams, gdoc = expand_ngrams(flat, np.array([0, 0, 1]), 2, 3, edge=True)
     assert grams.to_pylist() == ["sp", "spa", "go", "sp", "spa"]
     assert gdoc.tolist() == [0, 0, 0, 1, 1]
+
+
+def test_query_side_parse_skips_synonym_injection(tmp_path, ray_session):
+    """Index-side synonyms must NOT be injected during query analysis: a
+    multi-token query stays the user's phrase, and a plain term query for
+    the SOURCE term still matches (review finding r2)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import PhraseQuery, TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    an = Analyzer(synonyms=(("world", ("earth",)),))
+    t = pa.table({
+        "doc_id": pa.array(range(2), type=pa.int64()),
+        "text": pa.array(["hello world", "hello earth"]),
+    })
+    idx = str(tmp_path / "synq")
+    build_index(ray.data.from_arrow(t), idx, analyzer=an, num_segments=1,
+                with_positions=True)
+    s = Searcher(idx)
+    q = s.parse("world")
+    assert isinstance(q, TermQuery) and q.term == "world"
+    assert set(s.search("world", k=10).doc_ids.tolist()) == {0}
+    qp = s.parse('"hello world"')
+    assert isinstance(qp, PhraseQuery) and qp.terms == ("hello", "world")
+    assert set(s.search('"hello world"', k=10).doc_ids.tolist()) == {0}
+    # synonym matching still works via the INDEX-side injection
+    assert set(s.search("earth", k=10).doc_ids.tolist()) == {0, 1}

@@ -320,3 +320,31 @@ def test_msearch_matches_individual_searches(built_index):
         assert td.scores.tolist() == want.scores.tolist()
         # msearch runs unthresholded across its batch; totals are exact
         assert td.relation == "EQ" or td.total_hits <= want.total_hits or True
+
+
+def test_fetch_docs_missing_and_empty(tmp_path):
+    """fetch_docs must return an empty slice (not crash) when no requested
+    id exists, and drop-missing semantics must hold for mixed requests;
+    highlight_from_index aligns snippets by id (review findings r2)."""
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.highlight import highlight_from_index
+    from lucene_ray.search.searcher import Searcher
+    import pyarrow.parquet as pq2
+    import pyarrow as pa
+    import os
+
+    src_pq = str(tmp_path / "docs.parquet")
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["key value here", "nothing", "key value again"]),
+    }), src_pq)
+    idx = str(tmp_path / "idx")
+    build_index(src_pq, idx, num_segments=1, with_positions=True)
+    s = Searcher(idx)
+    empty = s.fetch_docs([999, 1000])
+    assert empty.num_rows == 0
+    mixed = s.fetch_docs([2, 999, 0], columns=["doc_id", "text"])
+    assert mixed["doc_id"].to_pylist() == [2, 0]
+    t = highlight_from_index(s, [0, 999, 2], {"key", "value"}, window=2)
+    assert t["doc_id"].to_pylist() == [0, 2]
+    assert t["snippet"].to_pylist() == ["key value", "key value"]
