@@ -254,6 +254,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": docs[order], "phrase_freq": freqs[order]})
 
     q["multi_phrase_query"] = _multi_phrase
+
+    def _span_near(sf):
+        """Unordered proximity: 'value' within 3 positions of 'key' in
+        either direction (SpanNearQuery, in_order=False, slop=2)."""
+        s = _searcher(sf)
+        docs, scores = s.search_all(
+            Q.SpanNearQuery(("key", "value"), slop=2, in_order=False)
+        )
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
+
+    q["span_near_unordered"] = _span_near
     q["common_terms_query"] = lambda sf: _all_hits_table(
         sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
     )
@@ -1166,6 +1178,36 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.term IN ('key', 'agg') AND b.term = 'value'
               GROUP BY a.doc_id ORDER BY a.doc_id"""
     )
+    # unordered span-near (k=2, slop=2 -> window len+slop-1 = 3 either
+    # direction), scored like a phrase (summed idf, freq = anchors with a
+    # partner in window); dlq via the shared smallfloat CTE
+    o["span_near_unordered"] = (
+        _PRELUDE + _POS_CTE
+        + f"""
+, anchors AS (
+    SELECT a.doc_id, count(*)::DOUBLE AS f
+    FROM pos a
+    WHERE a.term = 'key' AND EXISTS (
+      SELECT 1 FROM pos b
+      WHERE b.doc_id = a.doc_id AND b.term = 'value'
+        AND abs(b.p - a.p) <= 3)
+    GROUP BY a.doc_id)
+, idfs AS (
+    SELECT (SELECT ln(1 + (s.n - count(DISTINCT doc_id) + 0.5) /
+                         (count(DISTINCT doc_id) + 0.5))
+            FROM tok WHERE term = 'key') +
+           (SELECT ln(1 + (s.n - count(DISTINCT doc_id) + 0.5) /
+                         (count(DISTINCT doc_id) + 0.5))
+            FROM tok WHERE term = 'value') AS idf
+    FROM stats s)
+SELECT t.doc_id,
+       ROUND(i.idf * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM anchors t CROSS JOIN idfs i CROSS JOIN stats s
+JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
     # df-split scoring: docs must match a low-df term (df <= 100); high-df
     # terms add score where they co-occur — same classification the engine
     # derives from global term stats

@@ -245,6 +245,36 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity spans — the queries/spans SpanNearQuery role
+    (queries/spans/SpanNearQuery.java): all terms within a window of
+    ``len(terms) + slop`` positions, ordered or unordered.
+
+    ``in_order=True`` is exactly the sloppy-phrase matcher. Unordered
+    semantics here: a match is an occurrence of the FIRST term such that
+    every other term has an occurrence within ``len+slop-1`` positions in
+    EITHER direction; freq = number of such anchor occurrences
+    (documented deviation from the reference's minimal-interval spans —
+    same match set for the common case, simpler freq accounting)."""
+
+    terms: tuple
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+    field: str | None = None
+
+    def to_dict(self):
+        return {
+            "type": "span_near",
+            "terms": list(self.terms),
+            "slop": self.slop,
+            "in_order": self.in_order,
+            "boost": self.boost,
+            "field": self.field,
+        }
+
+
+@dataclass(frozen=True)
 class CombinedFieldQuery(Query):
     """BM25F over several fields treated as one combined pseudo-field
     (sandbox/.../search/CombinedFieldQuery.java:303-420 semantics, simple
@@ -348,6 +378,11 @@ def query_from_dict(d: dict) -> Query:
         )
     if t == "in_set":
         return TermInSetQuery(tuple(d["terms"]), d.get("boost", 1.0), d.get("field"))
+    if t == "span_near":
+        return SpanNearQuery(
+            tuple(d["terms"]), d.get("slop", 0), d.get("in_order", True),
+            d.get("boost", 1.0), d.get("field"),
+        )
     if t == "combined_field":
         return CombinedFieldQuery(
             tuple(d["terms"]),
@@ -386,7 +421,7 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
     here."""
     if isinstance(q, TermQuery):
         out.add(q.term)
-    elif isinstance(q, (PhraseQuery, SynonymQuery)):
+    elif isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
         out.update(q.terms)
     elif isinstance(q, BooleanQuery):
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
@@ -422,7 +457,7 @@ def resolve_fields(q: Query) -> Query:
 
     if isinstance(q, TermQuery) and q.field:
         return dataclasses.replace(q, term=field_key(q.field, q.term), field=None)
-    if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery)) and q.field:
+    if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery, SpanNearQuery)) and q.field:
         return dataclasses.replace(
             q, terms=tuple(field_key(q.field, t) for t in q.terms), field=None
         )

@@ -272,6 +272,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.PhraseQuery):
         return _eval_phrase(reader, q, ctx)
 
+    if isinstance(q, Q.SpanNearQuery):
+        return _eval_span_near(reader, q, ctx)
+
     if isinstance(q, Q.BooleanQuery):
         return _eval_bool(reader, q, ctx)
 
@@ -663,6 +666,63 @@ def _eval_phrase(reader, q: Q.PhraseQuery, ctx):
     if docs.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
 
+    scorer = ctx.phrase_scorer(terms, q.boost)
+    if scorer is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    from lucene_ray.index.fields import split_key
+
+    rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
+    norms = reader.norms_for(split_key(terms[0])[0])[rows]
+    return docs, scorer.score(freqs, norms).astype(np.float64), True
+
+
+def _span_near_unordered(reader, terms: list, slop: int):
+    """(local docs, freqs) for unordered span-near: anchor = first term's
+    occurrences; every other term must occur within len+slop-1 positions
+    in either direction. One fused-key searchsorted per term — vectorized
+    across all docs at once."""
+    tbl = reader.positions_table(terms)
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    d_all = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
+    p_all = tbl["pos"].to_numpy().astype(np.int64)
+    per = {}
+    for t in set(terms):
+        sel = t_arr == t
+        d, p = d_all[sel], p_all[sel]
+        o = np.lexsort((p, d))
+        d, p = d[o], p[o]
+        per[t] = (d, p, d * _DOC_SHIFT + p)
+    d0, p0, _k0 = per[terms[0]]
+    if d0.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    w = len(terms) + slop - 1
+    ok = np.ones(p0.shape[0], dtype=bool)
+    for t in terms[1:]:
+        d, p, keys = per[t]
+        if d.shape[0] == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        lo = d0 * _DOC_SHIFT + np.maximum(p0 - w, 0)
+        idx = np.searchsorted(keys, lo)
+        valid = idx < keys.shape[0]
+        idxc = np.minimum(idx, keys.shape[0] - 1)
+        ok &= valid & (d[idxc] == d0) & (p[idxc] <= p0 + w)
+    docs, freqs = np.unique(d0[ok], return_counts=True)
+    return docs.astype(np.int64), freqs.astype(np.int64)
+
+
+def _eval_span_near(reader, q: Q.SpanNearQuery, ctx):
+    """SpanNearQuery: ordered = the sloppy-phrase matcher; unordered =
+    either-direction window test (see query.SpanNearQuery). Scored like a
+    phrase (idf summed over terms, freq = matching anchors)."""
+    terms = list(q.terms)
+    if q.in_order:
+        docs, freqs = _eval_phrase_freqs(reader, terms, q.slop)
+    else:
+        docs, freqs = _span_near_unordered(reader, terms, q.slop)
+    if docs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
     scorer = ctx.phrase_scorer(terms, q.boost)
     if scorer is None:
         return np.empty(0, np.int64), np.empty(0, np.float64), True

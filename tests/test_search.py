@@ -348,3 +348,25 @@ def test_fetch_docs_missing_and_empty(tmp_path):
     t = highlight_from_index(s, [0, 999, 2], {"key", "value"}, window=2)
     assert t["doc_id"].to_pylist() == [0, 2]
     assert t["snippet"].to_pylist() == ["key value", "key value"]
+
+
+def test_span_near_queries(searcher, brute_force):
+    """SpanNear: ordered == sloppy phrase; unordered matches the brute
+    either-direction window over tokenized docs."""
+    q_u = Q.SpanNearQuery(("key", "value"), slop=2, in_order=False)
+    docs_u, _ = searcher.search_all(q_u)
+    w = 2 + 2 - 1  # len + slop - 1
+    want = set()
+    for i, toks in zip(brute_force["ids"], brute_force["tokens"]):
+        pk = [p for p, t in enumerate(toks) if t == "key"]
+        pv = [p for p, t in enumerate(toks) if t == "value"]
+        if any(abs(a - b) <= w for a in pk for b in pv):
+            want.add(int(i))
+    assert set(docs_u.tolist()) == want
+
+    q_o = Q.SpanNearQuery(("key", "value"), slop=2, in_order=True)
+    docs_o, _ = searcher.search_all(q_o)
+    sdocs, _ = searcher.phrase_freqs(("key", "value"), slop=2)
+    assert set(docs_o.tolist()) == set(sdocs.tolist())
+    # ordered matches are a subset of unordered
+    assert set(docs_o.tolist()) <= set(docs_u.tolist())
