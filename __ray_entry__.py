@@ -282,6 +282,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["more_like_this"] = _mlt
 
+    def _classify(sf):
+        """KNN classification: doc 42's text classified by lang votes of
+        its 10 MoreLikeThis neighbors."""
+        import pyarrow.dataset as pads
+
+        s = _searcher(sf)
+        doc = pads.dataset(os.path.join(sf, "documents.parquet")).to_table(
+            columns=["text"], filter=pads.field("doc_id") == 42
+        )
+        return s.classify_knn(doc["text"][0].as_py(), "lang", k=10)
+
+    q["knn_classify_votes"] = _classify
+
     def _sloppy(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"), slop=2)
@@ -1317,6 +1330,14 @@ ORDER BY t.doc_id"""
           FROM tfq tf JOIN dfs d ON tf.term = d.term
           CROSS JOIN stats s JOIN dlq q ON tf.doc_id = q.doc_id)
 SELECT doc_id, ROUND(sum(score), 4) AS score FROM per GROUP BY doc_id ORDER BY doc_id"""
+    )
+    o["knn_classify_votes"] = o["more_like_this"].replace(
+        "SELECT doc_id, ROUND(sum(score), 4) AS score FROM per GROUP BY doc_id ORDER BY doc_id",
+        """, agg AS (SELECT doc_id, ROUND(sum(score), 4) AS score FROM per GROUP BY doc_id)
+, topk AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id LIMIT 10)
+SELECT d.lang AS label, count(*)::BIGINT AS votes
+FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY votes DESC, label""",
     )
     o["prefix_query"] = (
         _PRELUDE

@@ -297,6 +297,36 @@ class Searcher:
         )[:k]
         return t.take(order)
 
+    def classify_knn(self, text: str, label_col: str, k: int = 10,
+                     max_terms: int = 10):
+        """K-nearest-neighbor text classification — the classification
+        module's KNearestNeighborClassifier
+        (classification/KNearestNeighborClassifier.java): a MoreLikeThis
+        query over the labeled corpus, labels of the top-k neighbors
+        fetched from stored fields, votes tallied. Returns a votes table
+        (label, votes) ordered (votes desc, label asc); row 1 is the
+        prediction. Top-k selection uses round4(score) desc, doc asc so
+        the result is deterministic across float stacks."""
+        q = self.more_like_this(text, max_terms=max_terms)
+        docs, scores = self.search_all(q)
+        r = np.sign(scores) * np.floor(np.abs(scores) * 1e4 + 0.5) / 1e4
+        order = np.lexsort((docs, -r))[:k]
+        top = [int(d) for d in docs[order]]
+        fetched = self.fetch_docs(top, columns=[label_col])
+        labels = fetched[label_col].to_pylist()
+        from collections import Counter
+
+        votes = Counter(labels)
+        import pyarrow as _pa
+
+        items = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        return _pa.table(
+            {
+                "label": [l for l, _ in items],
+                "votes": _pa.array([v for _, v in items], type=_pa.int64()),
+            }
+        )
+
     def spell_correct(self, term: str, max_edits: int = 2, k: int = 5):
         """Did-you-mean — the DirectSpellChecker role
         (suggest/spell/DirectSpellChecker.java): dictionary terms within
