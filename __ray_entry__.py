@@ -295,6 +295,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_classify_votes"] = _classify
 
+    def _function_score(sf):
+        """Expression rescoring: relevance x log(1 + n_chars) (the
+        FunctionScoreQuery / expressions-module role)."""
+        from lucene_ray.search.expressions import function_score
+
+        s = _searcher(sf)
+        docs, scores = function_score(
+            s, Q.TermQuery("table"), "score * log(1 + n_chars)", ["n_chars"]
+        )
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
+
+    q["function_score_query"] = _function_score
+
     def _sloppy(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"), slop=2)
@@ -1164,6 +1178,12 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY doc_id)
               SELECT doc_id, ROUND(m + 0.3 * (s - m), 4) AS score
               FROM uni ORDER BY doc_id"""
+    )
+    o["function_score_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + """ SELECT s.doc_id, ROUND(s.score * ln(1 + d.n_chars), 4) AS score
+              FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
+              ORDER BY s.doc_id"""
     )
     o["boost_query"] = (
         _PRELUDE + _term_cte("t", "table")

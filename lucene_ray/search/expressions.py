@@ -1,0 +1,85 @@
+"""Scoring expressions — the expressions module role
+(lucene/expressions/src/java/org/apache/lucene/expressions/Expression.java,
+js/JavascriptCompiler.java): combine the relevance score with document
+features through a compiled arithmetic expression
+(FunctionScoreQuery / DoubleValuesSource semantics).
+
+The reference compiles a Javascript-ish grammar to bytecode; here a
+restricted Python arithmetic expression compiles once (per searcher /
+per actor — the stateful-stage rule) and evaluates VECTORIZED over the
+whole hit set: variables are ``score`` plus any stored-field column,
+functions are a whitelisted numpy subset. No attribute access, no
+builtins — names outside the whitelist fail at compile time.
+"""
+
+from __future__ import annotations
+
+import ast
+
+import numpy as np
+
+_FUNCS = {
+    "log": np.log,
+    "log10": np.log10,
+    "sqrt": np.sqrt,
+    "abs": np.abs,
+    "min": np.minimum,
+    "max": np.maximum,
+    "pow": np.power,
+    "exp": np.exp,
+}
+
+_ALLOWED_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.Call, ast.Name, ast.Load,
+    ast.Constant, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow, ast.Mod,
+    ast.USub, ast.UAdd, ast.IfExp, ast.Compare, ast.Gt, ast.GtE, ast.Lt,
+    ast.LtE, ast.Eq, ast.NotEq,
+)
+
+
+class Expression:
+    """A compiled, vectorized scoring expression."""
+
+    def __init__(self, source: str, variables: list[str]):
+        tree = ast.parse(source, mode="eval")
+        for node in ast.walk(tree):
+            if not isinstance(node, _ALLOWED_NODES):
+                raise ValueError(
+                    f"expression node {type(node).__name__} not allowed"
+                )
+            if isinstance(node, ast.Call):
+                if not isinstance(node.func, ast.Name) or node.func.id not in _FUNCS:
+                    raise ValueError("only whitelisted functions allowed")
+            if isinstance(node, ast.Name) and node.id not in _FUNCS \
+                    and node.id not in variables:
+                raise ValueError(f"unknown variable {node.id!r}")
+        self.source = source
+        self.variables = list(variables)
+        self._code = compile(tree, "<expression>", "eval")
+
+    def evaluate(self, **arrays) -> np.ndarray:
+        env = dict(_FUNCS)
+        for v in self.variables:
+            env[v] = np.asarray(arrays[v], dtype=np.float64)
+        return np.asarray(eval(self._code, {"__builtins__": {}}, env),
+                          dtype=np.float64)
+
+
+def function_score(searcher, query, expr: str,
+                   feature_cols: list[str] | None = None):
+    """FunctionScoreQuery: evaluate ``query`` hit-complete, fetch the
+    expression's stored-field features for every hit, and rescore with
+    the compiled expression. Returns (global doc_ids, new scores)."""
+    feature_cols = feature_cols or []
+    e = Expression(expr, ["score"] + feature_cols)
+    docs, scores = searcher.search_all(query)
+    if docs.shape[0] == 0:
+        return docs, scores
+    arrays = {"score": scores}
+    if feature_cols:
+        id_col = searcher.manifest.get("id_col", "doc_id")
+        fetched = searcher.fetch_docs(docs.tolist(), columns=feature_cols)
+        del id_col
+        for c in feature_cols:
+            arrays[c] = fetched[c].to_numpy(zero_copy_only=False)
+    return docs, e.evaluate(**arrays)

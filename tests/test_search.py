@@ -370,3 +370,28 @@ def test_span_near_queries(searcher, brute_force):
     assert set(docs_o.tolist()) == set(sdocs.tolist())
     # ordered matches are a subset of unordered
     assert set(docs_o.tolist()) <= set(docs_u.tolist())
+
+
+def test_expression_function_score(built_index):
+    """Compiled expression rescoring is vectorized and sandboxed."""
+    import pytest as _pytest
+
+    from lucene_ray.search.expressions import Expression, function_score
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx, mode="f64")
+    docs, base = s.search_all(Q.TermQuery("table"))
+    d2, rescored = function_score(s, Q.TermQuery("table"),
+                                  "2 * score + 1", [])
+    assert np.array_equal(docs, d2)
+    assert np.allclose(rescored, 2 * base + 1)
+    # features join by doc id
+    d3, r3 = function_score(s, Q.TermQuery("table"),
+                            "score * log(1 + n_chars)", ["n_chars"])
+    assert np.array_equal(docs, d3)
+    assert (r3 > 0).all()
+    # sandbox: attribute access / unknown names / builtins rejected
+    for bad in ("__import__('os')", "score.__class__", "open('x')", "foo + 1"):
+        with _pytest.raises(ValueError):
+            Expression(bad, ["score"])
