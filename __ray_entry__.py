@@ -309,6 +309,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["function_score_query"] = _function_score
 
+    def _block_join(sf):
+        """ToParentBlockJoinQuery: child docs = 4-token chunks of each
+        parent; a child-level query joins up to parents with
+        ScoreMode.Max (join/ToParentBlockJoinQuery.java)."""
+        import ray.data
+
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.data.webpages import child_chunks
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs_pq = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs_pq}:{os.path.getsize(docs_pq)}:c{CODEC_VERSION}:blk1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            ds = ray.data.read_parquet(
+                docs_pq, columns=["doc_id", "text"]
+            ).map_batches(child_chunks, batch_format="pyarrow")
+            build_index(
+                ds.select_columns(["doc_id", "text"]), idx, num_segments=4
+            )
+        s = Searcher(idx, mode="f64")
+        cdocs, cscores = s.search_all(Q.TermQuery("value"))
+        from lucene_ray.data.webpages import CHILD_ID_BASE
+
+        parents = cdocs // CHILD_ID_BASE
+        r = _round4(cscores)
+        up, inv = np.unique(parents, return_inverse=True)
+        best = np.full(up.shape[0], -np.inf)
+        np.maximum.at(best, inv, r)
+        return pa.table({"parent_id": up, "score": best})
+
+    q["block_join_parents"] = _block_join
+
     def _sloppy(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"), slop=2)
@@ -1184,6 +1220,30 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT s.doc_id, ROUND(s.score * ln(1 + d.n_chars), 4) AS score
               FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
               ORDER BY s.doc_id"""
+    )
+    o["block_join_parents"] = (
+        f"""
+WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ci,
+         ts[CAST(4 * i + 1 AS INT) : CAST(4 * i + 4 AS INT)] AS ctoks
+  FROM toklist, unnest(range(CAST(ceil(len(ts) / 4.0) AS BIGINT))) AS t(i)),
+ctok AS (SELECT doc_id, ci, unnest(ctoks) AS term FROM chunks),
+cdl AS (SELECT doc_id, ci, count(*) AS dl FROM ctok GROUP BY 1, 2),
+cstats AS (
+  SELECT (SELECT count(*) FROM chunks)::DOUBLE AS n,
+         (SELECT sum(dl) FROM cdl)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, ci, count(*)::DOUBLE AS f FROM ctok
+       WHERE term = 'value' GROUP BY 1, 2),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+           (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))) AS score
+  FROM tf t CROSS JOIN df d CROSS JOIN cstats s
+  JOIN cdl q ON t.doc_id = q.doc_id AND t.ci = q.ci)
+SELECT doc_id AS parent_id, ROUND(max(score), 4) AS score
+FROM sc GROUP BY doc_id ORDER BY parent_id"""
     )
     o["boost_query"] = (
         _PRELUDE + _term_cte("t", "table")

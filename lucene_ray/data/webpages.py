@@ -127,6 +127,50 @@ def with_title_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
 TITLE_SQL = "array_to_string(string_split(text, ' ')[1:4], ' ')"
 
 
+CHILD_CHUNK = 4  # tokens per child doc
+CHILD_ID_BASE = 100  # child_id = parent_id * base + chunk index (chunks < base)
+
+
+def child_chunks(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic parent/child corpus — the nested-document block model
+    (ToParentBlockJoinQuery, join/ToParentBlockJoinQuery.java): each parent
+    document explodes into child docs of ``CHILD_CHUNK`` consecutive
+    tokens; ``child_id = parent_id * 100 + chunk``. SQL twin:
+        ts[4*i+1 : 4*i+4] over unnest(range(ceil(len(ts)/4)))."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = -(-lens // CHILD_CHUNK)
+    parent = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows_parent = np.repeat(parent, n_chunks)
+    starts = np.cumsum(n_chunks) - n_chunks
+    chunk_idx = np.arange(int(n_chunks.sum())) - np.repeat(starts, n_chunks)
+    row_of = np.repeat(np.arange(len(texts)), n_chunks)
+    # build chunk text via offsets into the flat token array (vectorized)
+    flat = pc.list_flatten(lists)
+    flat_off = np.concatenate(([0], np.cumsum(lens)))
+    c_start = flat_off[row_of] + chunk_idx * CHILD_CHUNK
+    c_end = np.minimum(c_start + CHILD_CHUNK, flat_off[row_of] + lens[row_of])
+    c_len = c_end - c_start
+    take_idx = np.repeat(c_start, c_len) + (
+        np.arange(int(c_len.sum())) - np.repeat(np.cumsum(c_len) - c_len, c_len)
+    )
+    toks = flat.take(pa.array(take_idx))
+    child_lists = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(c_len))), type=pa.int32()),
+        toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks,
+    )
+    return pa.table(
+        {
+            "doc_id": rows_parent * CHILD_ID_BASE + chunk_idx,
+            "parent_id": rows_parent,
+            "text": pc.binary_join(child_lists, " "),
+        }
+    )
+
+
 # SQL view of the same mapping (DuckDB), parameterized on dup inclusion —
 # the oracle side of every webpage-table query.
 WEBPAGES_SQL = """
