@@ -237,6 +237,19 @@ def add_documents(
     return manifest
 
 
+def ram_index_dir(prefix: str = "lucene_ray_ram_") -> str:
+    """A memory-resident index directory — the ByteBuffersDirectory role
+    (store/ByteBuffersDirectory.java): segments live in tmpfs (/dev/shm),
+    so every read path (mmap included) is RAM-backed with zero disk I/O.
+    The directory layout and every API are identical to FS indexes; the
+    caller owns cleanup (shutil.rmtree). Falls back to the default temp
+    dir when no tmpfs is mounted."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def analyzer_from_manifest(m: dict) -> Analyzer:
     a = m["analyzer"]
     return Analyzer(

@@ -363,3 +363,21 @@ def test_index_sorting_early_exit_topk(sf_dir, tmp_path):
     s2 = Searcher(idx)
     got2 = sorted_topk(s2, 1, columns=["doc_id"])
     assert got2["doc_id"].to_pylist() == [1]
+
+
+def test_ram_directory_index(sf_dir):
+    """ByteBuffersDirectory role: a tmpfs-resident index behaves exactly
+    like an FS index (same layout, same results)."""
+    import shutil
+
+    from lucene_ray.index.build import ram_index_dir
+
+    idx = ram_index_dir()
+    try:
+        assert idx.startswith("/dev/shm/")
+        build_index(f"{sf_dir}/documents.parquet", idx, num_segments=2)
+        s = Searcher(idx)
+        td = s.search(TermQuery("table"), k=5)
+        assert td.total_hits == 391  # known corpus value
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
