@@ -82,7 +82,15 @@ def _write_global_stats(index_dir: str, segments: list[dict]) -> None:
     tmp_stats = os.path.join(index_dir, f".tmp-global_terms-{uuid.uuid4().hex[:8]}")
     total_term_rows = sum(r["n_terms"] for r in segments)
     os.makedirs(tmp_stats, exist_ok=True)
-    if total_term_rows <= 5_000_000:
+    if not term_files:
+        # empty corpus: a valid, empty global stats table
+        pq.write_table(
+            pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "ttf": pa.array([], pa.int64())}),
+            os.path.join(tmp_stats, "part-0.parquet"),
+        )
+    elif total_term_rows <= 5_000_000:
         import pyarrow.dataset as pads
 
         tbl = pads.dataset(term_files, format="parquet").to_table(

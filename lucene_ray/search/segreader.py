@@ -54,8 +54,13 @@ class SegmentReader:
         self.ttf = t["ttf"].to_numpy()
         self.offsets = t["offset"].to_numpy()
         self.lengths = t["length"].to_numpy()
-        self.postings = np.memmap(
-            os.path.join(path, "postings.bin"), dtype=np.uint8, mode="r"
+        pbin = os.path.join(path, "postings.bin")
+        # a segment whose every token was stop-filtered has zero postings;
+        # mmap rejects empty files
+        self.postings = (
+            np.memmap(pbin, dtype=np.uint8, mode="r")
+            if os.path.getsize(pbin)
+            else np.empty(0, dtype=np.uint8)
         )
         self._norms = None
         self._doc_ids = None

@@ -381,3 +381,32 @@ def test_ram_directory_index(sf_dir):
         assert td.total_hits == 391  # known corpus value
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_degenerate_corpora(tmp_path, ray_session):
+    """Empty corpus and all-stopword segments build and search cleanly
+    (empty postings.bin, empty global stats)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import EnglishAnalyzer
+    from lucene_ray.search.query import MatchAllDocsQuery
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    idx = str(tmp_path / "empty")
+    m = build_index(ray.data.from_arrow(empty), idx, num_segments=1)
+    s = Searcher(idx)
+    assert m["doc_count"] == 0
+    assert s.search(TermQuery("x"), k=5).total_hits == 0
+    assert s.count("anything") == 0
+
+    stoponly = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                         "text": pa.array(["the and of"])})
+    idx2 = str(tmp_path / "stoponly")
+    m2 = build_index(ray.data.from_arrow(stoponly), idx2,
+                     analyzer=EnglishAnalyzer, num_segments=1)
+    s2 = Searcher(idx2)
+    assert m2["doc_count"] == 1
+    assert s2.search(TermQuery("the"), k=5).total_hits == 0
+    assert s2.count(MatchAllDocsQuery()) == 1
