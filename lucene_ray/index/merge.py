@@ -270,8 +270,13 @@ def force_merge(
     segs = sorted(m["segments"], key=lambda s: s["doc_base"])
     global_base = int(min(s["doc_base"] for s in segs))
     max_doc = int(max(s["max_doc_id"] for s in segs))
-    doc_count = sum(s["doc_count"] for s in segs)
-    sum_ttf = sum(s["sum_total_term_freq"] for s in segs)
+    # term-range shards of a previous force_merge each carry the FULL doc
+    # stats of their shared doc space: count each logical group once
+    _grp = {}
+    for s in segs:
+        _grp.setdefault(s.get("docs_path") or s["path"], s)
+    doc_count = sum(g["doc_count"] for g in _grp.values())
+    sum_ttf = sum(g["sum_total_term_freq"] for g in _grp.values())
     fingerprint = "merged:" + ",".join(s["fingerprint"] for s in segs)
 
     from lucene_ray.index.deletes import load_tombstones
@@ -308,9 +313,14 @@ def force_merge(
     if not os.path.isdir(docs_dir):
         tmp_docs = os.path.join(out_dir, f".tmp-docs-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp_docs, exist_ok=True)
-        dds = ray.data.read_parquet(
-            [os.path.join(s["path"], "docs.parquet") for s in segs]
-        )
+        doc_srcs, _seen = [], set()
+        for s in segs:
+            local = os.path.join(s["path"], "docs.parquet")
+            p = local if os.path.exists(local) else s.get("docs_path")
+            if p and p not in _seen:
+                _seen.add(p)
+                doc_srcs.append(p)
+        dds = ray.data.read_parquet(doc_srcs)
         if tombs_ref is not None:
             from lucene_ray.index.deletes import mask_live
 
@@ -444,6 +454,12 @@ def tiered_merge(
 
     m = load_manifest(index_dir)
     segs = sorted(m["segments"], key=lambda s: s["doc_base"])
+    if any(s.get("docs_path") for s in segs):
+        raise ValueError(
+            "tiered_merge compacts doc-range segments; this index holds "
+            "term-range shards sharing one doc space (force_merge output) — "
+            "re-shard with force_merge instead"
+        )
     groups = [segs[i : i + group_size] for i in range(0, len(segs), group_size)]
 
     tombs = load_tombstones(index_dir)

@@ -410,3 +410,28 @@ def test_degenerate_corpora(tmp_path, ray_session):
     assert m2["doc_count"] == 1
     assert s2.search(TermQuery("the"), k=5).total_hits == 0
     assert s2.count(MatchAllDocsQuery()) == 1
+
+
+def test_remerge_force_merged_index(sf_dir, tmp_path):
+    """force_merge of a force_merge output (shared docs table, no local
+    docs.parquet) must work; tiered_merge of term shards refuses with a
+    clear error."""
+    import pytest as _pytest
+
+    idx = str(tmp_path / "src")
+    m1 = str(tmp_path / "m1")
+    m2 = str(tmp_path / "m2")
+    build_index(f"{sf_dir}/documents.parquet", idx, num_segments=4,
+                with_positions=True)
+    force_merge(idx, m1, terms_per_shard=10)
+    force_merge(m1, m2)  # re-merge the sharded index into one shard
+    a, b = Searcher(idx), Searcher(m2)
+    for t in ["table", "key", "spark"]:
+        ta, tb = a.search(TermQuery(t), k=10), b.search(TermQuery(t), k=10)
+        assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+        assert ta.scores.tolist() == tb.scores.tolist()
+    # phrase still works through the chained positions_path
+    pa_, pb = (a.search('"key value"', k=10), b.search('"key value"', k=10))
+    assert pa_.doc_ids.tolist() == pb.doc_ids.tolist()
+    with _pytest.raises(ValueError, match="term-range shards"):
+        tiered_merge(m1, str(tmp_path / "bad"))
