@@ -69,6 +69,19 @@ def _build_segments(
     ).take_all()  # tiny: one row per segment
 
 
+def logical_doc_stats(segments: list[dict]) -> tuple[int, int]:
+    """(doc_count, sum_ttf) counting each LOGICAL doc space once: term-range
+    shards of one merged doc space share docs_path and each carry the full
+    stats — summing per segment would multiply them by the shard count."""
+    grp: dict = {}
+    for s in segments:
+        grp.setdefault(s.get("docs_path") or s["path"], s)
+    return (
+        sum(g["doc_count"] for g in grp.values()),
+        sum(g["sum_total_term_freq"] for g in grp.values()),
+    )
+
+
 def _write_global_stats(index_dir: str, segments: list[dict]) -> None:
     """Global term stats (df/ttf): partial aggregates per segment, then a
     small groupby over (term, df, ttf) rows. The shuffle moves only the
@@ -150,8 +163,7 @@ def build_index(
     # range-disjoint segments. Duplicate doc ids across segments are caught
     # at merge time.
 
-    doc_count = sum(r["doc_count"] for r in segments)
-    sum_ttf = sum(r["sum_total_term_freq"] for r in segments)
+    doc_count, sum_ttf = logical_doc_stats(segments)
 
     _write_global_stats(index_dir, segments)
 
@@ -231,8 +243,7 @@ def add_documents(
     segments = sorted(combined, key=lambda r: r["doc_base"])
     _write_global_stats(index_dir, segments)
     manifest = dict(m)
-    manifest["doc_count"] = sum(r["doc_count"] for r in segments)
-    manifest["sum_total_term_freq"] = sum(r["sum_total_term_freq"] for r in segments)
+    manifest["doc_count"], manifest["sum_total_term_freq"] = logical_doc_stats(segments)
     for f in manifest.get("fields", {}):
         manifest["fields"][f]["sum_ttf"] = sum(
             json.loads(r.get("field_ttf_json") or "{}").get(f, 0) for r in segments
@@ -328,8 +339,7 @@ def add_indexes(dst_index_dir: str, src_index_dirs: list[str]) -> dict:
         delete_docs(dst_index_dir, tombs)
 
     manifest = dict(m)
-    manifest["doc_count"] = sum(r["doc_count"] for r in segments)
-    manifest["sum_total_term_freq"] = sum(r["sum_total_term_freq"] for r in segments)
+    manifest["doc_count"], manifest["sum_total_term_freq"] = logical_doc_stats(segments)
     manifest["segments"] = segments
     tmp = os.path.join(dst_index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as f:
