@@ -194,6 +194,9 @@ def _tokenize_ascii(texts: pa.Array, wc: str, want_offsets: bool = False):
         ("([%s])'([%s])" % (wc, wc), _P_APOS, "'"),
         ("([0-9]),([0-9])", _P_COMMA, ","),
     )
+    # NOTE: inputs can never contain the placeholder bytes themselves —
+    # rows with control characters fail the printable-ASCII fast mask and
+    # take the exact Python path, so gating restores on `used` is safe
     used = []
     for _ in range(2):
         changed = False

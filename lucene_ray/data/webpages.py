@@ -143,6 +143,11 @@ def child_chunks(batch: pa.Table, text_col: str = "text") -> pa.Table:
     lists = pc.split_pattern(texts, " ")
     lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
     n_chunks = -(-lens // CHILD_CHUNK)
+    if n_chunks.size and int(n_chunks.max()) >= CHILD_ID_BASE:
+        raise ValueError(
+            f"document with >= {CHILD_ID_BASE * CHILD_CHUNK} tokens would "
+            f"collide child ids with the next parent; raise CHILD_ID_BASE"
+        )
     parent = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     rows_parent = np.repeat(parent, n_chunks)
     starts = np.cumsum(n_chunks) - n_chunks

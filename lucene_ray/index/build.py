@@ -69,6 +69,19 @@ def _build_segments(
     ).take_all()  # tiny: one row per segment
 
 
+def logical_field_ttf(segments: list[dict], field: str) -> int:
+    """Per-field sum_ttf counting each logical doc space once (shard metas
+    carry the FULL per-field sums of their shared doc space, like
+    doc_count)."""
+    grp: dict = {}
+    for s in segments:
+        grp.setdefault(s.get("docs_path") or s["path"], s)
+    return sum(
+        json.loads(g.get("field_ttf_json") or "{}").get(field, 0)
+        for g in grp.values()
+    )
+
+
 def logical_doc_stats(segments: list[dict]) -> tuple[int, int]:
     """(doc_count, sum_ttf) counting each LOGICAL doc space once: term-range
     shards of one merged doc space share docs_path and each carry the full
@@ -245,9 +258,7 @@ def add_documents(
     manifest = dict(m)
     manifest["doc_count"], manifest["sum_total_term_freq"] = logical_doc_stats(segments)
     for f in manifest.get("fields", {}):
-        manifest["fields"][f]["sum_ttf"] = sum(
-            json.loads(r.get("field_ttf_json") or "{}").get(f, 0) for r in segments
-        )
+        manifest["fields"][f]["sum_ttf"] = logical_field_ttf(segments, f)
     manifest["segments"] = segments
     tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as f:

@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from lucene_ray.index.build import load_manifest
+from lucene_ray.index.build import load_manifest, logical_doc_stats, logical_field_ttf
 
 
 def _segment_postings_table(seg_path: str) -> pa.Table:
@@ -107,6 +107,7 @@ class _ShardWriter:
         merge_fan_in: int,
         positions_path: str | None = None,
         tombs_ref=None,
+        field_ttf: dict | None = None,
     ) -> None:
         self.out_dir = out_dir
         self.global_base = global_base
@@ -118,6 +119,7 @@ class _ShardWriter:
         self.merge_fan_in = merge_fan_in
         self.positions_path = positions_path
         self.tombs_ref = tombs_ref
+        self.field_ttf = field_ttf or {}
 
     def __call__(self, b: pa.Table) -> pa.Table:
         import hashlib
@@ -218,6 +220,9 @@ class _ShardWriter:
             "docs_path": self.docs_path,
             "positions_path": self.positions_path,
             "owns_docs": False,
+            # FULL per-field sums of the shared doc space (like doc_count):
+            # consumers count one shard per docs_path group
+            "field_ttf_json": json.dumps(self.field_ttf),
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -272,11 +277,7 @@ def force_merge(
     max_doc = int(max(s["max_doc_id"] for s in segs))
     # term-range shards of a previous force_merge each carry the FULL doc
     # stats of their shared doc space: count each logical group once
-    _grp = {}
-    for s in segs:
-        _grp.setdefault(s.get("docs_path") or s["path"], s)
-    doc_count = sum(g["doc_count"] for g in _grp.values())
-    sum_ttf = sum(g["sum_total_term_freq"] for g in _grp.values())
+    doc_count, sum_ttf = logical_doc_stats(segs)
     fingerprint = "merged:" + ",".join(s["fingerprint"] for s in segs)
 
     from lucene_ray.index.deletes import load_tombstones
@@ -317,7 +318,12 @@ def force_merge(
         for s in segs:
             local = os.path.join(s["path"], "docs.parquet")
             p = local if os.path.exists(local) else s.get("docs_path")
-            if p and p not in _seen:
+            if p is None:
+                raise FileNotFoundError(
+                    f"segment {s['segment_id']} has neither a local "
+                    f"docs.parquet nor a docs_path — corrupt index?"
+                )
+            if p not in _seen:
                 _seen.add(p)
                 doc_srcs.append(p)
         dds = ray.data.read_parquet(doc_srcs)
@@ -337,7 +343,7 @@ def force_merge(
         doc_count = live_ds.count()
         sum_ttf = int(live_ds.sum("doc_len"))
         # refresh per-extra-field sums from the compacted docs too
-        live_fields = {
+        field_sums = {
             f_: int(live_ds.sum(f"len_{f_}"))
             for f_ in m.get("fields", {})
         }
@@ -376,10 +382,12 @@ def force_merge(
             pds.write_parquet(tmp_pos)
             os.replace(tmp_pos, pos_dir)
 
+    if not tombs.shape[0]:
+        field_sums = {f_: i["sum_ttf"] for f_, i in m.get("fields", {}).items()}
     writer = _ShardWriter(
         out_dir, global_base, max_doc, doc_count, sum_ttf,
         docs_dir, fingerprint, len(segs), positions_path=pos_dir,
-        tombs_ref=tombs_ref,
+        tombs_ref=tombs_ref, field_ttf=field_sums,
     )
     shard_rows = (
         final_rows.sort("term")
@@ -405,9 +413,9 @@ def force_merge(
 
     manifest = dict(m)
     manifest["doc_count"] = doc_count
-    if tombs.shape[0] and m.get("fields"):
+    if m.get("fields"):
         for f_ in manifest["fields"]:
-            manifest["fields"][f_]["sum_ttf"] = live_fields[f_]
+            manifest["fields"][f_]["sum_ttf"] = field_sums[f_]
     manifest["sum_total_term_freq"] = sum_ttf
     manifest["segments"] = segments
     if tombs.shape[0]:

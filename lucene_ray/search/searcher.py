@@ -290,7 +290,7 @@ class Searcher:
         )
         t = dset.to_table(
             filter=(pads.field("term") >= prefix)
-            & (pads.field("term") < prefix + "\uffff")
+            & (pads.field("term") < prefix + chr(0x10FFFF))
         )
         order = np.lexsort(
             (np.asarray(t["term"].to_pylist(), dtype=object), -t["df"].to_numpy())

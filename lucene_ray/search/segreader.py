@@ -97,7 +97,8 @@ class SegmentReader:
 
     def terms_matching_prefix(self, prefix: str) -> np.ndarray:
         lo = int(np.searchsorted(self.terms, prefix))
-        hi = int(np.searchsorted(self.terms, prefix + "￿"))
+        # cap above ALL codepoints (astral ideographs sort above U+FFFF)
+        hi = int(np.searchsorted(self.terms, prefix + chr(0x10FFFF)))
         return np.arange(lo, hi)
 
     def terms_matching_regex(self, pattern: str) -> np.ndarray:

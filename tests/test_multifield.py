@@ -260,3 +260,32 @@ def test_merged_multifield_stats_fresh_after_deletes(mf_index, tmp_path):
         mf_["fields"]["title"]["sum_ttf"]
         == m["fields"]["title"]["sum_ttf"] - victim_title_len
     )
+
+
+def test_field_stats_survive_shard_merge_and_add(mf_index, tmp_path):
+    """Shard metas carry FULL per-field sums; add_documents on a sharded
+    multi-field index must keep manifest field sum_ttf correct (counting
+    each shared doc space once), not collapse to the new segments' sums."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.index.build import add_documents, load_manifest
+    from lucene_ray.index.merge import force_merge
+
+    idx, m = mf_index
+    sharded = str(tmp_path / "sharded")
+    mm = force_merge(idx, sharded, terms_per_shard=9)
+    assert len(mm["segments"]) > 2
+    assert mm["fields"]["title"]["sum_ttf"] == m["fields"]["title"]["sum_ttf"]
+
+    new = pa.table({
+        "doc_id": pa.array([10_000_000], type=pa.int64()),
+        "text": pa.array(["brand new body text tokens here"]),
+        "title": pa.array(["brand new body text"]),
+    })
+    m2 = add_documents(ray.data.from_arrow(new), sharded)
+    assert m2["fields"]["title"]["sum_ttf"] == m["fields"]["title"]["sum_ttf"] + 4
+    assert m2["doc_count"] == m["doc_count"] + 1
+    # reload from disk agrees
+    m3 = load_manifest(sharded)
+    assert m3["fields"]["title"]["sum_ttf"] == m2["fields"]["title"]["sum_ttf"]

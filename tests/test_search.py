@@ -318,8 +318,10 @@ def test_msearch_matches_individual_searches(built_index):
         want = d.search(q, k=5)
         assert td.doc_ids.tolist() == want.doc_ids.tolist()
         assert td.scores.tolist() == want.scores.tolist()
-        # msearch runs unthresholded across its batch; totals are exact
-        assert td.relation == "EQ" or td.total_hits <= want.total_hits or True
+        # msearch runs unthresholded per executor: a GTE result can only
+        # come from MaxScore's non-essential split, never undercount below
+        # a pruned per-query search's own lower bound
+        assert td.total_hits >= want.total_hits
 
 
 def test_fetch_docs_missing_and_empty(tmp_path):
