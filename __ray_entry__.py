@@ -1067,6 +1067,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_near_dup"] = _emb_near_dup
 
+    def _hnsw(sf):
+        """Per-shard HNSW graphs + fan-out/merge (Lucene99HnswVectorsFormat
+        role); deterministic levels, rows-only (approximate by nature —
+        recall vs brute is pytest-asserted >= 0.9)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from lucene_ray.pipelines.hnsw import knn_hnsw_cosine
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        Qm = np.stack(pq.read_table(emb_path).slice(0, 3)["embedding"].to_pylist())
+        t = knn_hnsw_cosine(ray.data.read_parquet(emb_path), Qm, k=10,
+                            n_shards=2, m=8, ef=64)
+        return pa.table({
+            "query_id": t["query_id"],
+            "rank": t["rank"],
+            "neighbor_id": t["neighbor_id"],
+            "cosine": _round4(t["cosine"].to_numpy()),
+        })
+
+    q["knn_hnsw_cosine"] = _hnsw
+
     def _merged(sf):
         import shutil
 

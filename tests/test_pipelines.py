@@ -252,3 +252,30 @@ def test_monitor_percolation_matches_searcher(built_index, sf_dir):
     for i, q in enumerate(queries):
         want, _sc = s.search_all(q)
         assert set(did[qid == i].tolist()) == set(want.tolist()), q
+
+
+def test_hnsw_recall_and_determinism(emb_ds, sf_dir):
+    """Shard-local HNSW graphs (Lucene99HnswVectorsFormat role): mean
+    recall@10 >= 0.9 vs brute cosine, and identical output across rebuilds
+    (levels derive from vec ids, not an RNG)."""
+    import ray.data
+
+    from lucene_ray.pipelines.ann import knn_brute_cosine
+    from lucene_ray.pipelines.hnsw import knn_hnsw_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    Qm = np.stack(pq.read_table(emb_path).slice(0, 5)["embedding"].to_pylist())
+    brute = knn_brute_cosine(emb_ds, Qm, k=10)
+    h1 = knn_hnsw_cosine(ray.data.read_parquet(emb_path), Qm, k=10,
+                         n_shards=2, m=8, ef=64)
+    h2 = knn_hnsw_cosine(ray.data.read_parquet(emb_path), Qm, k=10,
+                         n_shards=2, m=8, ef=64)
+    assert h1.equals(h2)
+    bq = brute["query_id"].to_numpy()
+    bn = brute["neighbor_id"].to_numpy()
+    hq = h1["query_id"].to_numpy()
+    hn = h1["neighbor_id"].to_numpy()
+    recalls = [
+        len(set(bn[bq == j]) & set(hn[hq == j])) / 10 for j in range(5)
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
