@@ -143,9 +143,11 @@ def child_chunks(batch: pa.Table, text_col: str = "text") -> pa.Table:
     lists = pc.split_pattern(texts, " ")
     lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
     n_chunks = -(-lens // CHILD_CHUNK)
-    if n_chunks.size and int(n_chunks.max()) >= CHILD_ID_BASE:
+    if n_chunks.size and int(n_chunks.max()) > CHILD_ID_BASE:
+        # chunk_idx reaching CHILD_ID_BASE would equal the next parent's
+        # chunk 0; exactly CHILD_ID_BASE chunks (idx max BASE-1) is fine
         raise ValueError(
-            f"document with >= {CHILD_ID_BASE * CHILD_CHUNK} tokens would "
+            f"document with > {CHILD_ID_BASE * CHILD_CHUNK} tokens would "
             f"collide child ids with the next parent; raise CHILD_ID_BASE"
         )
     parent = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -69,17 +69,18 @@ def _build_segments(
     ).take_all()  # tiny: one row per segment
 
 
-def logical_field_ttf(segments: list[dict], field: str) -> int:
-    """Per-field sum_ttf counting each logical doc space once (shard metas
-    carry the FULL per-field sums of their shared doc space, like
-    doc_count)."""
+def logical_field_ttf(segments: list[dict]) -> dict[str, int]:
+    """ALL per-field sum_ttfs in one pass, counting each logical doc space
+    once (shard metas carry the FULL per-field sums of their shared doc
+    space, like doc_count); each segment's JSON parses exactly once."""
     grp: dict = {}
     for s in segments:
         grp.setdefault(s.get("docs_path") or s["path"], s)
-    return sum(
-        json.loads(g.get("field_ttf_json") or "{}").get(field, 0)
-        for g in grp.values()
-    )
+    out: dict[str, int] = {}
+    for g in grp.values():
+        for f, v in json.loads(g.get("field_ttf_json") or "{}").items():
+            out[f] = out.get(f, 0) + v
+    return out
 
 
 def logical_doc_stats(segments: list[dict]) -> tuple[int, int]:
@@ -257,8 +258,9 @@ def add_documents(
     _write_global_stats(index_dir, segments)
     manifest = dict(m)
     manifest["doc_count"], manifest["sum_total_term_freq"] = logical_doc_stats(segments)
+    _fttf = logical_field_ttf(segments)
     for f in manifest.get("fields", {}):
-        manifest["fields"][f]["sum_ttf"] = logical_field_ttf(segments, f)
+        manifest["fields"][f]["sum_ttf"] = _fttf.get(f, 0)
     manifest["segments"] = segments
     tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as f:

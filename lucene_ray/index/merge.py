@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from lucene_ray.index.build import load_manifest, logical_doc_stats, logical_field_ttf
+from lucene_ray.index.build import load_manifest, logical_doc_stats
 
 
 def _segment_postings_table(seg_path: str) -> pa.Table:
@@ -646,11 +646,11 @@ def tiered_merge(
     manifest["doc_count"] = sum(s["doc_count"] for s in segments)
     manifest["sum_total_term_freq"] = sum(s["sum_total_term_freq"] for s in segments)
     manifest["segments"] = segments
+    from lucene_ray.index.build import logical_field_ttf as _lft
+
+    _fttf = _lft(segments)
     for f_ in manifest.get("fields", {}):
-        manifest["fields"][f_]["sum_ttf"] = sum(
-            json.loads(s.get("field_ttf_json") or "{}").get(f_, 0)
-            for s in segments
-        )
+        manifest["fields"][f_]["sum_ttf"] = _fttf.get(f_, 0)
     if tombs.shape[0]:
         from lucene_ray.index.build import _write_global_stats
 

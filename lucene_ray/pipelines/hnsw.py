@@ -43,7 +43,10 @@ class HnswGraph:
         a splitmix64 of the vector id (HnswGraphBuilder's level draw)."""
         from lucene_ray.pipelines.dedup import _mix64
 
-        u = (_mix64(ids.astype(np.uint64)) >> np.uint64(11)).astype(np.float64)
+        # xor a golden-ratio constant first: splitmix64 has a fixed point at
+        # 0, which would pin vec_id 0 at a degenerate ~17-level draw
+        mixed = _mix64(ids.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+        u = (mixed >> np.uint64(11)).astype(np.float64)
         u = (u + 1.0) / float(1 << 53)  # (0, 1]
         ml = 1.0 / np.log(m)
         return np.floor(-np.log(u) * ml).astype(np.int64)
@@ -79,8 +82,12 @@ class HnswGraph:
     def build(self, vecs: np.ndarray, ids: np.ndarray) -> None:
         self.vecs = np.ascontiguousarray(vecs)
         n = vecs.shape[0]
+        if n == 0:
+            self.levels = np.empty(0, np.int64)
+            self.neighbors = []
+            return
         self.levels = self._level_of(ids, self.m)
-        self.max_level = int(self.levels.max()) if n else 0
+        self.max_level = int(self.levels.max())
         self.neighbors = [
             [np.empty(0, np.int64) for _ in range(int(self.levels[i]) + 1)]
             for i in range(n)
@@ -130,7 +137,15 @@ def knn_hnsw_cosine(embeddings, queries: np.ndarray, k: int = 10,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
 
+    empty_result = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    })
+
     def shard_search(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_result
         qm = ray.get(q_ref)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vecs = _normalize(_batch_matrix(b[vec_col]))
@@ -151,7 +166,10 @@ def knn_hnsw_cosine(embeddings, queries: np.ndarray, k: int = 10,
     parts = embeddings.repartition(n_shards).map_batches(
         shard_search, batch_size=None, batch_format="pyarrow"
     )
-    tbl = pa.concat_tables(parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    tbl = pa.concat_tables(
+        [empty_result]
+        + list(parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    )
     qids = tbl["query_id"].to_numpy()
     nids = tbl["neighbor_id"].to_numpy()
     sims = tbl["cosine"].to_numpy()

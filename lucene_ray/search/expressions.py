@@ -77,24 +77,17 @@ def function_score(searcher, query, expr: str,
         return docs, scores
     arrays = {"score": scores}
     if feature_cols:
-        # align features BY ID — fetch_docs silently drops ids missing from
-        # the stored source (e.g. docs added after the source snapshot);
-        # missing features default to 0.0 (DoubleValuesSource's
-        # advanceExact-miss contract)
+        # fetch_docs returns rows IN REQUEST ORDER with ids missing from the
+        # stored source dropped (and prepends id_col itself); missing
+        # features default to 0.0 (DoubleValuesSource's advanceExact-miss
+        # contract)
         id_col = searcher.manifest.get("id_col", "doc_id")
-        fetched = searcher.fetch_docs(docs.tolist(), columns=[id_col] + feature_cols)
+        fetched = searcher.fetch_docs(docs.tolist(), columns=list(feature_cols))
         got_ids = fetched[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(got_ids)
-        pos = np.searchsorted(got_ids[order], docs)
-        pos = np.clip(pos, 0, max(got_ids.shape[0] - 1, 0))
-        found = (
-            got_ids[order][pos] == docs if got_ids.shape[0]
-            else np.zeros(docs.shape[0], bool)
-        )
+        found = np.isin(docs, got_ids)
         for c in feature_cols:
             vals = fetched[c].to_numpy(zero_copy_only=False).astype(np.float64)
             out = np.zeros(docs.shape[0], dtype=np.float64)
-            if got_ids.shape[0]:
-                out[found] = vals[order][pos[found]]
+            out[found] = vals  # request-order alignment
             arrays[c] = out
     return docs, e.evaluate(**arrays)
