@@ -257,6 +257,20 @@ def add_documents(
     segments = sorted(combined, key=lambda r: r["doc_base"])
     _write_global_stats(index_dir, segments)
     manifest = dict(m)
+    # keep stored-field fetch complete after incremental adds: record the
+    # added rows as an extra stored source (fetch_docs unions them). A
+    # Dataset source has no path, so persist it under the index dir —
+    # that's the Lucene model anyway (stored fields live in the segment).
+    if m.get("stored_source"):
+        extra = list(m.get("stored_sources", []))
+        if isinstance(source, str):
+            if source != m["stored_source"] and source not in extra:
+                extra.append(source)
+        else:
+            add_dir = os.path.join(index_dir, f"stored_add-{uuid.uuid4().hex[:8]}")
+            source.write_parquet(add_dir)
+            extra.append(add_dir)
+        manifest["stored_sources"] = extra
     manifest["doc_count"], manifest["sum_total_term_freq"] = logical_doc_stats(segments)
     _fttf = logical_field_ttf(segments)
     for f in manifest.get("fields", {}):

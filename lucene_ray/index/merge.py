@@ -396,6 +396,24 @@ def force_merge(
     )
     shard_rows.sort(key=lambda r: r["min_term"])
 
+    if not shard_rows:
+        # degenerate merge (every doc tombstoned / empty source): commit a
+        # valid empty index rather than crash on shard_rows[0]
+        manifest = dict(m)
+        manifest["doc_count"] = 0
+        manifest["sum_total_term_freq"] = 0
+        for f_ in manifest.get("fields", {}):
+            manifest["fields"][f_]["sum_ttf"] = 0
+        manifest["segments"] = []
+        from lucene_ray.index.build import _write_global_stats
+
+        _write_global_stats(out_dir, [])
+        tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+        with open(tmpm, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmpm, os.path.join(out_dir, "manifest.json"))
+        return manifest
+
     # exactly one shard owns the doc space (MatchAllDocsQuery source)
     first_meta_path = os.path.join(shard_rows[0]["path"], "meta.json")
     with open(first_meta_path) as f:

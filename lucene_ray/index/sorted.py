@@ -59,7 +59,42 @@ def sort_corpus(
     files = sorted(
         f for f in os.listdir(tmp) if f.endswith(".parquet")
     )
-    counts = [pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows for f in files]
+    counts, mins, maxs = [], [], []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(tmp, f)).metadata
+        counts.append(md.num_rows)
+        # per-file min/max of the sort key from row-group statistics —
+        # verifies (rather than assumes) that lexicographic Ray output
+        # file order == global sort order; if Ray's naming scheme ever
+        # changes, this catches the scramble instead of silently
+        # mis-ranking (round-2 advice)
+        ci = next(
+            (i for i in range(md.num_columns)
+             if md.row_group(0).column(i).path_in_schema == by),
+            None,
+        )
+        fmin = fmax = None
+        if ci is not None and md.num_rows:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+        mins.append(fmin)
+        maxs.append(fmax)
+    nonempty = [i for i, c in enumerate(counts) if c]
+    for a, b in zip(nonempty, nonempty[1:]):
+        if maxs[a] is None or mins[b] is None:
+            continue  # stats unavailable for this type: skip the check
+        bad = (maxs[a] > mins[b]) if not descending else (mins[a] < maxs[b])
+        if bad:
+            raise RuntimeError(
+                f"sorted output file order is not key order "
+                f"({files[a]} max={maxs[a]!r} vs {files[b]} min={mins[b]!r}); "
+                "Ray's write_parquet naming no longer encodes task order"
+            )
     offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
 
     items = [

@@ -58,15 +58,46 @@ def top_k_by_field(ds, field: str, k: int, descending: bool = True,
 
 
 def grouped_top_k(ds, group_col: str, sort_col: str, k: int, descending: bool = True):
-    """Top-k rows per group (two-pass grouping collapsed into map_groups)."""
+    """Top-k rows per group (grouping/GroupingSearch.java:46 two-pass
+    search) with NO per-group UDF: one global ``sort([group, sort])``
+    range-partitions the rows so each group is a contiguous run, then a
+    vectorized per-block run scan keeps each run's first k rows. A run
+    spanning a block boundary may contribute more than k rows total
+    (first-k of each fragment), so a final single-block pass — over the
+    already-globally-ordered, ≤(groups + blocks)·k-row survivors — runs
+    the same scan once more for the exact answer. (At extreme group
+    cardinality, repeat the reduction tree-wise before the final block;
+    one level suffices for ≤10^7 groups · small k.)"""
+    keys = [group_col, sort_col]
+    desc = [False, descending]
+    if "doc_id" in ds.schema().names:  # deterministic tie-break
+        keys.append("doc_id")
+        desc.append(False)
+    sorted_ds = ds.sort(keys, descending=desc)
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            [sort_col, "doc_id"] if "doc_id" in g.columns else [sort_col],
-            ascending=[not descending, True] if "doc_id" in g.columns else [not descending],
-        ).head(k)
+    def head_runs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        import pyarrow.compute as pc
+        neq = pc.fill_null(
+            pc.not_equal(g.slice(1), g.slice(0, n - 1)), True
+        ).to_numpy(zero_copy_only=False)
+        start_flags = np.concatenate(([True], neq))
+        starts = np.nonzero(start_flags)[0]
+        run_id = np.cumsum(start_flags) - 1
+        pos_in_run = np.arange(n) - starts[run_id]
+        return b.filter(pa.array(pos_in_run < k))
 
-    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+    reduced = sorted_ds.map_batches(head_runs, batch_format="pyarrow")
+    # blocks stay in global key order through filter, so one concatenated
+    # pass over the survivors is exact
+    return reduced.repartition(1).map_batches(
+        head_runs, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def high_freq_terms(

@@ -26,16 +26,92 @@ from lucene_ray.pipelines.ann import _batch_matrix, _normalize
 
 
 class HnswGraph:
-    """Layered NSW graph over unit vectors (cosine = dot)."""
+    """Layered NSW graph over unit vectors (cosine = dot).
+
+    After ``build`` the adjacency finalizes to per-level CSR arrays
+    (``indptr``/``indices``) — plain numpy, so a built graph persists as
+    a segment artifact (``save``/``load``) exactly like a postings blob:
+    the Lucene99HnswVectorsFormat write-once/mmap-many model
+    (codecs/lucene99/Lucene99HnswVectorsFormat.java:82). ``load`` memory-
+    maps the vector matrix; nothing is rebuilt at query time."""
 
     def __init__(self, m: int = 8, ef_construction: int = 48) -> None:
         self.m = m
         self.ef = ef_construction
         self.vecs: np.ndarray | None = None
+        self.ids: np.ndarray | None = None
         self.levels: np.ndarray | None = None
-        self.neighbors: list[list[np.ndarray]] = []  # per node, per level
+        self.neighbors: list[list[np.ndarray]] = []  # build-time dynamic adj
+        self.indptr: "list[np.ndarray] | None" = None  # per-level CSR
+        self.indices: "list[np.ndarray] | None" = None
         self.entry = 0
         self.max_level = 0
+
+    def _nbrs(self, c: int, level: int) -> np.ndarray:
+        if self.indices is not None:
+            ip = self.indptr[level]
+            return self.indices[level][ip[c]:ip[c + 1]]
+        return self.neighbors[c][level]
+
+    def _to_csr(self) -> None:
+        """Freeze the dynamic adjacency into per-level CSR (build-time
+        only; the per-node loop here is amortized into the insert loop's
+        cost and never runs on the query path)."""
+        n = 0 if self.levels is None else self.levels.shape[0]
+        self.indptr, self.indices = [], []
+        for lev in range(self.max_level + 1):
+            counts = np.zeros(n, dtype=np.int64)
+            chunks = []
+            for i in range(n):
+                if self.levels[i] >= lev:
+                    nb = self.neighbors[i][lev]
+                    counts[i] = nb.shape[0]
+                    chunks.append(nb)
+            self.indptr.append(np.concatenate(([0], np.cumsum(counts))))
+            self.indices.append(
+                np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+            )
+        self.neighbors = []
+
+    def save(self, path: str) -> None:
+        """Persist as a vector-segment artifact (tmp+rename per file pair;
+        caller owns the directory-level atomic commit)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "vectors.npy"),
+                np.asarray(self.vecs, dtype=np.float32))
+        np.savez(
+            os.path.join(path, "graph.npz"),
+            ids=np.asarray(self.ids, dtype=np.int64),
+            levels=np.asarray(self.levels, dtype=np.int64),
+            **{f"indptr_{l}": self.indptr[l] for l in range(len(self.indptr))},
+            **{f"indices_{l}": self.indices[l] for l in range(len(self.indices))},
+        )
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"m": self.m, "ef_construction": self.ef,
+                       "entry": int(self.entry), "max_level": int(self.max_level),
+                       "n": int(0 if self.levels is None else self.levels.shape[0])}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "HnswGraph":
+        """mmap the vectors, load the CSR adjacency — no build."""
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        g = cls(m=meta["m"], ef_construction=meta["ef_construction"])
+        g.entry = meta["entry"]
+        g.max_level = meta["max_level"]
+        g.vecs = np.load(os.path.join(path, "vectors.npy"), mmap_mode="r")
+        z = np.load(os.path.join(path, "graph.npz"))
+        g.ids = z["ids"]
+        g.levels = z["levels"]
+        g.indptr = [z[f"indptr_{l}"] for l in range(g.max_level + 1)]
+        g.indices = [z[f"indices_{l}"] for l in range(g.max_level + 1)]
+        return g
 
     @staticmethod
     def _level_of(ids: np.ndarray, m: int) -> np.ndarray:

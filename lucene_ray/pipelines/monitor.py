@@ -161,15 +161,20 @@ def monitor_matches(docs_ds, query_texts: list[str],
 
 
 _MONITORS: dict = {}
+_MONITORS_MAX = 8  # bound the per-worker cache: distinct registered-query
+# sets would otherwise accumulate parsed monitors for the process lifetime
 
 
 def _monitor_call(batch, query_texts, analyzer, text_col, id_col):
     # per-process monitor cache: queries parse once per worker, not per
     # batch. Keyed on the analyzer's VALUE (frozen dataclass) — id() could
     # collide after GC address reuse and match the wrong analysis chain.
+    # Small LRU (move-to-end on hit, evict oldest past the cap).
     key = (query_texts, analyzer, text_col, id_col)
-    m = _MONITORS.get(key)
+    m = _MONITORS.pop(key, None)
     if m is None:
         m = QueryMonitor(list(query_texts), analyzer, text_col, id_col)
-        _MONITORS[key] = m
+    _MONITORS[key] = m  # re-insert == most recent (dicts keep order)
+    while len(_MONITORS) > _MONITORS_MAX:
+        _MONITORS.pop(next(iter(_MONITORS)))
     return m(batch)

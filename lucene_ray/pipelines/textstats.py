@@ -262,18 +262,39 @@ def doc_fingerprints(pages, text_col: str = "text"):
 def bpe_ish_token_count(pages, text_col: str = "text"):
     """Sub-word-ish token counting with a GPT-2-style pre-tokenizer regex
     (contractions / letter runs / digit runs / punctuation runs) — the
-    'token budget' estimator for LLM training pipelines."""
+    'token budget' estimator for LLM training pipelines.
+
+    Vectorized: the count runs as ONE ``pc.count_substring_regex`` (RE2)
+    kernel per batch. The Python-regex lookahead variant
+    (``\\s+(?!\\S)|\\s+``) and the RE2-safe ``\\s+`` tail count
+    identically except on whitespace runs of length ≥2 that contain a
+    non-space whitespace char (the optional leading ``" ?"`` of the other
+    alternatives absorbs a trailing plain space in both engines, but not
+    a tab/newline); only rows matching that rare shape take the per-row
+    Python path."""
     import re
 
     pat = re.compile(
         r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
     )
+    re2_pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    # any 2-whitespace window containing a non-space whitespace char
+    suspect_pat = r"\s[^\S ]|[^\S ]\s"
 
     def count(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        counts = np.fromiter(
-            (len(pat.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        counts = (
+            pc.count_substring_regex(texts, re2_pat)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
+        suspect = pc.match_substring_regex(texts, suspect_pat).to_numpy(
+            zero_copy_only=False
+        )
+        for i in np.nonzero(suspect)[0]:
+            counts[i] = len(pat.findall(texts[i].as_py()))
         return pa.table({"doc_id": b["doc_id"], "bpe_tokens": counts})
 
     return pages.map_batches(count, batch_format="pyarrow")

@@ -82,7 +82,9 @@ def function_score(searcher, query, expr: str,
         # features default to 0.0 (DoubleValuesSource's advanceExact-miss
         # contract)
         id_col = searcher.manifest.get("id_col", "doc_id")
-        fetched = searcher.fetch_docs(docs.tolist(), columns=list(feature_cols))
+        fetched = searcher.fetch_docs(
+            docs.tolist(), columns=list(feature_cols), on_missing="drop"
+        )
         got_ids = fetched[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         found = np.isin(docs, got_ids)
         for c in feature_cols:

@@ -61,8 +61,22 @@ def parse_query(
     tokens = [m.group(1) for m in _TOKEN_RE.finditer(text.strip())]
     if not tokens:
         return Q.MatchAllDocsQuery()
-    q, _i = _parse_tokens(tokens, 0, analyzer, fields or set())
-    return q if q is not None else Q.MatchAllDocsQuery()
+    # A stray top-level ')' makes _parse_tokens stop early; keep consuming
+    # so text after the unbalanced paren is not silently dropped — each
+    # resumed run contributes its clauses as SHOULD (same as whitespace).
+    clauses: list[Q.Query] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        q, i = _parse_tokens(tokens, i, analyzer, fields or set())
+        if q is not None:
+            clauses.append(q)
+        if i < n and (tokens[i] == ")" or tokens[i].startswith(")^")):
+            i += 1  # unmatched close paren: treat as noise
+    if not clauses:
+        return Q.MatchAllDocsQuery()
+    if len(clauses) == 1:
+        return clauses[0]
+    return Q.BooleanQuery(should=tuple(clauses))
 
 
 def _parse_tokens(

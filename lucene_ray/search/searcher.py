@@ -224,37 +224,78 @@ class Searcher:
                 break
         return out
 
-    def fetch_docs(self, doc_ids, columns: "list[str] | None" = None) -> "object":
+    def fetch_docs(
+        self,
+        doc_ids,
+        columns: "list[str] | None" = None,
+        on_missing: str = "warn",
+    ) -> "object":
         """Stored-field fetch — the searcher.storedFields().document(docid)
         role (search/IndexSearcher.java / SURVEY §3.2 step 6): return the
         source rows for ``doc_ids`` IN THE GIVEN ORDER, via a pruned
         predicate-pushdown read of the index's stored source Parquet
-        (manifest.stored_source). No segment holds a copy of the originals;
-        the read touches only row groups containing the requested ids."""
+        (``manifest.stored_source`` plus any ``stored_sources`` appended by
+        ``add_documents``). No segment holds a copy of the originals; the
+        read touches only row groups containing the requested ids.
+
+        Tombstoned (deleted) ids are masked out — deleted docs are never
+        fetchable. Requested ids absent from every stored source are
+        dropped; ``on_missing`` controls whether that drop is silent
+        (``"drop"``), warns (``"warn"``, default), or raises
+        (``"raise"``)."""
         import pyarrow.dataset as pads
 
-        src = self.manifest.get("stored_source")
-        if not src:
+        srcs = [self.manifest.get("stored_source")] + list(
+            self.manifest.get("stored_sources", [])
+        )
+        srcs = [s for s in srcs if s]
+        if not srcs:
             raise ValueError(
                 "index has no stored-fields source (build_index(stored_source=...))"
             )
         ids = [int(d) for d in doc_ids]
+        if self.tombstones.shape[0] and ids:
+            from lucene_ray.index.deletes import mask_live
+
+            live = mask_live(np.asarray(ids, dtype=np.int64), self.tombstones)
+            ids = [d for d, ok in zip(ids, live) if ok]
         id_col = self.manifest.get("id_col", "doc_id")
         if columns is not None and id_col not in columns:
             columns = [id_col] + list(columns)
-        t = pads.dataset(src, format="parquet").to_table(
-            columns=columns, filter=pads.field(id_col).isin(ids)
+        dset = (
+            pads.dataset(srcs[0], format="parquet")
+            if len(srcs) == 1
+            else pads.dataset([pads.dataset(s, format="parquet") for s in srcs])
         )
+        t = dset.to_table(columns=columns, filter=pads.field(id_col).isin(ids))
         import pyarrow as _pa
 
         if t.num_rows == 0 or not ids:
+            if ids and on_missing != "drop":
+                self._report_missing(ids, on_missing)
             return t.slice(0, 0)
         got = t[id_col].to_numpy()
         order = np.argsort(got)
         pos = np.searchsorted(got[order], np.asarray(ids, dtype=got.dtype))
         pos = np.clip(pos, 0, got.shape[0] - 1)
         found = got[order][pos] == np.asarray(ids, dtype=got.dtype)
+        if not found.all() and on_missing != "drop":
+            self._report_missing(
+                [d for d, ok in zip(ids, found) if not ok], on_missing
+            )
         return t.take(_pa.array(order[pos][found]))
+
+    @staticmethod
+    def _report_missing(missing: list, on_missing: str) -> None:
+        msg = (
+            f"fetch_docs: {len(missing)} requested id(s) absent from the "
+            f"stored source(s) (e.g. {missing[:5]})"
+        )
+        if on_missing == "raise":
+            raise KeyError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
 
     def more_like_this(self, text: str, max_terms: int = 10):
         """Query-by-document (queries/mlt/MoreLikeThis.java:149): analyze
