@@ -60,6 +60,36 @@ def _index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _hnsw_index_dir(sf_dir: str) -> str:
+    """Persisted HNSW vector index over embeddings.parquet, cached per
+    corpus — built ONCE; queries serve from the saved graphs."""
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{emb}:{os.path.getsize(emb)}:{os.path.getmtime(emb)}:hnsw1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "vector_manifest.json")):
+        from lucene_ray.index.vector import build_vector_index
+
+        build_vector_index(emb, idx, n_shards=2, m=8, ef_construction=64)
+    return idx
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Persisted bucket-partitioned IVF index over embeddings.parquet,
+    cached per corpus."""
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{emb}:{os.path.getsize(emb)}:{os.path.getmtime(emb)}:ivf1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "vector_manifest.json")):
+        from lucene_ray.index.vector import build_ivf_index
+
+        build_ivf_index(emb, idx, n_centroids=8)
+    return idx
+
+
 def _stem_index_dir(sf_dir: str) -> str:
     """EnglishStemAnalyzer index (stop words + Porter stem + ASCII fold)."""
     from lucene_ray.codec.postings import CODEC_VERSION
@@ -1068,18 +1098,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_near_dup"] = _emb_near_dup
 
     def _hnsw(sf):
-        """Per-shard HNSW graphs + fan-out/merge (Lucene99HnswVectorsFormat
-        role); deterministic levels, rows-only (approximate by nature —
-        recall vs brute is pytest-asserted >= 0.9)."""
+        """PERSISTED per-shard HNSW graphs (Lucene99HnswVectorsFormat
+        write-once model): the index builds once into the /tmp cache and
+        every call serves from the saved CSR graphs via VectorSearcher —
+        no graph build on the query path (pytest-asserted). Deterministic
+        levels, rows-only (approximate by nature — recall vs brute is
+        pytest-asserted >= 0.9)."""
         import pyarrow.parquet as pq
-        import ray.data
 
-        from lucene_ray.pipelines.hnsw import knn_hnsw_cosine
+        from lucene_ray.index.vector import VectorSearcher
 
         emb_path = os.path.join(sf, "embeddings.parquet")
         Qm = np.stack(pq.read_table(emb_path).slice(0, 3)["embedding"].to_pylist())
-        t = knn_hnsw_cosine(ray.data.read_parquet(emb_path), Qm, k=10,
-                            n_shards=2, m=8, ef=64)
+        vs = VectorSearcher(_hnsw_index_dir(sf), num_executors=2)
+        t = vs.search(Qm, k=10, ef=64)
         return pa.table({
             "query_id": t["query_id"],
             "rank": t["rank"],
@@ -1088,6 +1120,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["knn_hnsw_cosine"] = _hnsw
+
+    def _ivf_indexed_full(sf):
+        """Full-probe search over the PERSISTED bucket-partitioned IVF
+        index: nprobe = n_centroids reads every bucket partition, so the
+        result must EQUAL brute-force cosine top-k — the oracle-checkable
+        proof that the partitioned layout loses nothing; the pruned-read
+        IO fraction is pytest-checked."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.vector import ivf_search
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 3)
+        Qm = np.stack(head["embedding"].to_pylist())
+        n = pq.ParquetFile(emb_path).metadata.num_rows
+        t = ivf_search(_ivf_index_dir(sf), Qm, k=n, nprobe=8, verbose=False)
+        qid = t["query_id"].to_numpy()
+        nid = t["neighbor_id"].to_numpy()
+        cos = _round4(t["cosine"].to_numpy())
+        vec_ids = head["vec_id"].to_numpy()
+        out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+        for j in range(3):
+            sel = qid == j
+            order = np.lexsort((nid[sel], -cos[sel]))[:10]
+            out["query_id"].append(np.full(10, vec_ids[j], dtype=np.int64))
+            out["rank"].append(np.arange(1, 11, dtype=np.int64))
+            out["neighbor_id"].append(nid[sel][order])
+            out["cosine"].append(cos[sel][order])
+        return pa.table({k: np.concatenate(v) for k, v in out.items()})
+
+    q["knn_ivf_indexed_full_probe"] = _ivf_indexed_full
+
+    def _ivf_indexed(sf):
+        """Pruned probe over the persisted IVF index — reads ONLY the
+        probed buckets' files (IO pruning; fraction pytest-checked and
+        logged). Approximate, rows-only; equality with the transient IVF
+        pipeline at identical centroids/probes is pytest-asserted."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.vector import ivf_search
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        Qm = np.stack(pq.read_table(emb_path).slice(0, 3)["embedding"].to_pylist())
+        t = ivf_search(_ivf_index_dir(sf), Qm, k=10, nprobe=4, verbose=False)
+        return pa.table({
+            "query_id": t["query_id"],
+            "rank": t["rank"],
+            "neighbor_id": t["neighbor_id"],
+            "cosine": _round4(t["cosine"].to_numpy()),
+        })
+
+    q["knn_ivf_indexed"] = _ivf_indexed
 
     def _merged(sf):
         import shutil
@@ -1673,6 +1757,10 @@ SELECT doc_id, query_id FROM (
     )
     o["force_merge_term_query"] = o["term_query"]
     o["knn_ivf_full_probe"] = o["knn_cosine_topk"]
+    # the persisted bucket-partitioned IVF index at full probe must also
+    # equal brute-force cosine top-k (proves the partitioned layout +
+    # pruned-read machinery loses nothing)
+    o["knn_ivf_indexed_full_probe"] = o["knn_cosine_topk"]
     o["embedding_near_dup"] = (
         """SELECT x.vec_id AS a, y.vec_id AS b,
                   ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),

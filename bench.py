@@ -232,6 +232,32 @@ def run_bench() -> dict:
 
     timed("knn_cosine", knn)
 
+    def vector_index():
+        """Persistent HNSW: build+persist per-shard graphs (timed as
+        vector_index_build), then serve 8 queries from the saved index
+        (vector_index_query — NO graph build on this path)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.vector import VectorSearcher, build_vector_index
+
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        vdir = "/tmp/lucene_ray_bench_vidx"
+        shutil.rmtree(vdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_vector_index(emb_path, vdir, n_shards=max(4, NUM_CPUS // 4),
+                           m=8, ef_construction=48)
+        timings["vector_index_build"] = round(time.perf_counter() - t0, 3)
+        Qm = np.stack(pq.read_table(emb_path).slice(0, 8)["embedding"].to_pylist())
+        vs = VectorSearcher(vdir, num_executors=min(4, NUM_CPUS))
+        t0 = time.perf_counter()
+        vs.search(Qm, k=10, ef=64)
+        timings["vector_index_query"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(vdir, ignore_errors=True)
+
+    vector_index()
+
     result = _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps)
     if build_docs_per_sec_realtext:
         result["build_docs_per_sec_realtext"] = round(build_docs_per_sec_realtext, 1)

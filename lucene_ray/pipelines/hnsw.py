@@ -140,7 +140,7 @@ class HnswGraph:
             worst_best = min(sims[i] for i in best)
             if sims[c] < worst_best and len(best) >= ef:
                 break
-            nbrs = [n for n in self.neighbors[c][level] if n not in visited]
+            nbrs = [n for n in self._nbrs(c, level) if n not in visited]
             if nbrs:
                 visited.update(nbrs)
                 s = self.vecs[np.asarray(nbrs)] @ q
@@ -157,10 +157,13 @@ class HnswGraph:
 
     def build(self, vecs: np.ndarray, ids: np.ndarray) -> None:
         self.vecs = np.ascontiguousarray(vecs)
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.indptr = self.indices = None  # dynamic adjacency while building
         n = vecs.shape[0]
         if n == 0:
             self.levels = np.empty(0, np.int64)
             self.neighbors = []
+            self._to_csr()
             return
         self.levels = self._level_of(ids, self.m)
         self.max_level = int(self.levels.max())
@@ -193,6 +196,7 @@ class HnswGraph:
                             cur = cur[np.argsort(-s)[: self.m]]
                         self.neighbors[f][lev] = cur
                 ep = found[0]
+        self._to_csr()
 
     def search(self, q: np.ndarray, k: int, ef: int = 64):
         if self.vecs is None or self.vecs.shape[0] == 0:

@@ -31,6 +31,13 @@ def sf_dir():
 
 
 @pytest.fixture(scope="session")
+def emb_ds(ray_session, sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="session")
 def built_index(ray_session, tmp_path_factory):
     """One shared index over sf0.001 documents (with positions)."""
     from lucene_ray.index.build import build_index

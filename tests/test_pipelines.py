@@ -10,13 +10,6 @@ import pyarrow.parquet as pq
 import pytest
 
 
-@pytest.fixture(scope="module")
-def emb_ds(ray_session, sf_dir):
-    import ray.data
-
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-
-
 def test_ivf_recall_vs_brute(emb_ds, sf_dir):
     """Partial probing (6 of 8 buckets) must keep mean recall@10 >= 0.9 vs
     brute cosine; nprobe=n_centroids exactness is oracle-checked by the
