@@ -296,6 +296,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
 
     q["span_near_unordered"] = _span_near
+
+    def _intervals_ordered(sf):
+        """Intervals.ordered + maxgaps (queries/intervals/Intervals.java:56):
+        docs with 'scan' before 'column' and at most 3 tokens between."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(
+            IV.Ordered((IV.Term("scan"), IV.Term("column")), maxgaps=3)
+        ))
+
+    q["intervals_ordered_maxgaps"] = _intervals_ordered
+
+    def _intervals_containing(sf):
+        """Intervals.containing(big, small): candidate unordered windows
+        of (scan, column) with <= 6 gap tokens that contain a 'window'
+        occurrence. Candidate windows are each scan-anchor's nearest
+        column neighbour in either direction (the engine's documented
+        minimal-candidate rule; the oracle mirrors it exactly)."""
+        from lucene_ray.search import intervals as IV
+
+        src = IV.Containing(
+            IV.Unordered((IV.Term("scan"), IV.Term("column")), maxgaps=6),
+            IV.Term("window"),
+        )
+        return _docs_only(sf, Q.IntervalQuery(src))
+
+    q["intervals_containing"] = _intervals_containing
+
+    def _intervals_contained_by(sf):
+        """Intervals.containedBy(small, big) — 'window' occurrences lying
+        inside a qualifying (scan, column) window; doc-level equal to
+        containing by construction, but exercises the prefix-max container
+        path instead of the suffix-min containee path."""
+        from lucene_ray.search import intervals as IV
+
+        src = IV.ContainedBy(
+            IV.Term("window"),
+            IV.Unordered((IV.Term("scan"), IV.Term("column")), maxgaps=6),
+        )
+        return _docs_only(sf, Q.IntervalQuery(src))
+
+    q["intervals_contained_by"] = _intervals_contained_by
     q["common_terms_query"] = lambda sf: _all_hits_table(
         sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
     )
@@ -1406,6 +1448,46 @@ FROM anchors t CROSS JOIN idfs i CROSS JOIN stats s
 JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
+
+    # intervals: ordered with maxgaps — exists p(scan) < p(column) with
+    # at most 3 tokens between (gaps = p2 - p1 - 1)
+    o["intervals_ordered_maxgaps"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'scan' AND b.term = 'column'
+  AND b.p > a.p AND b.p - a.p - 1 <= 3
+ORDER BY a.doc_id"""
+    )
+
+    # intervals: containing/containedBy over candidate unordered windows —
+    # for each 'scan' anchor, its nearest 'column' in either direction
+    # forms a window; windows with <= 6 gap tokens that contain a
+    # 'window' occurrence match (mirrors the engine's pred/succ
+    # candidate-window rule exactly)
+    _IV_CONTAIN_SQL = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+, t1p AS (SELECT doc_id, p FROM pos WHERE term = 'scan')
+, t2p AS (SELECT doc_id, p FROM pos WHERE term = 'column')
+, cand AS (SELECT a.doc_id, a.p AS ap,
+    (SELECT max(b.p) FROM t2p b WHERE b.doc_id = a.doc_id AND b.p < a.p) AS bprev,
+    (SELECT min(b.p) FROM t2p b WHERE b.doc_id = a.doc_id AND b.p > a.p) AS bnext
+  FROM t1p a)
+, wins AS (
+  SELECT doc_id, least(ap, bp) AS lo, greatest(ap, bp) AS hi FROM (
+    SELECT doc_id, ap, bprev AS bp FROM cand WHERE bprev IS NOT NULL
+    UNION ALL
+    SELECT doc_id, ap, bnext AS bp FROM cand WHERE bnext IS NOT NULL))
+SELECT DISTINCT w.doc_id FROM wins w
+WHERE w.hi - w.lo - 1 <= 6
+  AND EXISTS (SELECT 1 FROM pos c
+              WHERE c.doc_id = w.doc_id AND c.term = 'window'
+                AND c.p BETWEEN w.lo AND w.hi)
+ORDER BY doc_id"""
+    )
+    o["intervals_containing"] = _IV_CONTAIN_SQL
+    o["intervals_contained_by"] = _IV_CONTAIN_SQL
 
     # df-split scoring: docs must match a low-df term (df <= 100); high-df
     # terms add score where they co-occur — same classification the engine

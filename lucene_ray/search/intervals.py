@@ -1,0 +1,383 @@
+"""Minimal-interval algebra over the persisted positions columns — the
+queries/intervals module role (queries/intervals/Intervals.java:56,
+IntervalQuery.java): composable sources producing per-document
+(start, end) intervals, combined with ordered / unordered (+ maxgaps),
+``or``, ``containing`` and ``containedBy``.
+
+Ray-Data-first evaluation: a source evaluates per segment to three flat
+numpy arrays (doc, start, end) sorted by (doc, start, end) — ONE
+positions-table read for all leaf terms, then pure vectorized array
+algebra (fused doc<<32|pos keys + searchsorted, the same machinery as the
+phrase/span matchers). No per-doc Python loops:
+
+* ``Ordered``  — left-fold: for every left interval, the earliest
+  right interval starting after it (greedy earliest-next; exact for term
+  leaves, where start==end, because later start implies later end).
+* ``Unordered`` (2 sources) — for every left interval, its predecessor
+  and successor right intervals both become candidates; exact for term
+  leaves (both directions examined).  n>2 folds pairwise (documented
+  widening: the fold is exact for existence on term leaves when each
+  pairwise window is re-checked, conservative otherwise).
+* ``Containing`` — per-doc suffix-min of contained-candidate ends:
+  ``big [s,e]`` contains some small iff the minimal small-end at the
+  first small starting >= s is <= e (starts ascending makes this exact).
+* ``ContainedBy`` — per-doc prefix-max of container ends, symmetric.
+
+Gap accounting: every interval carries ``cov`` (tokens covered by its
+leaves), so ``gaps = width - cov`` filters exactly for term leaves —
+the Intervals.maxgaps contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_SHIFT = np.int64(1) << np.int64(32)
+_POS_MASK = _SHIFT - np.int64(1)
+
+
+# --------------------------------------------------------------------------
+# sources (dataclass tree, mirrors Intervals.* factory methods)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class IntervalsSource:
+    def leaf_terms(self, out: set):
+        raise NotImplementedError
+
+    def to_dict(self) -> dict:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Term(IntervalsSource):
+    term: str
+
+    def leaf_terms(self, out: set):
+        out.add(self.term)
+
+    def to_dict(self):
+        return {"type": "term", "term": self.term}
+
+
+@dataclass(frozen=True)
+class Ordered(IntervalsSource):
+    """Intervals.ordered(...) — sub-intervals in order, non-overlapping;
+    ``maxgaps`` bounds width - covered (Intervals.maxgaps wrapping)."""
+
+    sources: tuple
+    maxgaps: int = -1  # -1 = unlimited
+
+    def leaf_terms(self, out: set):
+        for s in self.sources:
+            s.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "ordered", "maxgaps": self.maxgaps,
+                "sources": [s.to_dict() for s in self.sources]}
+
+
+@dataclass(frozen=True)
+class Unordered(IntervalsSource):
+    sources: tuple
+    maxgaps: int = -1
+
+    def leaf_terms(self, out: set):
+        for s in self.sources:
+            s.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "unordered", "maxgaps": self.maxgaps,
+                "sources": [s.to_dict() for s in self.sources]}
+
+
+@dataclass(frozen=True)
+class Or(IntervalsSource):
+    sources: tuple
+
+    def leaf_terms(self, out: set):
+        for s in self.sources:
+            s.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "or", "sources": [s.to_dict() for s in self.sources]}
+
+
+@dataclass(frozen=True)
+class Containing(IntervalsSource):
+    """Intervals.containing(big, small): big's intervals that contain at
+    least one small interval."""
+
+    big: IntervalsSource
+    small: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.big.leaf_terms(out)
+        self.small.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "containing", "big": self.big.to_dict(),
+                "small": self.small.to_dict()}
+
+
+@dataclass(frozen=True)
+class ContainedBy(IntervalsSource):
+    """Intervals.containedBy(small, big): small's intervals that lie
+    inside at least one big interval."""
+
+    small: IntervalsSource
+    big: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.small.leaf_terms(out)
+        self.big.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "contained_by", "small": self.small.to_dict(),
+                "big": self.big.to_dict()}
+
+
+def phrase(*terms: str) -> Ordered:
+    """Intervals.phrase — ordered with zero gaps."""
+    return Ordered(tuple(Term(t) for t in terms), maxgaps=0)
+
+
+def source_from_dict(d: dict) -> IntervalsSource:
+    t = d["type"]
+    if t == "term":
+        return Term(d["term"])
+    if t == "ordered":
+        return Ordered(tuple(source_from_dict(s) for s in d["sources"]),
+                       d.get("maxgaps", -1))
+    if t == "unordered":
+        return Unordered(tuple(source_from_dict(s) for s in d["sources"]),
+                         d.get("maxgaps", -1))
+    if t == "or":
+        return Or(tuple(source_from_dict(s) for s in d["sources"]))
+    if t == "containing":
+        return Containing(source_from_dict(d["big"]), source_from_dict(d["small"]))
+    if t == "contained_by":
+        return ContainedBy(source_from_dict(d["small"]), source_from_dict(d["big"]))
+    raise ValueError(f"unknown intervals source type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# evaluation
+# --------------------------------------------------------------------------
+
+class _Iv:
+    """Flat interval set: parallel arrays sorted by (doc, start, end).
+    ``cov`` = tokens covered by the leaves of each interval (for gap
+    accounting: gaps = (end - start + 1) - cov)."""
+
+    __slots__ = ("doc", "start", "end", "cov")
+
+    def __init__(self, doc, start, end, cov):
+        self.doc, self.start, self.end, self.cov = doc, start, end, cov
+
+    @classmethod
+    def empty(cls):
+        z = np.empty(0, np.int64)
+        return cls(z, z, z, z)
+
+    def sorted(self) -> "_Iv":
+        o = np.lexsort((self.end, self.start, self.doc))
+        return _Iv(self.doc[o], self.start[o], self.end[o], self.cov[o])
+
+    @property
+    def size(self):
+        return self.doc.shape[0]
+
+
+def _positions_per_term(reader, terms: list) -> dict:
+    """ONE positions read for all leaf terms -> {term: (doc, pos)} with
+    (doc, pos) lexsorted."""
+    tbl = reader.positions_table(terms)
+    out = {t: (np.empty(0, np.int64), np.empty(0, np.int64)) for t in terms}
+    if tbl.num_rows == 0:
+        return out
+    t_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    d_all = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
+    p_all = tbl["pos"].to_numpy().astype(np.int64)
+    for t in set(terms):
+        sel = t_arr == t
+        d, p = d_all[sel], p_all[sel]
+        o = np.lexsort((p, d))
+        out[t] = (d[o], p[o])
+    return out
+
+
+def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
+    if isinstance(source, Term):
+        d, p = per_term[source.term]
+        return _Iv(d, p, p, np.ones(d.shape[0], np.int64))
+    if isinstance(source, Or):
+        parts = [_eval(s, per_term) for s in source.sources]
+        return _Iv(
+            np.concatenate([x.doc for x in parts]),
+            np.concatenate([x.start for x in parts]),
+            np.concatenate([x.end for x in parts]),
+            np.concatenate([x.cov for x in parts]),
+        ).sorted()
+    if isinstance(source, Ordered):
+        return _ordered(source, per_term)
+    if isinstance(source, Unordered):
+        return _unordered(source, per_term)
+    if isinstance(source, Containing):
+        return _containing(_eval(source.big, per_term),
+                           _eval(source.small, per_term))
+    if isinstance(source, ContainedBy):
+        return _contained_by(_eval(source.small, per_term),
+                             _eval(source.big, per_term))
+    raise TypeError(type(source))
+
+
+def _ordered(source: Ordered, per_term: dict) -> _Iv:
+    left = _eval(source.sources[0], per_term)
+    for nxt in source.sources[1:]:
+        right = _eval(nxt, per_term)
+        if left.size == 0 or right.size == 0:
+            return _Iv.empty()
+        # earliest right interval starting strictly after left's end
+        rkeys = right.doc * _SHIFT + right.start
+        tgt = left.doc * _SHIFT + left.end + np.int64(1)
+        idx = np.searchsorted(rkeys, tgt)
+        valid = idx < rkeys.shape[0]
+        idxc = np.minimum(idx, max(rkeys.shape[0] - 1, 0))
+        same = valid & (right.doc[idxc] == left.doc)
+        left = _Iv(
+            left.doc[same], left.start[same], right.end[idxc][same],
+            left.cov[same] + right.cov[idxc][same],
+        )
+    if source.maxgaps >= 0 and left.size:
+        keep = (left.end - left.start + 1 - left.cov) <= source.maxgaps
+        left = _Iv(left.doc[keep], left.start[keep], left.end[keep],
+                   left.cov[keep])
+    return left.sorted()
+
+
+def _pair_unordered(a: _Iv, b: _Iv) -> _Iv:
+    """Candidate unordered combinations of two interval sets: for every a
+    interval, its predecessor and successor b intervals by start (both
+    directions — exact for term leaves)."""
+    if a.size == 0 or b.size == 0:
+        return _Iv.empty()
+    bkeys = b.doc * _SHIFT + b.start
+    tgt = a.doc * _SHIFT + a.start
+    idx = np.searchsorted(bkeys, tgt, side="left")
+    parts = []
+    for cand in (idx - 1, idx):
+        valid = (cand >= 0) & (cand < bkeys.shape[0])
+        c = np.clip(cand, 0, max(bkeys.shape[0] - 1, 0))
+        same = valid & (b.doc[c] == a.doc)
+        # overlap (shared tokens) is not a valid unordered combination
+        # (Lucene's unordered requires non-overlapping sub-intervals)
+        overlap = (b.start[c] <= a.end) & (a.start <= b.end[c])
+        sel = same & ~overlap
+        parts.append(_Iv(
+            a.doc[sel],
+            np.minimum(a.start[sel], b.start[c][sel]),
+            np.maximum(a.end[sel], b.end[c][sel]),
+            a.cov[sel] + b.cov[c][sel],
+        ))
+    return _Iv(
+        np.concatenate([x.doc for x in parts]),
+        np.concatenate([x.start for x in parts]),
+        np.concatenate([x.end for x in parts]),
+        np.concatenate([x.cov for x in parts]),
+    ).sorted()
+
+
+def _unordered(source: Unordered, per_term: dict) -> _Iv:
+    acc = _eval(source.sources[0], per_term)
+    for nxt in source.sources[1:]:
+        acc = _pair_unordered(acc, _eval(nxt, per_term))
+        if acc.size == 0:
+            return acc
+    if source.maxgaps >= 0 and acc.size:
+        keep = (acc.end - acc.start + 1 - acc.cov) <= source.maxgaps
+        acc = _Iv(acc.doc[keep], acc.start[keep], acc.end[keep], acc.cov[keep])
+    return acc
+
+
+def _segmented_prefix_scan(doc: np.ndarray, val: np.ndarray, op) -> np.ndarray:
+    """Inclusive prefix-scan of ``op`` (np.minimum/np.maximum) restarting
+    at doc boundaries — Hillis-Steele doubling: O(n log n) fully
+    vectorized, no per-doc Python."""
+    n = doc.shape[0]
+    if n == 0:
+        return val
+    starts = np.concatenate(([True], doc[1:] != doc[:-1]))
+    s_idx = np.nonzero(starts)[0]
+    seg_start = s_idx[np.cumsum(starts) - 1]  # segment start index per row
+    out = val.astype(np.int64, copy=True)
+    idx = np.arange(n)
+    step = 1
+    while step < n:
+        prev = idx - step
+        can = prev >= seg_start
+        nxt = out.copy()
+        nxt[can] = op(out[can], out[prev[can]])
+        out = nxt
+        step <<= 1
+    return out
+
+
+def _suffix_min_within_doc(doc: np.ndarray, val: np.ndarray) -> np.ndarray:
+    """m[i] = min(val[i:j]) where j is the end of i's doc run."""
+    return _segmented_prefix_scan(doc[::-1], val[::-1], np.minimum)[::-1]
+
+
+def _containing(big: _Iv, small: _Iv) -> _Iv:
+    if big.size == 0 or small.size == 0:
+        return _Iv.empty()
+    suff_min_end = _suffix_min_within_doc(small.doc, small.end)
+    skeys = small.doc * _SHIFT + small.start
+    tgt = big.doc * _SHIFT + big.start
+    idx = np.searchsorted(skeys, tgt, side="left")
+    valid = idx < skeys.shape[0]
+    c = np.minimum(idx, max(skeys.shape[0] - 1, 0))
+    keep = valid & (small.doc[c] == big.doc) & (suff_min_end[c] <= big.end)
+    return _Iv(big.doc[keep], big.start[keep], big.end[keep], big.cov[keep])
+
+
+def _prefix_max_within_doc(doc: np.ndarray, val: np.ndarray) -> np.ndarray:
+    """M[i] = max(val[s:i+1]) where s is the start of i's doc run."""
+    return _segmented_prefix_scan(doc, val, np.maximum)
+
+
+def _contained_by(small: _Iv, big: _Iv) -> _Iv:
+    if small.size == 0 or big.size == 0:
+        return _Iv.empty()
+    pref_max_end = _prefix_max_within_doc(big.doc, big.end)
+    bkeys = big.doc * _SHIFT + big.start
+    tgt = small.doc * _SHIFT + small.start
+    # last big with start <= small.start
+    idx = np.searchsorted(bkeys, tgt, side="right") - 1
+    valid = idx >= 0
+    c = np.maximum(idx, 0)
+    keep = valid & (big.doc[c] == small.doc) & (pref_max_end[c] >= small.end)
+    return _Iv(small.doc[keep], small.start[keep], small.end[keep],
+               small.cov[keep])
+
+
+def eval_intervals(reader, source: IntervalsSource):
+    """All intervals of ``source`` in this segment: (local_docs, starts,
+    ends) arrays sorted by (doc, start, end)."""
+    terms: set = set()
+    source.leaf_terms(terms)
+    per_term = _positions_per_term(reader, sorted(terms))
+    iv = _eval(source, per_term)
+    return iv.doc, iv.start, iv.end
+
+
+def matching_docs(reader, source: IntervalsSource):
+    """(local docs, interval counts) — the doc-level view an
+    IntervalQuery scores on."""
+    doc, _s, _e = eval_intervals(reader, source)
+    if doc.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs, counts = np.unique(doc, return_counts=True)
+    return docs.astype(np.int64), counts.astype(np.int64)

@@ -275,6 +275,32 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Minimal-interval algebra query — queries/intervals/IntervalQuery.java
+    over an :mod:`lucene_ray.search.intervals` source tree
+    (Intervals.java:56 factories: ordered/unordered + maxgaps, or,
+    containing, containedBy). Matches docs where the source produces at
+    least one interval.
+
+    Scoring: constant ``boost`` per matching doc (documented deviation —
+    the reference scores by a saturation function of interval freq/width;
+    interval counts are exposed via ``intervals.matching_docs`` for
+    callers that need them)."""
+
+    source: "object"  # IntervalsSource
+    boost: float = 1.0
+    field: str | None = None  # default field only (documented limit)
+
+    def to_dict(self):
+        return {
+            "type": "intervals",
+            "source": self.source.to_dict(),
+            "boost": self.boost,
+            "field": self.field,
+        }
+
+
+@dataclass(frozen=True)
 class CombinedFieldQuery(Query):
     """BM25F over several fields treated as one combined pseudo-field
     (sandbox/.../search/CombinedFieldQuery.java:303-420 semantics, simple
@@ -382,6 +408,12 @@ def query_from_dict(d: dict) -> Query:
         return SpanNearQuery(
             tuple(d["terms"]), d.get("slop", 0), d.get("in_order", True),
             d.get("boost", 1.0), d.get("field"),
+        )
+    if t == "intervals":
+        from lucene_ray.search.intervals import source_from_dict
+
+        return IntervalQuery(
+            source_from_dict(d["source"]), d.get("boost", 1.0), d.get("field")
         )
     if t == "combined_field":
         return CombinedFieldQuery(

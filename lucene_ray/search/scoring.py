@@ -274,6 +274,15 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
 
     if isinstance(q, Q.SpanNearQuery):
         return _eval_span_near(reader, q, ctx)
+    if isinstance(q, Q.IntervalQuery):
+        from lucene_ray.search.intervals import matching_docs
+
+        docs, _counts = matching_docs(reader, q.source)
+        return (
+            docs,
+            np.full(docs.shape[0], q.boost, dtype=np.float64),
+            True,
+        )
 
     if isinstance(q, Q.BooleanQuery):
         return _eval_bool(reader, q, ctx)

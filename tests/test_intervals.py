@@ -1,0 +1,144 @@
+"""Interval algebra (search/intervals.py) — conformance against per-doc
+brute force implementing the same documented rules, plus the segmented
+scans and serialization round-trip."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.search import intervals as IV
+from lucene_ray.search import query as Q
+
+
+@pytest.fixture(scope="module")
+def corpus(sf_dir):
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    return {
+        d: x.split(" ")
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    from lucene_ray.search.searcher import Searcher
+
+    return Searcher(built_index[0])
+
+
+def _docs(searcher, src):
+    docs, scores = searcher.search_all(Q.IntervalQuery(src))
+    assert np.all(scores == 1.0)  # constant-score contract
+    return set(docs.tolist())
+
+
+def test_segmented_scans():
+    from lucene_ray.search.intervals import (
+        _prefix_max_within_doc, _suffix_min_within_doc)
+
+    rng = np.random.default_rng(3)
+    doc = np.sort(rng.integers(0, 40, size=500))
+    val = rng.integers(0, 1000, size=500)
+    want_max = np.array([
+        max(val[j] for j in range(len(doc)) if doc[j] == doc[i] and j <= i)
+        for i in range(len(doc))
+    ])
+    want_min = np.array([
+        min(val[j] for j in range(len(doc)) if doc[j] == doc[i] and j >= i)
+        for i in range(len(doc))
+    ])
+    assert np.array_equal(_prefix_max_within_doc(doc, val), want_max)
+    assert np.array_equal(_suffix_min_within_doc(doc, val), want_min)
+
+
+def test_ordered_maxgaps_conformance(searcher, corpus):
+    """ordered(t1..tn) + maxgaps == exists in-order positions with total
+    gap (width - n) <= maxgaps — checked by exhaustive per-doc search."""
+    import itertools
+
+    for terms, g in [(("scan", "column"), 3), (("scan", "column", "window"), 5),
+                     (("order", "sort"), 0)]:
+        got = _docs(searcher, IV.Ordered(tuple(IV.Term(t) for t in terms), g))
+        want = set()
+        for d, toks in corpus.items():
+            poss = [[i for i, w in enumerate(toks) if w == t] for t in terms]
+            if any(not p for p in poss):
+                continue
+            hit = any(
+                all(c[i] < c[i + 1] for i in range(len(c) - 1))
+                and c[-1] - c[0] + 1 - len(c) <= g
+                for c in itertools.product(*poss)
+            )
+            if hit:
+                want.add(d)
+        assert got == want, (terms, g)
+
+
+def test_unordered2_maxgaps_conformance(searcher, corpus):
+    """2-source unordered is exact: any pair within the gap budget."""
+    t1, t2, g = "scan", "column", 2
+    got = _docs(searcher, IV.Unordered((IV.Term(t1), IV.Term(t2)), g))
+    want = set()
+    for d, toks in corpus.items():
+        p1 = [i for i, w in enumerate(toks) if w == t1]
+        p2 = [i for i, w in enumerate(toks) if w == t2]
+        if any(a != b and abs(a - b) - 1 <= g for a in p1 for b in p2):
+            want.add(d)
+    assert got == want
+
+
+def _cand_windows(toks, t1, t2, g):
+    """The engine's documented candidate-window rule: each t1 anchor with
+    its nearest t2 in either direction, gap-filtered."""
+    p1 = [i for i, w in enumerate(toks) if w == t1]
+    p2 = [i for i, w in enumerate(toks) if w == t2]
+    wins = []
+    for a in p1:
+        below = [b for b in p2 if b < a]
+        above = [b for b in p2 if b > a]
+        for b in ([max(below)] if below else []) + ([min(above)] if above else []):
+            lo, hi = min(a, b), max(a, b)
+            if hi - lo - 1 <= g:
+                wins.append((lo, hi))
+    return wins
+
+
+def test_containing_and_contained_by_conformance(searcher, corpus):
+    big = IV.Unordered((IV.Term("scan"), IV.Term("column")), 6)
+    small = IV.Term("window")
+    got_c = _docs(searcher, IV.Containing(big, small))
+    got_cb = _docs(searcher, IV.ContainedBy(small, big))
+    want = set()
+    for d, toks in corpus.items():
+        ps = [i for i, w in enumerate(toks) if w == "window"]
+        if any(
+            any(lo <= c <= hi for c in ps)
+            for lo, hi in _cand_windows(toks, "scan", "column", 6)
+        ):
+            want.add(d)
+    assert got_c == want
+    assert got_cb == want  # doc-level identical by construction
+
+
+def test_or_and_phrase(searcher, corpus):
+    got = _docs(searcher, IV.Or((IV.Term("scan"), IV.Term("sort"))))
+    want = {d for d, toks in corpus.items() if "scan" in toks or "sort" in toks}
+    assert got == want
+    got_p = _docs(searcher, IV.phrase("key", "value"))
+    want_p = set()
+    for d, toks in corpus.items():
+        if any(toks[i] == "key" and toks[i + 1] == "value"
+               for i in range(len(toks) - 1)):
+            want_p.add(d)
+    assert got_p == want_p
+
+
+def test_interval_query_serialization_round_trip():
+    src = IV.Containing(
+        IV.Unordered((IV.Term("a"), IV.Ordered((IV.Term("b"), IV.Term("c")), 2)), 5),
+        IV.Or((IV.Term("d"), IV.Term("e"))),
+    )
+    q = Q.IntervalQuery(src, boost=2.0)
+    assert Q.query_from_dict(q.to_dict()) == q
