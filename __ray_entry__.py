@@ -338,6 +338,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_only(sf, Q.IntervalQuery(src))
 
     q["intervals_contained_by"] = _intervals_contained_by
+
+    def _join_query(sf):
+        """Query-time join (JoinUtil.createJoinQuery, join/JoinUtil.java:56):
+        from side = documents with lang='de', fromField = the doc's first
+        token; to side = docs whose text contains any gathered value.
+        The gather is a distributed groupby of distinct values only."""
+        import pyarrow.compute as pc
+        import ray.data
+
+        from lucene_ray.search.join import create_join_query
+
+        def first_token(b):
+            texts = b["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            return pa.table(
+                {"t0": pc.list_element(pc.split_pattern(texts, " "), 0)}
+            )
+
+        from_ds = (
+            ray.data.read_parquet(
+                os.path.join(sf, "documents.parquet"),
+                columns=["lang", "n_chars", "text"],
+            )
+            .filter(expr="lang == 'de' and n_chars < 150")
+            .map_batches(first_token, batch_format="pyarrow")
+        )
+        return _docs_only(sf, create_join_query(from_ds, "t0"))
+
+    q["join_query_terms"] = _join_query
     q["common_terms_query"] = lambda sf: _all_hits_table(
         sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
     )
@@ -1488,6 +1518,18 @@ ORDER BY doc_id"""
     )
     o["intervals_containing"] = _IV_CONTAIN_SQL
     o["intervals_contained_by"] = _IV_CONTAIN_SQL
+
+    # query-time join: distinct first tokens of lang='de' docs -> docs
+    # containing any of them (two-table shape: from-side selection feeds
+    # the to-side IN filter)
+    o["join_query_terms"] = (
+        _PRELUDE
+        + """
+, vals AS (SELECT DISTINCT string_split(text, ' ')[1] AS v
+           FROM documents WHERE lang = 'de' AND n_chars < 150)
+SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT v FROM vals)
+ORDER BY doc_id"""
+    )
 
     # df-split scoring: docs must match a low-df term (df <= 100); high-df
     # terms add score where they co-occur — same classification the engine
