@@ -568,9 +568,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["english_analyzer_query"] = _english_analyzer
 
     def _synonym_index(sf):
-        """Index built with an index-side synonym injection (fast -> quick
-        at the same position); querying the injected term matches docs
-        containing the source term."""
+        """Index built with index-side synonym injection: a single-token
+        rule (fast -> quick, same position) AND a multi-word graph rule
+        ("key value" -> kv: the target injects at the run's first
+        position wherever 'key','value' occur at consecutive positions —
+        SynonymGraphFilter.java:78 posLength flattening). Querying each
+        injected term matches source docs; rows labeled per query."""
         from lucene_ray.analysis.analyzers import Analyzer
         from lucene_ray.codec.postings import CODEC_VERSION
         from lucene_ray.index.build import build_index
@@ -578,17 +581,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = os.path.join(sf, "documents.parquet")
         tag = hashlib.sha1(
-            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:syn1".encode()
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:syn2".encode()
         ).hexdigest()[:12]
         idx = os.path.join(_CACHE_ROOT, tag)
         if not os.path.exists(os.path.join(idx, "manifest.json")):
-            build_index(docs, idx,
-                        analyzer=Analyzer(synonyms=(("fast", ("quick",)),)),
-                        num_segments=4)
+            build_index(
+                docs, idx,
+                analyzer=Analyzer(synonyms=(("fast", ("quick",)),
+                                            ("key value", ("kv",)))),
+                num_segments=4,
+            )
         s = Searcher(idx, mode="f64")
-        d, sc = s.search_all(Q.TermQuery("quick"))
-        order = np.argsort(d)
-        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+        parts = []
+        for label in ("quick", "kv"):
+            d, sc = s.search_all(Q.TermQuery(label))
+            order = np.argsort(d)
+            parts.append(pa.table({
+                "q": pa.array([label] * d.shape[0]),
+                "doc_id": d[order],
+                "score": _round4(sc[order]),
+            }))
+        return pa.concat_tables(parts)
 
     q["synonym_index_query"] = _synonym_index
 
@@ -797,6 +810,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["facet_lang_counts"] = lambda sf: _facet(sf, "lang")
     q["facet_source_counts"] = lambda sf: _facet(sf, "source")
+
+    def _taxonomy(sf):
+        """Hierarchical source/lang taxonomy: every node (source and
+        source/lang) counted in one exploded groupby
+        (FastTaxonomyFacetCounts.java:40)."""
+        import ray.data
+
+        from lucene_ray.pipelines.facets import taxonomy_counts
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["source", "lang"]
+        )
+        t = taxonomy_counts(ds, ["source", "lang"]).to_pandas()
+        return pa.table({"path": t["path"], "n": t["count()"].astype("int64")})
+
+    q["taxonomy_counts"] = _taxonomy
+
+    def _drill_sideways(sf):
+        """DrillSideways (facet/DrillSideways.java:71): drill-down on
+        lang='de' AND source='src3'; each dim's counts computed with its
+        own selection removed, the other applied."""
+        import ray.data
+
+        from lucene_ray.pipelines.facets import drill_sideways_counts
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["source", "lang"]
+        )
+        t = drill_sideways_counts(
+            ds, {"lang": "de", "source": "src3"}
+        ).to_pandas()
+        return pa.table({
+            "dim": t["dim"], "value": t["value"],
+            "n": t["count()"].astype("int64"),
+        })
+
+    q["drill_sideways_facet"] = _drill_sideways
 
     def _distinct(sf):
         import ray.data
@@ -1787,6 +1837,22 @@ WHERE i.c::DOUBLE / (sa.sz + sb.sz - i.c) >= 0.8
 ORDER BY i.a, i.b"""
     )
 
+    o["taxonomy_counts"] = (
+        """SELECT path, count(*)::BIGINT AS n FROM (
+             SELECT source AS path FROM documents
+             UNION ALL
+             SELECT source || '/' || lang AS path FROM documents)
+           GROUP BY path ORDER BY path"""
+    )
+    o["drill_sideways_facet"] = (
+        """SELECT dim, value, count(*)::BIGINT AS n FROM (
+             SELECT 'lang' AS dim, lang AS value FROM documents
+             WHERE source = 'src3'
+             UNION ALL
+             SELECT 'source' AS dim, source AS value FROM documents
+             WHERE lang = 'de')
+           GROUP BY dim, value ORDER BY dim, value"""
+    )
     o["facet_lang_counts"] = (
         "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"
     )
@@ -1997,13 +2063,20 @@ FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
 
-    # index-side synonym injection: 'quick' rides at 'fast' positions and
-    # counts toward field length
+    # index-side synonym injection: 'quick' rides at 'fast' positions;
+    # the multi-word rule injects 'kv' at every consecutive 'key','value'
+    # run; both count toward field length
     o["synonym_index_query"] = (
         f"""
-WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+posn AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p FROM toklist),
+tok0 AS (SELECT doc_id, term FROM posn),
 tok AS (SELECT * FROM tok0
-        UNION ALL SELECT doc_id, 'quick' FROM tok0 WHERE term = 'fast'),
+        UNION ALL SELECT doc_id, 'quick' FROM tok0 WHERE term = 'fast'
+        UNION ALL SELECT a.doc_id, 'kv'
+                  FROM posn a JOIN posn b
+                    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                  WHERE a.term = 'key' AND b.term = 'value'),
 doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 dlq AS (
   SELECT doc_id, dl,
@@ -2016,13 +2089,20 @@ dlq AS (
 stats AS (
   SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
          (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
-tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'quick' GROUP BY doc_id),
-df AS (SELECT count(*)::DOUBLE AS df FROM tf)
-SELECT t.doc_id,
+tf_quick AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'quick' GROUP BY doc_id),
+df_quick AS (SELECT count(*)::DOUBLE AS df FROM tf_quick),
+tf_kv AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'kv' GROUP BY doc_id),
+df_kv AS (SELECT count(*)::DOUBLE AS df FROM tf_kv)
+SELECT 'quick' AS q, t.doc_id,
        ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
              (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
-FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
-ORDER BY t.doc_id"""
+FROM tf_quick t CROSS JOIN df_quick d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+UNION ALL
+SELECT 'kv' AS q, t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf_kv t CROSS JOIN df_kv d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY q, doc_id"""
     )
 
     o["index_sorted_topk"] = (

@@ -37,13 +37,28 @@ class Analyzer:
     ascii_fold: bool = False  # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java)
     # index-side synonym injection at the SAME position
     # (SynonymGraphFilter, analysis/common/.../synonym/SynonymGraphFilter.java:78):
-    # tuple of (source_term, (injected_terms, ...)), matched AFTER the other
-    # filters; injected tokens count toward field length
+    # tuple of (source, (injected_terms, ...)), matched AFTER the other
+    # filters; injected tokens count toward field length. A source with
+    # spaces is a MULTI-WORD rule ("new york" -> nyc): the target injects
+    # at the FIRST word's position wherever the words occur at CONSECUTIVE
+    # positions (an intervening stop-word gap breaks the run — the
+    # flattened-graph posLength model, with the injected token anchored at
+    # the run start and offsets spanning the whole surface run)
     synonyms: tuple = ()
 
     @property
     def synonym_map(self) -> dict:
-        return {src: tuple(dsts) for src, dsts in self.synonyms}
+        """Single-token rules only (multi-word sources split out below)."""
+        return {src: tuple(dsts) for src, dsts in self.synonyms if " " not in src}
+
+    @property
+    def multi_synonym_rules(self) -> list:
+        """[(words_tuple, targets_tuple)] for multi-word sources."""
+        return [
+            (tuple(src.split()), tuple(dsts))
+            for src, dsts in self.synonyms
+            if " " in src
+        ]
 
     def transform_token(self, term: str) -> str:
         """Post-stop per-token filters (fold, then stem)."""
@@ -63,6 +78,9 @@ class Analyzer:
 
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
+        if self.synonyms and self.multi_synonym_rules:
+            # multi-word rules need position adjacency: delegate
+            return [t for t, _p in self.tokens_with_positions(text)]
         toks = tokenize(text, self.max_token_length)
         if self.lowercase:
             toks = [t.lower() for t in toks]
@@ -75,6 +93,21 @@ class Analyzer:
             syn = self.synonym_map
             toks = toks + [s for t in toks for s in syn.get(t, ())]
         return toks
+
+    def _multi_matches(self, out: list) -> list:
+        """Indices i where a multi-word rule matches out[i:i+L] at
+        consecutive positions. Returns [(i, L, targets)]."""
+        hits = []
+        for words, dsts in self.multi_synonym_rules:
+            L = len(words)
+            for i in range(len(out) - L + 1):
+                if all(
+                    out[i + j][0] == words[j]
+                    and out[i + j][1] == out[i][1] + j
+                    for j in range(L)
+                ):
+                    hits.append((i, L, dsts))
+        return hits
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
         """(term, position) pairs; stop-filtered tokens leave position gaps."""
@@ -89,7 +122,13 @@ class Analyzer:
             out.append((term, pos))
         if self.synonyms:
             syn = self.synonym_map
-            out = out + [(s, p) for t, p in out for s in syn.get(t, ())]
+            extra = [(s, p) for t, p in out for s in syn.get(t, ())]
+            extra += [
+                (s, out[i][1])
+                for i, _l, dsts in self._multi_matches(out)
+                for s in dsts
+            ]
+            out = out + extra
         return out
 
     def tokens_with_offsets(self, text: str) -> list[tuple[str, int, int, int]]:
@@ -106,9 +145,17 @@ class Analyzer:
             out.append((term, pos, s, e))
         if self.synonyms:
             syn = self.synonym_map
-            out = out + [
+            extra = [
                 (sy, p, s, e) for t, p, s, e in out for sy in syn.get(t, ())
             ]
+            extra += [
+                (sy, out[i][1], out[i][2], out[i + l - 1][3])
+                for i, l, dsts in self._multi_matches(
+                    [(t, p) for t, p, _s, _e in out]
+                )
+                for sy in dsts
+            ]
+            out = out + extra
         return out
 
     def normalize(self, term: str) -> str:

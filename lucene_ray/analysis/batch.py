@@ -228,35 +228,76 @@ def _post_filters(parts, analyzer: Analyzer):
 def _apply_synonyms(parts, analyzer: Analyzer):
     """SynonymGraphFilter (index side): inject mapped terms at the SAME
     position (and source offsets). Vocabulary-mapped: Python only touches
-    unique source terms; occurrence expansion is numpy repeat. Injected
-    rows append after the doc\'s original tokens (doc-major stable sort),
-    matching the per-row analyzer\'s expansion order."""
+    unique source terms; occurrence expansion is numpy repeat. Multi-word
+    sources ("new york" -> nyc) match runs of CONSECUTIVE positions via a
+    shifted-mask AND over the flat arrays (the base stream is doc-major
+    position-sorted, so consecutive positions are consecutive rows); the
+    target anchors at the run's first token (offsets span the whole run).
+    Injected rows append after the doc\'s original tokens (doc-major
+    stable sort), matching the per-row analyzer\'s expansion order."""
     if not analyzer.synonyms or len(parts[0]) == 0:
         return parts
     flat = parts[0]
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
+    n = len(flat)
+    doc_idx = parts[1]
+    pos = parts[2]
+
+    # (terms, first_row, last_row) per add batch — last_row feeds the
+    # end-offset column, everything else copies from first_row
+    adds: list = []
+
     syn = analyzer.synonym_map
-    d = pc.dictionary_encode(flat)
-    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = d.dictionary.to_pylist()
-    extras = [syn.get(v, ()) for v in vocab]
-    n_extra = np.array([len(x) for x in extras], dtype=np.int64)
-    occ = n_extra[codes]
-    if occ.sum() == 0:
+    if syn:
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        extras = [syn.get(v, ()) for v in vocab]
+        n_extra = np.array([len(x) for x in extras], dtype=np.int64)
+        occ = n_extra[codes]
+        if occ.sum():
+            sel = np.nonzero(occ > 0)[0]
+            rep = occ[sel]
+            add_terms = pa.array(
+                [t for i in sel for t in extras[codes[i]]], type=pa.string()
+            )
+            first = np.repeat(sel, rep)
+            adds.append((add_terms, first, first))
+
+    for words, dsts in analyzer.multi_synonym_rules:
+        L = len(words)
+        if n < L:
+            continue
+        match = pc.equal(flat, words[0]).to_numpy(zero_copy_only=False)[
+            : n - L + 1
+        ].copy()
+        for j in range(1, L):
+            mj = pc.equal(flat, words[j]).to_numpy(zero_copy_only=False)
+            match &= mj[j : n - L + 1 + j]
+            match &= doc_idx[j : n - L + 1 + j] == doc_idx[: n - L + 1]
+            match &= pos[j : n - L + 1 + j] == pos[: n - L + 1] + j
+        idxs = np.nonzero(match)[0]
+        if idxs.size:
+            terms = pa.array(
+                [t for _i in idxs for t in dsts], type=pa.string()
+            )
+            first = np.repeat(idxs, len(dsts))
+            adds.append((terms, first, first + L - 1))
+
+    if not adds:
         return parts
-    sel = np.nonzero(occ > 0)[0]
-    rep = occ[sel]
-    add_terms = pa.array(
-        [t for i in sel for t in extras[codes[i]]], type=pa.string()
-    )
+    add_terms = pa.concat_arrays([a[0] for a in adds])
+    all_first = np.concatenate([a[1] for a in adds])
+    all_last = np.concatenate([a[2] for a in adds])
     flat2 = pa.concat_arrays([flat, add_terms])
     others = []
-    for arr in parts[1:]:
-        others.append(
-            np.concatenate([arr, np.repeat(arr[sel], rep)])
-            if arr is not None else None
-        )
+    for i, arr in enumerate(parts[1:], start=1):
+        if arr is None:
+            others.append(None)
+            continue
+        src = all_last if i == 4 else all_first  # index 4 = end offsets
+        others.append(np.concatenate([arr, arr[src]]))
     order = np.argsort(others[0], kind="stable")
     if not (np.diff(order) >= 0).all():
         flat2 = flat2.take(pa.array(order))

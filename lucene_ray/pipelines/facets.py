@@ -126,6 +126,86 @@ def high_freq_terms(
     return t.take(pa.array(order))
 
 
+def taxonomy_counts(ds, level_cols: list[str], sep: str = "/"):
+    """Hierarchical facet counts — the FacetField("dim", "a", "b") +
+    FastTaxonomyFacetCounts role (facet/FastTaxonomyFacetCounts.java:40,
+    taxonomy/FacetLabel.java): each doc's path explodes to ALL ancestor
+    prefixes (a, a/b, a/b/c) in one vectorized pass, then ONE groupby
+    counts every taxonomy node. Returns (path, n) sorted by path."""
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        cols = []
+        for c in level_cols:
+            arr = b[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols.append(pc.cast(arr, pa.string()))
+        parts = []
+        prefix = None
+        for arr in cols:
+            prefix = (
+                arr if prefix is None
+                else pc.binary_join_element_wise(prefix, arr, sep)
+            )
+            parts.append(prefix)
+        return pa.table({"path": pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts]
+        )})
+
+    return ds.map_batches(explode, batch_format="pyarrow").groupby("path").count().sort("path")
+
+
+def drill_sideways_counts(ds, selections: dict, dims: "list[str] | None" = None):
+    """DrillSideways (facet/DrillSideways.java:71): for every dim, facet
+    counts under the drill-down query with THAT dim's own selection
+    removed and every other selection applied (so the UI can show the
+    sibling values the user could still pick).
+
+    ONE pass: per batch, a boolean mask per selected dim; a row
+    contributes to dim d's counts iff it satisfies all selections except
+    d's. Only (dim, value) pairs shuffle into the final groupby.
+    Returns (dim, value, n) sorted."""
+    import pyarrow.compute as pc
+
+    dims = dims or list(selections)
+
+    def expand(b: pa.Table) -> pa.Table:
+        masks = {}
+        for d, v in selections.items():
+            arr = b[d]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            masks[d] = pc.equal(arr, v).to_numpy(zero_copy_only=False)
+        out_dim, out_val = [], []
+        for d in dims:
+            others = np.ones(b.num_rows, dtype=bool)
+            for od, m in masks.items():
+                if od != d:
+                    others &= m
+            arr = b[d]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            vals = pc.cast(arr, pa.string()).filter(pa.array(others))
+            out_dim.append(
+                pa.array([d] * len(vals), pa.string())
+            )
+            out_val.append(vals)
+        return pa.table({
+            "dim": pa.concat_arrays(out_dim),
+            "value": pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                 for v in out_val]
+            ),
+        })
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["dim", "value"]).count().sort(["dim", "value"])
+    )
+
+
 def drill_down_counts(ds, doc_ids: np.ndarray, field: str, id_col: str = "doc_id"):
     """Facet counts restricted to a query's matching doc set — the
     drill-down half of facet/DrillSideways.java: search produces doc ids,

@@ -179,6 +179,46 @@ def test_synonym_injection_batch_vs_python():
     assert ("quick", 1) in d0 and ("rapid", 1) in d0 and ("auto", 2) in d0
 
 
+def test_multiword_synonym_batch_vs_python():
+    """Multi-word graph rule ("new york" -> nyc): injects at the run's
+    FIRST position only for CONSECUTIVE positions (a stop-word gap breaks
+    the run); batch path == per-row analyzer, offsets span the run."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = Analyzer(
+        stop_words=frozenset({"the"}),
+        synonyms=(("new york", ("nyc",)), ("fast", ("quick",))),
+    )
+    texts = [
+        "i love new york pizza",      # adjacent -> inject at pos 2
+        "new the york",               # gap (stopword at pos 1) -> NO inject
+        "new york new york",          # two runs -> two injections
+        "york new",                   # wrong order -> no inject
+        "fast new york",              # both rule kinds in one doc
+        "",
+    ]
+    flat, di, pos, st, en = tokenize_column(pa.array(texts), an, want_offsets=True)
+    want = []
+    for i, t in enumerate(texts):
+        want.extend((tm, i, p, s, e) for tm, p, s, e in an.tokens_with_offsets(t))
+    got = list(zip(flat.to_pylist(), di.tolist(), pos.tolist(),
+                   st.tolist(), en.tolist()))
+    assert got == want
+    d0 = [(t, p) for t, d, p, _s, _e in got if d == 0]
+    assert ("nyc", 2) in d0
+    d1 = [t for t, d, *_ in got if d == 1]
+    assert "nyc" not in d1
+    d2 = [(t, p) for t, d, p, *_ in got if d == 2]
+    assert ("nyc", 0) in d2 and ("nyc", 2) in d2
+    assert "nyc" not in [t for t, d, *_ in got if d == 3]
+    # offsets of the injected token span the whole surface run
+    nyc0 = [(s, e) for t, d, p, s, e in got if d == 0 and t == "nyc"]
+    assert nyc0 == [(7, 15)]  # "new york" inside "i love new york pizza"
+
+
 def test_synonym_index_end_to_end(tmp_path, ray_session):
     import pyarrow as pa
     import ray.data
