@@ -368,6 +368,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_only(sf, create_join_query(from_ds, "t0"))
 
     q["join_query_terms"] = _join_query
+
+    def _check_index(sf):
+        """Offline CheckIndex (index/CheckIndex.java:113): re-decode every
+        blob, recompute df/ttf/norms, verify dictionary sort + manifest
+        stats. The surfaced stats are RECOMPUTED from the postings, so
+        the oracle (raw-corpus SQL) proves the whole index round-trips."""
+        from lucene_ray.index.check import check_index
+
+        rep = check_index(_index_dir(sf))
+        return pa.table({
+            "doc_count": pa.array([rep["doc_count"]], pa.int64()),
+            "sum_ttf": pa.array([rep["sum_total_term_freq"]], pa.int64()),
+        })
+
+    q["check_index_stats"] = _check_index
     q["common_terms_query"] = lambda sf: _all_hits_table(
         sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
     )
@@ -1568,6 +1583,14 @@ ORDER BY doc_id"""
     )
     o["intervals_containing"] = _IV_CONTAIN_SQL
     o["intervals_contained_by"] = _IV_CONTAIN_SQL
+
+    # offline validator: its recomputed doc_count/sum_ttf must equal the
+    # raw corpus's
+    o["check_index_stats"] = (
+        """SELECT count(*)::BIGINT AS doc_count,
+                  sum(len(string_split(text, ' ')))::BIGINT AS sum_ttf
+           FROM documents"""
+    )
 
     # query-time join: distinct first tokens of lang='de' docs -> docs
     # containing any of them (two-table shape: from-side selection feeds

@@ -1,0 +1,247 @@
+"""Offline index validator — the CheckIndex role
+(lucene/core/src/java/org/apache/lucene/index/CheckIndex.java:113):
+re-read a committed index end-to-end and verify every invariant the
+custom codec and the manifest promise, WITHOUT trusting any cached stat.
+
+Per segment (each check independent → runs as a Ray task per segment,
+the distributable shape; a 100-TB index checks as wide as the cluster):
+
+* term dictionary strictly sorted; (offset, length) table in-bounds and
+  gap-free against ``postings.bin``'s size
+* every blob bulk-decodes (``decode_many`` cross-checks the skip table
+  against the length table); per-term df == decoded posting count,
+  ttf == sum of decoded freqs; doc ids strictly increasing, within
+  [0, max_doc - doc_base]
+* docs table: doc_count rows, ids within [doc_base, max_doc_id],
+  ``norm`` == SmallFloat(doc_len) recomputed; postings norms match the
+  docs-table norm of their doc (per field section)
+* positions (when present): per-term position count == ttf
+
+Index level:
+
+* manifest doc_count / sum_total_term_freq == logical segment stats
+  (term-sharded groups sharing one doc space counted ONCE)
+* global_terms == per-term df/ttf sums over all segments, and sorted
+
+Raises :class:`CheckIndexError` listing every failure (a pytest corrupts
+one byte and sees it caught); returns a stats report when clean.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+
+class CheckIndexError(Exception):
+    def __init__(self, problems: list):
+        self.problems = problems
+        super().__init__(
+            f"{len(problems)} problem(s) found:\n" + "\n".join(problems)
+        )
+
+
+def _check_segment(path: str) -> dict:
+    """All per-segment invariants; returns stats + problems list."""
+    from lucene_ray.codec.postings import decode_many
+    from lucene_ray.index.fields import FIELD_MARK, split_key
+    from lucene_ray.util.smallfloat import int_to_byte4_array
+
+    problems: list[str] = []
+    seg = os.path.basename(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    doc_base = int(meta["doc_base"])
+    max_doc = int(meta["max_doc_id"])
+
+    t = pq.read_table(os.path.join(path, "terms.parquet"))
+    terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    df = t["df"].to_numpy()
+    ttf = t["ttf"].to_numpy()
+    offsets = t["offset"].to_numpy()
+    lengths = t["length"].to_numpy()
+
+    if terms.shape[0] > 1 and not np.all(terms[:-1] < terms[1:]):
+        problems.append(f"{seg}: term dictionary not strictly sorted")
+    pbin = os.path.join(path, "postings.bin")
+    psize = os.path.getsize(pbin)
+    if terms.shape[0]:
+        if (offsets < 0).any() or (lengths < 0).any():
+            problems.append(f"{seg}: negative blob offset/length")
+        if (offsets + lengths > psize).any():
+            problems.append(f"{seg}: blob table exceeds postings.bin size")
+
+    docs_path = meta.get("docs_path") or os.path.join(path, "docs.parquet")
+    dt = pq.read_table(docs_path)
+    doc_ids = dt["doc_id"].to_numpy()
+    doc_len = dt["doc_len"].to_numpy()
+    if doc_ids.shape[0] != int(meta["doc_count"]):
+        problems.append(
+            f"{seg}: docs table rows {doc_ids.shape[0]} != meta doc_count "
+            f"{meta['doc_count']}"
+        )
+    if doc_ids.shape[0]:
+        if int(doc_ids.min()) < doc_base or int(doc_ids.max()) > max_doc:
+            problems.append(f"{seg}: doc ids outside [doc_base, max_doc_id]")
+        if not np.all(np.diff(doc_ids) > 0):
+            problems.append(f"{seg}: docs table not doc_id-sorted")
+    want_norm = int_to_byte4_array(doc_len.astype(np.int64))
+    got_norm = dt["norm"].to_numpy().astype(np.int64)
+    if not np.array_equal(want_norm & 0xFF, got_norm & 0xFF):
+        problems.append(f"{seg}: docs-table norm != SmallFloat(doc_len)")
+
+    # decode EVERYTHING (the length/skip cross-check lives in decode_many)
+    buf = (
+        np.memmap(pbin, dtype=np.uint8, mode="r")
+        if psize else np.empty(0, np.uint8)
+    )
+    decoded_ttf = 0
+    if terms.shape[0]:
+        try:
+            docs, freqs, norms, starts = decode_many(buf, offsets, lengths)
+        except Exception as e:  # corrupt framing
+            problems.append(f"{seg}: blob decode failed: {e}")
+            docs = None
+        if docs is not None:
+            got_df = np.diff(starts)
+            if not np.array_equal(got_df, df):
+                bad = terms[got_df != df][:3]
+                problems.append(f"{seg}: decoded df != terms.df (e.g. {bad})")
+            got_ttf = np.zeros(terms.shape[0], dtype=np.int64)
+            np.add.at(got_ttf, np.repeat(np.arange(terms.shape[0]), got_df),
+                      freqs.astype(np.int64))
+            if not np.array_equal(got_ttf, ttf):
+                bad = terms[got_ttf != ttf][:3]
+                problems.append(f"{seg}: decoded ttf != terms.ttf (e.g. {bad})")
+            decoded_ttf = int(freqs.sum())
+            term_of = np.repeat(np.arange(terms.shape[0]), got_df)
+            inc = np.diff(docs) > 0
+            breaks = np.diff(term_of) != 0
+            if not np.all(inc | breaks):
+                problems.append(f"{seg}: postings doc ids not strictly increasing")
+            if docs.shape[0] and (
+                docs.min() < 0 or docs.max() > max_doc - doc_base
+            ):
+                problems.append(f"{seg}: posting doc ids out of segment range")
+            # norms in postings == docs-table norm of that doc, per field
+            field_of = np.asarray(
+                [split_key(x)[0] if x.startswith(FIELD_MARK) else None
+                 for x in terms], dtype=object
+            )
+            rows = np.searchsorted(doc_ids, docs + doc_base)
+            rows = np.clip(rows, 0, max(doc_ids.shape[0] - 1, 0))
+            for fld in set(field_of.tolist()):
+                col = "norm" if fld is None else f"norm_{fld}"
+                if col not in dt.column_names:
+                    problems.append(f"{seg}: docs table missing column {col}")
+                    continue
+                ref = dt[col].to_numpy().astype(np.int64)
+                sel = np.isin(term_of, np.nonzero(field_of == fld)[0])
+                if not np.array_equal(
+                    norms[sel].astype(np.int64), ref[rows[sel]] & 0xFF
+                ):
+                    problems.append(
+                        f"{seg}: posting norms disagree with docs table "
+                        f"(field={fld or 'default'})"
+                    )
+
+    # positions: per-term count == ttf
+    pos_path = meta.get("positions_path")
+    local_pos = os.path.join(path, "positions.parquet")
+    if os.path.exists(local_pos):
+        pos_path = local_pos
+    if pos_path and os.path.exists(pos_path) and terms.shape[0]:
+        pt = pq.read_table(pos_path, columns=["term"])
+        pterms, pcounts = np.unique(
+            np.asarray(pt["term"].to_pylist(), dtype=object), return_counts=True
+        )
+        idx = np.searchsorted(terms, pterms)
+        ok = (idx < terms.shape[0])
+        if not ok.all() or not np.array_equal(terms[idx[ok]], pterms[ok]):
+            problems.append(f"{seg}: positions contain unknown terms")
+        else:
+            if not np.array_equal(pcounts, ttf[idx]):
+                problems.append(f"{seg}: per-term position count != ttf")
+
+    return {
+        "segment": seg,
+        "problems": problems,
+        "n_terms": int(terms.shape[0]),
+        "decoded_postings": int(df.sum()) if terms.shape[0] else 0,
+        "decoded_ttf": decoded_ttf,
+        "term_stats": (terms, df, ttf),
+    }
+
+
+def check_index(index_dir: str, verbose: bool = False) -> dict:
+    """Validate a committed index; raise CheckIndexError on any problem."""
+    from lucene_ray.index.merge import logical_doc_stats
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    problems: list[str] = []
+    segs = sorted(m["segments"], key=lambda s: s["doc_base"])
+    reports = []
+    for s in segs:
+        if not os.path.isdir(s["path"]):
+            problems.append(f"missing segment dir {s['path']}")
+            continue
+        r = _check_segment(s["path"])
+        reports.append(r)
+        problems.extend(r["problems"])
+        if verbose:
+            print(f"[check_index] {r['segment']}: {r['n_terms']} terms, "
+                  f"{r['decoded_postings']} postings decoded, "
+                  f"{len(r['problems'])} problem(s)")
+
+    doc_count, sum_ttf = logical_doc_stats(segs)
+    if doc_count != m["doc_count"]:
+        problems.append(
+            f"manifest doc_count {m['doc_count']} != logical {doc_count}"
+        )
+    if sum_ttf != m["sum_total_term_freq"]:
+        problems.append(
+            f"manifest sum_total_term_freq {m['sum_total_term_freq']} "
+            f"!= logical {sum_ttf}"
+        )
+
+    # global term stats == per-term sums over all segments
+    gt = pq.read_table(os.path.join(index_dir, "global_terms"))
+    g_terms = np.asarray(gt["term"].to_pylist(), dtype=object)
+    if g_terms.shape[0] > 1 and not np.all(g_terms[:-1] < g_terms[1:]):
+        problems.append("global_terms not strictly sorted")
+    agg: dict = {}
+    for r in reports:
+        terms, df, ttf = r["term_stats"]
+        for i in range(terms.shape[0]):
+            cur = agg.get(terms[i])
+            if cur is None:
+                agg[terms[i]] = [int(df[i]), int(ttf[i])]
+            else:
+                cur[0] += int(df[i])
+                cur[1] += int(ttf[i])
+    g_df = gt["df"].to_numpy()
+    g_ttf = gt["ttf"].to_numpy()
+    if len(agg) != g_terms.shape[0]:
+        problems.append(
+            f"global_terms has {g_terms.shape[0]} terms, segments have {len(agg)}"
+        )
+    else:
+        for i, term in enumerate(g_terms):
+            want = agg.get(term)
+            if want is None or want[0] != g_df[i] or want[1] != g_ttf[i]:
+                problems.append(f"global_terms stats wrong for {term!r}")
+                break
+
+    if problems:
+        raise CheckIndexError(problems)
+    return {
+        "segments": len(reports),
+        "doc_count": doc_count,
+        "sum_total_term_freq": sum_ttf,
+        "n_terms": int(g_terms.shape[0]),
+        "postings": int(sum(r["decoded_postings"] for r in reports)),
+    }

@@ -1,0 +1,34 @@
+"""CLI for the offline index validator (CheckIndex.java:113 role).
+
+Usage: python scripts/check_index.py <index_dir> [<index_dir> ...]
+
+Exit code 0 when every index is clean; 1 with a problem listing otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    if not argv:
+        print(__doc__)
+        return 2
+    from lucene_ray.index.check import CheckIndexError, check_index
+
+    rc = 0
+    for d in argv:
+        try:
+            rep = check_index(d, verbose=True)
+            print(f"OK    {d}: {rep}")
+        except CheckIndexError as e:
+            rc = 1
+            print(f"FAIL  {d}:\n{e}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
