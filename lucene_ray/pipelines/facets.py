@@ -37,11 +37,15 @@ def range_facets(ds, field: str, edges: list[float]):
     return ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").count().sort("bucket")
 
 
-def distinct_values(ds, field: str) -> pa.Table:
-    """Distinct values of one column (Dataset.unique returns a plain list in
-    this Ray version; surfaced as a sorted one-column Arrow table)."""
-    vals = sorted(ds.unique(field))
-    return pa.table({field: vals})
+def distinct_values(ds, field: str):
+    """Distinct values of one column as a sorted Dataset — distributed
+    groupby (only distinct values shuffle), never a driver-side
+    ``ds.unique`` list (which would OOM on a high-cardinality field)."""
+    return (
+        ds.groupby(field).count()
+        .map_batches(lambda b: b.drop_columns(["count()"]), batch_format="pyarrow")
+        .sort(field)
+    )
 
 
 def sampled_facet_counts(ds, field: str, fraction: float = 0.1, seed: int = 7):

@@ -59,7 +59,9 @@ class BatchMemoryReader(SegmentReader):
         self.meta = {"owns_docs": True}
         self.doc_base = 0
         self.doc_count = n
-        self.terms = np.asarray(sorted_vocab.to_pylist(), dtype=object)
+        from lucene_ray.search.segreader import TermDict
+
+        self.terms = TermDict(sorted_vocab)
         self.df = np.diff(term_starts)
         self.ttf = np.add.reduceat(
             freqs.astype(np.int64), term_starts[:-1]

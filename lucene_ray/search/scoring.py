@@ -575,8 +575,12 @@ def _fuzzy_expand(reader, q: Q.FuzzyQuery) -> np.ndarray:
     maxe = q.max_edits
     keep = []
     lb = len(base)
-    for i in cand:
-        t = reader.terms[i][strip:] if strip else reader.terms[i]
+    # ONE vectorized take materializes the candidate slice (the TermDict
+    # is Arrow-backed; per-index scalar access would pay as_py each time)
+    cand_terms = reader.terms[cand] if len(cand) else []
+    for i, t in zip(cand, cand_terms):
+        if strip:
+            t = t[strip:]
         if abs(len(t) - lb) > maxe:
             continue
         if _edit_distance_leq(base, t, maxe, q.transpositions):

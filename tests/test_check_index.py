@@ -31,8 +31,19 @@ def test_clean_on_merged_index(built_index, tmp_path):
 
 @pytest.fixture()
 def corruptible(built_index, tmp_path):
+    """A private COPY of the shared index — with the manifest's absolute
+    segment paths remapped into the copy, so corrupting it can never
+    touch the session-scoped built_index (a round-3 test bug corrupted
+    the original through the copied manifest's absolute paths)."""
     idx = str(tmp_path / "idx")
     shutil.copytree(built_index[0], idx)
+    mp = os.path.join(idx, "manifest.json")
+    m = json.load(open(mp))
+    for s in m["segments"]:
+        s["path"] = os.path.join(idx, "segments", os.path.basename(s["path"]))
+        assert os.path.isdir(s["path"])
+    with open(mp, "w") as f:
+        json.dump(m, f)
     return idx
 
 
