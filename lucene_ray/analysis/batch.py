@@ -343,7 +343,10 @@ def _split_ws(texts: pa.Array, want_offsets: bool = False):
     lists = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(lists)
     lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lengths)
+    # int32 doc index: a batch never holds 2^31 rows, and this array is
+    # repeated per token — half the width is half the builder's gather
+    # and bincount traffic (round-2 scaling item)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int32), lengths)
     offsets = np.concatenate(([0], np.cumsum(lengths)))
     positions = (np.arange(doc_idx.shape[0], dtype=np.int64) - offsets[doc_idx]).astype(
         np.int32
