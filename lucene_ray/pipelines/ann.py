@@ -118,7 +118,7 @@ def _make_band_mapper(planes_ref, bands: int, rows_per_band: int,
 def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact",
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        n_planes: int = 64, bands: int = 16,
-                       verify: str = "broadcast"):
+                       verify: str = "auto", auto_join_rows: int = 2_000_000):
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
     * ``method="exact"`` — the full normalized matrix is broadcast once
@@ -133,11 +133,17 @@ def embedding_near_dup(embeddings, threshold: float = 0.9, method: str = "exact"
       broadcast matrix (fast while n x d fits the object store);
       ``verify="join"`` attaches both endpoint vectors via two distributed
       hash joins — nothing whole-corpus-resident anywhere.
+      ``verify="auto"`` (default) counts the corpus and picks join past
+      ``auto_join_rows`` — the same auto-switch shape as dedup_exact's
+      ``strategy="auto"`` (round-2 verdict: broadcast must not be the
+      silent default at scale).
 
     Returns a pyarrow Table (a, b, cosine) sorted by (a, b).
     """
     import pyarrow.compute as _pc
 
+    if method == "lsh" and verify == "auto":
+        verify = "join" if embeddings.count() > auto_join_rows else "broadcast"
     if method == "lsh" and verify == "join":
         return _near_dup_lsh_join(
             embeddings, threshold, id_col, vec_col, n_planes, bands, _pc
