@@ -339,6 +339,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["intervals_contained_by"] = _intervals_contained_by
 
+    def _intervals_not_containing(sf):
+        """Intervals.notContaining: candidate (scan, column) windows with
+        <= 6 gap tokens that contain NO 'window' occurrence."""
+        from lucene_ray.search import intervals as IV
+
+        src = IV.NotContaining(
+            IV.Unordered((IV.Term("scan"), IV.Term("column")), maxgaps=6),
+            IV.Term("window"),
+        )
+        return _docs_only(sf, Q.IntervalQuery(src))
+
+    q["intervals_not_containing"] = _intervals_not_containing
+
+    def _intervals_maxwidth(sf):
+        """Intervals.maxwidth over an ordered pair: ordered (scan, column)
+        windows spanning at most 4 positions (width filter on top of the
+        same greedy-minimal candidates the oracle mirrors: for each scan,
+        the EARLIEST following column)."""
+        from lucene_ray.search import intervals as IV
+
+        src = IV.MaxWidth(
+            IV.Ordered((IV.Term("scan"), IV.Term("column"))), width=4
+        )
+        return _docs_only(sf, Q.IntervalQuery(src))
+
+    q["intervals_maxwidth"] = _intervals_maxwidth
+
     def _join_query(sf):
         """Query-time join (JoinUtil.createJoinQuery, join/JoinUtil.java:56):
         from side = documents with lang='de', fromField = the doc's first
@@ -383,6 +410,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["check_index_stats"] = _check_index
+
+    def _join_query_scored(sf):
+        """JoinUtil ScoreMode.Max (join/JoinUtil.java:91): each gathered
+        value carries the MAX from-side score (n_chars/100 of the de
+        docs); a matching to-side doc scores the max over its matched
+        values — TermsWithScoreQuery semantics, to-side tf ignored."""
+        import pyarrow.compute as pc
+        import ray.data
+
+        from lucene_ray.search.join import create_join_query
+
+        def with_score(b):
+            texts = b["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            return pa.table({
+                "t0": pc.list_element(pc.split_pattern(texts, " "), 0),
+                "w": pc.divide(pc.cast(b["n_chars"], pa.float64()), 100.0),
+            })
+
+        from_ds = (
+            ray.data.read_parquet(
+                os.path.join(sf, "documents.parquet"),
+                columns=["lang", "n_chars", "text"],
+            )
+            .filter(expr="lang == 'de' and n_chars < 150")
+            .map_batches(with_score, batch_format="pyarrow")
+        )
+        qj = create_join_query(from_ds, "t0", score_mode="max", score_col="w")
+        s = _searcher(sf)
+        docs, scores = s.search_all(qj)
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
+
+    q["join_query_scored"] = _join_query_scored
     q["common_terms_query"] = lambda sf: _all_hits_table(
         sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
     )
@@ -1310,6 +1372,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_ivf_indexed"] = _ivf_indexed
 
+    def _knn_filtered(sf):
+        """Filtered kNN (KnnFloatVectorQuery with a filter,
+        search/KnnFloatVectorQuery.java): exact cosine top-k over only
+        the vectors whose id % 3 == 0 — the allowed set broadcasts once
+        and masks every batch."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from lucene_ray.pipelines.ann import knn_brute_cosine
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        t = pq.read_table(emb_path, columns=["vec_id"])
+        all_ids = t["vec_id"].to_numpy()
+        Qm = np.stack(
+            pq.read_table(emb_path).slice(0, 3)["embedding"].to_pylist()
+        )
+        res = knn_brute_cosine(
+            ray.data.read_parquet(emb_path), Qm, k=10,
+            allowed_ids=all_ids[all_ids % 3 == 0],
+        )
+        return pa.table({
+            "query_id": res["query_id"],
+            "rank": res["rank"],
+            "neighbor_id": res["neighbor_id"],
+            "cosine": _round4(res["cosine"].to_numpy()),
+        })
+
+    q["knn_filtered_cosine"] = _knn_filtered
+
     def _merged(sf):
         import shutil
 
@@ -1583,6 +1674,20 @@ ORDER BY doc_id"""
     )
     o["intervals_containing"] = _IV_CONTAIN_SQL
     o["intervals_contained_by"] = _IV_CONTAIN_SQL
+    # notContaining: same candidate windows, NOT EXISTS the small term
+    o["intervals_not_containing"] = _IV_CONTAIN_SQL.replace(
+        "AND EXISTS", "AND NOT EXISTS"
+    )
+    # maxwidth(4) over ordered(scan, column) == the earliest following
+    # column within 3 positions of a scan (greedy-minimal candidates)
+    o["intervals_maxwidth"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'scan' AND b.term = 'column'
+  AND b.p > a.p AND b.p - a.p <= 3
+ORDER BY a.doc_id"""
+    )
 
     # offline validator: its recomputed doc_count/sum_ttf must equal the
     # raw corpus's
@@ -1602,6 +1707,20 @@ ORDER BY doc_id"""
            FROM documents WHERE lang = 'de' AND n_chars < 150)
 SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT v FROM vals)
 ORDER BY doc_id"""
+    )
+
+    # scored join (ScoreMode.Max): per-value max from-side score; to-side
+    # doc score = max over its matched values (tf-independent)
+    o["join_query_scored"] = (
+        _PRELUDE
+        + """
+, vals AS (SELECT string_split(text, ' ')[1] AS v,
+                  max(n_chars / 100.0) AS w
+           FROM documents WHERE lang = 'de' AND n_chars < 150 GROUP BY v)
+SELECT t.doc_id, ROUND(max(vals.w), 4) AS score
+FROM (SELECT DISTINCT doc_id, term FROM tok) t
+JOIN vals ON t.term = vals.v
+GROUP BY t.doc_id ORDER BY t.doc_id"""
     )
 
     # df-split scoring: docs must match a low-df term (df <= 100); high-df
@@ -1974,6 +2093,11 @@ SELECT doc_id, query_id FROM (
     # equal brute-force cosine top-k (proves the partitioned layout +
     # pruned-read machinery loses nothing)
     o["knn_ivf_indexed_full_probe"] = o["knn_cosine_topk"]
+    # filtered kNN: same brute top-k restricted to vec_id % 3 == 0
+    o["knn_filtered_cosine"] = o["knn_cosine_topk"].replace(
+        "FROM embeddings e CROSS JOIN q",
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id % 3 = 0",
+    )
     o["embedding_near_dup"] = (
         """SELECT x.vec_id AS a, y.vec_id AS b,
                   ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),

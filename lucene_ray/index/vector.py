@@ -144,13 +144,27 @@ def build_vector_index(
     return manifest
 
 
-def _pool_search(graphs: list, qm: np.ndarray, k: int, ef: int):
+def _pool_search(graphs: list, qm: np.ndarray, k: int, ef: int,
+                 allowed_ids: "np.ndarray | None" = None):
     """Search every graph of a pool for every query — shared by the actor
-    and the in-process mode so the fan-out loop exists once."""
+    and the in-process mode so the fan-out loop exists once.
+    ``allowed_ids`` (sorted global vec ids) restricts results — the
+    KnnFloatVectorQuery-with-filter role."""
     out_q, out_id, out_s = [], [], []
     for g in graphs:
+        mask = None
+        if allowed_ids is not None:
+            pos = np.searchsorted(allowed_ids, g.ids)
+            pos = np.clip(pos, 0, max(allowed_ids.shape[0] - 1, 0))
+            mask = (
+                (allowed_ids[pos] == g.ids)
+                if allowed_ids.shape[0]
+                else np.zeros(g.ids.shape[0], dtype=bool)
+            )
+            if not mask.any():
+                continue
         for j in range(qm.shape[0]):
-            loc, sims = g.search(qm[j], k, ef)
+            loc, sims = g.search(qm[j], k, ef, allowed=mask)
             out_q.append(np.full(loc.shape[0], j, dtype=np.int64))
             out_id.append(g.ids[loc])
             out_s.append(sims)
@@ -169,8 +183,8 @@ class VectorExecutor:
     def __init__(self, shard_paths: list):
         self.graphs = [HnswGraph.load(p) for p in shard_paths]
 
-    def search(self, qm: np.ndarray, k: int, ef: int):
-        return _pool_search(self.graphs, qm, k, ef)
+    def search(self, qm: np.ndarray, k: int, ef: int, allowed_ids=None):
+        return _pool_search(self.graphs, qm, k, ef, allowed_ids)
 
     def ping(self) -> bool:
         return True
@@ -201,15 +215,22 @@ class VectorSearcher:
             ]
             ray.get([e.ping.remote() for e in self.executors])
 
-    def search(self, queries: np.ndarray, k: int = 10, ef: int = 64) -> pa.Table:
+    def search(self, queries: np.ndarray, k: int = 10, ef: int = 64,
+               allowed_ids: "np.ndarray | None" = None) -> pa.Table:
         """(query_id, rank, neighbor_id, cosine) — exact per-shard merge,
-        approximate per shard (recall governed by m/ef)."""
+        approximate per shard (recall governed by m/ef). ``allowed_ids``
+        restricts neighbors to the given global ids (filtered kNN —
+        search/KnnFloatVectorQuery.java filter argument; the beam walks
+        the whole graph, only allowed nodes collect)."""
         qn = _normalize(np.asarray(queries, dtype=np.float64))
+        if allowed_ids is not None:
+            allowed_ids = np.sort(np.asarray(allowed_ids, dtype=np.int64))
         if self.local_graphs is not None:
-            parts = [_pool_search(self.local_graphs, qn, k, ef)]
+            parts = [_pool_search(self.local_graphs, qn, k, ef, allowed_ids)]
         else:
             parts = ray.get(
-                [e.search.remote(qn, k, ef) for e in self.executors]
+                [e.search.remote(qn, k, ef, allowed_ids)
+                 for e in self.executors]
             )
         tbl = pa.table({
             "query_id": np.concatenate([p[0] for p in parts]),

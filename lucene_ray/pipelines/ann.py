@@ -34,20 +34,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def knn_brute_cosine(embeddings, queries: np.ndarray, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding"):
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     allowed_ids: "np.ndarray | None" = None):
     """Exact cosine top-k of each query against the dataset.
 
     ``queries``: (q, d) matrix. Returns a pyarrow Table
     (query_id, neighbor_id, cosine) with per-query k rows, tie-broken by
-    (cosine desc, neighbor_id asc)."""
+    (cosine desc, neighbor_id asc). ``allowed_ids`` restricts candidate
+    neighbors (filtered kNN, search/KnnFloatVectorQuery.java filter):
+    the sorted id set broadcasts once and masks each batch."""
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
+    allow_ref = (
+        ray.put(np.sort(np.asarray(allowed_ids, dtype=np.int64)))
+        if allowed_ids is not None else None
+    )
     nq = qn.shape[0]
 
     def partial(b: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         m = _batch_matrix(b[vec_col])
         ids = b[id_col].to_numpy(zero_copy_only=False)
+        if allow_ref is not None:
+            al = ray.get(allow_ref)
+            pos = np.clip(np.searchsorted(al, ids), 0, max(al.shape[0] - 1, 0))
+            keep = al[pos] == ids if al.shape[0] else np.zeros(ids.shape[0], bool)
+            m, ids = m[keep], ids[keep]
+            if m.shape[0] == 0:
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                })
         sims = _normalize(m) @ q.T  # (n, nq)
         kk = min(k, m.shape[0])
         # per-query top-kk rows of this batch

@@ -127,17 +127,23 @@ class HnswGraph:
         ml = 1.0 / np.log(m)
         return np.floor(-np.log(u) * ml).astype(np.int64)
 
-    def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int):
-        """Beam search on one level -> (ids, sims) of the ef best found."""
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int,
+                      allowed: "np.ndarray | None" = None):
+        """Beam search on one level -> (ids, sims) of the ef best found.
+
+        ``allowed`` (bool mask over local nodes) filters the RESULT set
+        only — the beam still explores disallowed nodes, the
+        filtered-kNN traversal model (Lucene's KnnFloatVectorQuery with
+        a filter walks the full graph and collects matching docs)."""
         visited = {entry}
         sims = {entry: float(self.vecs[entry] @ q)}
         cand = [entry]
-        best = [entry]
+        best = [entry] if allowed is None or allowed[entry] else []
         while cand:
             # expand the best unexpanded candidate
             c = max(cand, key=lambda i: sims[i])
             cand.remove(c)
-            worst_best = min(sims[i] for i in best)
+            worst_best = min((sims[i] for i in best), default=-np.inf)
             if sims[c] < worst_best and len(best) >= ef:
                 break
             nbrs = [n for n in self._nbrs(c, level) if n not in visited]
@@ -148,7 +154,8 @@ class HnswGraph:
                     sims[int(n)] = float(sv)
                     if len(best) < ef or sv > worst_best:
                         cand.append(int(n))
-                        best.append(int(n))
+                        if allowed is None or allowed[int(n)]:
+                            best.append(int(n))
                 if len(best) > ef:
                     best.sort(key=lambda i: -sims[i])
                     del best[ef:]
@@ -198,13 +205,16 @@ class HnswGraph:
                 ep = found[0]
         self._to_csr()
 
-    def search(self, q: np.ndarray, k: int, ef: int = 64):
+    def search(self, q: np.ndarray, k: int, ef: int = 64,
+               allowed: "np.ndarray | None" = None):
+        """Top-k local node ids; ``allowed`` restricts RESULTS to a bool
+        mask over local nodes (beam still navigates the whole graph)."""
         if self.vecs is None or self.vecs.shape[0] == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ep = self.entry
         for lev in range(self.max_level, 0, -1):
             ep = self._search_layer(q, ep, 1, lev)[0][0]
-        ids, sims = self._search_layer(q, ep, max(ef, k), 0)
+        ids, sims = self._search_layer(q, ep, max(ef, k), 0, allowed)
         return np.asarray(ids[:k], np.int64), np.asarray(sims[:k], np.float64)
 
 

@@ -123,6 +123,56 @@ class Containing(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class NotContaining(IntervalsSource):
+    """Intervals.notContaining(minuend, subtrahend): minuend's intervals
+    that contain NO subtrahend interval."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.minuend.leaf_terms(out)
+        self.subtrahend.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "not_containing", "minuend": self.minuend.to_dict(),
+                "subtrahend": self.subtrahend.to_dict()}
+
+
+@dataclass(frozen=True)
+class NotContainedBy(IntervalsSource):
+    """Intervals.notContainedBy(small, big): small's intervals that lie
+    inside NO big interval."""
+
+    small: IntervalsSource
+    big: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.small.leaf_terms(out)
+        self.big.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "not_contained_by", "small": self.small.to_dict(),
+                "big": self.big.to_dict()}
+
+
+@dataclass(frozen=True)
+class MaxWidth(IntervalsSource):
+    """Intervals.maxwidth(width, source): only intervals spanning at most
+    ``width`` positions."""
+
+    source: IntervalsSource
+    width: int
+
+    def leaf_terms(self, out: set):
+        self.source.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "maxwidth", "width": self.width,
+                "source": self.source.to_dict()}
+
+
+@dataclass(frozen=True)
 class ContainedBy(IntervalsSource):
     """Intervals.containedBy(small, big): small's intervals that lie
     inside at least one big interval."""
@@ -160,6 +210,14 @@ def source_from_dict(d: dict) -> IntervalsSource:
         return Containing(source_from_dict(d["big"]), source_from_dict(d["small"]))
     if t == "contained_by":
         return ContainedBy(source_from_dict(d["small"]), source_from_dict(d["big"]))
+    if t == "not_containing":
+        return NotContaining(source_from_dict(d["minuend"]),
+                             source_from_dict(d["subtrahend"]))
+    if t == "not_contained_by":
+        return NotContainedBy(source_from_dict(d["small"]),
+                              source_from_dict(d["big"]))
+    if t == "maxwidth":
+        return MaxWidth(source_from_dict(d["source"]), d["width"])
     raise ValueError(f"unknown intervals source type {t!r}")
 
 
@@ -226,11 +284,26 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
     if isinstance(source, Unordered):
         return _unordered(source, per_term)
     if isinstance(source, Containing):
-        return _containing(_eval(source.big, per_term),
-                           _eval(source.small, per_term))
+        big = _eval(source.big, per_term)
+        keep = _containing_mask(big, _eval(source.small, per_term))
+        return _Iv(big.doc[keep], big.start[keep], big.end[keep], big.cov[keep])
     if isinstance(source, ContainedBy):
-        return _contained_by(_eval(source.small, per_term),
-                             _eval(source.big, per_term))
+        small = _eval(source.small, per_term)
+        keep = _contained_by_mask(small, _eval(source.big, per_term))
+        return _Iv(small.doc[keep], small.start[keep], small.end[keep],
+                   small.cov[keep])
+    if isinstance(source, NotContaining):
+        m = _eval(source.minuend, per_term)
+        keep = ~_containing_mask(m, _eval(source.subtrahend, per_term))
+        return _Iv(m.doc[keep], m.start[keep], m.end[keep], m.cov[keep])
+    if isinstance(source, NotContainedBy):
+        s = _eval(source.small, per_term)
+        keep = ~_contained_by_mask(s, _eval(source.big, per_term))
+        return _Iv(s.doc[keep], s.start[keep], s.end[keep], s.cov[keep])
+    if isinstance(source, MaxWidth):
+        iv = _eval(source.source, per_term)
+        keep = (iv.end - iv.start + 1) <= source.width
+        return _Iv(iv.doc[keep], iv.start[keep], iv.end[keep], iv.cov[keep])
     raise TypeError(type(source))
 
 
@@ -330,17 +403,17 @@ def _suffix_min_within_doc(doc: np.ndarray, val: np.ndarray) -> np.ndarray:
     return _segmented_prefix_scan(doc[::-1], val[::-1], np.minimum)[::-1]
 
 
-def _containing(big: _Iv, small: _Iv) -> _Iv:
+def _containing_mask(big: _Iv, small: _Iv) -> np.ndarray:
+    """keep[i] == big interval i contains at least one small interval."""
     if big.size == 0 or small.size == 0:
-        return _Iv.empty()
+        return np.zeros(big.size, dtype=bool)
     suff_min_end = _suffix_min_within_doc(small.doc, small.end)
     skeys = small.doc * _SHIFT + small.start
     tgt = big.doc * _SHIFT + big.start
     idx = np.searchsorted(skeys, tgt, side="left")
     valid = idx < skeys.shape[0]
     c = np.minimum(idx, max(skeys.shape[0] - 1, 0))
-    keep = valid & (small.doc[c] == big.doc) & (suff_min_end[c] <= big.end)
-    return _Iv(big.doc[keep], big.start[keep], big.end[keep], big.cov[keep])
+    return valid & (small.doc[c] == big.doc) & (suff_min_end[c] <= big.end)
 
 
 def _prefix_max_within_doc(doc: np.ndarray, val: np.ndarray) -> np.ndarray:
@@ -348,9 +421,10 @@ def _prefix_max_within_doc(doc: np.ndarray, val: np.ndarray) -> np.ndarray:
     return _segmented_prefix_scan(doc, val, np.maximum)
 
 
-def _contained_by(small: _Iv, big: _Iv) -> _Iv:
+def _contained_by_mask(small: _Iv, big: _Iv) -> np.ndarray:
+    """keep[i] == small interval i lies inside at least one big interval."""
     if small.size == 0 or big.size == 0:
-        return _Iv.empty()
+        return np.zeros(small.size, dtype=bool)
     pref_max_end = _prefix_max_within_doc(big.doc, big.end)
     bkeys = big.doc * _SHIFT + big.start
     tgt = small.doc * _SHIFT + small.start
@@ -358,9 +432,7 @@ def _contained_by(small: _Iv, big: _Iv) -> _Iv:
     idx = np.searchsorted(bkeys, tgt, side="right") - 1
     valid = idx >= 0
     c = np.maximum(idx, 0)
-    keep = valid & (big.doc[c] == small.doc) & (pref_max_end[c] >= small.end)
-    return _Iv(small.doc[keep], small.start[keep], small.end[keep],
-               small.cov[keep])
+    return valid & (big.doc[c] == small.doc) & (pref_max_end[c] >= small.end)
 
 
 def eval_intervals(reader, source: IntervalsSource):

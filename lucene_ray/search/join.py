@@ -27,25 +27,59 @@ def create_join_query(
     from_field: str,
     to_field: "str | None" = None,
     max_terms: int = 100_000,
+    score_mode: str = "none",
+    score_col: "str | None" = None,
 ) -> Q.Query:
-    """Distributed term gather -> TermInSetQuery against ``to_field``
+    """Distributed term gather -> a query against ``to_field``
     (None = default field). Raises when the from side yields more than
     ``max_terms`` distinct values (the join would degenerate to a scan —
-    same bound JoinUtil's terms collection implies)."""
-    vals = from_ds.groupby(from_field).count().take(max_terms + 1)
+    same bound JoinUtil's terms collection implies).
+
+    ``score_mode`` (JoinUtil ScoreMode):
+
+    * ``"none"`` — constant-score TermInSetQuery (the filter join).
+    * ``"max" | "sum" | "avg"`` — ``score_col`` aggregates per gathered
+      value (distributed groupby); each value becomes a constant-score
+      term carrying its aggregate, and the to-side doc scores
+      max-over-matched-terms (DisjunctionMax) or sum-over-matched-terms
+      (Boolean should) of those aggregates — the TermsWithScoreQuery
+      contract (to-side tf does NOT multiply in)."""
+    if score_mode == "none":
+        vals = from_ds.groupby(from_field).count().take(max_terms + 1)
+        weights = None
+    else:
+        if score_col is None:
+            raise ValueError("score_mode != 'none' requires score_col")
+        from ray.data.aggregate import Max, Mean, Sum
+
+        agg = {"max": Max, "sum": Sum, "avg": Mean}[score_mode](
+            score_col, alias_name="w"
+        )
+        vals = from_ds.groupby(from_field).aggregate(agg).take(max_terms + 1)
+        weights = True
     if len(vals) > max_terms:
         raise ValueError(
             f"join from-side produced > {max_terms} distinct "
             f"{from_field!r} values; raise max_terms or narrow the from query"
         )
-    terms = sorted(
-        str(v[from_field]) for v in vals if v[from_field] is not None
+    rows = sorted(
+        (str(v[from_field]), float(v["w"]) if weights else 1.0)
+        for v in vals
+        if v[from_field] is not None
     )
-    if not terms:
+    if not rows:
         # empty from side matches nothing (JoinUtil returns a no-match query)
         return Q.BooleanQuery(must=(Q.MatchAllDocsQuery(),),
                               must_not=(Q.MatchAllDocsQuery(),))
-    return Q.TermInSetQuery(tuple(terms), field=to_field)
+    if score_mode == "none":
+        return Q.TermInSetQuery(tuple(t for t, _w in rows), field=to_field)
+    clauses = tuple(
+        Q.ConstantScoreQuery(Q.TermQuery(t, field=to_field), boost=w)
+        for t, w in rows
+    )
+    if score_mode == "max":
+        return Q.DisjunctionMaxQuery(clauses)
+    return Q.BooleanQuery(should=clauses)
 
 
 def join_query(searcher, from_ds, from_field: str,

@@ -122,6 +122,39 @@ def test_containing_and_contained_by_conformance(searcher, corpus):
     assert got_cb == want  # doc-level identical by construction
 
 
+def test_not_containing_and_maxwidth(searcher, corpus):
+    big = IV.Unordered((IV.Term("scan"), IV.Term("column")), 6)
+    got = _docs(searcher, IV.NotContaining(big, IV.Term("window")))
+    want = set()
+    for d, toks in corpus.items():
+        ps = [i for i, w in enumerate(toks) if w == "window"]
+        for lo, hi in _cand_windows(toks, "scan", "column", 6):
+            if not any(lo <= c <= hi for c in ps):
+                want.add(d)
+                break
+    assert got == want
+
+    got_cb = _docs(searcher, IV.NotContainedBy(IV.Term("window"), big))
+    want_cb = set()
+    for d, toks in corpus.items():
+        wins = _cand_windows(toks, "scan", "column", 6)
+        for c in (i for i, w in enumerate(toks) if w == "window"):
+            if not any(lo <= c <= hi for lo, hi in wins):
+                want_cb.add(d)
+                break
+    assert got_cb == want_cb
+
+    got_w = _docs(searcher, IV.MaxWidth(
+        IV.Ordered((IV.Term("scan"), IV.Term("column"))), width=4))
+    want_w = set()
+    for d, toks in corpus.items():
+        p1 = [i for i, w in enumerate(toks) if w == "scan"]
+        p2 = [i for i, w in enumerate(toks) if w == "column"]
+        if any(0 < b - a <= 3 for a in p1 for b in p2):
+            want_w.add(d)
+    assert got_w == want_w
+
+
 def test_or_and_phrase(searcher, corpus):
     got = _docs(searcher, IV.Or((IV.Term("scan"), IV.Term("sort"))))
     want = {d for d, toks in corpus.items() if "scan" in toks or "sort" in toks}
@@ -142,3 +175,10 @@ def test_interval_query_serialization_round_trip():
     )
     q = Q.IntervalQuery(src, boost=2.0)
     assert Q.query_from_dict(q.to_dict()) == q
+    src2 = IV.MaxWidth(
+        IV.NotContaining(IV.Term("a"), IV.NotContainedBy(IV.Term("b"),
+                                                         IV.Term("c"))),
+        width=7,
+    )
+    q2 = Q.IntervalQuery(src2)
+    assert Q.query_from_dict(q2.to_dict()) == q2

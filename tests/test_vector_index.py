@@ -106,6 +106,32 @@ def test_hnsw_graph_save_load_roundtrip(tmp_path):
     assert np.allclose(s1, s2, atol=1e-6)
 
 
+def test_filtered_knn_hnsw_and_brute(hnsw_index, queries, emb_ds, sf_dir):
+    """Filtered kNN: every returned neighbor satisfies the filter; HNSW
+    filtered recall >= 0.9 vs exact filtered brute (the beam walks the
+    whole graph, only allowed nodes collect)."""
+    from lucene_ray.index.vector import VectorSearcher
+    from lucene_ray.pipelines.ann import knn_brute_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    all_ids = pq.read_table(emb_path, columns=["vec_id"])["vec_id"].to_numpy()
+    allowed = all_ids[all_ids % 3 == 0]
+
+    brute = knn_brute_cosine(emb_ds, queries, k=10, allowed_ids=allowed)
+    assert set(brute["neighbor_id"].to_pylist()) <= set(allowed.tolist())
+
+    vs = VectorSearcher(hnsw_index[0], num_executors=0)
+    t = vs.search(queries, k=10, ef=96, allowed_ids=allowed)
+    got_ids = t["neighbor_id"].to_pylist()
+    assert set(got_ids) <= set(allowed.tolist())
+    bq = brute["query_id"].to_numpy()
+    bn = brute["neighbor_id"].to_numpy()
+    hq = t["query_id"].to_numpy()
+    hn = t["neighbor_id"].to_numpy()
+    recalls = [len(set(bn[bq == j]) & set(hn[hq == j])) / 10 for j in range(5)]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
 def test_ivf_indexed_full_probe_equals_brute(ivf_index, queries, emb_ds):
     """nprobe = n_centroids over the persisted bucket-partitioned layout
     must equal brute force exactly (on ids; cosines to 1e-9)."""
