@@ -445,6 +445,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
 
     q["join_query_scored"] = _join_query_scored
+
+    def _date_facets(sf):
+        """DateTools (document/DateTools.java): timestamps truncated to
+        sortable yyyyMMddHH strings (hour resolution), faceted — one
+        vectorized strftime + one groupby."""
+        import ray.data
+
+        from lucene_ray.util.datetools import date_facet_counts
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["ts"]
+        )
+        t = date_facet_counts(ds, resolution="hour").to_pandas()
+        return pa.table({"date": t["date"], "n": t["count()"].astype("int64")})
+
+    q["date_tools_facets"] = _date_facets
     q["common_terms_query"] = lambda sf: _all_hits_table(
         sf, Q.CommonTermsQuery(("dup", "batch", "scan"), max_doc_freq=100)
     )
@@ -561,6 +577,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["suggest_prefix"] = _suggest
+
+    def _suggest_infix(sf):
+        """Infix suggester: terms containing 'a' anywhere, df-ranked."""
+        s = _searcher(sf)
+        t = s.suggest_infix("a", k=8)
+        return pa.table(
+            {
+                "rank": np.arange(1, t.num_rows + 1, dtype=np.int64),
+                "term": t["term"],
+                "df": t["df"].to_numpy().astype(np.int64),
+            }
+        )
+
+    q["suggest_infix"] = _suggest_infix
 
     def _spell(sf):
         s = _searcher(sf)
@@ -1709,6 +1739,12 @@ SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT v FROM vals)
 ORDER BY doc_id"""
     )
 
+    # DateTools hour-resolution strings faceted
+    o["date_tools_facets"] = (
+        """SELECT strftime(ts, '%Y%m%d%H') AS date, count(*)::BIGINT AS n
+           FROM events GROUP BY date ORDER BY date"""
+    )
+
     # scored join (ScoreMode.Max): per-value max from-side score; to-side
     # doc score = max over its matched values (tf-independent)
     o["join_query_scored"] = (
@@ -1785,6 +1821,14 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
         + """ , dfs AS (
                 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
                 WHERE term LIKE 's%' GROUP BY term)
+              SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df
+              FROM dfs ORDER BY df DESC, term LIMIT 8"""
+    )
+    o["suggest_infix"] = (
+        _PRELUDE
+        + """ , dfs AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+                WHERE term LIKE '%a%' GROUP BY term)
               SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df
               FROM dfs ORDER BY df DESC, term LIMIT 8"""
     )

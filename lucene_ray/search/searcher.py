@@ -338,6 +338,34 @@ class Searcher:
         )[:k]
         return t.take(order)
 
+    def suggest_infix(self, fragment: str, k: int = 10):
+        """Infix completion — the AnalyzingInfixSuggester's actual infix
+        contract (suggest/analyzing/AnalyzingInfixSuggester.java:97:
+        matches ANYWHERE in the suggestion, not just the prefix), ranked
+        by global df desc then term asc. One substring kernel over the
+        global terms table (the table the prefix path range-prunes;
+        infix can't range-prune a sorted dictionary — same full-scan
+        trade the reference makes by keeping a dedicated suggest index)."""
+        import os
+
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(
+            os.path.join(self.index_dir, "global_terms"), format="parquet"
+        ).to_table()
+        from lucene_ray.index.fields import FIELD_MARK
+
+        keep = _pc.and_(
+            _pc.match_substring(t["term"], fragment),
+            _pc.invert(_pc.starts_with(t["term"], FIELD_MARK)),
+        )
+        t = t.filter(keep)
+        order = np.lexsort(
+            (np.asarray(t["term"].to_pylist(), dtype=object), -t["df"].to_numpy())
+        )[:k]
+        return t.take(order)
+
     def classify_knn(self, text: str, label_col: str, k: int = 10,
                      max_terms: int = 10):
         """K-nearest-neighbor text classification — the classification
