@@ -592,6 +592,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["suggest_infix"] = _suggest_infix
 
+    def _term_vector(sf):
+        """Per-doc term vector (TermVectorsReader role): every (term,
+        position) of doc 42 from the persisted positions columns."""
+        s = _searcher(sf)
+        t = s.term_vector(42)
+        return pa.table({
+            "term": t["term"],
+            "pos": t["pos"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+
+    q["term_vector_doc"] = _term_vector
+
     def _spell(sf):
         s = _searcher(sf)
         return s.spell_correct("kye", max_edits=2, k=5)
@@ -1823,6 +1835,11 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
                 WHERE term LIKE 's%' GROUP BY term)
               SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df
               FROM dfs ORDER BY df DESC, term LIMIT 8"""
+    )
+    o["term_vector_doc"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT term, p AS pos FROM pos WHERE doc_id = 42 ORDER BY term, pos"""
     )
     o["suggest_infix"] = (
         _PRELUDE

@@ -176,21 +176,33 @@ def _check_segment(path: str) -> dict:
     }
 
 
-def check_index(index_dir: str, verbose: bool = False) -> dict:
-    """Validate a committed index; raise CheckIndexError on any problem."""
+def check_index(index_dir: str, verbose: bool = False,
+                distributed: "bool | None" = None) -> dict:
+    """Validate a committed index; raise CheckIndexError on any problem.
+
+    Per-segment checks are independent; with ``distributed=True`` (auto
+    when the index has > 16 segments) they fan out as one Ray task per
+    segment — a web-scale index validates as wide as the cluster instead
+    of serially on the driver."""
     from lucene_ray.index.merge import logical_doc_stats
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         m = json.load(f)
     problems: list[str] = []
     segs = sorted(m["segments"], key=lambda s: s["doc_base"])
-    reports = []
-    for s in segs:
-        if not os.path.isdir(s["path"]):
-            problems.append(f"missing segment dir {s['path']}")
-            continue
-        r = _check_segment(s["path"])
-        reports.append(r)
+    missing = [s for s in segs if not os.path.isdir(s["path"])]
+    problems.extend(f"missing segment dir {s['path']}" for s in missing)
+    present = [s for s in segs if os.path.isdir(s["path"])]
+    if distributed is None:
+        distributed = len(present) > 16
+    if distributed and present:
+        import ray
+
+        check_remote = ray.remote(num_cpus=1)(_check_segment)
+        reports = ray.get([check_remote.remote(s["path"]) for s in present])
+    else:
+        reports = [_check_segment(s["path"]) for s in present]
+    for r in reports:
         problems.extend(r["problems"])
         if verbose:
             print(f"[check_index] {r['segment']}: {r['n_terms']} terms, "

@@ -175,6 +175,42 @@ def _pool_search(graphs: list, qm: np.ndarray, k: int, ef: int,
             np.concatenate(out_s))
 
 
+def add_vectors(
+    index_dir: str,
+    embeddings: "ray.data.Dataset | str",
+    n_shards: int = 1,
+    id_col: "str | None" = None,
+    vec_col: "str | None" = None,
+) -> dict:
+    """Incremental vector indexing: new vectors become NEW shard graphs
+    (existing shards untouched), manifest rewritten last — the same
+    add-as-new-segments NRT model as ``index.build.add_documents``. Ids
+    must be disjoint from the existing index."""
+    with open(os.path.join(index_dir, VECTOR_MANIFEST)) as f:
+        m = json.load(f)
+    # new shards build into their own subdir: the sub-build's manifest
+    # stays there (harmless), the LIVE manifest is only replaced by the
+    # merged one below (manifest-last commit)
+    add_dir = os.path.join(index_dir, f"adds-{uuid.uuid4().hex[:8]}")
+    sub = build_vector_index(
+        embeddings,
+        add_dir,
+        n_shards=n_shards,
+        m=m["m"],
+        ef_construction=m["ef_construction"],
+        id_col=id_col or m["id_col"],
+        vec_col=vec_col or m["vec_col"],
+    )
+    merged = dict(m)
+    merged["shards"] = m["shards"] + list(sub["shards"])
+    merged["n_vectors"] = int(sum(s["n"] for s in merged["shards"]))
+    tmpm = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmpm, "w") as f:
+        json.dump(merged, f, indent=1)
+    os.replace(tmpm, os.path.join(index_dir, VECTOR_MANIFEST))
+    return merged
+
+
 @ray.remote
 class VectorExecutor:
     """Owns N shard graphs; mmap'd vectors + CSR adjacency load once in
@@ -252,6 +288,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     kmeans_sample: int = 10_000,
     seed: int = 42,
+    kmeans: str = "sample",
 ) -> dict:
     """Write the corpus ONCE as bucket-partitioned Parquet.
 
@@ -266,8 +303,15 @@ def build_ivf_index(
         if isinstance(embeddings, str)
         else embeddings
     )
-    cent = train_centroids(ds, n_centroids, sample=kmeans_sample,
-                           vec_col=vec_col, seed=seed)
+    if kmeans == "distributed":
+        from lucene_ray.pipelines.ann import train_centroids_distributed
+
+        cent = train_centroids_distributed(
+            ds, n_centroids, vec_col=vec_col, seed=seed, sample=kmeans_sample
+        )
+    else:
+        cent = train_centroids(ds, n_centroids, sample=kmeans_sample,
+                               vec_col=vec_col, seed=seed)
     cent_ref = ray.put(cent)
 
     def assign(b: pa.Table) -> pa.Table:

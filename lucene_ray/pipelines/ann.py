@@ -297,6 +297,53 @@ def _near_dup_lsh_join(embeddings, threshold, id_col, vec_col, n_planes,
     return t.take(_pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
+def train_centroids_distributed(embeddings, n_centroids: int = 16,
+                                iters: int = 5, vec_col: str = "embedding",
+                                seed: int = 42, sample: int = 10_000) -> np.ndarray:
+    """Full-corpus spherical k-means: centroids broadcast via ray.put;
+    each batch computes its (k x d) partial sums + counts in one matmul
+    + scatter-add; the driver reduces the tiny (k x d) partials. One
+    dataset pass per Lloyd iteration — nothing corpus-sized ever leaves
+    the workers (the scale path; ``train_centroids`` stays the
+    sample-on-driver fast path for small corpora)."""
+    cent = train_centroids(embeddings, n_centroids, iters=3, sample=sample,
+                           vec_col=vec_col, seed=seed)  # warm start
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        k, d = cent.shape
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mm = _normalize(_batch_matrix(b[vec_col]))
+            assign = np.argmax(mm @ c.T, axis=1)
+            sums = np.zeros((c.shape[0], mm.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mm)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table({
+                "centroid": np.arange(c.shape[0], dtype=np.int64),
+                "sum": [row.tobytes() for row in sums],
+                "n": counts.astype(np.int64),
+            })
+
+        parts = pa.concat_tables(
+            embeddings.map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        cids = parts["centroid"].to_numpy()
+        ns = parts["n"].to_numpy()
+        sums = np.stack([
+            np.frombuffer(bb, dtype=np.float64) for bb in parts["sum"].to_pylist()
+        ])
+        new = np.zeros((k, d), dtype=np.float64)
+        np.add.at(new, cids, sums)
+        tot = np.zeros(k, dtype=np.int64)
+        np.add.at(tot, cids, ns)
+        sel = tot > 0
+        new[sel] /= np.linalg.norm(new[sel], axis=1, keepdims=True).clip(1e-12)
+        cent = np.where(sel[:, None], new, cent)
+    return cent
+
+
 def train_centroids(embeddings, n_centroids: int = 16, iters: int = 10,
                     sample: int = 10_000, vec_col: str = "embedding",
                     seed: int = 42) -> np.ndarray:

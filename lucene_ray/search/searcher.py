@@ -338,6 +338,41 @@ class Searcher:
         )[:k]
         return t.take(order)
 
+    def term_vector(self, doc_id: int, field: "str | None" = None) -> "object":
+        """Per-document term vector — the TermVectorsReader role
+        (codecs/lucene90/compressing/Lucene90CompressingTermVectorsReader.java,
+        IndexReader.getTermVectors): every (term, position[, offsets]) of
+        ONE doc, sorted by (term, position), read from the persisted
+        positions columns (requires ``with_positions=True``). ``field``
+        selects one field's section (terms return unprefixed); None = the
+        default field."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from lucene_ray.index.fields import FIELD_MARK, field_prefix
+
+        parts = []
+        for reader in self.readers:
+            t = reader.positions_for_docs([int(doc_id)])
+            if t.num_rows:
+                parts.append(t)
+        if not parts:
+            return _pa.table({"term": _pa.array([], _pa.string()),
+                              "pos": _pa.array([], _pa.int32())})
+        t = _pa.concat_tables(parts)
+        if field is None:
+            t = t.filter(_pc.invert(_pc.starts_with(t["term"], FIELD_MARK)))
+        else:
+            pref = field_prefix(field)
+            t = t.filter(_pc.starts_with(t["term"], pref))
+            t = t.set_column(
+                t.schema.get_field_index("term"), "term",
+                _pc.utf8_slice_codeunits(t["term"], len(pref), 2**31 - 1),
+            )
+        return t.take(_pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("pos", "ascending")]
+        ))
+
     def suggest_infix(self, fragment: str, k: int = 10):
         """Infix completion — the AnalyzingInfixSuggester's actual infix
         contract (suggest/analyzing/AnalyzingInfixSuggester.java:97:

@@ -145,6 +145,61 @@ def test_ivf_indexed_full_probe_equals_brute(ivf_index, queries, emb_ds):
                        atol=1e-9)
 
 
+def test_add_vectors_incremental(sf_dir, tmp_path, queries):
+    """add_vectors: new ids land in NEW shards, old shards untouched, and
+    search covers the union (the NRT add-as-new-segments model)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.index.vector import (VectorSearcher, add_vectors,
+                                         build_vector_index)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    full = pq.read_table(emb_path)
+    first, rest = full.slice(0, 300), full.slice(300)
+    out = str(tmp_path / "vidx")
+    m0 = build_vector_index(ray.data.from_arrow(first), out, n_shards=2,
+                            m=8, ef_construction=64)
+    before = {s["path"] for s in m0["shards"]}
+    m1 = add_vectors(out, ray.data.from_arrow(rest), n_shards=1)
+    assert m1["n_vectors"] == full.num_rows
+    assert before < {s["path"] for s in m1["shards"]}
+
+    vs = VectorSearcher(out, num_executors=0)
+    t = vs.search(queries, k=10, ef=64)
+    ids = set(t["neighbor_id"].to_pylist())
+    new_ids = set(rest["vec_id"].to_pylist())
+    # the query vectors are the first 5 corpus rows; their exact nearest
+    # neighbor (themselves) lives in the OLD shards, and the searcher
+    # must still surface NEW-shard neighbors in the merged top-k
+    assert t.num_rows == 5 * 10
+    assert ids & new_ids, "new shards never surfaced in results"
+
+
+def test_distributed_kmeans_and_check_index_distributed(sf_dir, emb_ds,
+                                                        built_index, tmp_path):
+    from lucene_ray.index.check import check_index
+    from lucene_ray.index.vector import build_ivf_index, ivf_search
+    from lucene_ray.pipelines.ann import (knn_brute_cosine,
+                                          train_centroids_distributed)
+
+    cent = train_centroids_distributed(emb_ds, n_centroids=8, iters=2)
+    assert cent.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+
+    out = str(tmp_path / "ivf")
+    build_ivf_index(os.path.join(sf_dir, "embeddings.parquet"), out,
+                    n_centroids=8, kmeans="distributed")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q1 = np.stack(pq.read_table(emb_path).slice(0, 2)["embedding"].to_pylist())
+    full = ivf_search(out, q1, k=10, nprobe=8, verbose=False)
+    brute = knn_brute_cosine(emb_ds, q1, k=10)
+    assert full["neighbor_id"].to_pylist() == brute["neighbor_id"].to_pylist()
+
+    rep = check_index(built_index[0], distributed=True)
+    assert rep["doc_count"] == 500
+
+
 def test_ivf_indexed_prunes_io_and_matches_transient(ivf_index, sf_dir, emb_ds):
     """A 1-query nprobe=2 probe must READ a strict subset of the index
     bytes (IO pruning, not just a compute mask — round-2 verdict item 2),
