@@ -144,25 +144,32 @@ def build_vector_index(
     return manifest
 
 
+def _member_mask(sorted_ids: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    if sorted_ids.shape[0] == 0:
+        return np.zeros(probe.shape[0], dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_ids, probe), 0,
+                  sorted_ids.shape[0] - 1)
+    return sorted_ids[pos] == probe
+
+
 def _pool_search(graphs: list, qm: np.ndarray, k: int, ef: int,
-                 allowed_ids: "np.ndarray | None" = None):
+                 allowed_ids: "np.ndarray | None" = None,
+                 blocked_ids: "np.ndarray | None" = None):
     """Search every graph of a pool for every query — shared by the actor
     and the in-process mode so the fan-out loop exists once.
     ``allowed_ids`` (sorted global vec ids) restricts results — the
-    KnnFloatVectorQuery-with-filter role."""
+    KnnFloatVectorQuery-with-filter role; ``blocked_ids`` (sorted)
+    removes tombstoned vectors."""
     out_q, out_id, out_s = [], [], []
     for g in graphs:
         mask = None
         if allowed_ids is not None:
-            pos = np.searchsorted(allowed_ids, g.ids)
-            pos = np.clip(pos, 0, max(allowed_ids.shape[0] - 1, 0))
-            mask = (
-                (allowed_ids[pos] == g.ids)
-                if allowed_ids.shape[0]
-                else np.zeros(g.ids.shape[0], dtype=bool)
-            )
-            if not mask.any():
-                continue
+            mask = _member_mask(allowed_ids, g.ids)
+        if blocked_ids is not None and blocked_ids.shape[0]:
+            live = ~_member_mask(blocked_ids, g.ids)
+            mask = live if mask is None else (mask & live)
+        if mask is not None and not mask.any():
+            continue
         for j in range(qm.shape[0]):
             loc, sims = g.search(qm[j], k, ef, allowed=mask)
             out_q.append(np.full(loc.shape[0], j, dtype=np.int64))
@@ -211,6 +218,31 @@ def add_vectors(
     return merged
 
 
+def delete_vectors(index_dir: str, ids) -> int:
+    """Tombstone vectors by id — the soft-delete model (graphs are
+    immutable write-once artifacts; deleted ids are masked at search
+    until a rebuild compacts them, exactly like text-segment
+    tombstones). Returns the total tombstone count."""
+    path = os.path.join(index_dir, "vector_tombstones.npy")
+    old = (
+        np.load(path) if os.path.exists(path) else np.empty(0, np.int64)
+    )
+    merged = np.unique(np.concatenate([
+        old, np.asarray(list(ids), dtype=np.int64)
+    ]))
+    tmp = os.path.join(
+        index_dir, f".tmp-tombs-{uuid.uuid4().hex[:8]}.npy"
+    )
+    np.save(tmp, merged)
+    os.replace(tmp, path)
+    return int(merged.shape[0])
+
+
+def _load_vector_tombstones(index_dir: str) -> np.ndarray:
+    path = os.path.join(index_dir, "vector_tombstones.npy")
+    return np.load(path) if os.path.exists(path) else np.empty(0, np.int64)
+
+
 @ray.remote
 class VectorExecutor:
     """Owns N shard graphs; mmap'd vectors + CSR adjacency load once in
@@ -219,8 +251,9 @@ class VectorExecutor:
     def __init__(self, shard_paths: list):
         self.graphs = [HnswGraph.load(p) for p in shard_paths]
 
-    def search(self, qm: np.ndarray, k: int, ef: int, allowed_ids=None):
-        return _pool_search(self.graphs, qm, k, ef, allowed_ids)
+    def search(self, qm: np.ndarray, k: int, ef: int, allowed_ids=None,
+               blocked_ids=None):
+        return _pool_search(self.graphs, qm, k, ef, allowed_ids, blocked_ids)
 
     def ping(self) -> bool:
         return True
@@ -238,6 +271,7 @@ class VectorSearcher:
     def __init__(self, index_dir: str, num_executors: int = 2):
         with open(os.path.join(index_dir, VECTOR_MANIFEST)) as f:
             self.manifest = json.load(f)
+        self.tombstones = _load_vector_tombstones(index_dir)
         paths = [s["path"] for s in self.manifest["shards"]]
         self.local_graphs = None
         self.executors = []
@@ -261,11 +295,13 @@ class VectorSearcher:
         qn = _normalize(np.asarray(queries, dtype=np.float64))
         if allowed_ids is not None:
             allowed_ids = np.sort(np.asarray(allowed_ids, dtype=np.int64))
+        blocked = self.tombstones if self.tombstones.shape[0] else None
         if self.local_graphs is not None:
-            parts = [_pool_search(self.local_graphs, qn, k, ef, allowed_ids)]
+            parts = [_pool_search(self.local_graphs, qn, k, ef, allowed_ids,
+                                  blocked)]
         else:
             parts = ray.get(
-                [e.search.remote(qn, k, ef, allowed_ids)
+                [e.search.remote(qn, k, ef, allowed_ids, blocked)
                  for e in self.executors]
             )
         tbl = pa.table({

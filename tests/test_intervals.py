@@ -168,6 +168,23 @@ def test_or_and_phrase(searcher, corpus):
     assert got_p == want_p
 
 
+def test_interval_query_composes_in_boolean(searcher, corpus):
+    """IntervalQuery as a Boolean MUST clause (realistic usage: scored
+    term + positional constraint)."""
+    iv = IV.Ordered((IV.Term("scan"), IV.Term("column")), maxgaps=3)
+    q = Q.BooleanQuery(must=(Q.TermQuery("table"), Q.IntervalQuery(iv)))
+    docs, _sc = searcher.search_all(q)
+    want = set()
+    for d, toks in corpus.items():
+        if "table" not in toks:
+            continue
+        p1 = [i for i, w in enumerate(toks) if w == "scan"]
+        p2 = [i for i, w in enumerate(toks) if w == "column"]
+        if any(0 < b - a - 1 <= 3 or b - a == 1 for a in p1 for b in p2):
+            want.add(d)
+    assert set(docs.tolist()) == want
+
+
 def test_interval_query_serialization_round_trip():
     src = IV.Containing(
         IV.Unordered((IV.Term("a"), IV.Ordered((IV.Term("b"), IV.Term("c")), 2)), 5),

@@ -176,6 +176,26 @@ def test_add_vectors_incremental(sf_dir, tmp_path, queries):
     assert ids & new_ids, "new shards never surfaced in results"
 
 
+def test_delete_vectors_masks_results(sf_dir, tmp_path, queries):
+    """Tombstoned vectors never surface; a fresh searcher picks up the
+    tombstone file (soft-delete model)."""
+    import ray.data
+
+    from lucene_ray.index.vector import (VectorSearcher, build_vector_index,
+                                         delete_vectors)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    out = str(tmp_path / "vidx")
+    build_vector_index(emb_path, out, n_shards=2, m=8, ef_construction=64)
+    before = VectorSearcher(out, num_executors=0).search(queries, k=10, ef=64)
+    victims = sorted(set(before["neighbor_id"].to_pylist()))[:5]
+    n = delete_vectors(out, victims)
+    assert n == 5
+    after = VectorSearcher(out, num_executors=0).search(queries, k=10, ef=64)
+    assert not (set(after["neighbor_id"].to_pylist()) & set(victims))
+    assert after.num_rows == before.num_rows  # k still filled from live
+
+
 def test_distributed_kmeans_and_check_index_distributed(sf_dir, emb_ds,
                                                         built_index, tmp_path):
     from lucene_ray.index.check import check_index
