@@ -366,6 +366,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["intervals_maxwidth"] = _intervals_maxwidth
 
+    def _intervals_scored(sf):
+        """Interval saturation scoring (IntervalScorer.java:60-68 +
+        IntervalScoreFunction.saturationFunction): per doc,
+        freq = sum over ordered (scan, column) candidate windows of
+        1/max(width - 1, 1) (minExtent 2); score = freq/(freq + 1)."""
+        from lucene_ray.search import intervals as IV
+
+        s = _searcher(sf)
+        qv = Q.IntervalQuery(
+            IV.Ordered((IV.Term("scan"), IV.Term("column"))),
+            score_mode="saturation", pivot=1.0,
+        )
+        docs, scores = s.search_all(qv)
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
+
+    q["intervals_scored_saturation"] = _intervals_scored
+
     def _join_query(sf):
         """Query-time join (JoinUtil.createJoinQuery, join/JoinUtil.java:56):
         from side = documents with lang='de', fromField = the doc's first
@@ -1720,6 +1738,23 @@ ORDER BY doc_id"""
     o["intervals_not_containing"] = _IV_CONTAIN_SQL.replace(
         "AND EXISTS", "AND NOT EXISTS"
     )
+    # interval saturation scoring: per scan anchor, the earliest following
+    # column forms the candidate window; freq = sum of 1/max(width-1, 1),
+    # score = freq/(freq+1)
+    o["intervals_scored_saturation"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+, t1p AS (SELECT doc_id, p FROM pos WHERE term = 'scan')
+, t2p AS (SELECT doc_id, p FROM pos WHERE term = 'column')
+, anchors AS (SELECT a.doc_id, a.p AS ap,
+    (SELECT min(b.p) FROM t2p b WHERE b.doc_id = a.doc_id AND b.p > a.p) AS bp
+  FROM t1p a)
+, freqs AS (SELECT doc_id, sum(1.0 / greatest(bp - ap, 1)) AS f
+            FROM anchors WHERE bp IS NOT NULL GROUP BY doc_id)
+SELECT doc_id, ROUND(f / (f + 1.0), 4) AS score
+FROM freqs ORDER BY doc_id"""
+    )
+
     # maxwidth(4) over ordered(scan, column) == the earliest following
     # column within 3 positions of a scan (greedy-minimal candidates)
     o["intervals_maxwidth"] = (

@@ -238,6 +238,39 @@ def delete_vectors(index_dir: str, ids) -> int:
     return int(merged.shape[0])
 
 
+def compact_vectors(index_dir: str, out_dir: str,
+                    n_shards: "int | None" = None) -> dict:
+    """Rebuild the index from its shards' LIVE vectors — the merge that
+    makes tombstones physical (the text path's force_merge analog). Reads
+    shard artifacts directly (never the original source), drops
+    tombstoned ids, builds fresh graphs into ``out_dir``."""
+    with open(os.path.join(index_dir, VECTOR_MANIFEST)) as f:
+        m = json.load(f)
+    tombs = _load_vector_tombstones(index_dir)
+    rows = []
+    for s in m["shards"]:
+        g_ids = np.load(os.path.join(s["path"], "graph.npz"))["ids"]
+        vecs = np.load(os.path.join(s["path"], "vectors.npy"))
+        if tombs.shape[0]:
+            live = ~_member_mask(tombs, g_ids)
+            g_ids, vecs = g_ids[live], vecs[live]
+        if g_ids.shape[0]:
+            rows.append(pa.table({
+                m["id_col"]: g_ids,
+                m["vec_col"]: pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.astype(np.float32).ravel(), pa.float32()),
+                    vecs.shape[1],
+                ),
+            }))
+    ds = ray.data.from_arrow(rows) if rows else ray.data.from_items([])
+    return build_vector_index(
+        ds, out_dir,
+        n_shards=n_shards or max(1, len(m["shards"])),
+        m=m["m"], ef_construction=m["ef_construction"],
+        id_col=m["id_col"], vec_col=m["vec_col"],
+    )
+
+
 def _load_vector_tombstones(index_dir: str) -> np.ndarray:
     path = os.path.join(index_dir, "vector_tombstones.npy")
     return np.load(path) if os.path.exists(path) else np.empty(0, np.int64)

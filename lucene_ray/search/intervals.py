@@ -445,6 +445,46 @@ def eval_intervals(reader, source: IntervalsSource):
     return iv.doc, iv.start, iv.end
 
 
+def min_extent(source: IntervalsSource) -> int:
+    """Minimal possible width of the source's intervals — the
+    IntervalsSource.minExtent() role (feeds the per-interval weight
+    1/max(len - minExtent + 1, 1), IntervalScorer.java:60-68)."""
+    if isinstance(source, Term):
+        return 1
+    if isinstance(source, (Ordered, Unordered)):
+        return sum(min_extent(s) for s in source.sources)
+    if isinstance(source, Or):
+        return min(min_extent(s) for s in source.sources)
+    if isinstance(source, Containing):
+        return min_extent(source.big)
+    if isinstance(source, ContainedBy):
+        return min_extent(source.small)
+    if isinstance(source, NotContaining):
+        return min_extent(source.minuend)
+    if isinstance(source, NotContainedBy):
+        return min_extent(source.small)
+    if isinstance(source, MaxWidth):
+        return min_extent(source.source)
+    raise TypeError(type(source))
+
+
+def scored_docs(reader, source: IntervalsSource, boost: float = 1.0,
+                pivot: float = 1.0):
+    """(local docs, scores) under the reference's interval scoring
+    (IntervalScorer.java:60-68 + IntervalScoreFunction saturation):
+    freq(doc) = sum over the doc's intervals of
+    1 / max(width - minExtent + 1, 1); score = boost * freq/(freq+pivot)."""
+    doc, start, end = eval_intervals(reader, source)
+    if doc.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    me = min_extent(source)
+    w = 1.0 / np.maximum((end - start + 1) - me + 1, 1).astype(np.float64)
+    docs, inv = np.unique(doc, return_inverse=True)
+    freq = np.zeros(docs.shape[0], dtype=np.float64)
+    np.add.at(freq, inv, w)
+    return docs.astype(np.int64), boost * freq / (freq + pivot)
+
+
 def matching_docs(reader, source: IntervalsSource):
     """(local docs, interval counts) — the doc-level view an
     IntervalQuery scores on."""

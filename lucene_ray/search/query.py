@@ -282,14 +282,17 @@ class IntervalQuery(Query):
     containing, containedBy). Matches docs where the source produces at
     least one interval.
 
-    Scoring: constant ``boost`` per matching doc (documented deviation —
-    the reference scores by a saturation function of interval freq/width;
-    interval counts are exposed via ``intervals.matching_docs`` for
-    callers that need them)."""
+    Scoring: ``score_mode="constant"`` gives ``boost`` per matching doc
+    (the filter use); ``"saturation"`` reproduces the reference's
+    IntervalScorer + saturationFunction contract
+    (IntervalScorer.java:60-68): freq = sum over the doc's intervals of
+    1/max(width - minExtent + 1, 1), score = boost * freq/(freq+pivot)."""
 
     source: "object"  # IntervalsSource
     boost: float = 1.0
     field: str | None = None  # default field only (documented limit)
+    score_mode: str = "constant"
+    pivot: float = 1.0
 
     def to_dict(self):
         return {
@@ -297,6 +300,8 @@ class IntervalQuery(Query):
             "source": self.source.to_dict(),
             "boost": self.boost,
             "field": self.field,
+            "score_mode": self.score_mode,
+            "pivot": self.pivot,
         }
 
 
@@ -413,7 +418,8 @@ def query_from_dict(d: dict) -> Query:
         from lucene_ray.search.intervals import source_from_dict
 
         return IntervalQuery(
-            source_from_dict(d["source"]), d.get("boost", 1.0), d.get("field")
+            source_from_dict(d["source"]), d.get("boost", 1.0), d.get("field"),
+            d.get("score_mode", "constant"), d.get("pivot", 1.0),
         )
     if t == "combined_field":
         return CombinedFieldQuery(

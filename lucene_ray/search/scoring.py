@@ -275,6 +275,11 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.SpanNearQuery):
         return _eval_span_near(reader, q, ctx)
     if isinstance(q, Q.IntervalQuery):
+        if q.score_mode == "saturation":
+            from lucene_ray.search.intervals import scored_docs
+
+            docs, scores = scored_docs(reader, q.source, q.boost, q.pivot)
+            return docs, scores, True
         from lucene_ray.search.intervals import matching_docs
 
         docs, _counts = matching_docs(reader, q.source)

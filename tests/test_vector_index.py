@@ -196,6 +196,26 @@ def test_delete_vectors_masks_results(sf_dir, tmp_path, queries):
     assert after.num_rows == before.num_rows  # k still filled from live
 
 
+def test_compact_vectors_drops_tombstones(sf_dir, tmp_path, queries):
+    """compact_vectors rebuilds from shard artifacts only (source never
+    read), makes deletes physical, and serves identically."""
+    from lucene_ray.index.vector import (VectorSearcher, build_vector_index,
+                                         compact_vectors, delete_vectors)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    out = str(tmp_path / "vidx")
+    build_vector_index(emb_path, out, n_shards=2, m=8, ef_construction=64)
+    t0 = VectorSearcher(out, num_executors=0).search(queries, k=10, ef=64)
+    victims = sorted(set(t0["neighbor_id"].to_pylist()))[:4]
+    delete_vectors(out, victims)
+    out2 = str(tmp_path / "compacted")
+    m2 = compact_vectors(out, out2)
+    assert m2["n_vectors"] == 500 - 4
+    t = VectorSearcher(out2, num_executors=0).search(queries, k=10, ef=64)
+    assert not (set(t["neighbor_id"].to_pylist()) & set(victims))
+    assert t.num_rows == 50
+
+
 def test_distributed_kmeans_and_check_index_distributed(sf_dir, emb_ds,
                                                         built_index, tmp_path):
     from lucene_ray.index.check import check_index
