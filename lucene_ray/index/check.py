@@ -22,6 +22,8 @@ Index level:
 * manifest doc_count / sum_total_term_freq == logical segment stats
   (term-sharded groups sharing one doc space counted ONCE)
 * global_terms == per-term df/ttf sums over all segments, and sorted
+* shared positions dirs (term-sharded shard groups) validated once per
+  group: per-term occurrence count == summed ttf over the group's shards
 
 Raises :class:`CheckIndexError` listing every failure (a pytest corrupts
 one byte and sees it caught); returns a stats report when clean.
@@ -148,23 +150,33 @@ def _check_segment(path: str) -> dict:
                         f"(field={fld or 'default'})"
                     )
 
-    # positions: per-term count == ttf
+    # positions: per-term count == ttf. A term-sharded (force_merge)
+    # segment shares ONE positions dir across the whole shard group
+    # (meta.positions_path) holding terms of EVERY shard — per-shard
+    # comparison is impossible (a boundary-straddling term owns only a
+    # slice of its positions here), so shared dirs are checked ONCE at
+    # the index level against the global ttf aggregation instead.
+    shared_pos_path = None
     pos_path = meta.get("positions_path")
     local_pos = os.path.join(path, "positions.parquet")
     if os.path.exists(local_pos):
         pos_path = local_pos
+    elif pos_path:
+        shared_pos_path = pos_path
+        pos_path = None
     if pos_path and os.path.exists(pos_path) and terms.shape[0]:
         pt = pq.read_table(pos_path, columns=["term"])
         pterms, pcounts = np.unique(
             np.asarray(pt["term"].to_pylist(), dtype=object), return_counts=True
         )
         idx = np.searchsorted(terms, pterms)
-        ok = (idx < terms.shape[0])
-        if not ok.all() or not np.array_equal(terms[idx[ok]], pterms[ok]):
+        ok = idx < terms.shape[0]
+        known = np.zeros(pterms.shape[0], dtype=bool)
+        known[ok] = terms[idx[ok]] == pterms[ok]
+        if not known.all():
             problems.append(f"{seg}: positions contain unknown terms")
-        else:
-            if not np.array_equal(pcounts, ttf[idx]):
-                problems.append(f"{seg}: per-term position count != ttf")
+        elif not np.array_equal(pcounts, ttf[idx]):
+            problems.append(f"{seg}: per-term position count != ttf")
 
     return {
         "segment": seg,
@@ -173,6 +185,7 @@ def _check_segment(path: str) -> dict:
         "decoded_postings": int(df.sum()) if terms.shape[0] else 0,
         "decoded_ttf": decoded_ttf,
         "term_stats": (terms, df, ttf),
+        "shared_pos_path": shared_pos_path,
     }
 
 
@@ -208,6 +221,50 @@ def check_index(index_dir: str, verbose: bool = False,
             print(f"[check_index] {r['segment']}: {r['n_terms']} terms, "
                   f"{r['decoded_postings']} postings decoded, "
                   f"{len(r['problems'])} problem(s)")
+
+    # shared positions dirs (term-sharded force_merge output): one dir
+    # serves a whole shard group, so validate it ONCE against the group's
+    # summed per-term ttf (a boundary-straddling term's ttf sums across
+    # its shards back to the full per-term occurrence count).
+    by_shared: dict = {}
+    for r in reports:
+        sp = r.get("shared_pos_path")
+        if sp:
+            by_shared.setdefault(sp, []).append(r)
+    for sp, group in by_shared.items():
+        if not os.path.exists(sp):
+            problems.append(f"shared positions dir missing: {sp}")
+            continue
+        want: dict = {}
+        for r in group:
+            terms, _df, ttf = r["term_stats"]
+            for i in range(terms.shape[0]):
+                want[terms[i]] = want.get(terms[i], 0) + int(ttf[i])
+        got: dict = {}
+        import pyarrow.dataset as pads
+
+        for frag_batch in pads.dataset(sp, format="parquet").to_batches(
+            columns=["term"], batch_size=1 << 20
+        ):
+            fterms, fcounts = np.unique(
+                np.asarray(frag_batch["term"].to_pylist(), dtype=object),
+                return_counts=True,
+            )
+            for i in range(fterms.shape[0]):
+                got[fterms[i]] = got.get(fterms[i], 0) + int(fcounts[i])
+        unknown = [t_ for t_ in got if t_ not in want]
+        if unknown:
+            problems.append(
+                f"shared positions {sp}: {len(unknown)} unknown term(s), "
+                f"e.g. {unknown[0]!r}"
+            )
+        else:
+            bad = [t_ for t_, c in got.items() if want[t_] != c]
+            if bad:
+                problems.append(
+                    f"shared positions {sp}: per-term position count != "
+                    f"summed ttf for {len(bad)} term(s), e.g. {bad[0]!r}"
+                )
 
     doc_count, sum_ttf = logical_doc_stats(segs)
     if doc_count != m["doc_count"]:

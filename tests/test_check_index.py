@@ -29,6 +29,29 @@ def test_clean_on_merged_index(built_index, tmp_path):
     assert rep["doc_count"] == 500
 
 
+def test_catches_shared_positions_corruption(built_index, tmp_path):
+    """force_merge shards share ONE positions dir; the index-level check
+    must validate it against the group's summed ttf — dropping a file's
+    rows has to surface even though no single shard owns the dir."""
+    from lucene_ray.index.merge import force_merge
+
+    out = str(tmp_path / "merged_posfix")
+    force_merge(built_index[0], out)
+    pos_dir = os.path.join(out, "positions")
+    if not os.path.isdir(pos_dir):
+        pytest.skip("index built without positions")
+    check_index(out)  # clean before corruption
+    files = sorted(
+        os.path.join(pos_dir, f)
+        for f in os.listdir(pos_dir) if f.endswith(".parquet")
+    )
+    t = pq.read_table(files[0])
+    assert t.num_rows > 1
+    pq.write_table(t.slice(0, t.num_rows - 1), files[0])
+    with pytest.raises(CheckIndexError, match="shared positions"):
+        check_index(out)
+
+
 @pytest.fixture()
 def corruptible(built_index, tmp_path):
     """A private COPY of the shared index — with the manifest's absolute
