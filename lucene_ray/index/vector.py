@@ -35,13 +35,15 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from lucene_ray.pipelines.ann import _batch_matrix, _normalize, train_centroids
+from lucene_ray.pipelines.ann import (_batch_matrix, _normalize,
+                                      member_mask as _member_mask,
+                                      train_centroids)
 from lucene_ray.pipelines.hnsw import HnswGraph
 
 VECTOR_MANIFEST = "vector_manifest.json"
 
 
-def merge_topk_table(tbl: pa.Table, nq: int, k: int) -> pa.Table:
+def merge_topk_table(tbl: pa.Table, k: int) -> pa.Table:
     """Reduce per-shard (query_id, neighbor_id, cosine) partials to exact
     per-query top-k with (cosine desc, id asc) tie-break — TopDocs.merge
     (search/TopDocs.java:203-228). Vectorized: ONE lexsort over all rows,
@@ -142,14 +144,6 @@ def build_vector_index(
         json.dump(manifest, f, indent=1)
     os.replace(tmpm, os.path.join(out_dir, VECTOR_MANIFEST))
     return manifest
-
-
-def _member_mask(sorted_ids: np.ndarray, probe: np.ndarray) -> np.ndarray:
-    if sorted_ids.shape[0] == 0:
-        return np.zeros(probe.shape[0], dtype=bool)
-    pos = np.clip(np.searchsorted(sorted_ids, probe), 0,
-                  sorted_ids.shape[0] - 1)
-    return sorted_ids[pos] == probe
 
 
 def _pool_search(graphs: list, qm: np.ndarray, k: int, ef: int,
@@ -337,12 +331,15 @@ class VectorSearcher:
                 [e.search.remote(qn, k, ef, allowed_ids, blocked)
                  for e in self.executors]
             )
+        if not parts:  # zero shards (all vectors deleted + compacted)
+            parts = [(np.empty(0, np.int64), np.empty(0, np.int64),
+                      np.empty(0, np.float64))]
         tbl = pa.table({
             "query_id": np.concatenate([p[0] for p in parts]),
             "neighbor_id": np.concatenate([p[1] for p in parts]),
             "cosine": np.concatenate([p[2] for p in parts]),
         })
-        return merge_topk_table(tbl, qn.shape[0], k)
+        return merge_topk_table(tbl, k)
 
 
 # --------------------------------------------------------------------------
@@ -481,8 +478,10 @@ def ivf_search(
     if not dirs:
         return empty
 
+    tombs = _load_vector_tombstones(index_dir)
     q_ref = ray.put(qn)
     probe_ref = ray.put(probe_sets)
+    tombs_ref = ray.put(tombs) if tombs.shape[0] else None
 
     def partial(b: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
@@ -490,6 +489,9 @@ def ivf_search(
         mm = _normalize(_batch_matrix(b[vec_col]))
         ids = b[id_col].to_numpy(zero_copy_only=False)
         bks = b["bucket_id"].to_numpy(zero_copy_only=False)
+        if tombs_ref is not None:  # delete_vectors applies to IVF too
+            live = ~_member_mask(ray.get(tombs_ref), ids)
+            mm, ids, bks = mm[live], ids[live], bks[live]
         out_q, out_id, out_s = [], [], []
         for j in range(q.shape[0]):
             sel = np.isin(bks, list(probes[j]))
@@ -528,4 +530,4 @@ def ivf_search(
         [empty.drop_columns(["rank"])]
         + list(parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
     )
-    return merge_topk_table(tbl, qn.shape[0], k)
+    return merge_topk_table(tbl, k)

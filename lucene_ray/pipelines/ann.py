@@ -33,6 +33,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def member_mask(sorted_ids: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Boolean mask: which ``probe`` ids appear in ``sorted_ids`` (sorted,
+    unique). The shared sorted-membership kernel for filtered kNN and
+    tombstone masking (one home — index/vector.py imports it too)."""
+    if sorted_ids.shape[0] == 0:
+        return np.zeros(probe.shape[0], dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_ids, probe), 0,
+                  sorted_ids.shape[0] - 1)
+    return sorted_ids[pos] == probe
+
+
 def knn_brute_cosine(embeddings, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      allowed_ids: "np.ndarray | None" = None):
@@ -56,9 +67,7 @@ def knn_brute_cosine(embeddings, queries: np.ndarray, k: int = 10,
         m = _batch_matrix(b[vec_col])
         ids = b[id_col].to_numpy(zero_copy_only=False)
         if allow_ref is not None:
-            al = ray.get(allow_ref)
-            pos = np.clip(np.searchsorted(al, ids), 0, max(al.shape[0] - 1, 0))
-            keep = al[pos] == ids if al.shape[0] else np.zeros(ids.shape[0], bool)
+            keep = member_mask(ray.get(allow_ref), ids)
             m, ids = m[keep], ids[keep]
             if m.shape[0] == 0:
                 return pa.table({

@@ -181,7 +181,10 @@ def drill_sideways_counts(ds, selections: dict, dims: "list[str] | None" = None)
             arr = b[d]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            masks[d] = pc.equal(arr, v).to_numpy(zero_copy_only=False)
+            # null dim values compare to null -> fill False or the numpy
+            # mask degrades to object dtype and `&=` raises
+            masks[d] = pc.fill_null(pc.equal(arr, v), False).to_numpy(
+                zero_copy_only=False)
         out_dim, out_val = [], []
         for d in dims:
             others = np.ones(b.num_rows, dtype=bool)
@@ -191,7 +194,9 @@ def drill_sideways_counts(ds, selections: dict, dims: "list[str] | None" = None)
             arr = b[d]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            vals = pc.cast(arr, pa.string()).filter(pa.array(others))
+            # rows missing the dim produce no label (facets skip nulls)
+            vals = pc.drop_null(pc.cast(arr, pa.string()).filter(
+                pa.array(others)))
             out_dim.append(
                 pa.array([d] * len(vals), pa.string())
             )

@@ -14,10 +14,14 @@ phrase/span matchers). No per-doc Python loops:
   right interval starting after it (greedy earliest-next; exact for term
   leaves, where start==end, because later start implies later end).
 * ``Unordered`` (2 sources) — for every left interval, its predecessor
-  and successor right intervals both become candidates; exact for term
-  leaves (both directions examined).  n>2 folds pairwise (documented
-  widening: the fold is exact for existence on term leaves when each
-  pairwise window is re-checked, conservative otherwise).
+  and successor right intervals both become candidates (overlaps allowed,
+  the Intervals.unordered contract); exact for term leaves (both
+  directions examined).  n>2 folds pairwise (documented widening: the
+  fold is exact for existence on term leaves when each pairwise window is
+  re-checked, conservative otherwise).
+* ``UnorderedNoOverlaps`` — the 2-arg no-overlap variant: nearest
+  entirely-before and first-starting-after candidates (an overlapping
+  same-start b cannot occlude the true successor).
 * ``Containing`` — per-doc suffix-min of contained-candidate ends:
   ``big [s,e]`` contains some small iff the minimal small-end at the
   first small starting >= s is <= e (starts ascending makes this exact).
@@ -81,6 +85,10 @@ class Ordered(IntervalsSource):
 
 @dataclass(frozen=True)
 class Unordered(IntervalsSource):
+    """Intervals.unordered(...) — sub-intervals in any order; overlapping
+    sub-intervals ARE allowed (Intervals.java:130; the no-overlap variant
+    is the separate :class:`UnorderedNoOverlaps` factory)."""
+
     sources: tuple
     maxgaps: int = -1
 
@@ -91,6 +99,25 @@ class Unordered(IntervalsSource):
     def to_dict(self):
         return {"type": "unordered", "maxgaps": self.maxgaps,
                 "sources": [s.to_dict() for s in self.sources]}
+
+
+@dataclass(frozen=True)
+class UnorderedNoOverlaps(IntervalsSource):
+    """Intervals.unorderedNoOverlaps(a, b) — both sub-intervals in any
+    order, NOT sharing any position (Intervals.java:141; two sources,
+    matching the reference factory's arity)."""
+
+    a: IntervalsSource
+    b: IntervalsSource
+    maxgaps: int = -1
+
+    def leaf_terms(self, out: set):
+        self.a.leaf_terms(out)
+        self.b.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "unordered_no_overlaps", "maxgaps": self.maxgaps,
+                "a": self.a.to_dict(), "b": self.b.to_dict()}
 
 
 @dataclass(frozen=True)
@@ -194,6 +221,41 @@ def phrase(*terms: str) -> Ordered:
     return Ordered(tuple(Term(t) for t in terms), maxgaps=0)
 
 
+def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
+    """Structurally copy ``source`` with every leaf Term mapped through
+    ``fn`` — how a field-scoped IntervalQuery resolves its leaves to
+    ``\\x01field\\x1f``-prefixed dictionary keys (resolve_fields)."""
+    if isinstance(source, Term):
+        return Term(fn(source.term))
+    if isinstance(source, Ordered):
+        return Ordered(tuple(rewrite_terms(s, fn) for s in source.sources),
+                       source.maxgaps)
+    if isinstance(source, Unordered):
+        return Unordered(tuple(rewrite_terms(s, fn) for s in source.sources),
+                         source.maxgaps)
+    if isinstance(source, UnorderedNoOverlaps):
+        return UnorderedNoOverlaps(rewrite_terms(source.a, fn),
+                                   rewrite_terms(source.b, fn),
+                                   source.maxgaps)
+    if isinstance(source, Or):
+        return Or(tuple(rewrite_terms(s, fn) for s in source.sources))
+    if isinstance(source, Containing):
+        return Containing(rewrite_terms(source.big, fn),
+                          rewrite_terms(source.small, fn))
+    if isinstance(source, ContainedBy):
+        return ContainedBy(rewrite_terms(source.small, fn),
+                           rewrite_terms(source.big, fn))
+    if isinstance(source, NotContaining):
+        return NotContaining(rewrite_terms(source.minuend, fn),
+                             rewrite_terms(source.subtrahend, fn))
+    if isinstance(source, NotContainedBy):
+        return NotContainedBy(rewrite_terms(source.small, fn),
+                              rewrite_terms(source.big, fn))
+    if isinstance(source, MaxWidth):
+        return MaxWidth(rewrite_terms(source.source, fn), source.width)
+    raise TypeError(type(source))
+
+
 def source_from_dict(d: dict) -> IntervalsSource:
     t = d["type"]
     if t == "term":
@@ -204,6 +266,10 @@ def source_from_dict(d: dict) -> IntervalsSource:
     if t == "unordered":
         return Unordered(tuple(source_from_dict(s) for s in d["sources"]),
                          d.get("maxgaps", -1))
+    if t == "unordered_no_overlaps":
+        return UnorderedNoOverlaps(source_from_dict(d["a"]),
+                                   source_from_dict(d["b"]),
+                                   d.get("maxgaps", -1))
     if t == "or":
         return Or(tuple(source_from_dict(s) for s in d["sources"]))
     if t == "containing":
@@ -283,6 +349,8 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
         return _ordered(source, per_term)
     if isinstance(source, Unordered):
         return _unordered(source, per_term)
+    if isinstance(source, UnorderedNoOverlaps):
+        return _unordered_no_overlaps(source, per_term)
     if isinstance(source, Containing):
         big = _eval(source.big, per_term)
         keep = _containing_mask(big, _eval(source.small, per_term))
@@ -331,24 +399,13 @@ def _ordered(source: Ordered, per_term: dict) -> _Iv:
     return left.sorted()
 
 
-def _pair_unordered(a: _Iv, b: _Iv) -> _Iv:
-    """Candidate unordered combinations of two interval sets: for every a
-    interval, its predecessor and successor b intervals by start (both
-    directions — exact for term leaves)."""
-    if a.size == 0 or b.size == 0:
-        return _Iv.empty()
-    bkeys = b.doc * _SHIFT + b.start
-    tgt = a.doc * _SHIFT + a.start
-    idx = np.searchsorted(bkeys, tgt, side="left")
+def _combine_candidates(a: _Iv, b: _Iv, cands: list) -> _Iv:
+    """Union intervals of (a[i], b[cand[i]]) for each candidate array with
+    its validity mask; cov adds (callers guarantee non-overlap where cov
+    exactness matters)."""
     parts = []
-    for cand in (idx - 1, idx):
-        valid = (cand >= 0) & (cand < bkeys.shape[0])
-        c = np.clip(cand, 0, max(bkeys.shape[0] - 1, 0))
-        same = valid & (b.doc[c] == a.doc)
-        # overlap (shared tokens) is not a valid unordered combination
-        # (Lucene's unordered requires non-overlapping sub-intervals)
-        overlap = (b.start[c] <= a.end) & (a.start <= b.end[c])
-        sel = same & ~overlap
+    for cand, sel in cands:
+        c = np.clip(cand, 0, max(b.doc.shape[0] - 1, 0))
         parts.append(_Iv(
             a.doc[sel],
             np.minimum(a.start[sel], b.start[c][sel]),
@@ -363,16 +420,73 @@ def _pair_unordered(a: _Iv, b: _Iv) -> _Iv:
     ).sorted()
 
 
+def _pair_unordered(a: _Iv, b: _Iv) -> _Iv:
+    """Candidate unordered (overlap-allowed) combinations of two interval
+    sets: for every a interval, its predecessor and successor b intervals
+    by start — exact for term leaves (a same-start b IS a valid overlap
+    combination under Intervals.unordered)."""
+    if a.size == 0 or b.size == 0:
+        return _Iv.empty()
+    bkeys = b.doc * _SHIFT + b.start
+    tgt = a.doc * _SHIFT + a.start
+    idx = np.searchsorted(bkeys, tgt, side="left")
+    cands = []
+    for cand in (idx - 1, idx):
+        valid = (cand >= 0) & (cand < bkeys.shape[0])
+        c = np.clip(cand, 0, max(bkeys.shape[0] - 1, 0))
+        cands.append((cand, valid & (b.doc[c] == a.doc)))
+    return _combine_candidates(a, b, cands)
+
+
+def _pair_unordered_no_overlaps(a: _Iv, b: _Iv) -> _Iv:
+    """Non-overlapping unordered combinations: for every a interval, the
+    nearest b entirely BEFORE it (start < a.start and end < a.start) and
+    the nearest b entirely AFTER it (first start > a.end — ``side`` of
+    the search jumps equal-start runs, so a same-position overlapping b
+    can never occlude the true successor). Exact for term leaves; for
+    nested sources the before-side is conservative (a nearer overlapping
+    b hides a farther disjoint one)."""
+    if a.size == 0 or b.size == 0:
+        return _Iv.empty()
+    bkeys = b.doc * _SHIFT + b.start
+    pred = np.searchsorted(bkeys, a.doc * _SHIFT + a.start, side="left") - 1
+    succ = np.searchsorted(bkeys, a.doc * _SHIFT + a.end + np.int64(1),
+                           side="left")
+    cands = []
+    for cand, extra in (
+        (pred, lambda c: b.end[c] < a.start),  # entirely before
+        (succ, None),  # start > a.end by construction
+    ):
+        valid = (cand >= 0) & (cand < bkeys.shape[0])
+        c = np.clip(cand, 0, max(bkeys.shape[0] - 1, 0))
+        sel = valid & (b.doc[c] == a.doc)
+        if extra is not None:
+            sel &= extra(c)
+        cands.append((cand, sel))
+    return _combine_candidates(a, b, cands)
+
+
+def _apply_maxgaps(iv: _Iv, maxgaps: int) -> _Iv:
+    if maxgaps >= 0 and iv.size:
+        keep = (iv.end - iv.start + 1 - iv.cov) <= maxgaps
+        return _Iv(iv.doc[keep], iv.start[keep], iv.end[keep], iv.cov[keep])
+    return iv
+
+
 def _unordered(source: Unordered, per_term: dict) -> _Iv:
     acc = _eval(source.sources[0], per_term)
     for nxt in source.sources[1:]:
         acc = _pair_unordered(acc, _eval(nxt, per_term))
         if acc.size == 0:
             return acc
-    if source.maxgaps >= 0 and acc.size:
-        keep = (acc.end - acc.start + 1 - acc.cov) <= source.maxgaps
-        acc = _Iv(acc.doc[keep], acc.start[keep], acc.end[keep], acc.cov[keep])
-    return acc
+    return _apply_maxgaps(acc, source.maxgaps)
+
+
+def _unordered_no_overlaps(source: UnorderedNoOverlaps, per_term: dict) -> _Iv:
+    acc = _pair_unordered_no_overlaps(
+        _eval(source.a, per_term), _eval(source.b, per_term)
+    )
+    return _apply_maxgaps(acc, source.maxgaps)
 
 
 def _segmented_prefix_scan(doc: np.ndarray, val: np.ndarray, op) -> np.ndarray:
@@ -453,6 +567,8 @@ def min_extent(source: IntervalsSource) -> int:
         return 1
     if isinstance(source, (Ordered, Unordered)):
         return sum(min_extent(s) for s in source.sources)
+    if isinstance(source, UnorderedNoOverlaps):
+        return min_extent(source.a) + min_extent(source.b)
     if isinstance(source, Or):
         return min(min_extent(s) for s in source.sources)
     if isinstance(source, Containing):

@@ -290,7 +290,7 @@ class IntervalQuery(Query):
 
     source: "object"  # IntervalsSource
     boost: float = 1.0
-    field: str | None = None  # default field only (documented limit)
+    field: str | None = None  # resolve_fields rewrites leaves to field keys
     score_mode: str = "constant"
     pivot: float = 1.0
 
@@ -529,6 +529,14 @@ def resolve_fields(q: Query) -> Query:
             should=tuple(resolve_fields(s) for s in q.should),
             must_not=tuple(resolve_fields(s) for s in q.must_not),
             filter=tuple(resolve_fields(s) for s in q.filter),
+        )
+    if isinstance(q, IntervalQuery) and q.field:
+        from lucene_ray.search.intervals import rewrite_terms
+
+        fld = q.field
+        return dataclasses.replace(
+            q, source=rewrite_terms(q.source, lambda t: field_key(fld, t)),
+            field=None,
         )
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return dataclasses.replace(q, query=resolve_fields(q.query))

@@ -105,6 +105,49 @@ def _cand_windows(toks, t1, t2, g):
     return wins
 
 
+def test_unordered_allows_overlaps():
+    """Intervals.unordered allows overlapping sub-intervals
+    (Intervals.java:130) — a same-position pair (synonym injection)
+    matches; the no-overlap variant is the separate factory."""
+    from lucene_ray.search.intervals import _eval
+
+    a = lambda *v: np.asarray(v, dtype=np.int64)  # noqa: E731
+    per_term = {"scan": (a(1), a(1)), "column": (a(1, 1), a(1, 3))}
+    iv = _eval(IV.Unordered((IV.Term("scan"), IV.Term("column"))), per_term)
+    pairs = set(zip(iv.start.tolist(), iv.end.tolist()))
+    assert (1, 1) in pairs  # the overlapping same-position combination
+
+
+def test_unordered_no_overlaps_successor_not_occluded():
+    """Review finding: an equal-start overlapping b at the searchsorted
+    index used to occlude the true successor at idx+1 — (scan@1,
+    column@3) must match although column@1 overlaps the anchor."""
+    from lucene_ray.search.intervals import _eval
+
+    a = lambda *v: np.asarray(v, dtype=np.int64)  # noqa: E731
+    per_term = {"scan": (a(1), a(1)), "column": (a(1, 1), a(1, 3))}
+    iv = _eval(
+        IV.UnorderedNoOverlaps(IV.Term("scan"), IV.Term("column"), maxgaps=6),
+        per_term,
+    )
+    assert list(zip(iv.start.tolist(), iv.end.tolist())) == [(1, 3)]
+
+
+def test_unordered_no_overlaps_conformance(searcher, corpus):
+    """On a corpus with no same-position terms, unorderedNoOverlaps ==
+    the any-pair-of-distinct-positions rule."""
+    t1, t2, g = "scan", "column", 2
+    got = _docs(searcher,
+                IV.UnorderedNoOverlaps(IV.Term(t1), IV.Term(t2), maxgaps=g))
+    want = set()
+    for d, toks in corpus.items():
+        p1 = [i for i, w in enumerate(toks) if w == t1]
+        p2 = [i for i, w in enumerate(toks) if w == t2]
+        if any(a != b and abs(a - b) - 1 <= g for a in p1 for b in p2):
+            want.add(d)
+    assert got == want
+
+
 def test_containing_and_contained_by_conformance(searcher, corpus):
     big = IV.Unordered((IV.Term("scan"), IV.Term("column")), 6)
     small = IV.Term("window")

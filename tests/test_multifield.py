@@ -289,3 +289,26 @@ def test_field_stats_survive_shard_merge_and_add(mf_index, tmp_path):
     # reload from disk agrees
     m3 = load_manifest(sharded)
     assert m3["fields"]["title"]["sum_ttf"] == m2["fields"]["title"]["sum_ttf"]
+
+
+def test_field_scoped_interval_query(mf_index, mf_brute):
+    """IntervalQuery(field='title') resolves its leaves to the title
+    section (review finding: field used to be silently ignored)."""
+    from lucene_ray.search import intervals as IV
+
+    s = Searcher(mf_index[0])
+    src = IV.Ordered((IV.Term("spark"), IV.Term("sql")), maxgaps=1)
+    docs_t, _ = s.search_all(Q.IntervalQuery(src, field="title"))
+    docs_d, _ = s.search_all(Q.IntervalQuery(src))
+
+    def brute(toklists):
+        out = set()
+        for d, toks in zip(mf_brute["ids"], toklists):
+            ps = [i for i, w in enumerate(toks) if w == "spark"]
+            qs = [i for i, w in enumerate(toks) if w == "sql"]
+            if any(0 < b - a <= 2 for a in ps for b in qs):
+                out.add(d)
+        return out
+
+    assert set(docs_t.tolist()) == brute(mf_brute["title"])
+    assert set(docs_d.tolist()) == brute(mf_brute["body"])

@@ -272,3 +272,24 @@ def test_hnsw_recall_and_determinism(emb_ds, sf_dir):
         len(set(bn[bq == j]) & set(hn[hq == j])) / 10 for j in range(5)
     ]
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_drill_sideways_null_dim_values(ray_session):
+    """A null in a selected dim column must count as non-matching, not
+    crash the mask combination (review finding: object-dtype mask)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.facets import drill_sideways_counts
+
+    tbl = pa.table({
+        "lang": pa.array(["de", None, "en", "de"]),
+        "source": pa.array(["a", "a", None, "b"]),
+    })
+    t = drill_sideways_counts(ray.data.from_arrow(tbl),
+                              {"lang": "de", "source": "a"})
+    rows = {(r["dim"], r["value"]): r["count()"] for r in t.take_all()}
+    # sideways for lang: rows with source=='a' (null source excluded)
+    assert rows.get(("lang", "de")) == 1
+    # sideways for source: rows with lang=='de'
+    assert rows == {("lang", "de"): 1, ("source", "a"): 1, ("source", "b"): 1}

@@ -263,3 +263,39 @@ def test_ivf_indexed_prunes_io_and_matches_transient(ivf_index, sf_dir, emb_ds):
     assert t["neighbor_id"].to_pylist() == trans["neighbor_id"].to_pylist()
     assert np.allclose(t["cosine"].to_numpy(), trans["cosine"].to_numpy(),
                        atol=1e-9)
+
+
+def test_ivf_delete_vectors_masks_results(ivf_index, queries, tmp_path):
+    """delete_vectors applies to IVF too (review finding: ivf_search used
+    to ignore vector_tombstones.npy)."""
+    import shutil
+
+    from lucene_ray.index.vector import delete_vectors, ivf_search
+
+    idx = str(tmp_path / "ivf_copy")
+    shutil.copytree(ivf_index[0], idx)
+    before = ivf_search(idx, queries, k=10, nprobe=8, verbose=False)
+    victims = sorted(set(before["neighbor_id"].to_pylist()))[:5]
+    assert delete_vectors(idx, victims) == 5
+    after = ivf_search(idx, queries, k=10, nprobe=8, verbose=False)
+    assert not (set(after["neighbor_id"].to_pylist()) & set(victims))
+    assert after.num_rows == before.num_rows  # k refilled from live
+
+
+def test_vector_searcher_empty_index(tmp_path, queries):
+    """Zero-shard manifest (everything deleted then compacted) answers
+    with an empty table in BOTH serving modes instead of crashing."""
+    import json
+
+    from lucene_ray.index.vector import VECTOR_MANIFEST, VectorSearcher
+
+    out = str(tmp_path / "empty")
+    os.makedirs(out)
+    man = {"kind": "hnsw", "shards": [], "n_vectors": 0, "dim": 8,
+           "m": 8, "ef_construction": 64, "id_col": "vec_id",
+           "vec_col": "embedding"}
+    with open(os.path.join(out, VECTOR_MANIFEST), "w") as f:
+        json.dump(man, f)
+    for n_exec in (0, 2):
+        t = VectorSearcher(out, num_executors=n_exec).search(queries, k=5)
+        assert t.num_rows == 0
