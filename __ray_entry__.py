@@ -985,6 +985,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["drill_sideways_facet"] = _drill_sideways
 
+    # -- geo (pipelines/geo.py — LatLonPoint.java:67-68) ----------------
+
+    def _geo_points(sf):
+        """documents with deterministic derived (lat, lon): the corpus
+        ships no geo columns, so both sides derive the same integer-exact
+        columns (the oracle repeats the formula in SQL)."""
+        import ray.data
+
+        def derive(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "doc_id": ids,
+                "lat": (ids * 9973 % 18000) / 100.0 - 90.0,
+                "lon": (ids * 7919 % 36000) / 100.0 - 180.0,
+            })
+
+        return ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id"]
+        ).map_batches(derive, batch_format="pyarrow")
+
+    def _geo_box(sf):
+        """LatLonPoint.newBoxQuery (LatLonPoint.java:220): points inside
+        [10,60] x [-30,40]."""
+        from lucene_ray.pipelines.geo import geo_box
+
+        t = geo_box(_geo_points(sf), 10.0, 60.0, -30.0, 40.0).to_pandas()
+        t = t.sort_values("doc_id")
+        return pa.table({"doc_id": t["doc_id"].to_numpy(np.int64),
+                         "lat": t["lat"].to_numpy(),
+                         "lon": t["lon"].to_numpy()})
+
+    q["geo_box_query"] = _geo_box
+
+    def _geo_distance(sf):
+        """LatLonPoint.newDistanceQuery: points within 3,000 km of Paris
+        (48.8566, 2.3522) — bounding-box prune + exact haversine refine
+        (SloppyMath.java:47 with TO_METERS = 6_371_008.7714)."""
+        from lucene_ray.pipelines.geo import geo_distance
+
+        t = geo_distance(_geo_points(sf), 48.8566, 2.3522,
+                         3_000_000.0).to_pandas()
+        return pa.table({"doc_id": np.sort(t["doc_id"].to_numpy(np.int64))})
+
+    q["geo_distance_query"] = _geo_distance
+
+    def _geo_nearest(sf):
+        """Sandbox LatLonPointPrototypeQueries.nearest: the 20 points
+        closest to (40.7, -74.0), tie-broken by doc_id (distance column
+        omitted so the hash compares integer ranks, not trig ulps)."""
+        from lucene_ray.pipelines.geo import geo_nearest
+
+        t = geo_nearest(_geo_points(sf), 40.7, -74.0, k=20)
+        return pa.table({"rank": t["rank"], "doc_id": t["doc_id"]})
+
+    q["geo_nearest_topk"] = _geo_nearest
+
     def _distinct(sf):
         import ray.data
 
@@ -2090,6 +2146,43 @@ ORDER BY i.a, i.b"""
              SELECT 'source' AS dim, source AS value FROM documents
              WHERE lang = 'de')
            GROUP BY dim, value ORDER BY dim, value"""
+    )
+    # geo: both sides derive the same integer-exact lat/lon from doc_id;
+    # the haversine mirrors pipelines/geo.py term for term
+    # (SloppyMath.java:47,209 — R = 6371008.7714)
+    _GEO_PTS = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 9973 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents)
+"""
+
+    def _geo_hav(clat: float, clon: float) -> str:
+        return (
+            f"6371008.7714 * 2 * asin(least(1.0, sqrt(("
+            f"(1 - cos(radians(lat - ({clat}))))"
+            f" + cos(radians(lat)) * cos(radians({clat}))"
+            f" * (1 - cos(radians(lon - ({clon}))))) * 0.5)))"
+        )
+
+    o["geo_box_query"] = (
+        _GEO_PTS
+        + """SELECT doc_id, lat, lon FROM pts
+WHERE lat BETWEEN 10 AND 60 AND lon BETWEEN -30 AND 40
+ORDER BY doc_id"""
+    )
+    o["geo_distance_query"] = (
+        _GEO_PTS
+        + f"""SELECT doc_id FROM pts
+WHERE {_geo_hav(48.8566, 2.3522)} <= 3000000.0
+ORDER BY doc_id"""
+    )
+    o["geo_nearest_topk"] = (
+        _GEO_PTS
+        + f"""SELECT row_number() OVER (ORDER BY d, doc_id) AS rank, doc_id
+FROM (SELECT doc_id, {_geo_hav(40.7, -74.0)} AS d FROM pts)
+ORDER BY d, doc_id LIMIT 20"""
     )
     o["facet_lang_counts"] = (
         "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"

@@ -1,0 +1,167 @@
+"""Geo queries over (lat, lon) columns — the LatLonPoint role
+(document/LatLonPoint.java:67-68: newBoxQuery / newDistanceQuery,
+sandbox LatLonPointPrototypeQueries.nearest) re-expressed Ray-Data-first.
+
+The reference indexes points into a BKD tree and walks cells; the
+columnar analog is parquet row-group pruning: ``geo_box`` over a path
+pushes the box predicate into ``read_parquet`` (only row groups whose
+lat/lon min/max stats intersect the box are read), and ``geo_distance``
+derives the circle's bounding box first (the BKD coarse phase), reads
+only that, then refines with the exact haversine — the same
+box-then-refine shape as LatLonPointDistanceQuery. Everything per batch
+is numpy; no per-row Python.
+
+Distance math follows the published haversine formula with the mean
+earth radius the reference uses (util/SloppyMath.java:209
+``TO_METERS = 6_371_008.7714``); we use true trig where the reference
+substitutes table-driven approximations (documented deviation — error
+there is <= 40 cm, ours is ulp-level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+EARTH_MEAN_RADIUS_M = 6_371_008.7714  # SloppyMath.java:209
+
+
+def haversine_meters(lat1, lon1, lat2: float, lon2: float) -> np.ndarray:
+    """Vectorized great-circle distance (SloppyMath.haversinMeters
+    contract, exact trig): arrays ``lat1``/``lon1`` against one point."""
+    x1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    x2 = np.radians(lat2)
+    h1 = 1.0 - np.cos(x1 - x2)
+    h2 = 1.0 - np.cos(np.radians(np.asarray(lon1, dtype=np.float64) - lon2))
+    h = h1 + np.cos(x1) * np.cos(x2) * h2
+    return EARTH_MEAN_RADIUS_M * 2.0 * np.arcsin(
+        np.minimum(1.0, np.sqrt(h * 0.5))
+    )
+
+
+def circle_bounding_box(lat: float, lon: float, radius_m: float):
+    """(min_lat, max_lat, min_lon, max_lon) of the spherical cap around
+    (lat, lon) — the coarse box LatLonPointDistanceQuery prunes with
+    (geo/Rectangle.java fromPointDistance). ``min_lon > max_lon`` means
+    the box crosses the antimeridian; a cap touching a pole spans every
+    longitude."""
+    ang = radius_m / EARTH_MEAN_RADIUS_M  # angular radius
+    lat_r = np.radians(lat)
+    min_lat = np.degrees(lat_r - ang)
+    max_lat = np.degrees(lat_r + ang)
+    if min_lat <= -90.0 or max_lat >= 90.0 or ang >= np.pi:
+        return max(min_lat, -90.0), min(max_lat, 90.0), -180.0, 180.0
+    # standard cap-box longitude half-width: asin(sin(ang)/cos(lat))
+    dlon = np.degrees(np.arcsin(min(1.0, np.sin(ang) / np.cos(lat_r))))
+    min_lon, max_lon = lon - dlon, lon + dlon
+    if min_lon < -180.0:
+        min_lon += 360.0
+    if max_lon > 180.0:
+        max_lon -= 360.0
+    return float(min_lat), float(max_lat), float(min_lon), float(max_lon)
+
+
+def _box_filter_expr(min_lat, max_lat, min_lon, max_lon, lat_col, lon_col):
+    import pyarrow.dataset as pads
+
+    lat = pads.field(lat_col)
+    lon = pads.field(lon_col)
+    e = (lat >= min_lat) & (lat <= max_lat)
+    if min_lon <= max_lon:
+        return e & (lon >= min_lon) & (lon <= max_lon)
+    # antimeridian crossing: two disjoint lon ranges
+    return e & ((lon >= min_lon) | (lon <= max_lon))
+
+
+def _as_dataset(source, columns, flt):
+    """Dataset from a path (with predicate/column pushdown — the BKD
+    cell-prune analog) or pass a live Dataset through with a batch-level
+    filter."""
+    if isinstance(source, str):
+        return ray.data.read_parquet(source, columns=columns, filter=flt)
+    ds = source
+
+    def apply(b: pa.Table) -> pa.Table:
+        return b.filter(flt)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def geo_box(source, min_lat: float, max_lat: float,
+            min_lon: float, max_lon: float,
+            lat_col: str = "lat", lon_col: str = "lon",
+            columns: "list[str] | None" = None) -> ray.data.Dataset:
+    """LatLonPoint.newBoxQuery (LatLonPoint.java:220): rows whose point
+    falls in [min_lat, max_lat] x [min_lon, max_lon]; ``min_lon >
+    max_lon`` selects across the antimeridian (the reference's box query
+    accepts the same crossing encoding)."""
+    flt = _box_filter_expr(min_lat, max_lat, min_lon, max_lon,
+                           lat_col, lon_col)
+    return _as_dataset(source, columns, flt)
+
+
+def geo_distance(source, lat: float, lon: float, radius_m: float,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 columns: "list[str] | None" = None) -> ray.data.Dataset:
+    """LatLonPoint.newDistanceQuery: rows within ``radius_m`` meters of
+    (lat, lon). Two phases, like LatLonPointDistanceQuery: the circle's
+    bounding box prunes at the read, the exact haversine refines per
+    batch."""
+    box = circle_bounding_box(lat, lon, radius_m)
+    ds = geo_box(source, *box, lat_col=lat_col, lon_col=lon_col,
+                 columns=columns)
+
+    def refine(b: pa.Table) -> pa.Table:
+        d = haversine_meters(
+            b[lat_col].to_numpy(zero_copy_only=False),
+            b[lon_col].to_numpy(zero_copy_only=False), lat, lon,
+        )
+        return b.filter(pa.array(d <= radius_m))
+
+    return ds.map_batches(refine, batch_format="pyarrow")
+
+
+def geo_nearest(source, lat: float, lon: float, k: int = 10,
+                lat_col: str = "lat", lon_col: str = "lon",
+                id_col: str = "doc_id",
+                columns: "list[str] | None" = None) -> pa.Table:
+    """k nearest points to (lat, lon) with their distances — the sandbox
+    LatLonPointPrototypeQueries.nearest role. Per-batch partial top-k
+    (k rows leave each batch), one tiny driver merge; ties break on
+    ``id_col`` ascending. Returns (rank, id, lat, lon, distance_m)."""
+    cols = columns or [id_col, lat_col, lon_col]
+    ds = _as_dataset(source, cols, None) if isinstance(source, str) else source
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = haversine_meters(
+            b[lat_col].to_numpy(zero_copy_only=False),
+            b[lon_col].to_numpy(zero_copy_only=False), lat, lon,
+        )
+        kk = min(k, b.num_rows)
+        if b.num_rows > kk:
+            idx = np.argpartition(d, kk - 1)[:kk]
+        else:
+            idx = np.arange(b.num_rows)
+        out = b.take(pa.array(idx)).append_column(
+            "distance_m", pa.array(d[idx], pa.float64())
+        )
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            lat_col: pa.array([], pa.float64()),
+            lon_col: pa.array([], pa.float64()),
+            "distance_m": pa.array([], pa.float64()),
+        })
+    tbl = pa.Table.from_pylist(parts)
+    d = tbl["distance_m"].to_numpy()
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, d))[:k]
+    out = tbl.take(pa.array(order))
+    return out.add_column(0, "rank", pa.array(
+        np.arange(1, out.num_rows + 1, dtype=np.int64)))
