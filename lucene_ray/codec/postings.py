@@ -12,19 +12,27 @@ Semantics carried over from the reference:
   ``searchsorted`` and lets block-max bounds be computed for *all* blocks in
   one vectorized call, which is the Arrow/numpy-idiomatic equivalent of
   ImpactsDISI+MaxScoreCache (search/ImpactsDISI.java, MaxScoreCache.java:74-140);
-* per-block impacts — (max freq, min norm byte) per block, a conservative
-  single-point relaxation of CompetitiveImpactAccumulator's pareto frontier
-  (codecs/CompetitiveImpactAccumulator.java:26,64): score is monotone in
-  freq and anti-monotone in norm, so (max_freq, min_norm) upper-bounds every
-  (freq, norm) in the block. Pruning is therefore slightly weaker than the
-  reference's but never changes results.
+* per-block impacts — a fixed-width conservative relaxation of
+  CompetitiveImpactAccumulator's pareto frontier
+  (codecs/CompetitiveImpactAccumulator.java:26,64): each block stores
+  ``IMPACT_BUCKETS`` (freq, norm) points, one per norm-range bucket —
+  postings are bucketed by norm byte across the block's [min, max] norm
+  range and each bucket keeps (its max freq, its min norm). Score is
+  monotone in freq and anti-monotone in norm, so every posting is
+  dominated by its bucket's point and ``max_j score(freq_j, norm_j)``
+  upper-bounds the block — always at least as tight as the single
+  (block max freq, block min norm) point (codec v2), and strictly
+  tighter whenever the high-freq postings sit in long docs. Empty
+  buckets store (0, 255): score(0, ·) = 0, never competitive.
+  Bucket 0 always holds the block's true min norm (decode relies on it
+  as the norm-offset base).
 
-Blob layout (little-endian):
+Blob layout (little-endian, codec v3):
   [df u32][n_blocks u32]
   [last_doc i32  * n_blocks]   -- last docID of each block
   [end_off u32   * n_blocks]   -- end byte offset of each block, rel. to data start
-  [max_freq u32  * n_blocks]
-  [min_norm u8   * n_blocks]
+  [max_freq u32  * n_blocks * IMPACT_BUCKETS]   -- (n_blocks, B) row-major
+  [min_norm u8   * n_blocks * IMPACT_BUCKETS]   -- (n_blocks, B) row-major
   data: per block, PFor(doc deltas), PFor(freqs), PFor(norm bytes)
 
 Doc IDs are partition-local int32, delta-encoded with prev = -1 at list
@@ -51,7 +59,46 @@ from lucene_ray.codec.forutil import (
 _HEADER = np.dtype(np.uint32).itemsize * 2
 
 # bump on any on-disk layout change (index caches key on this)
-CODEC_VERSION = 2
+CODEC_VERSION = 3
+
+# per-block impact frontier points (norm-range buckets); fixed so the skip
+# arrays stay fixed-width numpy views
+IMPACT_BUCKETS = 4
+
+
+def _impact_buckets(norms: np.ndarray, blk_min: np.ndarray, blk_max: np.ndarray,
+                    val_block: np.ndarray) -> np.ndarray:
+    """Bucket index (0..IMPACT_BUCKETS-1) of each posting: its norm byte's
+    position within ITS block's [min, max] norm range. Bucket 0 always
+    contains the block-min-norm posting."""
+    rng = (blk_max.astype(np.int64) - blk_min.astype(np.int64))[val_block] + 1
+    rel = norms.astype(np.int64) - blk_min.astype(np.int64)[val_block]
+    return (rel * IMPACT_BUCKETS) // rng
+
+
+def _impact_frontier(
+    freqs: np.ndarray, norms: np.ndarray, val_block: np.ndarray,
+    block_start: np.ndarray, total_blocks: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(max_freq (nb,B) u32, min_norm (nb,B) u8) — vectorized across all
+    blocks: one mask + one ``reduceat`` pair per bucket (B passes total;
+    ``val_block`` is sorted so per-bucket groups stay contiguous)."""
+    B = IMPACT_BUCKETS
+    blk_min = np.minimum.reduceat(norms, block_start)
+    blk_max = np.maximum.reduceat(norms, block_start)
+    bucket = _impact_buckets(norms, blk_min, blk_max, val_block)
+    mf = np.zeros((total_blocks, B), dtype=np.uint32)
+    mn = np.full((total_blocks, B), 255, dtype=np.uint8)
+    for j in range(B):
+        m = bucket == j
+        if not m.any():
+            continue
+        vb = val_block[m]
+        starts = np.flatnonzero(np.r_[True, np.diff(vb) != 0])
+        blk = vb[starts]
+        mf[blk, j] = np.maximum.reduceat(freqs[m].astype(np.uint32), starts)
+        mn[blk, j] = np.minimum.reduceat(norms[m], starts)
+    return mf, mn
 
 
 def encode_postings(
@@ -76,14 +123,18 @@ def encode_postings(
 
     last_doc = np.empty(n_blocks, dtype=np.int32)
     end_off = np.empty(n_blocks, dtype=np.uint32)
-    max_freq = np.empty(n_blocks, dtype=np.uint32)
-    min_norm = np.empty(n_blocks, dtype=np.uint8)
+    block_start = np.arange(n_blocks) * BLOCK_SIZE
+    block_n = np.minimum(block_start + BLOCK_SIZE, df) - block_start
+    val_block = np.repeat(np.arange(n_blocks), block_n)
+    max_freq, min_norm = _impact_frontier(
+        freqs, norm_bytes, val_block, block_start, n_blocks
+    )
 
     chunks: list[bytes] = []
     off = 0
     for b in range(n_blocks):
         lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, df)
-        nm_min = norm_bytes[lo:hi].min()
+        nm_min = min_norm[b, 0]  # bucket 0 = block's true min norm
         # freqs stored as freq-1 (freq >= 1 always: an all-ones block packs
         # to 0 bits); norms as offsets from the block's min_norm impact
         block = (
@@ -95,8 +146,6 @@ def encode_postings(
         chunks.append(block)
         last_doc[b] = doc_ids[hi - 1]
         end_off[b] = off
-        max_freq[b] = freqs[lo:hi].max()
-        min_norm[b] = nm_min
 
     header = np.array([df, n_blocks], dtype=np.uint32).tobytes()
     return b"".join(
@@ -258,12 +307,14 @@ def encode_postings_many(
     prefix = (cs - block_len)[term_first_block]
     end_off_rel = (cs - prefix[term_of_block]).astype(np.uint32)
     last_doc = p_docs[block_end - 1].astype(np.int32)
-    max_freq = np.maximum.reduceat(freqs, block_start).astype(np.uint32)
-    min_norm = blk_min_norm.astype(np.uint8)
+    max_freq, min_norm = _impact_frontier(
+        freqs, norms, val_block, block_start, total_blocks
+    )
 
     # ---- final per-term blobs: header + skips + data slice ----
     # (fully scatter-assembled: the data region is already term-contiguous)
-    header_len = _HEADER + 13 * nb
+    B = IMPACT_BUCKETS
+    header_len = _HEADER + (8 + 5 * B) * nb
     data_len = np.add.reduceat(block_len, term_first_block)
     blob_len = header_len + data_len
     offsets = np.cumsum(blob_len) - blob_len
@@ -283,10 +334,13 @@ def encode_postings_many(
     out[(o_term + 8 + 4 * nb_term + 4 * blk_in_term)[:, None] + b4] = (
         end_off_rel.view(np.uint8).reshape(total_blocks, 4)
     )
-    out[(o_term + 8 + 8 * nb_term + 4 * blk_in_term)[:, None] + b4] = (
-        max_freq.view(np.uint8).reshape(total_blocks, 4)
+    out[(o_term + 8 + 8 * nb_term + 4 * B * blk_in_term)[:, None] + np.arange(4 * B)] = (
+        max_freq.view(np.uint8).reshape(total_blocks, 4 * B)
     )
-    out[o_term + 8 + 12 * nb_term + blk_in_term] = min_norm
+    out[
+        (o_term + 8 + (8 + 4 * B) * nb_term + B * blk_in_term)[:, None]
+        + np.arange(B)
+    ] = min_norm
 
     total_data_bytes = int(data_len.sum())
     if total_data_bytes:
@@ -323,15 +377,17 @@ class PostingsReader:
         hdr = buf[:_HEADER].view(np.uint32)
         self.df = int(hdr[0])
         nb = self.n_blocks = int(hdr[1])
+        B = IMPACT_BUCKETS
         p = _HEADER
         self.last_doc = buf[p : p + 4 * nb].view(np.int32)
         p += 4 * nb
         self.end_off = buf[p : p + 4 * nb].view(np.uint32)
         p += 4 * nb
-        self.max_freq = buf[p : p + 4 * nb].view(np.uint32)
-        p += 4 * nb
-        self.min_norm = buf[p : p + nb]
-        p += nb
+        # (n_blocks, B) impact frontier — scorer.max_score reduces axis -1
+        self.max_freq = buf[p : p + 4 * B * nb].view(np.uint32).reshape(nb, B)
+        p += 4 * B * nb
+        self.min_norm = buf[p : p + B * nb].reshape(nb, B)
+        p += B * nb
         self.data_start = p
 
     def _block_bounds(self, b: int) -> tuple[int, int, int]:
@@ -347,7 +403,7 @@ class PostingsReader:
         freqs, p = decode_pfor_block(self.buf, p, n)
         norms, _ = decode_pfor_block(self.buf, p, n)
         docs = deltas.astype(np.int64).cumsum() + prev_last
-        return docs, freqs + 1, (norms + np.uint32(self.min_norm[b])).astype(np.uint8)
+        return docs, freqs + 1, (norms + np.uint32(self.min_norm[b, 0])).astype(np.uint8)
 
     def decode_blocks(
         self, block_idx: np.ndarray
@@ -388,7 +444,7 @@ class PostingsReader:
             block_idx > 0, self.last_doc[block_idx - 1].astype(np.int64), -1
         )
         docs = _docs_from_deltas(deltas, n_vals, prev_last, val_block)
-        norms = norms + np.asarray(self.min_norm[block_idx], dtype=np.uint32)[val_block]
+        norms = norms + np.asarray(self.min_norm[block_idx, 0], dtype=np.uint32)[val_block]
         return docs, freqs + 1, norms.astype(np.uint8)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -510,8 +566,10 @@ def decode_many(
         buf[(skip_base[tob] + 4 * nbt[tob] + 4 * bit)[:, None] + b4]
         .reshape(-1).view(np.uint32).astype(np.int64)
     )
-    min_norm_blk = buf[skip_base[tob] + 12 * nbt[tob] + bit]
-    data_start = skip_base + 13 * nbt
+    B = IMPACT_BUCKETS
+    # bucket 0's min norm is the block's true min (the norm-offset base)
+    min_norm_blk = buf[skip_base[tob] + (8 + 4 * B) * nbt[tob] + B * bit]
+    data_start = skip_base + (8 + 5 * B) * nbt
 
     # lengths cross-check: each blob's data must end exactly at
     # offset + length (catches a corrupt/misaligned (offset, length) table

@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
+from lucene_ray.codec.postings import CODEC_VERSION
 from lucene_ray.index.segment import SegmentBuilder
 
 
@@ -193,6 +194,7 @@ def build_index(
         }
 
     manifest = {
+        "codec": CODEC_VERSION,
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "text_col": text_col,
@@ -312,7 +314,18 @@ def analyzer_from_manifest(m: dict) -> Analyzer:
 
 def load_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
-        return json.load(f)
+        m = json.load(f)
+    # refuse to mis-decode an index written by a different blob layout
+    # (Codec.getName() gate, index/SegmentInfos.java's codec check);
+    # pre-v3 manifests carry no "codec" key
+    found = m.get("codec", 2)
+    if found != CODEC_VERSION:
+        raise ValueError(
+            f"index at {index_dir} uses codec v{found}, this build reads "
+            f"v{CODEC_VERSION} — rebuild the index (cached dirs under "
+            f"/tmp/lucene_ray_idx rebuild automatically)"
+        )
+    return m
 
 
 def read_global_term_stats(index_dir: str, terms: list[str] | None = None) -> pa.Table:

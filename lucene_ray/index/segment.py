@@ -68,7 +68,11 @@ MANIFEST_SCHEMA = pa.schema(
 
 
 def _fingerprint(doc_ids: np.ndarray, text_bytes: int) -> str:
-    return f"{doc_ids.shape[0]}:{int(doc_ids.sum())}:{text_bytes}"
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    # codec version fused in so a layout bump invalidates resume checkpoints
+    # (a stale-codec segment must never be skipped into a fresh manifest)
+    return f"{doc_ids.shape[0]}:{int(doc_ids.sum())}:{text_bytes}:c{CODEC_VERSION}"
 
 
 class SegmentBuilder:

@@ -77,13 +77,17 @@ class BM25Scorer:
         return self.weight - self.weight / (one + f * inv)
 
     def max_score(self, max_freq: int | np.ndarray, min_norm: int | np.ndarray):
-        """Score upper bound for a block given its max freq / min norm byte.
+        """Per-block score upper bound from the impact frontier.
 
         Valid because score is monotone increasing in freq and in invNorm,
         and invNorm is monotone decreasing in encoded length (norm byte) —
-        the MaxScoreCache premise (search/MaxScoreCache.java:74-140).
+        the MaxScoreCache premise (search/MaxScoreCache.java:74-140). With
+        2-D (n_blocks, IMPACT_BUCKETS) frontier inputs (codec v3) the bound
+        is the max over each block's conservative points — the
+        CompetitiveImpactAccumulator relaxation (see codec/postings.py).
         """
-        return self.score(np.asarray(max_freq), np.asarray(min_norm))
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
 
 
 class BM25ScorerF64:
@@ -120,7 +124,8 @@ class BM25ScorerF64:
         )
 
     def max_score(self, max_freq, min_norm):
-        return self.score(np.asarray(max_freq), np.asarray(min_norm))
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
 
 
 def make_scorer(

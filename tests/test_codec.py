@@ -73,10 +73,47 @@ def test_skip_and_impacts_dominate_blocks():
     for b in range(r.n_blocks):
         d, f, nm = r.decode_block(b)
         assert int(r.last_doc[b]) == int(d[-1])
-        assert int(r.max_freq[b]) == int(f.max())  # impact upper bound
-        assert int(r.min_norm[b]) == int(nm.min())
+        # frontier invariants (codec v3): bucket 0 holds the block's true
+        # min norm; the frontier's max freq equals the block max; every
+        # posting is dominated by SOME frontier point (freq <= mf, norm >= mn)
+        assert int(r.min_norm[b, 0]) == int(nm.min())
+        assert int(r.max_freq[b].max()) == int(f.max())
+        dominated = (
+            (f[:, None] <= r.max_freq[b][None, :])
+            & (nm[:, None] >= r.min_norm[b][None, :])
+        ).any(axis=1)
+        assert dominated.all()
         lo = b * BLOCK_SIZE
         assert (d == docs[lo : lo + d.shape[0]]).all()
+
+
+def test_impact_frontier_tightens_bound():
+    """The multi-point bound is conservative (>= true block max score) and
+    never looser than the single-point (block max freq, block min norm)
+    bound; on anti-correlated freq/norm data it's strictly tighter."""
+    from lucene_ray.search.similarity import BM25Scorer
+
+    n = 1024
+    docs = np.arange(n, dtype=np.int64) * 3
+    # anti-correlated: high freq only in long docs (high norm byte)
+    norms = np.sort(np.random.default_rng(7).integers(30, 120, n)).astype(np.uint8)
+    freqs = (1 + (norms.astype(np.uint32) // 10)).astype(np.uint32)
+    r = PostingsReader(encode_postings(docs, freqs, norms))
+    scorer = BM25Scorer(50, 10_000, 2_000_000)
+    ub = scorer.max_score(r.max_freq, r.min_norm)
+    assert ub.shape == (r.n_blocks,)
+    for b in range(r.n_blocks):
+        d, f, nm = r.decode_block(b)
+        true_max = float(scorer.score(f, nm).max())
+        single = float(scorer.max_score(int(f.max()), int(nm.min())))
+        assert true_max <= float(ub[b]) + 1e-7  # conservative
+        assert float(ub[b]) <= single + 1e-7  # never looser
+    # on this data at least one block must be strictly tighter
+    singles = np.array([
+        float(scorer.max_score(int(r.max_freq[b].max()), int(r.min_norm[b].min())))
+        for b in range(r.n_blocks)
+    ])
+    assert (np.asarray(ub) < singles - 1e-9).any()
 
 
 def test_targeted_block_decode():
