@@ -447,7 +447,6 @@ def ivf_search(
     nprobe = min(nprobe, cent.shape[0])
     q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
     probed = sorted({int(b) for row in q_probe for b in row})
-    probe_sets = [frozenset(int(b) for b in row) for row in q_probe]
 
     buckets_dir = m["buckets_dir"]
     if not os.path.isdir(buckets_dir):  # relocated index
@@ -480,31 +479,51 @@ def ivf_search(
 
     tombs = _load_vector_tombstones(index_dir)
     q_ref = ray.put(qn)
-    probe_ref = ray.put(probe_sets)
+    # inverted probe map: bucket -> array of query rows probing it, built
+    # ONCE on the driver (q × nprobe) and broadcast — workers do no
+    # per-query set membership at all
+    bucket_queries = {}
+    for j, row in enumerate(q_probe):
+        for bkt in row:
+            bucket_queries.setdefault(int(bkt), []).append(j)
+    bucket_queries = {bkt: np.asarray(js, dtype=np.int64)
+                      for bkt, js in bucket_queries.items()}
+    probe_ref = ray.put(bucket_queries)
     tombs_ref = ray.put(tombs) if tombs.shape[0] else None
 
     def partial(b: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        probes = ray.get(probe_ref)
+        byb = ray.get(probe_ref)
         mm = _normalize(_batch_matrix(b[vec_col]))
         ids = b[id_col].to_numpy(zero_copy_only=False)
         bks = b["bucket_id"].to_numpy(zero_copy_only=False)
         if tombs_ref is not None:  # delete_vectors applies to IVF too
             live = ~_member_mask(ray.get(tombs_ref), ids)
             mm, ids, bks = mm[live], ids[live], bks[live]
+        # rows grouped by bucket (hive layout makes batches bucket-runs
+        # already; the argsort is a no-op permutation then), then ONE
+        # matmul per bucket against EVERY query probing it — flips the
+        # old per-query isin scan into a (rows, n_queries) GEMM
+        order = np.argsort(bks, kind="stable")
+        ub, grp_start = np.unique(bks[order], return_index=True)
+        grp_end = np.append(grp_start[1:], bks.shape[0])
         out_q, out_id, out_s = [], [], []
-        for j in range(q.shape[0]):
-            sel = np.isin(bks, list(probes[j]))
-            if not sel.any():
+        for bi in range(ub.shape[0]):
+            js = byb.get(int(ub[bi]))
+            if js is None:
                 continue
-            s = mm[sel] @ q[j]
-            ii = ids[sel]
-            kk = min(k, s.shape[0])
-            idx = (np.argpartition(-s, kk - 1)[:kk]
-                   if s.shape[0] > kk else np.arange(s.shape[0]))
-            out_q.append(np.full(idx.shape[0], j, dtype=np.int64))
-            out_id.append(ii[idx])
-            out_s.append(s[idx])
+            rows = order[grp_start[bi]:grp_end[bi]]
+            S = mm[rows] @ q[js].T  # (n_rows, n_js)
+            ii = ids[rows]
+            kk = min(k, S.shape[0])
+            if S.shape[0] > kk:
+                idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_js)
+            else:
+                idx = np.tile(np.arange(S.shape[0])[:, None], (1, js.shape[0]))
+            cols = np.broadcast_to(np.arange(js.shape[0]), idx.shape)
+            out_q.append(np.broadcast_to(js, idx.shape).ravel())
+            out_id.append(ii[idx.ravel()])
+            out_s.append(S[idx.ravel(), cols.ravel()])
         if not out_q:
             return pa.table({
                 "query_id": pa.array([], pa.int64()),
