@@ -43,7 +43,7 @@ def _index_dir(sf_dir: str) -> str:
 
     docs = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha1(
-        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:mf1".encode()
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:mf2".encode()
     ).hexdigest()[:12]
     idx = os.path.join(_CACHE_ROOT, tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
@@ -52,11 +52,12 @@ def _index_dir(sf_dir: str) -> str:
         from lucene_ray.data.webpages import with_title_column
         from lucene_ray.index.build import build_index
 
-        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
-            with_title_column, batch_format="pyarrow"
-        )
+        ds = ray.data.read_parquet(
+            docs, columns=["doc_id", "text", "n_chars"]
+        ).map_batches(with_title_column, batch_format="pyarrow")
         build_index(ds, idx, num_segments=4, with_positions=True,
-                    extra_fields={"title": "title"}, stored_source=docs)
+                    extra_fields={"title": "title"}, stored_source=docs,
+                    features={"chars": "n_chars"})
     return idx
 
 
@@ -521,6 +522,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
 
     q["function_score_query"] = _function_score
+
+    # ---- static feature scoring (document/FeatureField.java:96) ----
+    q["feature_saturation_topk"] = lambda sf: _topk_table(
+        sf, Q.FeatureQuery("chars", "saturation", pivot=1000.0, boost=2.0), 50
+    )
+    q["feature_sigmoid_all"] = lambda sf: _all_hits_table(
+        sf, Q.FeatureQuery("chars", "sigmoid", pivot=800.0, a=2.0)
+    )
+    # the reference's recommended ranking pattern: relevance FILTER +
+    # feature SHOULD (FeatureField.java class javadoc example)
+    q["feature_log_filtered"] = lambda sf: _all_hits_table(
+        sf,
+        Q.BooleanQuery(
+            filter=(Q.TermQuery("table"),),
+            should=(Q.FeatureQuery("chars", "log", a=1.0, boost=0.5),),
+        ),
+    )
 
     def _block_join(sf):
         """ToParentBlockJoinQuery: child docs = 4-token chunks of each
@@ -1668,6 +1686,27 @@ def oracle_sql() -> dict[str, str]:
     o["function_score_query"] = (
         _PRELUDE + _term_cte("t", "table")
         + """ SELECT s.doc_id, ROUND(s.score * ln(1 + d.n_chars), 4) AS score
+              FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
+              ORDER BY s.doc_id"""
+    )
+    o["feature_saturation_topk"] = (
+        """SELECT row_number() OVER (
+                 ORDER BY ROUND(2.0 * n_chars / (n_chars + 1000.0), 4) DESC, doc_id
+               ) AS rank,
+               doc_id, ROUND(2.0 * n_chars / (n_chars + 1000.0), 4) AS score
+           FROM documents WHERE n_chars > 0
+           ORDER BY ROUND(2.0 * n_chars / (n_chars + 1000.0), 4) DESC, doc_id
+           LIMIT 50"""
+    )
+    o["feature_sigmoid_all"] = (
+        """SELECT doc_id,
+               ROUND(pow(n_chars, 2.0) / (pow(n_chars, 2.0) + pow(800.0, 2.0)), 4)
+                 AS score
+           FROM documents WHERE n_chars > 0 ORDER BY doc_id"""
+    )
+    o["feature_log_filtered"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + """ SELECT s.doc_id, ROUND(0.5 * ln(1.0 + d.n_chars), 4) AS score
               FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
               ORDER BY s.doc_id"""
     )

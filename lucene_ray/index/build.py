@@ -41,9 +41,12 @@ def _build_segments(
     num_segments: int | None,
     with_positions: bool,
     extra_fields: dict[str, str] | None = None,
+    features: dict[str, str] | None = None,
 ) -> list[dict]:
     """Run the SPIMI segment stage; returns one manifest row per segment."""
-    cols = [id_col, text_col] + sorted((extra_fields or {}).values())
+    cols = [id_col, text_col] + sorted(
+        set((extra_fields or {}).values()) | set((features or {}).values())
+    )
     if isinstance(source, str):
         # one output segment per read block: pin the block count at the read
         # (no repartition pass) — otherwise Ray splits files into ~2x-cpu
@@ -64,6 +67,7 @@ def _build_segments(
         id_col=id_col,
         with_positions=with_positions,
         extra_fields=extra_fields,
+        features=features,
     )
     return ds.map_batches(
         builder, batch_size=None, batch_format="pyarrow"
@@ -153,8 +157,14 @@ def build_index(
     with_positions: bool = False,
     extra_fields: dict[str, str] | None = None,
     stored_source: str | None = None,
+    features: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) an inverted index; returns the global manifest.
+
+    ``features`` maps static per-doc feature names to numeric source
+    columns (document/FeatureField.java:96 — pagerank-style signals);
+    they persist as ``feat_<name>`` docs.parquet columns and score via
+    :class:`lucene_ray.search.query.FeatureQuery`.
 
     ``extra_fields`` maps additional field names to source columns; their
     terms share the segment dictionary under field-prefixed keys with
@@ -168,7 +178,7 @@ def build_index(
     predicate-pushdown read, and the index never duplicates the corpus."""
     manifest_rows = _build_segments(
         source, index_dir, analyzer, text_col, id_col, num_segments,
-        with_positions, extra_fields,
+        with_positions, extra_fields, features,
     )
     segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
     # Segment doc ranges are contiguous when the input's block layout is
@@ -201,6 +211,7 @@ def build_index(
         "id_col": id_col,
         "with_positions": with_positions,
         "fields": fields,
+        "features": {n: {"col": c} for n, c in sorted((features or {}).items())},
         "stored_source": stored_source or (source if isinstance(source, str) else None),
         "analyzer": {
             "lowercase": analyzer.lowercase,
@@ -244,6 +255,7 @@ def add_documents(
         source, index_dir, analyzer, m["text_col"], m["id_col"],
         num_segments, m["with_positions"],
         {f: i["col"] for f, i in m.get("fields", {}).items()} or None,
+        {n: i["col"] for n, i in m.get("features", {}).items()} or None,
     )
     old_keys = {s["segment_id"] for s in m["segments"]}
     combined = list(m["segments"]) + [

@@ -90,12 +90,18 @@ class SegmentBuilder:
         id_col: str = "doc_id",
         with_positions: bool = False,
         extra_fields: dict[str, str] | None = None,
+        features: dict[str, str] | None = None,
     ) -> None:
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.text_col = text_col
         self.id_col = id_col
         self.with_positions = with_positions
+        # static per-doc feature values (document/FeatureField.java:96 —
+        # the reference smuggles the value into a term's frequency; here
+        # each feature is a feat_<name> float32 docs.parquet column):
+        # feature name -> numeric source column
+        self.features = dict(sorted((features or {}).items()))
         # named fields beyond the default: field name -> source column.
         # Their terms are stored \x01<field>\x1f-prefixed in the SAME sorted
         # dictionary (index/fields.py), norms/lengths as norm_<f>/len_<f>
@@ -122,7 +128,7 @@ class SegmentBuilder:
         texts = batch[self.text_col]
         text_bytes = texts.nbytes + sum(
             batch[c].nbytes for c in self.extra_fields.values()
-        )
+        ) + sum(batch[c].nbytes for c in self.features.values())
         fp = _fingerprint(doc_ids, text_bytes)
 
         # Resume: a completed segment with the same fingerprint is skipped.
@@ -179,6 +185,10 @@ class SegmentBuilder:
                 [self._positions_table(s, doc_ids) for s in sections]
             )
         extra_doc_cols = {}
+        for fname, col in self.features.items():
+            extra_doc_cols[f"feat_{fname}"] = (
+                batch[col].to_numpy(zero_copy_only=False).astype(np.float32)
+            )
         field_ttf = {}
         for s in sections[:-1]:
             extra_doc_cols[f"len_{s['field']}"] = s["doc_len"]

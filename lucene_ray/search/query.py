@@ -335,6 +335,43 @@ class CombinedFieldQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static per-doc feature scoring — document/FeatureField.java:96.
+
+    The reference stores the feature value as the pseudo-frequency of a
+    term in a "feature" field and exposes newSaturationQuery /
+    newLogQuery / newSigmoidQuery / newLinearQuery over it
+    (FeatureField.java:356-438); here the feature is a ``feat_<name>``
+    docs.parquet column written at build time (build_index(features=...)).
+    Matches every doc whose feature value is > 0 (the reference matches
+    docs that indexed the feature term); score per function:
+
+        saturation: boost * v / (v + pivot)
+        log:        boost * log(a + v)          (a = scaling factor)
+        sigmoid:    boost * v^a / (v^a + pivot^a)
+        linear:     boost * v
+
+    Compose with a relevance query through BooleanQuery ``should`` — the
+    reference's recommended ranking pattern."""
+
+    feature: str
+    function: str = "saturation"  # saturation | log | sigmoid | linear
+    pivot: float = 1.0
+    a: float = 1.0
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {
+            "type": "feature",
+            "feature": self.feature,
+            "function": self.function,
+            "pivot": self.pivot,
+            "a": self.a,
+            "boost": self.boost,
+        }
+
+
+@dataclass(frozen=True)
 class CommonTermsQuery(Query):
     """queries/CommonTermsQuery.java:55 — df-split scoring: docs must match
     at least one low-frequency term (df <= max_doc_freq); high-frequency
@@ -443,6 +480,11 @@ def query_from_dict(d: dict) -> Query:
         return MultiPhraseQuery(
             tuple(tuple(p) for p in d["positions"]), d.get("boost", 1.0),
             d.get("field"),
+        )
+    if t == "feature":
+        return FeatureQuery(
+            d["feature"], d.get("function", "saturation"),
+            d.get("pivot", 1.0), d.get("a", 1.0), d.get("boost", 1.0),
         )
     if t == "common_terms":
         return CommonTermsQuery(

@@ -289,6 +289,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
             True,
         )
 
+    if isinstance(q, Q.FeatureQuery):
+        return _eval_feature(reader, q)
+
     if isinstance(q, Q.BooleanQuery):
         return _eval_bool(reader, q, ctx)
 
@@ -493,6 +496,32 @@ def _eval_synonym(reader, q: Q.SynonymQuery, ctx):
     norms = np.zeros(docs.shape[0], dtype=np.uint8)
     norms[inv] = cat_n  # same doc -> same norm byte
     return docs, scorer.score(freqs, norms).astype(np.float64), True
+
+
+def _eval_feature(reader, q: "Q.FeatureQuery"):
+    """Static-feature scorer — document/FeatureField.java:356-438.
+
+    Matches docs with feature value > 0; one vectorized pass over the
+    segment's feat_<name> column (lazy, cached per reader like norms)."""
+    if not reader.meta.get("owns_docs", True):
+        # term-sharded merged segments share one doc space
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    v = reader.feature(q.feature)
+    sel = np.nonzero(v > 0)[0]
+    x = v[sel]
+    if q.function == "saturation":
+        s = x / (x + q.pivot)
+    elif q.function == "log":
+        s = np.log(q.a + x)
+    elif q.function == "sigmoid":
+        xa = np.power(x, q.a)
+        s = xa / (xa + np.power(q.pivot, q.a))
+    elif q.function == "linear":
+        s = x.astype(np.float64)
+    else:
+        raise ValueError(f"unknown feature function {q.function!r}")
+    docs = (reader.doc_ids[sel] - reader.doc_base).astype(np.int64)
+    return docs, q.boost * s.astype(np.float64), True
 
 
 def _eval_multiterm(reader, q, ctx):

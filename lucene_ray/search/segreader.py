@@ -202,6 +202,11 @@ class SegmentReader:
             return self.norms
         return self._doc_col(f"norm_{field}", np.uint8)
 
+    def feature(self, name: str) -> np.ndarray:
+        """Per-doc static feature values (FeatureQuery; float64), row-aligned
+        with ``doc_ids``."""
+        return self._doc_col(f"feat_{name}", np.float64)
+
     def doc_len_for(self, field: str | None) -> np.ndarray:
         """Per-doc exact token counts of a field (BM25F combined length)."""
         if field is None:

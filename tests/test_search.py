@@ -397,3 +397,66 @@ def test_expression_function_score(built_index):
     for bad in ("__import__('os')", "score.__class__", "open('x')", "foo + 1"):
         with _pytest.raises(ValueError):
             Expression(bad, ["score"])
+
+
+def test_feature_query_functions(tmp_path, sf_dir):
+    """FeatureQuery (document/FeatureField.java:356-438): saturation/log/
+    sigmoid/linear against direct numpy over the source column; survives a
+    tiered merge; composes as a SHOULD clause next to a relevance filter."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.merge import tiered_merge
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "feat_idx")
+    build_index(docs, idx, num_segments=4, features={"chars": "n_chars"})
+
+    src = pq.read_table(docs, columns=["doc_id", "n_chars"])
+    ids = src["doc_id"].to_numpy()
+    v = src["n_chars"].to_numpy().astype(np.float64)
+    order = np.argsort(ids)
+    ids, v = ids[order], v[order]
+
+    expected = {
+        "saturation": 2.0 * v / (v + 1000.0),
+        "log": np.log(1.0 + v),
+        "sigmoid": v**2 / (v**2 + 800.0**2),
+        "linear": v.copy(),
+    }
+    boosts = {"saturation": 2.0, "log": 1.0, "sigmoid": 1.0, "linear": 1.0}
+
+    for which_idx in (idx, None):  # raw segments, then post-merge
+        s = Searcher(which_idx or idx)
+        for fn, exp in expected.items():
+            d, sc = s.search_all(
+                Q.FeatureQuery("chars", fn, pivot=1000.0 if fn == "saturation"
+                               else 800.0, a=2.0 if fn == "sigmoid" else 1.0,
+                               boost=boosts[fn])
+            )
+            o = np.argsort(d)
+            np.testing.assert_array_equal(d[o], ids)
+            np.testing.assert_allclose(sc[o], exp, rtol=1e-12)
+        if which_idx is idx:
+            merged = str(tmp_path / "feat_merged")
+            tiered_merge(idx, merged, group_size=2)
+            idx = merged
+
+    # SHOULD-composition: BM25(term) + feature score where both match
+    s = Searcher(idx)
+    base_d, base_s = s.search_all(Q.TermQuery("table"))
+    comb_d, comb_s = s.search_all(
+        Q.BooleanQuery(
+            must=(Q.TermQuery("table"),),
+            should=(Q.FeatureQuery("chars", "log", boost=0.5),),
+        )
+    )
+    np.testing.assert_array_equal(np.sort(comb_d), np.sort(base_d))
+    o_b, o_c = np.argsort(base_d), np.argsort(comb_d)
+    feat = 0.5 * np.log(1.0 + v[np.searchsorted(ids, base_d[o_b])])
+    np.testing.assert_allclose(comb_s[o_c], base_s[o_b] + feat, rtol=1e-9)
