@@ -540,6 +540,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     )
 
+    # ---- distance-decay feature (document/LongPoint.java:187) ----
+    q["distance_feature_topk"] = lambda sf: _topk_table(
+        sf, Q.DistanceFeatureQuery("chars", origin=2000.0, pivot=500.0,
+                                   boost=3.0), 50
+    )
+    # recency-boost ranking pattern: relevance MUST + proximity SHOULD
+    # (LongDistanceFeatureQuery class javadoc)
+    q["distance_feature_boosted"] = lambda sf: _all_hits_table(
+        sf,
+        Q.BooleanQuery(
+            must=(Q.TermQuery("table"),),
+            should=(Q.DistanceFeatureQuery("chars", origin=2000.0,
+                                           pivot=500.0),),
+        ),
+    )
+
+    def _geo_distance_feature(sf):
+        """LatLonPoint.newDistanceFeatureQuery (LatLonPoint.java:260):
+        top-20 by boost * pivot / (pivot + haversine) proximity decay."""
+        from lucene_ray.pipelines.geo import distance_feature
+
+        t = distance_feature(_geo_points(sf), 48.8566, 2.3522,
+                             pivot_m=500_000.0, k=20, boost=2.0)
+        return pa.table({"rank": t["rank"], "doc_id": t["doc_id"],
+                         "score": _round4(t["score"].to_numpy())})
+
+    q["geo_distance_feature_topk"] = _geo_distance_feature
+
     def _block_join(sf):
         """ToParentBlockJoinQuery: child docs = 4-token chunks of each
         parent; a child-level query joins up to parents with
@@ -1710,6 +1738,26 @@ def oracle_sql() -> dict[str, str]:
               FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
               ORDER BY s.doc_id"""
     )
+    o["distance_feature_topk"] = (
+        """SELECT row_number() OVER (
+                 ORDER BY ROUND(3.0 * 500.0 / (500.0 + abs(n_chars - 2000.0)), 4)
+                   DESC, doc_id
+               ) AS rank,
+               doc_id,
+               ROUND(3.0 * 500.0 / (500.0 + abs(n_chars - 2000.0)), 4) AS score
+           FROM documents
+           ORDER BY ROUND(3.0 * 500.0 / (500.0 + abs(n_chars - 2000.0)), 4)
+             DESC, doc_id
+           LIMIT 50"""
+    )
+    o["distance_feature_boosted"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + """ SELECT s.doc_id,
+                ROUND(s.score + 500.0 / (500.0 + abs(d.n_chars - 2000.0)), 4)
+                  AS score
+              FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
+              ORDER BY s.doc_id"""
+    )
     o["block_join_parents"] = (
         f"""
 WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -2221,6 +2269,13 @@ ORDER BY doc_id"""
         _GEO_PTS
         + f"""SELECT row_number() OVER (ORDER BY d, doc_id) AS rank, doc_id
 FROM (SELECT doc_id, {_geo_hav(40.7, -74.0)} AS d FROM pts)
+ORDER BY d, doc_id LIMIT 20"""
+    )
+    o["geo_distance_feature_topk"] = (
+        _GEO_PTS
+        + f"""SELECT row_number() OVER (ORDER BY d, doc_id) AS rank, doc_id,
+       ROUND(2.0 * 500000.0 / (500000.0 + d), 4) AS score
+FROM (SELECT doc_id, {_geo_hav(48.8566, 2.3522)} AS d FROM pts)
 ORDER BY d, doc_id LIMIT 20"""
     )
     o["facet_lang_counts"] = (

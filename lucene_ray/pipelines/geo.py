@@ -123,6 +123,28 @@ def geo_distance(source, lat: float, lon: float, radius_m: float,
     return ds.map_batches(refine, batch_format="pyarrow")
 
 
+def distance_feature(source, lat: float, lon: float, pivot_m: float,
+                     k: int = 10, boost: float = 1.0,
+                     lat_col: str = "lat", lon_col: str = "lon",
+                     id_col: str = "doc_id",
+                     columns: "list[str] | None" = None) -> pa.Table:
+    """LatLonPoint.newDistanceFeatureQuery (LatLonPoint.java:260,
+    LatLonPointDistanceFeatureQuery): top-k rows by the distance-decay
+    score ``boost * pivot_m / (pivot_m + haversine(origin, point))`` —
+    the "boost by proximity" ranking signal. Same partial-top-k shape as
+    :func:`geo_nearest` (score is a monotone decreasing function of
+    distance, so nearest-k == highest-k); returns
+    (rank, id, score) with ties broken on ``id_col`` ascending."""
+    near = geo_nearest(source, lat, lon, k=k, lat_col=lat_col,
+                       lon_col=lon_col, id_col=id_col, columns=columns)
+    d = near["distance_m"].to_numpy()
+    return pa.table({
+        "rank": near["rank"],
+        id_col: near[id_col],
+        "score": pa.array(boost * (pivot_m / (pivot_m + d)), pa.float64()),
+    })
+
+
 def geo_nearest(source, lat: float, lon: float, k: int = 10,
                 lat_col: str = "lat", lon_col: str = "lon",
                 id_col: str = "doc_id",

@@ -372,6 +372,36 @@ class FeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class DistanceFeatureQuery(Query):
+    """Distance-decay feature scoring — the LongPoint.newDistanceFeatureQuery
+    role (document/LongPoint.java:187, LongDistanceFeatureQuery): rank docs
+    by proximity of a stored numeric value to an ``origin`` (recency
+    boosting is the canonical use). Scores
+
+        boost * pivot / (pivot + |v - origin|)
+
+    over a dense ``feat_<name>`` column written by build_index(features=...)
+    — at ``v == origin`` the score is ``boost``; at distance ``pivot`` it
+    halves. The geo variant (LatLonPoint.newDistanceFeatureQuery) lives in
+    pipelines/geo.py:distance_feature. Compose through BooleanQuery
+    ``should`` next to a relevance query, like FeatureQuery."""
+
+    feature: str
+    origin: float
+    pivot: float
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {
+            "type": "distance_feature",
+            "feature": self.feature,
+            "origin": self.origin,
+            "pivot": self.pivot,
+            "boost": self.boost,
+        }
+
+
+@dataclass(frozen=True)
 class CommonTermsQuery(Query):
     """queries/CommonTermsQuery.java:55 — df-split scoring: docs must match
     at least one low-frequency term (df <= max_doc_freq); high-frequency
@@ -485,6 +515,10 @@ def query_from_dict(d: dict) -> Query:
         return FeatureQuery(
             d["feature"], d.get("function", "saturation"),
             d.get("pivot", 1.0), d.get("a", 1.0), d.get("boost", 1.0),
+        )
+    if t == "distance_feature":
+        return DistanceFeatureQuery(
+            d["feature"], d["origin"], d["pivot"], d.get("boost", 1.0)
         )
     if t == "common_terms":
         return CommonTermsQuery(

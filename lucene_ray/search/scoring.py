@@ -292,6 +292,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.FeatureQuery):
         return _eval_feature(reader, q)
 
+    if isinstance(q, Q.DistanceFeatureQuery):
+        return _eval_distance_feature(reader, q)
+
     if isinstance(q, Q.BooleanQuery):
         return _eval_bool(reader, q, ctx)
 
@@ -522,6 +525,19 @@ def _eval_feature(reader, q: "Q.FeatureQuery"):
         raise ValueError(f"unknown feature function {q.function!r}")
     docs = (reader.doc_ids[sel] - reader.doc_base).astype(np.int64)
     return docs, q.boost * s.astype(np.float64), True
+
+
+def _eval_distance_feature(reader, q: "Q.DistanceFeatureQuery"):
+    """LongPoint.newDistanceFeatureQuery scorer (LongDistanceFeatureQuery):
+    boost * pivot / (pivot + |v - origin|) over a dense feature column.
+    Every live doc in the segment matches (the feature columns build_index
+    writes are dense — one value per doc)."""
+    if not reader.meta.get("owns_docs", True):
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    v = reader.feature(q.feature)
+    s = q.boost * (q.pivot / (q.pivot + np.abs(v - q.origin)))
+    docs = (reader.doc_ids - reader.doc_base).astype(np.int64)
+    return docs, s.astype(np.float64), True
 
 
 def _eval_multiterm(reader, q, ctx):

@@ -399,6 +399,59 @@ def test_expression_function_score(built_index):
             Expression(bad, ["score"])
 
 
+def test_distance_feature_query(tmp_path, sf_dir):
+    """DistanceFeatureQuery (document/LongPoint.java:187): decay scores vs
+    direct numpy; geo variant's monotone rank identity with geo_nearest."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "df_idx")
+    build_index(docs, idx, num_segments=3, features={"chars": "n_chars"})
+
+    src = pq.read_table(docs, columns=["doc_id", "n_chars"])
+    ids = src["doc_id"].to_numpy()
+    v = src["n_chars"].to_numpy().astype(np.float64)
+    order = np.argsort(ids)
+    ids, v = ids[order], v[order]
+
+    s = Searcher(idx)
+    d, sc = s.search_all(
+        Q.DistanceFeatureQuery("chars", origin=2000.0, pivot=500.0, boost=3.0)
+    )
+    o = np.argsort(d)
+    np.testing.assert_array_equal(d[o], ids)
+    np.testing.assert_allclose(
+        sc[o], 3.0 * 500.0 / (500.0 + np.abs(v - 2000.0)), rtol=1e-12
+    )
+
+    # geo variant: ranks identical to geo_nearest, scores decay-monotone
+    import pyarrow as pa
+
+    import ray.data
+    from lucene_ray.pipelines.geo import distance_feature, geo_nearest
+
+    pts = pa.table({
+        "doc_id": ids.astype(np.int64),
+        "lat": (ids * 9973 % 18000) / 100.0 - 90.0,
+        "lon": (ids * 7919 % 36000) / 100.0 - 180.0,
+    })
+    near = geo_nearest(ray.data.from_arrow(pts), 48.8566, 2.3522, k=10)
+    feat = distance_feature(ray.data.from_arrow(pts), 48.8566, 2.3522,
+                            pivot_m=500_000.0, k=10, boost=2.0)
+    np.testing.assert_array_equal(feat["doc_id"].to_numpy(),
+                                  near["doc_id"].to_numpy())
+    exp = 2.0 * 500_000.0 / (500_000.0 + near["distance_m"].to_numpy())
+    np.testing.assert_allclose(feat["score"].to_numpy(), exp, rtol=1e-12)
+    assert (np.diff(feat["score"].to_numpy()) <= 1e-15).all()
+
+
 def test_feature_query_functions(tmp_path, sf_dir):
     """FeatureQuery (document/FeatureField.java:356-438): saturation/log/
     sigmoid/linear against direct numpy over the source column; survives a
