@@ -556,6 +556,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     )
 
+    def _rescore(sf):
+        """QueryRescorer (search/QueryRescorer.java:46): term-query first
+        pass re-ranked by a weighted exact-phrase second pass; k_first
+        exceeds the hit count so candidate selection is boundary-free and
+        the SQL oracle can mirror it exactly."""
+        s = _searcher(sf)
+        td = s.rescore(Q.TermQuery("table"), Q.PhraseQuery(("key", "value")),
+                       k_first=1_000_000, k=1_000_000, weight=2.0)
+        r = _round4(td.scores)
+        order = np.lexsort((td.doc_ids, -r))[:20]
+        return pa.table({
+            "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+            "doc_id": td.doc_ids[order],
+            "score": r[order],
+        })
+
+    q["rescore_phrase_topk"] = _rescore
+
     def _geo_distance_feature(sf):
         """LatLonPoint.newDistanceFeatureQuery (LatLonPoint.java:260):
         top-20 by boost * pivot / (pivot + haversine) proximity decay."""
@@ -1737,6 +1755,37 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT s.doc_id, ROUND(0.5 * ln(1.0 + d.n_chars), 4) AS score
               FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
               ORDER BY s.doc_id"""
+    )
+    o["rescore_phrase_topk"] = (
+        _PRELUDE + _term_cte("t", "table") + _POS_CTE
+        + f"""
+, pf AS (
+    SELECT a.doc_id, count(*)::DOUBLE AS f
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'key' AND b.term = 'value'
+    GROUP BY a.doc_id)
+, pidf AS (
+    SELECT (SELECT ln(1 + (s.n - count(DISTINCT doc_id) + 0.5) /
+                         (count(DISTINCT doc_id) + 0.5))
+            FROM tok WHERE term = 'key') +
+           (SELECT ln(1 + (s.n - count(DISTINCT doc_id) + 0.5) /
+                         (count(DISTINCT doc_id) + 0.5))
+            FROM tok WHERE term = 'value') AS idf
+    FROM stats s)
+, psc AS (
+    SELECT t.doc_id,
+           i.idf * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+    FROM pf t CROSS JOIN pidf i CROSS JOIN stats s
+    JOIN dlq q ON t.doc_id = q.doc_id)
+SELECT row_number() OVER (
+         ORDER BY ROUND(s.score + coalesce(2.0 * p.score, 0.0), 4) DESC,
+                  s.doc_id) AS rank,
+       s.doc_id,
+       ROUND(s.score + coalesce(2.0 * p.score, 0.0), 4) AS score
+FROM sc_t s LEFT JOIN psc p ON s.doc_id = p.doc_id
+ORDER BY ROUND(s.score + coalesce(2.0 * p.score, 0.0), 4) DESC, s.doc_id
+LIMIT 20"""
     )
     o["distance_feature_topk"] = (
         """SELECT row_number() OVER (

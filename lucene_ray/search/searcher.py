@@ -162,6 +162,47 @@ class Searcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(docs_parts), np.concatenate(score_parts)
 
+    def rescore(self, first: "Q.Query | str", second: "Q.Query | str",
+                k_first: int = 100, k: int = 10,
+                weight: float = 1.0) -> TopDocs:
+        """Two-pass rescoring — search/QueryRescorer.java:46: take the
+        first query's top ``k_first`` (pruned, cheap), re-rank them as
+        ``first_score + weight * second_score`` where the (expensive)
+        second query also matches, first_score alone otherwise, and
+        return the top ``k``. The canonical use is a term-query first
+        pass re-ranked by a phrase/proximity second pass.
+
+        The second pass only touches segments that hold a candidate —
+        with ``k_first`` in the hundreds that is the handful of segments
+        the first pass surfaced, not the corpus; candidate intersection
+        is one searchsorted per segment."""
+        td = self.search(first, k=k_first)
+        if td.doc_ids.shape[0] == 0:
+            return TopDocs(0, "EQ", td.doc_ids, td.scores)
+        cand = np.sort(td.doc_ids)
+        combined = dict(zip(td.doc_ids.tolist(), td.scores.tolist()))
+
+        query2 = self._prep(second)
+        ctx2 = self.make_context(query2)
+        for reader in self.readers:
+            # actual id span of the segment (global ids need not be
+            # contiguous per segment — the corpus may arrive shuffled)
+            lo, hi = int(reader.doc_ids[0]), int(reader.doc_ids[-1]) + 1
+            i0, i1 = np.searchsorted(cand, [lo, hi])
+            if i0 == i1:  # no candidate in this segment: skip entirely
+                continue
+            d, s, _ = eval_query(reader, query2, ctx2)
+            if not d.shape[0]:
+                continue
+            gdocs = d + reader.doc_base
+            hit = np.isin(gdocs, cand[i0:i1])
+            for g, sc in zip(gdocs[hit].tolist(), s[hit].tolist()):
+                combined[g] += weight * sc
+        docs = np.fromiter(combined.keys(), np.int64, len(combined))
+        scores = np.fromiter(combined.values(), np.float64, len(combined))
+        docs, scores = merge_topk(docs, scores, k)
+        return TopDocs(td.total_hits, td.relation, docs, scores)
+
     def explain(self, query: "Q.Query | str", doc_id: int) -> dict:
         """Score explanation for one document — the Weight.explain role
         (search/Weight.java; the reference's CheckHits asserts

@@ -399,6 +399,39 @@ def test_expression_function_score(built_index):
             Expression(bad, ["score"])
 
 
+def test_query_rescorer(built_index):
+    """QueryRescorer (search/QueryRescorer.java:46): combined == first +
+    weight*second on the candidate set; non-candidates never enter; a
+    small k_first restricts rescoring to the first-pass winners."""
+    import numpy as np
+
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _m = built_index
+    s = Searcher(idx)
+    first, second = Q.TermQuery("table"), Q.PhraseQuery(("key", "value"))
+    d1, s1 = s.search_all(first)
+    d2, s2 = s.search_all(second)
+    exp = dict(zip(d1.tolist(), s1.tolist()))
+    for g, sc in zip(d2.tolist(), s2.tolist()):
+        if g in exp:
+            exp[g] += 1.5 * sc
+
+    td = s.rescore(first, second, k_first=10**6, k=10**6, weight=1.5)
+    assert set(td.doc_ids.tolist()) == set(exp)
+    for g, sc in zip(td.doc_ids.tolist(), td.scores.tolist()):
+        np.testing.assert_allclose(sc, exp[g], rtol=1e-12)
+    # ranking: score desc, doc asc
+    r = list(zip((-td.scores).tolist(), td.doc_ids.tolist()))
+    assert r == sorted(r)
+
+    # k_first=5: only the 5 first-pass winners are eligible
+    td5 = s.rescore(first, second, k_first=5, k=5, weight=1.5)
+    top5 = s.search(first, k=5).doc_ids
+    assert set(td5.doc_ids.tolist()) <= set(top5.tolist())
+
+
 def test_distance_feature_query(tmp_path, sf_dir):
     """DistanceFeatureQuery (document/LongPoint.java:187): decay scores vs
     direct numpy; geo variant's monotone rank identity with geo_nearest."""
