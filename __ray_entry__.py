@@ -660,6 +660,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["suggest_prefix"] = _suggest
 
+    def _suggest_fuzzy(sf):
+        """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:60):
+        completions whose prefix is within 1 edit of the typo 'winow'
+        (first char exact), df-ranked."""
+        t = _searcher(sf).suggest_fuzzy("winow", k=8, max_edits=1)
+        return pa.table({"rank": t["rank"], "term": t["term"], "df": t["df"]})
+
+    q["suggest_fuzzy"] = _suggest_fuzzy
+
     def _suggest_infix(sf):
         """Infix suggester: terms containing 'a' anywhere, df-ranked."""
         s = _searcher(sf)
@@ -2062,6 +2071,22 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
                 WHERE term LIKE 's%' GROUP BY term)
               SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df
               FROM dfs ORDER BY df DESC, term LIMIT 8"""
+    )
+    o["suggest_fuzzy"] = (
+        _PRELUDE
+        + """ , dfs AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+                WHERE substr(term, 1, 1) = 'w' GROUP BY term)
+              , js AS (SELECT unnest(range(0, 7)) AS j)
+              , ped AS (
+                SELECT term, df,
+                       min(levenshtein('winow', substr(term, 1, j::INT))) AS d
+                FROM dfs CROSS JOIN js
+                WHERE j <= least(len(term), 6)
+                GROUP BY term, df)
+              SELECT row_number() OVER (ORDER BY df DESC, term) AS rank,
+                     term, df
+              FROM ped WHERE d <= 1 ORDER BY df DESC, term LIMIT 8"""
     )
     o["term_vector_doc"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE

@@ -267,7 +267,17 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
 
     if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                       Q.FuzzyQuery, Q.TermRangeQuery, Q.TermInSetQuery)):
-        return _eval_multiterm(reader, q, ctx)
+        # dictionary-scan rewrites are the queries the reference's
+        # UsageTrackingQueryCachingPolicy always considers caching; the
+        # doc set is constant-score and ctx-free, so it memoizes cleanly
+        from lucene_ray.search.querycache import get_query_cache
+
+        cache = get_query_cache()
+        if cache is None:
+            return _eval_multiterm(reader, q, ctx)
+        docs = cache.docs(reader, q,
+                          lambda: _eval_multiterm(reader, q, ctx)[0])
+        return docs, np.full(docs.shape[0], float(q.boost), np.float64), True
 
     if isinstance(q, Q.PhraseQuery):
         return _eval_phrase(reader, q, ctx)
@@ -932,9 +942,23 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
         if docs.shape[0] == 0:
             return docs, np.empty(0, np.float64), exact
 
-    # general FILTER clauses: intersect, no score contribution
+    # general FILTER clauses: intersect, no score contribution (and the
+    # LRUQueryCache's other admission point — filter-role doc sets)
+    from lucene_ray.search.querycache import get_query_cache
+
+    _qc = get_query_cache()
     for fq in gen_filter:
-        d, _s, _ = eval_query(reader, fq, sub_ctx)
+        # multi-term filters cache inside their own dispatch above —
+        # wrapping them here would double-count usage on the same key
+        if _qc is None or isinstance(fq, (
+            Q.MatchAllDocsQuery, Q.PrefixQuery, Q.WildcardQuery,
+            Q.RegexpQuery, Q.FuzzyQuery, Q.TermRangeQuery,
+            Q.TermInSetQuery,
+        )):
+            d, _s, _ = eval_query(reader, fq, sub_ctx)
+        else:
+            d = _qc.docs(reader, fq,
+                         lambda fq=fq: eval_query(reader, fq, sub_ctx)[0])
         if docs is None:
             docs = d
             scores = np.zeros(d.shape[0], dtype=np.float64)

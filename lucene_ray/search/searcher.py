@@ -379,6 +379,59 @@ class Searcher:
         )[:k]
         return t.take(order)
 
+    def suggest_fuzzy(self, prefix: str, k: int = 10, max_edits: int = 1,
+                      non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3):
+        """Typo-tolerant completion — the FuzzySuggester contract
+        (suggest/analyzing/FuzzySuggester.java:60): suggestions whose
+        *prefix* is within ``max_edits`` Levenshtein edits of the typed
+        text (prefix edit distance: min over all prefixes of the
+        candidate), the first ``non_fuzzy_prefix`` chars matching
+        exactly, and no fuzziness at all for inputs shorter than
+        ``min_fuzzy_length``. Ranked df desc, term asc.
+
+        The exact first char range-prunes the sorted dictionary (the
+        analog of the reference intersecting a LevenshteinAutomaton with
+        the suggest FST); the banded DP then runs only over that slice,
+        on candidates truncated to len(prefix)+max_edits chars."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        if len(prefix) < min_fuzzy_length or max_edits == 0:
+            return self.suggest(prefix, k=k)
+        anchor = prefix[:max(non_fuzzy_prefix, 1)]
+        dset = pads.dataset(
+            os.path.join(self.index_dir, "global_terms"), format="parquet"
+        )
+        t = dset.to_table(
+            filter=(pads.field("term") >= anchor)
+            & (pads.field("term") < anchor + chr(0x10FFFF))
+        )
+        m = len(prefix)
+        rows = []
+        for cand, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            c = cand[:m + max_edits]
+            # prefix edit distance: one DP over (prefix x c), answer =
+            # min of the last row (best prefix of the candidate)
+            prev = list(range(len(c) + 1))
+            for i, pch in enumerate(prefix, 1):
+                cur = [i] + [0] * len(c)
+                for j, cch in enumerate(c, 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (pch != cch))
+                prev = cur
+            if min(prev) <= max_edits:
+                rows.append((-int(df), cand, min(prev)))
+        rows.sort()
+        import pyarrow as _pa
+
+        top = rows[:k]
+        return _pa.table({
+            "rank": _pa.array(range(1, len(top) + 1), type=_pa.int64()),
+            "term": [r[1] for r in top],
+            "df": _pa.array([-r[0] for r in top], type=_pa.int64()),
+        })
+
     def term_vector(self, doc_id: int, field: "str | None" = None) -> "object":
         """Per-document term vector — the TermVectorsReader role
         (codecs/lucene90/compressing/Lucene90CompressingTermVectorsReader.java,

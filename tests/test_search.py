@@ -399,6 +399,53 @@ def test_expression_function_score(built_index):
             Expression(bad, ["score"])
 
 
+def test_lru_query_cache(built_index):
+    """LRUQueryCache (search/LRUQueryCache.java:90): repeated multi-term
+    and filter-role queries are answered from the per-process cache with
+    identical results; usage-tracking admission; bounded LRU eviction;
+    set_query_cache(None) disables."""
+    import numpy as np
+
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.querycache import LRUQueryCache, set_query_cache
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _m = built_index
+    s = Searcher(idx)
+    wq = Q.WildcardQuery("tab*")
+    bq = Q.BooleanQuery(must=(Q.TermQuery("table"),),
+                        filter=(Q.PhraseQuery(("key", "value")),))
+
+    prev = set_query_cache(None)
+    try:
+        base_w = s.search_all(wq)
+        base_b = s.search_all(bq)
+
+        cache = LRUQueryCache(max_entries=64, min_usage=2)
+        set_query_cache(cache)
+        for _ in range(3):
+            d, sc = s.search_all(wq)
+            np.testing.assert_array_equal(d, base_w[0])
+            np.testing.assert_allclose(sc, base_w[1])
+            d, sc = s.search_all(bq)
+            np.testing.assert_array_equal(d, base_b[0])
+            np.testing.assert_allclose(sc, base_b[1])
+        st = cache.stats()
+        assert st["hits"] > 0 and st["inserts"] > 0
+        # admission: the very first (segment, query) sighting is never
+        # cached (min_usage=2), so misses exceed inserts
+        assert st["misses"] > st["inserts"]
+
+        # eviction: a 1-entry cache under two distinct queries churns
+        tiny = LRUQueryCache(max_entries=1, min_usage=1)
+        set_query_cache(tiny)
+        s.search_all(wq)
+        s.search_all(Q.PrefixQuery("val"))
+        assert tiny.eviction_count > 0 and tiny.stats()["entries"] == 1
+    finally:
+        set_query_cache(prev)
+
+
 def test_query_rescorer(built_index):
     """QueryRescorer (search/QueryRescorer.java:46): combined == first +
     weight*second on the candidate set; non-candidates never enter; a
