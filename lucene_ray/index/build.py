@@ -101,16 +101,32 @@ def logical_doc_stats(segments: list[dict]) -> tuple[int, int]:
     )
 
 
-def _write_global_stats(index_dir: str, segments: list[dict]) -> None:
+def _write_global_stats(index_dir: str, segments: list[dict]) -> str:
     """Global term stats (df/ttf): partial aggregates per segment, then a
     small groupby over (term, df, ttf) rows. The shuffle moves only the
     vocab (<= n_segments rows per term), never postings. Below a row
     threshold the reduce runs as one driver-side pyarrow group_by (C++
     hash agg, ~ms) — a Ray Data groupby has seconds of fixed all-to-all
     cost that would dominate small builds; past the threshold (web-scale
-    vocab x many segments) the distributed path takes over."""
+    vocab x many segments) the distributed path takes over.
+
+    The output directory is content-addressed by the segment set
+    (``global_terms-<hash>``) and never rewritten in place — commit
+    points (index/commits.py) can then reference it immutably, the way
+    the reference's per-commit file lists pin stats files; an identical
+    segment set reuses the existing dir. Returns the dir NAME (stored
+    as ``manifest["stats_dir"]``; resolve with :func:`stats_path`)."""
+    import hashlib
+
+    key = hashlib.sha1("|".join(
+        sorted(str(r.get("fingerprint") or r.get("segment_id", ""))
+               for r in segments)
+    ).encode()).hexdigest()[:10]
+    name = f"global_terms-{key}"
+    stats_dir = os.path.join(index_dir, name)
+    if os.path.isdir(stats_dir):
+        return name  # content-addressed: same segment set, same stats
     term_files = [os.path.join(r["path"], "terms.parquet") for r in segments]
-    stats_dir = os.path.join(index_dir, "global_terms")
     tmp_stats = os.path.join(index_dir, f".tmp-global_terms-{uuid.uuid4().hex[:8]}")
     total_term_rows = sum(r["n_terms"] for r in segments)
     os.makedirs(tmp_stats, exist_ok=True)
@@ -140,11 +156,14 @@ def _write_global_stats(index_dir: str, segments: list[dict]) -> None:
         )
         agg = agg.sort("term")
         agg.write_parquet(tmp_stats)
-    if os.path.isdir(stats_dir):
+    try:
+        os.replace(tmp_stats, stats_dir)
+    except OSError:
+        # a concurrent writer landed the identical content-addressed dir
         import shutil
 
-        shutil.rmtree(stats_dir)
-    os.replace(tmp_stats, stats_dir)
+        shutil.rmtree(tmp_stats, ignore_errors=True)
+    return name
 
 
 def build_index(
@@ -190,7 +209,7 @@ def build_index(
 
     doc_count, sum_ttf = logical_doc_stats(segments)
 
-    _write_global_stats(index_dir, segments)
+    stats_name = _write_global_stats(index_dir, segments)
 
     # per-extra-field global sum_ttf (avgdl differs per field)
     fields: dict[str, dict] = {}
@@ -204,6 +223,7 @@ def build_index(
         }
 
     manifest = {
+        "stats_dir": stats_name,
         "codec": CODEC_VERSION,
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
@@ -231,11 +251,9 @@ def build_index(
             for r in segments
         ],
     }
-    tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
-    return manifest
+    from lucene_ray.index.commits import commit_manifest
+
+    return commit_manifest(index_dir, manifest)
 
 
 def add_documents(
@@ -269,8 +287,9 @@ def add_documents(
         if r["segment_id"] not in old_keys
     ]
     segments = sorted(combined, key=lambda r: r["doc_base"])
-    _write_global_stats(index_dir, segments)
+    stats_name = _write_global_stats(index_dir, segments)
     manifest = dict(m)
+    manifest["stats_dir"] = stats_name
     # keep stored-field fetch complete after incremental adds: record the
     # added rows as an extra stored source (fetch_docs unions them). A
     # Dataset source has no path, so persist it under the index dir —
@@ -290,11 +309,9 @@ def add_documents(
     for f in manifest.get("fields", {}):
         manifest["fields"][f]["sum_ttf"] = _fttf.get(f, 0)
     manifest["segments"] = segments
-    tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
-    return manifest
+    from lucene_ray.index.commits import commit_manifest
+
+    return commit_manifest(index_dir, manifest)
 
 
 def ram_index_dir(prefix: str = "lucene_ray_ram_") -> str:
@@ -340,12 +357,21 @@ def load_manifest(index_dir: str) -> dict:
     return m
 
 
-def read_global_term_stats(index_dir: str, terms: list[str] | None = None) -> pa.Table:
+def stats_path(index_dir: str, manifest: "dict | None" = None) -> str:
+    """Resolve the manifest's global-stats directory (versioned
+    ``stats_dir`` when present, legacy ``global_terms`` otherwise)."""
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    return os.path.join(index_dir, manifest.get("stats_dir", "global_terms"))
+
+
+def read_global_term_stats(index_dir: str, terms: list[str] | None = None,
+                           manifest: "dict | None" = None) -> pa.Table:
     """Global (df, ttf) per term; with ``terms`` given, prunes via parquet
     predicate pushdown (the table is term-sorted, so row groups prune)."""
     import pyarrow.dataset as pads
 
-    dset = pads.dataset(os.path.join(index_dir, "global_terms"), format="parquet")
+    dset = pads.dataset(stats_path(index_dir, manifest), format="parquet")
     if terms is None:
         return dset.to_table()
     return dset.to_table(filter=pads.field("term").isin(terms))
@@ -383,7 +409,7 @@ def add_indexes(dst_index_dir: str, src_index_dirs: list[str]) -> dict:
         all_tombs.append(load_tombstones(src))
 
     segments = sorted(combined.values(), key=lambda r: r["doc_base"])
-    _write_global_stats(dst_index_dir, segments)
+    stats_name = _write_global_stats(dst_index_dir, segments)
     import numpy as np
 
     tombs = np.unique(np.concatenate(all_tombs)) if any(t.size for t in all_tombs) else None
@@ -391,10 +417,9 @@ def add_indexes(dst_index_dir: str, src_index_dirs: list[str]) -> dict:
         delete_docs(dst_index_dir, tombs)
 
     manifest = dict(m)
+    manifest["stats_dir"] = stats_name
     manifest["doc_count"], manifest["sum_total_term_freq"] = logical_doc_stats(segments)
     manifest["segments"] = segments
-    tmp = os.path.join(dst_index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(dst_index_dir, "manifest.json"))
-    return manifest
+    from lucene_ray.index.commits import commit_manifest
+
+    return commit_manifest(dst_index_dir, manifest)

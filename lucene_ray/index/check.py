@@ -278,7 +278,9 @@ def check_index(index_dir: str, verbose: bool = False,
         )
 
     # global term stats == per-term sums over all segments
-    gt = pq.read_table(os.path.join(index_dir, "global_terms"))
+    from lucene_ray.index.build import stats_path
+
+    gt = pq.read_table(stats_path(index_dir, m))
     g_terms = np.asarray(gt["term"].to_pylist(), dtype=object)
     if g_terms.shape[0] > 1 and not np.all(g_terms[:-1] < g_terms[1:]):
         problems.append("global_terms not strictly sorted")

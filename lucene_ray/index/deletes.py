@@ -38,12 +38,21 @@ def load_tombstones(index_dir: str) -> np.ndarray:
 
 
 def delete_docs(index_dir: str, doc_ids) -> int:
-    """Add global doc ids to the tombstone set; returns its new size."""
+    """Add global doc ids to the tombstone set; returns its new size.
+    Commits a new generation so the delete is a rewindable commit point
+    (the reference's commits carry liveDocs — index/commits.py)."""
     ids = np.asarray(list(doc_ids), dtype=np.int64)
     merged = np.union1d(load_tombstones(index_dir), ids)
     tmp = os.path.join(index_dir, f".tmp-{TOMBSTONES}-{uuid.uuid4().hex[:8]}")
     pq.write_table(pa.table({"doc_id": merged}), tmp)
     os.replace(tmp, os.path.join(index_dir, TOMBSTONES))
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        import json
+
+        from lucene_ray.index.commits import commit_manifest
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            commit_manifest(index_dir, json.load(f))
     return int(merged.shape[0])
 
 

@@ -406,13 +406,10 @@ def force_merge(
             manifest["fields"][f_]["sum_ttf"] = 0
         manifest["segments"] = []
         from lucene_ray.index.build import _write_global_stats
+        from lucene_ray.index.commits import commit_manifest
 
-        _write_global_stats(out_dir, [])
-        tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
-        with open(tmpm, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmpm, os.path.join(out_dir, "manifest.json"))
-        return manifest
+        manifest["stats_dir"] = _write_global_stats(out_dir, [])
+        return commit_manifest(out_dir, manifest)
 
     # exactly one shard owns the doc space (MatchAllDocsQuery source)
     first_meta_path = os.path.join(shard_rows[0]["path"], "meta.json")
@@ -440,19 +437,21 @@ def force_merge(
         # deletes are now physical: recompute term stats from the shards
         from lucene_ray.index.build import _write_global_stats
 
-        _write_global_stats(out_dir, segments)
+        manifest["stats_dir"] = _write_global_stats(out_dir, segments)
     else:
         import shutil as _sh
 
-        gsrc = os.path.join(index_dir, "global_terms")
-        gdst = os.path.join(out_dir, "global_terms")
+        from lucene_ray.index.build import stats_path
+
+        sname = m.get("stats_dir", "global_terms")
+        gsrc = stats_path(index_dir, m)
+        gdst = os.path.join(out_dir, sname)
         if not os.path.isdir(gdst):
             _sh.copytree(os.path.abspath(gsrc), gdst)
-    tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
-    with open(tmpm, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmpm, os.path.join(out_dir, "manifest.json"))
-    return manifest
+        manifest["stats_dir"] = sname
+    from lucene_ray.index.commits import commit_manifest
+
+    return commit_manifest(out_dir, manifest)
 
 
 def tiered_merge(
@@ -672,16 +671,18 @@ def tiered_merge(
     if tombs.shape[0]:
         from lucene_ray.index.build import _write_global_stats
 
-        _write_global_stats(out_dir, segments)
+        manifest["stats_dir"] = _write_global_stats(out_dir, segments)
     else:
         import shutil as _sh
 
-        gsrc = os.path.join(index_dir, "global_terms")
-        gdst = os.path.join(out_dir, "global_terms")
+        from lucene_ray.index.build import stats_path
+
+        sname = m.get("stats_dir", "global_terms")
+        gsrc = stats_path(index_dir, m)
+        gdst = os.path.join(out_dir, sname)
         if not os.path.isdir(gdst):
             _sh.copytree(os.path.abspath(gsrc), gdst)
-    tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
-    with open(tmpm, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmpm, os.path.join(out_dir, "manifest.json"))
-    return manifest
+        manifest["stats_dir"] = sname
+    from lucene_ray.index.commits import commit_manifest
+
+    return commit_manifest(out_dir, manifest)

@@ -156,11 +156,9 @@ def build_sorted_index(
     )
     m["index_sort"] = {"by": by, "descending": descending,
                        "orig_id_col": f"orig_{id_col}"}
-    tmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1)
-    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
-    return m
+    from lucene_ray.index.commits import commit_manifest
+
+    return commit_manifest(index_dir, m)
 
 
 def sorted_topk(searcher, k: int, columns: "list[str] | None" = None) -> pa.Table:

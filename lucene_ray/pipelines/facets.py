@@ -116,7 +116,9 @@ def high_freq_terms(
 
     from lucene_ray.index.fields import FIELD_MARK, field_prefix
 
-    t = pq.read_table(f"{index_dir}/global_terms")
+    from lucene_ray.index.build import stats_path
+
+    t = pq.read_table(stats_path(index_dir))
     if field is None:
         t = t.filter(pc.invert(pc.starts_with(t["term"], FIELD_MARK)))
     else:

@@ -77,7 +77,7 @@ class Searcher:
     def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
-            tbl = read_global_term_stats(self.index_dir, missing)
+            tbl = read_global_term_stats(self.index_dir, missing, self.manifest)
             got = dict(
                 zip(
                     tbl["term"].to_pylist(),
@@ -367,8 +367,10 @@ class Searcher:
 
         import pyarrow.dataset as pads
 
+        from lucene_ray.index.build import stats_path
+
         dset = pads.dataset(
-            os.path.join(self.index_dir, "global_terms"), format="parquet"
+            stats_path(self.index_dir, self.manifest), format="parquet"
         )
         t = dset.to_table(
             filter=(pads.field("term") >= prefix)
@@ -400,8 +402,10 @@ class Searcher:
         if len(prefix) < min_fuzzy_length or max_edits == 0:
             return self.suggest(prefix, k=k)
         anchor = prefix[:max(non_fuzzy_prefix, 1)]
+        from lucene_ray.index.build import stats_path
+
         dset = pads.dataset(
-            os.path.join(self.index_dir, "global_terms"), format="parquet"
+            stats_path(self.index_dir, self.manifest), format="parquet"
         )
         t = dset.to_table(
             filter=(pads.field("term") >= anchor)
@@ -480,8 +484,10 @@ class Searcher:
         import pyarrow.compute as _pc
         import pyarrow.dataset as pads
 
+        from lucene_ray.index.build import stats_path
+
         t = pads.dataset(
-            os.path.join(self.index_dir, "global_terms"), format="parquet"
+            stats_path(self.index_dir, self.manifest), format="parquet"
         ).to_table()
         from lucene_ray.index.fields import FIELD_MARK
 
@@ -537,7 +543,7 @@ class Searcher:
         from lucene_ray.index.fields import FIELD_MARK
         from lucene_ray.search.scoring import _edit_distance
 
-        t = read_global_term_stats(self.index_dir)
+        t = read_global_term_stats(self.index_dir, manifest=self.manifest)
         rows = []
         lb = len(term)
         for cand, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):

@@ -1,0 +1,93 @@
+"""Commit points, snapshots, rollback (index/commits.py) — the
+segments_N + SnapshotDeletionPolicy + rollback model
+(index/SegmentInfos.java:123, index/SnapshotDeletionPolicy.java:43)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.build import add_documents, build_index
+from lucene_ray.index.commits import (
+    latest_generation,
+    list_commits,
+    release_snapshot,
+    rollback,
+    snapshot,
+)
+from lucene_ray.index.deletes import delete_docs
+from lucene_ray.search import query as Q
+from lucene_ray.search.searcher import Searcher
+
+
+@pytest.fixture()
+def docs_path(sf_dir):
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def test_commit_generations_and_rollback(tmp_path, docs_path, ray_session):
+    idx = str(tmp_path / "idx")
+    build_index(docs_path, idx, num_segments=2)
+    assert latest_generation(idx) == 1
+    base_docs, base_scores = Searcher(idx).search_all(Q.TermQuery("table"))
+    n0 = Searcher(idx).count(Q.MatchAllDocsQuery())
+
+    # keep-only-last pruning unless snapshotted
+    g1 = snapshot(idx)
+    assert g1 == 1
+
+    import ray.data
+
+    extra = ray.data.from_items(
+        [{"doc_id": 10_000 + i, "text": "brand new table doc"} for i in range(6)]
+    )
+    add_documents(extra, idx, num_segments=1)
+    commits = list_commits(idx)
+    assert [c["generation"] for c in commits] == [1, 2]
+    assert commits[0]["snapshotted"] and not commits[1]["snapshotted"]
+    assert Searcher(idx).count(Q.MatchAllDocsQuery()) == n0 + 6
+
+    delete_docs(idx, [int(base_docs[0])])
+    assert latest_generation(idx) == 3
+    # gen 2 was pruned at the gen-3 commit; the snapshot held gen 1
+    assert [c["generation"] for c in list_commits(idx)] == [1, 3]
+    d3, _ = Searcher(idx).search_all(Q.TermQuery("table"))
+    assert int(base_docs[0]) not in d3.tolist()
+
+    # rewind to the snapshotted point: original corpus, no tombstones
+    rollback(idx, g1)
+    s = Searcher(idx)
+    assert s.count(Q.MatchAllDocsQuery()) == n0
+    d, sc = s.search_all(Q.TermQuery("table"))
+    np.testing.assert_array_equal(d, base_docs)
+    np.testing.assert_allclose(sc, base_scores)
+    assert [c["generation"] for c in list_commits(idx)] == [1]
+
+    # history continues from the restored line
+    add_documents(extra, idx, num_segments=1)
+    assert latest_generation(idx) == 2
+    assert Searcher(idx).count(Q.MatchAllDocsQuery()) == n0 + 6
+
+    # released snapshots are reclaimed at the next commit
+    release_snapshot(idx, g1)
+    delete_docs(idx, [int(base_docs[-1])])
+    assert [c["generation"] for c in list_commits(idx)] == [3]
+
+    with pytest.raises(ValueError):
+        rollback(idx, 99)
+    with pytest.raises(ValueError):
+        release_snapshot(idx, 99)
+
+
+def test_snapshot_refcounts(tmp_path, docs_path, ray_session):
+    idx = str(tmp_path / "idx")
+    build_index(docs_path, idx, num_segments=1)
+    a, b = snapshot(idx), snapshot(idx)
+    assert a == b == 1
+    release_snapshot(idx, a)
+    # still pinned by the second ref
+    delete_docs(idx, [0])
+    assert [c["generation"] for c in list_commits(idx)] == [1, 2]
+    release_snapshot(idx, b)
+    delete_docs(idx, [1])
+    assert [c["generation"] for c in list_commits(idx)] == [3]

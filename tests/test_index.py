@@ -119,7 +119,9 @@ def test_merged_df_ttf_consistent(sf_dir, tmp_path):
     midx = str(tmp_path / "merged")
     build_index(f"{sf_dir}/documents.parquet", idx, num_segments=5)
     force_merge(idx, midx, hot_term_df=10, salt_buckets=4)  # everything hot
-    gt = pq.read_table(os.path.join(idx, "global_terms")).sort_by("term")
+    from lucene_ray.index.build import stats_path
+
+    gt = pq.read_table(stats_path(idx)).sort_by("term")
     mt = pq.read_table(
         os.path.join(load_manifest(midx)["segments"][0]["path"], "terms.parquet")
     ).sort_by("term")
