@@ -1037,6 +1037,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["taxonomy_counts"] = _taxonomy
 
+    def _taxonomy_assoc(sf):
+        """Association facets (TaxonomyFacetSumFloatAssociations.java:31):
+        per-node SUM of n_chars over the source/lang taxonomy."""
+        import ray.data
+
+        from lucene_ray.pipelines.facets import taxonomy_sum_associations
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["source", "lang", "n_chars"],
+        )
+        t = taxonomy_sum_associations(ds, ["source", "lang"], "n_chars")
+        import pyarrow as _pa
+
+        rows = t.take_all()
+        return _pa.table({
+            "path": [r["path"] for r in rows],
+            "sum_value": _pa.array([r["sum_value"] for r in rows],
+                                   _pa.float64()),
+        })
+
+    q["taxonomy_sum_assoc"] = _taxonomy_assoc
+
     def _drill_sideways(sf):
         """DrillSideways (facet/DrillSideways.java:71): drill-down on
         lang='de' AND source='src3'; each dim's counts computed with its
@@ -2297,6 +2320,13 @@ ORDER BY i.a, i.b"""
              SELECT source AS path FROM documents
              UNION ALL
              SELECT source || '/' || lang AS path FROM documents)
+           GROUP BY path ORDER BY path"""
+    )
+    o["taxonomy_sum_assoc"] = (
+        """SELECT path, sum(n_chars)::DOUBLE AS sum_value FROM (
+             SELECT source AS path, n_chars FROM documents
+             UNION ALL
+             SELECT source || '/' || lang AS path, n_chars FROM documents)
            GROUP BY path ORDER BY path"""
     )
     o["drill_sideways_facet"] = (

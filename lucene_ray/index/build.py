@@ -341,9 +341,21 @@ def analyzer_from_manifest(m: dict) -> Analyzer:
     )
 
 
-def load_manifest(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        m = json.load(f)
+def load_manifest(index_dir: str, generation: "int | None" = None) -> dict:
+    """The live manifest, or — with ``generation`` — a surviving commit
+    point's (DirectoryReader.open(IndexCommit): a point-in-time view;
+    pin the generation with commits.snapshot first or the next commit
+    prunes it)."""
+    if generation is not None:
+        path = os.path.join(index_dir, "commits", f"segments_{generation}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"commit point {generation} not found under {index_dir!r}")
+        with open(path) as f:
+            m = json.load(f)
+    else:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            m = json.load(f)
     # refuse to mis-decode an index written by a different blob layout
     # (Codec.getName() gate, index/SegmentInfos.java's codec check);
     # pre-v3 manifests carry no "codec" key

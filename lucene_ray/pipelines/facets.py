@@ -163,6 +163,55 @@ def taxonomy_counts(ds, level_cols: list[str], sep: str = "/"):
     return ds.map_batches(explode, batch_format="pyarrow").groupby("path").count().sort("path")
 
 
+def taxonomy_sum_associations(ds, level_cols: list[str], value_col: str,
+                              sep: str = "/"):
+    """Association facets — FloatAssociationFacetField +
+    TaxonomyFacetSumFloatAssociations
+    (facet/taxonomy/TaxonomyFacetSumFloatAssociations.java:31): every
+    taxonomy node aggregates the SUM of a per-doc numeric association
+    instead of a count. Same ancestor-explode shape as
+    :func:`taxonomy_counts` (each doc contributes its value to every
+    prefix of its path), one groupby-sum. Returns (path, sum) by path."""
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        cols = []
+        for c in level_cols:
+            arr = b[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols.append(pc.cast(arr, pa.string()))
+        val = pc.cast(b[value_col], pa.float64())
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        paths, vals = [], []
+        prefix = None
+        for arr in cols:
+            prefix = (
+                arr if prefix is None
+                else pc.binary_join_element_wise(prefix, arr, sep)
+            )
+            paths.append(prefix)
+            vals.append(val)
+        return pa.table({
+            "path": pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in paths]),
+            "value": pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                 for v in vals]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("value", alias_name="sum_value"))
+        .sort("path")
+    )
+
+
 def drill_sideways_counts(ds, selections: dict, dims: "list[str] | None" = None):
     """DrillSideways (facet/DrillSideways.java:71): for every dim, facet
     counts under the drill-down query with THAT dim's own selection

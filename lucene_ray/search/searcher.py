@@ -16,6 +16,7 @@ so later segments prune posting blocks via block-max impacts.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -52,10 +53,16 @@ def merge_topk(
 
 
 class Searcher:
-    def __init__(self, index_dir: str, mode: str = "f32"):
+    def __init__(self, index_dir: str, mode: str = "f32",
+                 commit: "int | None" = None):
+        """``commit`` opens a point-in-time view of that surviving commit
+        generation (DirectoryReader.open(IndexCommit)) — the manifest AND
+        the delete overlay come from the frozen commit point, so searches
+        reproduce that commit exactly while the live index moves on."""
         self.index_dir = index_dir
         self.mode = mode
-        m = load_manifest(index_dir)
+        self.commit = commit
+        m = load_manifest(index_dir, generation=commit)
         self.manifest = m
         self.doc_count = m["doc_count"]
         self.sum_ttf = m["sum_total_term_freq"]
@@ -70,7 +77,17 @@ class Searcher:
         }
         from lucene_ray.index.deletes import load_tombstones
 
-        self.tombstones = load_tombstones(index_dir)  # sorted global ids
+        if commit is not None:
+            import pyarrow.parquet as _pq
+
+            tpath = os.path.join(
+                index_dir, "commits", f"tombstones_{commit}.parquet")
+            self.tombstones = (
+                _pq.read_table(tpath)["doc_id"].to_numpy().astype(np.int64)
+                if os.path.exists(tpath) else np.empty(0, dtype=np.int64)
+            )
+        else:
+            self.tombstones = load_tombstones(index_dir)  # sorted global ids
         self._stats_cache: dict[str, tuple[int, int]] = {}
 
     # -- global stats (TermStates.build) ------------------------------------

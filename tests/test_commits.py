@@ -54,6 +54,16 @@ def test_commit_generations_and_rollback(tmp_path, docs_path, ray_session):
     d3, _ = Searcher(idx).search_all(Q.TermQuery("table"))
     assert int(base_docs[0]) not in d3.tolist()
 
+    # point-in-time reader on the pinned commit: original corpus, the
+    # later add and delete both invisible (DirectoryReader.open(commit))
+    pit = Searcher(idx, commit=g1)
+    assert pit.count(Q.MatchAllDocsQuery()) == n0
+    d_pit, sc_pit = pit.search_all(Q.TermQuery("table"))
+    np.testing.assert_array_equal(d_pit, base_docs)
+    np.testing.assert_allclose(sc_pit, base_scores)
+    with pytest.raises(ValueError):
+        Searcher(idx, commit=77)
+
     # rewind to the snapshotted point: original corpus, no tombstones
     rollback(idx, g1)
     s = Searcher(idx)
