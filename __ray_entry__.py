@@ -669,6 +669,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["suggest_fuzzy"] = _suggest_fuzzy
 
+    def _free_text(sf):
+        """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:120):
+        complete 'v...' after the token 'key', stupid-backoff bigram LM
+        over the corpus (alpha=0.4)."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import free_text_suggest
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["text"]
+        )
+        return free_text_suggest(ds, "key", "v", k=8)
+
+    q["free_text_suggest"] = _free_text
+
     def _suggest_infix(sf):
         """Infix suggester: terms containing 'a' anywhere, df-ranked."""
         s = _searcher(sf)
@@ -2110,6 +2125,26 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
               SELECT row_number() OVER (ORDER BY df DESC, term) AS rank,
                      term, df
               FROM ped WHERE d <= 1 ORDER BY df DESC, term LIMIT 8"""
+    )
+    o["free_text_suggest"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+, tot AS (SELECT count(*)::DOUBLE AS n FROM pos)
+, ctx AS (SELECT count(*)::DOUBLE AS n FROM pos WHERE term = 'key')
+, big AS (
+    SELECT b.term, count(*)::DOUBLE AS c
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'key' AND b.term LIKE 'v%' GROUP BY b.term)
+, uni AS (SELECT term, count(*)::DOUBLE AS c FROM pos
+          WHERE term LIKE 'v%' GROUP BY term)
+, sc AS (
+    SELECT u.term,
+           CASE WHEN bg.c IS NOT NULL THEN bg.c / (SELECT n FROM ctx)
+                ELSE 0.4 * u.c / (SELECT n FROM tot) END AS s
+    FROM uni u LEFT JOIN big bg ON u.term = bg.term)
+SELECT row_number() OVER (ORDER BY ROUND(s, 6) DESC, term) AS rank,
+       term, ROUND(s, 6) AS score
+FROM sc ORDER BY ROUND(s, 6) DESC, term LIMIT 8"""
     )
     o["term_vector_doc"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE

@@ -293,3 +293,35 @@ def test_drill_sideways_null_dim_values(ray_session):
     assert rows.get(("lang", "de")) == 1
     # sideways for source: rows with lang=='de'
     assert rows == {("lang", "de"): 1, ("source", "a"): 1, ("source", "b"): 1}
+
+
+def test_free_text_suggest_backoff_and_boundaries(ray_session):
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:120):
+    bigram conditional beats unigram backoff; pairs never cross document
+    boundaries; alpha scales the backoff branch."""
+    import numpy as np
+    import ray.data
+
+    from lucene_ray.pipelines.suggest import free_text_suggest
+
+    docs = [
+        {"text": "go west young man"},          # 'go west'
+        {"text": "go west go"},                 # 'go west' again; trailing 'go'
+        {"text": "west wind"},                  # boundary: prior 'go' must not pair
+        {"text": "go home now"},                # 'go home'
+        {"text": "wild walk"},                  # unigram-only candidates
+    ]
+    ds = ray.data.from_items(docs)
+    t = free_text_suggest(ds, "go", "w", k=10, alpha=0.4)
+    terms = t["term"].to_pylist()
+    scores = dict(zip(terms, t["score"].to_pylist()))
+    # counts: tokens N=14, count(go)=4; bigrams after 'go': west x2
+    # (boundary blocks the third 'west', trailing 'go' pairs nothing)
+    assert scores["west"] == round(2 / 4, 6)
+    # backoff candidates: wind/wild/walk get 0.4 * 1/14
+    exp_backoff = round(0.4 * 1 / 14, 6)
+    for w in ("wind", "wild", "walk"):
+        assert scores[w] == exp_backoff
+    assert terms[0] == "west"  # conditional outranks backoff
+    np.testing.assert_array_equal(
+        t["rank"].to_numpy(), np.arange(1, len(terms) + 1))
