@@ -872,6 +872,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["index_sorted_topk"] = _index_sorted
 
+    def _index_sorted_range(sf):
+        """IndexSortSortedNumericDocValuesRangeQuery (sandbox): a range on
+        the index-sort key is two binary searches over parquet footer
+        stats + one/two boundary files — everything between matches."""
+        import hashlib
+
+        from lucene_ray.index.build import CODEC_VERSION
+        from lucene_ray.index.sorted import build_sorted_index, sorted_range_count
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:sort1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_sorted_index(docs, idx, by="n_chars", descending=True,
+                               num_segments=4)
+        n = sorted_range_count(Searcher(idx), lower=200, upper=400)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    q["index_sorted_range_count"] = _index_sorted_range
+
     # ---- index statistics (global aggregates off the index) ----
     def _term_stats(sf):
         import pyarrow.compute as pc
@@ -2678,6 +2701,11 @@ ORDER BY q, doc_id"""
         """SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id)) - 1 AS rank,
                   doc_id, n_chars
            FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"""
+    )
+
+    o["index_sorted_range_count"] = (
+        "SELECT count(*)::BIGINT AS n FROM documents "
+        "WHERE n_chars BETWEEN 200 AND 400"
     )
 
     o["edge_ngram_counts"] = (

@@ -221,6 +221,19 @@ def run_bench() -> dict:
     timed("minhash_lsh", lambda: minhash_lsh_candidates(webpages_dataset(SF_DIR)).count())
     timed("quality_scores", lambda: quality_scores(webpages_dataset(SF_DIR)).count())
 
+    # --- multi-term queries, cold vs LRUQueryCache-warm: the dictionary
+    # scans + doc-set unions memoize per serving actor after the
+    # usage-tracking policy admits them (search/querycache.py) ---
+    mt_queries = ["w0001*", "w012*", "+w00042 w000*"]
+    def _mt_run() -> float:
+        t0 = time.perf_counter()
+        for q in mt_queries * 5:
+            searcher.search(q, k=10)
+        return time.perf_counter() - t0
+
+    timings["query_multiterm_cold"] = round(_mt_run(), 3)
+    timings["query_multiterm_cached"] = round(_mt_run(), 3)
+
     def knn():
         import pyarrow.parquet as pq
 

@@ -161,6 +161,91 @@ def build_sorted_index(
     return commit_manifest(index_dir, m)
 
 
+def sorted_range(searcher, lower=None, upper=None,
+                 include_lower: bool = True,
+                 include_upper: bool = True) -> tuple[int, int]:
+    """Contiguous global doc-id interval ``[lo, hi)`` of docs whose sort
+    key falls in the range — the IndexSortSortedNumericDocValuesRangeQuery
+    idea (sandbox/.../IndexSortSortedNumericDocValuesRangeQuery.java:64):
+    on a sort-keyed index a numeric range on the sort field is TWO binary
+    searches, not a scan. Parquet footer row-group statistics of the
+    resequenced corpus pick the (at most two) boundary files; only their
+    key columns are read — everything between the endpoints matches by
+    construction. Logs the fraction of corpus bytes touched."""
+    sort = searcher.manifest.get("index_sort")
+    if not sort:
+        raise ValueError("index was not built with build_sorted_index")
+    by, desc = sort["by"], bool(sort["descending"])
+    src = searcher.manifest["stored_source"]
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    stats = []  # (rows, min, max, bytes) per file, doc order
+    for f in files:
+        md = pq.ParquetFile(os.path.join(src, f)).metadata
+        ci = next(i for i in range(md.num_columns)
+                  if md.row_group(0).column(i).path_in_schema == by)
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        stats.append((md.num_rows, fmin, fmax,
+                      os.path.getsize(os.path.join(src, f))))
+    offsets = np.concatenate(([0], np.cumsum([s[0] for s in stats])))
+    total = int(offsets[-1])
+
+    read_bytes = [0]
+
+    def first_doc(v, side: str) -> int:
+        """First doc index i with key[i] >= v ('left') / > v ('right'),
+        over the doc-ordered (ascending after sign-flip) key sequence."""
+        for fi, (rows, fmin, fmax, nbytes) in enumerate(stats):
+            if rows == 0 or fmin is None:
+                continue
+            lo_k, hi_k = (-fmax, -fmin) if desc else (fmin, fmax)
+            past = (hi_k >= v) if side == "left" else (hi_k > v)
+            if past:
+                keys = pq.read_table(
+                    os.path.join(src, files[fi]), columns=[by]
+                )[by].to_numpy(zero_copy_only=False)
+                read_bytes[0] += nbytes
+                if desc:
+                    keys = -keys
+                return int(offsets[fi]) + int(np.searchsorted(keys, v, side))
+        return total
+
+    if desc:
+        # sign-flip makes doc order ascending in -key; a [lower, upper]
+        # range on key becomes [-upper, -lower] on -key
+        lo_b = (-upper, "left" if include_upper else "right") \
+            if upper is not None else None
+        hi_b = (-lower, "right" if include_lower else "left") \
+            if lower is not None else None
+    else:
+        lo_b = (lower, "left" if include_lower else "right") \
+            if lower is not None else None
+        hi_b = (upper, "right" if include_upper else "left") \
+            if upper is not None else None
+    lo = first_doc(*lo_b) if lo_b is not None else 0
+    hi = first_doc(*hi_b) if hi_b is not None else total
+    hi = max(hi, lo)
+    tot_bytes = sum(s[3] for s in stats) or 1
+    print(f"[sorted_range] read {read_bytes[0]}/{tot_bytes} bytes "
+          f"({100.0 * read_bytes[0] / tot_bytes:.1f}%) of the sorted corpus")
+    return lo, hi
+
+
+def sorted_range_count(searcher, lower=None, upper=None,
+                       include_lower: bool = True,
+                       include_upper: bool = True) -> int:
+    """Live-doc count of :func:`sorted_range` (tombstones subtracted by
+    two searchsorteds on the sorted tombstone table)."""
+    lo, hi = sorted_range(searcher, lower, upper, include_lower,
+                          include_upper)
+    t = searcher.tombstones
+    dead = int(np.searchsorted(t, hi) - np.searchsorted(t, lo))
+    return (hi - lo) - dead
+
+
 def sorted_topk(searcher, k: int, columns: "list[str] | None" = None) -> pa.Table:
     """Early-exit top-k on a sort-keyed index: doc order == key order, so
     the answer is the first k LIVE docs — only the leading segments' doc

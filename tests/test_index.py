@@ -438,3 +438,52 @@ def test_remerge_force_merged_index(sf_dir, tmp_path):
     assert pa_.doc_ids.tolist() == pb.doc_ids.tolist()
     with _pytest.raises(ValueError, match="term-range shards"):
         tiered_merge(m1, str(tmp_path / "bad"))
+
+
+def test_sorted_range_binary_search(sf_dir, tmp_path):
+    """IndexSortSortedNumericDocValuesRangeQuery analog: ranges on the
+    index-sort key via footer-stat binary search — counts equal brute
+    force for bounded/unbounded/exclusive variants, ascending and
+    descending layouts, and after deletes."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from lucene_ray.index.deletes import delete_docs
+    from lucene_ray.index.sorted import (build_sorted_index, sorted_range,
+                                         sorted_range_count)
+    from lucene_ray.search.searcher import Searcher
+
+    v = pq2.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["n_chars"])["n_chars"].to_numpy()
+
+    for desc in (False, True):
+        idx = str(tmp_path / f"sr_{desc}")
+        build_sorted_index(f"{sf_dir}/documents.parquet", idx, by="n_chars",
+                           descending=desc, num_segments=3)
+        s = Searcher(idx)
+        cases = [
+            (200, 400, True, True),
+            (200, 400, False, False),
+            (None, 300, True, True),
+            (250, None, True, True),
+            (None, None, True, True),
+            (10_000, 20_000, True, True),  # empty range
+            (311, 311, True, True),        # point range (tie runs)
+        ]
+        for lo, hi, il, iu in cases:
+            m = np.ones(v.shape[0], dtype=bool)
+            if lo is not None:
+                m &= (v >= lo) if il else (v > lo)
+            if hi is not None:
+                m &= (v <= hi) if iu else (v < hi)
+            got = sorted_range_count(s, lo, hi, il, iu)
+            assert got == int(m.sum()), (desc, lo, hi, il, iu)
+        a, b = sorted_range(s, 200, 400)
+        assert b - a == int(((v >= 200) & (v <= 400)).sum())
+
+    # deletes subtract only tombstones inside the interval
+    dels = {a, b - 1, min(b + 5, v.shape[0] - 1)}
+    delete_docs(idx, sorted(dels))
+    s2 = Searcher(idx)
+    got = sorted_range_count(s2, 200, 400)
+    assert got == (b - a) - len(dels & set(range(a, b)))
