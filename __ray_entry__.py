@@ -556,6 +556,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     )
 
+    def _payload_searcher(sf):
+        """Index with per-position payloads: token i carries (i % 5) + 1
+        via the DelimitedPayloadTokenFilter build path (payload_delimiter)."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import CODEC_VERSION, build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:pay1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            def derive(b: pa.Table) -> pa.Table:
+                out = []
+                for t in b["text"].to_pylist():
+                    out.append(" ".join(
+                        f"{w}|{(i % 5) + 1}"
+                        for i, w in enumerate(t.split(" "))))
+                return pa.table({"doc_id": b["doc_id"],
+                                 "text": pa.array(out)})
+
+            ds = ray.data.read_parquet(
+                docs, columns=["doc_id", "text"]
+            ).map_batches(derive, batch_format="pyarrow")
+            build_index(ds, idx, num_segments=3, with_positions=True,
+                        analyzer=Analyzer(payload_delimiter="|"))
+        return Searcher(idx, mode="f64")
+
+    def _payload_sum(sf):
+        """PayloadScoreQuery sum (queries/payloads/PayloadScoreQuery.java:47)."""
+        s = _payload_searcher(sf)
+        d, sc = s.search_all(Q.PayloadScoreQuery("table", "sum"))
+        o = np.argsort(d)
+        return pa.table({"doc_id": d[o], "score": _round4(sc[o])})
+
+    q["payload_sum_scores"] = _payload_sum
+
+    def _payload_span_max(sf):
+        """includeSpanScore=true: BM25(term) * max payload per doc."""
+        s = _payload_searcher(sf)
+        d, sc = s.search_all(
+            Q.PayloadScoreQuery("table", "max", include_span_score=True))
+        o = np.argsort(d)
+        return pa.table({"doc_id": d[o], "score": _round4(sc[o])})
+
+    q["payload_span_max"] = _payload_span_max
+
     def _rescore(sf):
         """QueryRescorer (search/QueryRescorer.java:46): term-query first
         pass re-ranked by a weighted exact-phrase second pass; k_first
@@ -1825,6 +1875,21 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT s.doc_id, ROUND(0.5 * ln(1.0 + d.n_chars), 4) AS score
               FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id
               ORDER BY s.doc_id"""
+    )
+    o["payload_sum_scores"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """ SELECT doc_id, ROUND(sum((p % 5) + 1)::DOUBLE, 4) AS score
+              FROM pos WHERE term = 'table'
+              GROUP BY doc_id ORDER BY doc_id"""
+    )
+    o["payload_span_max"] = (
+        _PRELUDE + _term_cte("t", "table") + _POS_CTE
+        + """
+, mp AS (SELECT doc_id, max((p % 5) + 1)::DOUBLE AS m
+         FROM pos WHERE term = 'table' GROUP BY doc_id)
+SELECT s.doc_id, ROUND(s.score * m.m, 4) AS score
+FROM sc_t s JOIN mp m ON s.doc_id = m.doc_id
+ORDER BY s.doc_id"""
     )
     o["rescore_phrase_topk"] = (
         _PRELUDE + _term_cte("t", "table") + _POS_CTE

@@ -45,6 +45,12 @@ class Analyzer:
     # flattened-graph posLength model, with the injected token anchored at
     # the run start and offsets spanning the whole surface run)
     synonyms: tuple = ()
+    # DelimitedPayloadTokenFilter pairing (payloads/DelimitedPayloadTokenFilter.java:30):
+    # when set, tokenization is a pure whitespace split and each token
+    # "term<delim>float" carries a per-position payload (batch.py
+    # tokenize_with_payloads); positions.parquet then stores a payload
+    # float32 column scored by PayloadScoreQuery
+    payload_delimiter: "str | None" = None
 
     @property
     def synonym_map(self) -> dict:

@@ -337,6 +337,54 @@ def _stop_filter(parts, stop_words):
     return tuple(out)
 
 
+def tokenize_with_payloads(texts: pa.ChunkedArray | pa.Array,
+                           analyzer: Analyzer):
+    """DelimitedPayloadTokenFilter over a whitespace tokenizer — the
+    reference pairing (analysis/common/.../payloads/
+    DelimitedPayloadTokenFilter.java:30 + PayloadHelper FloatEncoder,
+    typically chained after WhitespaceTokenizer): each token
+    ``term<delim>payload`` splits at the LAST delimiter into the term
+    and a float payload; tokens without a delimiter carry payload 0.0.
+    Lowercase and stop filters apply AFTER the strip (the reference
+    chains the payload filter right after the tokenizer); stop
+    filtering keeps position gaps. Offsets span the original surface
+    token INCLUDING the payload suffix, exactly as the reference's
+    filter leaves offsets untouched.
+
+    Returns (flat_terms, doc_idx, positions, starts, ends, payloads),
+    payloads float32 row-aligned with flat_terms. All-Arrow kernels:
+    one extract_regex + one utf8->float cast, no per-token Python."""
+    import re as _re
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, doc_idx, positions, starts, ends = _split_ws(texts, True)
+    d = _re.escape(analyzer.payload_delimiter)
+    ext = pc.extract_regex(flat, f"^(?P<t>.*){d}(?P<p>[^{d}]*)$")
+    has = pc.is_valid(ext)
+    terms = pc.if_else(has, pc.struct_field(ext, "t"), flat)
+    pay = pc.if_else(
+        has,
+        pc.cast(pc.struct_field(ext, "p"), pa.float32()),
+        pa.scalar(0.0, pa.float32()),
+    ).to_numpy(zero_copy_only=False).astype(np.float32)
+    if analyzer.lowercase:
+        terms = pc.utf8_lower(terms)
+    if analyzer.stop_words:
+        keep = pc.invert(pc.is_in(
+            terms, value_set=pa.array(sorted(analyzer.stop_words))))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        if not keep_np.all():
+            terms = pc.filter(terms, keep)
+            doc_idx = doc_idx[keep_np]
+            positions = positions[keep_np]  # gaps preserved (StopFilter)
+            starts, ends = starts[keep_np], ends[keep_np]
+            pay = pay[keep_np]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    return terms, doc_idx, positions, starts, ends, pay
+
+
 def _split_ws(texts: pa.Array, want_offsets: bool = False):
     """Whitespace-split rows already reduced to space-separated tokens
     (separators all single spaces, so offsets are prefix sums)."""

@@ -240,6 +240,7 @@ def build_index(
             "stem": analyzer.stem,
             "ascii_fold": analyzer.ascii_fold,
             "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
+            "payload_delimiter": analyzer.payload_delimiter,
         },
         "segments": [
             {k: r.get(k) for k in (
@@ -338,6 +339,7 @@ def analyzer_from_manifest(m: dict) -> Analyzer:
         synonyms=tuple(
             (src, tuple(dsts)) for src, dsts in a.get("synonyms", [])
         ),
+        payload_delimiter=a.get("payload_delimiter"),
     )
 
 

@@ -249,16 +249,27 @@ class SegmentBuilder:
         aggregation with one np.unique over a fused int64 key. With a
         ``key_prefix`` the sorted vocab (and positions terms) are prefixed
         into the field's dictionary section."""
-        res = tokenize_column(
-            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
-            self.analyzer,
-            want_offsets=self.with_positions,
-        )
-        if self.with_positions:
-            flat_terms, doc_idx, positions, off_starts, off_ends = res
+        payloads = None
+        if self.analyzer.payload_delimiter is not None:
+            from lucene_ray.analysis.batch import tokenize_with_payloads
+
+            (flat_terms, doc_idx, positions, off_starts, off_ends,
+             payloads) = tokenize_with_payloads(texts, self.analyzer)
+            if not self.with_positions:
+                raise ValueError(
+                    "payload_delimiter requires with_positions=True "
+                    "(payloads live in the positions table)")
         else:
-            flat_terms, doc_idx, positions = res
-            off_starts = off_ends = None
+            res = tokenize_column(
+                texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+                self.analyzer,
+                want_offsets=self.with_positions,
+            )
+            if self.with_positions:
+                flat_terms, doc_idx, positions, off_starts, off_ends = res
+            else:
+                flat_terms, doc_idx, positions = res
+                off_starts = off_ends = None
         doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
         norms = int_to_byte4_array(doc_len)
 
@@ -313,6 +324,7 @@ class SegmentBuilder:
             "positions": positions if self.with_positions else None,
             "off_starts": off_starts,
             "off_ends": off_ends,
+            "payloads": payloads,
         }
 
     @staticmethod
@@ -327,15 +339,16 @@ class SegmentBuilder:
         terms = pc.take(sec["flat_terms"], pa.array(order))
         if sec["key_prefix"]:
             terms = pc.binary_join_element_wise(sec["key_prefix"], terms, "")
-        return pa.table(
-            {
-                "term": terms,
-                "doc_id": doc_ids[sec["doc_idx"][order]],
-                "pos": sec["positions"][order].astype(np.int32),
-                "start_offset": sec["off_starts"][order].astype(np.int32),
-                "end_offset": sec["off_ends"][order].astype(np.int32),
-            }
-        )
+        cols = {
+            "term": terms,
+            "doc_id": doc_ids[sec["doc_idx"][order]],
+            "pos": sec["positions"][order].astype(np.int32),
+            "start_offset": sec["off_starts"][order].astype(np.int32),
+            "end_offset": sec["off_ends"][order].astype(np.int32),
+        }
+        if sec.get("payloads") is not None:
+            cols["payload"] = sec["payloads"][order].astype(np.float32)
+        return pa.table(cols)
 
     def _write_segment(
         self,

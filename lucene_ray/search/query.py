@@ -402,6 +402,35 @@ class DistanceFeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """Payload-driven scoring — queries/payloads/PayloadScoreQuery.java:47
+    with PayloadFunction (Max/Min/Sum/AveragePayloadFunction) and the
+    float payload decoder. Matches docs containing ``term``; per doc the
+    term occurrences' payloads (the float32 ``payload`` positions column
+    written when the index was built with
+    ``Analyzer(payload_delimiter=...)``) aggregate through ``function``
+    (sum | min | max | avg). ``include_span_score`` multiplies the
+    payload score by the term's BM25 score, the reference's
+    includeSpanScore=true mode; False scores by payload alone."""
+
+    term: str
+    function: str = "sum"  # sum | min | max | avg
+    include_span_score: bool = False
+    boost: float = 1.0
+    field: "str | None" = None
+
+    def to_dict(self):
+        return {
+            "type": "payload_score",
+            "term": self.term,
+            "function": self.function,
+            "include_span_score": self.include_span_score,
+            "boost": self.boost,
+            "field": self.field,
+        }
+
+
+@dataclass(frozen=True)
 class CommonTermsQuery(Query):
     """queries/CommonTermsQuery.java:55 — df-split scoring: docs must match
     at least one low-frequency term (df <= max_doc_freq); high-frequency
@@ -520,6 +549,12 @@ def query_from_dict(d: dict) -> Query:
         return DistanceFeatureQuery(
             d["feature"], d["origin"], d["pivot"], d.get("boost", 1.0)
         )
+    if t == "payload_score":
+        return PayloadScoreQuery(
+            d["term"], d.get("function", "sum"),
+            d.get("include_span_score", False), d.get("boost", 1.0),
+            d.get("field"),
+        )
     if t == "common_terms":
         return CommonTermsQuery(
             tuple(d["terms"]), d.get("max_doc_freq", 1000), d.get("boost", 1.0)
@@ -550,6 +585,9 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
             out.update(p)
     elif isinstance(q, CommonTermsQuery):
         out.update(q.terms)
+    elif isinstance(q, PayloadScoreQuery):
+        if q.include_span_score:
+            out.add(q.term)
     elif isinstance(q, CombinedFieldQuery):
         from lucene_ray.index.fields import field_key
 
@@ -569,7 +607,7 @@ def resolve_fields(q: Query) -> Query:
 
     from lucene_ray.index.fields import field_key, field_prefix
 
-    if isinstance(q, TermQuery) and q.field:
+    if isinstance(q, (TermQuery, PayloadScoreQuery)) and q.field:
         return dataclasses.replace(q, term=field_key(q.field, q.term), field=None)
     if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery, SpanNearQuery)) and q.field:
         return dataclasses.replace(

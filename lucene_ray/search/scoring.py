@@ -305,6 +305,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.DistanceFeatureQuery):
         return _eval_distance_feature(reader, q)
 
+    if isinstance(q, Q.PayloadScoreQuery):
+        return _eval_payload_score(reader, q, ctx)
+
     if isinstance(q, Q.BooleanQuery):
         return _eval_bool(reader, q, ctx)
 
@@ -547,6 +550,51 @@ def _eval_distance_feature(reader, q: "Q.DistanceFeatureQuery"):
     v = reader.feature(q.feature)
     s = q.boost * (q.pivot / (q.pivot + np.abs(v - q.origin)))
     docs = (reader.doc_ids - reader.doc_base).astype(np.int64)
+    return docs, s.astype(np.float64), True
+
+
+def _eval_payload_score(reader, q: "Q.PayloadScoreQuery", ctx):
+    """Payload scorer — queries/payloads/PayloadScoreQuery.java:47.
+
+    One pruned read of the term's positions rows (payload float32 column
+    written by the DelimitedPayloadTokenFilter build path), then a
+    grouped reduceat per aggregation function. include_span_score
+    multiplies the payload aggregate into the term's BM25 score, the
+    reference's includeSpanScore=true composition."""
+    tbl = reader.positions_table([q.term])
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    if "payload" not in tbl.column_names:
+        raise ValueError(
+            "index has no payload column — build it with "
+            "Analyzer(payload_delimiter=...) and with_positions=True")
+    d = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
+    p = tbl["payload"].to_numpy().astype(np.float64)
+    order = np.argsort(d, kind="stable")
+    d, p = d[order], p[order]
+    docs, starts, counts = np.unique(d, return_index=True,
+                                     return_counts=True)
+    if q.function == "sum":
+        agg = np.add.reduceat(p, starts)
+    elif q.function == "min":
+        agg = np.minimum.reduceat(p, starts)
+    elif q.function == "max":
+        agg = np.maximum.reduceat(p, starts)
+    elif q.function == "avg":
+        agg = np.add.reduceat(p, starts) / counts
+    else:
+        raise ValueError(f"unknown payload function {q.function!r}")
+    if q.include_span_score:
+        from lucene_ray.index.fields import split_key
+
+        scorer = ctx.scorer(q.term, q.boost)
+        if scorer is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
+        norms = reader.norms_for(split_key(q.term)[0])[rows]
+        s = scorer.score(counts.astype(np.int64), norms) * agg
+    else:
+        s = q.boost * agg
     return docs, s.astype(np.float64), True
 
 

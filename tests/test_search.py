@@ -593,3 +593,68 @@ def test_feature_query_functions(tmp_path, sf_dir):
     o_b, o_c = np.argsort(base_d), np.argsort(comb_d)
     feat = 0.5 * np.log(1.0 + v[np.searchsorted(ids, base_d[o_b])])
     np.testing.assert_allclose(comb_s[o_c], base_s[o_b] + feat, rtol=1e-9)
+
+
+def test_payload_score_query(tmp_path, sf_dir):
+    """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:47):
+    delimited payloads indexed into the positions table; sum/min/max/avg
+    aggregation and includeSpanScore composition match direct numpy;
+    survives a tiered merge."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.merge import tiered_merge
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    src = pq.read_table(docs, columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            toks = t.split(" ")
+            out.append(" ".join(f"{w}|{(i % 5) + 1}" for i, w in enumerate(toks)))
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    idx = str(tmp_path / "pay_idx")
+    build_index(
+        ray.data.from_arrow(src).map_batches(derive, batch_format="pyarrow"),
+        idx, num_segments=3, with_positions=True,
+        analyzer=Analyzer(payload_delimiter="|"),
+    )
+
+    # ground truth from the raw text
+    truth: dict[int, list[int]] = {}
+    for did, t in zip(src["doc_id"].to_pylist(), src["text"].to_pylist()):
+        pays = [(i % 5) + 1 for i, w in enumerate(t.split(" ")) if w == "table"]
+        if pays:
+            truth[did] = pays
+
+    for which in range(2):
+        s = Searcher(idx, mode="f64")
+        for fn, red in [("sum", sum), ("min", min), ("max", max),
+                        ("avg", lambda x: sum(x) / len(x))]:
+            d, sc = s.search_all(Q.PayloadScoreQuery("table", fn, boost=2.0))
+            assert sorted(d.tolist()) == sorted(truth)
+            got = dict(zip(d.tolist(), sc.tolist()))
+            for did, pays in truth.items():
+                np.testing.assert_allclose(got[did], 2.0 * red(pays), rtol=1e-6)
+        # includeSpanScore: payload factor times the term's BM25 score
+        d1, s1 = s.search_all(Q.TermQuery("table"))
+        d2, s2 = s.search_all(
+            Q.PayloadScoreQuery("table", "max", include_span_score=True))
+        bm = dict(zip(d1.tolist(), s1.tolist()))
+        for did, sc in zip(d2.tolist(), s2.tolist()):
+            np.testing.assert_allclose(
+                sc, bm[did] * max(truth[did]), rtol=1e-6)
+        if which == 0:
+            merged = str(tmp_path / "pay_merged")
+            tiered_merge(idx, merged, group_size=2)
+            idx = merged
