@@ -351,6 +351,11 @@ def tokenize_with_payloads(texts: pa.ChunkedArray | pa.Array,
     token INCLUDING the payload suffix, exactly as the reference's
     filter leaves offsets untouched.
 
+    Tokens separate on single spaces (the corpus convention every
+    vectorized path here shares), not the full Unicode-whitespace set of
+    the reference's WhitespaceTokenizer — documented deviation. Null
+    rows tokenize as empty documents.
+
     Returns (flat_terms, doc_idx, positions, starts, ends, payloads),
     payloads float32 row-aligned with flat_terms. All-Arrow kernels:
     one extract_regex + one utf8->float cast, no per-token Python."""
@@ -358,6 +363,7 @@ def tokenize_with_payloads(texts: pa.ChunkedArray | pa.Array,
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
     flat, doc_idx, positions, starts, ends = _split_ws(texts, True)
     d = _re.escape(analyzer.payload_delimiter)
     ext = pc.extract_regex(flat, f"^(?P<t>.*){d}(?P<p>[^{d}]*)$")

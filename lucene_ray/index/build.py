@@ -428,7 +428,10 @@ def add_indexes(dst_index_dir: str, src_index_dirs: list[str]) -> dict:
 
     tombs = np.unique(np.concatenate(all_tombs)) if any(t.size for t in all_tombs) else None
     if tombs is not None and tombs.size:
-        delete_docs(dst_index_dir, tombs)
+        # defer the commit: the combined manifest below commits ONE point
+        # whose frozen tombstones match its segment set (a mid-operation
+        # commit would pair the OLD manifest with the NEW tombstones)
+        delete_docs(dst_index_dir, tombs, commit=False)
 
     manifest = dict(m)
     manifest["stats_dir"] = stats_name

@@ -87,7 +87,10 @@ def list_commits(index_dir: str) -> list[dict]:
 
 
 def latest_generation(index_dir: str) -> int:
-    gens = [c["generation"] for c in list_commits(index_dir)]
+    d = _commits_dir(index_dir)
+    if not os.path.isdir(d):
+        return 0
+    gens = [int(m.group(1)) for m in map(_SEG_RE.match, os.listdir(d)) if m]
     return max(gens) if gens else 0
 
 
@@ -208,9 +211,13 @@ def rollback(index_dir: str, gen: int) -> dict:
     elif os.path.exists(tdst):
         os.remove(tdst)  # the commit predates every delete
 
+    # newer UNSNAPSHOTTED points die with the rollback; a snapshotted one
+    # stays pinned (and openable via Searcher(commit=...)) until released,
+    # so generation numbering continues past it and never aliases
+    snaps = _load_snapshots(index_dir)
     for c in list_commits(index_dir):
         g = c["generation"]
-        if g > gen:
+        if g > gen and g not in snaps:
             for name in (f"segments_{g}.json", f"tombstones_{g}.parquet"):
                 try:
                     os.remove(os.path.join(d, name))

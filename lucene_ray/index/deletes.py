@@ -37,16 +37,18 @@ def load_tombstones(index_dir: str) -> np.ndarray:
     return pq.read_table(p)["doc_id"].to_numpy().astype(np.int64)
 
 
-def delete_docs(index_dir: str, doc_ids) -> int:
+def delete_docs(index_dir: str, doc_ids, commit: bool = True) -> int:
     """Add global doc ids to the tombstone set; returns its new size.
-    Commits a new generation so the delete is a rewindable commit point
-    (the reference's commits carry liveDocs — index/commits.py)."""
+    By default commits a new generation so the delete is a rewindable
+    commit point (the reference's commits carry liveDocs —
+    index/commits.py); ``commit=False`` defers when the caller will
+    commit a manifest of its own in the same operation (add_indexes)."""
     ids = np.asarray(list(doc_ids), dtype=np.int64)
     merged = np.union1d(load_tombstones(index_dir), ids)
     tmp = os.path.join(index_dir, f".tmp-{TOMBSTONES}-{uuid.uuid4().hex[:8]}")
     pq.write_table(pa.table({"doc_id": merged}), tmp)
     os.replace(tmp, os.path.join(index_dir, TOMBSTONES))
-    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+    if commit and os.path.exists(os.path.join(index_dir, "manifest.json")):
         import json
 
         from lucene_ray.index.commits import commit_manifest

@@ -181,13 +181,19 @@ def sorted_range(searcher, lower=None, upper=None,
     stats = []  # (rows, min, max, bytes) per file, doc order
     for f in files:
         md = pq.ParquetFile(os.path.join(src, f)).metadata
-        ci = next(i for i in range(md.num_columns)
-                  if md.row_group(0).column(i).path_in_schema == by)
         fmin = fmax = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            fmin = st.min if fmin is None else min(fmin, st.min)
-            fmax = st.max if fmax is None else max(fmax, st.max)
+        if md.num_row_groups and md.num_rows:
+            ci = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == by)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    # stats disabled for this file: unknown range — the
+                    # search below treats it as a mandatory boundary read
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
         stats.append((md.num_rows, fmin, fmax,
                       os.path.getsize(os.path.join(src, f))))
     offsets = np.concatenate(([0], np.cumsum([s[0] for s in stats])))
@@ -199,10 +205,13 @@ def sorted_range(searcher, lower=None, upper=None,
         """First doc index i with key[i] >= v ('left') / > v ('right'),
         over the doc-ordered (ascending after sign-flip) key sequence."""
         for fi, (rows, fmin, fmax, nbytes) in enumerate(stats):
-            if rows == 0 or fmin is None:
+            if rows == 0:
                 continue
-            lo_k, hi_k = (-fmax, -fmin) if desc else (fmin, fmax)
-            past = (hi_k >= v) if side == "left" else (hi_k > v)
+            if fmin is None:
+                past = True  # stats unavailable: must read to know
+            else:
+                lo_k, hi_k = (-fmax, -fmin) if desc else (fmin, fmax)
+                past = (hi_k >= v) if side == "left" else (hi_k > v)
             if past:
                 keys = pq.read_table(
                     os.path.join(src, files[fi]), columns=[by]

@@ -161,6 +161,7 @@ class DistributedSearcher:
     ):
         m = load_manifest(index_dir)
         self.index_dir = index_dir
+        self.manifest = m  # pinned: stats reads must match the served segment set
         self.doc_count = m["doc_count"]
         self.sum_ttf = m["sum_total_term_freq"]
         self.mode = mode
@@ -198,7 +199,8 @@ class DistributedSearcher:
         if missing:
             from lucene_ray.index.build import read_global_term_stats
 
-            tbl = read_global_term_stats(self.index_dir, missing)
+            tbl = read_global_term_stats(self.index_dir, missing,
+                                         self.manifest)
             got = dict(
                 zip(
                     tbl["term"].to_pylist(),

@@ -68,11 +68,24 @@ class LRUQueryCache:
             self._usage.popitem(last=False)
         return n >= self.min_usage
 
+    @staticmethod
+    def cacheable_reader(reader) -> bool:
+        """Only persisted, fingerprinted, plain segments cache safely:
+        in-memory readers (the percolator's BatchMemoryReader reuses one
+        '<memory>' identity across stream batches) and composite
+        ShardGroupReaders (whose identity would alias their first shard)
+        must bypass — a colliding key would serve one batch's doc ids to
+        another."""
+        return (type(reader).__name__ == "SegmentReader"
+                and bool(reader.meta.get("fingerprint")))
+
     # -- the one entry point --------------------------------------------
     def docs(self, reader, q, compute) -> np.ndarray:
         """Cached local doc ids for ``q`` on ``reader``; ``compute()``
         produces them on miss. Admission requires the query key to have
         been seen ``min_usage`` times across any segment."""
+        if not self.cacheable_reader(reader):
+            return compute()
         qk = self.query_key(q)
         key = (self.segment_key(reader), qk)
         d = self._cache.get(key)

@@ -998,10 +998,13 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
     for fq in gen_filter:
         # multi-term filters cache inside their own dispatch above —
         # wrapping them here would double-count usage on the same key
+        # CommonTermsQuery's doc set depends on GLOBAL df (the
+        # high/low-frequency split moves as the index grows), so its
+        # cached set would go stale under an unchanged segment key
         if _qc is None or isinstance(fq, (
             Q.MatchAllDocsQuery, Q.PrefixQuery, Q.WildcardQuery,
             Q.RegexpQuery, Q.FuzzyQuery, Q.TermRangeQuery,
-            Q.TermInSetQuery,
+            Q.TermInSetQuery, Q.CommonTermsQuery,
         )):
             d, _s, _ = eval_query(reader, fq, sub_ctx)
         else:

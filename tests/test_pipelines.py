@@ -325,3 +325,61 @@ def test_free_text_suggest_backoff_and_boundaries(ray_session):
     assert terms[0] == "west"  # conditional outranks backoff
     np.testing.assert_array_equal(
         t["rank"].to_numpy(), np.arange(1, len(terms) + 1))
+
+
+def test_monitor_multiterm_not_poisoned_by_query_cache(ray_session):
+    """Regression (round-3 review): BatchMemoryReader shares one
+    '<memory>' identity across streamed batches, so the default-on
+    LRUQueryCache must bypass it — a registered wildcard query over many
+    batches has to match per-batch, never replay another batch's docs."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.monitor import QueryMonitor
+    from lucene_ray.search.querycache import get_query_cache
+
+    mon = QueryMonitor(["wi*"])
+    batches = [
+        pa.table({"doc_id": [10], "text": ["wind blows"]}),
+        pa.table({"doc_id": [20, 21], "text": ["nothing here", "wild walk"]}),
+        pa.table({"doc_id": [30], "text": ["no match at all"]}),
+        pa.table({"doc_id": [40, 41, 42],
+                  "text": ["winter", "plain", "wing span"]}),
+    ]
+    assert get_query_cache() is not None  # default-on, the dangerous config
+    got = [sorted(mon(b)["doc_id"].to_pylist()) for b in batches]
+    assert got == [[10], [21], [], [40, 42]]
+
+
+def test_rollback_preserves_snapshotted_newer_commit(tmp_path, sf_dir,
+                                                     ray_session):
+    """Regression (round-3 review): rollback must not delete a NEWER
+    snapshotted commit point, and numbering continues past it (no
+    generation aliasing under a live pin)."""
+    import os
+
+    from lucene_ray.index.build import add_documents, build_index
+    from lucene_ray.index.commits import (latest_generation, list_commits,
+                                          rollback, snapshot)
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    import ray.data
+
+    idx = str(tmp_path / "idx")
+    build_index(os.path.join(sf_dir, "documents.parquet"), idx,
+                num_segments=2)
+    g1 = snapshot(idx)
+    extra = ray.data.from_items(
+        [{"doc_id": 20_000 + i, "text": "pinned addition"} for i in range(4)])
+    add_documents(extra, idx, num_segments=1)
+    g2 = snapshot(idx)  # pin the newer point too
+    n2 = Searcher(idx).count(Q.MatchAllDocsQuery())
+
+    rollback(idx, g1)
+    gens = [c["generation"] for c in list_commits(idx)]
+    assert gens == [g1, g2]  # the pinned newer point survived
+    # the pinned point still opens with its full state
+    assert Searcher(idx, commit=g2).count(Q.MatchAllDocsQuery()) == n2
+    # numbering continues PAST the surviving pin — no aliasing
+    add_documents(extra, idx, num_segments=1)
+    assert latest_generation(idx) == g2 + 1
