@@ -309,6 +309,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["intervals_ordered_maxgaps"] = _intervals_ordered
 
+    def _intervals_prefix(sf):
+        """Intervals.prefix (Intervals.java:180) inside ordered: 'key'
+        followed by any 'val*' dictionary term within 2 gaps."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(
+            IV.Ordered((IV.Term("key"), IV.Prefix("val")), maxgaps=2)
+        ))
+
+    q["intervals_prefix_near"] = _intervals_prefix
+
+    def _span_first(sf):
+        """SpanFirstQuery (queries/spans/SpanFirstQuery.java:38): 'table'
+        within the first 10 tokens of the document."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(
+            IV.First(IV.Term("table"), 10)
+        ))
+
+    q["span_first_query"] = _span_first
+
     def _intervals_containing(sf):
         """Intervals.containing(big, small): candidate unordered windows
         of (scan, column) with <= 6 gap tokens that contain a 'window'
@@ -2022,6 +2044,20 @@ JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
 
+    o["intervals_prefix_near"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'key' AND b.term LIKE 'val%'
+  AND b.p > a.p AND b.p - a.p - 1 <= 2
+ORDER BY a.doc_id"""
+    )
+    o["span_first_query"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT doc_id FROM pos
+WHERE term = 'table' AND p < 10 ORDER BY doc_id"""
+    )
     # intervals: ordered with maxgaps — exists p(scan) < p(column) with
     # at most 3 tokens between (gaps = p2 - p1 - 1)
     o["intervals_ordered_maxgaps"] = (

@@ -216,6 +216,45 @@ class ContainedBy(IntervalsSource):
                 "big": self.big.to_dict()}
 
 
+@dataclass(frozen=True)
+class Prefix(IntervalsSource):
+    """Intervals.prefix (queries/intervals/Intervals.java:180): matches
+    any dictionary term starting with ``prefix``. Expanded PER SEGMENT
+    into an Or of term leaves before evaluation (the reference compiles
+    an automaton and expands against each leaf's terms), capped at
+    ``max_expansions`` like the reference's 128 default — expansion past
+    the cap raises, matching IllegalStateException semantics."""
+
+    prefix: str
+    max_expansions: int = 128
+
+    def leaf_terms(self, out: set):
+        raise RuntimeError(
+            "Prefix source must be expanded per segment before leaf "
+            "collection (eval_intervals does this)")
+
+    def to_dict(self):
+        return {"type": "prefix_iv", "prefix": self.prefix,
+                "max_expansions": self.max_expansions}
+
+
+@dataclass(frozen=True)
+class First(IntervalsSource):
+    """SpanFirstQuery semantics (queries/spans/SpanFirstQuery.java:38):
+    intervals of ``source`` that END before position ``n`` (i.e. fully
+    inside the first ``n`` tokens of the document)."""
+
+    source: IntervalsSource
+    n: int
+
+    def leaf_terms(self, out: set):
+        self.source.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "first", "n": self.n,
+                "source": self.source.to_dict()}
+
+
 def phrase(*terms: str) -> Ordered:
     """Intervals.phrase — ordered with zero gaps."""
     return Ordered(tuple(Term(t) for t in terms), maxgaps=0)
@@ -253,6 +292,10 @@ def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
                               rewrite_terms(source.big, fn))
     if isinstance(source, MaxWidth):
         return MaxWidth(rewrite_terms(source.source, fn), source.width)
+    if isinstance(source, First):
+        return First(rewrite_terms(source.source, fn), source.n)
+    if isinstance(source, Prefix):
+        return Prefix(fn(source.prefix), source.max_expansions)
     raise TypeError(type(source))
 
 
@@ -284,6 +327,10 @@ def source_from_dict(d: dict) -> IntervalsSource:
                               source_from_dict(d["big"]))
     if t == "maxwidth":
         return MaxWidth(source_from_dict(d["source"]), d["width"])
+    if t == "first":
+        return First(source_from_dict(d["source"]), d["n"])
+    if t == "prefix_iv":
+        return Prefix(d["prefix"], d.get("max_expansions", 128))
     raise ValueError(f"unknown intervals source type {t!r}")
 
 
@@ -371,6 +418,10 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
     if isinstance(source, MaxWidth):
         iv = _eval(source.source, per_term)
         keep = (iv.end - iv.start + 1) <= source.width
+        return _Iv(iv.doc[keep], iv.start[keep], iv.end[keep], iv.cov[keep])
+    if isinstance(source, First):
+        iv = _eval(source.source, per_term)
+        keep = iv.end < source.n
         return _Iv(iv.doc[keep], iv.start[keep], iv.end[keep], iv.cov[keep])
     raise TypeError(type(source))
 
@@ -549,9 +600,41 @@ def _contained_by_mask(small: _Iv, big: _Iv) -> np.ndarray:
     return valid & (big.doc[c] == small.doc) & (pref_max_end[c] >= small.end)
 
 
+def _expand_multiterm(source: IntervalsSource, reader) -> IntervalsSource:
+    """Resolve segment-dependent leaves (Prefix) into Or-of-Terms against
+    this reader's dictionary — the reference's automaton expansion."""
+    if isinstance(source, Prefix):
+        idxs = reader.terms_matching_prefix(source.prefix)
+        if idxs.shape[0] > source.max_expansions:
+            raise ValueError(
+                f"prefix {source.prefix!r} expands to {idxs.shape[0]} terms "
+                f"(> max_expansions={source.max_expansions})")
+        if idxs.shape[0] == 0:
+            return Term("\x00\x00no-match")  # absent term: empty intervals
+        terms = [reader.terms[int(i)] for i in idxs]
+        if len(terms) == 1:
+            return Term(terms[0])
+        return Or(tuple(Term(t) for t in terms))
+    if isinstance(source, Term):
+        return source
+    import dataclasses
+
+    kw = {}
+    for f_ in dataclasses.fields(source):
+        v = getattr(source, f_.name)
+        if isinstance(v, IntervalsSource):
+            kw[f_.name] = _expand_multiterm(v, reader)
+        elif isinstance(v, tuple) and v and isinstance(v[0], IntervalsSource):
+            kw[f_.name] = tuple(_expand_multiterm(x, reader) for x in v)
+        else:
+            kw[f_.name] = v
+    return type(source)(**kw)
+
+
 def eval_intervals(reader, source: IntervalsSource):
     """All intervals of ``source`` in this segment: (local_docs, starts,
     ends) arrays sorted by (doc, start, end)."""
+    source = _expand_multiterm(source, reader)
     terms: set = set()
     source.leaf_terms(terms)
     per_term = _positions_per_term(reader, sorted(terms))
@@ -581,6 +664,10 @@ def min_extent(source: IntervalsSource) -> int:
         return min_extent(source.small)
     if isinstance(source, MaxWidth):
         return min_extent(source.source)
+    if isinstance(source, First):
+        return min_extent(source.source)
+    if isinstance(source, Prefix):
+        return 1
     raise TypeError(type(source))
 
 

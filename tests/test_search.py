@@ -658,3 +658,41 @@ def test_payload_score_query(tmp_path, sf_dir):
             merged = str(tmp_path / "pay_merged")
             tiered_merge(idx, merged, group_size=2)
             idx = merged
+
+
+def test_interval_prefix_and_first(built_index):
+    """Intervals.prefix expands per segment (capped like the reference's
+    128 default); First keeps only intervals inside the first n tokens."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _m = built_index
+    s = Searcher(idx)
+
+    # Prefix == Or over the matching dictionary terms
+    d_pref, _ = s.search_all(Q.IntervalQuery(IV.Prefix("tab")))
+    terms = set()
+    for r in s.readers:
+        idxs = r.terms_matching_prefix("tab")
+        terms |= {r.terms[int(i)] for i in idxs}
+    d_or, _ = s.search_all(
+        Q.IntervalQuery(IV.Or(tuple(IV.Term(t) for t in sorted(terms)))))
+    np.testing.assert_array_equal(np.sort(d_pref), np.sort(d_or))
+
+    # expansion cap raises, IllegalStateException-style
+    with _pytest.raises(ValueError):
+        s.search_all(Q.IntervalQuery(IV.Prefix("", max_expansions=3)))
+
+    # First(n): subset of the term's docs, none matching only past n
+    d_all, _ = s.search_all(Q.TermQuery("table"))
+    d_first, _ = s.search_all(Q.IntervalQuery(IV.First(IV.Term("table"), 5)))
+    assert set(d_first.tolist()) <= set(d_all.tolist())
+    for did in d_first.tolist()[:5]:
+        tv = s.term_vector(did)
+        pos = [p for t, p in zip(tv["term"].to_pylist(), tv["pos"].to_pylist())
+               if t == "table"]
+        assert min(pos) < 5
