@@ -1170,6 +1170,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["taxonomy_sum_assoc"] = _taxonomy_assoc
 
+    def _long_value_facet(sf):
+        """LongValueFacetCounts (facet/LongValueFacetCounts.java:48):
+        top-10 n_chars values by doc count (count desc, value asc)."""
+        import ray.data
+
+        from lucene_ray.pipelines.facets import long_value_counts
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["n_chars"])
+        t = long_value_counts(ds, "n_chars", k=10)
+        return pa.table({"n_chars": t["n_chars"],
+                         "n": t["n"].cast(pa.int64())})
+
+    q["long_value_facet_counts"] = _long_value_facet
+
     def _drill_sideways(sf):
         """DrillSideways (facet/DrillSideways.java:71): drill-down on
         lang='de' AND source='src3'; each dim's counts computed with its
@@ -2487,6 +2502,10 @@ ORDER BY i.a, i.b"""
              UNION ALL
              SELECT source || '/' || lang AS path, n_chars FROM documents)
            GROUP BY path ORDER BY path"""
+    )
+    o["long_value_facet_counts"] = (
+        """SELECT n_chars, count(*)::BIGINT AS n FROM documents
+           GROUP BY n_chars ORDER BY n DESC, n_chars LIMIT 10"""
     )
     o["drill_sideways_facet"] = (
         """SELECT dim, value, count(*)::BIGINT AS n FROM (

@@ -94,14 +94,22 @@ def latest_generation(index_dir: str) -> int:
     return max(gens) if gens else 0
 
 
-def commit_manifest(index_dir: str, manifest: dict) -> dict:
-    """Write the next commit point and swing manifest.json to it — the
-    IndexWriter.commit step. Returns the manifest with its generation
-    stamped. Prunes unsnapshotted older generations afterwards
-    (KeepOnlyLastCommitDeletionPolicy + SnapshotDeletionPolicy)."""
+def prepare_commit(index_dir: str, manifest: dict) -> int:
+    """Phase 1 of the two-phase commit — IndexWriter.prepareCommit
+    (index/IndexWriter.java:3509): write the would-be commit point as
+    ``pending_segments_<gen>.json`` plus the frozen tombstone overlay,
+    fully durable but INVISIBLE (manifest.json untouched; searchers and
+    ``list_commits`` ignore pendings). Finish with
+    :func:`finish_commit` or abandon with :func:`abort_commit`.
+    Returns the pending generation."""
     d = _commits_dir(index_dir)
     os.makedirs(d, exist_ok=True)
-    gen = latest_generation(index_dir) + 1
+    # allocate past committed AND pending generations, so two sequential
+    # prepares never collide on a number
+    pend = [int(m.group(1)) for m in (
+        re.match(r"^pending_segments_(\d+)\.json$", n) for n in os.listdir(d)
+    ) if m]
+    gen = max([latest_generation(index_dir)] + pend) + 1
     manifest = dict(manifest)
     manifest["generation"] = gen
     blob = json.dumps(manifest, indent=1)
@@ -109,7 +117,7 @@ def commit_manifest(index_dir: str, manifest: dict) -> dict:
     tmp = os.path.join(d, f".seg-{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as f:
         f.write(blob)
-    os.replace(tmp, os.path.join(d, f"segments_{gen}.json"))
+    os.replace(tmp, os.path.join(d, f"pending_segments_{gen}.json"))
 
     # freeze the delete overlay into the commit (the liveDocs the
     # reference writes per commit)
@@ -118,14 +126,48 @@ def commit_manifest(index_dir: str, manifest: dict) -> dict:
         ttmp = os.path.join(d, f".tomb-{uuid.uuid4().hex[:8]}")
         shutil.copyfile(tpath, ttmp)
         os.replace(ttmp, os.path.join(d, f"tombstones_{gen}.parquet"))
+    return gen
 
+
+def finish_commit(index_dir: str, gen: int) -> dict:
+    """Phase 2 — IndexWriter.commit after prepareCommit: one atomic
+    rename makes the pending point the real one, manifest.json swings to
+    it, old unsnapshotted generations prune."""
+    d = _commits_dir(index_dir)
+    pending = os.path.join(d, f"pending_segments_{gen}.json")
+    if not os.path.exists(pending):
+        raise ValueError(f"no pending commit {gen} under {d!r}")
+    with open(pending) as f:
+        blob = f.read()
+    os.replace(pending, os.path.join(d, f"segments_{gen}.json"))
     mtmp = os.path.join(index_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
     with open(mtmp, "w") as f:
         f.write(blob)
     os.replace(mtmp, os.path.join(index_dir, "manifest.json"))
-
     _prune(index_dir, keep=gen)
-    return manifest
+    return json.loads(blob)
+
+
+def abort_commit(index_dir: str, gen: int) -> None:
+    """Drop a prepared-but-unfinished commit (IndexWriter.rollback of a
+    pending prepareCommit); the visible state never changed."""
+    d = _commits_dir(index_dir)
+    for name in (f"pending_segments_{gen}.json",
+                 f"tombstones_{gen}.parquet"):
+        try:
+            os.remove(os.path.join(d, name))
+        except FileNotFoundError:
+            pass
+
+
+def commit_manifest(index_dir: str, manifest: dict) -> dict:
+    """Write the next commit point and swing manifest.json to it — the
+    one-shot IndexWriter.commit (prepareCommit + finish in one call).
+    Returns the manifest with its generation stamped. Prunes
+    unsnapshotted older generations afterwards
+    (KeepOnlyLastCommitDeletionPolicy + SnapshotDeletionPolicy)."""
+    gen = prepare_commit(index_dir, manifest)
+    return finish_commit(index_dir, gen)
 
 
 def _prune(index_dir: str, keep: int) -> None:

@@ -163,6 +163,24 @@ def taxonomy_counts(ds, level_cols: list[str], sep: str = "/"):
     return ds.map_batches(explode, batch_format="pyarrow").groupby("path").count().sort("path")
 
 
+def long_value_counts(ds, field: str, k: int | None = None):
+    """Numeric-value facet counts — LongValueFacetCounts
+    (facet/LongValueFacetCounts.java:48): count per distinct value of a
+    numeric doc column. One groupby-count; with ``k`` returns the top-k
+    ordered (count desc, value asc) — the getTopChildren contract."""
+    t = ds.groupby(field).count()
+    if k is None:
+        return t.sort(field)
+    # top-k stays distributed: one sort over the (value, count) rows —
+    # cardinality of a numeric facet can be millions at web scale, so
+    # nothing materializes on the driver before the limit
+    import pyarrow as _pa
+
+    rows = t.sort(["count()", field], descending=[True, False]).limit(k)
+    tbl = _pa.concat_tables(rows.iter_batches(batch_format="pyarrow"))
+    return _pa.table({field: tbl[field], "n": tbl["count()"]})
+
+
 def taxonomy_sum_associations(ds, level_cols: list[str], value_col: str,
                               sep: str = "/"):
     """Association facets — FloatAssociationFacetField +

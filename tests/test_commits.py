@@ -101,3 +101,36 @@ def test_snapshot_refcounts(tmp_path, docs_path, ray_session):
     release_snapshot(idx, b)
     delete_docs(idx, [1])
     assert [c["generation"] for c in list_commits(idx)] == [3]
+
+
+def test_two_phase_commit(tmp_path, docs_path, ray_session):
+    """prepareCommit / commit / abort (index/IndexWriter.java:3509): a
+    prepared point is durable but invisible until finished; aborting
+    leaves the visible state untouched."""
+    import json
+
+    from lucene_ray.index.commits import (abort_commit, finish_commit,
+                                          prepare_commit)
+
+    idx = str(tmp_path / "idx")
+    build_index(docs_path, idx, num_segments=1)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        m = json.load(f)
+
+    g = prepare_commit(idx, dict(m, doc_count=m["doc_count"]))
+    assert g == 2
+    # invisible: live pointer and commit list unchanged
+    assert Searcher(idx).doc_count == m["doc_count"]
+    assert [c["generation"] for c in list_commits(idx)] == [1]
+    assert latest_generation(idx) == 1
+    # a second prepare never reuses the pending number
+    g2 = prepare_commit(idx, m)
+    assert g2 == g + 1
+    abort_commit(idx, g2)
+
+    out = finish_commit(idx, g)
+    assert out["generation"] == g
+    assert [c["generation"] for c in list_commits(idx)] == [g]
+
+    with pytest.raises(ValueError):
+        finish_commit(idx, 99)
