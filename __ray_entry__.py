@@ -1185,6 +1185,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["long_value_facet_counts"] = _long_value_facet
 
+    def _decontaminate(sf):
+        """Benchmark decontamination: corpus docs sharing >= 2 distinct
+        word trigrams with the doc_id<20 'benchmark' set; the benchmark
+        shingle set broadcasts once, the corpus never shuffles."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from lucene_ray.pipelines.dedup import decontaminate
+
+        docs = os.path.join(sf, "documents.parquet")
+        bench = pq.read_table(docs, columns=["doc_id", "text"])
+        bench = bench.filter(pc.less(bench["doc_id"], 20))
+        corpus = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+        t = pa.concat_tables(
+            decontaminate(corpus, bench, shingle_n=3, min_hits=2)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        order = np.argsort(t["doc_id"].to_numpy())
+        return t.take(pa.array(order))
+
+    q["decontaminate_trigram"] = _decontaminate
+
     def _drill_sideways(sf):
         """DrillSideways (facet/DrillSideways.java:71): drill-down on
         lang='de' AND source='src3'; each dim's counts computed with its
@@ -2502,6 +2524,19 @@ ORDER BY i.a, i.b"""
              UNION ALL
              SELECT source || '/' || lang AS path, n_chars FROM documents)
            GROUP BY path ORDER BY path"""
+    )
+    o["decontaminate_trigram"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+, sh AS (
+    SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS g
+    FROM pos a
+    JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2)
+, bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20)
+SELECT s.doc_id, count(*)::BIGINT AS n_hits
+FROM sh s JOIN bench b ON s.g = b.g
+GROUP BY s.doc_id HAVING count(*) >= 2 ORDER BY s.doc_id"""
     )
     o["long_value_facet_counts"] = (
         """SELECT n_chars, count(*)::BIGINT AS n FROM documents

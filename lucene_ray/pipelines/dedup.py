@@ -493,3 +493,54 @@ def simhash_fingerprints(pages, text_col: str = "text"):
         return pa.table({"doc_id": b["doc_id"], "simhash": out.astype(np.int64)})
 
     return pages.map_batches(fp, batch_format="pyarrow")
+
+
+def decontaminate(corpus, benchmark_texts, shingle_n: int = 3,
+                  min_hits: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Benchmark decontamination — flag corpus docs sharing word
+    ``shingle_n``-grams with a held-out benchmark set (the n-gram-overlap
+    contamination check standard in LLM training-data pipelines; same
+    shingle machinery as the dedup family, beyond the reference's own
+    operator set).
+
+    The benchmark is the SMALL side: its distinct shingle hashes build
+    once on the driver and broadcast via ``ray.put`` (read per actor,
+    never re-shipped per batch); each corpus batch then counts its docs'
+    DISTINCT overlapping shingles with one sorted-array ``searchsorted``
+    — no shuffle at all, the corpus streams through untouched. Returns a
+    Dataset of (id, n_hits) rows with ``n_hits >= min_hits`` distinct
+    shared shingles.
+    """
+    import ray
+
+    if isinstance(benchmark_texts, pa.Table):
+        bench = benchmark_texts[text_col]
+    else:
+        bench = pa.array(list(benchmark_texts), pa.string())
+    if isinstance(bench, pa.ChunkedArray):
+        bench = bench.combine_chunks()
+    _bi, bh = _shingle_hashes(bench, shingle_n)
+    bench_ref = ray.put(np.unique(bh))
+
+    def scan(b: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        doc_idx, sh = _shingle_hashes(b[text_col], shingle_n)
+        n = b.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        if sh.shape[0] and bset.shape[0]:
+            # distinct (doc, shingle) pairs, then membership in the set
+            key = np.stack([doc_idx.astype(np.uint64), sh], axis=1)
+            uniq = np.unique(key, axis=0)
+            pos = np.searchsorted(bset, uniq[:, 1])
+            pos = np.clip(pos, 0, bset.shape[0] - 1)
+            m = bset[pos] == uniq[:, 1]
+            np.add.at(hits, uniq[:, 0][m].astype(np.int64), 1)
+        keep = hits >= min_hits
+        return pa.table({
+            id_col: pa.array(
+                b[id_col].to_numpy(zero_copy_only=False)[keep]),
+            "n_hits": pa.array(hits[keep], pa.int64()),
+        })
+
+    return corpus.map_batches(scan, batch_format="pyarrow")

@@ -383,3 +383,31 @@ def test_rollback_preserves_snapshotted_newer_commit(tmp_path, sf_dir,
     # numbering continues PAST the surviving pin — no aliasing
     add_documents(extra, idx, num_segments=1)
     assert latest_generation(idx) == g2 + 1
+
+
+def test_decontaminate_counts_distinct_overlap(ray_session):
+    """decontaminate: n_hits counts DISTINCT shared shingles (repeats in
+    a doc count once); min_hits thresholds; non-overlapping docs drop."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import decontaminate
+
+    bench = pa.table({"text": ["alpha beta gamma delta"]})
+    # doc 1: two distinct benchmark trigrams, one of them twice
+    # doc 2: one benchmark trigram; doc 3: none
+    corpus = ray.data.from_items([
+        {"doc_id": 1, "text": "alpha beta gamma delta x alpha beta gamma"},
+        {"doc_id": 2, "text": "z alpha beta gamma z"},
+        {"doc_id": 3, "text": "completely different words here"},
+    ])
+    t = pa.concat_tables(
+        decontaminate(corpus, bench, shingle_n=3, min_hits=1)
+        .iter_batches(batch_format="pyarrow"))
+    got = dict(zip(t["doc_id"].to_pylist(), t["n_hits"].to_pylist()))
+    assert got == {1: 2, 2: 1}
+
+    t2 = pa.concat_tables(
+        decontaminate(corpus, bench, shingle_n=3, min_hits=2)
+        .iter_batches(batch_format="pyarrow"))
+    assert t2["doc_id"].to_pylist() == [1]
