@@ -864,6 +864,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["english_analyzer_query"] = _english_analyzer
 
+    def _per_field_analyzer(sf):
+        """PerFieldAnalyzerWrapper (analysis/miscellaneous/
+        PerFieldAnalyzerWrapper.java:51): the title field indexes AND
+        parses with a Porter-stemming analyzer while the body stays
+        standard — parse('title:valued') stems to 'valu' and scores over
+        the stemmed title section."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.data.webpages import with_title_column
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:pf1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            ds = ray.data.read_parquet(
+                docs, columns=["doc_id", "text"]
+            ).map_batches(with_title_column, batch_format="pyarrow")
+            build_index(ds, idx, num_segments=4,
+                        extra_fields={"title": "title"},
+                        field_analyzers={"title": Analyzer(stem=True)},
+                        stored_source=docs)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(s.parse("title:valued"))
+        o = np.argsort(d)
+        return pa.table({"doc_id": d[o], "score": _round4(sc[o])})
+
+    q["per_field_analyzer_query"] = _per_field_analyzer
+
     def _synonym_index(sf):
         """Index built with index-side synonym injection: a single-token
         rule (fast -> quick, same position) AND a multi-word graph rule
@@ -2894,6 +2928,28 @@ tstats AS (
         _TITLE_PRELUDE
         + f"""
 , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM ttok WHERE term = 'table' GROUP BY doc_id)
+, df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN tstats s JOIN tdl q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
+    o["per_field_analyzer_query"] = (
+        f"""
+WITH ttok0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:4]) AS term FROM documents
+),
+smap(sterm, stem) AS (VALUES {smap_values}),
+ttok AS (SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+         FROM ttok0 t LEFT JOIN smap s ON t.term = s.sterm),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+tstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM tdl)::DOUBLE AS sttf
+)
+, tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM ttok WHERE term = 'valu' GROUP BY doc_id)
 , df AS (SELECT count(*)::DOUBLE AS df FROM tf)
 SELECT t.doc_id,
        ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /

@@ -42,6 +42,7 @@ def _build_segments(
     with_positions: bool,
     extra_fields: dict[str, str] | None = None,
     features: dict[str, str] | None = None,
+    field_analyzers: "dict[str, Analyzer] | None" = None,
 ) -> list[dict]:
     """Run the SPIMI segment stage; returns one manifest row per segment."""
     cols = [id_col, text_col] + sorted(
@@ -68,6 +69,7 @@ def _build_segments(
         with_positions=with_positions,
         extra_fields=extra_fields,
         features=features,
+        field_analyzers=field_analyzers,
     )
     return ds.map_batches(
         builder, batch_size=None, batch_format="pyarrow"
@@ -177,6 +179,7 @@ def build_index(
     extra_fields: dict[str, str] | None = None,
     stored_source: str | None = None,
     features: dict[str, str] | None = None,
+    field_analyzers: "dict[str, Analyzer] | None" = None,
 ) -> dict:
     """Build (or resume) an inverted index; returns the global manifest.
 
@@ -197,7 +200,7 @@ def build_index(
     predicate-pushdown read, and the index never duplicates the corpus."""
     manifest_rows = _build_segments(
         source, index_dir, analyzer, text_col, id_col, num_segments,
-        with_positions, extra_fields, features,
+        with_positions, extra_fields, features, field_analyzers,
     )
     segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
     # Segment doc ranges are contiguous when the input's block layout is
@@ -221,6 +224,8 @@ def build_index(
                 for r in segments
             ),
         }
+        if field_analyzers and f in field_analyzers:
+            fields[f]["analyzer"] = analyzer_dict(field_analyzers[f])
 
     manifest = {
         "stats_dir": stats_name,
@@ -233,15 +238,7 @@ def build_index(
         "fields": fields,
         "features": {n: {"col": c} for n, c in sorted((features or {}).items())},
         "stored_source": stored_source or (source if isinstance(source, str) else None),
-        "analyzer": {
-            "lowercase": analyzer.lowercase,
-            "stop_words": sorted(analyzer.stop_words),
-            "max_token_length": analyzer.max_token_length,
-            "stem": analyzer.stem,
-            "ascii_fold": analyzer.ascii_fold,
-            "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
-            "payload_delimiter": analyzer.payload_delimiter,
-        },
+        "analyzer": analyzer_dict(analyzer),
         "segments": [
             {k: r.get(k) for k in (
                 "segment_id", "path", "doc_base", "max_doc_id", "doc_count",
@@ -275,6 +272,7 @@ def add_documents(
         num_segments, m["with_positions"],
         {f: i["col"] for f, i in m.get("fields", {}).items()} or None,
         {n: i["col"] for n, i in m.get("features", {}).items()} or None,
+        field_analyzers_from_manifest(m) or None,
     )
     old_keys = {s["segment_id"] for s in m["segments"]}
     combined = list(m["segments"]) + [
@@ -328,8 +326,20 @@ def ram_index_dir(prefix: str = "lucene_ray_ram_") -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def analyzer_from_manifest(m: dict) -> Analyzer:
-    a = m["analyzer"]
+def analyzer_dict(analyzer: Analyzer) -> dict:
+    """JSON form of an analyzer config (manifest round-trip)."""
+    return {
+        "lowercase": analyzer.lowercase,
+        "stop_words": sorted(analyzer.stop_words),
+        "max_token_length": analyzer.max_token_length,
+        "stem": analyzer.stem,
+        "ascii_fold": analyzer.ascii_fold,
+        "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
+        "payload_delimiter": analyzer.payload_delimiter,
+    }
+
+
+def analyzer_from_dict(a: dict) -> Analyzer:
     return Analyzer(
         lowercase=a["lowercase"],
         stop_words=frozenset(a["stop_words"]),
@@ -341,6 +351,21 @@ def analyzer_from_manifest(m: dict) -> Analyzer:
         ),
         payload_delimiter=a.get("payload_delimiter"),
     )
+
+
+def analyzer_from_manifest(m: dict) -> Analyzer:
+    return analyzer_from_dict(m["analyzer"])
+
+
+def field_analyzers_from_manifest(m: dict) -> "dict[str, Analyzer]":
+    """Per-field analyzer overrides (PerFieldAnalyzerWrapper,
+    analysis/miscellaneous/PerFieldAnalyzerWrapper.java:51) recorded at
+    build time; empty when every field shares the default."""
+    return {
+        f: analyzer_from_dict(info["analyzer"])
+        for f, info in m.get("fields", {}).items()
+        if info.get("analyzer")
+    }
 
 
 def load_manifest(index_dir: str, generation: "int | None" = None) -> dict:

@@ -91,12 +91,17 @@ class SegmentBuilder:
         with_positions: bool = False,
         extra_fields: dict[str, str] | None = None,
         features: dict[str, str] | None = None,
+        field_analyzers: "dict[str, object] | None" = None,
     ) -> None:
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.text_col = text_col
         self.id_col = id_col
         self.with_positions = with_positions
+        # per-field analyzer overrides — PerFieldAnalyzerWrapper
+        # (analysis/miscellaneous/PerFieldAnalyzerWrapper.java:51); a
+        # field absent here inverts with the default analyzer
+        self.field_analyzers = dict(field_analyzers or {})
         # static per-doc feature values (document/FeatureField.java:96 —
         # the reference smuggles the value into a term's frequency; here
         # each feature is a feat_<name> float32 docs.parquet column):
@@ -249,12 +254,14 @@ class SegmentBuilder:
         aggregation with one np.unique over a fused int64 key. With a
         ``key_prefix`` the sorted vocab (and positions terms) are prefixed
         into the field's dictionary section."""
+        analyzer = (self.field_analyzers.get(field, self.analyzer)
+                    if field is not None else self.analyzer)
         payloads = None
-        if self.analyzer.payload_delimiter is not None:
+        if analyzer.payload_delimiter is not None:
             from lucene_ray.analysis.batch import tokenize_with_payloads
 
             (flat_terms, doc_idx, positions, off_starts, off_ends,
-             payloads) = tokenize_with_payloads(texts, self.analyzer)
+             payloads) = tokenize_with_payloads(texts, analyzer)
             if not self.with_positions:
                 raise ValueError(
                     "payload_delimiter requires with_positions=True "
@@ -262,7 +269,7 @@ class SegmentBuilder:
         else:
             res = tokenize_column(
                 texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
-                self.analyzer,
+                analyzer,
                 want_offsets=self.with_positions,
             )
             if self.with_positions:

@@ -214,7 +214,10 @@ class DistributedSearcher:
     def parse(self, text: str) -> Q.Query:
         from lucene_ray.search.parser import parse_query
 
-        return parse_query(text, self.analyzer, set(self.field_ttf))
+        from lucene_ray.index.build import field_analyzers_from_manifest
+
+        return parse_query(text, self.analyzer, set(self.field_ttf),
+                           field_analyzers_from_manifest(self.manifest))
 
     def search(self, query: "Q.Query | str", k: int = 10) -> TopDocs:
         if isinstance(query, str):

@@ -48,16 +48,25 @@ def parse_query(
     text: str,
     analyzer: Analyzer = StandardAnalyzer,
     fields: "set[str] | None" = None,
+    field_analyzers: "dict[str, Analyzer] | None" = None,
 ) -> Q.Query:
+    """``field_analyzers`` maps named fields to their own analyzers —
+    the PerFieldAnalyzerWrapper role (analysis/miscellaneous/
+    PerFieldAnalyzerWrapper.java:51): a ``title:foo`` atom analyzes with
+    title's analyzer, everything else with the default (the classic
+    QueryParser consults the wrapper per field the same way)."""
     # Query-side analysis must NOT run the index-side synonym injection:
     # injected terms ride at the SAME position in the index, but tokens()
     # appends them, which would turn "world" into PhraseQuery(world, earth)
     # — a query that can never match. Synonym matching happens because the
     # INDEX carries the injected postings.
-    if analyzer.synonyms:
-        import dataclasses
+    import dataclasses
 
-        analyzer = dataclasses.replace(analyzer, synonyms=())
+    def _strip_syn(a: Analyzer) -> Analyzer:
+        return dataclasses.replace(a, synonyms=()) if a.synonyms else a
+
+    analyzer = _strip_syn(analyzer)
+    fa = {f: _strip_syn(a) for f, a in (field_analyzers or {}).items()}
     tokens = [m.group(1) for m in _TOKEN_RE.finditer(text.strip())]
     if not tokens:
         return Q.MatchAllDocsQuery()
@@ -67,7 +76,7 @@ def parse_query(
     clauses: list[Q.Query] = []
     i, n = 0, len(tokens)
     while i < n:
-        q, i = _parse_tokens(tokens, i, analyzer, fields or set())
+        q, i = _parse_tokens(tokens, i, analyzer, fields or set(), fa)
         if q is not None:
             clauses.append(q)
         if i < n and (tokens[i] == ")" or tokens[i].startswith(")^")):
@@ -80,7 +89,8 @@ def parse_query(
 
 
 def _parse_tokens(
-    tokens: list[str], i: int, analyzer: Analyzer, fields: set[str]
+    tokens: list[str], i: int, analyzer: Analyzer, fields: set[str],
+    field_analyzers: "dict[str, Analyzer] | None" = None
 ) -> "tuple[Q.Query | None, int]":
     """Parse a clause run until ')' or end-of-input (recursive for groups —
     the classic grammar's '(' query ')' [^boost] production)."""
@@ -111,14 +121,15 @@ def _parse_tokens(
             if prev_to_must and should:
                 must.append(should.pop())
         if raw == "(":
-            q, i = _parse_tokens(tokens, i, analyzer, fields)
+            q, i = _parse_tokens(tokens, i, analyzer, fields,
+                                 field_analyzers)
             boost = 1.0
             if i < n and (tokens[i] == ")" or tokens[i].startswith(")^")):
                 if tokens[i].startswith(")^"):
                     boost = float(tokens[i][2:])
                 i += 1
         else:
-            q, boost = _parse_atom(raw, analyzer, fields)
+            q, boost = _parse_atom(raw, analyzer, fields, field_analyzers)
         if q is None:
             pending_op = None
             continue
@@ -142,7 +153,8 @@ def _parse_tokens(
 
 
 def _parse_atom(
-    raw: str, analyzer: Analyzer, fields: set[str]
+    raw: str, analyzer: Analyzer, fields: set[str],
+    field_analyzers: "dict[str, Analyzer] | None" = None,
 ) -> tuple[Q.Query | None, float]:
     boost = 1.0
     # field prefix: scope to a known named field; the default field's name
@@ -154,6 +166,8 @@ def _parse_atom(
         name, rest = fp.group(1), fp.group(2)
         if name in fields:
             field, raw = name, rest
+            if field_analyzers and name in field_analyzers:
+                analyzer = field_analyzers[name]  # PerFieldAnalyzerWrapper
         else:
             raw = rest
 

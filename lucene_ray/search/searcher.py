@@ -69,6 +69,9 @@ class Searcher:
         from lucene_ray.index.build import analyzer_from_manifest
 
         self.analyzer = analyzer_from_manifest(m)
+        from lucene_ray.index.build import field_analyzers_from_manifest
+
+        self.field_analyzers = field_analyzers_from_manifest(m)
         from lucene_ray.search.segreader import group_segment_paths, open_reader
 
         self.readers = [open_reader(g) for g in group_segment_paths(m["segments"])]
@@ -116,7 +119,8 @@ class Searcher:
     def parse(self, text: str) -> Q.Query:
         from lucene_ray.search.parser import parse_query
 
-        return parse_query(text, self.analyzer, set(self.field_ttf))
+        return parse_query(text, self.analyzer, set(self.field_ttf),
+                           self.field_analyzers)
 
     def _prep(self, query: "Q.Query | str") -> Q.Query:
         """Parse (if a string) and rewrite field-scoped terms to storage

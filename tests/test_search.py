@@ -696,3 +696,48 @@ def test_interval_prefix_and_first(built_index):
         pos = [p for t, p in zip(tv["term"].to_pylist(), tv["pos"].to_pylist())
                if t == "table"]
         assert min(pos) < 5
+
+
+def test_per_field_analyzers(tmp_path, sf_dir):
+    """PerFieldAnalyzerWrapper (analysis/miscellaneous/
+    PerFieldAnalyzerWrapper.java:51): title indexes and parses with a
+    stemming analyzer, body stays standard; the config survives
+    add_documents via the manifest."""
+    import os
+
+    import numpy as np
+
+    import ray.data
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.data.webpages import with_title_column
+    from lucene_ray.index.build import add_documents, build_index
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "pf_idx")
+    ds = ray.data.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+        with_title_column, batch_format="pyarrow")
+    build_index(ds, idx, num_segments=2, extra_fields={"title": "title"},
+                field_analyzers={"title": Analyzer(stem=True)})
+
+    s = Searcher(idx)
+    # parse stems the title-scoped term ('valued' -> 'valu'); body doesn't
+    pq_t = s.parse("title:valued")
+    assert pq_t == Q.TermQuery("valu", field="title")
+    pq_b = s.parse("valued")
+    assert pq_b == Q.TermQuery("valued")
+
+    d_stem, _ = s.search_all(pq_t)
+    d_raw, _ = s.search_all(Q.TermQuery("value", field="title"))
+    # stemmed dictionary: raw 'value' is NOT a title term, 'valu' is
+    assert d_raw.shape[0] == 0 and d_stem.shape[0] > 0
+
+    # config survives incremental adds (manifest round-trip)
+    extra = ray.data.from_items(
+        [{"doc_id": 30_000, "text": "body text", "title": "valued things"}])
+    add_documents(extra, idx, num_segments=1)
+    s2 = Searcher(idx)
+    d2, _ = s2.search_all(s2.parse("title:valuing"))  # stems to 'valu'
+    assert 30_000 in d2.tolist()
+    assert set(d_stem.tolist()) <= set(d2.tolist())
