@@ -320,6 +320,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["intervals_prefix_near"] = _intervals_prefix
 
+    def _intervals_unordered3(sf):
+        """Exact 3-way unordered (UnorderedIntervalsSource sweep): docs
+        with a window of width <= 8 holding 'scan', 'column' and 'table'
+        in any order."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(IV.MaxWidth(
+            IV.Unordered((IV.Term("scan"), IV.Term("column"),
+                          IV.Term("table"))), 8)))
+
+    q["intervals_unordered3_width"] = _intervals_unordered3
+
     def _span_first(sf):
         """SpanFirstQuery (queries/spans/SpanFirstQuery.java:38): 'table'
         within the first 10 tokens of the document."""
@@ -2121,6 +2133,16 @@ ORDER BY t.doc_id"""
 SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'key' AND b.term LIKE 'val%'
   AND b.p > a.p AND b.p - a.p - 1 <= 2
+ORDER BY a.doc_id"""
+    )
+    o["intervals_unordered3_width"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT a.doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+JOIN pos c ON a.doc_id = c.doc_id
+WHERE a.term = 'scan' AND b.term = 'column' AND c.term = 'table'
+  AND greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) + 1 <= 8
 ORDER BY a.doc_id"""
     )
     o["span_first_query"] = (

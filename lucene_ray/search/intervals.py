@@ -16,9 +16,10 @@ phrase/span matchers). No per-doc Python loops:
 * ``Unordered`` (2 sources) — for every left interval, its predecessor
   and successor right intervals both become candidates (overlaps allowed,
   the Intervals.unordered contract); exact for term leaves (both
-  directions examined).  n>2 folds pairwise (documented widening: the
-  fold is exact for existence on term leaves when each pairwise window is
-  re-checked, conservative otherwise).
+  directions examined).  n>2 runs the EXACT smallest-window sweep
+  (``_unordered_exact``: per-source segmented running-max scans + a
+  minimality filter — vectorized equivalent of the reference's
+  priority-queue walk; cov/gaps exact for term leaves).
 * ``UnorderedNoOverlaps`` — the 2-arg no-overlap variant: nearest
   entirely-before and first-starting-after candidates (an overlapping
   same-start b cannot occlude the true successor).
@@ -525,12 +526,83 @@ def _apply_maxgaps(iv: _Iv, maxgaps: int) -> _Iv:
 
 
 def _unordered(source: Unordered, per_term: dict) -> _Iv:
+    if len(source.sources) > 2:
+        ivs = [_eval(s, per_term) for s in source.sources]
+        if any(x.size == 0 for x in ivs):
+            return _Iv.empty()
+        return _apply_maxgaps(_unordered_exact(ivs), source.maxgaps)
     acc = _eval(source.sources[0], per_term)
     for nxt in source.sources[1:]:
         acc = _pair_unordered(acc, _eval(nxt, per_term))
         if acc.size == 0:
             return acc
     return _apply_maxgaps(acc, source.maxgaps)
+
+
+def _unordered_exact(ivs: "list[_Iv]") -> _Iv:
+    """Exact n-way unordered minimal intervals — the smallest-window
+    sweep (the reference's UnorderedIntervalsSource priority-queue walk,
+    queries/intervals/UnorderedIntervalsSource.java, vectorized):
+
+    Merge every source's intervals tagged by source index and sort by
+    (doc, end, start). For a window ending at end_r, the widest-start
+    choice per source among intervals with end <= end_r is a per-doc
+    segmented running max (one Hillis-Steele scan per source); the
+    window [min_s maxstart_s, end_r] is then the MINIMAL unordered
+    window ending there. Candidates materialize at the last row of each
+    (doc, end) run; non-minimal ones (containing an earlier candidate)
+    drop via a running-max-of-starts filter. Overlapping sub-intervals
+    are allowed, matching Intervals.unordered (Intervals.java:130).
+
+    ``cov`` sums the chosen intervals' covs — exact for term leaves
+    (distinct positions); composites whose chosen sub-intervals overlap
+    overcount cov, i.e. undercount gaps (documented, same direction as
+    the reference's approximate gap accounting for overlaps)."""
+    n_src = len(ivs)
+    doc = np.concatenate([x.doc for x in ivs])
+    start = np.concatenate([x.start for x in ivs])
+    end = np.concatenate([x.end for x in ivs])
+    cov = np.concatenate([x.cov for x in ivs])
+    src = np.concatenate([np.full(x.size, i, np.int64)
+                          for i, x in enumerate(ivs)])
+    order = np.lexsort((start, end, doc))
+    doc, start, end, cov, src = (a[order] for a in (doc, start, end, cov, src))
+    n = doc.shape[0]
+
+    # per-source running best (max start; cov rides in the low bits of a
+    # fused key so the chosen interval's cov is recoverable)
+    _C = np.int64(1) << np.int64(20)
+    fused_all = start * _C + np.minimum(cov, _C - 1)
+    best_start = np.empty((n_src, n), np.int64)
+    best_cov = np.empty((n_src, n), np.int64)
+    for s_i in range(n_src):
+        arr = np.where(src == s_i, fused_all, np.int64(-1))
+        run = _segmented_prefix_scan(doc, arr, np.maximum)
+        best_start[s_i] = np.where(run >= 0, run // _C, np.int64(-1))
+        best_cov[s_i] = np.where(run >= 0, run % _C, np.int64(0))
+    seen_all = (best_start >= 0).all(axis=0)
+    w_start = best_start.min(axis=0)
+    w_cov = best_cov.sum(axis=0)
+
+    # candidate = last row of each (doc, end) run where every source seen
+    last = np.concatenate(
+        (doc[1:] != doc[:-1]) | (end[1:] != end[:-1]), axis=None
+    ) if n > 1 else np.empty(0, bool)
+    is_last = np.concatenate([last, [True]]) if n else np.empty(0, bool)
+    keep = is_last & seen_all
+    c_doc, c_start, c_end, c_cov = (
+        doc[keep], w_start[keep], end[keep], w_cov[keep])
+
+    # minimality: a later candidate (end >=) whose start <= an earlier
+    # start CONTAINS it — keep only strictly-increasing starts per doc
+    if c_doc.shape[0] > 1:
+        prev_max = _segmented_prefix_scan(c_doc, c_start, np.maximum)
+        strict = np.ones(c_doc.shape[0], bool)
+        same_doc = c_doc[1:] == c_doc[:-1]
+        strict[1:] = ~same_doc | (c_start[1:] > prev_max[:-1])
+        c_doc, c_start, c_end, c_cov = (
+            c_doc[strict], c_start[strict], c_end[strict], c_cov[strict])
+    return _Iv(c_doc, c_start, c_end, c_cov).sorted()
 
 
 def _unordered_no_overlaps(source: UnorderedNoOverlaps, per_term: dict) -> _Iv:

@@ -741,3 +741,62 @@ def test_per_field_analyzers(tmp_path, sf_dir):
     d2, _ = s2.search_all(s2.parse("title:valuing"))  # stems to 'valu'
     assert 30_000 in d2.tolist()
     assert set(d_stem.tolist()) <= set(d2.tolist())
+
+
+def test_unordered_nway_exact(tmp_path, ray_session):
+    """n>2 unordered intervals == brute-force minimal-window enumeration
+    (UnorderedIntervalsSource semantics, overlaps allowed), including
+    maxgaps filtering, on adversarial synthetic docs."""
+    import numpy as np
+
+    import ray.data
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    rng = np.random.RandomState(7)
+    alpha = ["aa", "bb", "cc", "xx"]
+    texts = [" ".join(rng.choice(alpha, size=rng.randint(3, 30)))
+             for _ in range(120)]
+    idx = str(tmp_path / "un_idx")
+    build_index(
+        ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]),
+        idx, num_segments=3, with_positions=True)
+    s = Searcher(idx)
+
+    def brute(doc_toks, want, maxgaps):
+        """All minimal windows containing one occurrence of each term."""
+        L = len(doc_toks)
+        wins = []
+        for a in range(L):
+            for b in range(a, L):
+                if all(t in doc_toks[a:b + 1] for t in want):
+                    wins.append((a, b))
+        minimal = [
+            (a, b) for (a, b) in wins
+            if not any((a2 >= a and b2 <= b and (a2, b2) != (a, b))
+                       for (a2, b2) in wins)
+        ]
+        if maxgaps >= 0:
+            # cov = one chosen position per source; the sweep picks the
+            # max-start occurrence per term (gaps = width - n_distinct)
+            out = []
+            for (a, b) in minimal:
+                chosen = set()
+                for t in want:
+                    chosen.add(max(p for p in range(a, b + 1)
+                                   if doc_toks[p] == t))
+                if (b - a + 1) - len(chosen) <= maxgaps:
+                    out.append((a, b))
+            minimal = out
+        return minimal
+
+    want = ("aa", "bb", "cc")
+    for maxgaps in (-1, 0, 1, 3):
+        d, _ = s.search_all(Q.IntervalQuery(
+            IV.Unordered(tuple(IV.Term(t) for t in want), maxgaps=maxgaps)))
+        expect = {i for i, t in enumerate(texts)
+                  if brute(t.split(" "), want, maxgaps)}
+        assert set(d.tolist()) == expect, maxgaps
