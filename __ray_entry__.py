@@ -768,6 +768,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["free_text_suggest"] = _free_text
 
+    def _free_text_backoff(sf):
+        """FreeTextSuggester with a 2-token history: complete 's...'
+        after 'sort merge'; stupid backoff chains trigram -> bigram ->
+        unigram with alpha=0.4 per step (FreeTextSuggester.java:120,
+        Brants et al. 2007)."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import free_text_suggest
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["text"]
+        )
+        return free_text_suggest(ds, "sort merge", "s", k=8)
+
+    q["free_text_backoff"] = _free_text_backoff
+
     def _suggest_infix(sf):
         """Infix suggester: terms containing 'a' anywhere, df-ranked."""
         s = _searcher(sf)
@@ -2359,6 +2375,41 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
            CASE WHEN bg.c IS NOT NULL THEN bg.c / (SELECT n FROM ctx)
                 ELSE 0.4 * u.c / (SELECT n FROM tot) END AS s
     FROM uni u LEFT JOIN big bg ON u.term = bg.term)
+SELECT row_number() OVER (ORDER BY ROUND(s, 6) DESC, term) AS rank,
+       term, ROUND(s, 6) AS score
+FROM sc ORDER BY ROUND(s, 6) DESC, term LIMIT 8"""
+    )
+    o["free_text_backoff"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+, tot AS (SELECT count(*)::DOUBLE AS n FROM pos)
+, h1 AS (SELECT count(*)::DOUBLE AS n FROM pos WHERE term = 'merge')
+, h2 AS (SELECT count(*)::DOUBLE AS n FROM pos a
+         JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         WHERE a.term = 'sort' AND b.term = 'merge')
+, tri AS (
+    SELECT c.term, count(*)::DOUBLE AS c
+    FROM pos a
+    JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    WHERE a.term = 'sort' AND b.term = 'merge' AND c.term LIKE 's%'
+    GROUP BY c.term)
+, big AS (
+    SELECT b.term, count(*)::DOUBLE AS c
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'merge' AND b.term LIKE 's%' GROUP BY b.term)
+, uni AS (SELECT term, count(*)::DOUBLE AS c FROM pos
+          WHERE term LIKE 's%' GROUP BY term)
+, sc AS (
+    SELECT u.term,
+           CASE WHEN t3.c IS NOT NULL AND (SELECT n FROM h2) > 0
+                     THEN t3.c / (SELECT n FROM h2)
+                WHEN b2.c IS NOT NULL AND (SELECT n FROM h1) > 0
+                     THEN 0.4 * b2.c / (SELECT n FROM h1)
+                ELSE 0.4 * 0.4 * u.c / (SELECT n FROM tot) END AS s
+    FROM uni u
+    LEFT JOIN tri t3 ON u.term = t3.term
+    LEFT JOIN big b2 ON u.term = b2.term)
 SELECT row_number() OVER (ORDER BY ROUND(s, 6) DESC, term) AS rank,
        term, ROUND(s, 6) AS score
 FROM sc ORDER BY ROUND(s, 6) DESC, term LIMIT 8"""

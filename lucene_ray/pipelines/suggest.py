@@ -6,19 +6,21 @@ n-grams) and completes the user's current token conditioned on the
 previous ones, scoring with "stupid backoff" (Brants et al. 2007,
 the paper the reference cites): use the conditional n-gram frequency
 when the history was seen, otherwise back off to the lower order
-scaled by alpha (the reference's ALPHA = 0.4).
+scaled by alpha (the reference's ALPHA = 0.4), chaining down through
+every shorter history to the unigram floor:
 
-Ray-Data-first analog for the bigram case: ONE streaming pass over the
-corpus emits per-batch partial counts (bigram continuations of the
-context, prefix-matching unigrams, context occurrences, total tokens),
-a tiny groupby-sum reduces them, and the driver scores the handful of
-candidates:
+    S(c | w_1..w_h) = count(w_1..w_h c) / count(w_1..w_h)   if seen
+                    = alpha * S(c | w_2..w_h)               otherwise
+    S(c)            = count(c) / N                          (unigram)
 
-    S(c | w) = count(w c) / count(w)        if the bigram was seen
-             = alpha * count(c) / N         otherwise (backoff)
-
-Everything per batch is Arrow kernels (split_pattern / value_counts);
-the shuffle moves only candidate-term count rows, never text.
+Ray-Data-first analog: ONE streaming pass over the corpus emits
+per-batch partial counts for EVERY history order at once (h-gram
+continuations of each context suffix, the context-suffix occurrence
+counts, prefix-matching unigrams, total tokens), a tiny groupby-sum
+reduces them, and the driver walks the backoff chain over the handful
+of candidates. Everything per batch is Arrow kernels + shifted-mask
+numpy ANDs (split_pattern / value_counts); the shuffle moves only
+candidate-term count rows, never text.
 """
 
 from __future__ import annotations
@@ -29,8 +31,9 @@ import pyarrow.compute as pc
 
 
 def _flat_tokens(texts: pa.Array):
-    """(flat token array, boundary mask) — mask[i] is True when token i
-    and i+1 belong to the same document (valid bigram pair)."""
+    """(flat token array, doc index per token) — two tokens belong to the
+    same document iff their doc indexes are equal, which generalizes the
+    bigram boundary mask to arbitrary-length n-gram spans."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     lst = pc.split_pattern(texts, " ")
@@ -39,44 +42,65 @@ def _flat_tokens(texts: pa.Array):
     flat = pc.list_flatten(lst)
     offs = lst.offsets.to_numpy()
     n = len(flat)
-    same_doc = np.ones(max(n - 1, 0), dtype=bool)
-    # positions just before a document boundary cannot pair forward
-    ends = offs[1:-1] - 1  # last-token index of each doc except the final
-    same_doc[ends[(ends >= 0) & (ends < n - 1)]] = False
-    return flat, same_doc
+    doc_of = np.searchsorted(offs, np.arange(n), side="right")
+    return flat, doc_of
 
 
 def free_text_suggest(pages, context: str, prefix: str, k: int = 10,
                       alpha: float = 0.4, text_col: str = "text") -> pa.Table:
     """Next-token completion: candidates extending ``prefix`` after the
-    token ``context``, stupid-backoff scored. Returns (rank, term,
-    score) with score rounded to 6 decimals, ties broken term asc."""
+    token sequence ``context`` (space-separated; the last tokens are
+    the history, longest order first), stupid-backoff scored down the
+    full chain. Returns (rank, term, score) with score rounded to 6
+    decimals, ties broken term asc."""
+
+    ctx = [t for t in context.split(" ") if t]
+    C = len(ctx)
 
     def partial(b: pa.Table) -> pa.Table:
-        flat, same_doc = _flat_tokens(b[text_col])
+        flat, doc_of = _flat_tokens(b[text_col])
         kinds, terms, counts = [], [], []
         n = len(flat)
         if n:
             is_pref = pc.starts_with(flat, prefix).to_numpy(
                 zero_copy_only=False)
-            is_ctx = pc.equal(flat, context).to_numpy(zero_copy_only=False)
-            # bigram continuations: context at i, prefix-candidate at i+1
-            if n > 1:
-                sel = is_ctx[:-1] & is_pref[1:] & same_doc
-                if sel.any():
-                    vc = pc.value_counts(flat.take(
-                        pa.array(np.nonzero(sel)[0] + 1)))
-                    kinds += ["big"] * len(vc)
-                    terms += vc.field("values").to_pylist()
-                    counts += vc.field("counts").to_pylist()
+            # eq[j]: token equals ctx[j]
+            eq = [pc.equal(flat, c).to_numpy(zero_copy_only=False)
+                  for c in ctx]
+            # For each history length h (1..C, suffix ctx[C-h:]): a
+            # position i hosts the history iff tokens i..i+h-1 match the
+            # suffix and all sit in one doc; the continuation candidate
+            # is token i+h.
+            for h in range(1, C + 1):
+                suf = eq[C - h:]
+                if n < h:
+                    continue
+                # history occurrences (denominator count(w_1..w_h))
+                hist = suf[0][: n - h + 1].copy()
+                for j in range(1, h):
+                    hist &= suf[j][j: n - h + 1 + j]
+                hist &= doc_of[: n - h + 1] == doc_of[h - 1: n]
+                kinds.append(f"h{h}")
+                terms.append("")
+                counts.append(int(hist.sum()))
+                # continuations: history at i, prefix-candidate at i+h
+                if n >= h + 1:
+                    sel = hist[: n - h] & is_pref[h:] \
+                        & (doc_of[: n - h] == doc_of[h:])
+                    if sel.any():
+                        vc = pc.value_counts(flat.take(
+                            pa.array(np.nonzero(sel)[0] + h)))
+                        kinds += [f"g{h}"] * len(vc)
+                        terms += vc.field("values").to_pylist()
+                        counts += vc.field("counts").to_pylist()
             if is_pref.any():
                 vc = pc.value_counts(flat.filter(pa.array(is_pref)))
                 kinds += ["uni"] * len(vc)
                 terms += vc.field("values").to_pylist()
                 counts += vc.field("counts").to_pylist()
-            kinds += ["ctx", "tot"]
-            terms += ["", ""]
-            counts += [int(is_ctx.sum()), n]
+            kinds.append("tot")
+            terms.append("")
+            counts.append(n)
         return pa.table({
             "kind": pa.array(kinds, pa.string()),
             "term": pa.array(terms, pa.string()),
@@ -91,24 +115,31 @@ def free_text_suggest(pages, context: str, prefix: str, k: int = 10,
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
     )
-    big: dict = {}
+    grams: list[dict] = [dict() for _ in range(C + 1)]  # grams[h][term]
+    hist_n = [0] * (C + 1)
     uni: dict = {}
-    ctx_n = tot_n = 0
+    tot_n = 0
     for r in rows:
-        if r["kind"] == "big":
-            big[r["term"]] = r["n"]
-        elif r["kind"] == "uni":
+        kind = r["kind"]
+        if kind == "uni":
             uni[r["term"]] = r["n"]
-        elif r["kind"] == "ctx":
-            ctx_n = r["n"]
-        else:
+        elif kind == "tot":
             tot_n = r["n"]
+        elif kind.startswith("g"):
+            grams[int(kind[1:])][r["term"]] = r["n"]
+        elif kind.startswith("h"):
+            hist_n[int(kind[1:])] = r["n"]
     terms = sorted(uni)
-    scores = np.array([
-        (big[t] / ctx_n) if t in big and ctx_n
-        else (alpha * uni[t] / tot_n if tot_n else 0.0)
-        for t in terms
-    ], dtype=np.float64)
+
+    def score(t: str) -> float:
+        s = 1.0
+        for h in range(C, 0, -1):
+            if t in grams[h] and hist_n[h]:
+                return s * grams[h][t] / hist_n[h]
+            s *= alpha
+        return s * uni[t] / tot_n if tot_n else 0.0
+
+    scores = np.array([score(t) for t in terms], dtype=np.float64)
     r6 = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6
     order = np.lexsort((np.asarray(terms, dtype=object), -r6))[:k]
     return pa.table({

@@ -414,10 +414,14 @@ class Searcher:
 
         The exact first char range-prunes the sorted dictionary (the
         analog of the reference intersecting a LevenshteinAutomaton with
-        the suggest FST); the banded DP then runs only over that slice,
-        on candidates truncated to len(prefix)+max_edits chars."""
+        the suggest FST); the Levenshtein DP then runs as ONE numpy
+        recurrence over the whole slice at once — candidates truncated
+        to len(prefix)+max_edits codepoints sit in a fixed-width
+        (n, W) uint32 matrix and each of the m·W DP cells is a
+        vectorized min across all n candidates (no per-term Python)."""
         import os
 
+        import pyarrow as _pa
         import pyarrow.dataset as pads
 
         if len(prefix) < min_fuzzy_length or max_edits == 0:
@@ -433,28 +437,47 @@ class Searcher:
             & (pads.field("term") < anchor + chr(0x10FFFF))
         )
         m = len(prefix)
-        rows = []
-        for cand, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            c = cand[:m + max_edits]
-            # prefix edit distance: one DP over (prefix x c), answer =
-            # min of the last row (best prefix of the candidate)
-            prev = list(range(len(c) + 1))
-            for i, pch in enumerate(prefix, 1):
-                cur = [i] + [0] * len(c)
-                for j, cch in enumerate(c, 1):
-                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                                 prev[j - 1] + (pch != cch))
-                prev = cur
-            if min(prev) <= max_edits:
-                rows.append((-int(df), cand, min(prev)))
-        rows.sort()
-        import pyarrow as _pa
-
-        top = rows[:k]
+        W = m + max_edits
+        terms_obj = np.asarray(t["term"].to_pylist(), dtype=object)
+        n = terms_obj.shape[0]
+        empty = _pa.table({
+            "rank": _pa.array([], type=_pa.int64()),
+            "term": _pa.array([], type=_pa.string()),
+            "df": _pa.array([], type=_pa.int64()),
+        })
+        if n == 0:
+            return empty
+        # dtype-U conversion truncates to W codepoints and zero-pads;
+        # viewing as uint32 gives the (n, W) codepoint matrix.
+        mat = np.array(terms_obj, dtype=f"U{W}").view(np.uint32).reshape(n, W)
+        lens = np.minimum((mat != 0).sum(axis=1), W)
+        pref_codes = np.frombuffer(prefix.encode("utf-32-le"), dtype=np.uint32)
+        # prefix edit distance: dp over (prefix x candidate-prefix);
+        # answer = min over valid j of the last row.
+        prev = np.tile(np.arange(W + 1, dtype=np.int32), (n, 1))
+        cur = np.empty_like(prev)
+        for i in range(1, m + 1):
+            cur[:, 0] = i
+            pch = pref_codes[i - 1]
+            for j in range(1, W + 1):
+                sub = prev[:, j - 1] + (mat[:, j - 1] != pch)
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+                np.minimum(cur[:, j], sub, out=cur[:, j])
+            prev, cur = cur, prev
+        cols = np.arange(W + 1, dtype=np.int64)
+        valid = cols[None, :] <= lens[:, None]
+        ped = np.where(valid, prev, np.int32(1 << 20)).min(axis=1)
+        keep = np.nonzero(ped <= max_edits)[0]
+        if keep.shape[0] == 0:
+            return empty
+        dfs = t["df"].to_numpy()[keep].astype(np.int64)
+        kept_terms = terms_obj[keep]
+        order = np.lexsort((kept_terms, -dfs))[:k]
         return _pa.table({
-            "rank": _pa.array(range(1, len(top) + 1), type=_pa.int64()),
-            "term": [r[1] for r in top],
-            "df": _pa.array([-r[0] for r in top], type=_pa.int64()),
+            "rank": _pa.array(
+                np.arange(1, order.shape[0] + 1, dtype=np.int64)),
+            "term": _pa.array(kept_terms[order], type=_pa.string()),
+            "df": _pa.array(dfs[order], type=_pa.int64()),
         })
 
     def term_vector(self, doc_id: int, field: "str | None" = None) -> "object":
