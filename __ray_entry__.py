@@ -229,6 +229,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, Q.BooleanQuery(must=(Q.TermQuery("table"),), filter=(Q.TermQuery("window"),))
     )
 
+    def _sim_topk(sf, mode, query, k=10):
+        """Alternative Similarity search (similarities/ package ports):
+        same index, scorer swapped via Searcher(mode=...)."""
+        s = _searcher(sf, mode=mode)
+        docs, scores = s.search_all(query)
+        r = _round4(scores)
+        order = np.lexsort((docs, -r))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(r[order], type=pa.float64()),
+        })
+
+    q["lm_dirichlet_topk"] = lambda sf: _sim_topk(
+        sf, "lm_dirichlet", Q.TermQuery("table"))
+    q["lm_jm_topk"] = lambda sf: _sim_topk(sf, "lm_jm", Q.TermQuery("table"))
+    q["classic_tfidf_topk"] = lambda sf: _sim_topk(
+        sf, "classic", Q.TermQuery("table"))
+
+    def _boolean_sim(sf):
+        """BooleanSimilarity: every match scores exactly the boost."""
+        s = _searcher(sf, mode="boolean")
+        docs, scores = s.search_all(Q.BoostQuery(Q.TermQuery("table"), 2.5))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["boolean_sim_scores"] = _boolean_sim
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -1960,6 +1990,54 @@ def oracle_sql() -> dict[str, str]:
         _PRELUDE + _term_cte("a", "table") + _term_cte("b", "window")
         + """ SELECT a.doc_id, ROUND(a.score, 4) AS score
               FROM sc_a a JOIN sc_b b ON a.doc_id = b.doc_id ORDER BY a.doc_id"""
+    )
+    o["lm_dirichlet_topk"] = (
+        _PRELUDE
+        + """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                       WHERE term = 'table' GROUP BY doc_id)
+              , ts AS (SELECT count(*)::DOUBLE AS df, sum(f)::DOUBLE AS ttf FROM tf)
+              , sc AS (
+                SELECT t.doc_id,
+                       GREATEST(
+                         ln(1 + t.f / (2000.0 * ((x.ttf + 1) / (s.sttf + 1))))
+                         + ln(2000.0 / (q.dlq + 2000.0)), 0) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM sc
+              ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
+    o["lm_jm_topk"] = (
+        _PRELUDE
+        + """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                       WHERE term = 'table' GROUP BY doc_id)
+              , ts AS (SELECT count(*)::DOUBLE AS df, sum(f)::DOUBLE AS ttf FROM tf)
+              , sc AS (
+                SELECT t.doc_id,
+                       ln(1 + ((1 - 0.1) * t.f / q.dlq)
+                              / (0.1 * ((x.ttf + 1) / (s.sttf + 1)))) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM sc
+              ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
+    o["classic_tfidf_topk"] = (
+        _PRELUDE
+        + """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                       WHERE term = 'table' GROUP BY doc_id)
+              , ts AS (SELECT count(*)::DOUBLE AS df FROM tf)
+              , sc AS (
+                SELECT t.doc_id,
+                       (ln((s.n + 1) / (x.df + 1)) + 1) * sqrt(t.f)
+                         / sqrt(q.dlq) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM sc
+              ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
+    o["boolean_sim_scores"] = (
+        _PRELUDE
+        + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
+              WHERE term = 'table' ORDER BY doc_id"""
     )
     o["dis_max_query"] = (
         _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "window")

@@ -74,21 +74,51 @@ class EvalContext:
         key = (term, boost)
         s = self._scorers.get(key)
         if s is None:
-            df, _ttf = self.term_stats.get(term, (0, 0))
+            df, ttf = self.term_stats.get(term, (0, 0))
             if df == 0:
                 return None
             s = make_scorer(df, self.doc_count, self._sum_ttf_for(term),
-                            mode=self.mode, k1=self.k1, b=self.b, boost=boost)
+                            mode=self.mode, k1=self.k1, b=self.b, boost=boost,
+                            ttf=ttf)
             self._scorers[key] = s
         return s
 
     def phrase_scorer(self, terms, boost: float = 1.0):
         """BM25 for phrases: idf = sum over terms' f32 idfs accumulated in
-        double then cast (BM25Similarity.idfExplain(termStats[]))."""
+        double then cast (BM25Similarity.idfExplain(termStats[])). For the
+        SimilarityBase-family modes (lm_*) the per-term scorers are summed
+        over the shared phrase freq (MultiSimilarity.MultiSimScorer); for
+        classic, idf sums (TFIDFSimilarity.idfExplain(termStats[]))."""
         dfs = [self.term_stats.get(t, (0, 0))[0] for t in terms]
         if any(df == 0 for df in dfs):
             return None
         sttf = self._sum_ttf_for(terms[0])
+        from lucene_ray.search.similarity import _parse_mode
+
+        base_mode, _arg = _parse_mode(self.mode)
+        if base_mode in ("lm_dirichlet", "lm_jm", "boolean"):
+            from lucene_ray.search.similarity import BooleanSimScorer, SumScorer
+
+            if base_mode == "boolean":
+                return BooleanSimScorer(1, self.doc_count, sttf, boost=boost)
+            subs = [
+                make_scorer(df, self.doc_count, sttf, mode=self.mode,
+                            ttf=self.term_stats.get(t, (0, 0))[1])
+                for t, df in zip(terms, dfs)
+            ]
+            s = SumScorer(subs)
+            if boost != 1.0:
+                for sub in s.subs:
+                    sub.boost = float(boost) * sub.boost
+            return s
+        if base_mode == "classic":
+            from lucene_ray.search.similarity import ClassicScorer
+
+            s = ClassicScorer(1, self.doc_count, sttf, boost=boost)
+            s.idf = float(sum(
+                np.log((self.doc_count + 1) / (df + 1.0)) + 1.0 for df in dfs
+            ))
+            return s
         if self.mode == "f32":
             from lucene_ray.search.similarity import BM25Scorer, idf_f32
 

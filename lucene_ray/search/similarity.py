@@ -128,6 +128,140 @@ class BM25ScorerF64:
         return s.max(axis=-1) if s.ndim == 2 else s
 
 
+class LMDirichletScorer:
+    """LMDirichletSimilarity (similarities/LMDirichletSimilarity.java:76-82):
+    ``boost * (ln(1 + f/(mu*p)) + ln(mu/(dl+mu)))`` clamped at 0, with the
+    default collection model p = (ttf+1)/(sum_ttf+1)
+    (LMSimilarity.java:150-151). Float64 like the oracle SQL. Monotone
+    increasing in freq and decreasing in dl, so the impact-frontier bound
+    at (max_freq, min_norm) is valid (min norm byte = min dl)."""
+
+    __slots__ = ("mu", "p", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, mu: float = 2000.0, boost: float = 1.0) -> None:
+        self.mu = float(mu)
+        self.p = (ttf + 1.0) / (sum_total_term_freq + 1.0)
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        s = self.boost * (
+            np.log(1.0 + f / (self.mu * self.p))
+            + np.log(self.mu / (dl + self.mu))
+        )
+        return np.maximum(s, 0.0)
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class LMJelinekMercerScorer:
+    """LMJelinekMercerSimilarity (LMJelinekMercerSimilarity.java:68-74):
+    ``boost * ln(1 + ((1-lambda)*f/dl) / (lambda*p))`` with the same
+    collection model as Dirichlet. Always >= 0 (log1p of a positive)."""
+
+    __slots__ = ("lam", "p", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, lam: float = 0.1, boost: float = 1.0) -> None:
+        self.lam = float(lam)
+        self.p = (ttf + 1.0) / (sum_total_term_freq + 1.0)
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = ((1.0 - self.lam) * f / dl) / (self.lam * self.p)
+        return self.boost * np.log(1.0 + np.where(np.isfinite(ratio), ratio, 0.0))
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class ClassicScorer:
+    """ClassicSimilarity / TFIDFSimilarity (ClassicSimilarity.java:45-71,
+    TFIDFSimilarity.java:451-472): ``boost * idf * sqrt(f) * 1/sqrt(dl)``
+    with idf = ln((docCount+1)/(docFreq+1)) + 1; norm byte 0 maps to
+    1/normTable[255] (TFIDFSimilarity.java:446). Float64 oracle-tree."""
+
+    __slots__ = ("idf", "boost", "norm_table")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, boost: float = 1.0) -> None:
+        self.idf = np.log((doc_count + 1) / (doc_freq + 1.0)) + 1.0
+        self.boost = float(boost)
+        with np.errstate(divide="ignore"):
+            nt = 1.0 / np.sqrt(LENGTH_TABLE_INT.astype(np.float64))
+        nt[0] = 1.0 / nt[255]
+        self.norm_table = nt
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        nv = self.norm_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        f = np.asarray(freqs).astype(np.float64)
+        return self.boost * self.idf * np.sqrt(f) * nv
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class BooleanSimScorer:
+    """BooleanSimilarity (BooleanSimilarity.java:41-51): score == boost,
+    norms and frequencies ignored."""
+
+    __slots__ = ("boost",)
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, boost: float = 1.0) -> None:
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        return np.full(np.asarray(freqs).shape, self.boost, dtype=np.float64)
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class SumScorer:
+    """MultiSimilarity.MultiSimScorer (similarities/MultiSimilarity.java:65):
+    the sum of sub-scorers applied to the same (freq, norm) stream — how
+    SimilarityBase scores a phrase (one per-term scorer each fed the
+    phrase freq, summed)."""
+
+    __slots__ = ("subs",)
+
+    def __init__(self, subs) -> None:
+        self.subs = list(subs)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        out = self.subs[0].score(freqs, norm_bytes)
+        for s in self.subs[1:]:
+            out = out + s.score(freqs, norm_bytes)
+        return out
+
+    def max_score(self, max_freq, min_norm):
+        out = self.subs[0].max_score(max_freq, min_norm)
+        for s in self.subs[1:]:
+            out = out + s.max_score(max_freq, min_norm)
+        return out
+
+
+def _parse_mode(mode: str) -> tuple[str, float | None]:
+    """``'lm_dirichlet:500'`` -> ('lm_dirichlet', 500.0)."""
+    if ":" in mode:
+        name, arg = mode.split(":", 1)
+        return name, float(arg)
+    return mode, None
+
+
 def make_scorer(
     doc_freq: int,
     doc_count: int,
@@ -136,10 +270,35 @@ def make_scorer(
     k1: float = 1.2,
     b: float = 0.75,
     boost: float = 1.0,
+    ttf: int = 0,
 ):
-    """Scorer factory: ``mode='f32'`` = Lucene-exact, ``'f64'`` = oracle-SQL-exact."""
-    cls = BM25Scorer if mode == "f32" else BM25ScorerF64
-    return cls(doc_freq, doc_count, sum_total_term_freq, k1=k1, b=b, boost=boost)
+    """Scorer factory — the Similarity extension point (SURVEY §2.12):
+    ``'f32'`` = Lucene-exact BM25, ``'f64'`` = oracle-SQL-exact BM25,
+    ``'lm_dirichlet[:mu]'``, ``'lm_jm[:lambda]'``, ``'classic'``,
+    ``'boolean'`` = the similarities package ports above."""
+    name, arg = _parse_mode(mode)
+    if name == "f32":
+        return BM25Scorer(doc_freq, doc_count, sum_total_term_freq,
+                          k1=k1, b=b, boost=boost)
+    if name == "f64":
+        return BM25ScorerF64(doc_freq, doc_count, sum_total_term_freq,
+                             k1=k1, b=b, boost=boost)
+    if name == "lm_dirichlet":
+        return LMDirichletScorer(doc_freq, doc_count, sum_total_term_freq,
+                                 ttf=ttf, mu=arg if arg is not None else 2000.0,
+                                 boost=boost)
+    if name == "lm_jm":
+        return LMJelinekMercerScorer(doc_freq, doc_count, sum_total_term_freq,
+                                     ttf=ttf,
+                                     lam=arg if arg is not None else 0.1,
+                                     boost=boost)
+    if name == "classic":
+        return ClassicScorer(doc_freq, doc_count, sum_total_term_freq,
+                             ttf=ttf, boost=boost)
+    if name == "boolean":
+        return BooleanSimScorer(doc_freq, doc_count, sum_total_term_freq,
+                                ttf=ttf, boost=boost)
+    raise ValueError(f"unknown similarity mode {mode!r}")
 
 
 def bm25_score_f64(

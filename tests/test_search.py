@@ -800,3 +800,73 @@ def test_unordered_nway_exact(tmp_path, ray_session):
         expect = {i for i, t in enumerate(texts)
                   if brute(t.split(" "), want, maxgaps)}
         assert set(d.tolist()) == expect, maxgaps
+
+
+def test_alternative_similarities(built_index, brute_force):
+    """LMDirichlet / LMJelinekMercer / Classic / Boolean scorers
+    (similarities/LMDirichletSimilarity.java:76, LMJelinekMercerSimilarity
+    .java:68, ClassicSimilarity.java:45-71, BooleanSimilarity.java:41-51):
+    engine search_all equals brute-force formula over the whole corpus,
+    including phrase scoring via the MultiSimilarity sum."""
+    idx, _m = built_index
+    bf = brute_force
+    N, sum_ttf = bf["doc_count"], bf["sum_ttf"]
+    from lucene_ray.util.smallfloat import LENGTH_TABLE_INT
+
+    dl = LENGTH_TABLE_INT[bf["norms"]].astype(np.float64)
+    freqs = np.array([d.count("table") for d in bf["tokens"]], dtype=np.float64)
+    df = float((freqs > 0).sum())
+    ttf = float(freqs.sum())
+    p = (ttf + 1.0) / (sum_ttf + 1.0)
+    mask = freqs > 0
+    expect = {
+        "lm_dirichlet": np.maximum(
+            np.log(1 + freqs / (2000.0 * p)) + np.log(2000.0 / (dl + 2000.0)),
+            0.0),
+        "lm_jm": np.log(1 + (0.9 * freqs / np.where(dl > 0, dl, 1))
+                        / (0.1 * p)),
+        "classic": (np.log((N + 1) / (df + 1)) + 1)
+        * np.sqrt(freqs) / np.sqrt(np.where(dl > 0, dl, 1)),
+        "boolean": np.ones_like(freqs),
+    }
+    for mode, exp in expect.items():
+        s = Searcher(idx, mode=mode)
+        docs, scores = s.search_all(Q.TermQuery("table"))
+        order = np.argsort(docs)
+        assert docs[order].tolist() == bf["ids"][mask].tolist(), mode
+        got = dict(zip(docs.tolist(), scores.tolist()))
+        want = dict(zip(bf["ids"][mask].tolist(), exp[mask].tolist()))
+        for d in want:
+            assert abs(got[d] - want[d]) < 1e-9, (mode, d)
+
+    # top-k path agrees with search_all ranking (threshold pruning safe)
+    for mode in expect:
+        s = Searcher(idx, mode=mode)
+        td = s.search(Q.TermQuery("table"), k=10)
+        docs, scores = s.search_all(Q.TermQuery("table"))
+        order = np.lexsort((docs, -scores))[:10]
+        assert td.doc_ids.tolist() == docs[order].tolist(), mode
+
+    # phrase scoring: lm_dirichlet phrase = sum of per-term scorers at the
+    # shared phrase freq (MultiSimilarity.MultiSimScorer)
+    s = Searcher(idx, mode="lm_dirichlet")
+    docs, scores = s.search_all(Q.PhraseQuery(("key", "value")))
+    pf = np.array([
+        sum(1 for i in range(len(t) - 1) if t[i] == "key" and t[i + 1] == "value")
+        for t in bf["tokens"]
+    ], dtype=np.float64)
+    stats = {}
+    for term in ("key", "value"):
+        f = np.array([d.count(term) for d in bf["tokens"]], dtype=np.float64)
+        stats[term] = (f.sum() + 1.0) / (sum_ttf + 1.0)
+    exp = np.zeros_like(pf)
+    for term in stats:
+        exp += np.maximum(
+            np.log(1 + pf / (2000.0 * stats[term]))
+            + np.log(2000.0 / (dl + 2000.0)), 0.0)
+    pmask = pf > 0
+    got = dict(zip(docs.tolist(), scores.tolist()))
+    want = dict(zip(bf["ids"][pmask].tolist(), exp[pmask].tolist()))
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
