@@ -43,7 +43,7 @@ def _index_dir(sf_dir: str) -> str:
 
     docs = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha1(
-        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:mf2".encode()
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:mf3".encode()
     ).hexdigest()[:12]
     idx = os.path.join(_CACHE_ROOT, tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
@@ -52,12 +52,18 @@ def _index_dir(sf_dir: str) -> str:
         from lucene_ray.data.webpages import with_title_column
         from lucene_ray.index.build import build_index
 
+        def _with_mm(b: pa.Table) -> pa.Table:
+            # per-doc CoveringQuery minimumNumberMatch fixture: 1 + n_chars%3
+            mm = 1 + (b["n_chars"].to_numpy() % 3)
+            return b.append_column("mm", pa.array(mm, type=pa.int64()))
+
         ds = ray.data.read_parquet(
             docs, columns=["doc_id", "text", "n_chars"]
-        ).map_batches(with_title_column, batch_format="pyarrow")
+        ).map_batches(with_title_column, batch_format="pyarrow") \
+         .map_batches(_with_mm, batch_format="pyarrow")
         build_index(ds, idx, num_segments=4, with_positions=True,
                     extra_fields={"title": "title"}, stored_source=docs,
-                    features={"chars": "n_chars"})
+                    features={"chars": "n_chars", "mm": "mm"})
     return idx
 
 
@@ -119,6 +125,11 @@ def _searcher(sf_dir: str, mode: str = "f64"):
 
         _SEARCHERS[key] = Searcher(_index_dir(sf_dir), mode=mode)
     return _SEARCHERS[key]
+
+
+def _round6(x: float) -> float:
+    """DuckDB-equivalent ROUND(x, 6) for a scalar (half away from zero)."""
+    return float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
 
 
 def _round4(x: np.ndarray) -> np.ndarray:
@@ -258,6 +269,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["boolean_sim_scores"] = _boolean_sim
+
+    def _covering(sf):
+        """CoveringQuery (sandbox/search/CoveringQuery.java:56): docs where
+        at least minMatch(doc) of the three term queries match, minMatch
+        read per-doc from the feat_mm column (1 + n_chars%3); score = sum
+        of the matching subs' BM25 scores."""
+        s = _searcher(sf)
+        docs, scores = s.search_all(Q.CoveringQuery(
+            (Q.TermQuery("spark"), Q.TermQuery("window"),
+             Q.TermQuery("customer")),
+            min_match_feature="mm",
+        ))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["covering_query"] = _covering
+
+    def _dv_stats(sf):
+        """DocValuesStats (misc/search/DocValuesStats.java:29): numeric
+        field stats (feat_chars = n_chars) over docs matching 'table'."""
+        st = _searcher(sf).doc_values_stats(Q.TermQuery("table"), "chars")
+        return pa.table({
+            "count": pa.array([st["count"]], type=pa.int64()),
+            "vmin": pa.array([st["vmin"]], type=pa.float64()),
+            "vmax": pa.array([st["vmax"]], type=pa.float64()),
+            "vsum": pa.array([st["vsum"]], type=pa.float64()),
+            "mean": pa.array([_round6(st["mean"])], type=pa.float64()),
+            "variance": pa.array([_round6(st["variance"])],
+                                 type=pa.float64()),
+        })
+
+    q["doc_values_stats"] = _dv_stats
 
     def _phrase(sf):
         s = _searcher(sf)
@@ -2038,6 +2084,30 @@ def oracle_sql() -> dict[str, str]:
         _PRELUDE
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
               WHERE term = 'table' ORDER BY doc_id"""
+    )
+    o["covering_query"] = (
+        _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "window")
+        + _term_cte("c", "customer")
+        + """ , uni AS (
+                SELECT doc_id, sum(score) AS score, count(*) AS m FROM (
+                  SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b
+                  UNION ALL SELECT * FROM sc_c
+                ) GROUP BY doc_id)
+              SELECT u.doc_id, ROUND(u.score, 4) AS score
+              FROM uni u JOIN documents d ON u.doc_id = d.doc_id
+              WHERE u.m >= GREATEST(1, 1 + d.n_chars % 3)
+              ORDER BY u.doc_id"""
+    )
+    o["doc_values_stats"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              SELECT count(*)::BIGINT AS count,
+                     min(d.n_chars)::DOUBLE AS vmin,
+                     max(d.n_chars)::DOUBLE AS vmax,
+                     sum(d.n_chars)::DOUBLE AS vsum,
+                     ROUND(avg(d.n_chars), 6) AS mean,
+                     ROUND(var_pop(d.n_chars), 6) AS variance
+              FROM m JOIN documents d ON m.doc_id = d.doc_id"""
     )
     o["dis_max_query"] = (
         _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "window")

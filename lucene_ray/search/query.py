@@ -451,6 +451,31 @@ class CommonTermsQuery(Query):
 
 
 @dataclass(frozen=True)
+class CoveringQuery(Query):
+    """sandbox/search/CoveringQuery.java:56-79 + CoveringScorer.java:129-135:
+    matches docs where at least ``minMatch`` of the sub-queries match,
+    where minMatch is a per-document long value — here a dense
+    ``feat_<name>`` column (``min_match_feature``), falling back to the
+    constant ``min_match``. Values < 1 are treated as 1 (at least one
+    sub must match); values > len(queries) match nothing. Score = sum of
+    the matching sub-queries' scores (CoveringScorer.score)."""
+
+    queries: tuple
+    min_match_feature: str | None = None
+    min_match: int = 1
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {
+            "type": "covering",
+            "queries": [q.to_dict() for q in self.queries],
+            "min_match_feature": self.min_match_feature,
+            "min_match": self.min_match,
+            "boost": self.boost,
+        }
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """search/DisjunctionMaxQuery.java — union of disjuncts scored as
     max(sub scores) + tie_breaker * (sum of the other matching subs)."""
@@ -535,6 +560,13 @@ def query_from_dict(d: dict) -> Query:
             d.get("tie_breaker", 0.0),
             d.get("boost", 1.0),
         )
+    if t == "covering":
+        return CoveringQuery(
+            tuple(query_from_dict(q) for q in d["queries"]),
+            d.get("min_match_feature"),
+            d.get("min_match", 1),
+            d.get("boost", 1.0),
+        )
     if t == "multi_phrase":
         return MultiPhraseQuery(
             tuple(tuple(p) for p in d["positions"]), d.get("boost", 1.0),
@@ -577,7 +609,7 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
             collect_scored_terms(sub, out)
     elif isinstance(q, (ConstantScoreQuery, BoostQuery)):
         collect_scored_terms(q.query, out)
-    elif isinstance(q, DisjunctionMaxQuery):
+    elif isinstance(q, (DisjunctionMaxQuery, CoveringQuery)):
         for sub in q.queries:
             collect_scored_terms(sub, out)
     elif isinstance(q, MultiPhraseQuery):
@@ -654,7 +686,7 @@ def resolve_fields(q: Query) -> Query:
         )
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return dataclasses.replace(q, query=resolve_fields(q.query))
-    if isinstance(q, DisjunctionMaxQuery):
+    if isinstance(q, (DisjunctionMaxQuery, CoveringQuery)):
         return dataclasses.replace(
             q, queries=tuple(resolve_fields(s) for s in q.queries)
         )

@@ -347,6 +347,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.DisjunctionMaxQuery):
         return _eval_dismax(reader, q, ctx)
 
+    if isinstance(q, Q.CoveringQuery):
+        return _eval_covering(reader, q, ctx)
+
     if isinstance(q, Q.MultiPhraseQuery):
         return _eval_multiphrase(reader, q, ctx)
 
@@ -496,6 +499,42 @@ def _eval_dismax(reader, q: Q.DisjunctionMaxQuery, ctx):
     np.maximum.at(smax, inv, cat_s)
     scores = (smax + q.tie_breaker * (ssum - smax)) * q.boost
     return docs, scores, exact
+
+
+def _eval_covering(reader, q: "Q.CoveringQuery", ctx):
+    """CoveringQuery scorer (sandbox/search/CoveringScorer.java:129-135,
+    208-216): doc matches when its count of matching sub-queries reaches
+    max(1, minMatch(doc)) with minMatch read from a dense feature column
+    (or the constant fallback); score = sum of matching sub scores.
+    Subqueries evaluate unpruned so every union member contributes."""
+    sub_ctx = _unpruned(ctx)
+    docs_parts, score_parts = [], []
+    exact = True
+    for sub in q.queries:
+        d, s, e = eval_query(reader, sub, sub_ctx)
+        exact &= e
+        if d.shape[0]:
+            docs_parts.append(d)
+            score_parts.append(s)
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64), exact
+    cat_d = np.concatenate(docs_parts)
+    cat_s = np.concatenate(score_parts)
+    docs, inv = np.unique(cat_d, return_inverse=True)
+    ssum = np.zeros(docs.shape[0], dtype=np.float64)
+    np.add.at(ssum, inv, cat_s)
+    nmatch = np.zeros(docs.shape[0], dtype=np.int64)
+    np.add.at(nmatch, inv, 1)
+    if q.min_match_feature is not None:
+        # feature columns are row-aligned with the (sorted) doc_ids column,
+        # which need not be contiguous after merges with deletes
+        rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
+        mm = reader.feature(q.min_match_feature)[rows].astype(np.int64)
+    else:
+        mm = np.full(docs.shape[0], int(q.min_match), dtype=np.int64)
+    mm = np.maximum(mm, 1)  # CoveringScorer.setMinMatch: values < 1 -> 1
+    keep = nmatch >= mm
+    return docs[keep], (q.boost * ssum[keep]), exact
 
 
 def _push_boost(q: Q.Query, boost: float) -> Q.Query:

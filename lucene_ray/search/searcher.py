@@ -480,6 +480,42 @@ class Searcher:
             "df": _pa.array(dfs[order], type=_pa.int64()),
         })
 
+    def doc_values_stats(self, query, feature: str) -> dict:
+        """DocValuesStats collector (misc/search/DocValuesStats.java:29,
+        124-156): count / min / max / sum / mean / variance / stdev of a
+        numeric doc-values field (a dense ``feat_<name>`` column) over the
+        docs matching ``query``. Population variance, the reference's
+        Welford accumulation evaluated in closed form; per-segment
+        vectorized gathers, merged like the reference's per-leaf
+        accumulators."""
+        docs, _scores = self.search_all(query)
+        tot, s, ss = 0, 0.0, 0.0
+        mn, mx = np.inf, -np.inf
+        for r in self.readers:
+            if not r.meta.get("owns_docs", True):
+                continue
+            ids = r.doc_ids
+            if ids.shape[0] == 0:
+                continue
+            idx = np.searchsorted(ids, docs)
+            idx_c = np.clip(idx, 0, ids.shape[0] - 1)
+            sel = ids[idx_c] == docs
+            if not sel.any():
+                continue
+            v = r.feature(feature)[idx_c[sel]].astype(np.float64)
+            tot += v.shape[0]
+            s += float(v.sum())
+            ss += float((v * v).sum())
+            mn = min(mn, float(v.min()))
+            mx = max(mx, float(v.max()))
+        if tot == 0:
+            return {"count": 0, "vmin": None, "vmax": None, "vsum": 0.0,
+                    "mean": 0.0, "variance": 0.0, "stdev": 0.0}
+        mean = s / tot
+        var = max(ss / tot - mean * mean, 0.0)
+        return {"count": tot, "vmin": mn, "vmax": mx, "vsum": s,
+                "mean": mean, "variance": var, "stdev": float(np.sqrt(var))}
+
     def term_vector(self, doc_id: int, field: "str | None" = None) -> "object":
         """Per-document term vector — the TermVectorsReader role
         (codecs/lucene90/compressing/Lucene90CompressingTermVectorsReader.java,
