@@ -1205,6 +1205,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["shingle_counts"] = _shingles
 
+    # ---- web-text curation (pipelines/webtext.py) ----
+    def _docs_ds(sf, columns):
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=columns
+        )
+
+    def _pii(sf):
+        """PII redaction over deterministically injected emails / phones /
+        IPv4s (the raw corpus has none); injection is replicated verbatim
+        in the oracle's CASE/concat chain."""
+        import pyarrow.compute as pc
+
+        from lucene_ray.pipelines.webtext import pii_redact
+
+        def inject(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy()
+            email = pc.binary_join_element_wise(
+                pa.array(np.full(b.num_rows, " contact "), pa.string()),
+                b["source"].combine_chunks() if isinstance(
+                    b["source"], pa.ChunkedArray) else b["source"],
+                pa.array(np.full(b.num_rows, "@example.com"), pa.string()),
+                "")
+            ip = pa.array([f" from 10.0.{d % 256}.{(d * 7) % 256}"
+                           for d in did.tolist()], pa.string())
+            t = b["text"]
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            empty = pa.array(np.full(b.num_rows, ""), pa.string())
+            t = pc.binary_join_element_wise(
+                t,
+                pc.if_else(pa.array(did % 3 == 0), email, empty),
+                pc.if_else(pa.array(did % 5 == 0),
+                           pa.array(np.full(b.num_rows, " call 555-123-4567"),
+                                    pa.string()), empty),
+                pc.if_else(pa.array(did % 7 == 0), ip, empty),
+                "")
+            return pa.table({"doc_id": b["doc_id"], "text": t})
+
+        ds = _docs_ds(sf, ["doc_id", "source", "text"]).map_batches(
+            inject, batch_format="pyarrow")
+        return pa.concat_tables(
+            pii_redact(ds).iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 16)
+        ).sort_by("doc_id")
+
+    q["pii_redact"] = _pii
+
+    def _gopher(sf):
+        from lucene_ray.pipelines.webtext import gopher_repetition
+
+        t = pa.concat_tables(
+            gopher_repetition(_docs_ds(sf, ["doc_id", "text"]))
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "token_count": t["token_count"],
+            "top_unigram_frac": _round4(t["top_unigram_frac"].to_numpy()),
+            "dup_bigram_frac": _round4(t["dup_bigram_frac"].to_numpy()),
+            "keep": t["keep"],
+        })
+
+    q["gopher_repetition"] = _gopher
+
+    def _quota(sf):
+        from lucene_ray.pipelines.webtext import quota_sample
+
+        t = quota_sample(
+            _docs_ds(sf, ["doc_id", "source", "n_chars"]),
+            "source", 3, "n_chars", descending=True,
+        ).to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+        return pa.Table.from_pandas(
+            t[["source", "doc_id", "n_chars"]], preserve_index=False)
+
+    q["domain_quota_sample"] = _quota
+
+    def _nb(sf):
+        import ray
+
+        from lucene_ray.pipelines.webtext import nb_classify, nb_train
+
+        ds = _docs_ds(sf, ["doc_id", "lang", "text"])
+        model_ref = ray.put(nb_train(ds, "lang"))
+        return pa.concat_tables(
+            nb_classify(ds, model_ref)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by("doc_id")
+
+    q["nb_classify_lang"] = _nb
+
     # ---- webpage corpus / HTML extraction / dedup ----
     def _html_extract(sf):
         from lucene_ray.pipelines.html import extract_text
@@ -2723,6 +2815,89 @@ SELECT a.doc_id, count(DISTINCT a.term || ' ' || b.term)::BIGINT AS n_shingles
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
 GROUP BY a.doc_id ORDER BY a.doc_id"""
     )
+    # web-text curation: both regex engines are RE2, so sequential
+    # regexp_replace chains redact identically to the engine's
+    # pc.replace_substring_regex chain
+    o["pii_redact"] = """
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact ' || source || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                      || ((doc_id * 7) % 256)::VARCHAR ELSE '' END AS t
+  FROM documents),
+s1 AS (SELECT doc_id, t,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM inj),
+s2 AS (SELECT doc_id, n_email,
+        len(regexp_extract_all(t1, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))::BIGINT AS n_phone,
+        regexp_replace(t1, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT doc_id, n_email, n_phone,
+        len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+        regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+  FROM s2)
+SELECT doc_id, n_email, n_phone, n_ipv4, redacted FROM s3 ORDER BY doc_id"""
+    o["gopher_repetition"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+, uni AS (SELECT doc_id, term, count(*) AS c FROM pos GROUP BY doc_id, term)
+, tcnt AS (SELECT doc_id, sum(c)::BIGINT AS tc, max(c)::BIGINT AS mx
+           FROM uni GROUP BY doc_id)
+, big AS (SELECT a.doc_id, a.term || ' ' || b.term AS bg
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1)
+, bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+, bstat AS (SELECT doc_id, sum(c)::BIGINT AS bc,
+                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup
+            FROM bgc GROUP BY doc_id)
+SELECT t.doc_id, t.tc AS token_count,
+       ROUND(t.mx::DOUBLE / t.tc, 4) AS top_unigram_frac,
+       ROUND(coalesce(b.dup::DOUBLE / b.bc, 0.0), 4) AS dup_bigram_frac,
+       (t.mx::DOUBLE / t.tc <= 0.20
+        AND coalesce(b.dup::DOUBLE / b.bc, 0.0) <= 0.90) AS keep
+FROM tcnt t LEFT JOIN bstat b ON t.doc_id = b.doc_id ORDER BY t.doc_id"""
+    )
+    o["domain_quota_sample"] = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3 ORDER BY source, doc_id"""
+    # multinomial NB with add-one smoothing (the engine trains and
+    # classifies on the same corpus, so every token is in-vocabulary and
+    # only per-label-absent counts hit the smoothed 1/(tot+V) floor)
+    o["nb_classify_lang"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+cnt AS (SELECT d.lang, t.term, count(*)::DOUBLE AS c
+        FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+        GROUP BY d.lang, t.term),
+tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY lang),
+voc AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tok),
+langs AS (SELECT lang, count(*)::DOUBLE AS nd FROM documents GROUP BY lang),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dt AS (SELECT doc_id, term, count(*)::DOUBLE AS k FROM tok
+       GROUP BY doc_id, term),
+scored AS (
+  SELECT dt.doc_id, l.lang,
+         sum(dt.k * ln(coalesce((c.c + 1) / (t.tot + voc.v),
+                                1.0 / (t.tot + voc.v)))) AS s
+  FROM dt CROSS JOIN langs l
+  JOIN tot t ON t.lang = l.lang CROSS JOIN voc
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.term = dt.term
+  GROUP BY dt.doc_id, l.lang),
+final AS (
+  SELECT s.doc_id, s.lang, s.s + ln(l.nd / nd.n) AS sc
+  FROM scored s JOIN langs l ON s.lang = l.lang CROSS JOIN nd)
+SELECT doc_id, lang AS pred FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sc DESC, lang) AS rn
+  FROM final) WHERE rn = 1 ORDER BY doc_id"""
     o["html_extract"] = (
         _pages_prelude()
         + """

@@ -1,0 +1,234 @@
+"""Web-text curation operators for LLM training-data pipelines: PII
+redaction, repetition-based quality filters (the Gopher rules), per-domain
+quota sampling, and Naive Bayes document classification.
+
+These extend the reference's text-analysis surface (SURVEY.md 'beyond the
+reference'): the classifier mirrors
+``lucene/classification/src/java/org/apache/lucene/classification/SimpleNaiveBayesClassifier.java:46``
+(multinomial NB with Laplace add-one smoothing over analyzed tokens); the
+repetition filters follow the published Gopher data-quality rules (Rae et
+al. 2021, arXiv:2112.11446 §A1.1); PII patterns are the usual RE2-safe
+email/phone/IPv4 regexes (identical semantics in pyarrow and DuckDB, both
+RE2-backed, which is what makes the oracle exact).
+
+All stages are stateless vectorized ``map_batches`` over Arrow batches; the
+NB model is trained with one tiny (|labels| x |vocab|)-row shuffle and
+broadcast via ``ray.put`` — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lucene_ray.analysis.batch import tokenize_column
+from lucene_ray.pipelines.dedup import _shingle_hashes, hash_strings
+
+# RE2-compatible (no lookaround/backrefs): pyarrow's and DuckDB's regex
+# engines are both RE2, so engine and oracle redact identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(pages, text_col: str = "text",
+               patterns: tuple = PII_PATTERNS):
+    """Redact PII spans from a text column; per-doc match counts plus the
+    redacted text. Order matters (email before ipv4 so the host part of an
+    address is consumed by <EMAIL> first); counts are taken on the text as
+    it stands when that pattern runs, exactly like sequential
+    ``regexp_replace`` calls in the oracle."""
+
+    def redact(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        cols = {"doc_id": b["doc_id"]}
+        cur = texts
+        for name, pat, repl in patterns:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(cur, pat), pa.int64()
+            )
+            cur = pc.replace_substring_regex(cur, pat, repl)
+        cols["redacted"] = cur
+        return pa.table(cols)
+
+    return pages.map_batches(redact, batch_format="pyarrow")
+
+
+def gopher_repetition(pages, text_col: str = "text",
+                      top_unigram_max: float = 0.20,
+                      dup_bigram_max: float = 0.90):
+    """Per-doc repetition features + keep/drop flag (Gopher rules §A1.1:
+    'fraction of characters in the most common n-gram' / 'fraction of
+    characters in duplicated n-grams' — token-count variants here since
+    the corpus is single-byte-per-char synthetic text):
+
+    * ``top_unigram_frac`` — occurrences of the doc's most frequent token
+      / token count (ties don't matter: the max count is unique).
+    * ``dup_bigram_frac`` — bigram occurrences whose bigram appears >= 2
+      times in the doc / total bigram occurrences.
+    * ``keep`` — both fractions under their thresholds.
+
+    Vectorized: one tokenize, hashed unigram/bigram keys, per-doc grouped
+    counts via lexsort + run scan (no Python loop over rows)."""
+
+    def feats(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = b.num_rows
+        flat, doc_idx, _pos = tokenize_column(texts)
+        tc = np.zeros(n, dtype=np.int64)
+        np.add.at(tc, doc_idx, 1)
+
+        def _per_doc_dup_and_top(didx: np.ndarray, keys: np.ndarray):
+            """(per-doc max key count, per-doc count of occurrences whose
+            key occurs >=2x) via one lexsort over (doc, key)."""
+            mx = np.zeros(n, dtype=np.int64)
+            dup = np.zeros(n, dtype=np.int64)
+            if didx.shape[0] == 0:
+                return mx, dup
+            order = np.lexsort((keys, didx))
+            d_s, k_s = didx[order], keys[order]
+            new = np.ones(d_s.shape[0], dtype=bool)
+            new[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+            starts = np.nonzero(new)[0]
+            cnt = np.diff(np.append(starts, d_s.shape[0]))
+            gd = d_s[starts]
+            np.maximum.at(mx, gd, cnt)
+            np.add.at(dup, gd, np.where(cnt >= 2, cnt, 0))
+            return mx, dup
+
+        uh = hash_strings(flat)
+        top1, _ = _per_doc_dup_and_top(doc_idx, uh)
+        bdoc, bh = _shingle_hashes(texts, 2)
+        bc = np.zeros(n, dtype=np.int64)
+        np.add.at(bc, bdoc, 1)
+        _, dup2 = _per_doc_dup_and_top(bdoc, bh)
+
+        top_frac = np.divide(top1, tc, out=np.zeros(n, np.float64),
+                             where=tc > 0)
+        dup_frac = np.divide(dup2, bc, out=np.zeros(n, np.float64),
+                             where=bc > 0)
+        keep = (top_frac <= top_unigram_max) & (dup_frac <= dup_bigram_max)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "token_count": tc,
+            "top_unigram_frac": top_frac,
+            "dup_bigram_frac": dup_frac,
+            "keep": keep,
+        })
+
+    return pages.map_batches(feats, batch_format="pyarrow")
+
+
+def quota_sample(pages, key_col: str, k: int, order_col: str,
+                 descending: bool = True):
+    """Per-domain quota sampling: keep the top ``k`` docs per ``key_col``
+    ordered by ``order_col`` (tie-break doc_id asc) — the standard
+    per-domain cap of web-crawl curation. One global sort, zero per-group
+    UDFs (reuses the grouped-top-k run-scan shape)."""
+    from lucene_ray.pipelines.facets import grouped_top_k
+
+    return grouped_top_k(pages, key_col, order_col, k, descending=descending)
+
+
+def nb_train(pages, label_col: str, text_col: str = "text") -> dict:
+    """Train a multinomial Naive Bayes model
+    (classification/SimpleNaiveBayesClassifier.java:46 — word-frequency
+    counts per class, add-one smoothing): per-(label, term) token counts
+    via block-local partial counting fused into ONE small
+    ``groupby().sum`` shuffle (only distinct (label, term) pairs move),
+    then the tiny model materializes. For an open vocabulary, cap with a
+    top-V selection before materializing (the model must stay
+    broadcastable); the count shuffle itself never grows past
+    |labels| x |vocab| rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, doc_idx, _pos = tokenize_column(texts)
+        labels = b[label_col].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"label": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        tok_label = labels[doc_idx]
+        key = pc.binary_join_element_wise(
+            pa.array(tok_label, pa.string()), flat, "\x01")
+        uniq, counts = np.unique(
+            key.to_numpy(zero_copy_only=False), return_counts=True)
+        lab, term = zip(*(u.split("\x01", 1) for u in uniq))
+        return pa.table({"label": pa.array(lab, pa.string()),
+                         "term": pa.array(term, pa.string()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    counts = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "term"]).sum("cnt")
+    ).to_pandas()
+    cnt_col = "sum(cnt)" if "sum(cnt)" in counts.columns else "cnt"
+
+    doc_counts = (
+        pages.groupby(label_col).count().to_pandas()
+        .set_index(label_col)["count()"].to_dict()
+    )
+    n_docs = int(sum(doc_counts.values()))
+    labels = sorted(doc_counts)
+    vocab = np.array(sorted(counts["term"].unique()), dtype=object)
+    v = vocab.shape[0]
+    li = {l: i for i, l in enumerate(labels)}
+    ti = {t: i for i, t in enumerate(vocab)}
+    mat = np.zeros((v, len(labels)), dtype=np.float64)
+    for lab, term, c in zip(counts["label"], counts["term"], counts[cnt_col]):
+        mat[ti[term], li[lab]] = float(c)
+    totals = mat.sum(axis=0)
+    # log P(t|label) with add-one smoothing; OOV row = unseen term
+    loglik = np.log((mat + 1.0) / (totals + v))
+    log_oov = np.log(1.0 / (totals + v))
+    log_prior = np.log(
+        np.array([doc_counts[l] for l in labels], np.float64) / n_docs)
+    return {"labels": labels, "vocab": vocab, "loglik": loglik,
+            "log_oov": log_oov, "log_prior": log_prior}
+
+
+def nb_classify(pages, model_ref, text_col: str = "text"):
+    """Classify each doc with a broadcast NB model (``ray.put`` the dict
+    from :func:`nb_train`, read once per task): per-batch token->vocab-row
+    lookup via searchsorted on the sorted vocab, one ``np.add.at`` into an
+    (n x |labels|) score matrix, argmax with label-asc tie-break (the
+    reference's assignClass max scan keeps the first max,
+    SimpleNaiveBayesClassifier.java:119-131)."""
+    import ray
+
+    def classify(b: pa.Table) -> pa.Table:
+        m = ray.get(model_ref) if isinstance(
+            model_ref, ray.ObjectRef) else model_ref
+        vocab, loglik, log_oov = m["vocab"], m["loglik"], m["log_oov"]
+        labels, log_prior = m["labels"], m["log_prior"]
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = b.num_rows
+        flat, doc_idx, _pos = tokenize_column(texts)
+        scores = np.tile(log_prior, (n, 1))
+        if len(flat):
+            toks = flat.to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(vocab, toks)
+            idx_c = np.minimum(idx, vocab.shape[0] - 1)
+            known = vocab[idx_c] == toks
+            contrib = np.where(known[:, None], loglik[idx_c],
+                               log_oov[None, :])
+            np.add.at(scores, doc_idx, contrib)
+        best = np.argmax(scores, axis=1)  # first max = label-asc tie-break
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pred": pa.array([labels[i] for i in best], pa.string()),
+        })
+
+    return pages.map_batches(classify, batch_format="pyarrow")

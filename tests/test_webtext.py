@@ -1,0 +1,129 @@
+"""Web-text curation operators (pipelines/webtext.py): PII redaction,
+Gopher repetition filters, per-domain quota sampling, Naive Bayes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lucene_ray.pipelines.webtext import (
+    gopher_repetition,
+    nb_classify,
+    nb_train,
+    pii_redact,
+    quota_sample,
+)
+
+
+def _ds(rows: dict):
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_pii_redact_patterns_and_counts():
+    ds = _ds({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail me at jo.doe+x@sub.example.org today",
+            "call 555-123-4567 or 555 987 6543",
+            "host 192.168.1.42 and 10.0.0.1",
+            "clean text with no pii at all",
+        ],
+    })
+    t = pa.concat_tables(
+        pii_redact(ds).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert t["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert t["n_phone"].to_pylist() == [0, 2, 0, 0]
+    assert t["n_ipv4"].to_pylist() == [0, 0, 2, 0]
+    red = t["redacted"].to_pylist()
+    assert red[0] == "mail me at <EMAIL> today"
+    assert red[1] == "call <PHONE> or <PHONE>"
+    assert red[2] == "host <IP> and <IP>"
+    assert red[3] == "clean text with no pii at all"
+
+
+def test_pii_email_host_vs_ip_ordering():
+    # numeric-host address: not an email (no alpha TLD), host redacts as IP;
+    # real-domain address consumed whole by the email pass (no IP hit)
+    ds = _ds({"doc_id": [0, 1],
+              "text": ["x a@1.2.3.4 y", "m a@b.example.com z"]})
+    t = pa.concat_tables(
+        pii_redact(ds).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert t["n_email"].to_pylist() == [0, 1]
+    assert t["n_ipv4"].to_pylist() == [1, 0]
+    assert t["redacted"].to_pylist() == ["x a@<IP> y", "m <EMAIL> z"]
+
+
+def test_gopher_repetition_fractions():
+    ds = _ds({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "a a a a b",            # top unigram 4/5; bigrams: aa aa aa ab -> dup 3/4
+            "w x y z w x",          # top 2/6; bigrams wx xy yz zw wx -> dup 2/5
+            "solo",                 # one token, no bigrams
+        ],
+    })
+    t = pa.concat_tables(
+        gopher_repetition(ds).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert t["token_count"].to_pylist() == [5, 6, 1]
+    np.testing.assert_allclose(
+        t["top_unigram_frac"].to_numpy(), [4 / 5, 2 / 6, 1.0])
+    np.testing.assert_allclose(
+        t["dup_bigram_frac"].to_numpy(), [3 / 4, 2 / 5, 0.0])
+    assert t["keep"].to_pylist() == [False, False, False]  # doc2: top=1.0
+
+
+def test_quota_sample_caps_per_key():
+    ds = _ds({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "source": ["s1", "s1", "s1", "s2", "s2", "s3"],
+        "n_chars": [10, 30, 20, 5, 5, 9],
+    })
+    t = quota_sample(ds, "source", 2, "n_chars").to_pandas()
+    t = t.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    # s1 keeps the two longest; s2 tie resolves doc_id asc; s3 keeps its one
+    assert t["doc_id"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_nb_train_classify_separable():
+    rows = {
+        "doc_id": list(range(8)),
+        "label": ["spam"] * 4 + ["ham"] * 4,
+        "text": ["win cash prize now", "cash win win", "prize cash now win",
+                 "win win cash", "meeting at noon", "noon agenda meeting",
+                 "agenda for meeting", "meeting noon agenda"],
+    }
+    ds = _ds(rows)
+    model = nb_train(ds, "label")
+    assert model["labels"] == ["ham", "spam"]
+    assert model["vocab"].shape[0] == 9  # distinct tokens
+    # column-stochastic up to the smoothing mass actually representable:
+    # every vocab row exists, so each label column sums to 1 exactly
+    np.testing.assert_allclose(np.exp(model["loglik"]).sum(axis=0)
+                               + 0 * model["log_oov"], [1.0, 1.0], rtol=1e-12)
+    out = pa.concat_tables(
+        nb_classify(ds, model).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert out["pred"].to_pylist() == ["spam"] * 4 + ["ham"] * 4
+    # unseen-word doc still classifies via the smoothed floor + priors
+    novel = _ds({"doc_id": [0], "text": ["cash zebra zebra"]})
+    pred = pa.concat_tables(
+        nb_classify(novel, model).iter_batches(batch_format="pyarrow")
+    )["pred"].to_pylist()
+    assert pred == ["spam"]
+
+
+def test_nb_tie_breaks_label_asc():
+    ds = _ds({
+        "doc_id": [0, 1],
+        "label": ["b", "a"],
+        "text": ["same words here", "same words here"],
+    })
+    model = nb_train(ds, "label")
+    out = pa.concat_tables(
+        nb_classify(_ds({"doc_id": [0], "text": ["same words here"]}),
+                    model).iter_batches(batch_format="pyarrow")
+    )
+    assert out["pred"].to_pylist() == ["a"]
