@@ -338,6 +338,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["boost_query"] = lambda sf: _all_hits_table(
         sf, Q.BoostQuery(Q.TermQuery("table"), 2.5)
     )
+    q["blended_term_query"] = lambda sf: _all_hits_table(
+        sf, Q.BlendedTermQuery(("spark", "customer"), tie_breaker=0.01)
+    )
+
+    def _phrase_wild(sf):
+        s = _searcher(sf)
+        docs, freqs = s.phrase_wildcard_freqs(("table", "s*"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "freq": pa.array(freqs[order], type=pa.int64()),
+        })
+
+    q["phrase_wildcard_freqs"] = _phrase_wild
+
+    def _diversified(sf):
+        s = _searcher(sf)
+        docs, scores, keys = s.diversified_topk(
+            Q.TermQuery("table"), "source", k=10, max_per_key=1)
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(_round4(scores), type=pa.float64()),
+            "source": pa.array(keys.tolist(), type=pa.string()),
+        })
+
+    q["diversified_topk"] = _diversified
+
+    def _multi_range(sf):
+        """MultiRangeQuery (sandbox/search/MultiRangeQuery.java:54) — union
+        of point ranges, adapted per the SURVEY BKD mapping to predicate-
+        pushdown reads (only matching row groups leave storage)."""
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        t = ds.filter(
+            expr="(n_chars >= 150 and n_chars < 250) "
+                 "or (n_chars >= 600 and n_chars < 700)"
+        ).select_columns(["doc_id"]).to_pandas()
+        return pa.Table.from_pandas(
+            t.sort_values("doc_id").reset_index(drop=True),
+            preserve_index=False)
+
+    q["multi_range_query"] = _multi_range
+
+    def _dyn_ranges(sf):
+        import ray.data
+
+        from lucene_ray.pipelines.facets import dynamic_range_facets
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["n_chars"])
+        t = dynamic_range_facets(ds, "n_chars", 5)
+        return pa.table({
+            "bucket": t["bucket"],
+            "count": t["count"],
+            "vmin": t["vmin"],
+            "vmax": t["vmax"],
+            "vsum": _round4(t["vsum"].to_numpy()),
+        })
+
+    q["dynamic_range_facets"] = _dyn_ranges
 
     def _search_after(sf):
         s = _searcher(sf)
@@ -2210,6 +2274,67 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, ROUND(m + 0.3 * (s - m), 4) AS score
               FROM uni ORDER BY doc_id"""
     )
+    # BlendedTermQuery: every term scored with df = max of the two dfs,
+    # then DisjunctionMax(tie=0.01) over the per-doc term scores
+    o["blended_term_query"] = (
+        _PRELUDE
+        + f"""
+, tf_a AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+           WHERE term = 'spark' GROUP BY doc_id)
+, tf_b AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+           WHERE term = 'customer' GROUP BY doc_id)
+, dfb AS (SELECT greatest((SELECT count(*) FROM tf_a),
+                          (SELECT count(*) FROM tf_b))::DOUBLE AS df)
+, sc_a AS (SELECT t.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+           (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+  FROM tf_a t CROSS JOIN dfb d CROSS JOIN stats s
+  JOIN dlq q ON t.doc_id = q.doc_id)
+, sc_b AS (SELECT t.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+           (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+  FROM tf_b t CROSS JOIN dfb d CROSS JOIN stats s
+  JOIN dlq q ON t.doc_id = q.doc_id)
+, uni AS (
+    SELECT doc_id, max(score) AS m, sum(score) AS s FROM (
+      SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b
+    ) GROUP BY doc_id)
+SELECT doc_id, ROUND(m + 0.01 * (s - m), 4) AS score
+FROM uni ORDER BY doc_id"""
+    )
+    o["phrase_wildcard_freqs"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT a.doc_id, count(*)::BIGINT AS freq
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.term = 'table' AND b.term LIKE 's%'
+GROUP BY a.doc_id ORDER BY a.doc_id"""
+    )
+    # diversified top-k: <=1 hit per source, ranked by the raw f64 score
+    # (engine-identical tree), displayed rounded
+    o["diversified_topk"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + """
+, keyed AS (
+    SELECT s.doc_id, s.score, d.source,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY s.score DESC, s.doc_id) AS rn
+    FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score, source
+FROM keyed WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10"""
+    )
+    o["multi_range_query"] = """
+SELECT doc_id FROM documents
+WHERE (n_chars >= 150 AND n_chars < 250)
+   OR (n_chars >= 600 AND n_chars < 700)
+ORDER BY doc_id"""
+    o["dynamic_range_facets"] = """
+WITH t AS (SELECT n_chars::DOUBLE AS v,
+                  ntile(5) OVER (ORDER BY n_chars) AS b FROM documents)
+SELECT b::BIGINT AS bucket, count(*)::BIGINT AS count,
+       min(v) AS vmin, max(v) AS vmax, ROUND(sum(v), 4) AS vsum
+FROM t GROUP BY b ORDER BY b"""
     o["function_score_query"] = (
         _PRELUDE + _term_cte("t", "table")
         + """ SELECT s.doc_id, ROUND(s.score * ln(1 + d.n_chars), 4) AS score

@@ -37,6 +37,66 @@ def range_facets(ds, field: str, edges: list[float]):
     return ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").count().sort("bucket")
 
 
+def dynamic_range_facets(ds, field: str, n_buckets: int) -> pa.Table:
+    """Equal-weight dynamic ranges — DynamicRangeUtil
+    (facet/src/java/org/apache/lucene/facet/range/DynamicRangeUtil.java:41)
+    with unit weights: split the value distribution into ``n_buckets``
+    buckets of (as near as possible) equal doc count, NTILE semantics —
+    the first ``total % n`` buckets take the extra row. Returns per
+    bucket (1-based): count, min/max value, value sum.
+
+    Distributed shape: ONE ``groupby(field).count()`` (only DISTINCT
+    values shuffle — for a bounded-cardinality numeric field the
+    histogram is tiny however large the corpus), then pure arithmetic on
+    the cumulative histogram; tied values split across a boundary by
+    count, which is exact for every per-bucket aggregate here since the
+    split rows all carry the same value."""
+    hist = ds.groupby(field).count().sort(field).to_pandas()
+    vals = hist[field].to_numpy().astype(np.float64)
+    cnts = hist["count()"].to_numpy().astype(np.int64)
+    total = int(cnts.sum())
+    sizes = np.full(n_buckets, total // n_buckets, dtype=np.int64)
+    sizes[: total % n_buckets] += 1
+    ends = np.cumsum(sizes)  # 1-based end rank per bucket
+    cum = np.cumsum(cnts)
+    wsum = np.cumsum(vals * cnts)  # value-weighted prefix sums
+
+    def sum_to_rank(r: int) -> float:
+        """Sum of the first r values in sorted order (ties interpolate
+        exactly: identical values on both sides of the cut)."""
+        if r <= 0:
+            return 0.0
+        i = int(np.searchsorted(cum, r, side="left"))
+        prev_cum = int(cum[i - 1]) if i else 0
+        prev_sum = float(wsum[i - 1]) if i else 0.0
+        return prev_sum + vals[i] * (r - prev_cum)
+
+    rows = {"bucket": [], "count": [], "vmin": [], "vmax": [], "vsum": []}
+    start = 0
+    for b in range(n_buckets):
+        end = int(ends[b])
+        rows["bucket"].append(b + 1)
+        rows["count"].append(end - start)
+        if end == start:
+            rows["vmin"].append(None)
+            rows["vmax"].append(None)
+            rows["vsum"].append(0.0)
+        else:
+            i0 = int(np.searchsorted(cum, start, side="right"))
+            i1 = int(np.searchsorted(cum, end, side="left"))
+            rows["vmin"].append(float(vals[i0]))
+            rows["vmax"].append(float(vals[i1]))
+            rows["vsum"].append(sum_to_rank(end) - sum_to_rank(start))
+        start = end
+    return pa.table({
+        "bucket": pa.array(rows["bucket"], pa.int64()),
+        "count": pa.array(rows["count"], pa.int64()),
+        "vmin": pa.array(rows["vmin"], pa.float64()),
+        "vmax": pa.array(rows["vmax"], pa.float64()),
+        "vsum": pa.array(rows["vsum"], pa.float64()),
+    })
+
+
 def distinct_values(ds, field: str):
     """Distinct values of one column as a sorted Dataset — distributed
     groupby (only distinct values shuffle), never a driver-side

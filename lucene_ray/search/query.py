@@ -95,6 +95,25 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """search/BlendedTermQuery.java:270-300 — the terms' statistics blend
+    (df = max of docFreqs, ttf = sum, BlendedTermQuery.rewrite), each term
+    scores as a TermQuery carrying the blended stats, and the rewritten
+    disjunction combines via DisjunctionMax with tie_breaker 0.01
+    (DISJUNCTION_MAX_REWRITE, BlendedTermQuery.java:190)."""
+
+    terms: tuple
+    tie_breaker: float = 0.01
+    boost: float = 1.0
+    field: str | None = None
+
+    def to_dict(self):
+        return {"type": "blended_term", "terms": list(self.terms),
+                "tie_breaker": self.tie_breaker, "boost": self.boost,
+                "field": self.field}
+
+
+@dataclass(frozen=True)
 class PrefixQuery(Query):
     """search/PrefixQuery.java — constant-score multi-term expansion."""
 
@@ -511,6 +530,11 @@ def query_from_dict(d: dict) -> Query:
                            d.get("field"))
     if t == "synonym":
         return SynonymQuery(tuple(d["terms"]), d.get("boost", 1.0), d.get("field"))
+    if t == "blended_term":
+        return BlendedTermQuery(
+            tuple(d["terms"]), d.get("tie_breaker", 0.01),
+            d.get("boost", 1.0), d.get("field"),
+        )
     if t == "prefix":
         return PrefixQuery(d["prefix"], d.get("boost", 1.0), d.get("field"))
     if t == "wildcard":
@@ -602,7 +626,8 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
     here."""
     if isinstance(q, TermQuery):
         out.add(q.term)
-    elif isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
+    elif isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery,
+                        BlendedTermQuery)):
         out.update(q.terms)
     elif isinstance(q, BooleanQuery):
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
@@ -641,7 +666,8 @@ def resolve_fields(q: Query) -> Query:
 
     if isinstance(q, (TermQuery, PayloadScoreQuery)) and q.field:
         return dataclasses.replace(q, term=field_key(q.field, q.term), field=None)
-    if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery, SpanNearQuery)) and q.field:
+    if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery, SpanNearQuery,
+                      BlendedTermQuery)) and q.field:
         return dataclasses.replace(
             q, terms=tuple(field_key(q.field, t) for t in q.terms), field=None
         )

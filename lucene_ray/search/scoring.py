@@ -277,6 +277,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.SynonymQuery):
         return _eval_synonym(reader, q, ctx)
 
+    if isinstance(q, Q.BlendedTermQuery):
+        return _eval_blended(reader, q, ctx)
+
     if isinstance(q, Q.BoostQuery):
         d, s, e = eval_query(reader, _push_boost(q.query, q.boost), ctx)
         return d, s, e
@@ -581,6 +584,41 @@ def _eval_synonym(reader, q: Q.SynonymQuery, ctx):
     norms = np.zeros(docs.shape[0], dtype=np.uint8)
     norms[inv] = cat_n  # same doc -> same norm byte
     return docs, scorer.score(freqs, norms).astype(np.float64), True
+
+
+def _eval_blended(reader, q: "Q.BlendedTermQuery", ctx):
+    """BlendedTermQuery (search/BlendedTermQuery.java:270-300): every term
+    scores with the BLENDED stats (df = max of the terms' docFreqs, ttf =
+    sum — adjustFrequencies), each over its own postings, then the per-doc
+    scores combine as DisjunctionMax(tie_breaker)
+    (DISJUNCTION_MAX_REWRITE, BlendedTermQuery.java:190)."""
+    stats = [ctx.term_stats.get(t, (0, 0)) for t in q.terms]
+    df = max((d for d, _ in stats), default=0)
+    ttf = sum(t for _, t in stats)
+    if df == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    scorer = make_scorer(df, ctx.doc_count, ctx._sum_ttf_for(q.terms[0]),
+                         mode=ctx.mode, k1=ctx.k1, b=ctx.b, ttf=ttf)
+    docs_parts, score_parts = [], []
+    for t in q.terms:
+        idx = reader.term_index(t)
+        if idx < 0:
+            continue
+        d, f, nm = reader.postings_reader(idx).decode_all()
+        docs_parts.append(d)
+        score_parts.append(
+            scorer.score(f.astype(np.int64), nm).astype(np.float64))
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    cat_d = np.concatenate(docs_parts)
+    cat_s = np.concatenate(score_parts)
+    docs, inv = np.unique(cat_d, return_inverse=True)
+    ssum = np.zeros(docs.shape[0], dtype=np.float64)
+    np.add.at(ssum, inv, cat_s)
+    smax = np.zeros(docs.shape[0], dtype=np.float64)
+    np.maximum.at(smax, inv, cat_s)
+    scores = (smax + q.tie_breaker * (ssum - smax)) * q.boost
+    return docs, scores, True
 
 
 def _eval_feature(reader, q: "Q.FeatureQuery"):

@@ -660,6 +660,81 @@ class Searcher:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(docs_parts), np.concatenate(freq_parts)
 
+    def phrase_wildcard_freqs(self, slots: tuple,
+                              max_expansions: int = 128):
+        """PhraseWildcardQuery (sandbox/src/java/org/apache/lucene/search/
+        PhraseWildcardQuery.java:63): a phrase where a slot may be a
+        trailing-``*`` prefix pattern, expanded against EACH SEGMENT'S OWN
+        dictionary (the reference's segment-based expansion that shares no
+        global automaton state), then matched with the multi-phrase
+        matcher. Returns (global doc_ids, phrase occurrence counts)."""
+        from lucene_ray.search.scoring import _eval_multiphrase_freqs
+
+        docs_parts, freq_parts = [], []
+        for reader in self.readers:
+            positions = []
+            dead = False
+            for s in slots:
+                if s.endswith("*") and len(s) > 1:
+                    idxs = reader.terms_matching_prefix(s[:-1])
+                    if idxs.shape[0] > max_expansions:
+                        raise ValueError(
+                            f"slot {s!r} expands to {idxs.shape[0]} terms "
+                            f"(> max_expansions={max_expansions})")
+                    alts = tuple(reader.terms[int(i)] for i in idxs)
+                    if not alts:
+                        dead = True
+                        break
+                    positions.append(alts)
+                else:
+                    positions.append((s,))
+            if dead:
+                continue
+            d, f = _eval_multiphrase_freqs(reader, tuple(positions))
+            if d.shape[0]:
+                docs_parts.append(d + reader.doc_base)
+                freq_parts.append(f)
+        if not docs_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(docs_parts), np.concatenate(freq_parts)
+
+    def diversified_topk(self, query, key_col: str, k: int,
+                         max_per_key: int = 1):
+        """DiversifiedTopDocsCollector (misc/src/java/org/apache/lucene/
+        misc/search/DiversifiedTopDocsCollector.java:63): global top-``k``
+        by score with at most ``max_per_key`` hits sharing a key. Keys
+        come from the stored source via the pruned-pushdown fetch of only
+        the matched ids' key column (the reference reads a doc-values
+        iterator per leaf). Ordering is (score desc, doc asc), the
+        TopDocs tie-break.
+
+        Scale note: per-segment diversified top-k is a superset of the
+        global answer, so the distributed path runs this collector per
+        serving actor and re-runs the same vectorized scan on the
+        fan-in — nothing here needs the full hit list on one node beyond
+        the per-key cap survivors."""
+        docs, scores = self.search_all(query)
+        if docs.shape[0] == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, object))
+        fetched = self.fetch_docs(docs.tolist(), columns=["doc_id", key_col])
+        keys = np.asarray(fetched[key_col].to_numpy(zero_copy_only=False),
+                          dtype=object)
+        _uk, key_codes = np.unique(keys, return_inverse=True)
+        # rank within key in (score desc, doc asc) order — one lexsort +
+        # run scan, no per-key loop
+        order = np.lexsort((docs, -scores, key_codes))
+        kc = key_codes[order]
+        new = np.ones(kc.shape[0], dtype=bool)
+        new[1:] = kc[1:] != kc[:-1]
+        starts = np.nonzero(new)[0]
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(kc.shape[0]) - starts[run_id]
+        keep_idx = order[rank < max_per_key]
+        d2, s2, k2 = docs[keep_idx], scores[keep_idx], keys[keep_idx]
+        top = np.lexsort((d2, -s2))[:k]
+        return d2[top], s2[top], k2[top]
+
     def phrase_freqs(self, terms: tuple, slop: int = 0):
         """(global doc_ids, phrase occurrence counts) for a phrase."""
         from lucene_ray.search.scoring import _eval_phrase_freqs
