@@ -2320,9 +2320,10 @@ GROUP BY a.doc_id ORDER BY a.doc_id"""
            row_number() OVER (PARTITION BY d.source
                               ORDER BY s.score DESC, s.doc_id) AS rn
     FROM sc_t s JOIN documents d ON s.doc_id = d.doc_id)
-SELECT doc_id, ROUND(score, 4) AS score, source
-FROM keyed WHERE rn = 1
-ORDER BY score DESC, doc_id LIMIT 10"""
+, capped AS (
+    SELECT doc_id, score, source FROM keyed WHERE rn = 1
+    ORDER BY score DESC, doc_id LIMIT 10)
+SELECT doc_id, ROUND(score, 4) AS score, source FROM capped"""
     )
     o["multi_range_query"] = """
 SELECT doc_id FROM documents

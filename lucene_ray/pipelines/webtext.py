@@ -114,7 +114,10 @@ def gopher_repetition(pages, text_col: str = "text",
                              where=tc > 0)
         dup_frac = np.divide(dup2, bc, out=np.zeros(n, np.float64),
                              where=bc > 0)
-        keep = (top_frac <= top_unigram_max) & (dup_frac <= dup_bigram_max)
+        # a zero-token doc is degenerate: never keep it (a quality filter
+        # that passes empty documents is worse than useless)
+        keep = ((top_frac <= top_unigram_max)
+                & (dup_frac <= dup_bigram_max) & (tc > 0))
         return pa.table({
             "doc_id": b["doc_id"],
             "token_count": tc,
@@ -206,9 +209,13 @@ def nb_classify(pages, model_ref, text_col: str = "text"):
     SimpleNaiveBayesClassifier.java:119-131)."""
     import ray
 
+    resolved: list = []  # worker-local cache: one ray.get per task, not per batch
+
     def classify(b: pa.Table) -> pa.Table:
-        m = ray.get(model_ref) if isinstance(
-            model_ref, ray.ObjectRef) else model_ref
+        if not resolved:
+            resolved.append(ray.get(model_ref) if isinstance(
+                model_ref, ray.ObjectRef) else model_ref)
+        m = resolved[0]
         vocab, loglik, log_oov = m["vocab"], m["loglik"], m["log_oov"]
         labels, log_prior = m["labels"], m["log_prior"]
         texts = b[text_col]

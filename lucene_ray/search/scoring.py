@@ -478,21 +478,11 @@ def _eval_combined_field(reader, q: Q.CombinedFieldQuery, ctx):
     return docs, scores * q.boost, True
 
 
-def _eval_dismax(reader, q: Q.DisjunctionMaxQuery, ctx):
-    """max(sub) + tie_breaker * (sum - max) over the union of disjunct doc
-    sets (DisjunctionMaxQuery.java scoring contract). Subqueries evaluate
-    unpruned so every union member's full score contributes."""
-    sub_ctx = _unpruned(ctx)
-    docs_parts, score_parts = [], []
-    exact = True
-    for sub in q.queries:
-        d, s, e = eval_query(reader, sub, sub_ctx)
-        exact &= e
-        if d.shape[0]:
-            docs_parts.append(d)
-            score_parts.append(s)
-    if not docs_parts:
-        return np.empty(0, np.int64), np.empty(0, np.float64), exact
+def _union_aggregate(docs_parts: list, score_parts: list):
+    """Shared union-of-disjuncts kernel: concatenate per-sub (docs, scores)
+    and aggregate per unique doc — returns (docs, ssum, smax, nmatch).
+    One np.unique + add.at/maximum.at pass; used by DisMax, Covering and
+    Blended so the duplicate-doc handling lives in exactly one place."""
     cat_d = np.concatenate(docs_parts)
     cat_s = np.concatenate(score_parts)
     docs, inv = np.unique(cat_d, return_inverse=True)
@@ -500,6 +490,35 @@ def _eval_dismax(reader, q: Q.DisjunctionMaxQuery, ctx):
     np.add.at(ssum, inv, cat_s)
     smax = np.zeros(docs.shape[0], dtype=np.float64)
     np.maximum.at(smax, inv, cat_s)
+    nmatch = np.zeros(docs.shape[0], dtype=np.int64)
+    np.add.at(nmatch, inv, 1)
+    return docs, ssum, smax, nmatch
+
+
+def _eval_subqueries_unpruned(reader, queries, ctx):
+    """Evaluate each sub-query hit-complete; returns (docs_parts,
+    score_parts, exact)."""
+    sub_ctx = _unpruned(ctx)
+    docs_parts, score_parts = [], []
+    exact = True
+    for sub in queries:
+        d, s, e = eval_query(reader, sub, sub_ctx)
+        exact &= e
+        if d.shape[0]:
+            docs_parts.append(d)
+            score_parts.append(s)
+    return docs_parts, score_parts, exact
+
+
+def _eval_dismax(reader, q: Q.DisjunctionMaxQuery, ctx):
+    """max(sub) + tie_breaker * (sum - max) over the union of disjunct doc
+    sets (DisjunctionMaxQuery.java scoring contract). Subqueries evaluate
+    unpruned so every union member's full score contributes."""
+    docs_parts, score_parts, exact = _eval_subqueries_unpruned(
+        reader, q.queries, ctx)
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64), exact
+    docs, ssum, smax, _n = _union_aggregate(docs_parts, score_parts)
     scores = (smax + q.tie_breaker * (ssum - smax)) * q.boost
     return docs, scores, exact
 
@@ -510,24 +529,11 @@ def _eval_covering(reader, q: "Q.CoveringQuery", ctx):
     max(1, minMatch(doc)) with minMatch read from a dense feature column
     (or the constant fallback); score = sum of matching sub scores.
     Subqueries evaluate unpruned so every union member contributes."""
-    sub_ctx = _unpruned(ctx)
-    docs_parts, score_parts = [], []
-    exact = True
-    for sub in q.queries:
-        d, s, e = eval_query(reader, sub, sub_ctx)
-        exact &= e
-        if d.shape[0]:
-            docs_parts.append(d)
-            score_parts.append(s)
+    docs_parts, score_parts, exact = _eval_subqueries_unpruned(
+        reader, q.queries, ctx)
     if not docs_parts:
         return np.empty(0, np.int64), np.empty(0, np.float64), exact
-    cat_d = np.concatenate(docs_parts)
-    cat_s = np.concatenate(score_parts)
-    docs, inv = np.unique(cat_d, return_inverse=True)
-    ssum = np.zeros(docs.shape[0], dtype=np.float64)
-    np.add.at(ssum, inv, cat_s)
-    nmatch = np.zeros(docs.shape[0], dtype=np.int64)
-    np.add.at(nmatch, inv, 1)
+    docs, ssum, _smax, nmatch = _union_aggregate(docs_parts, score_parts)
     if q.min_match_feature is not None:
         # feature columns are row-aligned with the (sorted) doc_ids column,
         # which need not be contiguous after merges with deletes
@@ -597,8 +603,12 @@ def _eval_blended(reader, q: "Q.BlendedTermQuery", ctx):
     ttf = sum(t for _, t in stats)
     if df == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
+    # boost folds into the leaf weight, matching Lucene's boost
+    # propagation through the rewritten DisMax to the term weights
+    # (f32 mode stays bit-exact under non-power-of-two boosts)
     scorer = make_scorer(df, ctx.doc_count, ctx._sum_ttf_for(q.terms[0]),
-                         mode=ctx.mode, k1=ctx.k1, b=ctx.b, ttf=ttf)
+                         mode=ctx.mode, k1=ctx.k1, b=ctx.b, ttf=ttf,
+                         boost=q.boost)
     docs_parts, score_parts = [], []
     for t in q.terms:
         idx = reader.term_index(t)
@@ -610,14 +620,8 @@ def _eval_blended(reader, q: "Q.BlendedTermQuery", ctx):
             scorer.score(f.astype(np.int64), nm).astype(np.float64))
     if not docs_parts:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
-    cat_d = np.concatenate(docs_parts)
-    cat_s = np.concatenate(score_parts)
-    docs, inv = np.unique(cat_d, return_inverse=True)
-    ssum = np.zeros(docs.shape[0], dtype=np.float64)
-    np.add.at(ssum, inv, cat_s)
-    smax = np.zeros(docs.shape[0], dtype=np.float64)
-    np.maximum.at(smax, inv, cat_s)
-    scores = (smax + q.tie_breaker * (ssum - smax)) * q.boost
+    docs, ssum, smax, _n = _union_aggregate(docs_parts, score_parts)
+    scores = smax + q.tie_breaker * (ssum - smax)
     return docs, scores, True
 
 

@@ -487,8 +487,13 @@ class Searcher:
         docs matching ``query``. Population variance, the reference's
         Welford accumulation evaluated in closed form; per-segment
         vectorized gathers, merged like the reference's per-leaf
-        accumulators."""
-        docs, _scores = self.search_all(query)
+        accumulators. The query runs constant-score — the collector only
+        needs the matching doc set, never the BM25 math."""
+        from lucene_ray.search import query as _Q
+
+        if isinstance(query, str):
+            query = self._prep(query)
+        docs, _scores = self.search_all(_Q.ConstantScoreQuery(query))
         tot, s, ss = 0, 0.0, 0.0
         mn, mx = np.inf, -np.inf
         for r in self.readers:
@@ -717,7 +722,10 @@ class Searcher:
         if docs.shape[0] == 0:
             return (np.empty(0, np.int64), np.empty(0, np.float64),
                     np.empty(0, object))
-        fetched = self.fetch_docs(docs.tolist(), columns=["doc_id", key_col])
+        # on_missing="raise": a dropped id would silently misalign keys
+        # with (docs, scores) — diversification needs one key per hit
+        fetched = self.fetch_docs(docs.tolist(), columns=["doc_id", key_col],
+                                  on_missing="raise")
         keys = np.asarray(fetched[key_col].to_numpy(zero_copy_only=False),
                           dtype=object)
         _uk, key_codes = np.unique(keys, return_inverse=True)

@@ -120,6 +120,102 @@ def test_diversified_max_per_key_2_superset(searcher):
     assert max(counts.values()) <= 2
 
 
+@pytest.fixture(scope="module")
+def feat_index(ray_session, tmp_path_factory):
+    """Small multi-segment index with a per-doc feature column, built from
+    a SHUFFLED corpus so segment id ranges interleave (the covering
+    feature lookup must survive non-contiguous doc_ids per segment)."""
+    import ray.data
+
+    from lucene_ray.index.build import build_index
+
+    rng = np.random.default_rng(7)
+    n = 120
+    words = ["red", "green", "blue", "gold"]
+    texts, mm = [], []
+    for i in range(n):
+        toks = rng.choice(words, size=8).tolist()
+        texts.append(" ".join(toks))
+        mm.append(1 + i % 4)  # includes mm=4 > len(queries)=3 -> match never
+    perm = rng.permutation(n)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n)[perm], pa.int64()),
+        "text": pa.array([texts[i] for i in perm], pa.string()),
+        "mm": pa.array([mm[i] for i in perm], pa.int64()),
+    })
+    idx = str(tmp_path_factory.mktemp("featidx") / "index")
+    build_index(ray.data.from_arrow(t), idx, num_segments=3,
+                features={"mm": "mm"})
+    return idx, {int(d): (texts[i], mm[i])
+                 for i, d in enumerate(np.arange(n))}
+
+
+def test_covering_query_per_doc_min_match(feat_index):
+    idx, truth = feat_index
+    s = Searcher(idx)
+    subs = (Q.TermQuery("red"), Q.TermQuery("green"), Q.TermQuery("blue"))
+    docs, scores = s.search_all(
+        Q.CoveringQuery(subs, min_match_feature="mm"))
+    got = set(docs.tolist())
+    per_term = {}
+    for did, (text, mm) in truth.items():
+        toks = text.split()
+        nmatch = sum(1 for w in ("red", "green", "blue") if w in toks)
+        expect = nmatch >= max(1, mm)
+        assert (did in got) == expect, (did, toks, mm, nmatch)
+        per_term[did] = nmatch
+    assert any(v == 4 for _t, v in truth.values())  # mm>len(subs) exercised
+    # score = sum of matching sub scores
+    sub_scores = {}
+    for subq in subs:
+        d, sc = s.search_all(subq)
+        for dd, ss in zip(d.tolist(), sc.tolist()):
+            sub_scores[dd] = sub_scores.get(dd, 0.0) + ss
+    got_scores = dict(zip(docs.tolist(), scores.tolist()))
+    for did, sc in got_scores.items():
+        np.testing.assert_allclose(sc, sub_scores[did], rtol=1e-9)
+
+
+def test_covering_query_constant_fallback(feat_index):
+    idx, truth = feat_index
+    s = Searcher(idx)
+    subs = (Q.TermQuery("red"), Q.TermQuery("green"), Q.TermQuery("blue"))
+    docs, _ = s.search_all(Q.CoveringQuery(subs, min_match=2))
+    got = set(docs.tolist())
+    for did, (text, _mm) in truth.items():
+        toks = text.split()
+        nmatch = sum(1 for w in ("red", "green", "blue") if w in toks)
+        assert (did in got) == (nmatch >= 2)
+
+
+def test_doc_values_stats_multi_segment(built_index):
+    idx, _ = built_index
+    # rebuild WITH a feature column over the sf corpus
+    import ray.data
+
+    from lucene_ray.index.build import build_index as _bi
+    import tempfile
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    t = pq.read_table(src, columns=["doc_id", "text", "n_chars"])
+    with tempfile.TemporaryDirectory() as tmp:
+        fidx = os.path.join(tmp, "idx")
+        _bi(ray.data.from_arrow(t), fidx, num_segments=4,
+            features={"chars": "n_chars"})
+        s = Searcher(fidx)
+        st = s.doc_values_stats(Q.TermQuery("table"), "chars")
+        docs, _ = s.search_all(Q.TermQuery("table"))
+        nch = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+        vals = np.array([nch[d] for d in docs.tolist()], np.float64)
+        assert st["count"] == vals.shape[0]
+        assert st["vmin"] == vals.min() and st["vmax"] == vals.max()
+        np.testing.assert_allclose(st["vsum"], vals.sum(), rtol=1e-12)
+        np.testing.assert_allclose(st["mean"], vals.mean(), rtol=1e-12)
+        np.testing.assert_allclose(st["variance"], vals.var(), rtol=1e-9)
+        empty = s.doc_values_stats(Q.TermQuery("zzz-absent"), "chars")
+        assert empty["count"] == 0 and empty["vmin"] is None
+
+
 def test_dynamic_range_facets_ntile_semantics(ray_session):
     import ray.data
 
