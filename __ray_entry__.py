@@ -43,7 +43,7 @@ def _index_dir(sf_dir: str) -> str:
 
     docs = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha1(
-        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:mf3".encode()
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:mf4".encode()
     ).hexdigest()[:12]
     idx = os.path.join(_CACHE_ROOT, tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
@@ -55,14 +55,24 @@ def _index_dir(sf_dir: str) -> str:
         def _with_mm(b: pa.Table) -> pa.Table:
             # per-doc CoveringQuery minimumNumberMatch fixture: 1 + n_chars%3
             mm = 1 + (b["n_chars"].to_numpy() % 3)
-            return b.append_column("mm", pa.array(mm, type=pa.int64()))
+            b = b.append_column("mm", pa.array(mm, type=pa.int64()))
+            # sparse `kw` field (FieldExistsQuery fixture): first body token
+            # on 2/3 of docs, empty (= field absent, 0 tokens) on doc_id%3==0
+            import pyarrow.compute as pc
+
+            first = pc.binary_join(
+                pc.list_slice(pc.split_pattern(b["text"], " "), 0, 1), " ")
+            has = pa.array(b["doc_id"].to_numpy() % 3 != 0)
+            return b.append_column(
+                "kw", pc.if_else(has, first, pa.scalar("", type=pa.string())))
 
         ds = ray.data.read_parquet(
             docs, columns=["doc_id", "text", "n_chars"]
         ).map_batches(with_title_column, batch_format="pyarrow") \
          .map_batches(_with_mm, batch_format="pyarrow")
         build_index(ds, idx, num_segments=4, with_positions=True,
-                    extra_fields={"title": "title"}, stored_source=docs,
+                    extra_fields={"title": "title", "kw": "kw"},
+                    stored_source=docs,
                     features={"chars": "n_chars", "mm": "mm"})
     return idx
 
@@ -257,6 +267,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lm_jm_topk"] = lambda sf: _sim_topk(sf, "lm_jm", Q.TermQuery("table"))
     q["classic_tfidf_topk"] = lambda sf: _sim_topk(
         sf, "classic", Q.TermQuery("table"))
+    # DFR InL2 (DFRSimilarity.java:36 + BasicModelIn/AfterEffectL/NormalizationH2)
+    q["dfr_inl2_topk"] = lambda sf: _sim_topk(
+        sf, "dfr_inl2", Q.TermQuery("table"))
+    # IB log-logistic/DF/H2 (IBSimilarity.java:60)
+    q["ib_ll_topk"] = lambda sf: _sim_topk(sf, "ib_ll", Q.TermQuery("table"))
+    # Axiomatic F2EXP (AxiomaticF2EXP.java:30)
+    q["ax_f2exp_topk"] = lambda sf: _sim_topk(
+        sf, "ax_f2exp", Q.TermQuery("table"))
 
     def _boolean_sim(sf):
         """BooleanSimilarity: every match scores exactly the boost."""
@@ -983,6 +1001,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["field_term_query"] = lambda sf: _all_hits_table(
         sf, Q.TermQuery("table", field="title")
     )
+
+    def _field_exists(sf):
+        """FieldExistsQuery (search/FieldExistsQuery.java:63): docs whose
+        sparse `kw` field produced >= 1 token; constant score = boost."""
+        s = _searcher(sf)
+        docs, scores = s.search_all(Q.FieldExistsQuery("kw"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(scores[order], type=pa.float64()),
+        })
+
+    q["field_exists_query"] = _field_exists
 
     def _combined_field(sf):
         return _all_hits_table(
@@ -2236,6 +2267,49 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, ROUND(score, 4) AS score FROM sc
               ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
     )
+    o["dfr_inl2_topk"] = (
+        _PRELUDE
+        + """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                       WHERE term = 'table' GROUP BY doc_id)
+              , ts AS (SELECT count(*)::DOUBLE AS df FROM tf)
+              , sc AS (
+                SELECT t.doc_id,
+                       (t.f * log2(1 + (s.sttf / s.n) / q.dlq))
+                         / (t.f * log2(1 + (s.sttf / s.n) / q.dlq) + 1)
+                         * log2((s.n + 1) / (x.df + 0.5)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM sc
+              ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
+    o["ib_ll_topk"] = (
+        _PRELUDE
+        + """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                       WHERE term = 'table' GROUP BY doc_id)
+              , ts AS (SELECT count(*)::DOUBLE AS df FROM tf)
+              , sc AS (
+                SELECT t.doc_id,
+                       ln(1 + (t.f * log2(1 + (s.sttf / s.n) / q.dlq))
+                              / ((x.df + 1) / (s.n + 1))) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM sc
+              ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
+    o["ax_f2exp_topk"] = (
+        _PRELUDE
+        + """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                       WHERE term = 'table' GROUP BY doc_id)
+              , ts AS (SELECT count(*)::DOUBLE AS df FROM tf)
+              , sc AS (
+                SELECT t.doc_id,
+                       pow((s.n + 1) / x.df, 0.35) * t.f
+                         / (t.f + 0.5 + 0.5 * q.dlq / (s.sttf / s.n)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM sc
+              ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
     o["boolean_sim_scores"] = (
         _PRELUDE
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
@@ -3456,6 +3530,11 @@ SELECT t.doc_id,
              (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))), 4) AS score
 FROM tf t CROSS JOIN df d CROSS JOIN tstats s JOIN tdl q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
+    )
+
+    o["field_exists_query"] = (
+        """SELECT doc_id, 1.0 AS score FROM documents
+           WHERE doc_id % 3 <> 0 AND length(text) > 0 ORDER BY doc_id"""
     )
 
     o["per_field_analyzer_query"] = (

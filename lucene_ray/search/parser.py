@@ -206,6 +206,13 @@ def _parse_atom(
 
     if "*" in raw or "?" in raw:
         norm = analyzer.normalize(raw)
+        if norm == "*":
+            # QueryParserBase rewrites a pure-wildcard term: `f:*` means
+            # "docs where field f exists" (FieldExistsQuery), and a bare
+            # `*` (or `*:*`) means every document
+            if field is None:
+                return Q.MatchAllDocsQuery(), boost
+            return Q.FieldExistsQuery(field), boost
         if norm.endswith("*") and "*" not in norm[:-1] and "?" not in norm:
             return Q.PrefixQuery(norm[:-1], field=field), boost
         return Q.WildcardQuery(norm, field=field), boost

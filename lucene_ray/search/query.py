@@ -224,6 +224,22 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """search/FieldExistsQuery.java:63 — matches every doc that indexed the
+    field, constant score = boost. Adapted to the dense-norms layout: a doc
+    "has" an analyzed field when analysis produced >= 1 token for it (norm
+    byte > 0); an unknown field matches nothing. ``field=None`` = the
+    default body field. The classic parser maps a bare ``field:*`` atom
+    here (QueryParserBase rewrites pure-wildcard terms the same way)."""
+
+    field: "str | None" = None
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {"type": "field_exists", "field": self.field, "boost": self.boost}
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """search/ConstantScoreQuery.java — wrap any query, score = boost."""
 
@@ -574,6 +590,8 @@ def query_from_dict(d: dict) -> Query:
         )
     if t == "match_all":
         return MatchAllDocsQuery(d.get("boost", 1.0))
+    if t == "field_exists":
+        return FieldExistsQuery(d.get("field"), d.get("boost", 1.0))
     if t == "const":
         return ConstantScoreQuery(query_from_dict(d["query"]), d.get("boost", 1.0))
     if t == "boost":

@@ -298,6 +298,20 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)
         return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
 
+    if isinstance(q, Q.FieldExistsQuery):
+        # FieldExistsQuery.java:63 — same owns_docs guard as match-all;
+        # existence = norm byte > 0 (>= 1 analyzed token). Unknown field
+        # (no norm_<f> column) matches nothing, like an unindexed field.
+        if not reader.meta.get("owns_docs", True):
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        try:
+            norms = reader.norms_for(q.field)
+        except Exception:
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        d = (reader.doc_ids - reader.doc_base).astype(np.int64)
+        d = d[norms > 0]
+        return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
+
     if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                       Q.FuzzyQuery, Q.TermRangeQuery, Q.TermInSetQuery)):
         # dictionary-scan rewrites are the queries the reference's

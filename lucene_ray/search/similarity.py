@@ -230,6 +230,108 @@ class BooleanSimScorer:
         return s.max(axis=-1) if s.ndim == 2 else s
 
 
+class DFRInL2Scorer:
+    """DFR InL2 (similarities/DFRSimilarity.java:36 with BasicModelIn.java:30,
+    AfterEffectL.java:27, NormalizationH2.java:31 — the Amati/van Rijsbergen
+    divergence-from-randomness framework, published in TOIS 2002):
+
+    ``tfn = f * log2(1 + c * avgdl / dl)``  (H2 length normalization, c=1)
+    ``score = boost * (tfn / (tfn + 1)) * log2((N + 1) / (df + 0.5))``
+    (inverse-document-frequency basic model I(n) x Laplace after-effect).
+
+    Float64 expression tree mirrors the DuckDB oracle. Monotone increasing
+    in freq and decreasing in dl, so the impact-frontier bound is valid."""
+
+    __slots__ = ("c", "df", "n", "avgdl", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, c: float = 1.0, boost: float = 1.0) -> None:
+        self.c = float(c)
+        self.df = float(doc_freq)
+        self.n = float(doc_count)
+        self.avgdl = sum_total_term_freq / doc_count
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tfn = f * np.log2(1.0 + self.c * self.avgdl / dl)
+        tfn = np.where(np.isfinite(tfn), tfn, 0.0)
+        return self.boost * (tfn / (tfn + 1.0)) * np.log2(
+            (self.n + 1.0) / (self.df + 0.5))
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class IBLLScorer:
+    """IB similarity, log-logistic distribution, lambda = DF, H2 normalization
+    (similarities/IBSimilarity.java:60 with DistributionLL.java:26,
+    LambdaDF.java:25, NormalizationH2.java:31 — Clinchant & Gaussier,
+    SIGIR 2010 "Information-based models for ad hoc IR"):
+
+    ``lambda = (df + 1) / (N + 1)``
+    ``tfn = f * log2(1 + c * avgdl / dl)``  (c=1)
+    ``score = boost * ln(1 + tfn / lambda)``  (= -ln(lambda/(tfn+lambda)))."""
+
+    __slots__ = ("c", "lam", "avgdl", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, c: float = 1.0, boost: float = 1.0) -> None:
+        self.c = float(c)
+        self.lam = (doc_freq + 1.0) / (doc_count + 1.0)
+        self.avgdl = sum_total_term_freq / doc_count
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tfn = f * np.log2(1.0 + self.c * self.avgdl / dl)
+        tfn = np.where(np.isfinite(tfn), tfn, 0.0)
+        return self.boost * np.log(1.0 + tfn / self.lam)
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class AxiomaticF2EXPScorer:
+    """Axiomatic F2EXP (similarities/AxiomaticF2EXP.java:30 — Fang & Zhai,
+    SIGIR 2005 "An exploration of axiomatic approaches to IR"):
+
+    ``score = boost * ((N + 1) / df)^k * f / (f + s + s * dl / avgdl)``
+
+    with defaults s = 0.5, k = 0.35. Same shape as BM25's saturation with a
+    power-law idf; float64 oracle tree, frontier-bound valid."""
+
+    __slots__ = ("s", "k", "idf", "avgdl", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, s: float = 0.5, k: float = 0.35,
+                 boost: float = 1.0) -> None:
+        self.s = float(s)
+        self.k = float(k)
+        self.idf = ((doc_count + 1.0) / max(doc_freq, 1)) ** float(k)
+        self.avgdl = sum_total_term_freq / doc_count
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        return self.boost * self.idf * f / (
+            f + self.s + self.s * dl / self.avgdl)
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
 class SumScorer:
     """MultiSimilarity.MultiSimScorer (similarities/MultiSimilarity.java:65):
     the sum of sub-scorers applied to the same (freq, norm) stream — how
@@ -298,6 +400,18 @@ def make_scorer(
     if name == "boolean":
         return BooleanSimScorer(doc_freq, doc_count, sum_total_term_freq,
                                 ttf=ttf, boost=boost)
+    if name == "dfr_inl2":
+        return DFRInL2Scorer(doc_freq, doc_count, sum_total_term_freq,
+                             ttf=ttf, c=arg if arg is not None else 1.0,
+                             boost=boost)
+    if name == "ib_ll":
+        return IBLLScorer(doc_freq, doc_count, sum_total_term_freq,
+                          ttf=ttf, c=arg if arg is not None else 1.0,
+                          boost=boost)
+    if name == "ax_f2exp":
+        return AxiomaticF2EXPScorer(doc_freq, doc_count, sum_total_term_freq,
+                                    ttf=ttf, k=arg if arg is not None else 0.35,
+                                    boost=boost)
     raise ValueError(f"unknown similarity mode {mode!r}")
 
 

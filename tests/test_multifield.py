@@ -312,3 +312,35 @@ def test_field_scoped_interval_query(mf_index, mf_brute):
 
     assert set(docs_t.tolist()) == brute(mf_brute["title"])
     assert set(docs_d.tolist()) == brute(mf_brute["body"])
+
+
+def test_field_exists_query(ray_session, tmp_path_factory):
+    """FieldExistsQuery (search/FieldExistsQuery.java:63): matches exactly
+    the docs whose field analyzed to >= 1 token, constant score; unknown
+    field matches nothing; parser maps `f:*` to it and bare `*`/`''` to
+    match-all."""
+    import ray.data
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    first = pc.binary_join(pc.list_slice(pc.split_pattern(docs["text"], " "), 0, 1), " ")
+    has = pa.array(docs["doc_id"].to_numpy() % 4 == 0)
+    docs = docs.append_column(
+        "kw", pc.if_else(has, first, pa.scalar("", type=pa.string())))
+    idx = str(tmp_path_factory.mktemp("fe") / "index")
+    build_index(ray.data.from_arrow(docs), idx, num_segments=2,
+                extra_fields={"kw": "kw"})
+    s = Searcher(idx)
+    d, sc = s.search_all(Q.FieldExistsQuery("kw", boost=2.0))
+    want = {i for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+            if i % 4 == 0 and t}
+    assert set(d.tolist()) == want
+    assert np.all(sc == 2.0)
+    # unknown field -> no matches
+    d2, _ = s.search_all(Q.FieldExistsQuery("nope"))
+    assert d2.shape[0] == 0
+    # parser mapping
+    from lucene_ray.search.parser import parse_query
+
+    assert parse_query("kw:*", fields={"kw"}) == Q.FieldExistsQuery("kw")
+    assert parse_query("*") == Q.MatchAllDocsQuery()

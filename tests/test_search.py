@@ -829,6 +829,12 @@ def test_alternative_similarities(built_index, brute_force):
         * np.sqrt(freqs) / np.sqrt(np.where(dl > 0, dl, 1)),
         "boolean": np.ones_like(freqs),
     }
+    avgdl = sum_ttf / N
+    tfn = freqs * np.log2(1 + avgdl / np.where(dl > 0, dl, 1))
+    expect["dfr_inl2"] = tfn / (tfn + 1) * np.log2((N + 1) / (df + 0.5))
+    expect["ib_ll"] = np.log(1 + tfn / ((df + 1.0) / (N + 1.0)))
+    expect["ax_f2exp"] = ((N + 1.0) / df) ** 0.35 * freqs / (
+        freqs + 0.5 + 0.5 * dl / avgdl)
     for mode, exp in expect.items():
         s = Searcher(idx, mode=mode)
         docs, scores = s.search_all(Q.TermQuery("table"))
