@@ -29,6 +29,14 @@ import pyarrow as pa
 
 K1, B = 1.2, 0.75
 
+# quality_eval topics (benchmark/quality harness): qid -> terms; the
+# ranked list is a SHOULD-disjunction, qrels = docs containing ALL terms
+QUALITY_TOPICS = (
+    ("t1", ("table",)),
+    ("t2", ("key", "value")),
+    ("t3", ("spark", "window")),
+)
+
 # ---------------------------------------------------------------------------
 # shared index cache (one build per sf_dir per process, resumable on disk)
 # ---------------------------------------------------------------------------
@@ -275,6 +283,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Axiomatic F2EXP (AxiomaticF2EXP.java:30)
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
+
+    def _quality(sf):
+        """Relevance-quality harness (benchmark/quality/QualityBenchmark
+        .java:37): three deterministic topics, qrels = docs containing ALL
+        topic terms (computed by the engine's own verified conjunction),
+        ranked list = disjunctive BM25 top-10; per-topic P@10 / AP / nDCG /
+        recall."""
+        from lucene_ray.pipelines.quality import evaluate_topics
+
+        s = _searcher(sf)
+        qrels = {
+            qid: set(s.search_all(Q.BooleanQuery(
+                must=tuple(Q.TermQuery(t) for t in terms)))[0].tolist())
+            for qid, terms in QUALITY_TOPICS
+        }
+        return evaluate_topics(s, QUALITY_TOPICS, qrels, k=10)
+
+    q["quality_eval"] = _quality
+
+    def _simple_parser(sf):
+        """SimpleQueryParser (queryparser/simple/SimpleQueryParser.java:33):
+        lenient end-user syntax `table + wind* | customer -key` -> BM25-
+        scored boolean (AND binds tighter; `-` = MUST_NOT; `*` = prefix,
+        constant score 1.0)."""
+        from lucene_ray.search.simpleparser import parse_simple_query
+
+        s = _searcher(sf)
+        docs, scores = s.search_all(
+            parse_simple_query("table + wind* | customer -key"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["simple_query_parser"] = _simple_parser
 
     def _boolean_sim(sf):
         """BooleanSimilarity: every match scores exactly the boost."""
@@ -2314,6 +2358,58 @@ def oracle_sql() -> dict[str, str]:
         _PRELUDE
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
               WHERE term = 'table' ORDER BY doc_id"""
+    )
+    # quality_eval: per-topic P@10 / AP / nDCG / recall computed in SQL
+    # against the same f64 BM25 ranking (rounded-score ordering) and the
+    # same conjunctive-containment qrels
+    _qblocks, _qselects = [], []
+    for _qid, _terms in QUALITY_TOPICS:
+        ctes = "".join(_term_cte(f"{_qid}_{j}", t)
+                       for j, t in enumerate(_terms))
+        uni = " UNION ALL ".join(
+            f"SELECT * FROM sc_{_qid}_{j}" for j in range(len(_terms)))
+        inlist = ", ".join(f"'{t}'" for t in _terms)
+        _qblocks.append(ctes + f"""
+, uni_{_qid} AS (SELECT doc_id, sum(score) AS score FROM ({uni}) GROUP BY doc_id)
+, top_{_qid} AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY ROUND(score,4) DESC, doc_id) AS r
+                 FROM uni_{_qid} QUALIFY r <= 10)
+, rel_{_qid} AS (SELECT doc_id FROM tok WHERE term IN ({inlist})
+                 GROUP BY doc_id HAVING count(DISTINCT term) = {len(_terms)})
+, hits_{_qid} AS (SELECT r FROM top_{_qid} JOIN rel_{_qid} USING (doc_id))""")
+        _qselects.append(f"""
+SELECT '{_qid}' AS qid,
+  (SELECT count(*) FROM rel_{_qid})::BIGINT AS num_rel,
+  ROUND((SELECT count(*) FROM hits_{_qid})::DOUBLE / 10, 4) AS p_at_k,
+  ROUND(coalesce((SELECT sum(cnt / r) FROM (
+      SELECT r, (SELECT count(*)::DOUBLE FROM hits_{_qid} h2
+                 WHERE h2.r <= h1.r) AS cnt FROM hits_{_qid} h1)), 0)
+    / greatest((SELECT count(*) FROM rel_{_qid}), 1), 4) AS ap,
+  ROUND(CASE WHEN (SELECT coalesce(sum(1.0/log2(x+2)), 0) FROM range(10) t(x)
+                   WHERE x < least((SELECT count(*) FROM rel_{_qid}), 10)) > 0
+             THEN (SELECT coalesce(sum(1.0/log2(r+1)), 0) FROM hits_{_qid})
+                  / (SELECT sum(1.0/log2(x+2)) FROM range(10) t(x)
+                     WHERE x < least((SELECT count(*) FROM rel_{_qid}), 10))
+             ELSE 0 END, 4) AS ndcg,
+  ROUND((SELECT count(*) FROM hits_{_qid})::DOUBLE
+    / greatest((SELECT count(*) FROM rel_{_qid}), 1), 4) AS recall""")
+    o["quality_eval"] = (
+        _PRELUDE + "".join(_qblocks)
+        + " UNION ALL ".join(_qselects) + " ORDER BY qid"
+    )
+
+    o["simple_query_parser"] = (
+        _PRELUDE + _term_cte("t", "table") + _term_cte("c", "customer")
+        + """ , pw AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%')
+              , andg AS (SELECT t.doc_id, t.score + 1.0 AS score
+                         FROM sc_t t JOIN pw ON t.doc_id = pw.doc_id)
+              , uni AS (SELECT doc_id, sum(score) AS score FROM (
+                          SELECT * FROM andg UNION ALL SELECT * FROM sc_c
+                        ) GROUP BY doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM uni
+              WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok
+                                   WHERE term = 'key')
+              ORDER BY doc_id"""
     )
     o["covering_query"] = (
         _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "window")

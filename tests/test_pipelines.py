@@ -411,3 +411,25 @@ def test_decontaminate_counts_distinct_overlap(ray_session):
         decontaminate(corpus, bench, shingle_n=3, min_hits=2)
         .iter_batches(batch_format="pyarrow"))
     assert t2["doc_id"].to_pylist() == [1]
+
+
+def test_quality_metrics_golden():
+    """QualityStats math (benchmark/quality/QualityStats.java:28-160):
+    hand-checked P@k / AP / nDCG / recall on a tiny ranked list."""
+    import numpy as np
+
+    from lucene_ray.pipelines.quality import topic_metrics
+
+    # ranked: d1 d2 d3 d4 d5; relevant = {d1, d3, d9} (d9 never retrieved)
+    m = topic_metrics(np.array([1, 2, 3, 4, 5]), {1, 3, 9}, k=5)
+    assert m["num_rel"] == 3
+    assert abs(m["p_at_k"] - 2 / 5) < 1e-12
+    # AP = (1/1 + 2/3) / 3
+    assert abs(m["ap"] - (1.0 + 2.0 / 3.0) / 3.0) < 1e-12
+    # DCG = 1/log2(2) + 1/log2(4) = 1.5; IDCG = 1/log2(2)+1/log2(3)+1/log2(4)
+    idcg = 1.0 + 1.0 / np.log2(3.0) + 0.5
+    assert abs(m["ndcg"] - 1.5 / idcg) < 1e-12
+    assert abs(m["recall"] - 2 / 3) < 1e-12
+    # degenerate: no relevant docs -> all zeros, no division error
+    z = topic_metrics(np.array([1, 2]), set(), k=5)
+    assert (z["ap"], z["ndcg"], z["recall"]) == (0.0, 0.0, 0.0)

@@ -1,0 +1,60 @@
+"""SimpleQueryParser (queryparser/simple/SimpleQueryParser.java:33-105):
+lenient human syntax -> Query AST. Pure parser tests (no Ray)."""
+
+from lucene_ray.search import query as Q
+from lucene_ray.search.simpleparser import parse_simple_query as p
+
+
+def test_operators_and_precedence():
+    # AND binds tighter than OR; '-' lifts to MUST_NOT of its level
+    q = p("table + wind* | customer -key")
+    assert isinstance(q, Q.BooleanQuery)
+    assert q.must_not == (Q.TermQuery("key"),)
+    andg, cust = q.should
+    assert cust == Q.TermQuery("customer")
+    assert andg.must == (Q.TermQuery("table"), Q.PrefixQuery("wind"))
+
+
+def test_adjacency_is_or():
+    q = p("a b c")
+    assert q == Q.BooleanQuery(should=(
+        Q.TermQuery("a"), Q.TermQuery("b"), Q.TermQuery("c")))
+
+
+def test_phrase_slop_fuzzy_group():
+    q = p('"key value"~1 | spark~1')
+    ph, fz = q.should
+    assert ph == Q.PhraseQuery(("key", "value"), slop=1)
+    assert fz == Q.FuzzyQuery("spark", max_edits=1)
+    g = p("a + (b | c)")
+    assert g.must[0] == Q.TermQuery("a")
+    assert g.must[1].should == (Q.TermQuery("b"), Q.TermQuery("c"))
+
+
+def test_negated_group_and_and_level_not():
+    q = p("-(a b) c")
+    assert q.should == (Q.TermQuery("c"),)
+    assert q.must_not[0].should == (Q.TermQuery("a"), Q.TermQuery("b"))
+    q2 = p("a + -b")
+    assert q2.must == (Q.TermQuery("a"),)
+    assert q2.must_not == (Q.TermQuery("b"),)
+
+
+def test_lenient_never_raises():
+    for junk in ("", ")(", '"unclosed', "+ | -", "a ~ b", "\\", "a)b",
+                 "((((", "-", "|||", 'a"b'):
+        p(junk)  # must not raise
+    assert p("") == Q.MatchAllDocsQuery()
+    assert p('"unclosed key').terms == ("unclosed", "key")
+
+
+def test_field_weights_disjunction():
+    q = p("foo", field_weights={None: 1.0, "title": 2.0})
+    assert q.should == (Q.TermQuery("foo", boost=1.0),
+                        Q.TermQuery("foo", boost=2.0, field="title"))
+
+
+def test_escapes_and_double_bars():
+    assert p("a || b") == p("a | b")
+    assert p("a && b") == p("a + b")
+    p(r"wi\+fi")  # escaped operator reaches the analyzer, never raises
