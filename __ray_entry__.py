@@ -115,6 +115,42 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _wd_index_dir(sf_dir: str) -> str:
+    """WordDelimiterGraphFilter index: derived column
+    ``wdtext = t1-t2 t39t4`` (first four body tokens; one hyphenated pair +
+    one letter-digit-letter compound) analyzed with
+    Analyzer(word_delimiter=True) -> parts [t1, t2, t3, '9', t4], dl=5
+    (< 24, smallfloat identity)."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:wd1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        def _mk(b: pa.Table) -> pa.Table:
+            ls = pc.split_pattern(b["text"], " ")
+            t1, t2 = pc.list_element(ls, 0), pc.list_element(ls, 1)
+            t3, t4 = pc.list_element(ls, 2), pc.list_element(ls, 3)
+            pair = pc.binary_join_element_wise(t1, t2, "-")
+            comp = pc.binary_join_element_wise(t3, t4, "9")
+            wd = pc.binary_join_element_wise(pair, comp, " ")
+            return b.select(["doc_id"]).append_column("wdtext", wd)
+
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"]) \
+            .map_batches(_mk, batch_format="pyarrow")
+        build_index(ds, idx, analyzer=Analyzer(word_delimiter=True),
+                    text_col="wdtext", num_segments=4)
+    return idx
+
+
 def _stem_index_dir(sf_dir: str) -> str:
     """EnglishStemAnalyzer index (stop words + Porter stem + ASCII fold)."""
     from lucene_ray.codec.postings import CODEC_VERSION
@@ -283,6 +319,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Axiomatic F2EXP (AxiomaticF2EXP.java:30)
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
+
+    def _word_delim(sf):
+        """WordDelimiterGraphFilter (miscellaneous/
+        WordDelimiterGraphFilter.java:88): the `wdtext = t1-t2 t39t4`
+        column indexes as parts [t1, t2, t3, '9', t4]; BM25 term query
+        over the part vocabulary."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_wd_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(Q.TermQuery("table"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["word_delimiter_query"] = _word_delim
 
     def _quality(sf):
         """Relevance-quality harness (benchmark/quality/QualityBenchmark
@@ -2359,6 +2412,24 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
               WHERE term = 'table' ORDER BY doc_id"""
     )
+    o["word_delimiter_query"] = (
+        f"""
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+wtok AS (SELECT doc_id, unnest([l[1], l[2], l[3], '9', l[4]]) AS term FROM ts),
+wdl AS (SELECT doc_id, count(*) AS dl FROM wtok GROUP BY doc_id),
+wstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM wdl)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM wtok
+       WHERE term = 'table' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN wstats s JOIN wdl q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
     # quality_eval: per-topic P@10 / AP / nDCG / recall computed in SQL
     # against the same f64 BM25 ranking (rounded-score ordering) and the
     # same conjunctive-containment qrels

@@ -51,6 +51,13 @@ class Analyzer:
     # tokenize_with_payloads); positions.parquet then stores a payload
     # float32 column scored by PayloadScoreQuery
     payload_delimiter: "str | None" = None
+    # WordDelimiterGraphFilter pairing (miscellaneous/
+    # WordDelimiterGraphFilter.java:88, factory defaults): when set,
+    # tokenization is a whitespace split and every raw token expands into
+    # its sub-word parts (split on delimiters / case change / letter-digit
+    # transitions, possessive 's dropped) at consecutive positions BEFORE
+    # lowercase/stop/stem run. Tokens that dissolve entirely leave no gap.
+    word_delimiter: bool = False
 
     @property
     def synonym_map(self) -> dict:
@@ -82,12 +89,34 @@ class Analyzer:
     def has_token_filters(self) -> bool:
         return self.stem or self.ascii_fold
 
+    def _raw_stream(self, text: str):
+        """(term, position, start, end) of the raw tokenizer stage — the
+        UAX#29-ish tokenizer, or whitespace+WDGF when word_delimiter."""
+        if not self.word_delimiter:
+            yield from tokenize_with_offsets(text, self.max_token_length)
+            return
+        from lucene_ray.analysis.worddelim import wdgf_parts_offsets
+
+        pos = 0
+        col = 0
+        for raw in text.split(" "):
+            if raw:
+                for p, s, e in wdgf_parts_offsets(raw):
+                    yield p, pos, col + s, col + e
+                    pos += 1
+            col += len(raw) + 1
+
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
         if self.synonyms and self.multi_synonym_rules:
             # multi-word rules need position adjacency: delegate
             return [t for t, _p in self.tokens_with_positions(text)]
-        toks = tokenize(text, self.max_token_length)
+        if self.word_delimiter:
+            from lucene_ray.analysis.worddelim import wdgf_parts
+
+            toks = [p for t in text.split(" ") if t for p in wdgf_parts(t)]
+        else:
+            toks = tokenize(text, self.max_token_length)
         if self.lowercase:
             toks = [t.lower() for t in toks]
         if self.stop_words:
@@ -118,7 +147,7 @@ class Analyzer:
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
         """(term, position) pairs; stop-filtered tokens leave position gaps."""
         out = []
-        for term, pos, _s, _e in tokenize_with_offsets(text, self.max_token_length):
+        for term, pos, _s, _e in self._raw_stream(text):
             if self.lowercase:
                 term = term.lower()
             if self.stop_words and term in self.stop_words:
@@ -141,7 +170,7 @@ class Analyzer:
         """(term, position, start_offset, end_offset); offsets span the
         ORIGINAL surface form (filters may rewrite the term)."""
         out = []
-        for term, pos, s, e in tokenize_with_offsets(text, self.max_token_length):
+        for term, pos, s, e in self._raw_stream(text):
             if self.lowercase:
                 term = term.lower()
             if self.stop_words and term in self.stop_words:

@@ -72,6 +72,10 @@ def tokenize_column(
         out = (pa.array([], type=pa.string()), *_EMPTY5[1:])
         return out if want_offsets else out[:3]
 
+    if analyzer.word_delimiter:
+        parts = _tokenize_word_delimiter(texts, analyzer, want_offsets)
+        return parts if want_offsets else parts[:3]
+
     # trivial shortcut: rows of lowercase word chars + spaces tokenize as a
     # plain whitespace split — no lowering, no joiner chain (the common
     # case for pre-cleaned corpora; keeps the clean-text build rate)
@@ -389,6 +393,56 @@ def tokenize_with_payloads(texts: pa.ChunkedArray | pa.Array,
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
     return terms, doc_idx, positions, starts, ends, pay
+
+
+def _tokenize_word_delimiter(texts: pa.Array, analyzer: Analyzer,
+                             want_offsets: bool = False):
+    """WhitespaceTokenizer + WordDelimiterGraphFilter chain
+    (miscellaneous/WordDelimiterGraphFilter.java:88 via
+    analysis/worddelim.py): whitespace split, then every DISTINCT raw
+    token expands through ONE vectorized RE2 vocab pass; occurrences pick
+    up their parts by dictionary code (no per-occurrence Python).
+    Positions re-number densely over the parts, offsets point at each
+    part's own slice, and the usual lowercase/stop/post filters run on
+    the expanded stream."""
+    from lucene_ray.analysis.worddelim import expand_vocab
+
+    base = _pad5(_split_ws(texts, want_offsets))
+    flat_raw, doc_idx, _pos, starts0, _ends0 = base
+    if len(flat_raw) == 0:
+        out = (pa.array([], type=pa.string()), *_EMPTY5[1:])
+        return out if want_offsets else out[:3]
+    enc = flat_raw.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary
+    parts_list, rel_s, rel_e = expand_vocab(vocab, want_offsets)
+    occ_parts = parts_list.take(enc.indices)
+    flat = pc.list_flatten(occ_parts)
+    c = pc.list_value_length(occ_parts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    new_doc = np.repeat(doc_idx, c)
+    positions = _dense_positions(new_doc)
+    starts = ends = None
+    if want_offsets:
+        voffs = parts_list.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        part_base = voffs[codes]  # first vocab-flat part index per occurrence
+        cum = np.cumsum(c) - c
+        intra = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(cum, c)
+        pidx = np.repeat(part_base, c) + intra
+        occ_start = np.repeat(starts0.astype(np.int64), c)
+        starts = (occ_start + rel_s[pidx]).astype(np.int32)
+        ends = (occ_start + rel_e[pidx]).astype(np.int32)
+    if analyzer.lowercase:
+        flat = pc.utf8_lower(flat)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parts = (flat, new_doc, positions, starts, ends)
+    parts = parts[: (5 if want_offsets else 3)]
+    parts = _stop_filter(parts, analyzer.stop_words)
+    return _post_filters(parts, analyzer)
 
 
 def _split_ws(texts: pa.Array, want_offsets: bool = False):

@@ -336,6 +336,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "ascii_fold": analyzer.ascii_fold,
         "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         "payload_delimiter": analyzer.payload_delimiter,
+        "word_delimiter": analyzer.word_delimiter,
     }
 
 
@@ -350,6 +351,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
             (src, tuple(dsts)) for src, dsts in a.get("synonyms", [])
         ),
         payload_delimiter=a.get("payload_delimiter"),
+        word_delimiter=a.get("word_delimiter", False),
     )
 
 

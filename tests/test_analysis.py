@@ -288,3 +288,83 @@ def test_query_side_parse_skips_synonym_injection(tmp_path, ray_session):
     assert set(s.search('"hello world"', k=10).doc_ids.tolist()) == {0}
     # synonym matching still works via the INDEX-side injection
     assert set(s.search("earth", k=10).doc_ids.tolist()) == {0, 1}
+
+
+def test_word_delimiter_graph_filter():
+    """WordDelimiterGraphFilter (miscellaneous/WordDelimiterGraphFilter
+    .java:88, factory defaults): delimiter/case/letter-digit splits,
+    possessive 's dropped, parts at consecutive positions, offsets point
+    at each part's own slice; batch path == Python path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.analysis.worddelim import wdgf_parts, wdgf_parts_offsets
+
+    assert wdgf_parts("Wi-Fi") == ["Wi", "Fi"]
+    assert wdgf_parts("PowerShot") == ["Power", "Shot"]
+    assert wdgf_parts("j2se") == ["j", "2", "se"]
+    assert wdgf_parts("O'Neil's") == ["O", "Neil"]
+    assert wdgf_parts("500-42") == ["500", "42"]
+    assert wdgf_parts("--") == []
+    assert wdgf_parts("plain") == ["plain"]
+    assert wdgf_parts_offsets("Wi-Fi") == [("Wi", 0, 2), ("Fi", 3, 5)]
+
+    an = Analyzer(word_delimiter=True)
+    texts = pa.array([
+        "Wi-Fi PowerShot j2se", "O'Neil's -- plain", "", "don't STOP-now",
+        "A4B x 'quoted'",
+    ])
+    flat, di, pos, st, en = tokenize_column(texts, an, want_offsets=True)
+    got = list(zip(flat.to_pylist(), di.tolist(), pos.tolist(),
+                   st.tolist(), en.tolist()))
+    want = []
+    for row, t in enumerate(texts.to_pylist()):
+        for term, p, s, e in an.tokens_with_offsets(t):
+            want.append((term, row, p, s, e))
+    assert got == want
+    # pure-punctuation token leaves NO gap; offsets slice the original
+    oneil = [g for g in got if g[1] == 1]
+    assert [g[0] for g in oneil] == ["o", "neil", "plain"]
+    assert [g[2] for g in oneil] == [0, 1, 2]
+    assert texts[1].as_py()[oneil[1][3]:oneil[1][4]] == "Neil"
+    # stop/stem compose after the split
+    an2 = Analyzer(word_delimiter=True, stop_words=frozenset({"fi"}),
+                   stem=True)
+    f2, _d2, p2 = tokenize_column(pa.array(["Wi-Fi Connected"]), an2)
+    assert f2.to_pylist() == ["wi", "connect"]
+    assert p2.tolist() == [0, 2]  # stop gap preserved
+    assert [t for t, _ in an2.tokens_with_positions("Wi-Fi Connected")] \
+        == ["wi", "connect"]
+
+
+def test_word_delimiter_index_end_to_end(ray_session, tmp_path_factory):
+    """Indexing with word_delimiter: parts are searchable terms and field
+    length counts parts (norms)."""
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["Wi-Fi router setup", "wifi RouterSetup",
+                          "plain words only"]),
+    })
+    idx = str(tmp_path_factory.mktemp("wd") / "index")
+    m = build_index(ray.data.from_arrow(t), idx,
+                    analyzer=Analyzer(word_delimiter=True), num_segments=1)
+    # doc0 -> wi fi router setup (4), doc1 -> wifi router setup (3)
+    assert m["sum_total_term_freq"] == 4 + 3 + 3
+    s = Searcher(idx)
+    d, _ = s.search_all(Q.TermQuery("router"))
+    assert set(d.tolist()) == {0, 1}
+    d2, _ = s.search_all(Q.TermQuery("wi"))
+    assert set(d2.tolist()) == {0}
+    # manifest round-trips the analyzer flag
+    from lucene_ray.index.build import analyzer_from_manifest, load_manifest
+
+    assert analyzer_from_manifest(load_manifest(idx)).word_delimiter
