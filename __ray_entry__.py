@@ -320,6 +320,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
 
+    def _url_canon(sf):
+        """URL canonicalization (RFC 3986 syntax-based normalization +
+        tracking-param strip): messy URLs synthesized deterministically
+        from (doc_id, source), then canonicalized vectorized."""
+        import pyarrow.compute as pc
+        import ray.data
+
+        from lucene_ray.pipelines.webtext import canonicalize_urls
+
+        def _mk(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            src = b["source"].to_pylist()
+            urls = [
+                (f"HTTPS://WWW.{s}.Example.COM:443/Path/{i}/"
+                 f"?utm_source=feed&id={i % 7}&fbclid=abc#frag")
+                if i % 2 == 0 else
+                f"http://{s}.example.com:80/p?id={i % 7}&utm_medium=x"
+                for i, s in zip(ids, src)
+            ]
+            return pa.table({"doc_id": b["doc_id"],
+                             "url": pa.array(urls, type=pa.string())})
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "source"]).map_batches(
+                _mk, batch_format="pyarrow")
+        t = pa.concat_tables(
+            canonicalize_urls(ds).iter_batches(batch_format="pyarrow",
+                                               batch_size=1 << 16)
+        ).select(["doc_id", "canon_url"])
+        return t.sort_by([("doc_id", "ascending")])
+
+    q["url_canonicalize"] = _url_canon
+
+    def _shared_windows(sf):
+        """Exact-substring dedup (Lee et al. ACL 2022, windowed-hash
+        variant): doc pairs sharing >= 1 exact 6-token run, with the
+        count of distinct shared windows."""
+        import ray.data
+
+        from lucene_ray.pipelines.dedup import shared_window_pairs
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
+        batches = list(
+            shared_window_pairs(ds, k=6)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        if not batches:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n_windows": pa.array([], pa.int64())})
+        t = pa.concat_tables(batches)
+        return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+    q["shared_window_pairs"] = _shared_windows
+
     def _word_delim(sf):
         """WordDelimiterGraphFilter (miscellaneous/
         WordDelimiterGraphFilter.java:88): the `wdtext = t1-t2 t39t4`
@@ -2412,6 +2469,55 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
               WHERE term = 'table' ORDER BY doc_id"""
     )
+    o["url_canonicalize"] = (
+        """
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id
+           || '/?utm_source=feed&id=' || (doc_id % 7) || '&fbclid=abc#frag'
+      ELSE 'http://' || source || '.example.com:80/p?id=' || (doc_id % 7)
+           || '&utm_medium=x'
+    END AS url
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+p AS (SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)', 1) AS path,
+        CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1)
+             ELSE NULL END AS query
+      FROM s1),
+p2 AS (SELECT doc_id, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+             ELSE host END AS host,
+        path,
+        CASE WHEN query IS NULL THEN ''
+             ELSE array_to_string(list_filter(string_split(query, '&'),
+                    x -> NOT regexp_matches(x,
+                      '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&')
+        END AS q
+       FROM p)
+SELECT doc_id,
+       scheme || '://' || host || path ||
+       CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url
+FROM p2 ORDER BY doc_id"""
+    )
+
+    o["shared_window_pairs"] = (
+        """
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g0 AS (SELECT DISTINCT doc_id, array_to_string(l[x+1:x+6], ' ') AS gram
+       FROM ts, unnest(range(len(l) - 5)) AS t(x)),
+ok AS (SELECT gram FROM g0 GROUP BY gram
+       HAVING count(*) BETWEEN 2 AND 64),
+g AS (SELECT g0.* FROM g0 JOIN ok USING (gram))
+SELECT g1.doc_id AS a, g2.doc_id AS b, count(*)::BIGINT AS n_windows
+FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+GROUP BY 1, 2 ORDER BY a, b"""
+    )
+
     o["word_delimiter_query"] = (
         f"""
 WITH ts AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

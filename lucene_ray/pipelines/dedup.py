@@ -368,6 +368,56 @@ def minhash_lsh_candidates(pages, text_col: str = "text", num_hashes: int = 64,
     )
 
 
+def shared_window_pairs(pages, k: int = 6, text_col: str = "text",
+                        max_bucket: int = 64):
+    """Exact-substring duplicate pairs: docs sharing >= 1 exact run of
+    ``k`` consecutive tokens (the k-token-window-hash variant of
+    suffix-array exact-substring dedup from Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the windowed
+    hash form trades the suffix array for one shuffle).
+
+    Pipeline (all vectorized, nothing driver-resident):
+      1. per batch: rolling k-window hashes (`_shingle_hashes`, one
+         splitmix chain over token hashes), reduced to DISTINCT
+         (window_hash, doc_id) rows;
+      2. the house sorted-run pair scan (`bucket_pairs_dataset`) expands
+         within-hash pairs — one global sort, no per-group UDFs;
+         ``max_bucket`` skips boilerplate-grade windows shared by more
+         than that many docs;
+      3. a native groupby count makes the pair multiplicity the number of
+         distinct shared windows (64-bit hashes: collision odds ~2^-64).
+
+    Returns a Dataset of (a, b, n_windows) with a < b.
+    """
+
+    def to_windows(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_idx, wh = _shingle_hashes(texts, n=k)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        key = wh.astype(np.int64)
+        # DISTINCT (hash, doc) within the batch: a window repeated inside
+        # one doc must count once
+        order = np.lexsort((key, ids))
+        ids, key = ids[order], key[order]
+        keep = np.ones(ids.shape[0], dtype=bool)
+        keep[1:] = (ids[1:] != ids[:-1]) | (key[1:] != key[:-1])
+        return pa.table({"key": key[keep], "doc_id": ids[keep].astype(np.int64)})
+
+    kv = pages.map_batches(to_windows, batch_format="pyarrow")
+    pairs = bucket_pairs_dataset(kv, max_bucket=max_bucket)
+    return (
+        pairs.groupby(["a", "b"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {"a": b["a"], "b": b["b"], "n_windows": b["count()"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
                   threshold: float = 0.5, max_shingle_df: int | None = None,
                   strategy: str = "auto", broadcast_max: int = 2_000_000,

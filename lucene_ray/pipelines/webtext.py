@@ -59,6 +59,84 @@ def pii_redact(pages, text_col: str = "text",
     return pages.map_batches(redact, batch_format="pyarrow")
 
 
+# query parameters that never affect content identity (tracking junk)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+_URL_PARTS_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
+)
+
+
+def canonicalize_urls(pages, url_col: str = "url",
+                      out_col: str = "canon_url"):
+    """URL canonicalization for crawl dedup keys (the normalization a
+    Common-Crawl-grade exact-dedup stage runs before hashing; the rule
+    set is the conservative shared subset of the published URL-normal-
+    ization forms, RFC 3986 §6.2.2-6.2.3 syntax-based normalization):
+
+      1. drop the fragment (`#...`),
+      2. lowercase scheme and host (ONLY those — path/query case is
+         significant),
+      3. strip default ports (:80 for http, :443 for https),
+      4. drop tracking query params (utm_*, fbclid, gclid, ref),
+         preserving the order of the survivors,
+      5. drop an emptied query entirely.
+
+    Vectorized: one `pc.extract_regex` split + a flatten/filter/rebuild
+    over query params — no per-row Python. Rows that do not parse as
+    `scheme://host...` pass through unchanged (lenient, like the
+    fragment-only steps still applying). Appends ``out_col``.
+    """
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch[url_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        u = pc.replace_substring_regex(u, r"#.*$", "")
+        ex = pc.extract_regex(u, _URL_PARTS_RE)
+        ok = pc.is_valid(ex)
+        scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+        host = pc.utf8_lower(pc.struct_field(ex, "host"))
+        host = pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, r":80$", ""),
+            host)
+        host = pc.if_else(
+            pc.equal(scheme, "https"),
+            pc.replace_substring_regex(host, r":443$", ""),
+            host)
+        rest = pc.struct_field(ex, "rest")
+        rp = pc.extract_regex(rest, r"^(?P<path>[^?]*)(?P<q>.*)$")
+        path = pc.struct_field(rp, "path")
+        q = pc.struct_field(rp, "q")  # "" or "?k=v&..."
+        qbody = pc.fill_null(pc.replace_substring_regex(q, r"^\?", ""), "")
+        parts = pc.split_pattern(qbody, "&")
+        flat = pc.list_flatten(parts)
+        keep = pc.and_(
+            pc.invert(pc.match_substring_regex(flat, TRACKING_PARAM_RE)),
+            pc.not_equal(flat, ""),
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        seg_len = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        seg_id = np.repeat(np.arange(seg_len.shape[0]), seg_len)
+        counts = np.bincount(seg_id[keep_np], minlength=seg_len.shape[0])
+        kept = pc.filter(flat, keep)
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        new_q = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), kept),
+            "&")
+        new_q = pc.if_else(pc.equal(new_q, ""), new_q,
+                           pc.binary_join_element_wise("?", new_q, ""))
+        rebuilt = pc.binary_join_element_wise(
+            scheme, "://", host, path, new_q, "")
+        out = pc.if_else(ok, rebuilt, u)
+        return batch.append_column(out_col, out)
+
+    return pages.map_batches(canon, batch_format="pyarrow")
+
+
 def gopher_repetition(pages, text_col: str = "text",
                       top_unigram_max: float = 0.20,
                       dup_bigram_max: float = 0.90):

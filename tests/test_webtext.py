@@ -127,3 +127,64 @@ def test_nb_tie_breaks_label_asc():
                     model).iter_batches(batch_format="pyarrow")
     )
     assert out["pred"].to_pylist() == ["a"]
+
+
+def test_shared_window_pairs(ray_session):
+    """Exact-substring dedup (Lee et al. ACL 2022, windowed-hash form):
+    pairs sharing an exact k-token window, counted once per distinct
+    window, repeated in-doc windows counted once, boilerplate windows
+    (> max_bucket docs) skipped."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import shared_window_pairs
+
+    dup = "alpha beta gamma delta"  # the shared 4-token run
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            f"one two {dup} three",
+            f"x {dup} y z {dup}",      # window repeats in-doc: counts once
+            "totally different words here now",
+            f"{dup} leading match",
+        ]),
+    })
+    t = pa.concat_tables(
+        shared_window_pairs(ray.data.from_arrow(docs), k=4)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    got = {(r["a"], r["b"]): r["n_windows"] for r in t.to_pylist()}
+    assert got == {(0, 1): 1, (0, 3): 1, (1, 3): 1}
+    # boilerplate cap: with max_bucket=2 the 3-doc window bucket is skipped
+    b2 = list(
+        shared_window_pairs(ray.data.from_arrow(docs), k=4, max_bucket=2)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    assert sum(b.num_rows for b in b2) == 0
+
+
+def test_canonicalize_urls(ray_session):
+    """RFC 3986 syntax normalization + tracking-param strip: scheme/host
+    lowercase only, default ports dropped, fragments dropped, utm_*/
+    fbclid/gclid/ref removed with survivor order kept, unparseable rows
+    pass through."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.webtext import canonicalize_urls
+
+    t = pa.table({"url": [
+        "HTTPS://WWW.Ex.COM:443/KeepCase/?utm_source=a&id=1&gclid=g",
+        "http://h:80/p?a=1&ref=r&b=2",
+        "https://h:8443/x#frag",
+        "garbage",
+        "http://h/?utm_only=1",
+    ]})
+    out = [r["canon_url"] for r in
+           canonicalize_urls(ray.data.from_arrow(t)).take_all()]
+    assert out == [
+        "https://www.ex.com/KeepCase/?id=1",
+        "http://h/p?a=1&b=2",
+        "https://h:8443/x",
+        "garbage",
+        "http://h/",
+    ]
