@@ -320,6 +320,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
 
+    def _complex_phrase(sf):
+        """ComplexPhraseQueryParser -> PhraseWildcardQuery: the quoted
+        phrase `"table s*"` (concrete slot + prefix slot) parses to a
+        segment-expanded wildcard phrase, scored with the concrete slot's
+        idf over the phrase freq."""
+        from lucene_ray.search.parser import parse_query
+
+        s = _searcher(sf)
+        docs, scores = s.search_all(parse_query('"table s*"'))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["complex_phrase_query"] = _complex_phrase
+
     def _url_canon(sf):
         """URL canonicalization (RFC 3986 syntax-based normalization +
         tracking-param strip): messy URLs synthesized deterministically
@@ -2469,6 +2486,22 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
               WHERE term = 'table' ORDER BY doc_id"""
     )
+    o["complex_phrase_query"] = (
+        _PRELUDE + _POS_CTE
+        + f"""
+, pf AS (SELECT a.doc_id, count(*)::DOUBLE AS f
+         FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         WHERE a.term = 'table' AND b.term LIKE 's%'
+         GROUP BY a.doc_id)
+, dft AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          WHERE term = 'table')
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM pf t CROSS JOIN dft d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
     o["url_canonicalize"] = (
         """
 WITH raw AS (

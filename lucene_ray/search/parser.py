@@ -181,6 +181,19 @@ def _parse_atom(
         slop = int(mm.group(2) or 0)
         if mm.group(3):
             boost = float(mm.group(3))
+        if "*" in body:
+            # ComplexPhraseQueryParser role (complexPhrase/
+            # ComplexPhraseQueryParser.java:66): a quoted phrase with
+            # wildcard slots -> segment-expanded PhraseWildcardQuery
+            slots = tuple(
+                analyzer.normalize(w[:-1]) + "*"
+                if w.endswith("*") and len(w) > 1
+                else analyzer.normalize(w)
+                for w in body.split() if w
+            )
+            if not slots:
+                return None, boost
+            return Q.PhraseWildcardQuery(slots, field=field), boost
         words = tuple(analyzer.tokens(body))
         if not words:
             return None, boost

@@ -280,6 +280,37 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhraseWildcardQuery(Query):
+    """sandbox/src/java/org/apache/lucene/search/PhraseWildcardQuery.java:63
+    — a phrase where a slot may be a trailing-``*`` prefix pattern,
+    expanded against EACH SEGMENT'S OWN dictionary (the reference's
+    segment-based expansion that shares no global automaton state), then
+    matched exactly like MultiPhraseQuery. Scoring: phrase BM25 with idf
+    summed over the CONCRETE slots only — wildcard slots contribute the
+    freq but no idf, which keeps scores identical across segment layouts
+    (documented deviation from the reference's collected TermStates). A
+    phrase of ONLY wildcard slots is constant-score = boost. The classic
+    parser maps a quoted phrase containing ``*`` here (the
+    ComplexPhraseQueryParser role, complexPhrase/ComplexPhraseQueryParser
+    .java:66)."""
+
+    slots: tuple  # str per position; trailing '*' (len > 1) = prefix slot
+    max_expansions: int = 128
+    boost: float = 1.0
+    field: "str | None" = None
+
+    def leaf_terms(self, out: set):
+        for s in self.slots:
+            if not (s.endswith("*") and len(s) > 1):
+                out.add(s)
+
+    def to_dict(self):
+        return {"type": "phrase_wildcard", "slots": list(self.slots),
+                "max_expansions": self.max_expansions, "boost": self.boost,
+                "field": self.field}
+
+
+@dataclass(frozen=True)
 class SpanNearQuery(Query):
     """Proximity spans — the queries/spans SpanNearQuery role
     (queries/spans/SpanNearQuery.java): all terms within a window of
@@ -592,6 +623,11 @@ def query_from_dict(d: dict) -> Query:
         return MatchAllDocsQuery(d.get("boost", 1.0))
     if t == "field_exists":
         return FieldExistsQuery(d.get("field"), d.get("boost", 1.0))
+    if t == "phrase_wildcard":
+        return PhraseWildcardQuery(
+            tuple(d["slots"]), d.get("max_expansions", 128),
+            d.get("boost", 1.0), d.get("field"),
+        )
     if t == "const":
         return ConstantScoreQuery(query_from_dict(d["query"]), d.get("boost", 1.0))
     if t == "boost":
@@ -658,6 +694,10 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
     elif isinstance(q, MultiPhraseQuery):
         for p in q.positions:
             out.update(p)
+    elif isinstance(q, PhraseWildcardQuery):
+        # concrete slots only: wildcard expansions are per-segment and
+        # deliberately carry no idf (see the query docstring)
+        q.leaf_terms(out)
     elif isinstance(q, CommonTermsQuery):
         out.update(q.terms)
     elif isinstance(q, PayloadScoreQuery):
@@ -704,6 +744,16 @@ def resolve_fields(q: Query) -> Query:
         # astral-plane terms (CJK Ext-B ideographs sort above ￿)
         upper = pref + q.upper if q.upper is not None else pref + chr(0x10FFFF)
         return dataclasses.replace(q, lower=lower, upper=upper, field=None)
+    if isinstance(q, PhraseWildcardQuery) and q.field:
+        return dataclasses.replace(
+            q,
+            slots=tuple(
+                field_key(q.field, s[:-1]) + "*"
+                if s.endswith("*") and len(s) > 1 else field_key(q.field, s)
+                for s in q.slots
+            ),
+            field=None,
+        )
     if isinstance(q, MultiPhraseQuery) and q.field:
         return dataclasses.replace(
             q,

@@ -367,6 +367,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     if isinstance(q, Q.CoveringQuery):
         return _eval_covering(reader, q, ctx)
 
+    if isinstance(q, Q.PhraseWildcardQuery):
+        return _eval_phrase_wildcard(reader, q, ctx)
+
     if isinstance(q, Q.MultiPhraseQuery):
         return _eval_multiphrase(reader, q, ctx)
 
@@ -432,6 +435,41 @@ def _eval_multiphrase(reader, q: Q.MultiPhraseQuery, ctx):
 
     rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
     norms = reader.norms_for(split_key(flat[0])[0])[rows]
+    return docs, scorer.score(freqs, norms).astype(np.float64), True
+
+
+def _eval_phrase_wildcard(reader, q: "Q.PhraseWildcardQuery", ctx):
+    """PhraseWildcardQuery.java:63 — expand ``*`` slots against THIS
+    segment's dictionary, match as an exact multi-phrase, score as a
+    phrase with idf summed over the concrete slots only (see the query's
+    docstring for the deviation note)."""
+    positions = []
+    for s in q.slots:
+        if s.endswith("*") and len(s) > 1:
+            idxs = reader.terms_matching_prefix(s[:-1])
+            if idxs.shape[0] > q.max_expansions:
+                raise ValueError(
+                    f"slot {s!r} expands to {idxs.shape[0]} terms "
+                    f"(> max_expansions={q.max_expansions})")
+            if idxs.shape[0] == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64), True
+            positions.append(tuple(reader.terms[int(i)] for i in idxs))
+        else:
+            positions.append((s,))
+    docs, freqs = _eval_multiphrase_freqs(reader, tuple(positions))
+    if docs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    concrete = [s for s in q.slots
+                if not (s.endswith("*") and len(s) > 1)
+                and ctx.term_stats.get(s, (0, 0))[0] > 0]
+    scorer = ctx.phrase_scorer(concrete, q.boost) if concrete else None
+    if scorer is None:
+        return docs, np.full(docs.shape[0], float(q.boost), np.float64), True
+    from lucene_ray.index.fields import split_key
+
+    rows = np.searchsorted(reader.doc_ids, docs + reader.doc_base)
+    norms = reader.norms_for(split_key(q.slots[0].rstrip("*") or
+                                       q.slots[0])[0])[rows]
     return docs, scorer.score(freqs, norms).astype(np.float64), True
 
 

@@ -243,3 +243,32 @@ def test_dynamic_range_more_buckets_than_rows(ray_session):
     assert t["count"].to_pylist() == [1, 1, 0, 0]
     assert t["vmin"].to_pylist()[:2] == [2.0, 4.0]
     assert t["vsum"].to_pylist() == [2.0, 4.0, 0.0, 0.0]
+
+
+def test_phrase_wildcard_query_composable(searcher, corpus):
+    """PhraseWildcardQuery as a first-class Query: same matches as the
+    freq API, scored with the concrete slots' phrase BM25; composes in a
+    boolean; the classic parser maps quoted wildcard phrases to it
+    (ComplexPhraseQueryParser role)."""
+    from lucene_ray.search.parser import parse_query
+
+    q = Q.PhraseWildcardQuery(("table", "s*"))
+    docs, scores = searcher.search_all(q)
+    fd, ff = searcher.phrase_wildcard_freqs(("table", "s*"))
+    assert sorted(docs.tolist()) == sorted(fd.tolist())
+    assert (scores > 0).all()
+    # parser mapping
+    assert parse_query('"table s*"') == q
+    # scores equal a plain phrase scorer fed the wildcard freq with the
+    # concrete slot's idf: compare against PhraseQuery on an exact pair
+    # where the wildcard expands to a single term per segment is corpus-
+    # dependent; instead check all-wildcard degrades to constant boost
+    d2, s2 = searcher.search_all(Q.PhraseWildcardQuery(("tab*", "s*"),
+                                                       boost=3.0))
+    assert d2.shape[0] > 0 and (s2 == 3.0).all()
+    # composes inside a boolean MUST
+    d3, _ = searcher.search_all(Q.BooleanQuery(
+        must=(q, Q.TermQuery("key"))))
+    assert set(d3.tolist()) <= set(docs.tolist())
+    # dict round-trip
+    assert Q.query_from_dict(q.to_dict()) == q
