@@ -151,6 +151,25 @@ def _wd_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _len_index_dir(sf_dir: str) -> str:
+    """LengthFilter index (miscellaneous/LengthFilter.java:31): tokens of
+    char length in [4, 5] only; field length = surviving tokens."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:len1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, analyzer=Analyzer(length_min=4, length_max=5),
+                    num_segments=4)
+    return idx
+
+
 def _stem_index_dir(sf_dir: str) -> str:
     """EnglishStemAnalyzer index (stop words + Porter stem + ASCII fold)."""
     from lucene_ray.codec.postings import CODEC_VERSION
@@ -319,6 +338,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Axiomatic F2EXP (AxiomaticF2EXP.java:30)
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
+
+    def _length_filter(sf):
+        """LengthFilter (miscellaneous/LengthFilter.java:31): index keeps
+        only tokens of length 4-5; BM25 over the filtered field lengths."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_len_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(Q.TermQuery("table"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["length_filter_query"] = _length_filter
 
     def _complex_phrase(sf):
         """ComplexPhraseQueryParser -> PhraseWildcardQuery: the quoted
@@ -2486,6 +2520,34 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
               WHERE term = 'table' ORDER BY doc_id"""
     )
+    o["length_filter_query"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ftok AS (SELECT * FROM tok WHERE length(term) BETWEEN 4 AND 5),
+doclen AS (SELECT doc_id, count(*) AS dl FROM ftok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+fstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM ftok
+       WHERE term = 'table' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN fstats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
     o["complex_phrase_query"] = (
         _PRELUDE + _POS_CTE
         + f"""

@@ -58,6 +58,12 @@ class Analyzer:
     # transitions, possessive 's dropped) at consecutive positions BEFORE
     # lowercase/stop/stem run. Tokens that dissolve entirely leave no gap.
     word_delimiter: bool = False
+    # LengthFilter (analysis/common/.../miscellaneous/LengthFilter.java:31):
+    # drop tokens whose char length is outside [length_min, length_max]
+    # (None = unbounded), leaving position gaps like StopFilter. Applied
+    # after stop, before stem/fold/synonyms.
+    length_min: int = 0
+    length_max: "int | None" = None
 
     @property
     def synonym_map(self) -> dict:
@@ -72,6 +78,12 @@ class Analyzer:
             for src, dsts in self.synonyms
             if " " in src
         ]
+
+    def _length_ok(self, term: str) -> bool:
+        """LengthFilter predicate (LengthFilter.java:31)."""
+        if len(term) < self.length_min:
+            return False
+        return self.length_max is None or len(term) <= self.length_max
 
     def transform_token(self, term: str) -> str:
         """Post-stop per-token filters (fold, then stem)."""
@@ -122,6 +134,8 @@ class Analyzer:
         if self.stop_words:
             sw = self.stop_words
             toks = [t for t in toks if t not in sw]
+        if self.length_min > 1 or self.length_max is not None:
+            toks = [t for t in toks if self._length_ok(t)]
         if self.has_token_filters:
             toks = [self.transform_token(t) for t in toks]
         if self.synonyms:
@@ -152,6 +166,8 @@ class Analyzer:
                 term = term.lower()
             if self.stop_words and term in self.stop_words:
                 continue
+            if not self._length_ok(term):
+                continue
             if self.has_token_filters:
                 term = self.transform_token(term)
             out.append((term, pos))
@@ -174,6 +190,8 @@ class Analyzer:
             if self.lowercase:
                 term = term.lower()
             if self.stop_words and term in self.stop_words:
+                continue
+            if not self._length_ok(term):
                 continue
             if self.has_token_filters:
                 term = self.transform_token(term)

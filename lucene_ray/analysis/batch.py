@@ -88,6 +88,7 @@ def tokenize_column(
     if bool(pc.all(trivial).as_py()):
         parts = _split_ws(texts, want_offsets)
         parts = _stop_filter(parts, analyzer.stop_words)
+        parts = _length_filter(parts, analyzer)
         parts = _post_filters(parts, analyzer)
         return parts if want_offsets else parts[:3]
 
@@ -108,6 +109,7 @@ def tokenize_column(
     if mask_np.all():
         parts = _tokenize_ascii(base, wc, want_offsets)
         parts = _stop_filter(parts, analyzer.stop_words)
+        parts = _length_filter(parts, analyzer)
         parts = _post_filters(parts, analyzer)
         return parts if want_offsets else parts[:3]
 
@@ -125,6 +127,10 @@ def tokenize_column(
         flat, doc_idx, positions, starts, ends = _pad5(_stop_filter(
             (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
             analyzer.stop_words,
+        ))
+        flat, doc_idx, positions, starts, ends = _pad5(_length_filter(
+            (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
+            analyzer,
         ))
         flat, doc_idx, positions, starts, ends = _pad5(_post_filters(
             (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
@@ -341,6 +347,27 @@ def _stop_filter(parts, stop_words):
     return tuple(out)
 
 
+def _length_filter(parts, analyzer: Analyzer):
+    """Vectorized LengthFilter (miscellaneous/LengthFilter.java:31): drop
+    tokens with char length outside [length_min, length_max], keeping
+    position gaps like StopFilter. Runs after stop, before stem/fold."""
+    lo, hi = analyzer.length_min, analyzer.length_max
+    if lo <= 1 and hi is None:
+        return parts
+    flat = parts[0]
+    ln = pc.utf8_length(flat)
+    keep = pc.greater_equal(ln, lo)
+    if hi is not None:
+        keep = pc.and_(keep, pc.less_equal(ln, hi))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if keep_np.all():
+        return parts
+    out = [pc.filter(flat, keep)]
+    for arr in parts[1:]:
+        out.append(arr[keep_np] if arr is not None else None)
+    return tuple(out)
+
+
 def tokenize_with_payloads(texts: pa.ChunkedArray | pa.Array,
                            analyzer: Analyzer):
     """DelimitedPayloadTokenFilter over a whitespace tokenizer — the
@@ -442,6 +469,7 @@ def _tokenize_word_delimiter(texts: pa.Array, analyzer: Analyzer,
     parts = (flat, new_doc, positions, starts, ends)
     parts = parts[: (5 if want_offsets else 3)]
     parts = _stop_filter(parts, analyzer.stop_words)
+    parts = _length_filter(parts, analyzer)
     return _post_filters(parts, analyzer)
 
 

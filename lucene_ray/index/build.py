@@ -337,6 +337,8 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         "payload_delimiter": analyzer.payload_delimiter,
         "word_delimiter": analyzer.word_delimiter,
+        "length_min": analyzer.length_min,
+        "length_max": analyzer.length_max,
     }
 
 
@@ -352,6 +354,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         ),
         payload_delimiter=a.get("payload_delimiter"),
         word_delimiter=a.get("word_delimiter", False),
+        length_min=a.get("length_min", 0),
+        length_max=a.get("length_max"),
     )
 
 

@@ -368,3 +368,26 @@ def test_word_delimiter_index_end_to_end(ray_session, tmp_path_factory):
     from lucene_ray.index.build import analyzer_from_manifest, load_manifest
 
     assert analyzer_from_manifest(load_manifest(idx)).word_delimiter
+
+
+def test_length_filter():
+    """LengthFilter (miscellaneous/LengthFilter.java:31): tokens outside
+    [length_min, length_max] drop with position gaps, on both the batch
+    and Python paths; composes with stop + stem."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = Analyzer(length_min=3, length_max=5)
+    texts = pa.array(["a bb ccc dddd eeeee ffffff", "to be or not"])
+    flat, di, pos = tokenize_column(texts, an)
+    assert flat.to_pylist() == ["ccc", "dddd", "eeeee", "not"]
+    assert pos.tolist() == [2, 3, 4, 3]  # gaps where short/long tokens sat
+    assert [t for t in an.tokens("a bb ccc dddd eeeee ffffff")] \
+        == ["ccc", "dddd", "eeeee"]
+    assert an.tokens_with_positions("a bb ccc") == [("ccc", 2)]
+    # applies BEFORE stem (the chain order documented on the field)
+    an2 = Analyzer(length_min=4, stem=True)
+    f2, _d, _p = tokenize_column(pa.array(["cat running"]), an2)
+    assert f2.to_pylist() == ["run"]  # 'cat' dropped pre-stem; 'running' stems
