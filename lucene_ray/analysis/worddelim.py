@@ -34,6 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _POSSESSIVE = re.compile(r"'[sS]$")
+_POSS_MID = re.compile(r"'[sS]([^A-Za-z0-9])")  # 's before a delimiter
+_ACRO = re.compile(r"([A-Z]+)([A-Z][a-z])")     # XMLParser -> XML Parser
 _CASE = re.compile(r"([a-z])([A-Z])")
 _LET_DIG = re.compile(r"([A-Za-z])([0-9])")
 _DIG_LET = re.compile(r"([0-9])([A-Za-z])")
@@ -42,8 +44,13 @@ _DELIM = re.compile(r"[^A-Za-z0-9]+")
 
 def wdgf_parts(token: str) -> list[str]:
     """Sub-word parts of one raw token, in surface order (case kept —
-    LowerCaseFilter runs after WDGF in the chain, as in the reference)."""
-    t = _POSSESSIVE.sub("", token)
+    LowerCaseFilter runs after WDGF in the chain, as in the reference).
+    Possessive ``'s`` drops wherever a sub-word ends (end of token or
+    before a delimiter); acronym runs split before a trailing camel word
+    (XMLParser -> XML, Parser)."""
+    t = _POSS_MID.sub(r"\1", token)
+    t = _POSSESSIVE.sub("", t)
+    t = _ACRO.sub(r"\1 \2", t)
     t = _CASE.sub(r"\1 \2", t)
     t = _LET_DIG.sub(r"\1 \2", t)
     t = _DIG_LET.sub(r"\1 \2", t)
@@ -81,7 +88,9 @@ def expand_vocab(vocab: pa.Array, want_offsets: bool = False):
     """
     if isinstance(vocab, pa.ChunkedArray):
         vocab = vocab.combine_chunks()
-    v = pc.replace_substring_regex(vocab, r"'[sS]$", "")
+    v = pc.replace_substring_regex(vocab, r"'[sS]([^A-Za-z0-9])", r"\1")
+    v = pc.replace_substring_regex(v, r"'[sS]$", "")
+    v = pc.replace_substring_regex(v, r"([A-Z]+)([A-Z][a-z])", r"\1 \2")
     v = pc.replace_substring_regex(v, r"([a-z])([A-Z])", r"\1 \2")
     v = pc.replace_substring_regex(v, r"([A-Za-z])([0-9])", r"\1 \2")
     v = pc.replace_substring_regex(v, r"([0-9])([A-Za-z])", r"\1 \2")

@@ -279,6 +279,16 @@ class MultiPhraseQuery(Query):
         }
 
 
+def is_wildcard_slot(key: str) -> bool:
+    """A phrase slot is a prefix pattern iff its TERM part (field marker
+    stripped) ends with '*' and is longer than the bare '*' — a literal
+    '*' term stays a concrete (unmatchable) term, fielded or not."""
+    from lucene_ray.index.fields import split_key
+
+    _f, t = split_key(key)
+    return t.endswith("*") and len(t) > 1
+
+
 @dataclass(frozen=True)
 class PhraseWildcardQuery(Query):
     """sandbox/src/java/org/apache/lucene/search/PhraseWildcardQuery.java:63
@@ -301,7 +311,7 @@ class PhraseWildcardQuery(Query):
 
     def leaf_terms(self, out: set):
         for s in self.slots:
-            if not (s.endswith("*") and len(s) > 1):
+            if not is_wildcard_slot(s):
                 out.add(s)
 
     def to_dict(self):

@@ -31,6 +31,7 @@ in the block), verified by tests that compare pruned vs exhaustive runs.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from lucene_ray.search import query as Q
 from lucene_ray.search.segreader import SegmentReader
@@ -96,7 +97,11 @@ class EvalContext:
         from lucene_ray.search.similarity import _parse_mode
 
         base_mode, _arg = _parse_mode(self.mode)
-        if base_mode in ("lm_dirichlet", "lm_jm", "boolean"):
+        if base_mode in ("lm_dirichlet", "lm_jm", "boolean",
+                         "dfr_inl2", "ib_ll", "ax_f2exp"):
+            # every SimilarityBase-family model scores a phrase as the SUM
+            # of its per-term scorers over the shared phrase freq
+            # (MultiSimilarity.MultiSimScorer) — DFR/IB/Axiomatic included
             from lucene_ray.search.similarity import BooleanSimScorer, SumScorer
 
             if base_mode == "boolean":
@@ -306,7 +311,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
             return np.empty(0, np.int64), np.empty(0, np.float64), True
         try:
             norms = reader.norms_for(q.field)
-        except Exception:
+        except (KeyError, pa.lib.ArrowInvalid):
+            # missing norm_<f> column = field never indexed -> no matches;
+            # real I/O errors still propagate
             return np.empty(0, np.int64), np.empty(0, np.float64), True
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)
         d = d[norms > 0]
@@ -438,29 +445,43 @@ def _eval_multiphrase(reader, q: Q.MultiPhraseQuery, ctx):
     return docs, scorer.score(freqs, norms).astype(np.float64), True
 
 
+from lucene_ray.search.query import is_wildcard_slot  # noqa: E402
+
+
+def expand_wildcard_slots(reader, slots, max_expansions: int):
+    """Per-segment expansion of PhraseWildcardQuery slots
+    (PhraseWildcardQuery.java:63 segment-based expansion): each prefix
+    slot becomes the tuple of matching dictionary terms, CAPPED at
+    ``max_expansions`` (the reference caps, it does not fail). Returns
+    the positions tuple, or None when a wildcard slot matches nothing in
+    this segment (the phrase cannot match here)."""
+    positions = []
+    for s in slots:
+        if is_wildcard_slot(s):
+            idxs = reader.terms_matching_prefix(s[:-1])
+            if idxs.shape[0] == 0:
+                return None
+            if idxs.shape[0] > max_expansions:
+                idxs = idxs[:max_expansions]
+            positions.append(tuple(reader.terms[int(i)] for i in idxs))
+        else:
+            positions.append((s,))
+    return tuple(positions)
+
+
 def _eval_phrase_wildcard(reader, q: "Q.PhraseWildcardQuery", ctx):
     """PhraseWildcardQuery.java:63 — expand ``*`` slots against THIS
     segment's dictionary, match as an exact multi-phrase, score as a
     phrase with idf summed over the concrete slots only (see the query's
     docstring for the deviation note)."""
-    positions = []
-    for s in q.slots:
-        if s.endswith("*") and len(s) > 1:
-            idxs = reader.terms_matching_prefix(s[:-1])
-            if idxs.shape[0] > q.max_expansions:
-                raise ValueError(
-                    f"slot {s!r} expands to {idxs.shape[0]} terms "
-                    f"(> max_expansions={q.max_expansions})")
-            if idxs.shape[0] == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64), True
-            positions.append(tuple(reader.terms[int(i)] for i in idxs))
-        else:
-            positions.append((s,))
-    docs, freqs = _eval_multiphrase_freqs(reader, tuple(positions))
+    positions = expand_wildcard_slots(reader, q.slots, q.max_expansions)
+    if positions is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    docs, freqs = _eval_multiphrase_freqs(reader, positions)
     if docs.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), True
     concrete = [s for s in q.slots
-                if not (s.endswith("*") and len(s) > 1)
+                if not is_wildcard_slot(s)
                 and ctx.term_stats.get(s, (0, 0))[0] > 0]
     scorer = ctx.phrase_scorer(concrete, q.boost) if concrete else None
     if scorer is None:

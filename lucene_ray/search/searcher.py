@@ -671,31 +671,18 @@ class Searcher:
         PhraseWildcardQuery.java:63): a phrase where a slot may be a
         trailing-``*`` prefix pattern, expanded against EACH SEGMENT'S OWN
         dictionary (the reference's segment-based expansion that shares no
-        global automaton state), then matched with the multi-phrase
-        matcher. Returns (global doc_ids, phrase occurrence counts)."""
-        from lucene_ray.search.scoring import _eval_multiphrase_freqs
+        global automaton state) and CAPPED at ``max_expansions`` like the
+        reference, then matched with the multi-phrase matcher. Returns
+        (global doc_ids, phrase occurrence counts)."""
+        from lucene_ray.search.scoring import (_eval_multiphrase_freqs,
+                                               expand_wildcard_slots)
 
         docs_parts, freq_parts = [], []
         for reader in self.readers:
-            positions = []
-            dead = False
-            for s in slots:
-                if s.endswith("*") and len(s) > 1:
-                    idxs = reader.terms_matching_prefix(s[:-1])
-                    if idxs.shape[0] > max_expansions:
-                        raise ValueError(
-                            f"slot {s!r} expands to {idxs.shape[0]} terms "
-                            f"(> max_expansions={max_expansions})")
-                    alts = tuple(reader.terms[int(i)] for i in idxs)
-                    if not alts:
-                        dead = True
-                        break
-                    positions.append(alts)
-                else:
-                    positions.append((s,))
-            if dead:
+            positions = expand_wildcard_slots(reader, slots, max_expansions)
+            if positions is None:
                 continue
-            d, f = _eval_multiphrase_freqs(reader, tuple(positions))
+            d, f = _eval_multiphrase_freqs(reader, positions)
             if d.shape[0]:
                 docs_parts.append(d + reader.doc_base)
                 freq_parts.append(f)

@@ -28,7 +28,9 @@ from __future__ import annotations
 from lucene_ray.analysis.analyzers import StandardAnalyzer
 from lucene_ray.search import query as Q
 
-_SPECIAL = set('+|-"()\\ \t\n\r')
+# term-break chars: '-' is deliberately absent — it only acts as the NOT
+# operator at a clause boundary (see _lex), never mid-word ("wi-fi")
+_SPECIAL = set('+|"()\\ \t\n\r')
 
 
 def _lex(text: str):
@@ -53,9 +55,14 @@ def _lex(text: str):
             i += 2
             continue
         if c == "-":
-            out.append("-")
-            i += 1
-            continue
+            # NOT operator only at a clause boundary (start / after
+            # whitespace / after an operator or open paren) — a '-' inside
+            # a word like "wi-fi" is part of the term, as in the reference
+            if i == 0 or text[i - 1] in " \t\n\r(|+-":
+                out.append("-")
+                i += 1
+                continue
+            # else fall through to the term scanner below
         if c == '"':
             j = i + 1
             buf = []
@@ -153,10 +160,11 @@ def _atom_query(tok, analyzer, field_weights):
                     field_weights)
 
 
-def _parse_seq(tokens, i, analyzer, field_weights):
+def _parse_seq(tokens, i, analyzer, field_weights, depth=0):
     """or_expr := and_expr (('|' | adjacency) and_expr)* until ')'/end.
     Returns (query_or_None, next_i). Negated and-chains become MUST_NOT of
-    the enclosing boolean (SimpleQueryParser.java negation semantics)."""
+    the enclosing boolean (SimpleQueryParser.java negation semantics). At
+    depth 0 a stray ')' is skipped (lenient) instead of ending the parse."""
     shoulds: list = []
     nots: list = []
 
@@ -184,7 +192,8 @@ def _parse_seq(tokens, i, analyzer, field_weights):
                 continue  # dangling '-': lenient skip
             t = tokens[i]
             if t == "(":
-                sub, i = _parse_seq(tokens, i + 1, analyzer, field_weights)
+                sub, i = _parse_seq(tokens, i + 1, analyzer, field_weights,
+                                    depth + 1)
                 if i < len(tokens) and tokens[i] == ")":
                     i += 1
                 q = sub
@@ -200,7 +209,12 @@ def _parse_seq(tokens, i, analyzer, field_weights):
         return pos, neg, i
 
     i0 = i
-    while i < len(tokens) and tokens[i] != ")":
+    while i < len(tokens):
+        if tokens[i] == ")":
+            if depth:
+                break
+            i += 1  # stray top-level ')': lenient skip, keep parsing
+            continue
         if tokens[i] == "|":
             i += 1
             continue

@@ -309,6 +309,11 @@ def test_word_delimiter_graph_filter():
     assert wdgf_parts("500-42") == ["500", "42"]
     assert wdgf_parts("--") == []
     assert wdgf_parts("plain") == ["plain"]
+    # acronym run before a camel word splits at the run boundary
+    assert wdgf_parts("XMLParser") == ["XML", "Parser"]
+    assert wdgf_parts("USAToday") == ["USA", "Today"]
+    # possessive drops before a delimiter too, not just at token end
+    assert wdgf_parts("O'Neil's-law") == ["O", "Neil", "law"]
     assert wdgf_parts_offsets("Wi-Fi") == [("Wi", 0, 2), ("Fi", 3, 5)]
 
     an = Analyzer(word_delimiter=True)

@@ -853,6 +853,26 @@ def test_alternative_similarities(built_index, brute_force):
         order = np.lexsort((docs, -scores))[:10]
         assert td.doc_ids.tolist() == docs[order].tolist(), mode
 
+    # SimilarityBase-family phrase scoring = sum of per-term scorers at
+    # the shared phrase freq — DFR included (review fix: these used to
+    # silently fall back to BM25)
+    s_dfr = Searcher(idx, mode="dfr_inl2")
+    d_ph, s_ph = s_dfr.search_all(Q.PhraseQuery(("key", "value")))
+    pfreq = np.array([
+        sum(1 for i in range(len(t) - 1)
+            if t[i] == "key" and t[i + 1] == "value")
+        for t in bf["tokens"]
+    ], dtype=np.float64)
+    exp_dfr = np.zeros_like(pfreq)
+    for term in ("key", "value"):
+        tdf = float(sum(1 for t in bf["tokens"] if term in t))
+        tfn_t = pfreq * np.log2(1 + avgdl / np.where(dl > 0, dl, 1))
+        exp_dfr += tfn_t / (tfn_t + 1) * np.log2((N + 1) / (tdf + 0.5))
+    got_dfr = dict(zip(d_ph.tolist(), s_ph.tolist()))
+    pm = pfreq > 0
+    for did, ex in zip(bf["ids"][pm].tolist(), exp_dfr[pm].tolist()):
+        assert abs(got_dfr[did] - ex) < 1e-9
+
     # phrase scoring: lm_dirichlet phrase = sum of per-term scorers at the
     # shared phrase freq (MultiSimilarity.MultiSimScorer)
     s = Searcher(idx, mode="lm_dirichlet")

@@ -48,6 +48,22 @@ def test_lenient_never_raises():
     assert p('"unclosed key').terms == ("unclosed", "key")
 
 
+def test_stray_close_paren_keeps_rest():
+    # a top-level ')' is skipped, everything after it still parses
+    q = p("foo) bar baz")
+    assert q == Q.BooleanQuery(should=(
+        Q.TermQuery("foo"), Q.TermQuery("bar"), Q.TermQuery("baz")))
+
+
+def test_hyphen_inside_word_is_not_negation():
+    # "wi-fi" is one human term (analyzed to a phrase), NOT wi AND NOT fi
+    q = p("wi-fi")
+    assert q == Q.PhraseQuery(("wi", "fi"))
+    # but a boundary '-' still negates
+    q2 = p("a -b")
+    assert q2.must_not == (Q.TermQuery("b"),)
+
+
 def test_field_weights_disjunction():
     q = p("foo", field_weights={None: 1.0, "title": 2.0})
     assert q.should == (Q.TermQuery("foo", boost=1.0),

@@ -89,9 +89,16 @@ def test_phrase_wildcard_matches_expanded_multiphrase(searcher, corpus):
     assert dict(zip(docs.tolist(), freqs.tolist())) == exp
 
 
-def test_phrase_wildcard_max_expansions_raises(searcher):
-    with pytest.raises(ValueError, match="max_expansions"):
-        searcher.phrase_wildcard_freqs(("table", "s*"), max_expansions=1)
+def test_phrase_wildcard_max_expansions_caps(searcher):
+    """The reference CAPS expansion at maxExpansions (it does not fail):
+    a capped run returns a subset of the uncapped matches."""
+    d_all, f_all = searcher.phrase_wildcard_freqs(("table", "s*"))
+    d_cap, f_cap = searcher.phrase_wildcard_freqs(("table", "s*"),
+                                                  max_expansions=1)
+    full = dict(zip(d_all.tolist(), f_all.tolist()))
+    assert d_cap.shape[0] < d_all.shape[0]
+    for did, f in zip(d_cap.tolist(), f_cap.tolist()):
+        assert f <= full[did]
 
 
 def test_diversified_topk_caps_keys(searcher, corpus):
