@@ -1033,16 +1033,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["geo_distance_feature_topk"] = _geo_distance_feature
 
-    def _block_join(sf):
-        """ToParentBlockJoinQuery: child docs = 4-token chunks of each
-        parent; a child-level query joins up to parents with
-        ScoreMode.Max (join/ToParentBlockJoinQuery.java)."""
+    def _chunk_index_dir(sf):
+        """Nested-doc (child-chunk) index fixture shared by the block-join
+        entries."""
         import ray.data
 
         from lucene_ray.codec.postings import CODEC_VERSION
         from lucene_ray.data.webpages import child_chunks
         from lucene_ray.index.build import build_index
-        from lucene_ray.search.searcher import Searcher
 
         docs_pq = os.path.join(sf, "documents.parquet")
         tag = hashlib.sha1(
@@ -1056,7 +1054,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             build_index(
                 ds.select_columns(["doc_id", "text"]), idx, num_segments=4
             )
-        s = Searcher(idx, mode="f64")
+        return idx
+
+    def _block_join(sf):
+        """ToParentBlockJoinQuery: child docs = 4-token chunks of each
+        parent; a child-level query joins up to parents with
+        ScoreMode.Max (join/ToParentBlockJoinQuery.java)."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_chunk_index_dir(sf), mode="f64")
         cdocs, cscores = s.search_all(Q.TermQuery("value"))
         from lucene_ray.data.webpages import CHILD_ID_BASE
 
@@ -1068,6 +1074,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"parent_id": up, "score": best})
 
     q["block_join_parents"] = _block_join
+
+    def _block_join_children(sf):
+        """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:41): a
+        PARENT-level query ('table' over the documents index) propagates
+        its score to every child chunk of each matching parent."""
+        from lucene_ray.data.webpages import CHILD_ID_BASE
+        from lucene_ray.search.join import to_child_block_join
+        from lucene_ray.search.searcher import Searcher
+
+        pdocs, pscores = _searcher(sf).search_all(Q.TermQuery("table"))
+        cs = Searcher(_chunk_index_dir(sf), mode="f64")
+        cdocs, cscores = to_child_block_join(cs, pdocs, pscores,
+                                             CHILD_ID_BASE)
+        return pa.table({
+            "child_id": pa.array(cdocs, type=pa.int64()),
+            "score": pa.array(_round4(cscores), type=pa.float64()),
+        })
+
+    q["block_join_children"] = _block_join_children
 
     def _sloppy(sf):
         s = _searcher(sf)
@@ -2894,6 +2919,17 @@ sc AS (
   JOIN cdl q ON t.doc_id = q.doc_id AND t.ci = q.ci)
 SELECT doc_id AS parent_id, ROUND(max(score), 4) AS score
 FROM sc GROUP BY doc_id ORDER BY parent_id"""
+    )
+    o["block_join_children"] = (
+        _PRELUDE + _term_cte("p", "table")
+        + """
+, toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+, chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ci
+  FROM toklist, unnest(range(CAST(ceil(len(ts) / 4.0) AS BIGINT))) AS t(i))
+SELECT c.doc_id * 100 + c.ci AS child_id, ROUND(p.score, 4) AS score
+FROM chunks c JOIN sc_p p ON c.doc_id = p.doc_id
+ORDER BY child_id"""
     )
     o["boost_query"] = (
         _PRELUDE + _term_cte("t", "table")

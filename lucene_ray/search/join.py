@@ -89,3 +89,37 @@ def join_query(searcher, from_ds, from_field: str,
     return searcher.search_all(
         create_join_query(from_ds, from_field, to_field, max_terms)
     )
+
+
+def to_child_block_join(child_searcher, parent_docs, parent_scores,
+                        child_id_base: int):
+    """ToChildBlockJoinQuery (join/src/java/org/apache/lucene/search/join/
+    ToChildBlockJoinQuery.java:41): every CHILD of a matching parent
+    matches, carrying its parent's score (the reference propagates the
+    parent scorer's score to each child in the block).
+
+    The nested-doc model here is the ``child_chunks`` convention
+    (data/webpages.py): ``child_id = parent_id * child_id_base + chunk``,
+    so parent membership is one vectorized ``searchsorted`` over the
+    sorted parent hits — no per-child Python.
+
+    Returns (child_doc_ids, scores) sorted by child id.
+    """
+    import numpy as np
+
+    from lucene_ray.search import query as Q
+
+    all_children, _ = child_searcher.search_all(Q.MatchAllDocsQuery())
+    order = np.argsort(all_children)
+    all_children = all_children[order]
+    parents_of = all_children // child_id_base
+
+    po = np.argsort(parent_docs)
+    pd = np.asarray(parent_docs)[po]
+    ps = np.asarray(parent_scores)[po]
+    idx = np.searchsorted(pd, parents_of)
+    idx_c = np.clip(idx, 0, max(pd.shape[0] - 1, 0))
+    mask = pd.shape[0] > 0
+    mask = (pd[idx_c] == parents_of) if mask else np.zeros(
+        parents_of.shape[0], dtype=bool)
+    return all_children[mask], ps[idx_c[mask]]

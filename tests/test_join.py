@@ -46,3 +46,40 @@ def test_join_query_max_terms_bound(built_index):
     many = _ds({"val": [f"v{i}" for i in range(50)]})
     with pytest.raises(ValueError, match="distinct"):
         create_join_query(many, "val", max_terms=10)
+
+
+def test_to_child_block_join(ray_session, tmp_path_factory):
+    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:41): children
+    of matching parents, each carrying the parent's score; empty parent
+    set -> empty result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.data.webpages import CHILD_ID_BASE, child_chunks
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.join import to_child_block_join
+    from lucene_ray.search.searcher import Searcher
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e f",          # 2 chunks
+            "g h i j",              # 1 chunk
+            "k l m n o p q r s",    # 3 chunks
+        ]),
+    })
+    idx = str(tmp_path_factory.mktemp("tcbj") / "chunks")
+    ds = ray.data.from_arrow(t).map_batches(child_chunks,
+                                            batch_format="pyarrow")
+    build_index(ds.select_columns(["doc_id", "text"]), idx, num_segments=1)
+    cs = Searcher(idx)
+    # parents 0 and 2 matched with scores 1.5 / 2.5
+    cdocs, cscores = to_child_block_join(
+        cs, np.array([0, 2]), np.array([1.5, 2.5]), CHILD_ID_BASE)
+    want = {0: 1.5, 1: 1.5, 200: 2.5, 201: 2.5, 202: 2.5}
+    assert dict(zip(cdocs.tolist(), cscores.tolist())) == want
+    # no matching parents
+    c2, s2 = to_child_block_join(cs, np.array([], dtype=np.int64),
+                                 np.array([]), CHILD_ID_BASE)
+    assert c2.shape[0] == 0 and s2.shape[0] == 0
