@@ -1075,6 +1075,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["block_join_parents"] = _block_join
 
+    def _block_join_avg(sf):
+        """ToParentBlockJoin ScoreMode.Avg (join/ScoreMode.java:25): mean
+        of the matching children's scores per parent."""
+        from lucene_ray.data.webpages import CHILD_ID_BASE
+        from lucene_ray.search.join import to_parent_block_join
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_chunk_index_dir(sf), mode="f64")
+        cdocs, cscores = s.search_all(Q.TermQuery("value"))
+        up, sc = to_parent_block_join(cdocs, _round4(cscores),
+                                      CHILD_ID_BASE, score_mode="avg")
+        return pa.table({
+            "parent_id": pa.array(up, type=pa.int64()),
+            "score": pa.array(_round4(sc), type=pa.float64()),
+        })
+
+    q["block_join_parents_avg"] = _block_join_avg
+
     def _block_join_children(sf):
         """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:41): a
         PARENT-level query ('table' over the documents index) propagates
@@ -2919,6 +2937,14 @@ sc AS (
   JOIN cdl q ON t.doc_id = q.doc_id AND t.ci = q.ci)
 SELECT doc_id AS parent_id, ROUND(max(score), 4) AS score
 FROM sc GROUP BY doc_id ORDER BY parent_id"""
+    )
+    # ScoreMode.Avg variant: mean of the per-child scores (both sides
+    # round each child's score to 4 before averaging)
+    o["block_join_parents_avg"] = (
+        o["block_join_parents"].replace(
+            "SELECT doc_id AS parent_id, ROUND(max(score), 4) AS score",
+            "SELECT doc_id AS parent_id, ROUND(avg(ROUND(score, 4)), 4) AS score",
+        )
     )
     o["block_join_children"] = (
         _PRELUDE + _term_cte("p", "table")

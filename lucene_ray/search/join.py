@@ -123,3 +123,34 @@ def to_child_block_join(child_searcher, parent_docs, parent_scores,
     mask = (pd[idx_c] == parents_of) if mask else np.zeros(
         parents_of.shape[0], dtype=bool)
     return all_children[mask], ps[idx_c[mask]]
+
+
+def to_parent_block_join(child_docs, child_scores, child_id_base: int,
+                         score_mode: str = "max"):
+    """ToParentBlockJoinQuery ScoreMode aggregation
+    (join/src/java/org/apache/lucene/search/join/ScoreMode.java:25 —
+    None/Avg/Max/Total/Min): collapse child hits to their parents,
+    aggregating child scores per parent. Vectorized: one np.unique +
+    ufunc.at per mode. Returns (parent_ids, scores) sorted by parent."""
+    import numpy as np
+
+    parents = np.asarray(child_docs) // child_id_base
+    up, inv = np.unique(parents, return_inverse=True)
+    s = np.asarray(child_scores, dtype=np.float64)
+    if score_mode == "none":
+        return up, np.ones(up.shape[0], dtype=np.float64)
+    if score_mode == "max":
+        out = np.full(up.shape[0], -np.inf)
+        np.maximum.at(out, inv, s)
+        return up, out
+    if score_mode == "min":
+        out = np.full(up.shape[0], np.inf)
+        np.minimum.at(out, inv, s)
+        return up, out
+    if score_mode in ("total", "avg"):
+        out = np.zeros(up.shape[0])
+        np.add.at(out, inv, s)
+        if score_mode == "avg":
+            out = out / np.bincount(inv, minlength=up.shape[0])
+        return up, out
+    raise ValueError(f"unknown block-join score_mode {score_mode!r}")

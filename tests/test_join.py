@@ -83,3 +83,23 @@ def test_to_child_block_join(ray_session, tmp_path_factory):
     c2, s2 = to_child_block_join(cs, np.array([], dtype=np.int64),
                                  np.array([]), CHILD_ID_BASE)
     assert c2.shape[0] == 0 and s2.shape[0] == 0
+
+
+def test_to_parent_block_join_score_modes():
+    """ScoreMode None/Max/Min/Total/Avg (join/ScoreMode.java:25) over a
+    tiny hand-checked child hit list."""
+    import numpy as np
+
+    from lucene_ray.search.join import to_parent_block_join
+
+    cd = np.array([0, 1, 200, 201, 202])  # parents 0 (x2), 2 (x3)
+    cs = np.array([1.0, 3.0, 2.0, 4.0, 6.0])
+    for mode, want in {
+        "none": {0: 1.0, 2: 1.0},
+        "max": {0: 3.0, 2: 6.0},
+        "min": {0: 1.0, 2: 2.0},
+        "total": {0: 4.0, 2: 12.0},
+        "avg": {0: 2.0, 2: 4.0},
+    }.items():
+        up, sc = to_parent_block_join(cd, cs, 100, score_mode=mode)
+        assert dict(zip(up.tolist(), sc.tolist())) == want, mode
