@@ -339,6 +339,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
 
+    def _surround(sf):
+        """Surround parser (queryparser/surround): `3w(spark, window) and
+        customer` — ordered within-3 proximity (constant score 1) AND a
+        BM25 term."""
+        from lucene_ray.search.surround import parse_surround
+
+        s = _searcher(sf)
+        docs, scores = s.search_all(
+            parse_surround("3w(spark, window) and customer"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["surround_query"] = _surround
+
     def _length_filter(sf):
         """LengthFilter (miscellaneous/LengthFilter.java:31): index keeps
         only tokens of length 4-5; BM25 over the filtered field lengths."""
@@ -2563,6 +2580,17 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT DISTINCT doc_id, 2.5 AS score FROM tok
               WHERE term = 'table' ORDER BY doc_id"""
     )
+    o["surround_query"] = (
+        _PRELUDE + _POS_CTE + _term_cte("c", "customer")
+        + """
+, iv AS (SELECT DISTINCT a.doc_id
+         FROM pos a JOIN pos b
+           ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 3
+         WHERE a.term = 'spark' AND b.term = 'window')
+SELECT c.doc_id, ROUND(c.score + 1.0, 4) AS score
+FROM sc_c c JOIN iv ON c.doc_id = iv.doc_id ORDER BY c.doc_id"""
+    )
+
     o["length_filter_query"] = (
         f"""
 WITH tok AS (

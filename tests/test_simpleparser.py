@@ -74,3 +74,36 @@ def test_escapes_and_double_bars():
     assert p("a || b") == p("a | b")
     assert p("a && b") == p("a + b")
     p(r"wi\+fi")  # escaped operator reaches the analyzer, never raises
+
+
+def test_surround_parser():
+    """Surround syntax (queryparser/surround): W/N distance ops map to
+    ordered/unordered intervals (maxgaps = n-1), AND/OR/NOT to booleans,
+    bare leaves to ordinary term/prefix queries, malformed input raises."""
+    import pytest
+
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search.surround import SurroundParseError, parse_surround
+
+    q = parse_surround("3w(spark, window) and customer")
+    assert isinstance(q, Q.BooleanQuery)
+    iv, term = q.must
+    assert iv.source == IV.Ordered((IV.Term("spark"), IV.Term("window")),
+                                   maxgaps=2)
+    assert term == Q.TermQuery("customer")
+    # infix default distance 1, unordered
+    q2 = parse_surround("a N b")
+    assert q2.source == IV.Unordered((IV.Term("a"), IV.Term("b")), maxgaps=0)
+    # OR of sources stays an interval Or inside a distance op
+    q3 = parse_surround("2n(a or b, c)")
+    assert isinstance(q3.source, IV.Unordered)
+    assert isinstance(q3.source.sources[0], IV.Or)
+    # prefix leaf in boolean context is a PrefixQuery
+    q4 = parse_surround("te* AND b")
+    assert q4.must[0] == Q.PrefixQuery("te")
+    # NOT
+    q5 = parse_surround("a not b")
+    assert q5.must_not == (Q.TermQuery("b"),)
+    for bad in ("", "3w(a and b, c)", "(a", "3w a", "and"):
+        with pytest.raises(SurroundParseError):
+            parse_surround(bad)
