@@ -151,6 +151,21 @@ def _wd_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _pq_index_dir(sf_dir: str) -> str:
+    """Product-quantization index over embeddings.parquet (Jégou et al.
+    TPAMI 2011), cached per corpus: m=16 subspaces x 256 codes."""
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{emb}:{os.path.getsize(emb)}:{os.path.getmtime(emb)}:pq1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "pq_manifest.json")):
+        from lucene_ray.index.vector import build_pq_index
+
+        build_pq_index(emb, idx, m=16, nbits=8)
+    return idx
+
+
 def _len_index_dir(sf_dir: str) -> str:
     """LengthFilter index (miscellaneous/LengthFilter.java:31): tokens of
     char length in [4, 5] only; field length = surviving tokens."""
@@ -2268,6 +2283,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["knn_hnsw_cosine"] = _hnsw
+
+    def _knn_pq(sf):
+        """PQ + exact refine (Jégou et al. TPAMI 2011): ADC scan over
+        16x-compressed codes proposes candidates, one pruned exact pass
+        re-ranks. Approximate by nature -> rows-only entry; recall
+        thresholds are pytest-guaranteed (tests/test_vector_index.py)."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.vector import pq_search
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 3)
+        Qm = np.stack(head["embedding"].to_pylist())
+        t = pq_search(_pq_index_dir(sf), Qm, k=10, refine=40)
+        vec_ids = head["vec_id"].to_numpy()
+        qid = np.asarray([vec_ids[j] for j in t["query_id"].to_numpy()])
+        return pa.table({
+            "query_id": pa.array(qid, type=pa.int64()),
+            "rank": t["rank"],
+            "neighbor_id": t["neighbor_id"],
+            "cosine": pa.array(_round4(t["cosine"].to_numpy()),
+                               type=pa.float64()),
+        })
+
+    q["knn_pq_cosine"] = _knn_pq
 
     def _ivf_indexed_full(sf):
         """Full-probe search over the PERSISTED bucket-partitioned IVF

@@ -550,3 +550,191 @@ def ivf_search(
         + list(parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
     )
     return merge_topk_table(tbl, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+PQ_MANIFEST = "pq_manifest.json"
+
+
+def _kmeans_sub(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Plain Lloyd k-means on a (n, dsub) sample (euclidean — the PQ
+    codebook objective). Deterministic given the rng."""
+    k = min(k, x.shape[0])
+    cent = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                cent[c] = x[sel].mean(axis=0)
+    return cent
+
+
+def build_pq_index(
+    embeddings: "ray.data.Dataset | str",
+    out_dir: str,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 65_536,
+    kmeans_iters: int = 12,
+    seed: int = 7,
+) -> dict:
+    """Product-quantization index (Jégou, Douze & Schmid, TPAMI 2011
+    "Product quantization for nearest neighbor search" — the compressed
+    counterpart of the reference's quantized vector formats, e.g.
+    codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java:41):
+
+      * vectors L2-normalize (cosine == inner product), split into ``m``
+        subspaces of dim/m dims;
+      * each subspace trains a 2^nbits-entry codebook on a driver-side
+        sample (PQ codebooks are sample-trained by design — training cost
+        is bounded regardless of corpus size);
+      * ONE encode pass over the corpus writes (vec_id, m uint8 codes) —
+        a 4-32x size reduction the ADC scan reads instead of the floats.
+
+    Artifacts under ``out_dir``: ``codebooks.npy`` (m, 2^nbits, dim/m),
+    ``codes/`` parquet, ``pq_manifest.json`` (written last, tmp+rename;
+    records the source path for the exact-refine pass).
+    """
+    src_path = embeddings if isinstance(embeddings, str) else None
+    ds = (
+        ray.data.read_parquet(embeddings, columns=[id_col, vec_col])
+        if isinstance(embeddings, str)
+        else embeddings
+    )
+    head = ds.limit(train_sample).to_pandas()
+    x = np.stack(head[vec_col].to_numpy()).astype(np.float64)
+    from lucene_ray.pipelines.ann import _normalize
+
+    x = _normalize(x)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = 1 << nbits
+    rng = np.random.default_rng(seed)
+    books = np.stack([
+        _kmeans_sub(np.ascontiguousarray(x[:, s * dsub:(s + 1) * dsub]),
+                    ksub, kmeans_iters, rng)
+        for s in range(m)
+    ])  # (m, <=ksub, dsub) — ragged-safe only when sample >= ksub
+    books_ref = ray.put(books)
+
+    def encode(b: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        mm = _normalize(_batch_matrix(b[vec_col]))
+        codes = np.empty((mm.shape[0], m), dtype=np.uint8)
+        for s in range(m):
+            sub = mm[:, s * dsub:(s + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d2 = -2.0 * (sub @ bk[s].T) + (bk[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: b[id_col],
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), type=pa.uint8()), m),
+        })
+
+    codes_tmp = os.path.join(out_dir, f".tmp-codes-{uuid.uuid4().hex[:8]}")
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(codes_tmp)
+    codes_dir = os.path.join(out_dir, "codes")
+    if os.path.isdir(codes_dir):
+        shutil.rmtree(codes_dir)
+    os.replace(codes_tmp, codes_dir)
+    np.save(os.path.join(out_dir, "codebooks.npy"), books)
+    manifest = {
+        "kind": "pq",
+        "metric": "cosine",
+        "m": m,
+        "nbits": nbits,
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "codes_dir": codes_dir,
+        "source": src_path,
+    }
+    tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmpm, os.path.join(out_dir, PQ_MANIFEST))
+    return manifest
+
+
+def pq_search(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    refine: int = 0,
+) -> pa.Table:
+    """ADC (asymmetric distance computation) top-k over the PQ codes:
+    per query ONE (m, 2^nbits) lookup table of subspace inner products,
+    then each code batch scores with m table-gathers + a sum — the scan
+    never touches a float vector. ``refine > 0`` re-ranks the top
+    ``refine`` ADC candidates per query EXACTLY against the full vectors
+    (one pruned pass over the manifest's source; the standard PQ+refine
+    pipeline). Returns (query_id, rank, neighbor_id, cosine) like the
+    other kNN surfaces."""
+    from lucene_ray.pipelines.ann import _normalize, member_mask
+
+    with open(os.path.join(index_dir, PQ_MANIFEST)) as f:
+        man = json.load(f)
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, id_col = man["m"], man["id_col"]
+    dsub = man["dim"] // m
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = qn.shape[0]
+    # LUT[j, s, c] = <q_j[s], codebook[s][c]>
+    lut = np.einsum("jsd,scd->jsc", qn.reshape(nq, m, dsub), books)
+    lut_ref = ray.put(lut)
+
+    def scan(b: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        codes = np.asarray(
+            b["code"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)
+        ).reshape(-1, m)
+        n = codes.shape[0]
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            s = np.zeros(n, dtype=np.float64)
+            for sub in range(m):
+                s += lt[j, sub][codes[:, sub]]
+            kk = min(k + refine, n)
+            idx = (np.argpartition(-s, kk - 1)[:kk]
+                   if n > kk else np.arange(n))
+            out_q.append(np.full(idx.shape[0], j, dtype=np.int64))
+            out_id.append(ids[idx])
+            out_s.append(s[idx])
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_id),
+            "cosine": np.concatenate(out_s),
+        })
+
+    parts = pa.concat_tables(
+        ray.data.read_parquet(man["codes_dir"])
+        .map_batches(scan, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    approx = merge_topk_table(parts, k + refine)
+    if not refine:
+        return merge_topk_table(parts, k)
+    if man.get("source") is None:
+        raise ValueError("refine requires a path-built PQ index "
+                         "(manifest records no source)")
+    # exact re-rank: one pruned pass over the source, candidates only
+    cand = np.unique(approx["neighbor_id"].to_numpy())
+    from lucene_ray.pipelines.ann import knn_brute_cosine
+
+    exact = knn_brute_cosine(
+        ray.data.read_parquet(man["source"]), qn, k=k,
+        id_col=id_col, vec_col=man["vec_col"], allowed_ids=cand,
+    )
+    return exact
