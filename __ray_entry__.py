@@ -151,6 +151,27 @@ def _wd_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _kr_index_dir(sf_dir: str) -> str:
+    """KeywordRepeat + Porter index (miscellaneous/KeywordRepeatFilter
+    .java:30): original AND stemmed token at the same position whenever
+    they differ."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:kr1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx,
+                    analyzer=Analyzer(stem=True, keyword_repeat=True),
+                    num_segments=4)
+    return idx
+
+
 def _pq_index_dir(sf_dir: str) -> str:
     """Product-quantization index over embeddings.parquet (Jégou et al.
     TPAMI 2011), cached per corpus: m=16 subspaces x 256 codes."""
@@ -353,6 +374,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Axiomatic F2EXP (AxiomaticF2EXP.java:30)
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
+
+    def _keyword_repeat(sf):
+        """KeywordRepeatFilter (miscellaneous/KeywordRepeatFilter.java:30):
+        the EXACT surface 'table' is only indexed because the repeat kept
+        it alongside its stem 'tabl'; field length counts both."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_kr_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(Q.TermQuery("table"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["keyword_repeat_query"] = _keyword_repeat
 
     def _surround(sf):
         """Surround parser (queryparser/surround): `3w(spark, window) and
@@ -3910,6 +3947,38 @@ ORDER BY s4.doc_id"""
         f"('{w}', '{_ps(w)}')" for w in sorted(vocab) if w and _ps(w) != w
     ]
     smap_values = ", ".join(smap_rows) if smap_rows else "('', '')"
+    # keyword-repeat: stemmed stream UNION ALL the originals that differ
+    o["keyword_repeat_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, stem) AS (VALUES {smap_values}),
+tok AS (
+  SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+  FROM tok0 t LEFT JOIN smap s ON t.term = s.sterm
+  UNION ALL
+  SELECT t.doc_id, t.term FROM tok0 t JOIN smap s ON t.term = s.sterm
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+kstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = 'table' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN kstats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
     o["english_analyzer_query"] = (
         f"""
 WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -64,6 +64,12 @@ class Analyzer:
     # after stop, before stem/fold/synonyms.
     length_min: int = 0
     length_max: "int | None" = None
+    # KeywordRepeatFilter + RemoveDuplicatesTokenFilter pairing
+    # (miscellaneous/KeywordRepeatFilter.java:30): with stem/fold on,
+    # index BOTH the original token and its filtered form at the same
+    # position (skipped when identical). Lets exact surface matches and
+    # stemmed matches coexist in one field.
+    keyword_repeat: bool = False
 
     @property
     def synonym_map(self) -> dict:
@@ -137,7 +143,10 @@ class Analyzer:
         if self.length_min > 1 or self.length_max is not None:
             toks = [t for t in toks if self._length_ok(t)]
         if self.has_token_filters:
+            orig = toks
             toks = [self.transform_token(t) for t in toks]
+            if self.keyword_repeat:
+                toks = toks + [o for o, t in zip(orig, toks) if o != t]
         if self.synonyms:
             syn = self.synonym_map
             toks = toks + [s for t in toks for s in syn.get(t, ())]
@@ -161,6 +170,7 @@ class Analyzer:
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
         """(term, position) pairs; stop-filtered tokens leave position gaps."""
         out = []
+        repeats = []
         for term, pos, _s, _e in self._raw_stream(text):
             if self.lowercase:
                 term = term.lower()
@@ -169,8 +179,12 @@ class Analyzer:
             if not self._length_ok(term):
                 continue
             if self.has_token_filters:
+                orig = term
                 term = self.transform_token(term)
+                if self.keyword_repeat and orig != term:
+                    repeats.append((orig, pos))
             out.append((term, pos))
+        out = out + repeats  # KeywordRepeat originals, same positions
         if self.synonyms:
             syn = self.synonym_map
             extra = [(s, p) for t, p in out for s in syn.get(t, ())]
@@ -186,6 +200,7 @@ class Analyzer:
         """(term, position, start_offset, end_offset); offsets span the
         ORIGINAL surface form (filters may rewrite the term)."""
         out = []
+        repeats = []
         for term, pos, s, e in self._raw_stream(text):
             if self.lowercase:
                 term = term.lower()
@@ -194,8 +209,12 @@ class Analyzer:
             if not self._length_ok(term):
                 continue
             if self.has_token_filters:
+                orig = term
                 term = self.transform_token(term)
+                if self.keyword_repeat and orig != term:
+                    repeats.append((orig, pos, s, e))
             out.append((term, pos, s, e))
+        out = out + repeats  # KeywordRepeat originals, same positions
         if self.synonyms:
             syn = self.synonym_map
             extra = [

@@ -231,8 +231,49 @@ def _tokenize_ascii(texts: pa.Array, wc: str, want_offsets: bool = False):
 
 def _post_filters(parts, analyzer: Analyzer):
     """Token filters (fold/stem) then index-side synonym injection."""
-    parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
+    if (analyzer.keyword_repeat and analyzer.has_token_filters
+            and len(parts[0])):
+        parts = _keyword_repeat(parts, analyzer)
+    else:
+        parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
     return _apply_synonyms(parts, analyzer)
+
+
+def _keyword_repeat(parts, analyzer: Analyzer):
+    """KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+    (miscellaneous/KeywordRepeatFilter.java:30,
+    RemoveDuplicatesTokenFilter.java:28): index BOTH the original surface
+    token and its filtered (fold/stem) form at the SAME position, except
+    when they are identical. Vocabulary-mapped like the other filters;
+    injected originals append after the doc's in-place-filtered tokens
+    (the same expansion order the synonym injector and the per-row
+    analyzer use)."""
+    flat = parts[0]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = pc.dictionary_encode(flat)
+    vocab = d.dictionary.to_pylist()
+    mapped = [analyzer.transform_token(v) for v in vocab]
+    mapped_flat = pa.array(mapped, type=pa.string()).take(d.indices)
+    changed = np.array([m != v for m, v in zip(mapped, vocab)], dtype=bool)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.nonzero(changed[codes])[0]
+    if sel.size == 0:
+        return (mapped_flat, *parts[1:])
+    flat2 = pa.concat_arrays([
+        mapped_flat.combine_chunks() if isinstance(mapped_flat, pa.ChunkedArray)
+        else mapped_flat,
+        flat.take(pa.array(sel)),
+    ])
+    others = []
+    for arr in parts[1:]:
+        others.append(None if arr is None
+                      else np.concatenate([arr, arr[sel]]))
+    order = np.argsort(others[0], kind="stable")
+    if not (np.diff(order) >= 0).all():
+        flat2 = flat2.take(pa.array(order))
+        others = [a[order] if a is not None else None for a in others]
+    return (flat2, *others)
 
 
 def _apply_synonyms(parts, analyzer: Analyzer):

@@ -339,6 +339,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "word_delimiter": analyzer.word_delimiter,
         "length_min": analyzer.length_min,
         "length_max": analyzer.length_max,
+        "keyword_repeat": analyzer.keyword_repeat,
     }
 
 
@@ -356,6 +357,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         word_delimiter=a.get("word_delimiter", False),
         length_min=a.get("length_min", 0),
         length_max=a.get("length_max"),
+        keyword_repeat=a.get("keyword_repeat", False),
     )
 
 

@@ -396,3 +396,31 @@ def test_length_filter():
     an2 = Analyzer(length_min=4, stem=True)
     f2, _d, _p = tokenize_column(pa.array(["cat running"]), an2)
     assert f2.to_pylist() == ["run"]  # 'cat' dropped pre-stem; 'running' stems
+
+
+def test_keyword_repeat_filter():
+    """KeywordRepeatFilter + RemoveDuplicates (miscellaneous/
+    KeywordRepeatFilter.java:30): original + stem at the SAME position
+    when they differ, nothing doubled when identical; batch == Python."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = Analyzer(stem=True, keyword_repeat=True)
+    texts = pa.array(["the running tables value", "cafe naive", ""])
+    flat, di, pos = tokenize_column(texts, an)
+    got = list(zip(flat.to_pylist(), di.tolist(), pos.tolist()))
+    want = []
+    for i, t in enumerate(texts.to_pylist()):
+        want.extend((tm, i, p) for tm, p in an.tokens_with_positions(t))
+    assert got == want
+    d0 = [(t, p) for t, d, p in got if d == 0]
+    # stem in place, original injected at the same position
+    assert ("run", 1) in d0 and ("running", 1) in d0
+    assert ("tabl", 2) in d0 and ("tables", 2) in d0
+    # unchanged token NOT doubled ('the' stems to itself)
+    assert sum(1 for t, _p in d0 if t == "the") == 1
+    # flag off -> no repeats
+    f2, _d, _p = tokenize_column(pa.array(["running"]), Analyzer(stem=True))
+    assert f2.to_pylist() == ["run"]
