@@ -151,6 +151,26 @@ def _wd_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _cf_index_dir(sf_dir: str) -> str:
+    """PatternReplaceCharFilter index (pattern/PatternReplaceCharFilter
+    .java:40): the rule table->tbl rewrites the raw text pre-tokenize."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:cf1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx,
+                    analyzer=Analyzer(char_filters=(("table", "tbl"),)),
+                    num_segments=4)
+    return idx
+
+
 def _kr_index_dir(sf_dir: str) -> str:
     """KeywordRepeat + Porter index (miscellaneous/KeywordRepeatFilter
     .java:30): original AND stemmed token at the same position whenever
@@ -374,6 +394,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Axiomatic F2EXP (AxiomaticF2EXP.java:30)
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
+
+    def _char_filter(sf):
+        """PatternReplaceCharFilter (pattern/PatternReplaceCharFilter
+        .java:40): 'table' rewrites to 'tbl' before tokenization, so the
+        dictionary holds 'tbl' with identical stats."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_cf_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(Q.TermQuery("tbl"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["char_filter_query"] = _char_filter
 
     def _keyword_repeat(sf):
         """KeywordRepeatFilter (miscellaneous/KeywordRepeatFilter.java:30):
@@ -3947,6 +3983,35 @@ ORDER BY s4.doc_id"""
         f"('{w}', '{_ps(w)}')" for w in sorted(vocab) if w and _ps(w) != w
     ]
     smap_values = ", ".join(smap_rows) if smap_rows else "('', '')"
+    # char filter: the SQL twin rewrites the raw text the same way
+    o["char_filter_query"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(replace(text, 'table', 'tbl'), ' ')) AS term
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = 'tbl' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN cstats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
     # keyword-repeat: stemmed stream UNION ALL the originals that differ
     o["keyword_repeat_query"] = (
         f"""

@@ -70,6 +70,13 @@ class Analyzer:
     # position (skipped when identical). Lets exact surface matches and
     # stemmed matches coexist in one field.
     keyword_repeat: bool = False
+    # PatternReplaceCharFilter chain (analysis/common/.../pattern/
+    # PatternReplaceCharFilter.java:40): ((regex, replacement), ...)
+    # applied IN ORDER to the raw text BEFORE tokenization. RE2 syntax
+    # (pyarrow + DuckDB share the engine). Deviation from the reference:
+    # token offsets refer to the FILTERED text, not the original (the
+    # reference maintains an offset-correction map; documented).
+    char_filters: tuple = ()
 
     @property
     def synonym_map(self) -> dict:
@@ -84,6 +91,15 @@ class Analyzer:
             for src, dsts in self.synonyms
             if " " in src
         ]
+
+    def apply_char_filters(self, text: str) -> str:
+        """PatternReplaceCharFilter chain over one raw text (index-side;
+        query analysis is per-term and skips char filters)."""
+        import re as _re
+
+        for pat, rep in self.char_filters:
+            text = _re.sub(pat, rep, text)
+        return text
 
     def _length_ok(self, term: str) -> bool:
         """LengthFilter predicate (LengthFilter.java:31)."""
@@ -109,7 +125,10 @@ class Analyzer:
 
     def _raw_stream(self, text: str):
         """(term, position, start, end) of the raw tokenizer stage — the
-        UAX#29-ish tokenizer, or whitespace+WDGF when word_delimiter."""
+        UAX#29-ish tokenizer, or whitespace+WDGF when word_delimiter;
+        char filters run first (offsets refer to the filtered text)."""
+        if self.char_filters:
+            text = self.apply_char_filters(text)
         if not self.word_delimiter:
             yield from tokenize_with_offsets(text, self.max_token_length)
             return
@@ -129,6 +148,8 @@ class Analyzer:
         if self.synonyms and self.multi_synonym_rules:
             # multi-word rules need position adjacency: delegate
             return [t for t, _p in self.tokens_with_positions(text)]
+        if self.char_filters:
+            text = self.apply_char_filters(text)
         if self.word_delimiter:
             from lucene_ray.analysis.worddelim import wdgf_parts
 

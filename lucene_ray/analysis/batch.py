@@ -72,6 +72,12 @@ def tokenize_column(
         out = (pa.array([], type=pa.string()), *_EMPTY5[1:])
         return out if want_offsets else out[:3]
 
+    if analyzer.char_filters:
+        # PatternReplaceCharFilter chain (pattern/PatternReplaceCharFilter
+        # .java:40): whole-column RE2 rewrites before tokenization
+        for _pat, _rep in analyzer.char_filters:
+            texts = pc.replace_substring_regex(texts, _pat, _rep)
+
     if analyzer.word_delimiter:
         parts = _tokenize_word_delimiter(texts, analyzer, want_offsets)
         return parts if want_offsets else parts[:3]

@@ -340,6 +340,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "length_min": analyzer.length_min,
         "length_max": analyzer.length_max,
         "keyword_repeat": analyzer.keyword_repeat,
+        "char_filters": [[p, r] for p, r in analyzer.char_filters],
     }
 
 
@@ -358,6 +359,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         length_min=a.get("length_min", 0),
         length_max=a.get("length_max"),
         keyword_repeat=a.get("keyword_repeat", False),
+        char_filters=tuple((p, r) for p, r in a.get("char_filters", [])),
     )
 
 

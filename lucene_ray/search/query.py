@@ -224,6 +224,15 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    """search/MatchNoDocsQuery.java — matches nothing (the rewrite target
+    for provably-empty queries, e.g. an empty join from-side)."""
+
+    def to_dict(self):
+        return {"type": "match_none"}
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery(Query):
     """search/FieldExistsQuery.java:63 — matches every doc that indexed the
     field, constant score = boost. Adapted to the dense-norms layout: a doc
@@ -633,6 +642,8 @@ def query_from_dict(d: dict) -> Query:
         return MatchAllDocsQuery(d.get("boost", 1.0))
     if t == "field_exists":
         return FieldExistsQuery(d.get("field"), d.get("boost", 1.0))
+    if t == "match_none":
+        return MatchNoDocsQuery()
     if t == "phrase_wildcard":
         return PhraseWildcardQuery(
             tuple(d["slots"]), d.get("max_expansions", 128),

@@ -294,6 +294,9 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         d, _s, _e = eval_query(reader, q.query, sub_ctx)
         return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
 
+    if isinstance(q, Q.MatchNoDocsQuery):
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+
     if isinstance(q, Q.MatchAllDocsQuery):
         # term-sharded merged segments share one doc space; only the shard
         # flagged owns_docs emits it (otherwise every shard would repeat

@@ -424,3 +424,32 @@ def test_keyword_repeat_filter():
     # flag off -> no repeats
     f2, _d, _p = tokenize_column(pa.array(["running"]), Analyzer(stem=True))
     assert f2.to_pylist() == ["run"]
+
+
+def test_pattern_replace_char_filter_and_match_none():
+    """PatternReplaceCharFilter (pattern/PatternReplaceCharFilter.java:40):
+    pre-tokenize RE2 rewrites on both paths, chained in order; offsets
+    refer to the FILTERED text (documented deviation). MatchNoDocsQuery
+    matches nothing."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = Analyzer(char_filters=(
+        (r"([a-z])\+\+", r"\1pp"),   # c++ -> cpp
+        ("-", " "),                  # split hyphens pre-tokenize
+    ))
+    texts = pa.array(["use c++ now", "wi-fi setup", ""])
+    flat, di, pos = tokenize_column(texts, an)
+    got = list(zip(flat.to_pylist(), di.tolist(), pos.tolist()))
+    want = []
+    for i, t in enumerate(texts.to_pylist()):
+        want.extend((tm, i, p) for tm, p in an.tokens_with_positions(t))
+    assert got == want
+    assert [t for t, d, _p in got if d == 0] == ["use", "cpp", "now"]
+    assert [t for t, d, _p in got if d == 1] == ["wi", "fi", "setup"]
+    # manifest round-trip
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    assert analyzer_from_dict(analyzer_dict(an)) == an
