@@ -151,6 +151,20 @@ def _wd_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """IVFADC index (coarse quantizer + PQ residual codes), cached."""
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{emb}:{os.path.getsize(emb)}:{os.path.getmtime(emb)}:ivfpq1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "ivfpq_manifest.json")):
+        from lucene_ray.index.vector import build_ivfpq_index
+
+        build_ivfpq_index(emb, idx, n_centroids=8, m=16, nbits=8)
+    return idx
+
+
 def _cf_index_dir(sf_dir: str) -> str:
     """PatternReplaceCharFilter index (pattern/PatternReplaceCharFilter
     .java:40): the rule table->tbl rewrites the raw text pre-tokenize."""
@@ -2381,6 +2395,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["knn_pq_cosine"] = _knn_pq
+
+    def _knn_ivfpq(sf):
+        """IVFADC (Jégou et al. TPAMI 2011 §IV): probe 4/8 buckets
+        (filesystem-pruned), ADC-scan residual codes, exact-refine.
+        Approximate -> rows-only; recall pytest-guaranteed."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.vector import ivfpq_search
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 3)
+        Qm = np.stack(head["embedding"].to_pylist())
+        t = ivfpq_search(_ivfpq_index_dir(sf), Qm, k=10, nprobe=4, refine=40)
+        vec_ids = head["vec_id"].to_numpy()
+        qid = np.asarray([vec_ids[j] for j in t["query_id"].to_numpy()])
+        return pa.table({
+            "query_id": pa.array(qid, type=pa.int64()),
+            "rank": t["rank"],
+            "neighbor_id": t["neighbor_id"],
+            "cosine": pa.array(_round4(t["cosine"].to_numpy()),
+                               type=pa.float64()),
+        })
+
+    q["knn_ivfpq_cosine"] = _knn_ivfpq
 
     def _ivf_indexed_full(sf):
         """Full-probe search over the PERSISTED bucket-partitioned IVF

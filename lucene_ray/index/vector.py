@@ -738,3 +738,223 @@ def pq_search(
         id_col=id_col, vec_col=man["vec_col"], allowed_ids=cand,
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse quantizer for IO pruning + PQ residual codes
+# ---------------------------------------------------------------------------
+
+IVFPQ_MANIFEST = "ivfpq_manifest.json"
+
+
+def build_ivfpq_index(
+    embeddings: "ray.data.Dataset | str",
+    out_dir: str,
+    n_centroids: int = 8,
+    m: int = 16,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 65_536,
+    kmeans_iters: int = 12,
+    seed: int = 7,
+) -> dict:
+    """IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §IV): a coarse k-means
+    quantizer routes each vector to a bucket (the IO-pruned partitioned
+    layout of :func:`build_ivf_index`), and product quantization encodes
+    the RESIDUAL ``x - centroid`` in ``m`` uint8 codes. A probe therefore
+    reads only ``nprobe`` buckets' worth of 16-32x-compressed codes —
+    both the IO and the scan shrink, which is the 100-TB configuration.
+
+    ADC trick kept simple by linearity: with normalized vectors,
+    ``<q, x> = <q, c_bucket> + <q, residual>`` — ONE (m, 2^nbits) LUT per
+    query works for every bucket; the per-bucket constant is a dot with
+    the centroid.
+    """
+    src_path = embeddings if isinstance(embeddings, str) else None
+    ds = (
+        ray.data.read_parquet(embeddings, columns=[id_col, vec_col])
+        if isinstance(embeddings, str)
+        else embeddings
+    )
+    from lucene_ray.pipelines.ann import _normalize, train_centroids
+
+    cent = train_centroids(ds, n_centroids, sample=train_sample,
+                           vec_col=vec_col, seed=seed)
+    head = ds.limit(train_sample).to_pandas()
+    x = _normalize(np.stack(head[vec_col].to_numpy()).astype(np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = 1 << nbits
+    res = x - cent[np.argmax(x @ cent.T, axis=1)]
+    rng = np.random.default_rng(seed)
+    books = np.stack([
+        _kmeans_sub(np.ascontiguousarray(res[:, s * dsub:(s + 1) * dsub]),
+                    ksub, kmeans_iters, rng)
+        for s in range(m)
+    ])
+    cent_ref = ray.put(cent)
+    books_ref = ray.put(books)
+
+    def assign_encode(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        bk = ray.get(books_ref)
+        mm = _normalize(_batch_matrix(b[vec_col]))
+        a = np.argmax(mm @ c.T, axis=1).astype(np.int64)
+        r = mm - c[a]
+        codes = np.empty((mm.shape[0], m), dtype=np.uint8)
+        for s in range(m):
+            sub = r[:, s * dsub:(s + 1) * dsub]
+            d2 = -2.0 * (sub @ bk[s].T) + (bk[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: b[id_col],
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), type=pa.uint8()), m),
+            "bucket": a,
+            "bucket_id": a,
+        })
+
+    tmp = os.path.join(out_dir, f".tmp-ivfpq-{uuid.uuid4().hex[:8]}")
+    ds.map_batches(assign_encode, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"])
+    buckets_dir = os.path.join(out_dir, "pq_buckets")
+    if os.path.isdir(buckets_dir):
+        shutil.rmtree(buckets_dir)
+    os.replace(tmp, buckets_dir)
+    np.save(os.path.join(out_dir, "ivfpq_centroids.npy"), cent)
+    np.save(os.path.join(out_dir, "ivfpq_codebooks.npy"), books)
+    manifest = {
+        "kind": "ivfpq",
+        "metric": "cosine",
+        "n_centroids": int(cent.shape[0]),
+        "m": m,
+        "nbits": nbits,
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "buckets_dir": buckets_dir,
+        "source": src_path,
+    }
+    tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmpm, os.path.join(out_dir, IVFPQ_MANIFEST))
+    return manifest
+
+
+def ivfpq_search(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 0,
+    stats: "dict | None" = None,
+) -> pa.Table:
+    """Probe nprobe buckets (filesystem-pruned like :func:`ivf_search`),
+    ADC-scan their residual codes, optionally exact-refine the top
+    candidates against the full vectors. Returns the house
+    (query_id, rank, neighbor_id, cosine) table."""
+    from lucene_ray.pipelines.ann import _normalize, knn_brute_cosine
+
+    with open(os.path.join(index_dir, IVFPQ_MANIFEST)) as f:
+        man = json.load(f)
+    cent = np.load(os.path.join(index_dir, "ivfpq_centroids.npy"))
+    books = np.load(os.path.join(index_dir, "ivfpq_codebooks.npy"))
+    m, id_col = man["m"], man["id_col"]
+    dsub = man["dim"] // m
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = qn.shape[0]
+    nprobe = min(nprobe, cent.shape[0])
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probed = sorted({int(b) for row in q_probe for b in row})
+
+    buckets_dir = man["buckets_dir"]
+    if not os.path.isdir(buckets_dir):
+        buckets_dir = os.path.join(index_dir, "pq_buckets")
+    dirs = [os.path.join(buckets_dir, f"bucket={b}") for b in probed
+            if os.path.isdir(os.path.join(buckets_dir, f"bucket={b}"))]
+    if stats is not None:
+        rb = sum(_bucket_dir_bytes(d) for d in dirs)
+        tb = _bucket_dir_bytes(buckets_dir)
+        stats.update(read_bytes=rb, total_bytes=tb,
+                     fraction=rb / tb if tb else 0.0,
+                     buckets_probed=len(dirs), n_buckets=man["n_centroids"])
+    if not dirs:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
+
+    lut = np.einsum("jsd,scd->jsc", qn.reshape(nq, m, dsub), books)
+    qc = qn @ cent.T  # (nq, n_centroids) — per-bucket constants
+    lut_ref, qc_ref = ray.put(lut), ray.put(qc)
+    bucket_queries = {}
+    for j, row in enumerate(q_probe):
+        for bkt in row:
+            bucket_queries.setdefault(int(bkt), []).append(j)
+    probe_ref = ray.put({b: np.asarray(js, dtype=np.int64)
+                         for b, js in bucket_queries.items()})
+
+    def scan(b: pa.Table) -> pa.Table:
+        lt, qcs, byb = ray.get(lut_ref), ray.get(qc_ref), ray.get(probe_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        bks = b["bucket_id"].to_numpy(zero_copy_only=False)
+        codes = np.asarray(
+            b["code"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)).reshape(-1, m)
+        out_q, out_id, out_s = [], [], []
+        for bkt in np.unique(bks):
+            js = byb.get(int(bkt))
+            if js is None:
+                continue
+            sel = bks == bkt
+            cds, bids = codes[sel], ids[sel]
+            n = cds.shape[0]
+            for j in js:
+                s = np.full(n, qcs[j, bkt], dtype=np.float64)
+                for sub in range(m):
+                    s += lt[j, sub][cds[:, sub]]
+                kk = min(k + refine, n)
+                idx = (np.argpartition(-s, kk - 1)[:kk]
+                       if n > kk else np.arange(n))
+                out_q.append(np.full(idx.shape[0], j, dtype=np.int64))
+                out_id.append(bids[idx])
+                out_s.append(s[idx])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_id),
+            "cosine": np.concatenate(out_s),
+        })
+
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    parts = pa.concat_tables(
+        ray.data.read_parquet(files, columns=[id_col, "code", "bucket_id"])
+        .map_batches(scan, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    approx = merge_topk_table(parts, k + refine)
+    if not refine:
+        return merge_topk_table(parts, k)
+    if man.get("source") is None:
+        raise ValueError("refine requires a path-built IVF-PQ index")
+    cand = np.unique(approx["neighbor_id"].to_numpy())
+    return knn_brute_cosine(
+        ray.data.read_parquet(man["source"]), qn, k=k,
+        id_col=id_col, vec_col=man["vec_col"], allowed_ids=cand,
+    )

@@ -351,3 +351,46 @@ def test_pq_index_recall_and_refine(ray_session, tmp_path_factory):
     b1 = np.load(f"{idx}/codebooks.npy")
     b2 = np.load(f"{idx2}/codebooks.npy")
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_ivfpq_index_recall_and_pruning(ray_session, tmp_path_factory):
+    """IVFADC (Jégou et al. TPAMI 2011 §IV): coarse buckets prune IO,
+    residual PQ codes scan compressed; refined recall@10 >= 0.85 at
+    nprobe=half, and a partial probe reads a strict subset of the index
+    bytes."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.index.vector import build_ivfpq_index, ivfpq_search
+    from lucene_ray.pipelines.ann import knn_brute_cosine
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path_factory.mktemp("ivfpq") / "x")
+    man = build_ivfpq_index(emb, idx, n_centroids=8, m=16, nbits=8)
+
+    Qm = np.stack(pq.read_table(emb).slice(0, 3)["embedding"].to_pylist())
+    brute = knn_brute_cosine(ray.data.read_parquet(emb), Qm, k=10)
+    truth = collections.defaultdict(set)
+    for r in brute.to_pylist():
+        truth[r["query_id"]].add(r["neighbor_id"])
+
+    def recall(tbl):
+        got = collections.defaultdict(set)
+        for r in tbl.to_pylist():
+            got[r["query_id"]].add(r["neighbor_id"])
+        return np.mean([len(got[q] & truth[q]) / 10 for q in truth])
+
+    st = {}
+    refined = ivfpq_search(idx, Qm, k=10, nprobe=4, refine=40, stats=st)
+    assert recall(refined) >= 0.85
+    assert st["buckets_probed"] <= 8
+    # a single-query single-probe read touches a strict byte subset
+    st1 = {}
+    ivfpq_search(idx, Qm[:1], k=5, nprobe=1, stats=st1)
+    assert 0 < st1["fraction"] < 1.0
+    # full probe + refine recovers the exact top-k on this corpus
+    full = ivfpq_search(idx, Qm, k=10, nprobe=man["n_centroids"], refine=60)
+    assert recall(full) >= 0.99
