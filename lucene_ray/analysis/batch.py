@@ -74,9 +74,15 @@ def tokenize_column(
 
     if analyzer.char_filters:
         # PatternReplaceCharFilter chain (pattern/PatternReplaceCharFilter
-        # .java:40): whole-column RE2 rewrites before tokenization
+        # .java:40): whole-column RE2 rewrites before tokenization. The
+        # analyzer used by any per-row fallback below must NOT re-apply
+        # them (the column is already rewritten — review fix: a
+        # non-idempotent pattern used to double-apply on slow-path rows)
+        import dataclasses
+
         for _pat, _rep in analyzer.char_filters:
             texts = pc.replace_substring_regex(texts, _pat, _rep)
+        analyzer = dataclasses.replace(analyzer, char_filters=())
 
     if analyzer.word_delimiter:
         parts = _tokenize_word_delimiter(texts, analyzer, want_offsets)

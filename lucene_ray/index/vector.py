@@ -574,6 +574,19 @@ def _kmeans_sub(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     return cent
 
 
+def _encode_subspaces(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Shared PQ/IVFPQ encoder: nearest codebook entry per subspace
+    (``||x-c||^2 = ||x||^2 - 2x.c + ||c||^2``, argmin over c). ``books``
+    is (m, 2^nbits, dim/m); returns (n, m) uint8 codes."""
+    m, _ksub, dsub = books.shape
+    codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        d2 = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
 def build_pq_index(
     embeddings: "ray.data.Dataset | str",
     out_dir: str,
@@ -602,6 +615,9 @@ def build_pq_index(
     ``codes/`` parquet, ``pq_manifest.json`` (written last, tmp+rename;
     records the source path for the exact-refine pass).
     """
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits={nbits}: codes are stored as uint8, "
+                         "so nbits must be in [1, 8]")
     src_path = embeddings if isinstance(embeddings, str) else None
     ds = (
         ray.data.read_parquet(embeddings, columns=[id_col, vec_col])
@@ -629,12 +645,7 @@ def build_pq_index(
     def encode(b: pa.Table) -> pa.Table:
         bk = ray.get(books_ref)
         mm = _normalize(_batch_matrix(b[vec_col]))
-        codes = np.empty((mm.shape[0], m), dtype=np.uint8)
-        for s in range(m):
-            sub = mm[:, s * dsub:(s + 1) * dsub]
-            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
-            d2 = -2.0 * (sub @ bk[s].T) + (bk[s] ** 2).sum(axis=1)[None, :]
-            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes = _encode_subspaces(mm, bk)
         return pa.table({
             id_col: b[id_col],
             "code": pa.FixedSizeListArray.from_arrays(
@@ -723,21 +734,25 @@ def pq_search(
         .map_batches(scan, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
     )
-    approx = merge_topk_table(parts, k + refine)
     if not refine:
         return merge_topk_table(parts, k)
+    return _exact_refine(man, qn, k, merge_topk_table(parts, k + refine))
+
+
+def _exact_refine(man: dict, qn: np.ndarray, k: int,
+                  approx: pa.Table) -> pa.Table:
+    """Shared PQ/IVFPQ refine tail: exact re-rank of the ADC candidates
+    with one pruned pass over the manifest's source vectors."""
     if man.get("source") is None:
-        raise ValueError("refine requires a path-built PQ index "
+        raise ValueError("refine requires a path-built index "
                          "(manifest records no source)")
-    # exact re-rank: one pruned pass over the source, candidates only
     cand = np.unique(approx["neighbor_id"].to_numpy())
     from lucene_ray.pipelines.ann import knn_brute_cosine
 
-    exact = knn_brute_cosine(
+    return knn_brute_cosine(
         ray.data.read_parquet(man["source"]), qn, k=k,
-        id_col=id_col, vec_col=man["vec_col"], allowed_ids=cand,
+        id_col=man["id_col"], vec_col=man["vec_col"], allowed_ids=cand,
     )
-    return exact
 
 
 # ---------------------------------------------------------------------------
@@ -771,18 +786,22 @@ def build_ivfpq_index(
     query works for every bucket; the per-bucket constant is a dot with
     the centroid.
     """
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits={nbits}: codes are stored as uint8, "
+                         "so nbits must be in [1, 8]")
     src_path = embeddings if isinstance(embeddings, str) else None
     ds = (
         ray.data.read_parquet(embeddings, columns=[id_col, vec_col])
         if isinstance(embeddings, str)
         else embeddings
     )
-    from lucene_ray.pipelines.ann import _normalize, train_centroids
+    from lucene_ray.pipelines.ann import _normalize, spherical_kmeans
 
-    cent = train_centroids(ds, n_centroids, sample=train_sample,
-                           vec_col=vec_col, seed=seed)
+    # ONE sample materialization feeds both the coarse quantizer and the
+    # residual codebooks (review fix: this used to read the sample twice)
     head = ds.limit(train_sample).to_pandas()
     x = _normalize(np.stack(head[vec_col].to_numpy()).astype(np.float64))
+    cent = spherical_kmeans(x, n_centroids, iters=10, seed=seed)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -803,12 +822,7 @@ def build_ivfpq_index(
         bk = ray.get(books_ref)
         mm = _normalize(_batch_matrix(b[vec_col]))
         a = np.argmax(mm @ c.T, axis=1).astype(np.int64)
-        r = mm - c[a]
-        codes = np.empty((mm.shape[0], m), dtype=np.uint8)
-        for s in range(m):
-            sub = r[:, s * dsub:(s + 1) * dsub]
-            d2 = -2.0 * (sub @ bk[s].T) + (bk[s] ** 2).sum(axis=1)[None, :]
-            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes = _encode_subspaces(mm - c[a], bk)
         return pa.table({
             id_col: b[id_col],
             "code": pa.FixedSizeListArray.from_arrays(
@@ -857,7 +871,7 @@ def ivfpq_search(
     ADC-scan their residual codes, optionally exact-refine the top
     candidates against the full vectors. Returns the house
     (query_id, rank, neighbor_id, cosine) table."""
-    from lucene_ray.pipelines.ann import _normalize, knn_brute_cosine
+    from lucene_ray.pipelines.ann import _normalize
 
     with open(os.path.join(index_dir, IVFPQ_MANIFEST)) as f:
         man = json.load(f)
@@ -948,13 +962,6 @@ def ivfpq_search(
         .map_batches(scan, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
     )
-    approx = merge_topk_table(parts, k + refine)
     if not refine:
         return merge_topk_table(parts, k)
-    if man.get("source") is None:
-        raise ValueError("refine requires a path-built IVF-PQ index")
-    cand = np.unique(approx["neighbor_id"].to_numpy())
-    return knn_brute_cosine(
-        ray.data.read_parquet(man["source"]), qn, k=k,
-        id_col=id_col, vec_col=man["vec_col"], allowed_ids=cand,
-    )
+    return _exact_refine(man, qn, k, merge_topk_table(parts, k + refine))

@@ -353,14 +353,14 @@ def train_centroids_distributed(embeddings, n_centroids: int = 16,
     return cent
 
 
-def train_centroids(embeddings, n_centroids: int = 16, iters: int = 10,
-                    sample: int = 10_000, vec_col: str = "embedding",
-                    seed: int = 42) -> np.ndarray:
-    """Mini k-means on a driver-side sample (normalized -> spherical)."""
-    head = embeddings.limit(sample).to_pandas()
-    m = _normalize(np.stack(head[vec_col].to_numpy()).astype(np.float64))
+def spherical_kmeans(m: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Spherical Lloyd k-means on an already-normalized (n, d) matrix —
+    the shared kernel behind train_centroids and the IVF-PQ coarse
+    quantizer (which feeds its own single sample materialization)."""
     rng = np.random.default_rng(seed)
-    cent = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
+    cent = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]),
+                        replace=False)].copy()
     for _ in range(iters):
         assign = np.argmax(m @ cent.T, axis=1)
         for c in range(cent.shape[0]):
@@ -371,6 +371,15 @@ def train_centroids(embeddings, n_centroids: int = 16, iters: int = 10,
                 if n > 0:
                     cent[c] = v / n
     return cent
+
+
+def train_centroids(embeddings, n_centroids: int = 16, iters: int = 10,
+                    sample: int = 10_000, vec_col: str = "embedding",
+                    seed: int = 42) -> np.ndarray:
+    """Mini k-means on a driver-side sample (normalized -> spherical)."""
+    head = embeddings.limit(sample).to_pandas()
+    m = _normalize(np.stack(head[vec_col].to_numpy()).astype(np.float64))
+    return spherical_kmeans(m, n_centroids, iters=iters, seed=seed)
 
 
 def knn_ivf_cosine(embeddings, queries: np.ndarray, k: int = 10,

@@ -67,6 +67,8 @@ def _as_source(node) -> IV.IntervalsSource:
     kind, v = node
     if kind == "src":
         return v
+    if kind == "or":
+        return IV.Or(tuple(_as_source(p) for p in v))
     raise SurroundParseError(
         "distance operands must be terms, prefixes, OR-groups or nested "
         "distance expressions")
@@ -76,6 +78,11 @@ def _as_query(node) -> Q.Query:
     kind, v = node
     if kind == "q":
         return v
+    if kind == "or":
+        # OR in query context is a scored boolean (SrndBooleanQuery via
+        # BasicQueryFactory — review fix: it used to collapse to a
+        # constant-score interval Or at the top level)
+        return Q.BooleanQuery(should=tuple(_as_query(p) for p in v))
     # a bare term/prefix leaf used in boolean context scores like the
     # ordinary query (SrndTermQuery/SrndPrefixQuery build standard
     # Term/Prefix queries via BasicQueryFactory); composite interval
@@ -116,9 +123,9 @@ class _Parser:
             parts.append(self.and_expr())
         if len(parts) == 1:
             return parts[0]
-        if all(k == "src" for k, _v in parts):
-            return ("src", IV.Or(tuple(v for _k, v in parts)))
-        return ("q", Q.BooleanQuery(should=tuple(_as_query(p) for p in parts)))
+        # defer: inside a distance operand this becomes Intervals.Or,
+        # in query context a scored boolean SHOULD
+        return ("or", parts)
 
     # and_expr := not_expr (AND not_expr)*
     def and_expr(self):

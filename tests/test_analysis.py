@@ -453,3 +453,22 @@ def test_pattern_replace_char_filter_and_match_none():
     from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
 
     assert analyzer_from_dict(analyzer_dict(an)) == an
+
+
+def test_char_filter_slow_path_single_application():
+    """Review fix: a non-idempotent char filter must apply exactly ONCE
+    even for rows routed to the per-row fallback (non-ASCII)."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = Analyzer(char_filters=(("c", "cc"),))
+    texts = pa.array(["café c", "plain c"])  # row 0 takes the slow path
+    flat, di, _pos = tokenize_column(texts, an)
+    got = [[] for _ in range(2)]
+    for t, d in zip(flat.to_pylist(), di.tolist()):
+        got[d].append(t)
+    assert got[0] == [t for t, _p in an.tokens_with_positions("café c")]
+    assert got[0] == ["ccafé", "cc"]
+    assert got[1] == ["plain", "cc"]

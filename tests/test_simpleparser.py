@@ -104,6 +104,10 @@ def test_surround_parser():
     # NOT
     q5 = parse_surround("a not b")
     assert q5.must_not == (Q.TermQuery("b"),)
+    # top-level OR is a SCORED boolean, not a constant interval (review fix)
+    q6 = parse_surround("spark or window")
+    assert q6 == Q.BooleanQuery(should=(Q.TermQuery("spark"),
+                                        Q.TermQuery("window")))
     for bad in ("", "3w(a and b, c)", "(a", "3w a", "and"):
         with pytest.raises(SurroundParseError):
             parse_surround(bad)
