@@ -207,7 +207,9 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from lucene_ray.data.webpages import webpages_dataset
-    from lucene_ray.pipelines.dedup import dedup_exact, minhash_lsh_candidates
+    from lucene_ray.pipelines.dedup import (dedup_exact,
+                                            minhash_lsh_candidates,
+                                            shared_window_pairs)
     from lucene_ray.pipelines.html import extract_text
     from lucene_ray.pipelines.textstats import quality_scores
 
@@ -219,6 +221,8 @@ def run_bench() -> dict:
     timed("html_extract", lambda: extract_text(webpages_dataset(SF_DIR), concurrency=min(8, NUM_CPUS)).count())
     timed("dedup_exact", lambda: dedup_exact(webpages_dataset(SF_DIR)).count())
     timed("minhash_lsh", lambda: minhash_lsh_candidates(webpages_dataset(SF_DIR)).count())
+    timed("shared_windows", lambda: shared_window_pairs(
+        webpages_dataset(SF_DIR), k=6).count())
     timed("quality_scores", lambda: quality_scores(webpages_dataset(SF_DIR)).count())
 
     # --- multi-term queries, cold vs LRUQueryCache-warm: the dictionary
