@@ -151,6 +151,20 @@ def _wd_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _sq_index_dir(sf_dir: str) -> str:
+    """Scalar-quantized (int8) vector index, cached per corpus."""
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{emb}:{os.path.getsize(emb)}:{os.path.getmtime(emb)}:sq1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "sq_manifest.json")):
+        from lucene_ray.index.vector import build_sq_index
+
+        build_sq_index(emb, idx)
+    return idx
+
+
 def _ivfpq_index_dir(sf_dir: str) -> str:
     """IVFADC index (coarse quantizer + PQ residual codes), cached."""
     emb = os.path.join(sf_dir, "embeddings.parquet")
@@ -2419,6 +2433,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["knn_ivfpq_cosine"] = _knn_ivfpq
+
+    def _knn_sq(sf):
+        """Scalar-quantized int8 scan (Lucene99ScalarQuantizedVectors
+        Format.java:41 role) + exact refine. Approximate -> rows-only;
+        recall pytest-guaranteed."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.vector import sq_search
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 3)
+        Qm = np.stack(head["embedding"].to_pylist())
+        t = sq_search(_sq_index_dir(sf), Qm, k=10, refine=20)
+        vec_ids = head["vec_id"].to_numpy()
+        qid = np.asarray([vec_ids[j] for j in t["query_id"].to_numpy()])
+        return pa.table({
+            "query_id": pa.array(qid, type=pa.int64()),
+            "rank": t["rank"],
+            "neighbor_id": t["neighbor_id"],
+            "cosine": pa.array(_round4(t["cosine"].to_numpy()),
+                               type=pa.float64()),
+        })
+
+    q["knn_sq_cosine"] = _knn_sq
 
     def _ivf_indexed_full(sf):
         """Full-probe search over the PERSISTED bucket-partitioned IVF

@@ -965,3 +965,134 @@ def ivfpq_search(
     if not refine:
         return merge_topk_table(parts, k)
     return _exact_refine(man, qn, k, merge_topk_table(parts, k + refine))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — the reference's quantized vector format
+# ---------------------------------------------------------------------------
+
+SQ_MANIFEST = "sq_manifest.json"
+
+
+def build_sq_index(
+    embeddings: "ray.data.Dataset | str",
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    confidence: float = 0.995,
+    train_sample: int = 65_536,
+) -> dict:
+    """Scalar-quantized vector index — the role of
+    codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java:41 /
+    util/quantization/ScalarQuantizer.java:47: clip each (normalized)
+    component to a confidence interval of the sampled distribution, then
+    linearly quantize to uint8. 4x smaller storage than float32; the
+    dequantized dot is ``lo*sum(q) + scale * <q, codes>`` — one constant
+    plus one scaled integer-weight matmul per batch.
+
+    Artifacts: ``sq_codes/`` parquet (vec_id, fixed-size uint8 list),
+    ``sq_manifest.json`` with (lo, scale, dim, source) written last.
+    """
+    src_path = embeddings if isinstance(embeddings, str) else None
+    ds = (
+        ray.data.read_parquet(embeddings, columns=[id_col, vec_col])
+        if isinstance(embeddings, str)
+        else embeddings
+    )
+    from lucene_ray.pipelines.ann import _normalize
+
+    head = ds.limit(train_sample).to_pandas()
+    x = _normalize(np.stack(head[vec_col].to_numpy()).astype(np.float64))
+    dim = x.shape[1]
+    tail = (1.0 - confidence) / 2.0
+    lo = float(np.quantile(x, tail))
+    hi = float(np.quantile(x, 1.0 - tail))
+    scale = (hi - lo) / 255.0 if hi > lo else 1.0
+    params_ref = ray.put((lo, scale))
+
+    def encode(b: pa.Table) -> pa.Table:
+        l, s = ray.get(params_ref)
+        mm = _normalize(_batch_matrix(b[vec_col]))
+        codes = np.clip(np.rint((mm - l) / s), 0, 255).astype(np.uint8)
+        return pa.table({
+            id_col: b[id_col],
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), type=pa.uint8()), dim),
+        })
+
+    tmp = os.path.join(out_dir, f".tmp-sq-{uuid.uuid4().hex[:8]}")
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(tmp)
+    codes_dir = os.path.join(out_dir, "sq_codes")
+    if os.path.isdir(codes_dir):
+        shutil.rmtree(codes_dir)
+    os.replace(tmp, codes_dir)
+    manifest = {
+        "kind": "sq",
+        "metric": "cosine",
+        "dim": dim,
+        "lo": lo,
+        "scale": scale,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "codes_dir": codes_dir,
+        "source": src_path,
+    }
+    tmpm = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex[:8]}.json")
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmpm, os.path.join(out_dir, SQ_MANIFEST))
+    return manifest
+
+
+def sq_search(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    refine: int = 0,
+) -> pa.Table:
+    """Approximate cosine top-k over the int8 codes:
+    ``<q, dequant(c)> = lo * sum(q) + scale * (codes @ q)`` — one matmul
+    over uint8 codes per batch. ``refine`` re-ranks exactly like the PQ
+    path (shared `_exact_refine`)."""
+    from lucene_ray.pipelines.ann import _normalize
+
+    with open(os.path.join(index_dir, SQ_MANIFEST)) as f:
+        man = json.load(f)
+    id_col = man["id_col"]
+    lo, scale = man["lo"], man["scale"]
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = qn.shape[0]
+    qsum = qn.sum(axis=1)  # per-query constant multiplier of lo
+    q_ref = ray.put((qn, qsum))
+
+    def scan(b: pa.Table) -> pa.Table:
+        q, qs = ray.get(q_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        codes = np.asarray(
+            b["code"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)).reshape(-1, man["dim"])
+        sims = lo * qs[None, :] + scale * (codes.astype(np.float64) @ q.T)
+        n = codes.shape[0]
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            s = sims[:, j]
+            kk = min(k + refine, n)
+            idx = (np.argpartition(-s, kk - 1)[:kk]
+                   if n > kk else np.arange(n))
+            out_q.append(np.full(idx.shape[0], j, dtype=np.int64))
+            out_id.append(ids[idx])
+            out_s.append(s[idx])
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_id),
+            "cosine": np.concatenate(out_s),
+        })
+
+    parts = pa.concat_tables(
+        ray.data.read_parquet(man["codes_dir"])
+        .map_batches(scan, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    if not refine:
+        return merge_topk_table(parts, k)
+    return _exact_refine(man, qn, k, merge_topk_table(parts, k + refine))
