@@ -152,6 +152,61 @@ def cmd_bench_queries(args) -> dict:
     }
 
 
+def cmd_vector_build(args) -> dict:
+    """Build any of the persisted vector index families over an
+    embeddings parquet (kind: hnsw | ivf | pq | ivfpq | sq)."""
+    from lucene_ray.index import vector as V
+
+    t0 = time.perf_counter()
+    if args.kind == "hnsw":
+        man = V.build_vector_index(args.input, args.out,
+                                   n_shards=args.shards, m=args.m)
+    elif args.kind == "ivf":
+        man = V.build_ivf_index(args.input, args.out,
+                                n_centroids=args.centroids)
+    elif args.kind == "pq":
+        man = V.build_pq_index(args.input, args.out, m=args.m,
+                               nbits=args.nbits)
+    elif args.kind == "ivfpq":
+        man = V.build_ivfpq_index(args.input, args.out,
+                                  n_centroids=args.centroids, m=args.m,
+                                  nbits=args.nbits)
+    else:
+        man = V.build_sq_index(args.input, args.out)
+    return {"job": "vector-build", "kind": args.kind,
+            "out": args.out, "secs": round(time.perf_counter() - t0, 3),
+            "manifest_keys": sorted(man)}
+
+
+def cmd_vector_search(args) -> dict:
+    """Query a persisted vector index; query vectors = the first N rows
+    of --queries (an embeddings-shaped parquet)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index import vector as V
+
+    Qm = np.stack(
+        pq.read_table(args.queries).slice(0, args.n_queries)["embedding"]
+        .to_pylist())
+    t0 = time.perf_counter()
+    if args.kind == "hnsw":
+        t = V.VectorSearcher(args.index, num_executors=args.executors
+                             ).search(Qm, k=args.k)
+    elif args.kind == "ivf":
+        t = V.ivf_search(args.index, Qm, k=args.k, nprobe=args.nprobe,
+                         verbose=False)
+    elif args.kind == "pq":
+        t = V.pq_search(args.index, Qm, k=args.k, refine=args.refine)
+    elif args.kind == "ivfpq":
+        t = V.ivfpq_search(args.index, Qm, k=args.k, nprobe=args.nprobe,
+                           refine=args.refine)
+    else:
+        t = V.sq_search(args.index, Qm, k=args.k, refine=args.refine)
+    return {"job": "vector-search", "kind": args.kind, "rows": t.num_rows,
+            "secs": round(time.perf_counter() - t0, 3)}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ray_job.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -193,6 +248,29 @@ def main(argv=None) -> int:
     bq.add_argument("--executors", type=int, default=4)
     bq.add_argument("--replicas", type=int, default=1)
     bq.set_defaults(fn=cmd_bench_queries)
+
+    vb = sub.add_parser("vector-build")
+    vb.add_argument("--input", required=True)
+    vb.add_argument("--out", required=True)
+    vb.add_argument("--kind", default="hnsw",
+                    choices=["hnsw", "ivf", "pq", "ivfpq", "sq"])
+    vb.add_argument("--shards", type=int, default=4)
+    vb.add_argument("--centroids", type=int, default=16)
+    vb.add_argument("--m", type=int, default=8)
+    vb.add_argument("--nbits", type=int, default=8)
+    vb.set_defaults(fn=cmd_vector_build)
+
+    vs = sub.add_parser("vector-search")
+    vs.add_argument("--index", required=True)
+    vs.add_argument("--queries", required=True)
+    vs.add_argument("--kind", default="hnsw",
+                    choices=["hnsw", "ivf", "pq", "ivfpq", "sq"])
+    vs.add_argument("--k", type=int, default=10)
+    vs.add_argument("--n-queries", type=int, default=8)
+    vs.add_argument("--nprobe", type=int, default=4)
+    vs.add_argument("--refine", type=int, default=0)
+    vs.add_argument("--executors", type=int, default=2)
+    vs.set_defaults(fn=cmd_vector_search)
 
     args = p.parse_args(argv)
     _init_ray()
