@@ -34,7 +34,13 @@ def _round4(x: np.ndarray) -> np.ndarray:
 def rank_topic(searcher, terms, k: int = 10, field=None) -> np.ndarray:
     """Ranked doc ids for one topic: SHOULD-disjunction over its terms
     (QualityBenchmark -> simple parser shape), top-k by (rounded score
-    desc, doc asc) — the same tie-break as the engine's TopDocs merge."""
+    desc, doc asc) — the same tie-break as the engine's TopDocs merge.
+
+    Scale note: this uses ``search_all`` (every match driver-side) so the
+    4-decimal rounding tie-break matches the SQL oracle bit-for-bit; a
+    production evaluation over a web-scale corpus should use
+    ``searcher.search(query, k)`` — the block-max top-k path — since
+    metric@k only needs the head of the ranking."""
     query = (
         Q.TermQuery(terms[0], field=field)
         if len(terms) == 1

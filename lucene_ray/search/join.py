@@ -104,6 +104,13 @@ def to_child_block_join(child_searcher, parent_docs, parent_scores,
     sorted parent hits — no per-child Python.
 
     Returns (child_doc_ids, scores) sorted by child id.
+
+    Scale note: the match-all child enumeration is driver-resident, fine
+    while |parents matched| x avg-children stays collector-sized (the
+    reference's ToChildBlockJoin also materializes every child hit into
+    the collector). At 10^9+ children, push the sorted parent set into
+    the per-segment eval (broadcast via ray.put + the member_mask kernel)
+    and keep only per-segment top-k, like the filtered-kNN path.
     """
     import numpy as np
 

@@ -111,3 +111,41 @@ def test_surround_parser():
     for bad in ("", "3w(a and b, c)", "(a", "3w a", "and"):
         with pytest.raises(SurroundParseError):
             parse_surround(bad)
+
+
+def test_simple_parser_never_raises_hypothesis():
+    """The reference parser's core contract is 'never throws on human
+    input' (SimpleQueryParser.java:33) — fuzz it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list('ab c+|-()"~*\\&xyz0123'))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def _fuzz(text):
+        q = p(text)
+        assert q is not None
+
+    _fuzz()
+
+
+def test_surround_parser_raises_cleanly_hypothesis():
+    """parse_surround either returns a Query or raises SurroundParseError
+    — never a different exception type (fuzz)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_ray.search.surround import SurroundParseError, parse_surround
+
+    alphabet = st.sampled_from(list("ab c,()wWnN35orandnot*"))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def _fuzz(text):
+        try:
+            parse_surround(text)
+        except SurroundParseError:
+            pass
+
+    _fuzz()
