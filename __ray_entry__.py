@@ -504,6 +504,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["complex_phrase_query"] = _complex_phrase
 
+    def _curation(sf):
+        """End-to-end curation composition — ONE streaming Dataset
+        pipeline chaining the training-data ops: crawl (with re-crawls)
+        -> latest-wins URL dedup -> quality filter (>= 20 tokens) ->
+        language routing (en/de) -> per-lang corpus stats. Every stage is
+        the library operator, not a bespoke re-implementation."""
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Sum
+
+        from lucene_ray.analysis.batch import tokenize_column
+        from lucene_ray.pipelines.dedup import dedup_exact
+
+        ds = dedup_exact(_pages_ds(sf), key="url")
+
+        def qfilter(b: pa.Table) -> pa.Table:
+            texts = b["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            _flat, di, _pos = tokenize_column(texts)
+            tc = np.zeros(b.num_rows, dtype=np.int64)
+            np.add.at(tc, di, 1)
+            b = b.append_column("token_count", pa.array(tc))
+            keep = pc.and_(
+                pa.array(tc >= 20),
+                pc.is_in(b["lang"], value_set=pa.array(["en", "de"])),
+            )
+            return b.filter(keep).select(["lang", "token_count"])
+
+        agg = (
+            ds.map_batches(qfilter, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(), Sum("token_count", alias_name="sum_tokens"))
+        )
+        t = pa.concat_tables(
+            agg.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        t = pa.table({
+            "lang": t["lang"],
+            "n_docs": t["count()"].cast(pa.int64()),
+            "sum_tokens": t["sum_tokens"].cast(pa.int64()),
+        })
+        return t.sort_by([("lang", "ascending")])
+
+    q["curation_pipeline"] = _curation
+
     def _url_canon(sf):
         """URL canonicalization (RFC 3986 syntax-based normalization +
         tracking-param strip): messy URLs synthesized deterministically
@@ -2822,6 +2866,23 @@ SELECT t.doc_id,
              (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
 FROM pf t CROSS JOIN dft d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
+    )
+
+    o["curation_pipeline"] = (
+        _pages_prelude()
+        + """
+, win AS (SELECT * FROM (
+    SELECT doc_id, text, lang,
+           row_number() OVER (PARTITION BY url
+                              ORDER BY warc_ts DESC, doc_id DESC) AS rn
+    FROM pages) WHERE rn = 1)
+, tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM win)
+, tc AS (SELECT w.doc_id, w.lang, count(*) AS n
+         FROM win w JOIN tok t ON w.doc_id = t.doc_id
+         GROUP BY w.doc_id, w.lang)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens
+FROM tc WHERE n >= 20 AND lang IN ('en', 'de')
+GROUP BY lang ORDER BY lang"""
     )
 
     o["url_canonicalize"] = (
