@@ -319,6 +319,17 @@ def _topk_table(sf_dir: str, query, k: int) -> pa.Table:
     )
 
 
+def _query_head(emb_path: str, n: int = 3):
+    """(query matrix, vec_ids) from the first ``n`` embedding rows —
+    reads ONE row group, never the whole table."""
+    import pyarrow.parquet as pq
+
+    batch = next(pq.ParquetFile(emb_path).iter_batches(batch_size=n))
+    head = pa.Table.from_batches([batch]).slice(0, n)
+    return (np.stack(head["embedding"].to_pylist()),
+            head["vec_id"].to_numpy())
+
+
 def _pages_ds(sf_dir: str):
     from lucene_ray.data.webpages import webpages_dataset
 
@@ -519,6 +530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = dedup_exact(_pages_ds(sf), key="url")
 
         def qfilter(b: pa.Table) -> pa.Table:
+            # cheap lang routing FIRST so only kept rows pay tokenization
+            b = b.filter(pc.is_in(b["lang"],
+                                  value_set=pa.array(["en", "de"])))
             texts = b["text"]
             if isinstance(texts, pa.ChunkedArray):
                 texts = texts.combine_chunks()
@@ -526,11 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tc = np.zeros(b.num_rows, dtype=np.int64)
             np.add.at(tc, di, 1)
             b = b.append_column("token_count", pa.array(tc))
-            keep = pc.and_(
-                pa.array(tc >= 20),
-                pc.is_in(b["lang"], value_set=pa.array(["en", "de"])),
-            )
-            return b.filter(keep).select(["lang", "token_count"])
+            return b.filter(pa.array(tc >= 20)).select(
+                ["lang", "token_count"])
 
         agg = (
             ds.map_batches(qfilter, batch_format="pyarrow")
@@ -2434,15 +2445,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         16x-compressed codes proposes candidates, one pruned exact pass
         re-ranks. Approximate by nature -> rows-only entry; recall
         thresholds are pytest-guaranteed (tests/test_vector_index.py)."""
-        import pyarrow.parquet as pq
-
         from lucene_ray.index.vector import pq_search
 
         emb_path = os.path.join(sf, "embeddings.parquet")
-        head = pq.read_table(emb_path).slice(0, 3)
-        Qm = np.stack(head["embedding"].to_pylist())
+        Qm, vec_ids = _query_head(emb_path, 3)
         t = pq_search(_pq_index_dir(sf), Qm, k=10, refine=40)
-        vec_ids = head["vec_id"].to_numpy()
         qid = np.asarray([vec_ids[j] for j in t["query_id"].to_numpy()])
         return pa.table({
             "query_id": pa.array(qid, type=pa.int64()),
@@ -2458,15 +2465,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """IVFADC (Jégou et al. TPAMI 2011 §IV): probe 4/8 buckets
         (filesystem-pruned), ADC-scan residual codes, exact-refine.
         Approximate -> rows-only; recall pytest-guaranteed."""
-        import pyarrow.parquet as pq
-
         from lucene_ray.index.vector import ivfpq_search
 
         emb_path = os.path.join(sf, "embeddings.parquet")
-        head = pq.read_table(emb_path).slice(0, 3)
-        Qm = np.stack(head["embedding"].to_pylist())
+        Qm, vec_ids = _query_head(emb_path, 3)
         t = ivfpq_search(_ivfpq_index_dir(sf), Qm, k=10, nprobe=4, refine=40)
-        vec_ids = head["vec_id"].to_numpy()
         qid = np.asarray([vec_ids[j] for j in t["query_id"].to_numpy()])
         return pa.table({
             "query_id": pa.array(qid, type=pa.int64()),
@@ -2482,15 +2485,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Scalar-quantized int8 scan (Lucene99ScalarQuantizedVectors
         Format.java:41 role) + exact refine. Approximate -> rows-only;
         recall pytest-guaranteed."""
-        import pyarrow.parquet as pq
-
         from lucene_ray.index.vector import sq_search
 
         emb_path = os.path.join(sf, "embeddings.parquet")
-        head = pq.read_table(emb_path).slice(0, 3)
-        Qm = np.stack(head["embedding"].to_pylist())
+        Qm, vec_ids = _query_head(emb_path, 3)
         t = sq_search(_sq_index_dir(sf), Qm, k=10, refine=20)
-        vec_ids = head["vec_id"].to_numpy()
         qid = np.asarray([vec_ids[j] for j in t["query_id"].to_numpy()])
         return pa.table({
             "query_id": pa.array(qid, type=pa.int64()),

@@ -1008,12 +1008,11 @@ def build_sq_index(
     lo = float(np.quantile(x, tail))
     hi = float(np.quantile(x, 1.0 - tail))
     scale = (hi - lo) / 255.0 if hi > lo else 1.0
-    params_ref = ray.put((lo, scale))
 
     def encode(b: pa.Table) -> pa.Table:
-        l, s = ray.get(params_ref)
+        # two floats: closure capture beats an object-store round trip
         mm = _normalize(_batch_matrix(b[vec_col]))
-        codes = np.clip(np.rint((mm - l) / s), 0, 255).astype(np.uint8)
+        codes = np.clip(np.rint((mm - lo) / scale), 0, 255).astype(np.uint8)
         return pa.table({
             id_col: b[id_col],
             "code": pa.FixedSizeListArray.from_arrays(

@@ -36,13 +36,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _init_ray():
     import ray
 
+    # workers must import lucene_ray no matter where the CLI was invoked
+    # from (the sys.path shim above only fixes the DRIVER import)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {"env_vars": {"PYTHONPATH": repo_root + os.pathsep
+                        + os.environ.get("PYTHONPATH", "")}}
     if not ray.is_initialized():
         try:
             ray.init(address="auto", ignore_reinit_error=True,
-                     logging_level="ERROR")
+                     logging_level="ERROR", runtime_env=env)
         except Exception:
             ray.init(address="local", ignore_reinit_error=True,
-                     include_dashboard=False, logging_level="ERROR")
+                     include_dashboard=False, logging_level="ERROR",
+                     runtime_env=env)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
