@@ -2501,6 +2501,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_sq_cosine"] = _knn_sq
 
+    def _quant_full_refine(sf, searcher_fn):
+        """Shared exactness anchor for the quantized families: with
+        ``refine >= corpus size`` every row becomes a candidate and the
+        exact re-rank IS brute force — oracle-checkable proof that the
+        quantized scan + refine machinery loses nothing (the
+        knn_ivf_full_probe pattern)."""
+        import pyarrow.parquet as pq
+
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        n = pq.ParquetFile(emb_path).metadata.num_rows
+        Qm, vec_ids = _query_head(emb_path, 3)
+        t = searcher_fn(sf, Qm, n)
+        qid = t["query_id"].to_numpy()
+        nid = t["neighbor_id"].to_numpy()
+        cos = _round4(t["cosine"].to_numpy())
+        out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+        for j in range(3):
+            sel = qid == j
+            order = np.lexsort((nid[sel], -cos[sel]))[:10]
+            out["query_id"].append(np.full(10, vec_ids[j], dtype=np.int64))
+            out["rank"].append(np.arange(1, 11, dtype=np.int64))
+            out["neighbor_id"].append(nid[sel][order])
+            out["cosine"].append(cos[sel][order])
+        return pa.table({k: np.concatenate(v) for k, v in out.items()})
+
+    def _pq_full(sf, Qm, n):
+        from lucene_ray.index.vector import pq_search
+
+        return pq_search(_pq_index_dir(sf), Qm, k=10, refine=n)
+
+    def _sq_full(sf, Qm, n):
+        from lucene_ray.index.vector import sq_search
+
+        return sq_search(_sq_index_dir(sf), Qm, k=10, refine=n)
+
+    def _ivfpq_full(sf, Qm, n):
+        from lucene_ray.index.vector import ivfpq_search
+
+        return ivfpq_search(_ivfpq_index_dir(sf), Qm, k=10, nprobe=8,
+                            refine=n)
+
+    q["knn_pq_full_refine"] = lambda sf: _quant_full_refine(sf, _pq_full)
+    q["knn_sq_full_refine"] = lambda sf: _quant_full_refine(sf, _sq_full)
+    q["knn_ivfpq_full_refine"] = lambda sf: _quant_full_refine(
+        sf, _ivfpq_full)
+
     def _ivf_indexed_full(sf):
         """Full-probe search over the PERSISTED bucket-partitioned IVF
         index: nprobe = n_centroids reads every bucket partition, so the
@@ -4030,6 +4076,11 @@ SELECT doc_id, query_id FROM (
     # equal brute-force cosine top-k (proves the partitioned layout +
     # pruned-read machinery loses nothing)
     o["knn_ivf_indexed_full_probe"] = o["knn_cosine_topk"]
+    # quantized families at refine >= corpus: candidates = everything, the
+    # exact re-rank IS brute force — the same anchor as full-probe IVF
+    o["knn_pq_full_refine"] = o["knn_cosine_topk"]
+    o["knn_sq_full_refine"] = o["knn_cosine_topk"]
+    o["knn_ivfpq_full_refine"] = o["knn_cosine_topk"]
     # filtered kNN: same brute top-k restricted to vec_id % 3 == 0
     o["knn_filtered_cosine"] = o["knn_cosine_topk"].replace(
         "FROM embeddings e CROSS JOIN q",
