@@ -240,12 +240,20 @@ class Searcher:
         docs, scores = self.search_all(query)
         hit = np.nonzero(docs == int(doc_id))[0]
         matched = hit.size > 0
+        formula = (
+            "BM25(k1=%.2f, b=%.2f): sum over terms of "
+            "idf * tf / (tf + k1*(1-b+b*dl/avgdl))" % (1.2, 0.75)
+            if self.mode in ("f32", "f64")
+            else f"similarity mode {self.mode!r} (see "
+                 "search/similarity.py for the formula); per-term df/freq/"
+                 "dl details below are the shared inputs"
+        )
         out = {
             "doc_id": int(doc_id),
             "matched": bool(matched),
             "score": float(scores[hit[0]]) if matched else 0.0,
-            "formula": "BM25(k1=%.2f, b=%.2f): sum over terms of "
-                       "idf * tf / (tf + k1*(1-b+b*dl/avgdl))" % (1.2, 0.75),
+            "mode": self.mode,
+            "formula": formula,
             "details": [],
         }
         terms: set[str] = set()
