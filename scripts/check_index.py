@@ -17,12 +17,21 @@ def main(argv: list[str]) -> int:
     if not argv:
         print(__doc__)
         return 2
-    from lucene_ray.index.check import CheckIndexError, check_index
+    from lucene_ray.index.check import (CheckIndexError, check_index,
+                                        check_vector_index)
+
+    def _is_vector(d: str) -> bool:
+        return any(
+            os.path.exists(os.path.join(d, n))
+            for n in ("vector_manifest.json", "pq_manifest.json",
+                      "ivfpq_manifest.json", "sq_manifest.json")
+        )
 
     rc = 0
     for d in argv:
         try:
-            rep = check_index(d, verbose=True)
+            rep = (check_vector_index(d) if _is_vector(d)
+                   else check_index(d, verbose=True))
             print(f"OK    {d}: {rep}")
         except CheckIndexError as e:
             rc = 1

@@ -117,3 +117,60 @@ def test_catches_norm_corruption(corruptible):
     pq.write_table(t, dpath)
     with pytest.raises(CheckIndexError, match="norm"):
         check_index(corruptible)
+
+
+def test_check_vector_index_clean_and_corrupt(ray_session, tmp_path_factory):
+    """check_vector_index (CheckIndex role for the vector families):
+    clean on fresh pq/sq/ivfpq/hnsw indexes; a corrupted bucket_id or
+    truncated codebook is caught."""
+    import glob
+    import json
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lucene_ray.index.check import CheckIndexError, check_vector_index
+    from lucene_ray.index.vector import (build_ivfpq_index, build_pq_index,
+                                         build_sq_index, build_vector_index)
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    base = tmp_path_factory.mktemp("vcheck")
+    pq_dir = str(base / "pq")
+    build_pq_index(emb, pq_dir, m=16, nbits=8)
+    sq_dir = str(base / "sq")
+    build_sq_index(emb, sq_dir)
+    ivfpq_dir = str(base / "ivfpq")
+    build_ivfpq_index(emb, ivfpq_dir, n_centroids=4, m=16)
+    h_dir = str(base / "hnsw")
+    build_vector_index(emb, h_dir, n_shards=2, m=8, ef_construction=32)
+    for d in (pq_dir, sq_dir, ivfpq_dir, h_dir):
+        rep = check_vector_index(d)
+        assert rep["n_vectors"] == 500, d
+
+    # corrupt an ivfpq bucket_id -> caught
+    bad = str(base / "ivfpq_bad")
+    shutil.copytree(ivfpq_dir, bad)
+    man = json.load(open(f"{bad}/ivfpq_manifest.json"))
+    man["buckets_dir"] = f"{bad}/pq_buckets"
+    json.dump(man, open(f"{bad}/ivfpq_manifest.json", "w"))
+    f = sorted(glob.glob(f"{bad}/pq_buckets/bucket=0/*.parquet"))[0]
+    t = pq.read_table(f)
+    wrong = pa.array(np.full(t.num_rows, 99, dtype=np.int64))
+    pq.write_table(t.set_column(t.schema.get_field_index("bucket_id"),
+                                "bucket_id", wrong), f)
+    with pytest.raises(CheckIndexError, match="bucket_id"):
+        check_vector_index(bad)
+
+    # truncate the pq codebooks -> caught
+    bad2 = str(base / "pq_bad")
+    shutil.copytree(pq_dir, bad2)
+    man2 = json.load(open(f"{bad2}/pq_manifest.json"))
+    man2["codes_dir"] = f"{bad2}/codes"
+    json.dump(man2, open(f"{bad2}/pq_manifest.json", "w"))
+    books = np.load(f"{bad2}/codebooks.npy")
+    np.save(f"{bad2}/codebooks.npy", books[:4])
+    with pytest.raises(CheckIndexError, match="codebooks"):
+        check_vector_index(bad2)
