@@ -179,6 +179,28 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _do_index_dir(sf_dir: str) -> str:
+    """KeywordRepeat + Porter with discountOverlaps=true (the reference's
+    DEFAULT norm behavior, Similarity.java:151): repeats share positions,
+    so field length = the ORIGINAL token count."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:do1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx,
+                    analyzer=Analyzer(stem=True, keyword_repeat=True,
+                                      discount_overlaps=True),
+                    num_segments=4)
+    return idx
+
+
 def _cf_index_dir(sf_dir: str) -> str:
     """PatternReplaceCharFilter index (pattern/PatternReplaceCharFilter
     .java:40): the rule table->tbl rewrites the raw text pre-tokenize."""
@@ -465,6 +487,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["keyword_repeat_query"] = _keyword_repeat
+
+    def _discount_overlaps(sf):
+        """discountOverlaps=true (Similarity.java:151, the reference
+        default): keyword-repeat originals share their stem's position,
+        so dl = the base token count — scores differ from
+        keyword_repeat_query exactly by the norm."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_do_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(Q.TermQuery("table"))
+        order = np.argsort(docs)
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(_round4(scores[order]), type=pa.float64()),
+        })
+
+    q["discount_overlaps_query"] = _discount_overlaps
 
     def _surround(sf):
         """Surround parser (queryparser/surround): `3w(spark, window) and
@@ -4229,6 +4268,39 @@ SELECT t.doc_id,
        ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
              (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
 FROM tf t CROSS JOIN df d CROSS JOIN kstats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+    # discountOverlaps: tf/df over the EXPANDED stream, dl/sttf over the
+    # base tokens (repeats share positions and are discounted)
+    o["discount_overlaps_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, stem) AS (VALUES {smap_values}),
+tok AS (
+  SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+  FROM tok0 t LEFT JOIN smap s ON t.term = s.sterm
+  UNION ALL
+  SELECT t.doc_id, t.term FROM tok0 t JOIN smap s ON t.term = s.sterm
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok0 GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+dstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = 'table' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN dstats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
     o["english_analyzer_query"] = (

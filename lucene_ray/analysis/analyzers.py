@@ -77,6 +77,14 @@ class Analyzer:
     # token offsets refer to the FILTERED text, not the original (the
     # reference maintains an offset-correction map; documented).
     char_filters: tuple = ()
+    # Similarity.computeNorm's discountOverlaps=true default
+    # (similarities/BM25Similarity.java:72, Similarity.java:151): when
+    # set, field length counts UNIQUE positions, so same-position injected
+    # tokens (synonyms, keyword repeat) don't inflate norms. Off by
+    # default here (this repo's earlier oracles count every token —
+    # documented deviation each way; configured on the analyzer because
+    # the norm is computed at invert time).
+    discount_overlaps: bool = False
 
     @property
     def synonym_map(self) -> dict:

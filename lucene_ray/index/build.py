@@ -341,6 +341,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "length_max": analyzer.length_max,
         "keyword_repeat": analyzer.keyword_repeat,
         "char_filters": [[p, r] for p, r in analyzer.char_filters],
+        "discount_overlaps": analyzer.discount_overlaps,
     }
 
 
@@ -360,6 +361,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         length_max=a.get("length_max"),
         keyword_repeat=a.get("keyword_repeat", False),
         char_filters=tuple((p, r) for p, r in a.get("char_filters", [])),
+        discount_overlaps=a.get("discount_overlaps", False),
     )
 
 

@@ -277,7 +277,17 @@ class SegmentBuilder:
             else:
                 flat_terms, doc_idx, positions = res
                 off_starts = off_ends = None
-        doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        if analyzer.discount_overlaps and len(flat_terms):
+            # numTerms - numOverlap (Similarity.computeNorm,
+            # discountOverlaps=true): same-position injected tokens count
+            # once -> field length = unique (doc, position) pairs
+            stride = np.int64(positions.max()) + 1
+            fused = doc_idx.astype(np.int64) * stride + positions
+            doc_len = np.bincount(
+                (np.unique(fused) // stride).astype(np.int64),
+                minlength=n_docs).astype(np.int64)
+        else:
+            doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
         norms = int_to_byte4_array(doc_len)
 
         dict_arr = pc.dictionary_encode(flat_terms)

@@ -472,3 +472,31 @@ def test_char_filter_slow_path_single_application():
     assert got[0] == [t for t, _p in an.tokens_with_positions("café c")]
     assert got[0] == ["ccafé", "cc"]
     assert got[1] == ["plain", "cc"]
+
+
+def test_discount_overlaps_norms(ray_session, tmp_path_factory):
+    """discountOverlaps=true (Similarity.java:151): field length counts
+    unique positions, so keyword-repeat/synonym injections don't inflate
+    norms; off by default the length counts every token."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+
+    t = pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["running tables fast"]),
+    })
+    idx1 = str(tmp_path_factory.mktemp("do") / "on")
+    m1 = build_index(ray.data.from_arrow(t), idx1,
+                     analyzer=Analyzer(stem=True, keyword_repeat=True,
+                                       discount_overlaps=True),
+                     num_segments=1)
+    idx2 = str(tmp_path_factory.mktemp("do") / "off")
+    m2 = build_index(ray.data.from_arrow(t), idx2,
+                     analyzer=Analyzer(stem=True, keyword_repeat=True),
+                     num_segments=1)
+    # 3 base tokens; 'running'->run and 'tables'->tabl inject 2 repeats
+    assert m1["sum_total_term_freq"] == 3
+    assert m2["sum_total_term_freq"] == 5
