@@ -179,6 +179,36 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _dvu_index_dir(sf_dir: str) -> str:
+    """Numeric doc-values update fixture (IndexWriter.updateNumericDocValue,
+    index/docvalues.py): feat_chars re-pointed to 1000 for doc_id%7==0 in
+    TWO generations (the second overwrites half of the first with 2000 —
+    later generations win)."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:dvu1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, num_segments=4,
+                    features={"chars": "n_chars"})
+    if not os.path.isdir(os.path.join(idx, "dv_updates")):
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.docvalues import update_doc_values
+
+        ids = pq.read_table(docs, columns=["doc_id"])["doc_id"].to_numpy()
+        g1 = ids[ids % 7 == 0]
+        update_doc_values(idx, "chars", g1, np.full(g1.shape[0], 1000.0))
+        g2 = ids[ids % 14 == 0]
+        update_doc_values(idx, "chars", g2, np.full(g2.shape[0], 2000.0))
+    return idx
+
+
 def _do_index_dir(sf_dir: str) -> str:
     """KeywordRepeat + Porter with discountOverlaps=true (the reference's
     DEFAULT norm behavior, Similarity.java:151): repeats share positions,
@@ -754,6 +784,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["doc_values_stats"] = _dv_stats
+
+    def _dv_update_stats(sf):
+        """Numeric doc-values UPDATES (IndexWriter.updateNumericDocValue,
+        IndexWriter.java:1892): same DocValuesStats over feat_chars after
+        two committed update generations (1000 for doc_id%7==0, then 2000
+        for doc_id%14==0 — later generation wins)."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_dvu_index_dir(sf), mode="f64")
+        st = s.doc_values_stats(Q.TermQuery("table"), "chars")
+        return pa.table({
+            "count": pa.array([st["count"]], type=pa.int64()),
+            "vmin": pa.array([st["vmin"]], type=pa.float64()),
+            "vmax": pa.array([st["vmax"]], type=pa.float64()),
+            "vsum": pa.array([st["vsum"]], type=pa.float64()),
+        })
+
+    q["doc_values_update_stats"] = _dv_update_stats
 
     def _phrase(sf):
         s = _searcher(sf)
@@ -3100,6 +3148,20 @@ SELECT '{_qid}' AS qid,
               FROM uni u JOIN documents d ON u.doc_id = d.doc_id
               WHERE u.m >= GREATEST(1, 1 + d.n_chars % 3)
               ORDER BY u.doc_id"""
+    )
+    o["doc_values_update_stats"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       CASE WHEN doc_id % 14 = 0 THEN 2000.0
+                            WHEN doc_id % 7 = 0 THEN 1000.0
+                            ELSE n_chars END AS val
+                      FROM documents)
+              SELECT count(*)::BIGINT AS count,
+                     min(v.val)::DOUBLE AS vmin,
+                     max(v.val)::DOUBLE AS vmax,
+                     sum(v.val)::DOUBLE AS vsum
+              FROM m JOIN v ON m.doc_id = v.doc_id"""
     )
     o["doc_values_stats"] = (
         _PRELUDE

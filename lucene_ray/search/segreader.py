@@ -93,6 +93,7 @@ class SegmentReader:
         "_norms",
         "_doc_ids",
         "_field_cols",
+        "_dv_updates",
         "meta",
     )
 
@@ -122,6 +123,7 @@ class SegmentReader:
         self._norms = None
         self._doc_ids = None
         self._field_cols = {}
+        self._dv_updates = None  # lazy numeric-DV update overlay
 
     def _docs_file(self) -> str:
         # term-sharded merged segments share one docs table (meta.docs_path)
@@ -204,8 +206,22 @@ class SegmentReader:
 
     def feature(self, name: str) -> np.ndarray:
         """Per-doc static feature values (FeatureQuery; float64), row-aligned
-        with ``doc_ids``."""
-        return self._doc_col(f"feat_{name}", np.float64)
+        with ``doc_ids`` — with any committed numeric doc-values UPDATES
+        overlaid (IndexWriter.updateNumericDocValue role,
+        index/docvalues.py; later generations win). The overlay directory
+        is discovered from the segment path, so every construction site
+        (Searcher, executors, monitors) sees updates for free."""
+        base = self._doc_col(f"feat_{name}", np.float64)
+        if self._dv_updates is None:
+            from lucene_ray.index.docvalues import find_dv_dir, load_dv_updates
+
+            d = find_dv_dir(self.path)
+            self._dv_updates = load_dv_updates(d) if d else {}
+        if not self._dv_updates:
+            return base
+        from lucene_ray.index.docvalues import apply_updates
+
+        return apply_updates(name, base, self.doc_ids, self._dv_updates)
 
     def doc_len_for(self, field: str | None) -> np.ndarray:
         """Per-doc exact token counts of a field (BM25F combined length)."""
@@ -277,6 +293,7 @@ class ShardGroupReader(SegmentReader):
         self._norms = None
         self._doc_ids = None
         self._field_cols = {}
+        self._dv_updates = None
         self._merged_blobs: dict[int, "PostingsReader"] = {}
 
     # postings route to the owning shard; straddled terms merge lazily

@@ -487,3 +487,39 @@ def test_sorted_range_binary_search(sf_dir, tmp_path):
     s2 = Searcher(idx)
     got = sorted_range_count(s2, 200, 400)
     assert got == (b - a) - len(dels & set(range(a, b)))
+
+
+def test_numeric_doc_values_updates(ray_session, tmp_path_factory):
+    """IndexWriter.updateNumericDocValue (IndexWriter.java:1892 role,
+    index/docvalues.py): committed update generations overlay feature
+    reads without re-indexing; later generations win; untouched docs keep
+    the base value; readers discover updates from the segment path."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.docvalues import update_doc_values
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b", "a c", "b c", "a d"]),
+        "w": pa.array([10.0, 20.0, 30.0, 40.0]),
+    })
+    idx = str(tmp_path_factory.mktemp("dvu") / "index")
+    build_index(ray.data.from_arrow(t), idx, num_segments=2,
+                features={"w": "w"})
+    s = Searcher(idx)
+    base = s.doc_values_stats(Q.MatchAllDocsQuery(), "w")
+    assert base["vsum"] == 100.0
+    update_doc_values(idx, "w", [1, 3], [200.0, 400.0])
+    update_doc_values(idx, "w", [3], [999.0])  # gen 2 wins over gen 1
+    s2 = Searcher(idx)  # fresh readers see the committed overlay
+    st = s2.doc_values_stats(Q.MatchAllDocsQuery(), "w")
+    assert st["vsum"] == 10.0 + 200.0 + 30.0 + 999.0
+    assert st["vmax"] == 999.0
+    # FeatureQuery scores read the updated value too
+    d, sc = s2.search_all(Q.FeatureQuery("w", function="linear"))
+    got = dict(zip(d.tolist(), sc.tolist()))
+    assert got[3] == 999.0 and got[0] == 10.0
