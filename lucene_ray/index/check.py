@@ -308,10 +308,34 @@ def check_index(index_dir: str, verbose: bool = False,
                 problems.append(f"global_terms stats wrong for {term!r}")
                 break
 
+    # numeric DV update generations (index/docvalues.py): readable, schema
+    # (doc_id, value), ids within the index's doc id space
+    dv_dir = os.path.join(index_dir, "dv_updates")
+    if os.path.isdir(dv_dir):
+        import glob as _glob
+
+        from lucene_ray.index.docvalues import load_dv_updates
+
+        try:
+            merged = load_dv_updates(dv_dir)
+        except Exception as e:  # noqa: BLE001 — a corrupt overlay is a finding
+            problems.append(f"dv_updates unreadable: {e}")
+            merged = {}
+        max_id = max((int(s["doc_base"]) + int(s["doc_count"])
+                      for s in m["segments"]), default=0)
+        for name, (ids, _vals) in merged.items():
+            if ids.shape[0] and (ids.max() >= max_id or ids.min() < 0):
+                problems.append(
+                    f"dv_updates[{name}]: doc ids outside [0, {max_id})")
+        n_dv_files = len(_glob.glob(os.path.join(dv_dir, "feat_*.parquet")))
+    else:
+        n_dv_files = 0
+
     if problems:
         raise CheckIndexError(problems)
     return {
         "segments": len(reports),
+        "dv_update_files": n_dv_files,
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "n_terms": int(g_terms.shape[0]),

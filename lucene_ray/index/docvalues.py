@@ -10,6 +10,19 @@ generation-numbered parquet overlays at the INDEX level
 Commit protocol matches everything else: tmp + rename, one file per
 update batch, readers discover the directory from their segment path
 (so executor-built readers see updates with zero extra plumbing).
+
+Deviations from the reference, documented:
+
+* DV updates are index-global (by global doc id), not per-segment files;
+  behavior is identical because doc ids are globally unique here.
+* Point-in-time readers (``Searcher(commit=gen)``) see the LATEST DV
+  updates, not the generation set at commit time — the reference pins DV
+  generations inside ``segments_N``. Acceptable for the
+  recency/feature-signal use case these updates serve; pin by copying
+  ``dv_updates/`` alongside a snapshot if point-in-time values matter.
+* Serving actors cache readers, so updates committed after an actor
+  started appear on the next reader open — the same NRT visibility
+  contract as new segments.
 """
 
 from __future__ import annotations

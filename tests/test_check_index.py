@@ -174,3 +174,31 @@ def test_check_vector_index_clean_and_corrupt(ray_session, tmp_path_factory):
     np.save(f"{bad2}/codebooks.npy", books[:4])
     with pytest.raises(CheckIndexError, match="codebooks"):
         check_vector_index(bad2)
+
+
+def test_check_index_validates_dv_updates(ray_session, tmp_path_factory):
+    """check_index covers numeric DV update overlays: clean when ids are
+    in range, caught when an update points outside the doc space."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.check import CheckIndexError, check_index
+    from lucene_ray.index.docvalues import update_doc_values
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b", "b c", "c d"]),
+        "w": pa.array([1.0, 2.0, 3.0]),
+    })
+    idx = str(tmp_path_factory.mktemp("dvchk") / "index")
+    build_index(ray.data.from_arrow(t), idx, num_segments=1,
+                features={"w": "w"})
+    update_doc_values(idx, "w", [1], [9.0])
+    rep = check_index(idx)
+    assert rep["dv_update_files"] == 1
+    update_doc_values(idx, "w", [999], [1.0])  # outside the doc space
+    with pytest.raises(CheckIndexError, match="dv_updates"):
+        check_index(idx)
