@@ -300,7 +300,30 @@ def _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps
         "query_qps": round(qps, 1),
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "host_probe_sorts_per_sec": _host_probe(),
     }
+
+
+def _host_probe() -> float:
+    """1-second single-process numpy probe (np.unique over 3M uint32 —
+    none of this repo's code; lighter than scripts/membw_probe.py, so its
+    scale is its own: ~26 sorts/s in this box's fast window). Embedded in
+    every result so a contended-host run is visible IN the JSON — this
+    box showed neighbor-contention windows where single-process numpy
+    dropped 35%+ and every stage read 3-8x slow (see BASELINE.md);
+    compare this field across BENCH_r*.json before comparing stages."""
+    import time as _t
+
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    x = rng.integers(0, 1 << 31, size=3_000_000, dtype=_np.uint32)
+    n = 0
+    t0 = _t.perf_counter()
+    while _t.perf_counter() - t0 < 1.0:
+        _np.unique(x)
+        n += 1
+    return round(n / (_t.perf_counter() - t0), 2)
 
 
 def run_scaling() -> dict:
