@@ -584,6 +584,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["complex_phrase_query"] = _complex_phrase
 
+    def _source_files(sf):
+        """Deterministic line-doc + TREC fixture files derived from the
+        documents table (cached per corpus)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from lucene_ray.data.sources import write_line_docs, write_trec
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:src1".encode()).hexdigest()[:12]
+        d = os.path.join(_CACHE_ROOT, tag)
+        os.makedirs(d, exist_ok=True)
+        line_path = os.path.join(d, "docs.tsv")
+        trec_path = os.path.join(d, "docs.trec")
+        if not (os.path.exists(line_path) and os.path.exists(trec_path)):
+            t = pq.read_table(docs, columns=["doc_id", "text"])
+            title = pc.binary_join(
+                pc.list_slice(pc.split_pattern(t["text"], " "), 0, 2), " ")
+            write_line_docs(t.append_column("title", title), line_path,
+                            title_col="title")
+            write_trec(t, trec_path)
+        return line_path, trec_path
+
+    def _linedoc(sf):
+        """LineDocSource (benchmark/byTask/feeds/LineDocSource.java:47):
+        one-doc-per-line TSV round-trip — doc ids are line numbers, which
+        equal the source doc_ids because the writer preserves order."""
+        from lucene_ray.data.sources import read_line_docs
+
+        line_path, _ = _source_files(sf)
+        ds = read_line_docs(line_path)
+
+        def stats(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.list_value_length(pc.split_pattern(b["text"], " "))
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "title": b["title"],
+                "n_tokens": n.cast(pa.int64()),
+            })
+
+        t = pa.concat_tables(
+            ds.map_batches(stats, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        return t.sort_by([("doc_id", "ascending")])
+
+    q["linedoc_source_stats"] = _linedoc
+
+    def _trec(sf):
+        """TrecContentSource (feeds/TrecContentSource.java:63): SGML <DOC>
+        block round-trip with DOCNO = doc_id."""
+        from lucene_ray.data.sources import read_trec
+
+        _, trec_path = _source_files(sf)
+        ds = read_trec(trec_path)
+
+        def stats(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.list_value_length(pc.split_pattern(b["text"], " "))
+            return pa.table({"doc_id": b["doc_id"],
+                             "n_tokens": n.cast(pa.int64())})
+
+        t = pa.concat_tables(
+            ds.map_batches(stats, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        return t.sort_by([("doc_id", "ascending")])
+
+    q["trec_source_stats"] = _trec
+
     def _curation(sf):
         """End-to-end curation composition — ONE streaming Dataset
         pipeline chaining the training-data ops: crawl (with re-crawls)
@@ -2998,6 +3070,17 @@ SELECT t.doc_id,
              (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
 FROM pf t CROSS JOIN dft d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
+    )
+
+    o["linedoc_source_stats"] = (
+        """SELECT doc_id,
+                  array_to_string(string_split(text, ' ')[1:2], ' ') AS title,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents ORDER BY doc_id"""
+    )
+    o["trec_source_stats"] = (
+        """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents ORDER BY doc_id"""
     )
 
     o["curation_pipeline"] = (

@@ -433,3 +433,54 @@ def test_quality_metrics_golden():
     # degenerate: no relevant docs -> all zeros, no division error
     z = topic_metrics(np.array([1, 2]), set(), k=5)
     assert (z["ap"], z["ndcg"], z["recall"]) == (0.0, 0.0, 0.0)
+
+
+def test_content_sources_roundtrip(ray_session, tmp_path_factory):
+    """LineDocSource / TREC / JSONL feeds (benchmark/byTask/feeds/
+    LineDocSource.java:47, TrecContentSource.java:63): write+read
+    round-trips preserve ids, order, and tab-containing bodies; an index
+    built from a line-doc feed answers queries."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.data.sources import (read_jsonl_docs, read_line_docs,
+                                         read_trec, write_line_docs,
+                                         write_trec)
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    d = tmp_path_factory.mktemp("sources")
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta", "tab\there gamma", "alpha solo"]),
+        "title": pa.array(["t0", "t1", "t2"]),
+    })
+    lp = write_line_docs(t, str(d / "l.tsv"), title_col="title")
+    back = read_line_docs(lp).take_all()
+    assert [r["doc_id"] for r in back] == [0, 1, 2]
+    assert back[1]["text"] == "tab\there gamma"  # body tabs survive
+    assert [r["title"] for r in back] == ["t0", "t1", "t2"]
+
+    tp = write_trec(t, str(d / "t.trec"))
+    tb = sorted(read_trec(tp).take_all(), key=lambda r: r["doc_id"])
+    assert [r["text"] for r in tb] == t["text"].to_pylist()
+
+    jp = str(d / "j.jsonl")
+    with open(jp, "w") as f:
+        for r in t.to_pylist():
+            f.write(json.dumps(r) + "\n")
+    jb = sorted(read_jsonl_docs(jp).take_all(), key=lambda r: r["doc_id"])
+    assert [r["text"] for r in jb] == t["text"].to_pylist()
+
+    # a feed is a first-class build source
+    idx = str(d / "idx")
+    build_index(read_line_docs(lp).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"),
+        idx, num_segments=1)
+    s = Searcher(idx)
+    docs, _ = s.search_all(Q.TermQuery("alpha"))
+    assert set(docs.tolist()) == {0, 2}
