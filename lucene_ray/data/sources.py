@@ -150,3 +150,59 @@ def read_jsonl_docs(path: str, id_col: str = "doc_id",
         return pa.table(cols)
 
     return ds.map_batches(conform, batch_format="pyarrow")
+
+
+def write_enwiki(table: pa.Table, path: str, id_col: str = "doc_id",
+                 title_col: "str | None" = None,
+                 text_col: str = "text") -> str:
+    """Write the minimal Wikipedia-dump page shape EnwikiContentSource
+    consumes: <page><id>..</id><title>..</title><revision><text>..</text>
+    </revision></page> inside a <mediawiki> root."""
+    ids = table[id_col].to_pylist()
+    titles = (table[title_col].to_pylist() if title_col
+              else [f"page {i}" for i in ids])
+    bodies = table[text_col].to_pylist()
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("<mediawiki>\n")
+        for i, t, b in zip(ids, titles, bodies):
+            f.write(f"<page>\n<id>{i}</id>\n<title>{t or ''}</title>\n"
+                    f"<revision><text>{(b or '')}</text></revision>\n"
+                    f"</page>\n")
+        f.write("</mediawiki>\n")
+    os.replace(tmp, path)
+    return path
+
+
+def read_enwiki(path: str) -> "ray.data.Dataset":
+    """EnwikiContentSource reader (benchmark/byTask/feeds/
+    EnwikiContentSource.java:47): parse <page> blocks of a Wikipedia-dump
+    XML into (doc_id, title, text). Same file-per-task shape as
+    :func:`read_trec`; entity-unescaping is left to the HTML pipeline
+    (the reference also feeds raw wiki markup through its parser)."""
+    import re
+
+    paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
+             if os.path.isdir(path) else [path])
+
+    def parse_file(b: pa.Table) -> pa.Table:
+        out_id, out_title, out_txt = [], [], []
+        page_re = re.compile(
+            r"<page>\s*<id>\s*(\d+)\s*</id>\s*<title>(.*?)</title>\s*"
+            r"<revision>\s*<text>(.*?)</text>\s*</revision>\s*</page>",
+            re.DOTALL)
+        for p in b["path"].to_pylist():
+            with open(p, encoding="utf-8") as f:
+                content = f.read()
+            for m in page_re.finditer(content):
+                out_id.append(int(m.group(1)))
+                out_title.append(m.group(2))
+                out_txt.append(m.group(3))
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "title": pa.array(out_title, type=pa.string()),
+            "text": pa.array(out_txt, type=pa.string()),
+        })
+
+    files = ray.data.from_items([{"path": p} for p in paths])
+    return files.map_batches(parse_file, batch_format="pyarrow")

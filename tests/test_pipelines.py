@@ -484,3 +484,23 @@ def test_content_sources_roundtrip(ray_session, tmp_path_factory):
     s = Searcher(idx)
     docs, _ = s.search_all(Q.TermQuery("alpha"))
     assert set(docs.tolist()) == {0, 2}
+
+
+def test_enwiki_source_roundtrip(ray_session, tmp_path_factory):
+    """EnwikiContentSource (feeds/EnwikiContentSource.java:47): wiki-dump
+    page blocks round-trip ids, titles, and bodies."""
+    import pyarrow as pa
+
+    from lucene_ray.data.sources import read_enwiki, write_enwiki
+
+    t = pa.table({
+        "doc_id": pa.array([7, 8], type=pa.int64()),
+        "text": pa.array(["wiki body one", "second page\nwith newline"]),
+        "title": pa.array(["Page A", "Page B"]),
+    })
+    p = str(tmp_path_factory.mktemp("wiki") / "dump.xml")
+    write_enwiki(t, p, title_col="title")
+    back = sorted(read_enwiki(p).take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in back] == [7, 8]
+    assert [r["title"] for r in back] == ["Page A", "Page B"]
+    assert back[1]["text"] == "second page\nwith newline"
