@@ -757,6 +757,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["shared_window_pairs"] = _shared_windows
 
+    def _dedup_clusters(sf):
+        """Near-dup CLUSTERING (Kiveris et al. SoCC 2014 label
+        propagation): connected components over the shared-window pair
+        edges; cluster id = component min doc id (the survivor rule)."""
+        import ray.data
+
+        from lucene_ray.pipelines.dedup import (dedup_clusters,
+                                                shared_window_pairs)
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
+        pairs = shared_window_pairs(ds, k=6)
+        labels = dedup_clusters(pairs)
+        t = pa.concat_tables(
+            labels.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        t = pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                      "cluster": t["cluster"].cast(pa.int64())})
+        return t.sort_by([("doc_id", "ascending")])
+
+    q["dedup_clusters"] = _dedup_clusters
+
     def _word_delim(sf):
         """WordDelimiterGraphFilter (miscellaneous/
         WordDelimiterGraphFilter.java:88): the `wdtext = t1-t2 t39t4`
@@ -3147,6 +3168,27 @@ g AS (SELECT g0.* FROM g0 JOIN ok USING (gram))
 SELECT g1.doc_id AS a, g2.doc_id AS b, count(*)::BIGINT AS n_windows
 FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
 GROUP BY 1, 2 ORDER BY a, b"""
+    )
+
+    o["dedup_clusters"] = (
+        """
+WITH RECURSIVE
+ts AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g0 AS (SELECT DISTINCT doc_id, array_to_string(l[x+1:x+6], ' ') AS gram
+       FROM ts, unnest(range(len(l) - 5)) AS t(x)),
+ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) BETWEEN 2 AND 64),
+g AS (SELECT g0.* FROM g0 JOIN ok USING (gram)),
+e0 AS (SELECT DISTINCT g1.doc_id AS a, g2.doc_id AS b
+       FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id),
+edges AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0),
+cc(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+)
+SELECT node AS doc_id, min(label)::BIGINT AS cluster
+FROM cc GROUP BY node ORDER BY doc_id"""
     )
 
     o["word_delimiter_query"] = (

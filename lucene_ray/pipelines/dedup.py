@@ -594,3 +594,75 @@ def decontaminate(corpus, benchmark_texts, shingle_n: int = 3,
         })
 
     return corpus.map_batches(scan, batch_format="pyarrow")
+
+
+def dedup_clusters(pairs, max_iters: int = 50):
+    """Connected components over near-dup pairs — the clustering step a
+    production dedup pipeline runs after candidate generation (MinHash
+    banding / shared-window pairs emit EDGES; keeping one doc per
+    CLUSTER needs the transitive closure — the alternating label
+    propagation of Kiveris et al., "Connected components in MapReduce
+    and beyond", SoCC 2014, simplified to min-label propagation).
+
+    ``pairs``: Dataset of (a, b) doc-id edges. Returns a Dataset of
+    (doc_id, cluster) where cluster = the component's minimum doc id
+    (its canonical representative — "keep cluster min" is the usual
+    survivor rule).
+
+    Distributed shape: labels live as a (doc_id, cluster) Dataset; each
+    iteration propagates the min label across edges with ONE groupby-min
+    over (edge-neighbor ∪ self) candidate labels, so an iteration is one
+    shuffle and the loop runs O(component diameter) times (near-dup
+    components are shallow in practice; ``max_iters`` bounds pathology).
+    Convergence = a tiny aggregate (sum of labels) reaching a fixpoint —
+    no driver-side materialization of the label table.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        return pa.table({
+            "src": np.concatenate([a, bb]).astype(np.int64),
+            "dst": np.concatenate([bb, a]).astype(np.int64),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    # initial labels: every endpoint labels itself
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table({"doc_id": b["src"], "cluster": b["src"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(Min("cluster", alias_name="cluster"))
+        .materialize()
+    )
+
+    def checksum(lb) -> int:
+        t = lb.aggregate(Sum("cluster", alias_name="s"))
+        return int(t["s"])
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        # neighbor labels flow along edges: join labels onto edge sources,
+        # retarget to the destination, keep own label via union, min-reduce
+        neigh = edges.join(labels.map_batches(
+            lambda b: pa.table({"src": b["doc_id"], "lab": b["cluster"]}),
+            batch_format="pyarrow",
+        ), join_type="inner", num_partitions=_default_partitions(),
+            on=("src",))
+        cand = neigh.map_batches(
+            lambda b: pa.table({"doc_id": b["dst"], "cluster": b["lab"]}),
+            batch_format="pyarrow",
+        ).union(labels)
+        labels = (
+            cand.groupby("doc_id")
+            .aggregate(Min("cluster", alias_name="cluster"))
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels

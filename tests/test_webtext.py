@@ -188,3 +188,23 @@ def test_canonicalize_urls(ray_session):
         "garbage",
         "http://h/",
     ]
+
+
+def test_dedup_clusters_label_propagation(ray_session):
+    """Connected components over pair edges (Kiveris et al. SoCC 2014
+    min-label propagation): a 3-doc chain collapses to one cluster, an
+    isolated pair keeps its own, convergence needs > 1 iteration for the
+    chain (transitivity, not just direct edges)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import dedup_clusters
+
+    # chain 5-3-9 (component min 3) + pair (10, 2) -> min 2
+    pairs = pa.table({
+        "a": pa.array([5, 3, 10], type=pa.int64()),
+        "b": pa.array([3, 9, 2], type=pa.int64()),
+    })
+    out = dedup_clusters(ray.data.from_arrow(pairs))
+    got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
+    assert got == {3: 3, 5: 3, 9: 3, 2: 2, 10: 2}
