@@ -616,49 +616,92 @@ def dedup_clusters(pairs, max_iters: int = 50):
     components are shallow in practice; ``max_iters`` bounds pathology).
     Convergence = a tiny aggregate (sum of labels) reaching a fixpoint —
     no driver-side materialization of the label table.
+
+    Robustness notes (the round-3 failure modes): ``edges`` is
+    materialized ONCE before the loop — otherwise the whole upstream
+    pair-generation pipeline (shingle → window-hash → sort → pair scan)
+    re-executes every iteration. And Ray's hash aggregate can emit
+    zero-row blocks with an EMPTY schema; acero's hash join cannot
+    resolve the key column in those, so every stage that feeds a join or
+    groupby normalizes empty blocks to schema-full tables.
     """
     from ray.data.aggregate import Min, Sum
+
+    label_schema = pa.schema([("doc_id", pa.int64()),
+                              ("cluster", pa.int64())])
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    src_lab_schema = pa.schema([("src", pa.int64()), ("lab", pa.int64())])
+
+    def _guarded(fn, schema):
+        """Wrap a batch fn so schema-less empty blocks (which Ray's hash
+        aggregate emits for empty partitions) map to schema-full empty
+        tables instead of KeyErrors / unresolvable join keys."""
+        def inner(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return schema.empty_table()
+            return fn(b)
+        return inner
 
     def both_dirs(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy()
         bb = b["b"].to_numpy()
         return pa.table({
-            "src": np.concatenate([a, bb]).astype(np.int64),
-            "dst": np.concatenate([bb, a]).astype(np.int64),
+            "src": pa.array(np.concatenate([a, bb]).astype(np.int64)),
+            "dst": pa.array(np.concatenate([bb, a]).astype(np.int64)),
         })
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    # ONE execution of the candidate-pair pipeline; the loop below
+    # re-reads the materialized blocks only.
+    edges = pairs.map_batches(
+        _guarded(both_dirs, edge_schema), batch_format="pyarrow",
+    ).materialize()
+
+    def norm_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                         "cluster": b["cluster"].cast(pa.int64())})
+
     # initial labels: every endpoint labels itself
     labels = (
         edges.map_batches(
-            lambda b: pa.table({"doc_id": b["src"], "cluster": b["src"]}),
+            _guarded(lambda b: pa.table({"doc_id": b["src"],
+                                         "cluster": b["src"]}),
+                     label_schema),
             batch_format="pyarrow",
         )
         .groupby("doc_id")
         .aggregate(Min("cluster", alias_name="cluster"))
+        .map_batches(_guarded(norm_labels, label_schema),
+                     batch_format="pyarrow")
         .materialize()
     )
 
     def checksum(lb) -> int:
         t = lb.aggregate(Sum("cluster", alias_name="s"))
-        return int(t["s"])
+        v = t["s"]
+        return int(v) if v is not None else 0
 
     prev = checksum(labels)
     for _ in range(max_iters):
         # neighbor labels flow along edges: join labels onto edge sources,
         # retarget to the destination, keep own label via union, min-reduce
         neigh = edges.join(labels.map_batches(
-            lambda b: pa.table({"src": b["doc_id"], "lab": b["cluster"]}),
+            _guarded(lambda b: pa.table({"src": b["doc_id"],
+                                         "lab": b["cluster"]}),
+                     src_lab_schema),
             batch_format="pyarrow",
         ), join_type="inner", num_partitions=_default_partitions(),
             on=("src",))
         cand = neigh.map_batches(
-            lambda b: pa.table({"doc_id": b["dst"], "cluster": b["lab"]}),
+            _guarded(lambda b: pa.table({"doc_id": b["dst"],
+                                         "cluster": b["lab"]}),
+                     label_schema),
             batch_format="pyarrow",
         ).union(labels)
         labels = (
             cand.groupby("doc_id")
             .aggregate(Min("cluster", alias_name="cluster"))
+            .map_batches(_guarded(norm_labels, label_schema),
+                         batch_format="pyarrow")
             .materialize()
         )
         cur = checksum(labels)

@@ -208,3 +208,30 @@ def test_dedup_clusters_label_propagation(ray_session):
     out = dedup_clusters(ray.data.from_arrow(pairs))
     got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
     assert got == {3: 3, 5: 3, 9: 3, 2: 2, 10: 2}
+
+
+def test_dedup_clusters_many_partitions_deep_chain(ray_session):
+    """The round-3 failure mode: at >= 32 join partitions most aggregator
+    partitions receive only zero-row (and possibly schema-less) blocks,
+    which used to break acero's join-key resolution. A 64-node chain
+    needs many propagation iterations (min label crosses one hop per
+    iteration), exercising the materialized-edges loop repeatedly."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import dedup_clusters
+
+    # a chain 0-1-2-...-11 (component min 0; the min label crosses one
+    # hop per iteration, so convergence takes ~11 shuffles) + a far pair
+    n = 12
+    a = list(range(n - 1)) + [1000]
+    b = list(range(1, n)) + [1001]
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, type=pa.int64()),
+        "b": pa.array(b, type=pa.int64()),
+    })).repartition(48)
+    out = dedup_clusters(pairs)
+    got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
+    expect = {i: 0 for i in range(n)}
+    expect.update({1000: 1000, 1001: 1000})
+    assert got == expect
