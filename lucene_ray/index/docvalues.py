@@ -47,13 +47,32 @@ def update_doc_values(index_dir: str, name: str, doc_ids, values) -> str:
         raise ValueError("doc_ids and values must align")
     d = os.path.join(index_dir, DV_DIR)
     os.makedirs(d, exist_ok=True)
-    gen = len(glob.glob(os.path.join(d, f"feat_{name}_gen*.parquet")))
-    final = os.path.join(d, f"feat_{name}_gen{gen:03d}.parquet")
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.parquet")
     pq.write_table(
         pa.table({"doc_id": pa.array(ids), "value": pa.array(vals)}), tmp)
+    # Allocate the generation with O_EXCL so two concurrent updaters can
+    # never claim the same number (count-of-files numbering raced, and
+    # %03d names sorted wrong past gen 999 — ordering is now by parsed
+    # integer, see _gen_of).
+    gen = max((_gen_of(f) for f in
+               glob.glob(os.path.join(d, f"feat_{name}_gen*.parquet"))),
+              default=-1) + 1
+    while True:
+        final = os.path.join(d, f"feat_{name}_gen{gen:03d}.parquet")
+        try:
+            os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            gen += 1
     os.replace(tmp, final)
     return final
+
+
+def _gen_of(path: str) -> int:
+    """Parse the integer generation out of feat_<name>_gen<NNN>.parquet —
+    lexicographic filename order inverts at gen >= 1000."""
+    base = os.path.basename(path)
+    return int(base[base.rindex("_gen") + 4:-len(".parquet")])
 
 
 def load_dv_updates(dv_dir: str) -> dict:
@@ -63,13 +82,14 @@ def load_dv_updates(dv_dir: str) -> dict:
     if not os.path.isdir(dv_dir):
         return out
     by_name: dict = {}
-    for f in sorted(glob.glob(os.path.join(dv_dir, "feat_*_gen*.parquet"))):
+    for f in glob.glob(os.path.join(dv_dir, "feat_*_gen*.parquet")):
         base = os.path.basename(f)
         name = base[len("feat_"):base.rindex("_gen")]
         by_name.setdefault(name, []).append(f)
     for name, files in by_name.items():
+        files.sort(key=_gen_of)  # integer order, not lexicographic
         ids_parts, val_parts, gen_parts = [], [], []
-        for g, f in enumerate(files):  # sorted() == generation order
+        for g, f in enumerate(files):  # files sorted by parsed gen above
             t = pq.read_table(f)
             ids_parts.append(t["doc_id"].to_numpy())
             val_parts.append(t["value"].to_numpy())

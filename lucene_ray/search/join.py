@@ -145,7 +145,9 @@ def to_parent_block_join(child_docs, child_scores, child_id_base: int,
     up, inv = np.unique(parents, return_inverse=True)
     s = np.asarray(child_scores, dtype=np.float64)
     if score_mode == "none":
-        return up, np.ones(up.shape[0], dtype=np.float64)
+        # ScoreMode.None produces score 0 for every parent in the
+        # reference (ScoreMode.java:25) — not a constant 1.
+        return up, np.zeros(up.shape[0], dtype=np.float64)
     if score_mode == "max":
         out = np.full(up.shape[0], -np.inf)
         np.maximum.at(out, inv, s)

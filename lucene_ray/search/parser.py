@@ -152,6 +152,24 @@ def _parse_tokens(
     )
 
 
+def _normalize_pattern(analyzer, w: str) -> str:
+    """Normalize (lowercase/fold) only the literal fragments of a
+    wildcard pattern, leaving ``*``/``?`` in place — so "Ta*LE" becomes
+    "ta*le" rather than a literal term containing '*'."""
+    out, frag = [], []
+    for ch in w:
+        if ch in "*?":
+            if frag:
+                out.append(analyzer.normalize("".join(frag)))
+                frag = []
+            out.append(ch)
+        else:
+            frag.append(ch)
+    if frag:
+        out.append(analyzer.normalize("".join(frag)))
+    return "".join(out)
+
+
 def _parse_atom(
     raw: str, analyzer: Analyzer, fields: set[str],
     field_analyzers: "dict[str, Analyzer] | None" = None,
@@ -181,13 +199,17 @@ def _parse_atom(
         slop = int(mm.group(2) or 0)
         if mm.group(3):
             boost = float(mm.group(3))
-        if "*" in body:
+        if "*" in body or "?" in body:
             # ComplexPhraseQueryParser role (complexPhrase/
             # ComplexPhraseQueryParser.java:66): a quoted phrase with
-            # wildcard slots -> segment-expanded PhraseWildcardQuery
+            # wildcard slots -> segment-expanded PhraseWildcardQuery.
+            # Mid-word patterns ("s*k", "te?t") keep their wildcards and
+            # normalize only the literal fragments — they used to be
+            # normalized into literal '*'-containing terms that silently
+            # matched nothing.
             slots = tuple(
-                analyzer.normalize(w[:-1]) + "*"
-                if w.endswith("*") and len(w) > 1
+                _normalize_pattern(analyzer, w)
+                if ("*" in w or "?" in w) and w != "*"
                 else analyzer.normalize(w)
                 for w in body.split() if w
             )

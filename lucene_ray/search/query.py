@@ -289,31 +289,40 @@ class MultiPhraseQuery(Query):
 
 
 def is_wildcard_slot(key: str) -> bool:
-    """A phrase slot is a prefix pattern iff its TERM part (field marker
-    stripped) ends with '*' and is longer than the bare '*' — a literal
-    '*' term stays a concrete (unmatchable) term, fielded or not."""
+    """A phrase slot is a wildcard pattern iff its TERM part (field
+    marker stripped) contains ``*`` or ``?`` — trailing ``*`` (prefix),
+    mid-word ``s*k``, and single-char ``?`` all count, matching the
+    reference ComplexPhraseQueryParser's wildcard support. The bare
+    ``'*'`` term stays a concrete (unmatchable) term, fielded or not."""
     from lucene_ray.index.fields import split_key
 
     _f, t = split_key(key)
-    return t.endswith("*") and len(t) > 1
+    if t == "*":
+        return False
+    return "*" in t or "?" in t
 
 
 @dataclass(frozen=True)
 class PhraseWildcardQuery(Query):
     """sandbox/src/java/org/apache/lucene/search/PhraseWildcardQuery.java:63
-    — a phrase where a slot may be a trailing-``*`` prefix pattern,
-    expanded against EACH SEGMENT'S OWN dictionary (the reference's
-    segment-based expansion that shares no global automaton state), then
-    matched exactly like MultiPhraseQuery. Scoring: phrase BM25 with idf
-    summed over the CONCRETE slots only — wildcard slots contribute the
-    freq but no idf, which keeps scores identical across segment layouts
+    — a phrase where a slot may be a wildcard pattern (trailing-``*``
+    prefix, mid-word ``*``, single-char ``?``), expanded against EACH
+    SEGMENT'S OWN dictionary (the reference's segment-based expansion
+    that shares no global automaton state), then matched exactly like
+    MultiPhraseQuery. Scoring: phrase BM25 with idf summed over the
+    CONCRETE slots only — wildcard slots contribute the freq but no idf,
+    which keeps scores identical across segment layouts WHILE every
+    slot's expansion fits under ``max_expansions``; past the cap each
+    segment keeps its first ``max_expansions`` dictionary-order matches,
+    so the surviving MATCH SET (not just scores) is segment-layout-
+    dependent — the same per-segment truncation the reference applies
     (documented deviation from the reference's collected TermStates). A
     phrase of ONLY wildcard slots is constant-score = boost. The classic
-    parser maps a quoted phrase containing ``*`` here (the
+    parser maps a quoted phrase containing ``*``/``?`` here (the
     ComplexPhraseQueryParser role, complexPhrase/ComplexPhraseQueryParser
     .java:66)."""
 
-    slots: tuple  # str per position; trailing '*' (len > 1) = prefix slot
+    slots: tuple  # str per position; '*'/'?' in term part = pattern slot
     max_expansions: int = 128
     boost: float = 1.0
     field: "str | None" = None
@@ -766,13 +775,12 @@ def resolve_fields(q: Query) -> Query:
         upper = pref + q.upper if q.upper is not None else pref + chr(0x10FFFF)
         return dataclasses.replace(q, lower=lower, upper=upper, field=None)
     if isinstance(q, PhraseWildcardQuery) and q.field:
+        # pattern or concrete, the slot rekeys the same way: the field
+        # marker prefixes the whole term part (wildcards stay in place;
+        # expand_wildcard_slots splits the key back apart)
         return dataclasses.replace(
             q,
-            slots=tuple(
-                field_key(q.field, s[:-1]) + "*"
-                if s.endswith("*") and len(s) > 1 else field_key(q.field, s)
-                for s in q.slots
-            ),
+            slots=tuple(field_key(q.field, s) for s in q.slots),
             field=None,
         )
     if isinstance(q, MultiPhraseQuery) and q.field:

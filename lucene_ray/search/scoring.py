@@ -453,15 +453,35 @@ from lucene_ray.search.query import is_wildcard_slot  # noqa: E402
 
 def expand_wildcard_slots(reader, slots, max_expansions: int):
     """Per-segment expansion of PhraseWildcardQuery slots
-    (PhraseWildcardQuery.java:63 segment-based expansion): each prefix
-    slot becomes the tuple of matching dictionary terms, CAPPED at
-    ``max_expansions`` (the reference caps, it does not fail). Returns
-    the positions tuple, or None when a wildcard slot matches nothing in
+    (PhraseWildcardQuery.java:63 segment-based expansion): each wildcard
+    slot (trailing-``*`` prefix fast path; mid-word ``*``/``?`` via ONE
+    RE2 dictionary scan) becomes the tuple of matching dictionary terms,
+    CAPPED at ``max_expansions`` (the reference caps, it does not fail).
+    Past the cap the surviving expansion set — and hence the match set,
+    not just scores — depends on this segment's dictionary order, i.e.
+    on segment layout; that mirrors the reference's per-segment
+    expansion and is documented on the query class. Returns the
+    positions tuple, or None when a wildcard slot matches nothing in
     this segment (the phrase cannot match here)."""
+    import re as _re
+
+    from lucene_ray.index.fields import field_prefix, split_key
+
     positions = []
     for s in slots:
         if is_wildcard_slot(s):
-            idxs = reader.terms_matching_prefix(s[:-1])
+            f, t = split_key(s)
+            if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+                idxs = reader.terms_matching_prefix(s[:-1])
+            else:
+                pat = "^" + _wildcard_to_regex(t) + "$"
+                if f is not None:
+                    pat = ("^" + _re.escape(field_prefix(f))
+                           + _wildcard_to_regex(t) + "$")
+                idxs = reader.terms_matching_regex(pat)
+                if f is None:
+                    # keep a default-field scan out of \x01 field sections
+                    idxs = idxs[idxs >= reader.default_start]
             if idxs.shape[0] == 0:
                 return None
             if idxs.shape[0] > max_expansions:

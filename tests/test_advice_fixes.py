@@ -128,3 +128,80 @@ def test_conjunction_leapfrog_block_skip(built_index, monkeypatch):
     # driver decodes all its blocks; the other term decodes at most the
     # blocks containing driver candidates (<= driver blocks + segments)
     assert counts["n"] <= 2 * rare_blocks + 2 * len(s.readers)
+
+
+def test_midword_wildcard_in_quoted_phrase(built_index):
+    """ADVICE r3: a mid-word wildcard inside a quoted phrase ("table
+    s*k") used to normalize into a literal '*'-containing term that
+    silently matched nothing; it now expands like the reference
+    ComplexPhraseQueryParser."""
+    from lucene_ray.search.parser import parse_query
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+
+    # ground truth: expand by brute force over the dictionary
+    q_exact = parse_query('"key value"')
+    want, _sc = s.search_all(q_exact)
+    assert want.shape[0] > 0
+
+    q_pat = parse_query('"key v*e"')
+    assert isinstance(q_pat, Q.PhraseWildcardQuery)
+    got, _sc = s.search_all(q_pat)
+    # every "key value" doc matches "key v*e" (v*e also admits other
+    # terms, so got is a superset)
+    assert set(want.tolist()) <= set(got.tolist())
+
+    q_q = parse_query('"key val?e"')
+    got_q, _sc = s.search_all(q_q)
+    assert set(want.tolist()) <= set(got_q.tolist())
+
+    # normalization applies to the literal fragments only
+    q_case = parse_query('"Key V*E"')
+    got_c, _sc = s.search_all(q_case)
+    assert got_c.tolist() == got.tolist()
+
+
+def test_block_join_none_scores_zero():
+    """ADVICE r3: ScoreMode.None produces score 0 per parent in the
+    reference ToParentBlockJoinQuery, not a constant 1."""
+    from lucene_ray.search.join import to_parent_block_join
+
+    up, sc = to_parent_block_join(
+        np.array([0, 1, 200]), np.array([1.0, 3.0, 2.0]), 100,
+        score_mode="none")
+    assert up.tolist() == [0, 2]
+    assert sc.tolist() == [0.0, 0.0]
+
+
+def test_dv_update_generation_order_and_no_overwrite(tmp_path):
+    """ADVICE r3: generations ordered by parsed integer (lexicographic
+    %03d order inverts at gen >= 1000) and allocated with O_EXCL so
+    concurrent updaters never overwrite each other."""
+    import os
+
+    from lucene_ray.index.docvalues import (DV_DIR, load_dv_updates,
+                                            update_doc_values)
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(os.path.join(idx, DV_DIR))
+    # simulate a long-lived index: pre-seed generations 998..1000 so the
+    # next update lands at 1001 and must win over gen 999's value
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(idx, DV_DIR)
+    for g, v in [(998, 1.0), (999, 2.0), (1000, 3.0)]:
+        pq.write_table(pa.table({"doc_id": pa.array([7], pa.int64()),
+                                 "value": pa.array([v], pa.float64())}),
+                       os.path.join(d, f"feat_f_gen{g:03d}.parquet"))
+    p = update_doc_values(idx, "f", [7], [4.0])
+    assert p.endswith("feat_f_gen1001.parquet")
+    ids, vals = load_dv_updates(d)["f"]
+    assert ids.tolist() == [7] and vals.tolist() == [4.0]
+
+    # collision: pre-create the next gen file; allocation must step past
+    open(os.path.join(d, "feat_f_gen1002.parquet"), "wb").close()
+    p2 = update_doc_values(idx, "f", [7], [5.0])
+    assert p2.endswith("feat_f_gen1003.parquet")

@@ -95,7 +95,7 @@ def test_to_parent_block_join_score_modes():
     cd = np.array([0, 1, 200, 201, 202])  # parents 0 (x2), 2 (x3)
     cs = np.array([1.0, 3.0, 2.0, 4.0, 6.0])
     for mode, want in {
-        "none": {0: 1.0, 2: 1.0},
+        "none": {0: 0.0, 2: 0.0},  # ScoreMode.None = score 0 per parent
         "max": {0: 3.0, 2: 6.0},
         "min": {0: 1.0, 2: 2.0},
         "total": {0: 4.0, 2: 12.0},
