@@ -99,6 +99,41 @@ def _materialize_realtext_corpus(corpus_path: str) -> str:
     return path
 
 
+def _materialize_multilingual_corpus(corpus_path: str) -> str:
+    """Deterministic multilingual variant: accents folded into common
+    letter patterns, a typographic-apostrophe contraction and a short CJK
+    clause per row — every row is non-ASCII, so the build exercises the
+    vectorized Unicode tokenizer path end-to-end (round-4: a multilingual
+    crawl must never fall to the per-row loop). Untimed, cached."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    path = corpus_path + "_multi"
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+
+    def multify(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        # accent sweep: á/ö/ü/é carry diacritics through the whole corpus
+        t = pc.replace_substring(t, "a", "á")
+        t = pc.replace_substring(t, "o", "ö")
+        t = pc.replace_substring_regex(t, r"^(\w+) ", "Straße d’été \\1 ")
+        t = pc.binary_join_element_wise(
+            t, "中文处理系统 全文检索 שלום Привет мир", " ")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ray.data.read_parquet(corpus_path).map_batches(
+        multify, batch_format="pyarrow"
+    ).write_parquet(tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
@@ -153,6 +188,21 @@ def run_bench() -> dict:
         build_docs_per_sec_realtext = N_DOCS / t_real
         shutil.rmtree(real_dir, ignore_errors=True)
 
+    # --- multilingual build: every row non-ASCII (accents + CJK + RTL),
+    # driving the vectorized Unicode tokenizer path (round-4 target:
+    # >= 50% of the real-text ASCII rate) ---
+    build_docs_per_sec_multilingual = None
+    if os.environ.get("BENCH_MULTILINGUAL", "1") == "1":
+        multi_path = _materialize_multilingual_corpus(corpus_path)
+        multi_dir = f"/tmp/bench_idx_multi_{NUM_CPUS}_{N_DOCS}"
+        shutil.rmtree(multi_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(multi_path, multi_dir, num_segments=N_SEGMENTS)
+        t_multi = time.perf_counter() - t0
+        timings["index_build_multilingual"] = round(t_multi, 3)
+        build_docs_per_sec_multilingual = N_DOCS / t_multi
+        shutil.rmtree(multi_dir, ignore_errors=True)
+
     # --- tiered compaction before serving (TieredMergePolicy role):
     # 32 micro-segments -> 8 doc-range segments. Measured topologies at
     # sf0.1: tiered doc-range serving 428 QPS / p50 13.8ms vs 174 QPS /
@@ -200,6 +250,8 @@ def run_bench() -> dict:
         result = _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps)
         if build_docs_per_sec_realtext:
             result["build_docs_per_sec_realtext"] = round(build_docs_per_sec_realtext, 1)
+        if build_docs_per_sec_multilingual:
+            result["build_docs_per_sec_multilingual"] = round(build_docs_per_sec_multilingual, 1)
         ray.shutdown()
         return result
 
@@ -278,6 +330,9 @@ def run_bench() -> dict:
     result = _result(timings, t_build, t_query, build_docs_per_sec, manifest, lat_ms, qps)
     if build_docs_per_sec_realtext:
         result["build_docs_per_sec_realtext"] = round(build_docs_per_sec_realtext, 1)
+    if build_docs_per_sec_multilingual:
+        result["build_docs_per_sec_multilingual"] = round(
+            build_docs_per_sec_multilingual, 1)
     ray.shutdown()
     return result
 

@@ -32,11 +32,21 @@ import pyarrow.compute as pc
 from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
 
 # placeholders for protected joiner chars (excluded from the fast-path mask)
-_P_DOT, _P_APOS, _P_COMMA = "\x02", "\x03", "\x04"
+_P_DOT, _P_APOS, _P_COMMA, _P_TAPOS = "\x02", "\x03", "\x04", "\x05"
 
 # fast-path rows: printable ASCII + whitespace only (no placeholders, no
 # ideographs, no typographic quotes, no combining marks)
 _ASCII_RE = r"^[\x20-\x7e\t\n\r]*$"
+
+# RE2 Unicode classes for the vectorized non-ASCII path (round-4: a
+# multilingual crawl must never fall to the per-row loop). Python's \w
+# over str == letters + numerics + underscore; RE2 spells it \p-style.
+_WU = r"\p{L}\p{N}_"
+_EXTU = r"\p{Mn}\p{Mc}\p{Cf}"  # UAX#29 Extend + Format (absorbed, WB4)
+# Han ranges carved to one token per char (StandardTokenizer IDEOGRAPHIC)
+# — must mirror tokenizer._IDEO_RE exactly
+_HANU = (r"\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}"
+         r"\x{F900}-\x{FAFF}\x{20000}-\x{2A6DF}")
 
 _EMPTY5 = (
     None,
@@ -125,33 +135,41 @@ def tokenize_column(
         parts = _post_filters(parts, analyzer)
         return parts if want_offsets else parts[:3]
 
-    # Mixed batch: vectorize the fast rows, Python the rest, then stitch
-    # back into doc-major order.
+    # Mixed batch: vectorize the fast (ASCII) rows, vectorize eligible
+    # non-ASCII rows through the Unicode RE2 chain, Python only the
+    # residue (unattached marks, control bytes, over-long runs), then
+    # stitch back into doc-major order.
     term_parts: list[pa.Array] = []
     num_parts: list[tuple] = []  # (doc, pos, start, end) per part
+
+    def _filtered(parts):
+        k = 5 if want_offsets else 3
+        parts = _stop_filter(parts[:k], analyzer.stop_words)
+        parts = _length_filter(parts[:k], analyzer)
+        return _pad5(_post_filters(parts[:k], analyzer))
 
     fast_rows = np.nonzero(mask_np)[0]
     if fast_rows.size:
         sub = base.take(pa.array(fast_rows))
-        flat, doc_idx, positions, starts, ends = _pad5(
-            _tokenize_ascii(sub, wc, want_offsets)
-        )
-        flat, doc_idx, positions, starts, ends = _pad5(_stop_filter(
-            (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
-            analyzer.stop_words,
-        ))
-        flat, doc_idx, positions, starts, ends = _pad5(_length_filter(
-            (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
-            analyzer,
-        ))
-        flat, doc_idx, positions, starts, ends = _pad5(_post_filters(
-            (flat, doc_idx, positions, starts, ends)[: (5 if want_offsets else 3)],
-            analyzer,
-        ))
+        flat, doc_idx, positions, starts, ends = _filtered(
+            _pad5(_tokenize_ascii(sub, wc, want_offsets)))
         term_parts.append(flat)
         num_parts.append((fast_rows[doc_idx], positions, starts, ends))
 
-    slow_rows = np.nonzero(~mask_np)[0]
+    other_rows = np.nonzero(~mask_np)[0]
+    slow_rows = other_rows
+    if other_rows.size:
+        sub_orig = texts.take(pa.array(other_rows))
+        uni_ok = _unicode_eligible(sub_orig, analyzer)
+        uni_rows = other_rows[uni_ok]
+        slow_rows = other_rows[~uni_ok]
+        if uni_rows.size:
+            usub = sub_orig.filter(pa.array(uni_ok))
+            flat, doc_idx, positions, starts, ends = _filtered(
+                _pad5(_tokenize_unicode(usub, analyzer, want_offsets)))
+            term_parts.append(flat)
+            num_parts.append((uni_rows[doc_idx], positions, starts, ends))
+
     if slow_rows.size:
         slow_terms: list[str] = []
         sd, sp, ss, se = [], [], [], []
@@ -239,6 +257,189 @@ def _tokenize_ascii(texts: pa.Array, wc: str, want_offsets: bool = False):
         if ph in used:
             t = pc.replace_substring(t, ph, orig)
     return _split_ws(t, want_offsets)
+
+
+def _unicode_eligible(texts: pa.Array, analyzer: Analyzer) -> np.ndarray:
+    """Rows the vectorized Unicode path handles exactly. Excluded (to the
+    per-row analyzer): rows with C0 control bytes (they collide with the
+    joiner placeholders), rows with UNATTACHED Extend/Format chars (a
+    mark not preceded by a word chain is a separator, which the
+    length-preserving sweep cannot express), and rows with a token-chain
+    run longer than max_token_length (the reference's chunking needs the
+    exact per-row loop)."""
+    def m(pattern: str) -> np.ndarray:
+        return pc.fill_null(
+            pc.match_substring_regex(texts, pattern), False
+        ).to_numpy(zero_copy_only=False)
+
+    # ONE fused scan, three exclusions:
+    # 1. C0 controls (collide with placeholders) and U+0130 İ — the one
+    #    codepoint where utf8_lower disagrees with Python str.lower
+    #    (İ → 'i' vs 'i̇');
+    # 2. an Extend/Format char not preceded by a word chain (a separator
+    #    the length-preserving sweep cannot express);
+    # 3. a non-whitespace run longer than max_token_length — the
+    #    conservative byte-class proxy for "needs the reference's token
+    #    chunking" (a bounded repetition over the full property classes
+    #    would cost ~100x: RE2 expands {n} into n class automata).
+    bad = m(
+        r"[\x00-\x08\x0b\x0c\x0e-\x1fİ]"
+        r"|(?:^|[^%s%s])[%s]"
+        r"|[^ \t\n\r]{%d}"
+        % (_WU, _EXTU, _EXTU, analyzer.max_token_length + 1)
+    )
+    bad |= pc.is_null(texts).to_numpy(zero_copy_only=False)
+    return ~bad
+
+
+def _tokenize_unicode(texts: pa.Array, analyzer: Analyzer,
+                      want_offsets: bool = False):
+    """The ASCII RE2 chain generalized to full Unicode (round-4: on a
+    multilingual crawl the ASCII fast path never fires, so every
+    non-ASCII row used to pay the per-row Python loop).
+
+    Same protect→sweep→split shape as :func:`_tokenize_ascii`, with RE2
+    Unicode property classes standing in for the ASCII ranges, PLUS a
+    typographic-apostrophe joiner and an ideograph carve (one token per
+    Han char, the StandardTokenizer IDEOGRAPHIC type). Lowercasing is
+    column-level ``utf8_lower``, which matches Python ``str.lower()``
+    codepoint-for-codepoint everywhere except U+0130 — and İ rows were
+    routed to the per-row path by :func:`_unicode_eligible` — and never
+    changes string length, so offsets survive. Property-class passes are
+    the expensive kernels here (~100-300 MB/s vs GB/s for byte classes),
+    so each joiner protect is gated on a cheap LITERAL presence scan and
+    the second (chain) round on a full-pattern scan. All rewrites are
+    one-codepoint-for-one, so character offsets survive exactly as in
+    the ASCII path."""
+    t = pc.utf8_lower(texts) if analyzer.lowercase else texts
+
+    def _any(pattern: str) -> bool:
+        return bool(pc.any(pc.fill_null(
+            pc.match_substring_regex(t, pattern), False)).as_py())
+
+    def _has_lit(lit: str) -> bool:
+        return bool(pc.any(pc.fill_null(
+            pc.match_substring(t, lit), False)).as_py())
+
+    # ONE property-class pass: every char that is not a word char, an
+    # absorbed Extend/Format char, a joiner CANDIDATE or a space becomes
+    # a space. After this sweep the alphabet is {word, extend, joiner,
+    # space}, so the joiner protects below get away with tiny negated
+    # context classes instead of the full property classes (the expensive
+    # kernels) — in eligible rows an Extend char can only follow a word
+    # chain, so "not space / not joiner / not placeholder" IS the valid
+    # joiner context.
+    sep = "[^%s%s.,'’ ]" % (_WU, _EXTU)
+    t = pc.replace_substring_regex(t, sep if want_offsets else sep + "+", " ")
+
+    ctx = "[^ .,'’\x02-\x05]"
+    protects = tuple(
+        p for p in (
+            (r"(%s)\.(%s)" % (ctx, ctx), _P_DOT, "."),
+            (r"(%s)'(%s)" % (ctx, ctx), _P_APOS, "'"),
+            (r"(%s)’(%s)" % (ctx, ctx), _P_TAPOS, "’"),
+            (r"(\p{Nd}),(\p{Nd})", _P_COMMA, ","),
+        )
+        if _has_lit(p[2])
+    )
+    used = []
+    for rnd in range(2):
+        changed = False
+        for pat, ph, _orig in protects:
+            # round 1: the literal gate above already paid off — replace
+            # directly (the replace IS the scan); round 2 only fires for
+            # chains (a.b.c — GlobalReplace consumes the shared context
+            # char), which a full-pattern scan detects first
+            if rnd == 0 or _any(pat):
+                t = pc.replace_substring_regex(t, pat, "\\1%s\\2" % ph)
+                changed = True
+                if ph not in used:
+                    used.append(ph)
+        if not changed:
+            break
+    if protects:
+        # joiners that earned no placeholder are separators
+        t = pc.replace_substring_regex(
+            t, "[.,'’]" if want_offsets else "[.,'’]+", " ")
+    for _pat, ph, orig in protects:
+        if ph in used:
+            t = pc.replace_substring(t, ph, orig)
+    if not want_offsets:
+        # no offsets to preserve: pad ideographs at COLUMN level and let
+        # the single split do the carving (the empty tokens it leaves are
+        # filtered and positions re-numbered by _split_ws)
+        if _any("[%s]" % _HANU):
+            t = pc.replace_substring_regex(t, "([%s])" % _HANU, " \\1 ")
+        return _split_ws(t, False)
+    parts = _pad5(_split_ws(t, True))
+    return _carve_ideographs(parts, True)[:5]
+
+
+def _carve_ideographs(parts, want_offsets: bool):
+    """Expand tokens containing Han chars so each ideograph is its own
+    token (tokenizer._split_ideographic, StandardTokenizer IDEOGRAPHIC):
+    ONE RE2 space-padding pass over the affected minority, then numpy
+    index math re-threads pieces into the doc-major stream with exact
+    positions and offsets."""
+    flat, doc_idx, positions, starts, ends = parts
+    if len(flat) == 0:
+        return parts
+    has = pc.fill_null(
+        pc.match_substring_regex(flat, "[%s]" % _HANU), False)
+    has_np = has.to_numpy(zero_copy_only=False)
+    if not has_np.any():
+        return parts
+    sel = np.nonzero(has_np)[0]
+    sub = flat.take(pa.array(sel))
+    spaced = pc.replace_substring_regex(sub, "([%s])" % _HANU, " \\1 ")
+    lists = pc.split_pattern(spaced, " ")
+    pieces = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    parent = np.repeat(np.arange(sel.size, dtype=np.int64), counts)
+    keep = pc.not_equal(pieces, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    pieces = pc.filter(pieces, keep)
+    parent = parent[keep_np]
+    if isinstance(pieces, pa.ChunkedArray):
+        pieces = pieces.combine_chunks()
+    plen = pc.utf8_length(pieces).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # pieces of one parent concatenate back to the parent's text, so the
+    # relative start of each piece is the cumsum of its predecessors
+    rel_g = np.cumsum(plen) - plen
+    n_per = np.bincount(parent, minlength=sel.size)
+    first = np.nonzero(np.diff(parent, prepend=-1))[0]
+    rel = rel_g - np.repeat(rel_g[first], n_per)
+    intra = np.arange(parent.shape[0], dtype=np.int64) - np.repeat(
+        np.cumsum(n_per) - n_per, n_per)
+
+    # interleave: non-carved tokens keep their slot, pieces expand theirs
+    n_tok = len(flat)
+    non = np.nonzero(~has_np)[0]
+    tok_src = np.concatenate([non, sel[parent]])
+    order_key = np.concatenate([np.zeros(non.size, np.int64), intra])
+    order = np.lexsort((order_key, tok_src))
+    flat2 = pa.concat_arrays([
+        flat.filter(pc.invert(has)).combine_chunks()
+        if isinstance(flat, pa.ChunkedArray) else flat.filter(pc.invert(has)),
+        pieces,
+    ]).take(pa.array(order))
+    exp = np.ones(n_tok, dtype=np.int64)
+    exp[sel] = n_per
+    new_doc = np.repeat(doc_idx, exp)
+    new_pos = _dense_positions(new_doc)
+    new_starts = new_ends = None
+    if want_offsets:
+        all_rel = np.concatenate([np.zeros(non.size, np.int64), rel])[order]
+        all_len = np.concatenate([
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False)[non],
+            plen,
+        ])[order]
+        base_start = np.repeat(starts.astype(np.int64), exp)
+        new_starts = (base_start + all_rel).astype(np.int32)
+        new_ends = (new_starts + all_len).astype(np.int32)
+    return flat2, new_doc, new_pos, new_starts, new_ends
 
 
 def _post_filters(parts, analyzer: Analyzer):

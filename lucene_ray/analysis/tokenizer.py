@@ -19,32 +19,77 @@ the generated JFlex DFA:
 * tokens longer than ``max_token_length`` (default 255, StandardTokenizer
   maxTokenLength) are split into successive chunks, as the reference does.
 
-Known round-1 deviations from the JFlex DFA (documented, covered by golden
-tests in tests/test_analysis.py): combining marks and a few rare
-Extend/Format cases follow Python's ``\\w`` class rather than the exact
-UAX#29 property set. The oracle-checked corpora are ASCII, where behavior
-is identical.
+Round-4 UAX#29 upgrade (WB4): combining marks (Mn/Mc — the Extend class)
+and format characters (Cf, e.g. ZWNJ/soft hyphen) attached to a word
+chain are ABSORBED into the token (included in its surface form, exactly
+as the reference DFA's yytext() keeps them), so NFD text like
+``cafe\\u0301`` tokenizes as one token. Marks/format chars NOT preceded
+by a word chain act as separators (the DFA never starts a token on
+them). Remaining deviations (documented, covered by golden tests in
+tests/test_analysis.py): regional indicators, Hiragana token types and
+Complex_Context (Thai/Lao) follow the word-chain rule rather than the
+exact UAX#29 segment classes.
 """
 
 from __future__ import annotations
 
 import re
+import sys
+import unicodedata
 from typing import Iterable
+
+
+def _char_class(cats: "frozenset[str] | set[str]") -> str:
+    """Regex character-class body (\\uXXXX-escaped ranges) for the given
+    Unicode general categories — Python ``re`` has no ``\\p{...}``."""
+    ranges: list[tuple[int, int]] = []
+    start = prev = None
+    for cp in range(sys.maxunicode + 1):
+        if unicodedata.category(chr(cp)) in cats:
+            if prev is not None and cp == prev + 1:
+                prev = cp
+            else:
+                if start is not None:
+                    ranges.append((start, prev))
+                start = prev = cp
+    if start is not None:
+        ranges.append((start, prev))
+
+    def f(c: int) -> str:
+        return f"\\U{c:08x}" if c > 0xFFFF else f"\\u{c:04x}"
+
+    return "".join(f(a) + ("-" + f(b) if b > a else "") for a, b in ranges)
+
+
+# Extend/Format absorption class (UAX#29 WB4): nonspacing + spacing
+# combining marks and format controls. Built once per process (~0.2 s,
+# lazy so pure-ASCII workflows never pay it).
+_EXT_CLASS: str | None = None
+_WORD_RE_C: "re.Pattern[str] | None" = None
 
 # ---------------------------------------------------------------------------
 # Core token pattern.
 #
-#   word chain: \w+ optionally extended by joiners:
+#   atom: \w followed by word chars or absorbed Extend/Format chars
+#   word chain: atom optionally extended by joiners:
 #     '.'            between any word chars (MidNumLet)
 #     '\'' / '’'     between word chars (Single_Quote / MidLetter ')
 #     ','            only between digits (MidNum)
 # Han ideographs are carved out of matched chains afterwards (Python's \w
 # cannot express class subtraction).
 # ---------------------------------------------------------------------------
-_WORD_RE = re.compile(
-    r"\w+(?:(?:['’.]\w+)|(?:(?<=\d),(?=\d)\w+))*",
-    re.UNICODE,
-)
+
+
+def _word_re() -> "re.Pattern[str]":
+    global _EXT_CLASS, _WORD_RE_C
+    if _WORD_RE_C is None:
+        _EXT_CLASS = _char_class({"Mn", "Mc", "Cf"})
+        atom = r"\w[\w%s]*" % _EXT_CLASS
+        _WORD_RE_C = re.compile(
+            r"%(a)s(?:(?:['’.]%(a)s)|(?:(?<=\d),(?=\d)%(a)s))*" % {"a": atom},
+            re.UNICODE,
+        )
+    return _WORD_RE_C
 
 # CJK ideograph ranges emitted as single-character tokens.
 _IDEO_RE = re.compile(
@@ -65,7 +110,7 @@ def _split_ideographic(token: str) -> Iterable[str]:
 def tokenize(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> list[str]:
     """Tokenize one string; returns surface forms (no lowercasing)."""
     out: list[str] = []
-    for m in _WORD_RE.finditer(text):
+    for m in _word_re().finditer(text):
         tok = m.group(0)
         pieces = _split_ideographic(tok) if _IDEO_RE.search(tok) else (tok,)
         for p in pieces:
@@ -89,7 +134,7 @@ def tokenize_with_offsets(
     """
     out: list[tuple[str, int, int, int]] = []
     pos = 0
-    for m in _WORD_RE.finditer(text):
+    for m in _word_re().finditer(text):
         tok, start = m.group(0), m.start()
         if _IDEO_RE.search(tok):
             off = 0

@@ -500,3 +500,80 @@ def test_discount_overlaps_norms(ray_session, tmp_path_factory):
     # 3 base tokens; 'running'->run and 'tables'->tabl inject 2 repeats
     assert m1["sum_total_term_freq"] == 3
     assert m2["sum_total_term_freq"] == 5
+
+
+def test_unicode_batch_path_matches_python():
+    """Round-4: non-ASCII rows vectorize through the Unicode RE2 chain
+    (batch._tokenize_unicode) instead of the per-row loop; the two paths
+    must stay token/position/offset IDENTICAL (house parity pattern)."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis import batch as B
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+
+    rows = [
+        "Müller straße Grüße",
+        "café in NFD form",                    # combining mark absorbed
+        "中文处理 very good",                    # Han carve
+        "don’t stop l'amour a.b.c 1,000,000",  # joiner chains
+        "שלום עולם Привет мир",                # RTL + Cyrillic
+        "ZWNJ‍joined so­ft",                   # format chars absorbed
+        "İstanbul lowering",                   # U+0130 → per-row path
+        "a ́ lone mark",                       # unattached → per-row path
+        "mixed 漢字kanji text",
+        "Straße. D’été, voilà!",
+    ]
+    col = pa.array(rows)
+
+    # the vectorized path must actually fire for the eligible rows
+    handled = {"n": 0}
+    orig = B._tokenize_unicode
+
+    def spy(texts, an, wo=False):
+        handled["n"] += len(texts)
+        return orig(texts, an, wo)
+
+    B._tokenize_unicode = spy
+    try:
+        flat, doc, pos, st, en = B.tokenize_column(
+            col, StandardAnalyzer, want_offsets=True)
+    finally:
+        B._tokenize_unicode = orig
+    assert handled["n"] == len(rows) - 2  # İ + unattached mark go per-row
+
+    got = {}
+    for t, d, p, s, e in zip(flat.to_pylist(), doc, pos, st, en):
+        got.setdefault(int(d), []).append((t, int(p), int(s), int(e)))
+    for i, txt in enumerate(rows):
+        want = [tuple(w) for w in StandardAnalyzer.tokens_with_offsets(txt)]
+        assert got.get(i, []) == want, txt
+
+
+def test_unicode_batch_path_fuzz_parity():
+    """Fuzzed Unicode parity (house pattern): random mixtures of CJK,
+    combining marks, format chars, joiners and RTL across batch sizes."""
+    import random
+
+    import pyarrow as pa
+
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.analysis.analyzers import StandardAnalyzer as SA
+
+    random.seed(20260818)
+    pools = [
+        "abc déf ü ñ 中 文 ́ ‌ ­ . , ' ’ 1 2 ÷ € § カ タ ",
+        "á eु x‍ 鿿 㐀 \U00020000 İ ǅ ",
+        "a . b ' c ’ , 1 2 . . ' ",
+    ]
+    for _trial in range(120):
+        rows = ["".join(random.choice(random.choice(pools))
+                        for _ in range(random.randint(0, 40)))
+                for _ in range(random.randint(1, 5))]
+        col = pa.array(rows)
+        flat, doc, pos, st, en = tokenize_column(col, SA, want_offsets=True)
+        got = {}
+        for t, d, p, s, e in zip(flat.to_pylist(), doc, pos, st, en):
+            got.setdefault(int(d), []).append((t, int(p), int(s), int(e)))
+        for i, txt in enumerate(rows):
+            want = [tuple(w) for w in SA.tokens_with_offsets(txt)]
+            assert got.get(i, []) == want, repr(txt)
