@@ -324,6 +324,30 @@ def _stem_index_dir(sf_dir: str) -> str:
     return idx
 
 
+_SNOWBALL_LANGS = {"german": "de", "french": "fr", "spanish": "es",
+                   "portuguese": "pt", "italian": "it", "dutch": "nl"}
+
+
+def _snowball_index_dir(sf_dir: str, lang: str) -> str:
+    """Index analyzed with the language's Snowball stemmer
+    (snowball/SnowballFilter.java:48 role; analysis/snowball.py)."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+        f":c{CODEC_VERSION}:sb_{lang}1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, analyzer=Analyzer(stem_lang=lang),
+                    num_segments=4, stored_source=docs)
+    return idx
+
+
 _SEARCHERS: dict[tuple[str, str], Any] = {}
 
 
@@ -1678,6 +1702,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": docs[order], "score": _round4(scores[order])})
 
     q["english_analyzer_query"] = _english_analyzer
+
+    def _mk_snowball_query(lang: str):
+        def _snowball_q(sf):
+            """BM25 over a SnowballFilter(%s) index (snowball/
+            SnowballFilter.java:48; fresh implementation of the published
+            Snowball algorithm in analysis/snowball.py): the query term
+            stems through the same language chain to meet the index's
+            stemmed dictionary.""" % lang
+            from lucene_ray.search.searcher import Searcher
+
+            s = Searcher(_snowball_index_dir(sf, lang), mode="f64")
+            docs, scores = s.search_all(
+                Q.TermQuery(s.analyzer.normalize("table")))
+            order = np.argsort(docs)
+            return pa.table({"doc_id": docs[order],
+                             "score": _round4(scores[order])})
+        return _snowball_q
+
+    for _name, _lang in _SNOWBALL_LANGS.items():
+        q[f"{_name}_analyzer_query"] = _mk_snowball_query(_lang)
 
     def _per_field_analyzer(sf):
         """PerFieldAnalyzerWrapper (analysis/miscellaneous/
@@ -4490,6 +4534,44 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN df d CROSS JOIN dstats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
+    # Snowball per-language analyzers: same template, no stop set, smap
+    # computed by each language's stemmer over the same vocabulary, the
+    # query term stemmed through the same chain
+    from lucene_ray.analysis.snowball import STEMMERS as _SB
+
+    for _nm, _lg in _SNOWBALL_LANGS.items():
+        _fn = _SB[_lg]
+        _rows = [f"('{w}', '{_fn(w)}')" for w in sorted(vocab)
+                 if w and _fn(w) != w]
+        _vals = ", ".join(_rows) if _rows else "('', '')"
+        _qt = _fn("table")
+        o[f"{_nm}_analyzer_query"] = (
+            f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, stem) AS (VALUES {_vals}),
+tok AS (SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+        FROM tok0 t LEFT JOIN smap s ON t.term = s.sterm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = '{_qt}' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+        )
+
     o["english_analyzer_query"] = (
         f"""
 WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

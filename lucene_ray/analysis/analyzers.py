@@ -34,6 +34,12 @@ class Analyzer:
     stop_words: frozenset[str] = field(default_factory=frozenset)
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     stem: bool = False        # PorterStemFilter (en/PorterStemFilter.java:51)
+    # SnowballFilter language (snowball/SnowballFilter.java:48): one of
+    # 'de','fr','es','pt','it','nl' selects that language's Snowball
+    # stemmer (analysis/snowball.py); mutually exclusive with `stem`
+    # (Porter English). Vocabulary-mapped like Porter — per-token Python
+    # only ever touches unique terms.
+    stem_lang: "str | None" = None
     ascii_fold: bool = False  # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java)
     # index-side synonym injection at the SAME position
     # (SynonymGraphFilter, analysis/common/.../synonym/SynonymGraphFilter.java:78):
@@ -125,11 +131,15 @@ class Analyzer:
             from lucene_ray.analysis.stem import porter_stem
 
             term = porter_stem(term)
+        elif self.stem_lang:
+            from lucene_ray.analysis.snowball import snowball_stem
+
+            term = snowball_stem(term, self.stem_lang)
         return term
 
     @property
     def has_token_filters(self) -> bool:
-        return self.stem or self.ascii_fold
+        return self.stem or self.ascii_fold or bool(self.stem_lang)
 
     def _raw_stream(self, text: str):
         """(term, position, start, end) of the raw tokenizer stage — the
@@ -277,3 +287,21 @@ EnglishAnalyzer = Analyzer(stop_words=ENGLISH_STOP_WORDS)
 EnglishStemAnalyzer = Analyzer(
     stop_words=ENGLISH_STOP_WORDS, stem=True, ascii_fold=True
 )
+
+
+def analyzer_for_lang(lang: str) -> Analyzer:
+    """Language-routed analyzer selection — the role of the reference's
+    per-language analyzer registry (GermanAnalyzer, FrenchAnalyzer, … in
+    lucene/analysis/common): 'en' gets stop words + Porter, the Snowball
+    languages (de/fr/es/pt/it/nl, analysis/snowball.py) get their
+    stemmer, anything else falls back to StandardAnalyzer. Pair with the
+    `lang` column (pipelines/textstats.lang_id) to route a multilingual
+    crawl — e.g. as PerFieldAnalyzerWrapper-style field_analyzers or one
+    index per language partition."""
+    if lang == "en":
+        return EnglishStemAnalyzer
+    from lucene_ray.analysis.snowball import STEMMERS
+
+    if lang in STEMMERS:
+        return Analyzer(stem_lang=lang)
+    return StandardAnalyzer

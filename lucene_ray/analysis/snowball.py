@@ -1,0 +1,915 @@
+"""Snowball stemmers for the top crawl languages (de, fr, es, pt, it, nl).
+
+Fresh Python implementations of the published Snowball algorithms
+(M.F. Porter, snowballstem.org algorithm descriptions) — the role of the
+reference's generated ``SnowballFilter`` chain
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
+SnowballFilter.java:48, generated stemmers under
+org/tartarus/snowball/ext/). NOT a port of the generated Java: each
+stemmer is written from the algorithm's published step structure
+(R1/R2/RV regions, longest-suffix dispatch per step).
+
+Like Porter in :mod:`lucene_ray.analysis.stem`, these run per UNIQUE
+token (vocabulary-mapped in ``batch._apply_token_filters``), so per-call
+Python cost never touches the per-occurrence hot path.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# shared region machinery
+# ---------------------------------------------------------------------------
+
+
+def _r_after_nonvowel_after_vowel(w: str, vowels: str, start: int = 0) -> int:
+    """Index after the first non-vowel following a vowel, scanning from
+    ``start``; len(w) if none — the standard R1/R2 definition."""
+    n = len(w)
+    i = start
+    while i < n and w[i] not in vowels:
+        i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    # w[i] is the first non-vowel after a vowel (or end)
+    return min(i + 1, n) if i < n else n
+
+
+def _r1_r2(w: str, vowels: str) -> tuple[int, int]:
+    r1 = _r_after_nonvowel_after_vowel(w, vowels)
+    r2 = _r_after_nonvowel_after_vowel(w, vowels, r1)
+    return r1, r2
+
+
+def _rv_romance(w: str, vowels: str) -> int:
+    """RV of the Romance stemmers (es/pt/it): if the second letter is a
+    consonant, RV is after the next vowel; if the first two letters are
+    vowels, RV is after the next consonant; otherwise (C-V) RV is after
+    the third letter; end of word if those positions don't exist."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in vowels and w[1] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+class _Ctx:
+    """Suffix-stripping helper bound to one word's R1/R2/RV offsets
+    (offsets stay valid while we only ever REMOVE from the end)."""
+
+    def __init__(self, w: str, r1: int, r2: int, rv: int):
+        self.w = w
+        self.r1, self.r2, self.rv = r1, r2, rv
+
+    def in_r1(self, suf: str) -> bool:
+        return len(self.w) - len(suf) >= self.r1
+
+    def in_r2(self, suf: str) -> bool:
+        return len(self.w) - len(suf) >= self.r2
+
+    def in_rv(self, suf: str) -> bool:
+        return len(self.w) - len(suf) >= self.rv
+
+    def ends(self, *sufs: str) -> str | None:
+        """Longest of ``sufs`` that the word ends with (None if none)."""
+        best = None
+        for s in sufs:
+            if self.w.endswith(s) and (best is None or len(s) > len(best)):
+                best = s
+        return best
+
+    def drop(self, k: int) -> None:
+        self.w = self.w[: len(self.w) - k]
+
+    def replace(self, suf: str, rep: str) -> None:
+        self.w = self.w[: len(self.w) - len(suf)] + rep
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"
+_DE_ST_END = "bdfghklmnt"
+
+
+def german_stem(word: str) -> str:
+    """Snowball German stemmer (snowballstem.org/algorithms/german/;
+    reference org/tartarus/snowball/ext/GermanStemmer.java role)."""
+    w = word.replace("ß", "ss")
+    # u/y between vowels are consonants: mark uppercase
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    vowels = _DE_VOWELS
+    r1, r2 = _r1_r2(w, vowels)
+    r1 = max(r1, 3 if len(w) >= 3 else len(w))  # R1 starts at 3 minimum
+    c = _Ctx(w, r1, r2, 0)
+
+    # step 1
+    s = c.ends("ern", "em", "er")
+    if s and c.in_r1(s):
+        c.drop(len(s))
+    else:
+        s = c.ends("en", "es", "e")
+        if s and c.in_r1(s):
+            c.drop(len(s))
+            if c.w.endswith("niss"):  # Nisse/nisses → nis
+                c.drop(1)
+        elif c.w.endswith("s") and c.in_r1("s") and len(c.w) >= 2 \
+                and c.w[-2] in _DE_S_END:
+            c.drop(1)
+
+    # step 2
+    s = c.ends("est", "en", "er")
+    if s and c.in_r1(s):
+        c.drop(len(s))
+    elif c.w.endswith("st") and c.in_r1("st") and len(c.w) >= 6 \
+            and c.w[-3] in _DE_ST_END:
+        c.drop(2)
+
+    # step 3 (d-suffixes)
+    s = c.ends("end", "ung")
+    if s:
+        if c.in_r2(s):
+            c.drop(len(s))
+            if c.w.endswith("ig") and c.in_r2("ig") and not c.w.endswith("eig"):
+                c.drop(2)
+    else:
+        s = c.ends("isch", "ik", "ig")
+        if s:
+            if c.in_r2(s) and not c.w[: len(c.w) - len(s)].endswith("e"):
+                c.drop(len(s))
+        else:
+            s = c.ends("lich", "heit")
+            if s:
+                if c.in_r2(s):
+                    c.drop(len(s))
+                    s2 = c.ends("er", "en")
+                    if s2 and c.in_r1(s2):
+                        c.drop(2)
+            else:
+                if c.w.endswith("keit") and c.in_r2("keit"):
+                    c.drop(4)
+                    s2 = c.ends("lich", "ig")
+                    if s2 and c.in_r2(s2):
+                        c.drop(len(s2))
+
+    out = c.w.lower()
+    return (out.replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouyè"
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:
+    """Snowball Dutch stemmer (snowballstem.org/algorithms/dutch/)."""
+    w = word
+    for a, b in (("ä", "a"), ("ë", "e"), ("ï", "i"), ("ö", "o"), ("ü", "u"),
+                 ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u")):
+        w = w.replace(a, b)
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        elif chars[i] == "i" and chars[i - 1] in _NL_VOWELS \
+                and i + 1 < len(chars) and chars[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    w = "".join(chars)
+    r1, r2 = _r1_r2(w, _NL_VOWELS)
+    r1 = max(r1, 3 if len(w) >= 3 else len(w))
+    c = _Ctx(w, r1, r2, 0)
+
+    def valid_en_ending() -> bool:
+        # preceded by a non-vowel, and not the word "gem"
+        base = c.w
+        return (len(base) >= 1 and base[-1] not in _NL_VOWELS
+                and not base.endswith("gem"))
+
+    # step 1
+    s = c.ends("heden")
+    if s and c.in_r1(s):
+        c.replace("heden", "heid")
+    else:
+        s = c.ends("ene", "en")
+        if s and c.in_r1(s):
+            base = c.w[: len(c.w) - len(s)]
+            if base and base[-1] not in _NL_VOWELS and not base.endswith("gem"):
+                c.drop(len(s))
+                c.w = _nl_undouble(c.w)
+        else:
+            s = c.ends("se", "s")
+            if s and c.in_r1(s):
+                base = c.w[: len(c.w) - len(s)]
+                if base and base[-1] not in _NL_VOWELS and base[-1] != "j":
+                    c.drop(len(s))
+
+    # step 2: final e after non-vowel
+    e_removed = False
+    if c.w.endswith("e") and c.in_r1("e") and len(c.w) >= 2 \
+            and c.w[-2] not in _NL_VOWELS:
+        c.drop(1)
+        e_removed = True
+        c.w = _nl_undouble(c.w)
+
+    # step 3a: heid
+    if c.w.endswith("heid") and c.in_r2("heid") \
+            and (len(c.w) < 5 or c.w[-5] != "c"):
+        c.drop(4)
+        if c.w.endswith("en") and c.in_r1("en"):
+            base = c.w[:-2]
+            if base and base[-1] not in _NL_VOWELS and not base.endswith("gem"):
+                c.drop(2)
+                c.w = _nl_undouble(c.w)
+
+    # step 3b: d-suffixes
+    s = c.ends("end", "ing")
+    if s and c.in_r2(s):
+        c.drop(3)
+        if c.w.endswith("ig") and c.in_r2("ig") and not c.w.endswith("eig"):
+            c.drop(2)
+        else:
+            c.w = _nl_undouble(c.w)
+    elif c.w.endswith("ig") and c.in_r2("ig") and not c.w.endswith("eig"):
+        c.drop(2)
+    elif c.w.endswith("lijk") and c.in_r2("lijk"):
+        c.drop(4)
+        if c.w.endswith("e") and c.in_r1("e") and len(c.w) >= 2 \
+                and c.w[-2] not in _NL_VOWELS:
+            c.drop(1)
+            c.w = _nl_undouble(c.w)
+    elif c.w.endswith("baar") and c.in_r2("baar"):
+        c.drop(4)
+    elif c.w.endswith("bar") and c.in_r2("bar") and e_removed:
+        c.drop(3)
+
+    # step 4: undouble vowel — C v v D with D a non-I consonant
+    w = c.w
+    if len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou" \
+            and w[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+
+def _es_deaccent(w: str) -> str:
+    for a, b in (("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u")):
+        w = w.replace(a, b)
+    return w
+
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+            "me", "se", "la", "le", "lo")
+_ES_STEP2B = (
+    "aríamos eríamos iríamos iéramos iésemos ábamos aríais aseis eseis "
+    "ieseis asteis isteis íamos emos arían arías aréis erían erías eréis "
+    "irían irías iréis ieran iesen ieron iendo ieras ieses abais arais "
+    "aseis íais aremos eremos iremos asen ases aban aran asen aron ando "
+    "abas adas idas aras ases íais ados idos amos imos ará aré erá eré "
+    "irá iré aba ada ida ara ase ían ado ido ías áis éis ía ad ed id an "
+    "ió ar er ir as ís en es".split()
+)
+
+
+def spanish_stem(word: str) -> str:
+    """Snowball Spanish stemmer (snowballstem.org/algorithms/spanish/)."""
+    w = word
+    r1, r2 = _r1_r2(w, _ES_VOWELS)
+    rv = _rv_romance(w, _ES_VOWELS)
+    c = _Ctx(w, r1, r2, rv)
+
+    # step 0: attached pronoun
+    p = c.ends(*_ES_PRON)
+    if p:
+        base = c.w[: len(c.w) - len(p)]
+        bc = _Ctx(base, r1, r2, rv)
+        a = bc.ends("iéndo", "ándo", "ár", "ér", "ír")
+        if a and bc.in_rv(a):
+            c.w = _es_deaccent(base)
+        else:
+            a = bc.ends("iendo", "ando", "ar", "er", "ir")
+            if a and bc.in_rv(a):
+                c.w = base
+            elif base.endswith("yendo") and "uyendo" in base[-6:]:
+                c.w = base
+
+    changed_len = len(c.w)
+
+    # step 1: standard suffixes
+    s = c.ends("amientos", "imientos", "amiento", "imiento", "anzas",
+               "ismos", "ables", "ibles", "istas", "anza", "icos", "icas",
+               "ismo", "able", "ible", "ista", "osos", "osas", "ico",
+               "ica", "oso", "osa")
+    if s and c.in_r2(s):
+        c.drop(len(s))
+    else:
+        s = c.ends("aciones", "adoras", "adores", "ancias", "adora",
+                   "ación", "antes", "ancia", "ador", "ante")
+        if s and c.in_r2(s):
+            c.drop(len(s))
+            if c.w.endswith("ic") and c.in_r2("ic"):
+                c.drop(2)
+        else:
+            s = c.ends("logías", "logía")
+            if s and c.in_r2(s):
+                c.replace(s, "log")
+            else:
+                s = c.ends("uciones", "ución")
+                if s and c.in_r2(s):
+                    c.replace(s, "u")
+                else:
+                    s = c.ends("encias", "encia")
+                    if s and c.in_r2(s):
+                        c.replace(s, "ente")
+                    elif c.w.endswith("amente") and c.in_r1("amente"):
+                        c.drop(6)
+                        if c.w.endswith("iv") and c.in_r2("iv"):
+                            c.drop(2)
+                            if c.w.endswith("at") and c.in_r2("at"):
+                                c.drop(2)
+                        else:
+                            s2 = c.ends("os", "ic", "ad")
+                            if s2 and c.in_r2(s2):
+                                c.drop(2)
+                    elif c.w.endswith("mente") and c.in_r2("mente"):
+                        c.drop(5)
+                        s2 = c.ends("ante", "able", "ible")
+                        if s2 and c.in_r2(s2):
+                            c.drop(len(s2))
+                    else:
+                        s = c.ends("idades", "idad")
+                        if s and c.in_r2(s):
+                            c.drop(len(s))
+                            s2 = c.ends("abil", "ic", "iv")
+                            if s2 and c.in_r2(s2):
+                                c.drop(len(s2))
+                        else:
+                            s = c.ends("ivas", "ivos", "iva", "ivo")
+                            if s and c.in_r2(s):
+                                c.drop(len(s))
+                                if c.w.endswith("at") and c.in_r2("at"):
+                                    c.drop(2)
+
+    # step 2a: verb suffixes beginning y (only if step 1 did nothing)
+    if len(c.w) == changed_len:
+        s = c.ends("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+                   "yes", "ya", "ye", "yo", "yó")
+        if s and c.in_rv(s) and len(c.w) > len(s) \
+                and c.w[len(c.w) - len(s) - 1] == "u":
+            c.drop(len(s))
+
+    # step 2b (if still unchanged)
+    if len(c.w) == changed_len:
+        s = c.ends(*_ES_STEP2B)
+        if s and c.in_rv(s):
+            if s in ("en", "es", "éis", "emos"):
+                c.drop(len(s))
+                if c.w.endswith("gu"):
+                    c.drop(1)
+            else:
+                c.drop(len(s))
+
+    # step 3: residual
+    s = c.ends("os", "a", "o", "á", "í", "ó")
+    if s and c.in_rv(s):
+        c.drop(len(s))
+    else:
+        s = c.ends("e", "é")
+        if s and c.in_rv(s):
+            c.drop(len(s))
+            if c.w.endswith("gu") and c.in_rv("u"):
+                c.drop(1)
+
+    return _es_deaccent(c.w)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_STEP2 = (
+    "aríamos eríamos iríamos ássemos êssemos íssemos aríeis eríeis "
+    "iríeis ásseis ésseis ísseis áramos éramos íramos ávamos aremos "
+    "eremos iremos ariam eriam iriam assem essem issem ara~o era~o "
+    "ira~o arias erias irias ardes erdes irdes asses esses isses astes "
+    "estes istes áreis areis éreis ereis íreis ireis aveis íamos armos "
+    "ermos irmos aria eria iria asse esse isse aste este iste arei erei "
+    "irei aram eram iram avam arem erem irem ando endo indo adas idas "
+    "arás aras erás eras irás avas ares eres ires ados idos ámos amos "
+    "emos imos iras ada ida ará ara erá era irá ava iam ado ido ias ais "
+    "eis ia ei am em ar er ir as es is eu iu ou".split()
+)
+
+
+def portuguese_stem(word: str) -> str:
+    """Snowball Portuguese stemmer
+    (snowballstem.org/algorithms/portuguese/)."""
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    r1, r2 = _r1_r2(w, _PT_VOWELS)
+    rv = _rv_romance(w, _PT_VOWELS)
+    c = _Ctx(w, r1, r2, rv)
+    n0 = len(c.w)
+
+    # step 1: standard suffixes
+    s = c.ends("amentos", "imentos", "amento", "imento", "ismos", "istas",
+               "ezas", "icos", "icas", "osos", "osas", "eza", "ico", "ica",
+               "oso", "osa", "ável", "ível", "ismo", "ista")
+    if s and c.in_r2(s):
+        c.drop(len(s))
+    else:
+        s = c.ends("aço~es", "adoras", "adores", "ância", "aça~o",
+                   "adora", "antes", "ador", "ante")
+        if s and c.in_r2(s):
+            c.drop(len(s))
+            if c.w.endswith("ic") and c.in_r2("ic"):
+                c.drop(2)
+        else:
+            s = c.ends("logias", "logia")
+            if s and c.in_r2(s):
+                c.replace(s, "log")
+            else:
+                s = c.ends("uço~es", "uça~o")
+                if s and c.in_r2(s):
+                    c.replace(s, "u")
+                else:
+                    s = c.ends("ências", "ência")
+                    if s and c.in_r2(s):
+                        c.replace(s, "ente")
+                    elif c.w.endswith("amente") and c.in_r1("amente"):
+                        c.drop(6)
+                        if c.w.endswith("iv") and c.in_r2("iv"):
+                            c.drop(2)
+                            if c.w.endswith("at") and c.in_r2("at"):
+                                c.drop(2)
+                        else:
+                            s2 = c.ends("os", "ic", "ad")
+                            if s2 and c.in_r2(s2):
+                                c.drop(2)
+                    elif c.w.endswith("mente") and c.in_r2("mente"):
+                        c.drop(5)
+                        s2 = c.ends("ante", "avel", "ível")
+                        if s2 and c.in_r2(s2):
+                            c.drop(len(s2))
+                    else:
+                        s = c.ends("idades", "idade")
+                        if s and c.in_r2(s):
+                            c.drop(len(s))
+                            s2 = c.ends("abil", "ic", "iv")
+                            if s2 and c.in_r2(s2):
+                                c.drop(len(s2))
+                        else:
+                            s = c.ends("ivas", "ivos", "iva", "ivo")
+                            if s and c.in_r2(s):
+                                c.drop(len(s))
+                                if c.w.endswith("at") and c.in_r2("at"):
+                                    c.drop(2)
+                            else:
+                                s = c.ends("iras", "ira")
+                                if s and c.in_rv(s) and \
+                                        c.w[: len(c.w) - len(s)].endswith("e"):
+                                    c.replace(s, "ir")
+
+    step1_changed = len(c.w) != n0
+
+    # step 2: verb suffixes (only if step 1 did nothing)
+    step2_changed = False
+    if not step1_changed:
+        s = c.ends(*_PT_STEP2)
+        if s and c.in_rv(s):
+            c.drop(len(s))
+            step2_changed = True
+
+    # step 3
+    if (step1_changed or step2_changed) and c.w.endswith("i") \
+            and c.in_rv("i") and len(c.w) >= 2 and c.w[-2] == "c":
+        c.drop(1)
+
+    # step 4: residual suffix (only if steps 1 and 2 both did nothing)
+    if not (step1_changed or step2_changed):
+        s = c.ends("os", "a", "i", "o", "á", "í", "ó")
+        if s and c.in_rv(s):
+            c.drop(len(s))
+
+    # step 5
+    s = c.ends("e", "é", "ê")
+    if s and c.in_rv(s):
+        c.drop(len(s))
+        if (c.w.endswith("gu") and c.in_rv("u")) or \
+                (c.w.endswith("ci") and c.in_rv("i")):
+            c.drop(1)
+    elif c.w.endswith("ç"):
+        c.replace("ç", "c")
+
+    return c.w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+
+_IT_PRON = ("gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+            "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+            "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+            "vele", "veli", "velo", "vene", "gli", "ci", "la", "le", "li",
+            "lo", "mi", "ne", "si", "ti", "vi")
+_IT_STEP2 = (
+    "erebbero irebbero assero assimo eranno eremmo ereste eresti essero "
+    "iranno iremmo ireste iresti iscano iscono issero arono avamo avano "
+    "avate eremo erete erono evamo evano evate iremo irete irono ivamo "
+    "ivano ivate ammo ando asse assi emmo enda ende endi endo erai erei "
+    "Yamo iamo immo irai irei isca isce isci isco ano are ata ate ati "
+    "ato ava avi avo erà ere erò ete eva evi evo irà ire irò ita ite iti "
+    "ito iva ivi ivo ono uta ute uti uto ar ir".split()
+)
+
+
+def italian_stem(word: str) -> str:
+    """Snowball Italian stemmer (snowballstem.org/algorithms/italian/)."""
+    w = word
+    for a, b in (("á", "à"), ("é", "è"), ("í", "ì"), ("ó", "ò"), ("ú", "ù")):
+        w = w.replace(a, b)
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif chars[i] in "ui" and chars[i - 1] in _IT_VOWELS \
+                and i + 1 < len(chars) and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _r1_r2(w, _IT_VOWELS)
+    rv = _rv_romance(w, _IT_VOWELS)
+    c = _Ctx(w, r1, r2, rv)
+
+    # step 0: attached pronoun
+    p = c.ends(*_IT_PRON)
+    if p:
+        base = c.w[: len(c.w) - len(p)]
+        bc = _Ctx(base, r1, r2, rv)
+        a = bc.ends("ando", "endo")
+        if a and bc.in_rv(a):
+            c.w = base
+        else:
+            a = bc.ends("ar", "er", "ir")
+            if a and bc.in_rv(a):
+                c.w = base + "e"
+
+    n0 = len(c.w)
+
+    # step 1: standard suffixes
+    s = c.ends("atrice", "atrici", "abile", "abili", "ibile", "ibili",
+               "mente", "anza", "anze", "iche", "ichi", "ismo", "ismi",
+               "ista", "iste", "isti", "istà", "istè", "istì", "ante",
+               "anti", "ico", "ici", "ica", "ice", "oso", "osi", "osa",
+               "ose")
+    if s and c.in_r2(s):
+        c.drop(len(s))
+    else:
+        s = c.ends("azione", "azioni", "atore", "atori")
+        if s and c.in_r2(s):
+            c.drop(len(s))
+            if c.w.endswith("ic") and c.in_r2("ic"):
+                c.drop(2)
+        else:
+            s = c.ends("logia", "logie")
+            if s and c.in_r2(s):
+                c.replace(s, "log")
+            else:
+                s = c.ends("uzione", "uzioni", "usione", "usioni")
+                if s and c.in_r2(s):
+                    c.replace(s, "u")
+                else:
+                    s = c.ends("enza", "enze")
+                    if s and c.in_r2(s):
+                        c.replace(s, "ente")
+                    else:
+                        s = c.ends("amento", "amenti", "imento", "imenti")
+                        if s and c.in_rv(s):
+                            c.drop(len(s))
+                        elif c.w.endswith("amente") and c.in_r1("amente"):
+                            c.drop(6)
+                            if c.w.endswith("iv") and c.in_r2("iv"):
+                                c.drop(2)
+                                if c.w.endswith("at") and c.in_r2("at"):
+                                    c.drop(2)
+                            else:
+                                s2 = c.ends("os", "ic", "abil")
+                                if s2 and c.in_r2(s2):
+                                    c.drop(len(s2))
+                        elif c.w.endswith("ità") and c.in_r2("ità"):
+                            c.drop(3)
+                            s2 = c.ends("abil", "ic", "iv")
+                            if s2 and c.in_r2(s2):
+                                c.drop(len(s2))
+                        else:
+                            s = c.ends("ivo", "ivi", "iva", "ive")
+                            if s and c.in_r2(s):
+                                c.drop(len(s))
+                                if c.w.endswith("at") and c.in_r2("at"):
+                                    c.drop(2)
+                                    if c.w.endswith("ic") and c.in_r2("ic"):
+                                        c.drop(2)
+
+    # step 2: verb suffixes (only if step 1 did nothing)
+    if len(c.w) == n0:
+        s = c.ends(*_IT_STEP2)
+        if s and c.in_rv(s):
+            c.drop(len(s))
+
+    # step 3a: final vowel
+    s = c.ends("a", "e", "i", "o", "à", "è", "ì", "ò")
+    if s and c.in_rv(s):
+        c.drop(1)
+        if c.w.endswith("i") and c.in_rv("i"):
+            c.drop(1)
+    # step 3b
+    s = c.ends("ch", "gh")
+    if s and c.in_rv(s):
+        c.drop(1)
+
+    return c.w.replace("U", "u").replace("I", "i")
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+_FR_STEP2A = (
+    "issaIent issantes issante issants issions issions îtes îmes issais "
+    "issait issant issent issiez issons iraIent irions issais irais "
+    "irait irent iriez irons iront irait isses issez irez iras irai ira "
+    "isse ies ir is ît ie i".split()
+)
+_FR_STEP2B_ER = (
+    "eraIent erions èrent erais erait eriez erons eront erai eras erez "
+    "ées era iez ée és er ez é".split()
+)
+_FR_STEP2B_A = (
+    "assions assent asses antes aIent asse ants ante âtes âmes ais ait "
+    "ant ât as ai a".split()
+)
+
+
+def french_stem(word: str) -> str:
+    """Snowball French stemmer (snowballstem.org/algorithms/french/)."""
+    w = word
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        ch = chars[i]
+        prev_v = i > 0 and chars[i - 1].lower() in _FR_VOWELS
+        next_v = i + 1 < n and chars[i + 1].lower() in _FR_VOWELS
+        if ch in "ui" and prev_v and next_v:
+            chars[i] = ch.upper()
+        elif ch == "y" and (prev_v or next_v):
+            chars[i] = "Y"
+        elif ch == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    w = "".join(chars)
+
+    vowels = _FR_VOWELS
+    # RV: after third letter if starts with two vowels or with par/col/tap;
+    # else after the first vowel not at position 0
+    n = len(w)
+    if n >= 3 and ((w[0].lower() in vowels and w[1].lower() in vowels)
+                   or w[:3] in ("par", "col", "tap")):
+        rv = 3
+    else:
+        rv = n
+        for i in range(1, n):
+            if w[i].lower() in vowels:
+                rv = i + 1
+                break
+    r1, r2 = _r1_r2(w.lower(), vowels)
+    c = _Ctx(w, r1, r2, rv)
+    n0 = len(c.w)
+
+    # ---- step 1: standard suffixes ----
+    did_mentions = False  # 'ment'-family deletions count as a change
+    s = c.ends("issements", "issement", "atrices", "atrice", "ateurs",
+               "ations", "logies", "usions", "utions", "ements", "amment",
+               "emment", "ments", "ances", "iqUes", "ismes", "ables",
+               "istes", "ateur", "ation", "logie", "usion", "ution",
+               "ences", "ement", "euses", "ment", "ance", "iqUe", "isme",
+               "able", "iste", "ence", "ités", "ives", "eaux", "euse",
+               "oux", "aux", "eux", "ité", "ive", "ifs", "if")
+    if s:
+        if s in ("ance", "iqUe", "isme", "able", "iste", "eux", "ances",
+                 "iqUes", "ismes", "ables", "istes"):
+            if c.in_r2(s):
+                c.drop(len(s))
+        elif s in ("atrice", "ateur", "ation", "atrices", "ateurs",
+                   "ations"):
+            if c.in_r2(s):
+                c.drop(len(s))
+                if c.w.endswith("ic"):
+                    if c.in_r2("ic"):
+                        c.drop(2)
+                    else:
+                        c.replace("ic", "iqU")
+        elif s in ("logie", "logies"):
+            if c.in_r2(s):
+                c.replace(s, "log")
+        elif s in ("usion", "ution", "usions", "utions"):
+            if c.in_r2(s):
+                c.replace(s, "u")
+        elif s in ("ence", "ences"):
+            if c.in_r2(s):
+                c.replace(s, "ent")
+        elif s in ("ement", "ements"):
+            if c.in_rv(s):
+                c.drop(len(s))
+                if c.w.endswith("iv") and c.in_r2("iv"):
+                    c.drop(2)
+                    if c.w.endswith("at") and c.in_r2("at"):
+                        c.drop(2)
+                elif c.w.endswith("eus"):
+                    if c.in_r2("eus"):
+                        c.drop(3)
+                    elif c.in_r1("eus"):
+                        c.replace("eus", "eux")
+                elif c.w.endswith(("abl", "iqU")):
+                    if c.in_r2(c.w[-3:]):
+                        c.drop(3)
+                elif c.w.endswith(("ièr", "Ièr")):
+                    if c.in_rv(c.w[-3:]):
+                        c.replace(c.w[-3:], "i")
+        elif s in ("ité", "ités"):
+            if c.in_r2(s):
+                c.drop(len(s))
+                if c.w.endswith("abil"):
+                    if c.in_r2("abil"):
+                        c.drop(4)
+                    else:
+                        c.replace("abil", "abl")
+                elif c.w.endswith("ic"):
+                    if c.in_r2("ic"):
+                        c.drop(2)
+                    else:
+                        c.replace("ic", "iqU")
+                elif c.w.endswith("iv") and c.in_r2("iv"):
+                    c.drop(2)
+        elif s in ("if", "ive", "ifs", "ives"):
+            if c.in_r2(s):
+                c.drop(len(s))
+                if c.w.endswith("at") and c.in_r2("at"):
+                    c.drop(2)
+                    if c.w.endswith("ic"):
+                        if c.in_r2("ic"):
+                            c.drop(2)
+                        else:
+                            c.replace("ic", "iqU")
+        elif s == "eaux":
+            c.replace("eaux", "eau")
+        elif s == "aux":
+            if c.in_r1(s):
+                c.replace("aux", "al")
+        elif s in ("euse", "euses"):
+            if c.in_r2(s):
+                c.drop(len(s))
+            elif c.in_r1(s):
+                c.replace(s, "eux")
+        elif s in ("issement", "issements"):
+            if c.in_r1(s) and len(c.w) > len(s) \
+                    and c.w[len(c.w) - len(s) - 1].lower() not in vowels:
+                c.drop(len(s))
+        elif s == "amment":
+            if c.in_rv(s):
+                c.replace(s, "ant")
+                did_mentions = True
+        elif s == "emment":
+            if c.in_rv(s):
+                c.replace(s, "ent")
+                did_mentions = True
+        elif s in ("ment", "ments"):
+            k = len(c.w) - len(s)
+            if k >= 1 and c.w[k - 1].lower() in vowels and k - 1 >= rv:
+                c.drop(len(s))
+                did_mentions = True
+        elif s == "oux":
+            pass  # not a French suffix rule; never reached
+
+    step1_changed = len(c.w) != n0 or c.w != word[: len(c.w)]
+    step1_changed = (len(c.w) != n0) or did_mentions
+
+    # ---- step 2a: verb suffixes beginning i ----
+    done2 = False
+    if not step1_changed or did_mentions:
+        s = c.ends(*_FR_STEP2A)
+        if s and c.in_rv(s):
+            k = len(c.w) - len(s)
+            if k >= 1 and c.w[k - 1].lower() not in vowels and k - 1 >= rv \
+                    and c.w[k - 1] != "H":
+                c.drop(len(s))
+                done2 = True
+        # ---- step 2b ----
+        if not done2:
+            s = c.ends("ions")
+            if s and c.in_r2(s):
+                c.drop(4)
+                done2 = True
+            else:
+                s = c.ends(*_FR_STEP2B_ER)
+                if s and c.in_rv(s):
+                    c.drop(len(s))
+                    done2 = True
+                else:
+                    s = c.ends(*_FR_STEP2B_A)
+                    if s and c.in_rv(s):
+                        c.drop(len(s))
+                        done2 = True
+                        if c.w.endswith("e") and c.in_rv("e"):
+                            c.drop(1)
+
+    changed = step1_changed or done2
+
+    # ---- step 3 (if a change was made) / step 4 (if not) ----
+    if changed:
+        if c.w.endswith("Y"):
+            c.replace("Y", "i")
+        elif c.w.endswith("ç"):
+            c.replace("ç", "c")
+    else:
+        # step 4
+        if c.w.endswith("s") and len(c.w) >= 2 \
+                and c.w[-2].lower() not in "aiouès":
+            c.drop(1)
+        if c.w.endswith("ion") and c.in_r2("ion") and len(c.w) >= 4 \
+                and c.w[-4] in "st":
+            c.drop(3)
+        else:
+            s = c.ends("ière", "Ière", "ier", "Ier")
+            if s and c.in_rv(s):
+                c.replace(s, "i")
+            elif c.w.endswith("e") and c.in_rv("e"):
+                c.drop(1)
+
+    # ---- step 5: undouble ----
+    if c.w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        c.drop(1)
+
+    # ---- step 6: un-accent ----
+    w = c.w
+    i = len(w) - 1
+    seen_cons = False
+    while i >= 0:
+        if w[i].lower() in vowels:
+            if w[i] in "éè" and seen_cons:
+                w = w[:i] + "e" + w[i + 1:]
+            break
+        seen_cons = True
+        i -= 1
+    return w.replace("U", "u").replace("I", "i").replace("Y", "y")
+
+
+STEMMERS = {
+    "de": german_stem,
+    "nl": dutch_stem,
+    "es": spanish_stem,
+    "pt": portuguese_stem,
+    "it": italian_stem,
+    "fr": french_stem,
+}
+
+
+def snowball_stem(term: str, lang: str) -> str:
+    """Dispatch to the language's Snowball stemmer; unknown language is
+    identity (the analyzer routes only configured languages here)."""
+    fn = STEMMERS.get(lang)
+    return fn(term) if fn else term

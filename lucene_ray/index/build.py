@@ -333,6 +333,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "stop_words": sorted(analyzer.stop_words),
         "max_token_length": analyzer.max_token_length,
         "stem": analyzer.stem,
+        "stem_lang": analyzer.stem_lang,
         "ascii_fold": analyzer.ascii_fold,
         "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         "payload_delimiter": analyzer.payload_delimiter,
@@ -351,6 +352,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         stop_words=frozenset(a["stop_words"]),
         max_token_length=a["max_token_length"],
         stem=a.get("stem", False),
+        stem_lang=a.get("stem_lang"),
         ascii_fold=a.get("ascii_fold", False),
         synonyms=tuple(
             (src, tuple(dsts)) for src, dsts in a.get("synonyms", [])

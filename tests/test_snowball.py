@@ -1,0 +1,118 @@
+"""Snowball stemmers (analysis/snowball.py) — golden vectors traced
+through the published algorithms (snowballstem.org) plus plumbing tests
+(Analyzer.stem_lang round-trip, vocabulary-mapped batch parity)."""
+
+import pyarrow as pa
+
+from lucene_ray.analysis.snowball import (dutch_stem, french_stem,
+                                          german_stem, italian_stem,
+                                          portuguese_stem, snowball_stem,
+                                          spanish_stem)
+
+GOLDEN = {
+    german_stem: {
+        "aufeinander": "aufeinand",   # -er in R1
+        "katzen": "katz",             # -en in R1
+        "grüßen": "gruss",            # ß→ss, -en, unumlaut
+        "bücher": "buch",             # -er, unumlaut
+        "schönheit": "schonheit",     # heit NOT in R2 → kept
+        "wanderung": "wander",        # -ung in R2
+        "häuser": "haus",
+        "kindern": "kind",            # -ern in R1
+        "freundlich": "freundlich",   # lich not in R2
+        "sein": "sein",               # R1 min-3 protects short words
+    },
+    dutch_stem: {
+        "katten": "kat",              # -en + tt undouble
+        "lichamelijk": "licham",      # -lijk in R2
+        "mogelijkheden": "mogelijk",  # heden→heid, then heid in R2
+        "werken": "werk",
+        "belangrijke": "belangrijk",  # final -e after consonant
+        "huizen": "huiz",
+    },
+    spanish_stem: {
+        "corriendo": "corr",          # verb -iendo in RV
+        "canciones": "cancion",       # -es verb suffix
+        "nacionalidad": "nacional",   # -idad in R2
+        "rápidamente": "rapid",       # -amente in R1, deaccent
+        "trabajando": "trabaj",
+        "habitaciones": "habit",      # -aciones in R2
+    },
+    portuguese_stem: {
+        "correndo": "corr",
+        "nacionalidade": "nacional",
+        "rapidamente": "rapid",
+        "trabalhando": "trabalh",
+        "importantes": "import",      # ante(s) in R2
+        "coração": "coraçã",          # residual -o; ã survives postlude
+    },
+    italian_stem: {
+        "correndo": "corr",
+        "nazionalità": "nazional",    # -ità in R2
+        "rapidamente": "rapid",
+        "lavorando": "lavor",
+        "abbandonata": "abbandon",    # verb -ata
+        "canzoni": "canzon",          # final vowel in RV
+    },
+    french_stem: {
+        "continuellement": "continuel",  # -ement in RV; step 5 keeps ll
+        "nationalité": "national",       # -ité in R2
+        "rapidement": "rapid",           # -ement in RV
+        "chansons": "chanson",           # step 4 final s
+        "mangeaient": "mang",            # -aIent + preceding e
+        "majestueux": "majestu",         # -eux in R2
+        "tables": "tabl",                # s (after plain e) then e
+    },
+}
+
+
+def test_snowball_golden_vectors():
+    for fn, cases in GOLDEN.items():
+        for w, want in cases.items():
+            assert fn(w) == want, (fn.__name__, w, fn(w), want)
+
+
+def test_snowball_dispatch_and_identity():
+    assert snowball_stem("katzen", "de") == "katz"
+    assert snowball_stem("katzen", "xx") == "katzen"  # unknown = identity
+
+
+def test_stem_lang_analyzer_round_trip():
+    """stem_lang survives the manifest round-trip (memory note: every new
+    analyzer field must be added to BOTH analyzer_dict and
+    analyzer_from_dict or manifests silently drop it)."""
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    a = Analyzer(stem_lang="de")
+    b = analyzer_from_dict(analyzer_dict(a))
+    assert b.stem_lang == "de"
+    assert b.has_token_filters
+    assert b.transform_token("katzen") == "katz"
+
+
+def test_stem_lang_batch_parity():
+    """Batch vocabulary-mapped stemming == per-row analyzer (house
+    parity pattern), including non-ASCII German over the Unicode path."""
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = Analyzer(stem_lang="de")
+    rows = ["Katzen grüßen Bücher", "kindern wanderung",
+            "la nationalité française"]
+    flat, doc, _pos = tokenize_column(pa.array(rows), an)
+    got = {}
+    for t, d in zip(flat.to_pylist(), doc):
+        got.setdefault(int(d), []).append(t)
+    for i, txt in enumerate(rows):
+        assert got.get(i, []) == an.tokens(txt), txt
+
+
+def test_analyzer_for_lang_routing():
+    from lucene_ray.analysis.analyzers import analyzer_for_lang
+
+    assert analyzer_for_lang("en").stem
+    assert analyzer_for_lang("de").stem_lang == "de"
+    assert analyzer_for_lang("fr").stem_lang == "fr"
+    assert analyzer_for_lang("zz").stem_lang is None
+    assert not analyzer_for_lang("zz").stem
