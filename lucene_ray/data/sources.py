@@ -106,34 +106,109 @@ def write_trec(table: pa.Table, path: str, id_col: str = "doc_id",
     return path
 
 
-def read_trec(path: str) -> "ray.data.Dataset":
+# default byte range per read task: small enough that range + one block
+# fits comfortably in a worker's heap, big enough to amortize task costs
+_RANGE_BYTES = 8 << 20
+
+
+def _byte_range_items(paths: list, range_bytes: int) -> list:
+    """(path, start, end) byte-range tasks covering every file — the
+    parallel unit for single-file feeds (a real enwiki dump is ONE
+    ~100-GB XML file; a file-per-task read gives zero parallelism and
+    reads the whole file into memory)."""
+    items = []
+    for p in paths:
+        size = os.path.getsize(p)
+        n = max(1, -(-size // range_bytes))
+        for i in range(n):
+            items.append({"path": p, "start": i * range_bytes,
+                          "end": min(size, (i + 1) * range_bytes)})
+    return items
+
+
+def _scan_blocks(path: str, start: int, end: int, begin: bytes,
+                 endm: bytes, readahead: int = 1 << 20):
+    """Raw bytes of every block whose ``begin`` marker STARTS in
+    [start, end) — the boundary-reconciliation rule that makes byte-range
+    tasks exact: each block belongs to exactly one range (the one holding
+    its begin marker), and a task whose last block crosses its range end
+    reads FORWARD in bounded chunks until the end marker. Markers that
+    straddle the range start are caught by backing the scan window up
+    len(begin)-1 bytes. Memory stays bounded by range + one block."""
+    m = len(begin)
+    lo = max(0, start - (m - 1))
+    out = []
+    with open(path, "rb") as f:
+        f.seek(lo)
+        buf = f.read(end - lo)
+        pos = 0
+        while True:
+            i = buf.find(begin, pos)
+            if i < 0 or lo + i >= end:
+                break
+            j = buf.find(endm, i + m)
+            while j < 0:
+                more = f.read(readahead)
+                if not more:
+                    break
+                buf += more
+                j = buf.find(endm, i + m)
+            if j < 0:
+                break  # truncated trailing block (malformed tail): drop
+            out.append(buf[i:j + len(endm)])
+            pos = j + len(endm)
+    return out
+
+
+def _docno_to_id(docno: str) -> int:
+    """Stable int64 doc id for a DOCNO: numeric DOCNOs keep their value;
+    alphanumeric ones (real TREC collections use e.g. 'LA010189-0001')
+    map to a stable 63-bit SHA-1 — the reader must not crash on genuine
+    TREC feeds (round-3 advisor finding)."""
+    if docno.isdigit():
+        return int(docno)
+    import hashlib as _h
+
+    return int.from_bytes(_h.sha1(docno.encode()).digest()[:8], "big") >> 1
+
+
+def read_trec(path: str, range_bytes: int = _RANGE_BYTES) -> "ray.data.Dataset":
     """TrecContentSource reader (feeds/TrecContentSource.java:63): parse
-    <DOC> blocks into (doc_id, text). Each FILE is one row of the read
-    (file_extractor), then ONE RE2 extract-all splits its blocks — TREC
-    corpora are directories of many files, which parallelizes the read."""
+    <DOC> blocks into (doc_id, docno, text). Byte-range tasks with
+    </DOC>-boundary reconciliation (:func:`_scan_blocks`) — a single
+    multi-GB TREC file parallelizes across ranges with bounded RSS, like
+    the reference's streaming read. ``docno`` keeps the raw DOCNO string
+    (alphanumeric in real collections); ``doc_id`` is its stable int64
+    (numeric value, else SHA-1). Requires the writer's strict
+    <DOC><DOCNO><TEXT> tag order; docs with a different inner tag order
+    are dropped (documented contract)."""
     import re
 
     paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
              if os.path.isdir(path) else [path])
 
-    def parse_file(b: pa.Table) -> pa.Table:
-        out_id, out_txt = [], []
+    def parse_range(b: pa.Table) -> pa.Table:
         doc_re = re.compile(
-            r"<DOC>\s*<DOCNO>\s*(.*?)\s*</DOCNO>\s*<TEXT>\s*(.*?)\s*</TEXT>"
-            r"\s*</DOC>", re.DOTALL)
-        for p in b["path"].to_pylist():
-            with open(p, encoding="utf-8") as f:
-                content = f.read()
-            for m in doc_re.finditer(content):
-                out_id.append(int(m.group(1)))
-                out_txt.append(m.group(2))
+            rb"<DOC>\s*<DOCNO>\s*(.*?)\s*</DOCNO>\s*<TEXT>\s*(.*?)\s*</TEXT>"
+            rb"\s*</DOC>", re.DOTALL)
+        out_no, out_txt = [], []
+        for p, s, e in zip(b["path"].to_pylist(), b["start"].to_pylist(),
+                           b["end"].to_pylist()):
+            for blk in _scan_blocks(p, s, e, b"<DOC>", b"</DOC>"):
+                mt = doc_re.match(blk)
+                if mt:
+                    out_no.append(mt.group(1).decode("utf-8"))
+                    out_txt.append(mt.group(2).decode("utf-8"))
         return pa.table({
-            "doc_id": pa.array(out_id, type=pa.int64()),
+            "doc_id": pa.array([_docno_to_id(d) for d in out_no],
+                               type=pa.int64()),
+            "docno": pa.array(out_no, type=pa.string()),
             "text": pa.array(out_txt, type=pa.string()),
         })
 
-    files = ray.data.from_items([{"path": p} for p in paths])
-    return files.map_batches(parse_file, batch_format="pyarrow")
+    items = _byte_range_items(paths, range_bytes)
+    return ray.data.from_items(items).map_batches(
+        parse_range, batch_format="pyarrow")
 
 
 def read_jsonl_docs(path: str, id_col: str = "doc_id",
@@ -174,35 +249,40 @@ def write_enwiki(table: pa.Table, path: str, id_col: str = "doc_id",
     return path
 
 
-def read_enwiki(path: str) -> "ray.data.Dataset":
+def read_enwiki(path: str, range_bytes: int = _RANGE_BYTES) -> "ray.data.Dataset":
     """EnwikiContentSource reader (benchmark/byTask/feeds/
     EnwikiContentSource.java:47): parse <page> blocks of a Wikipedia-dump
-    XML into (doc_id, title, text). Same file-per-task shape as
-    :func:`read_trec`; entity-unescaping is left to the HTML pipeline
-    (the reference also feeds raw wiki markup through its parser)."""
+    XML into (doc_id, title, text). A real enwiki dump is ONE ~100-GB
+    file, so the read parallelizes by byte range with </page>-boundary
+    reconciliation (:func:`_scan_blocks`) — every range task holds at
+    most range_bytes + one page in memory, matching the reference's
+    streaming read. Entity-unescaping is left to the HTML pipeline (the
+    reference also feeds raw wiki markup through its parser)."""
     import re
 
     paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
              if os.path.isdir(path) else [path])
 
-    def parse_file(b: pa.Table) -> pa.Table:
+    def parse_range(b: pa.Table) -> pa.Table:
         out_id, out_title, out_txt = [], [], []
         page_re = re.compile(
-            r"<page>\s*<id>\s*(\d+)\s*</id>\s*<title>(.*?)</title>\s*"
-            r"<revision>\s*<text>(.*?)</text>\s*</revision>\s*</page>",
+            rb"<page>\s*<id>\s*(\d+)\s*</id>\s*<title>(.*?)</title>\s*"
+            rb"<revision>\s*<text>(.*?)</text>\s*</revision>\s*</page>",
             re.DOTALL)
-        for p in b["path"].to_pylist():
-            with open(p, encoding="utf-8") as f:
-                content = f.read()
-            for m in page_re.finditer(content):
-                out_id.append(int(m.group(1)))
-                out_title.append(m.group(2))
-                out_txt.append(m.group(3))
+        for p, s, e in zip(b["path"].to_pylist(), b["start"].to_pylist(),
+                           b["end"].to_pylist()):
+            for blk in _scan_blocks(p, s, e, b"<page>", b"</page>"):
+                m = page_re.match(blk)
+                if m:
+                    out_id.append(int(m.group(1)))
+                    out_title.append(m.group(2).decode("utf-8"))
+                    out_txt.append(m.group(3).decode("utf-8"))
         return pa.table({
             "doc_id": pa.array(out_id, type=pa.int64()),
             "title": pa.array(out_title, type=pa.string()),
             "text": pa.array(out_txt, type=pa.string()),
         })
 
-    files = ray.data.from_items([{"path": p} for p in paths])
-    return files.map_batches(parse_file, batch_format="pyarrow")
+    items = _byte_range_items(paths, range_bytes)
+    return ray.data.from_items(items).map_batches(
+        parse_range, batch_format="pyarrow")
