@@ -47,15 +47,30 @@ def _flat_tokens(texts: pa.Array):
 
 
 def free_text_suggest(pages, context: str, prefix: str, k: int = 10,
-                      alpha: float = 0.4, text_col: str = "text") -> pa.Table:
+                      alpha: float = 0.4, text_col: str = "text",
+                      min_count: int = 1,
+                      cand_cap: "int | None" = None) -> pa.Table:
     """Next-token completion: candidates extending ``prefix`` after the
     token sequence ``context`` (space-separated; the last tokens are
     the history, longest order first), stupid-backoff scored down the
     full chain. Returns (rank, term, score) with score rounded to 6
-    decimals, ties broken term asc."""
+    decimals, ties broken term asc.
+
+    Model-size bound (round-4: the driver-side dict was unbounded at
+    crawl scale): candidate counting is already restricted to
+    prefix-matching continuations, and before collection the Dataset
+    applies ``min_count`` pruning plus a per-order top-``cand_cap``
+    (default max(1024, 64·k)) by count, so the driver never holds more
+    than (orders+2)·cand_cap rows. With defaults the caps are far above
+    any top-k cut and the result is exact; past the cap the model is the
+    same kind of pruned n-gram model the reference's FreeTextSuggester
+    builds (suggest/analyzing/FreeTextSuggester.java:121 builds from a
+    discounted, pruned gram FST — documented approximation: a term
+    truncated from a high order may back off to a lower order's score)."""
 
     ctx = [t for t in context.split(" ") if t]
     C = len(ctx)
+    cand_cap = cand_cap or max(1024, 64 * k)
 
     def partial(b: pa.Table) -> pa.Table:
         flat, doc_of = _flat_tokens(b[text_col])
@@ -109,12 +124,32 @@ def free_text_suggest(pages, context: str, prefix: str, k: int = 10,
 
     from ray.data.aggregate import Sum
 
-    rows = (
+    agg = (
         pages.map_batches(partial, batch_format="pyarrow")
         .groupby(["kind", "term"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
     )
+    if min_count > 1:
+        def prune(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            # candidate rows (g*/uni) below min_count drop; histogram
+            # and total rows always survive (they are denominators)
+            is_cand = _pc.or_(_pc.match_substring_regex(b["kind"], "^g"),
+                              _pc.equal(b["kind"], "uni"))
+            keep = _pc.or_(_pc.invert(is_cand),
+                           _pc.greater_equal(b["n"], min_count))
+            return b.filter(keep)
+
+        agg = agg.map_batches(prune, batch_format="pyarrow")
+    from lucene_ray.pipelines.facets import grouped_top_k
+
+    rows = grouped_top_k(agg, "kind", "n", cand_cap).take_all()
+    import logging
+
+    logging.getLogger(__name__).info(
+        "free_text_suggest model: %d rows collected (cap %d per order)",
+        len(rows), cand_cap)
     grams: list[dict] = [dict() for _ in range(C + 1)]  # grams[h][term]
     hist_n = [0] * (C + 1)
     uni: dict = {}

@@ -566,3 +566,37 @@ def test_byte_range_sources_boundary_exactness(ray_session, tmp_path_factory):
                    key=lambda r: r["doc_id"])
     assert [r["doc_id"] for r in pages] == list(range(n))
     assert [r["text"] for r in pages] == texts
+
+
+def test_free_text_suggest_bounded_model(ray_session):
+    """Round-4: the free-text model is bounded before driver collection —
+    a corpus with hundreds of thousands of distinct grams and a prefix
+    matching ALL of them completes quickly with the driver holding at
+    most (orders+2)*cand_cap rows, and the exact top-k is unaffected by
+    a cap far above k."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.suggest import free_text_suggest
+
+    rng = np.random.default_rng(3)
+    # ~300k distinct tokens (every token unique except the planted ones)
+    uniq = [f"t{i:06d}" for i in range(120_000)]
+    planted = ["go north"] * 30 + ["go nowhere"] * 10
+    docs = [" ".join(uniq[i:i + 50]) for i in range(0, 120_000, 50)]
+    texts = docs + planted
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+
+    t0 = time.perf_counter()
+    out = free_text_suggest(ds, context="go", prefix="n", k=2, cand_cap=64)
+    dt = time.perf_counter() - t0
+    assert dt < 60  # bounded collection, not a driver-side vocab dict
+    assert out["term"].to_pylist()[:2] == ["north", "nowhere"]
+
+    # a prefix matching EVERY token: the capped model still answers and
+    # the driver row count is bounded by the cap per kind
+    out2 = free_text_suggest(ds, context="go", prefix="t", k=2, cand_cap=64)
+    assert out2.num_rows == 2
