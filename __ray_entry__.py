@@ -209,6 +209,37 @@ def _dvu_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _sdvu_index_dir(sf_dir: str) -> str:
+    """String doc-values update fixture (IndexWriter.updateBinaryDocValue,
+    IndexWriter.java:1940; index/docvalues.update_string_doc_values): the
+    'source' column indexes as string DV 'src'; gen0 re-points
+    doc_id%7==0 to 'updated-a', gen1 re-points doc_id%14==0 to
+    'updated-b' — later generations win."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:sdvu1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, num_segments=4,
+                    string_values={"src": "source"})
+    if not os.path.isdir(os.path.join(idx, "dv_updates")):
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.docvalues import update_string_doc_values
+
+        ids = pq.read_table(docs, columns=["doc_id"])["doc_id"].to_numpy()
+        g1 = ids[ids % 7 == 0]
+        update_string_doc_values(idx, "src", g1, ["updated-a"] * g1.shape[0])
+        g2 = ids[ids % 14 == 0]
+        update_string_doc_values(idx, "src", g2, ["updated-b"] * g2.shape[0])
+    return idx
+
+
 def _do_index_dir(sf_dir: str) -> str:
     """KeywordRepeat + Porter with discountOverlaps=true (the reference's
     DEFAULT norm behavior, Similarity.java:151): repeats share positions,
@@ -919,6 +950,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["doc_values_update_stats"] = _dv_update_stats
+
+    def _dv_binary_update(sf):
+        """String/binary doc-values UPDATES
+        (IndexWriter.updateBinaryDocValue, IndexWriter.java:1940): value
+        counts of the 'src' string DV over docs matching 'table' AFTER
+        two committed update generations (doc_id%7==0 -> 'updated-a',
+        then doc_id%14==0 -> 'updated-b' — later generation wins)."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_sdvu_index_dir(sf), mode="f64")
+        return s.string_doc_values_counts(Q.TermQuery("table"), "src")
+
+    q["doc_values_binary_update"] = _dv_binary_update
 
     def _phrase(sf):
         s = _searcher(sf)
@@ -3331,6 +3375,18 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["doc_values_binary_update"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       CASE WHEN doc_id % 14 = 0 THEN 'updated-b'
+                            WHEN doc_id % 7 = 0 THEN 'updated-a'
+                            ELSE source END AS value
+                      FROM documents)
+              SELECT v.value, count(*)::BIGINT AS count
+              FROM m JOIN v ON m.doc_id = v.doc_id
+              GROUP BY v.value ORDER BY v.value"""
     )
     o["doc_values_stats"] = (
         _PRELUDE

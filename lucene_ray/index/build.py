@@ -43,10 +43,12 @@ def _build_segments(
     extra_fields: dict[str, str] | None = None,
     features: dict[str, str] | None = None,
     field_analyzers: "dict[str, Analyzer] | None" = None,
+    string_values: dict[str, str] | None = None,
 ) -> list[dict]:
     """Run the SPIMI segment stage; returns one manifest row per segment."""
     cols = [id_col, text_col] + sorted(
         set((extra_fields or {}).values()) | set((features or {}).values())
+        | set((string_values or {}).values())
     )
     if isinstance(source, str):
         # one output segment per read block: pin the block count at the read
@@ -70,6 +72,7 @@ def _build_segments(
         extra_fields=extra_fields,
         features=features,
         field_analyzers=field_analyzers,
+        string_values=string_values,
     )
     return ds.map_batches(
         builder, batch_size=None, batch_format="pyarrow"
@@ -180,8 +183,17 @@ def build_index(
     stored_source: str | None = None,
     features: dict[str, str] | None = None,
     field_analyzers: "dict[str, Analyzer] | None" = None,
+    string_values: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) an inverted index; returns the global manifest.
+
+    ``string_values`` maps per-doc STRING doc-value names to string
+    source columns (BinaryDocValuesField / SortedDocValuesField role,
+    document/BinaryDocValuesField.java:36); they persist as
+    ``sdv_<name>`` docs.parquet columns, read via
+    ``SegmentReader.string_values`` with committed update overlays
+    applied (IndexWriter.updateBinaryDocValue, IndexWriter.java:1940 —
+    index/docvalues.update_string_doc_values).
 
     ``features`` maps static per-doc feature names to numeric source
     columns (document/FeatureField.java:96 — pagerank-style signals);
@@ -201,6 +213,7 @@ def build_index(
     manifest_rows = _build_segments(
         source, index_dir, analyzer, text_col, id_col, num_segments,
         with_positions, extra_fields, features, field_analyzers,
+        string_values,
     )
     segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
     # Segment doc ranges are contiguous when the input's block layout is

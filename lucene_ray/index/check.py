@@ -316,18 +316,33 @@ def check_index(index_dir: str, verbose: bool = False,
 
         from lucene_ray.index.docvalues import load_dv_updates
 
+        from lucene_ray.index.docvalues import load_string_dv_updates
+
         try:
             merged = load_dv_updates(dv_dir)
         except Exception as e:  # noqa: BLE001 — a corrupt overlay is a finding
             problems.append(f"dv_updates unreadable: {e}")
             merged = {}
+        try:
+            smerged = load_string_dv_updates(dv_dir)
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"string dv_updates unreadable: {e}")
+            smerged = {}
         max_id = max((int(s["doc_base"]) + int(s["doc_count"])
                       for s in m["segments"]), default=0)
         for name, (ids, _vals) in merged.items():
             if ids.shape[0] and (ids.max() >= max_id or ids.min() < 0):
                 problems.append(
                     f"dv_updates[{name}]: doc ids outside [0, {max_id})")
-        n_dv_files = len(_glob.glob(os.path.join(dv_dir, "feat_*.parquet")))
+        for name, (ids, vals) in smerged.items():
+            if ids.shape[0] and (ids.max() >= max_id or ids.min() < 0):
+                problems.append(
+                    f"string dv_updates[{name}]: doc ids outside [0, {max_id})")
+            if vals.null_count:
+                problems.append(
+                    f"string dv_updates[{name}]: null values")
+        n_dv_files = len(_glob.glob(os.path.join(dv_dir, "feat_*.parquet"))) \
+            + len(_glob.glob(os.path.join(dv_dir, "bin_*.parquet")))
     else:
         n_dv_files = 0
 

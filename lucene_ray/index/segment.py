@@ -92,6 +92,7 @@ class SegmentBuilder:
         extra_fields: dict[str, str] | None = None,
         features: dict[str, str] | None = None,
         field_analyzers: "dict[str, object] | None" = None,
+        string_values: dict[str, str] | None = None,
     ) -> None:
         self.index_dir = index_dir
         self.analyzer = analyzer
@@ -107,6 +108,11 @@ class SegmentBuilder:
         # each feature is a feat_<name> float32 docs.parquet column):
         # feature name -> numeric source column
         self.features = dict(sorted((features or {}).items()))
+        # per-doc STRING doc values (BinaryDocValuesField /
+        # SortedDocValuesField role, document/BinaryDocValuesField.java:36):
+        # name -> string source column, persisted as sdv_<name> columns,
+        # updatable via index/docvalues.update_string_doc_values
+        self.string_values = dict(sorted((string_values or {}).items()))
         # named fields beyond the default: field name -> source column.
         # Their terms are stored \x01<field>\x1f-prefixed in the SAME sorted
         # dictionary (index/fields.py), norms/lengths as norm_<f>/len_<f>
@@ -194,6 +200,11 @@ class SegmentBuilder:
             extra_doc_cols[f"feat_{fname}"] = (
                 batch[col].to_numpy(zero_copy_only=False).astype(np.float32)
             )
+        for fname, col in self.string_values.items():
+            v = batch[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            extra_doc_cols[f"sdv_{fname}"] = v.cast(pa.string())
         field_ttf = {}
         for s in sections[:-1]:
             extra_doc_cols[f"len_{s['field']}"] = s["doc_len"]

@@ -529,6 +529,44 @@ class Searcher:
         return {"count": tot, "vmin": mn, "vmax": mx, "vsum": s,
                 "mean": mean, "variance": var, "stdev": float(np.sqrt(var))}
 
+    def string_doc_values_counts(self, query, name: str):
+        """Value counts of a STRING doc-values field over the docs
+        matching ``query`` — the SortedSetDocValues facet-count shape
+        with committed string-DV UPDATE overlays applied
+        (IndexWriter.updateBinaryDocValue, IndexWriter.java:1940;
+        segreader.string_values). Returns a pyarrow table
+        (value, count) sorted by value."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from lucene_ray.search import query as _Q
+
+        if isinstance(query, str):
+            query = self._prep(query)
+        docs, _scores = self.search_all(_Q.ConstantScoreQuery(query))
+        parts = []
+        for r in self.readers:
+            if not r.meta.get("owns_docs", True):
+                continue
+            ids = r.doc_ids
+            if ids.shape[0] == 0:
+                continue
+            idx = np.searchsorted(ids, docs)
+            idx_c = np.clip(idx, 0, ids.shape[0] - 1)
+            sel = ids[idx_c] == docs
+            if sel.any():
+                parts.append(r.string_values(name).take(
+                    _pa.array(idx_c[sel])))
+        if not parts:
+            return _pa.table({"value": _pa.array([], _pa.string()),
+                              "count": _pa.array([], _pa.int64())})
+        vc = _pc.value_counts(_pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, _pa.ChunkedArray) else p
+             for p in parts]))
+        t = _pa.table({"value": vc.field("values"),
+                       "count": vc.field("counts").cast(_pa.int64())})
+        return t.sort_by("value")
+
     def term_vector(self, doc_id: int, field: "str | None" = None) -> "object":
         """Per-document term vector — the TermVectorsReader role
         (codecs/lucene90/compressing/Lucene90CompressingTermVectorsReader.java,

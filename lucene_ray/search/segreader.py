@@ -94,6 +94,7 @@ class SegmentReader:
         "_doc_ids",
         "_field_cols",
         "_dv_updates",
+        "_sdv_updates",
         "meta",
     )
 
@@ -124,6 +125,7 @@ class SegmentReader:
         self._doc_ids = None
         self._field_cols = {}
         self._dv_updates = None  # lazy numeric-DV update overlay
+        self._sdv_updates = None  # lazy string-DV update overlay
 
     def _docs_file(self) -> str:
         # term-sharded merged segments share one docs table (meta.docs_path)
@@ -223,6 +225,33 @@ class SegmentReader:
 
         return apply_updates(name, base, self.doc_ids, self._dv_updates)
 
+    def string_values(self, name: str):
+        """Per-doc STRING doc values (BinaryDocValuesField /
+        SortedDocValuesField role), row-aligned with ``doc_ids`` — with
+        any committed string-DV UPDATE generations overlaid
+        (IndexWriter.updateBinaryDocValue, IndexWriter.java:1940; later
+        generations win). Returns a pyarrow StringArray. Overlay
+        discovery mirrors :meth:`feature`."""
+        key = f"sdv_{name}"
+        v = self._field_cols.get(key)
+        if v is None:
+            t = pq.read_table(self._docs_file(), columns=[key])
+            v = t[key]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            self._field_cols[key] = v
+        if self._sdv_updates is None:
+            from lucene_ray.index.docvalues import (find_dv_dir,
+                                                    load_string_dv_updates)
+
+            d = find_dv_dir(self.path)
+            self._sdv_updates = load_string_dv_updates(d) if d else {}
+        if not self._sdv_updates:
+            return v
+        from lucene_ray.index.docvalues import apply_string_updates
+
+        return apply_string_updates(name, v, self.doc_ids, self._sdv_updates)
+
     def doc_len_for(self, field: str | None) -> np.ndarray:
         """Per-doc exact token counts of a field (BM25F combined length)."""
         if field is None:
@@ -294,6 +323,7 @@ class ShardGroupReader(SegmentReader):
         self._doc_ids = None
         self._field_cols = {}
         self._dv_updates = None
+        self._sdv_updates = None
         self._merged_blobs: dict[int, "PostingsReader"] = {}
 
     # postings route to the owning shard; straddled terms merge lazily

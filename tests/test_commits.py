@@ -134,3 +134,41 @@ def test_two_phase_commit(tmp_path, docs_path, ray_session):
 
     with pytest.raises(ValueError):
         finish_commit(idx, 99)
+
+
+def test_string_dv_updates_overlay_and_check(tmp_path, ray_session, sf_dir):
+    """Round-4 (IndexWriter.updateBinaryDocValue, IndexWriter.java:1940):
+    string doc values index as sdv_<name> columns, update generations
+    overlay later-wins at read, and check_index validates the files."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.check import check_index
+    from lucene_ray.index.docvalues import update_string_doc_values
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "sdv")
+    build_index(docs, idx, num_segments=2, string_values={"src": "source"})
+
+    ids = pq.read_table(docs, columns=["doc_id"])["doc_id"].to_numpy()
+    sel = ids[ids % 5 == 0]
+    update_string_doc_values(idx, "src", sel, ["gen0"] * sel.shape[0])
+    sel2 = ids[ids % 10 == 0]
+    update_string_doc_values(idx, "src", sel2, ["gen1"] * sel2.shape[0])
+
+    s = Searcher(idx)
+    t = s.string_doc_values_counts(Q.MatchAllDocsQuery(), "src")
+    got = dict(zip(t["value"].to_pylist(), t["count"].to_pylist()))
+    n0 = int(((ids % 5 == 0) & (ids % 10 != 0)).sum())
+    n1 = int((ids % 10 == 0).sum())
+    assert got.get("gen0", 0) == n0  # gen1 overwrote the doubles
+    assert got.get("gen1", 0) == n1
+    assert sum(got.values()) == ids.shape[0]
+
+    rep = check_index(idx)
+    assert rep["dv_update_files"] == 2
