@@ -358,6 +358,77 @@ def check_index(index_dir: str, verbose: bool = False,
     }
 
 
+def _check_segment_safe(path: str) -> dict:
+    """_check_segment, but a segment too corrupt to even open (missing
+    meta, truncated parquet) reports as a problem instead of raising —
+    exorcise must classify it, not die on it."""
+    try:
+        return _check_segment(path)
+    except Exception as e:  # noqa: BLE001 — any failure marks the segment
+        return {"segment": os.path.basename(path),
+                "problems": [f"unreadable segment: {e}"]}
+
+
+def exorcise_index(index_dir: str,
+                   distributed: "bool | None" = None) -> dict:
+    """CheckIndex -exorcise (CheckIndex.java:4079 exorciseIndex): write a
+    NEW commit generation whose segment list excludes every segment that
+    fails validation, so the index serves again from the surviving docs.
+
+    Like the reference, this LOSES the documents of the dropped segments
+    — it repairs availability, not data. Good segments are never
+    touched: the repair is one new ``commits/segments_<gen>.json`` (plus
+    a rebuilt content-addressed global-stats dir for the surviving set)
+    and a manifest swing, both via the commit machinery
+    (index/commits.py), so snapshots of the corrupt generation remain
+    openable. Term-sharded merge outputs drop as a whole SHARD GROUP
+    (the shards share one doc space — serving a partial dictionary
+    would silently miss terms). Returns {'dropped': [paths],
+    'generation': gen, 'doc_count': n}."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    segs = m["segments"]
+    present = [s for s in segs if os.path.isdir(s["path"])]
+    bad_paths = {s["path"] for s in segs if not os.path.isdir(s["path"])}
+    if distributed is None:
+        distributed = len(present) > 16
+    if distributed and present:
+        import ray
+
+        check_remote = ray.remote(num_cpus=1)(_check_segment_safe)
+        reports = ray.get([check_remote.remote(s["path"]) for s in present])
+    else:
+        reports = [_check_segment_safe(s["path"]) for s in present]
+    for s, r in zip(present, reports):
+        if r["problems"]:
+            bad_paths.add(s["path"])
+
+    def group_key(s: dict) -> str:
+        return s.get("docs_path") or s["path"]
+
+    bad_groups = {group_key(s) for s in segs if s["path"] in bad_paths}
+    good = [s for s in segs if group_key(s) not in bad_groups]
+    dropped = [s["path"] for s in segs if group_key(s) in bad_groups]
+    if not dropped:
+        return {"dropped": [], "generation": m.get("generation"),
+                "doc_count": m["doc_count"]}
+
+    from lucene_ray.index.build import _write_global_stats, logical_doc_stats
+    from lucene_ray.index.commits import commit_manifest
+
+    new = dict(m)
+    new["segments"] = good
+    dc, ttf = logical_doc_stats(good)
+    new["doc_count"] = dc
+    new["sum_total_term_freq"] = ttf
+    new["stats_dir"] = _write_global_stats(index_dir, good)
+    new.pop("generation", None)
+    committed = commit_manifest(index_dir, new)
+    return {"dropped": sorted(dropped),
+            "generation": committed.get("generation"),
+            "doc_count": dc}
+
+
 def check_vector_index(index_dir: str) -> dict:
     """Offline validation for the persisted VECTOR index families — the
     CheckIndex role extended to hnsw/ivf/pq/ivfpq/sq artifacts

@@ -1,8 +1,11 @@
 """CLI for the offline index validator (CheckIndex.java:113 role).
 
-Usage: python scripts/check_index.py <index_dir> [<index_dir> ...]
+Usage: python scripts/check_index.py [--exorcise] <index_dir> [...]
 
-Exit code 0 when every index is clean; 1 with a problem listing otherwise.
+Exit code 0 when every index is clean; 1 with a problem listing
+otherwise. With --exorcise (CheckIndex.java:4079 exorciseIndex), a
+failing index gets a new commit generation excluding its corrupt
+segments — the documents they held are LOST, the survivors serve again.
 """
 
 from __future__ import annotations
@@ -27,6 +30,8 @@ def main(argv: list[str]) -> int:
                       "ivfpq_manifest.json", "sq_manifest.json")
         )
 
+    exorcise = "--exorcise" in argv
+    argv = [a for a in argv if a != "--exorcise"]
     rc = 0
     for d in argv:
         try:
@@ -36,6 +41,18 @@ def main(argv: list[str]) -> int:
         except CheckIndexError as e:
             rc = 1
             print(f"FAIL  {d}:\n{e}")
+            if exorcise and not _is_vector(d):
+                from lucene_ray.index.check import exorcise_index
+
+                rep = exorcise_index(d)
+                print(f"EXORCISED  {d}: dropped {len(rep['dropped'])} "
+                      f"segment(s), now gen {rep['generation']} with "
+                      f"{rep['doc_count']} docs")
+                try:
+                    check_index(d)
+                    rc = 0
+                except CheckIndexError as e2:
+                    print(f"STILL FAIL  {d}:\n{e2}")
     return rc
 
 

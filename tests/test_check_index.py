@@ -202,3 +202,45 @@ def test_check_index_validates_dv_updates(ray_session, tmp_path_factory):
     update_doc_values(idx, "w", [999], [1.0])  # outside the doc space
     with pytest.raises(CheckIndexError, match="dv_updates"):
         check_index(idx)
+
+
+def test_exorcise_drops_corrupt_segment_and_serves_rest(corruptible):
+    """CheckIndex -exorcise (CheckIndex.java:4079 exorciseIndex): corrupt
+    one segment, exorcise, and the searcher serves the remainder from
+    the new commit generation — good segments untouched, doc_count and
+    global stats recomputed for the survivors."""
+    import numpy as np
+
+    from lucene_ray.index.check import exorcise_index
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    m = json.load(open(os.path.join(corruptible, "manifest.json")))
+    victim = m["segments"][1]
+    pbin = os.path.join(victim["path"], "postings.bin")
+    with open(pbin, "r+b") as f:
+        f.seek(os.path.getsize(pbin) // 2)
+        b = f.read(1)
+        f.seek(-1, 1)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(CheckIndexError):
+        check_index(corruptible)
+
+    rep = exorcise_index(corruptible)
+    assert rep["dropped"] == [victim["path"]]
+    m2 = json.load(open(os.path.join(corruptible, "manifest.json")))
+    assert len(m2["segments"]) == len(m["segments"]) - 1
+    assert m2["doc_count"] == m["doc_count"] - victim["doc_count"]
+
+    check_index(corruptible)  # clean again
+    s = Searcher(corruptible)
+    td = s.search("table", k=10)
+    assert td.total_hits > 0
+    # every surviving hit lies outside the dropped segment's doc range
+    lo = victim["doc_base"]
+    hi = victim["doc_base"] + victim["doc_count"]
+    docs, _sc = s.search_all(Q.MatchAllDocsQuery())
+    assert not np.any((docs >= lo) & (docs < hi))
+    # idempotent: nothing else to drop
+    rep2 = exorcise_index(corruptible)
+    assert rep2["dropped"] == []
