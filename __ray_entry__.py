@@ -964,6 +964,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_values_binary_update"] = _dv_binary_update
 
+    def _flexible_parser(sf):
+        """Flexible/precedence parser (queryparser/flexible/standard/
+        StandardQueryParser.java:71): 'table AND key OR window' parses
+        with AND binding tighter — match set (table∧key)∨window. The
+        classic parser's modifier rewrite yields +table +key window,
+        which EXCLUDES window-only docs; the differing doc set is the
+        precedence case the flexible pipeline exists to fix."""
+        from lucene_ray.search.flexible import parse_flexible
+
+        s = _searcher(sf)
+        docs, _sc = s.search_all(parse_flexible("table AND key OR window"))
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["flexible_parser_query"] = _flexible_parser
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -3375,6 +3390,14 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["flexible_parser_query"] = (
+        _PRELUDE
+        + """ SELECT DISTINCT doc_id FROM tok
+              WHERE term = 'window'
+                 OR (doc_id IN (SELECT doc_id FROM tok WHERE term = 'table')
+                     AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'key'))
+              ORDER BY doc_id"""
     )
     o["doc_values_binary_update"] = (
         _PRELUDE

@@ -1,0 +1,87 @@
+"""Flexible/precedence query parser (search/flexible.py — the
+StandardQueryParser.java:71 config-driven pipeline role)."""
+
+import numpy as np
+
+from lucene_ray.search import query as Q
+from lucene_ray.search.flexible import parse_flexible
+from lucene_ray.search.parser import parse_query
+
+
+def test_and_binds_tighter_than_or():
+    q = parse_flexible("a AND b OR c")
+    assert isinstance(q, Q.BooleanQuery)
+    assert len(q.should) == 2 and not q.must
+    inner = q.should[0]
+    assert isinstance(inner, Q.BooleanQuery)
+    assert {t.term for t in inner.must} == {"a", "b"}
+    assert q.should[1].term == "c"
+
+
+def test_precedence_match_set_differs_from_classic(built_index):
+    """The flexible parser MATCHES window-only docs for
+    'table AND key OR window'; the classic parser's +table +key window
+    rewrite does not — the precedence wart the flexible pipeline fixes."""
+    from lucene_ray.search.searcher import Searcher
+
+    s = Searcher(built_index[0])
+    flex_docs, _ = s.search_all(parse_flexible("table AND key OR window"))
+    classic_docs, _ = s.search_all(parse_query("table AND key OR window"))
+
+    tdocs, _ = s.search_all(Q.TermQuery("table"))
+    kdocs, _ = s.search_all(Q.TermQuery("key"))
+    wdocs, _ = s.search_all(Q.TermQuery("window"))
+    t, k, w = set(tdocs.tolist()), set(kdocs.tolist()), set(wdocs.tolist())
+    assert set(flex_docs.tolist()) == (t & k) | w
+    assert set(classic_docs.tolist()) == (t & k)
+    assert w - (t & k), "fixture must contain window-only docs"
+
+
+def test_default_operator_and():
+    q = parse_flexible("a b c", default_operator="and")
+    assert isinstance(q, Q.BooleanQuery)
+    assert {t.term for t in q.must} == {"a", "b", "c"} and not q.should
+    q2 = parse_flexible("a b OR c", default_operator="and")
+    # (a AND b) OR c
+    assert len(q2.should) == 2
+    assert {t.term for t in q2.should[0].must} == {"a", "b"}
+
+
+def test_not_binds_to_current_group():
+    q = parse_flexible("a NOT b OR c")
+    # (a AND NOT b) OR c
+    assert len(q.should) == 2
+    inner = q.should[0]
+    assert inner.must[0].term == "a" and inner.must_not[0].term == "b"
+
+
+def test_config_defaults_and_multifield():
+    q = parse_flexible('"key value"', phrase_slop=3)
+    assert isinstance(q, Q.PhraseQuery) and q.slop == 3
+    # explicit slop wins over config
+    q2 = parse_flexible('"key value"~1', phrase_slop=3)
+    assert q2.slop == 1
+    q3 = parse_flexible("tble~", fuzzy_max_edits=1)
+    assert isinstance(q3, Q.FuzzyQuery) and q3.max_edits == 1
+
+    q4 = parse_flexible("scan", multi_fields=("title", "body"),
+                        field_boosts={"title": 2.0})
+    assert isinstance(q4, Q.DisjunctionMaxQuery)
+    assert q4.queries[0].boost == 2.0
+    assert q4.queries[0].query.field == "title"
+    assert q4.queries[1].field == "body"
+    # an explicit field prefix opts out of expansion
+    q5 = parse_flexible("title:scan", multi_fields=("title", "body"))
+    assert isinstance(q5, Q.TermQuery) and q5.field == "title"
+
+
+def test_groups_and_boost():
+    q = parse_flexible("a AND (b OR c)^2")
+    assert isinstance(q, Q.BooleanQuery)
+    boosted = q.must[1]
+    assert isinstance(boosted, Q.BoostQuery) and boosted.boost == 2.0
+
+
+def test_empty_and_bare_connectors():
+    assert isinstance(parse_flexible(""), Q.MatchAllDocsQuery)
+    assert isinstance(parse_flexible("AND OR"), Q.MatchAllDocsQuery)
