@@ -240,6 +240,34 @@ def _sdvu_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _pfo_index_dir(sf_dir: str) -> str:
+    """Per-field postings format fixture (PerFieldPostingsFormat.java:71
+    + IndexOptions.java:28): body field keeps positions, the title field
+    registers as DOCS — no positions rows, term freqs flattened to 1
+    (BM25 scores tf=1 per match, the IndexOptions.DOCS contract)."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:pfo1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        import ray.data
+
+        from lucene_ray.data.webpages import with_title_column
+        from lucene_ray.index.build import build_index
+
+        ds = ray.data.read_parquet(
+            docs, columns=["doc_id", "text"]
+        ).map_batches(with_title_column, batch_format="pyarrow")
+        build_index(ds, idx, num_segments=4, with_positions=True,
+                    extra_fields={"title": "title"},
+                    field_options={"title": "docs"},
+                    stored_source=docs)
+    return idx
+
+
 def _do_index_dir(sf_dir: str) -> str:
     """KeywordRepeat + Porter with discountOverlaps=true (the reference's
     DEFAULT norm behavior, Similarity.java:151): repeats share positions,
@@ -978,6 +1006,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": np.sort(docs)})
 
     q["flexible_parser_query"] = _flexible_parser
+
+    def _per_field_codec(sf):
+        """Per-field postings format (PerFieldPostingsFormat.java:71):
+        the title field registered as IndexOptions.DOCS — BM25 over
+        title:table scores tf=1 for every matching doc (freqs flattened
+        at write; the codec's freq-1 stream carries no freq payload)."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_pfo_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(Q.TermQuery("table", field="title"))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order],
+                         "score": _round4(scores[order])})
+
+    q["per_field_codec_query"] = _per_field_codec
 
     def _phrase(sf):
         s = _searcher(sf)
@@ -3390,6 +3433,24 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["per_field_codec_query"] = (
+        f"""
+WITH ttok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:4]) AS term FROM documents
+),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+tstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM tdl)::DOUBLE AS sttf
+)
+, tf AS (SELECT DISTINCT doc_id, 1.0 AS f FROM ttok WHERE term = 'table')
+, df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN tstats s JOIN tdl q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
     )
     o["flexible_parser_query"] = (
         _PRELUDE

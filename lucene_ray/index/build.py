@@ -44,6 +44,7 @@ def _build_segments(
     features: dict[str, str] | None = None,
     field_analyzers: "dict[str, Analyzer] | None" = None,
     string_values: dict[str, str] | None = None,
+    field_options: "dict[str | None, str] | None" = None,
 ) -> list[dict]:
     """Run the SPIMI segment stage; returns one manifest row per segment."""
     cols = [id_col, text_col] + sorted(
@@ -73,6 +74,7 @@ def _build_segments(
         features=features,
         field_analyzers=field_analyzers,
         string_values=string_values,
+        field_options=field_options,
     )
     return ds.map_batches(
         builder, batch_size=None, batch_format="pyarrow"
@@ -184,8 +186,22 @@ def build_index(
     features: dict[str, str] | None = None,
     field_analyzers: "dict[str, Analyzer] | None" = None,
     string_values: dict[str, str] | None = None,
+    field_options: "dict[str | None, str] | None" = None,
 ) -> dict:
     """Build (or resume) an inverted index; returns the global manifest.
+
+    ``field_options`` is the per-field postings format registry
+    (codecs/perfield/PerFieldPostingsFormat.java:71 +
+    index/IndexOptions.java:28): field name (None = default field) ->
+    "docs" | "docs_and_freqs" | "positions". A "docs_and_freqs" field
+    writes no rows into the positions artifact even when
+    ``with_positions=True`` (an index whose every field opts out writes
+    no positions file at all); a "docs" field additionally flattens term
+    freqs to 1, which the codec's freq-1 stream encodes with zero freq
+    payload (postings bytes drop measurably; BM25 then scores tf=1 per
+    match, the reference's IndexOptions.DOCS contract). Phrase/interval
+    queries over a positions-less field match nothing — the reference
+    throws on them; recorded in the manifest for introspection.
 
     ``string_values`` maps per-doc STRING doc-value names to string
     source columns (BinaryDocValuesField / SortedDocValuesField role,
@@ -213,7 +229,7 @@ def build_index(
     manifest_rows = _build_segments(
         source, index_dir, analyzer, text_col, id_col, num_segments,
         with_positions, extra_fields, features, field_analyzers,
-        string_values,
+        string_values, field_options,
     )
     segments = sorted(manifest_rows, key=lambda r: r["doc_base"])
     # Segment doc ranges are contiguous when the input's block layout is
@@ -248,6 +264,9 @@ def build_index(
         "text_col": text_col,
         "id_col": id_col,
         "with_positions": with_positions,
+        "field_options": {(k if k is not None else ""): v
+                          for k, v in sorted((field_options or {}).items(),
+                                             key=lambda kv: kv[0] or "")},
         "fields": fields,
         "features": {n: {"col": c} for n, c in sorted((features or {}).items())},
         "stored_source": stored_source or (source if isinstance(source, str) else None),

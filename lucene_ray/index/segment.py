@@ -93,6 +93,7 @@ class SegmentBuilder:
         features: dict[str, str] | None = None,
         field_analyzers: "dict[str, object] | None" = None,
         string_values: dict[str, str] | None = None,
+        field_options: "dict[str | None, str] | None" = None,
     ) -> None:
         self.index_dir = index_dir
         self.analyzer = analyzer
@@ -108,6 +109,21 @@ class SegmentBuilder:
         # each feature is a feat_<name> float32 docs.parquet column):
         # feature name -> numeric source column
         self.features = dict(sorted((features or {}).items()))
+        # per-field postings format registry — the PerFieldPostingsFormat
+        # role (codecs/perfield/PerFieldPostingsFormat.java:71, field
+        # IndexOptions index/IndexOptions.java:28): field name (None =
+        # default field) -> "docs" | "docs_and_freqs" | "positions".
+        # A "docs_and_freqs" field writes NO rows into the positions
+        # artifact even when the index has positions; a "docs" field
+        # additionally flattens term freqs to 1 (the codec's freq-1
+        # stream encodes them with zero freq payload). Unlisted fields
+        # follow with_positions.
+        self.field_options = dict(field_options or {})
+        if not with_positions and \
+                "positions" in self.field_options.values():
+            raise ValueError(
+                "field_options can only DOWNGRADE from the index-wide "
+                "setting: a 'positions' field requires with_positions=True")
         # per-doc STRING doc values (BinaryDocValuesField /
         # SortedDocValuesField role, document/BinaryDocValuesField.java:36):
         # name -> string source column, persisted as sdv_<name> columns,
@@ -171,6 +187,13 @@ class SegmentBuilder:
         default_sec = self._invert_field(texts, n_docs, local_ids, "", None)
         sections.append(default_sec)
 
+        # per-field IndexOptions (PerFieldPostingsFormat.java:71 registry
+        # role): DOCS fields drop term frequencies (freq ≡ 1 rides the
+        # codec's empty freq-1 stream)
+        for s in sections:
+            if self._field_option(s["field"]) == "docs":
+                s["freqs"] = np.ones_like(s["freqs"])
+
         sorted_vocab = pa.concat_arrays([s["vocab"] for s in sections])
         off_post = 0
         start_parts = []
@@ -191,9 +214,11 @@ class SegmentBuilder:
         )
         os.makedirs(tmp_dir, exist_ok=True)
         positions_tbl = None
-        if self.with_positions:
+        pos_sections = [s for s in sections
+                        if self._field_option(s["field"]) == "positions"]
+        if pos_sections:
             positions_tbl = pa.concat_tables(
-                [self._positions_table(s, doc_ids) for s in sections]
+                [self._positions_table(s, doc_ids) for s in pos_sections]
             )
         extra_doc_cols = {}
         for fname, col in self.features.items():
@@ -250,6 +275,14 @@ class SegmentBuilder:
                 shutil.rmtree(tmp_dir, ignore_errors=True)
         meta["skipped"] = False
         return self._manifest_row(meta)
+
+    def _field_option(self, field: "str | None") -> str:
+        """Effective IndexOptions of a field: explicit registry entry,
+        else the index-wide with_positions default."""
+        opt = self.field_options.get(field)
+        if opt is None:
+            opt = "positions" if self.with_positions else "docs_and_freqs"
+        return opt
 
     def _invert_field(
         self,

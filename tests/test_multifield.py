@@ -344,3 +344,74 @@ def test_field_exists_query(ray_session, tmp_path_factory):
 
     assert parse_query("kw:*", fields={"kw"}) == Q.FieldExistsQuery("kw")
     assert parse_query("*") == Q.MatchAllDocsQuery()
+
+
+def test_per_field_postings_options(ray_session, tmp_path_factory, sf_dir):
+    """Per-field postings format registry (PerFieldPostingsFormat.java:71
+    + IndexOptions.java:28): a docs_and_freqs field writes NO rows into
+    the positions artifact; a docs field flattens freqs to 1 and shrinks
+    postings bytes; upgrades past the index-wide setting are rejected."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from lucene_ray.data.webpages import with_title_column
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.check import check_index
+    from lucene_ray.index.fields import field_prefix
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+        with_title_column, batch_format="pyarrow")
+    idx = str(tmp_path_factory.mktemp("pfo") / "idx")
+    build_index(ds, idx, num_segments=2, with_positions=True,
+                extra_fields={"title": "title"},
+                field_options={"title": "docs"}, stored_source=docs)
+    check_index(idx)
+
+    # positions artifact holds NO title-field terms
+    pref = field_prefix("title")
+    for p in glob.glob(os.path.join(idx, "segments", "*", "positions.parquet")):
+        terms = pq.read_table(p, columns=["term"])["term"].to_pylist()
+        assert not any(t.startswith(pref) for t in terms)
+
+    s = Searcher(idx)
+    # body phrases still work; a title phrase matches nothing
+    d_body, _ = s.search_all(Q.PhraseQuery(("key", "value")))
+    assert d_body.shape[0] > 0
+    d_title, _ = s.search_all(Q.PhraseQuery(("key", "value"), field="title"))
+    assert d_title.shape[0] == 0
+    # docs-only field scores tf=1: every matching doc with the same title
+    # length gets the same score
+    dt, st = s.search_all(Q.TermQuery("table", field="title"))
+    assert dt.shape[0] > 0
+    assert np.unique(np.round(st, 6)).shape[0] == 1  # all titles are 4 tokens
+
+    # an all-opted-out index writes no positions file at all
+    idx2 = str(tmp_path_factory.mktemp("pfo") / "nopos")
+    build_index(docs, idx2, num_segments=2, with_positions=True,
+                field_options={None: "docs_and_freqs"})
+    assert not glob.glob(os.path.join(idx2, "segments", "*",
+                                      "positions.parquet"))
+    check_index(idx2)
+
+    # postings bytes drop measurably for a docs-only default field
+    idx3 = str(tmp_path_factory.mktemp("pfo") / "docsonly")
+    m3 = build_index(docs, idx3, num_segments=2,
+                     field_options={None: "docs"})
+    idx4 = str(tmp_path_factory.mktemp("pfo") / "full")
+    m4 = build_index(docs, idx4, num_segments=2)
+    b3 = sum(sg["postings_bytes"] for sg in m3["segments"])
+    b4 = sum(sg["postings_bytes"] for sg in m4["segments"])
+    assert b3 < b4
+
+    # upgrades past the index-wide setting are rejected
+    with pytest.raises(ValueError):
+        build_index(docs, str(tmp_path_factory.mktemp("pfo") / "bad"),
+                    num_segments=2, with_positions=False,
+                    field_options={"title": "positions"})
