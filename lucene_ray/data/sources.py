@@ -30,6 +30,10 @@ import ray.data
 # "title <TAB> date <TAB> body")
 _SEP = "\t"
 
+# default byte range per read task: small enough that range + one block
+# fits comfortably in a worker's heap, big enough to amortize task costs
+_RANGE_BYTES = 8 << 20
+
 
 def write_line_docs(table: pa.Table, path: str, title_col: "str | None" = None,
                     date_col: "str | None" = None,
@@ -50,46 +54,106 @@ def write_line_docs(table: pa.Table, path: str, title_col: "str | None" = None,
     return path
 
 
-def read_line_docs(path: str) -> "ray.data.Dataset":
+def _scan_lines(path: str, start: int, end: int,
+                readahead: int = 1 << 20) -> list:
+    """Decoded lines (newline stripped) whose first byte lies in
+    [start, end) — the line-format analog of :func:`_scan_blocks`: a
+    line belongs to the range holding its start, the last owned line
+    completes via bounded forward read-ahead, memory stays bounded by
+    range + one line."""
+    out: list = []
+    with open(path, "rb") as f:
+        if start == 0:
+            lo = first = 0
+        else:
+            # back up one byte: position p starts a line iff byte p-1
+            # is '\n'; the first owned line starts after the first
+            # newline at or past start-1
+            lo = start - 1
+        f.seek(lo)
+        buf = f.read(end - lo)
+        if start == 0:
+            first = 0
+        else:
+            nl = buf.find(b"\n")
+            if nl < 0 or lo + nl + 1 >= end:
+                return out
+            first = nl + 1
+        pos = first
+        while True:
+            apos = lo + pos
+            if apos >= end or pos >= len(buf):
+                break
+            nl = buf.find(b"\n", pos)
+            while nl < 0:
+                more = f.read(readahead)
+                if not more:
+                    break
+                buf += more
+                nl = buf.find(b"\n", pos)
+            if nl < 0:
+                out.append(buf[pos:].decode("utf-8"))
+                break
+            out.append(buf[pos:nl].decode("utf-8"))
+            pos = nl + 1
+    return out
+
+
+def read_line_docs(path: str,
+                   range_bytes: int = _RANGE_BYTES) -> "ray.data.Dataset":
     """LineDocSource reader: each line -> (doc_id, title, date, text)
-    with doc_id = global line number. One task per FILE (files in sorted
-    order, lines kept in file order via an explicit (file, line) key —
-    ray.data.read_text does NOT guarantee line order across blocks).
-    The reference reads this format single-threaded
-    (LineDocSource.java:47): the sequential-id contract is the format's;
-    web-scale corpora should use JSONL/parquet feeds with explicit ids."""
+    with doc_id = global line number (the format's sequential-id
+    contract, LineDocSource.java:47). Two distributed byte-range passes
+    replace the round-3 whole-corpus driver concat: pass 1 counts the
+    lines per range (tiny rows to the driver, prefix-summed into range
+    doc-id bases), pass 2 parses each range with
+    ``doc_id = base + local line index`` — no task ever holds more than
+    one range + one line, and a single multi-GB line file parallelizes
+    across ranges."""
     paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
              if os.path.isdir(path) else [path])
+    items = _byte_range_items(paths, range_bytes)
 
-    def parse_file(b: pa.Table) -> pa.Table:
-        tif, lif, lines = [], [], []
-        for fi, p in zip(b["file_idx"].to_pylist(), b["path"].to_pylist()):
-            with open(p, encoding="utf-8") as f:
-                for li, line in enumerate(f):
-                    tif.append(fi)
-                    lif.append(li)
-                    lines.append(line.rstrip("\n"))
+    def count_range(b: pa.Table) -> pa.Table:
+        idxs, counts = [], []
+        for i, p, s, e in zip(b["item_idx"].to_pylist(),
+                              b["path"].to_pylist(),
+                              b["start"].to_pylist(), b["end"].to_pylist()):
+            idxs.append(i)
+            counts.append(len(_scan_lines(p, s, e)))
+        return pa.table({"item_idx": pa.array(idxs, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    for i, it in enumerate(items):
+        it["item_idx"] = i
+    counts_rows = ray.data.from_items(items).map_batches(
+        count_range, batch_format="pyarrow").take_all()  # one tiny row/range
+    n_by_idx = {r["item_idx"]: r["n"] for r in counts_rows}
+    base = 0
+    for i, it in enumerate(items):
+        it["base"] = base
+        base += n_by_idx.get(i, 0)
+
+    def parse_range(b: pa.Table) -> pa.Table:
+        bases, lines = [], []
+        for p, s, e, bs in zip(b["path"].to_pylist(), b["start"].to_pylist(),
+                               b["end"].to_pylist(), b["base"].to_pylist()):
+            ls = _scan_lines(p, s, e)
+            bases.extend(range(bs, bs + len(ls)))
+            lines.extend(ls)
         arr = pa.array(lines, type=pa.string())
         # well-formed lines have exactly two separators (the writer's
         # contract); max_splits keeps tabs inside the body intact
         parts = pc.split_pattern(arr, _SEP, max_splits=2)
         return pa.table({
-            "file_idx": pa.array(tif, type=pa.int64()),
-            "line_idx": pa.array(lif, type=pa.int64()),
+            "doc_id": pa.array(bases, type=pa.int64()),
             "title": pc.list_element(parts, 0),
             "date": pc.list_element(parts, 1),
             "text": pc.list_element(parts, 2),
         })
 
-    files = ray.data.from_items(
-        [{"file_idx": i, "path": p} for i, p in enumerate(paths)])
-    t = pa.concat_tables(
-        files.map_batches(parse_file, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
-    order = np.lexsort((t["line_idx"].to_numpy(), t["file_idx"].to_numpy()))
-    t = t.take(pa.array(order)).drop_columns(["file_idx", "line_idx"])
-    return ray.data.from_arrow(t.add_column(
-        0, "doc_id", pa.array(np.arange(t.num_rows, dtype=np.int64))))
+    return ray.data.from_items(items).map_batches(
+        parse_range, batch_format="pyarrow")
 
 
 def write_trec(table: pa.Table, path: str, id_col: str = "doc_id",
@@ -104,11 +168,6 @@ def write_trec(table: pa.Table, path: str, id_col: str = "doc_id",
                     f"</TEXT>\n</DOC>\n")
     os.replace(tmp, path)
     return path
-
-
-# default byte range per read task: small enough that range + one block
-# fits comfortably in a worker's heap, big enough to amortize task costs
-_RANGE_BYTES = 8 << 20
 
 
 def _byte_range_items(paths: list, range_bytes: int) -> list:

@@ -600,3 +600,23 @@ def test_free_text_suggest_bounded_model(ray_session):
     # the driver row count is bounded by the cap per kind
     out2 = free_text_suggest(ds, context="go", prefix="t", k=2, cand_cap=64)
     assert out2.num_rows == 2
+
+
+def test_line_docs_byte_ranges_sequential_ids(ray_session, tmp_path_factory):
+    """read_line_docs parallelizes by byte range while keeping the
+    format's sequential-id contract: doc_id = global line number, exact
+    across range boundaries far smaller than a line."""
+    import pyarrow as pa
+
+    from lucene_ray.data.sources import read_line_docs, write_line_docs
+
+    d = tmp_path_factory.mktemp("ld")
+    n = 37
+    texts = [f"line body {i} " + "x" * (i % 23) for i in range(n)]
+    t = pa.table({"text": pa.array(texts)})
+    lp = str(d / "docs.tsv")
+    write_line_docs(t, lp)
+    got = sorted(read_line_docs(lp, range_bytes=48).take_all(),
+                 key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in got] == list(range(n))
+    assert [r["text"] for r in got] == texts
