@@ -240,6 +240,73 @@ def _sdvu_index_dir(sf_dir: str) -> str:
     return idx
 
 
+# Hunspell fixture dictionary: every corpus token is a dictionary word
+# carrying the plural flag, so surface plurals analyze to their bases —
+# deterministic from the corpus alone (no external dictionary files).
+_HUNSPELL_AFF = "SET UTF-8\nSFX S Y 1\nSFX S 0 s .\n"
+
+
+def _hunspell_vocab() -> list:
+    """The UNION vocabulary across every sf dir — the oracle's smap is
+    built from the same union, so index-side and SQL-side stem maps
+    agree at whichever sf the driver evaluates (Hunspell stems depend on
+    the dictionary contents, unlike the corpus-independent Porter)."""
+    import glob as _glob
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    vocab: set = set()
+    for d in sorted(_glob.glob("/root/testdata/sf*/documents.parquet")):
+        t = _pq.read_table(d, columns=["text"])
+        flat = _pc.list_flatten(
+            _pc.split_pattern(t["text"].combine_chunks(), " "))
+        vocab.update(_pc.unique(flat).to_pylist())
+    return sorted(v for v in vocab if v)
+
+
+def _hunspell_paths(sf_dir: str) -> tuple:
+    """Write the deterministic .aff/.dic derived from the union corpus
+    vocabulary (cached by content tag; sf-independent by design)."""
+    vocab = _hunspell_vocab()
+    tag = hashlib.sha1(
+        ("hsdict1|" + "|".join(vocab[:1000]) + f"|{len(vocab)}").encode()
+    ).hexdigest()[:12]
+    d = os.path.join(_CACHE_ROOT, f"hs_{tag}")
+    aff, dic = os.path.join(d, "corpus.aff"), os.path.join(d, "corpus.dic")
+    if not (os.path.exists(aff) and os.path.exists(dic)):
+        os.makedirs(d, exist_ok=True)
+        with open(aff + ".tmp", "w") as f:
+            f.write(_HUNSPELL_AFF)
+        with open(dic + ".tmp", "w") as f:
+            f.write(f"{len(vocab)}\n")
+            f.writelines(f"{w}/S\n" for w in vocab)
+        os.replace(aff + ".tmp", aff)
+        os.replace(dic + ".tmp", dic)
+    return aff, dic
+
+
+def _hunspell_index_dir(sf_dir: str) -> str:
+    """Index analyzed through HunspellStemFilter
+    (analysis/hunspell/HunspellStemFilter.java:43; analysis/hunspell.py)
+    over the corpus-derived dictionary."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    aff, dic = _hunspell_paths(sf_dir)
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+        f":c{CODEC_VERSION}:hs1".encode()).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, analyzer=Analyzer(hunspell=(aff, dic)),
+                    num_segments=4, stored_source=docs)
+    return idx
+
+
 def _pfo_index_dir(sf_dir: str) -> str:
     """Per-field postings format fixture (PerFieldPostingsFormat.java:71
     + IndexOptions.java:28): body field keeps positions, the title field
@@ -1021,6 +1088,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "score": _round4(scores[order])})
 
     q["per_field_codec_query"] = _per_field_codec
+
+    def _hunspell_query(sf):
+        """HunspellStemFilter (hunspell/HunspellStemFilter.java:43;
+        Dictionary.java/Stemmer.java roles in analysis/hunspell.py): BM25
+        over a Hunspell-analyzed index — 'tables' analyzes to base
+        'table' through the corpus-derived .aff/.dic, the query term
+        through the same chain."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_hunspell_index_dir(sf), mode="f64")
+        docs, scores = s.search_all(
+            Q.TermQuery(s.analyzer.normalize("tables")))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order],
+                         "score": _round4(scores[order])})
+
+    q["hunspell_analyzer_query"] = _hunspell_query
 
     def _phrase(sf):
         s = _searcher(sf)
@@ -4674,6 +4758,44 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN df d CROSS JOIN dstats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
+    # Hunspell analyzer: smap from the SAME corpus-derived dictionary the
+    # fixture indexes with (union vocab — see _hunspell_vocab), query
+    # term through the same chain
+    from lucene_ray.analysis.hunspell import HunspellDictionary as _HD
+
+    _hd = _HD.parse(_HUNSPELL_AFF,
+                    "\n".join(f"{w}/S" for w in sorted(vocab) if w))
+    _hs_rows = [f"('{w}', '{_hd.stem_one(w)}')" for w in sorted(vocab)
+                if w and _hd.stem_one(w) != w]
+    _hs_vals = ", ".join(_hs_rows) if _hs_rows else "('', '')"
+    _hs_qt = _hd.stem_one("tables")
+    o["hunspell_analyzer_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, stem) AS (VALUES {_hs_vals}),
+tok AS (SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+        FROM tok0 t LEFT JOIN smap s ON t.term = s.sterm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = '{_hs_qt}' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
     # Snowball per-language analyzers: same template, no stop set, smap
     # computed by each language's stemmer over the same vocabulary, the
     # query term stemmed through the same chain

@@ -40,6 +40,13 @@ class Analyzer:
     # (Porter English). Vocabulary-mapped like Porter — per-token Python
     # only ever touches unique terms.
     stem_lang: "str | None" = None
+    # HunspellStemFilter (analysis/hunspell/HunspellStemFilter.java:43):
+    # (aff_path, dic_path) of a user-provided Hunspell dictionary —
+    # morphology for languages the algorithmic stemmers don't cover.
+    # Paths (not the parsed object) so the config stays JSON-serializable
+    # for the manifest round-trip; workers parse + cache one dictionary
+    # per process (analysis/hunspell.load_cached).
+    hunspell: "tuple[str, str] | None" = None
     ascii_fold: bool = False  # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java)
     # index-side synonym injection at the SAME position
     # (SynonymGraphFilter, analysis/common/.../synonym/SynonymGraphFilter.java:78):
@@ -135,11 +142,16 @@ class Analyzer:
             from lucene_ray.analysis.snowball import snowball_stem
 
             term = snowball_stem(term, self.stem_lang)
+        elif self.hunspell:
+            from lucene_ray.analysis.hunspell import load_cached
+
+            term = load_cached(*self.hunspell).stem_one(term)
         return term
 
     @property
     def has_token_filters(self) -> bool:
-        return self.stem or self.ascii_fold or bool(self.stem_lang)
+        return (self.stem or self.ascii_fold or bool(self.stem_lang)
+                or bool(self.hunspell))
 
     def _raw_stream(self, text: str):
         """(term, position, start, end) of the raw tokenizer stage — the

@@ -366,6 +366,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "max_token_length": analyzer.max_token_length,
         "stem": analyzer.stem,
         "stem_lang": analyzer.stem_lang,
+        "hunspell": list(analyzer.hunspell) if analyzer.hunspell else None,
         "ascii_fold": analyzer.ascii_fold,
         "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         "payload_delimiter": analyzer.payload_delimiter,
@@ -385,6 +386,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         max_token_length=a["max_token_length"],
         stem=a.get("stem", False),
         stem_lang=a.get("stem_lang"),
+        hunspell=tuple(a["hunspell"]) if a.get("hunspell") else None,
         ascii_fold=a.get("ascii_fold", False),
         synonyms=tuple(
             (src, tuple(dsts)) for src, dsts in a.get("synonyms", [])
