@@ -1106,6 +1106,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["hunspell_analyzer_query"] = _hunspell_query
 
+    def _xml_parser(sf):
+        """XML query parser (queryparser/xml/CoreParser.java:48 + the
+        builders/ registry): a BooleanQuery document with occurs
+        modifiers, a RangeQuery and minimumNumberShouldMatch — match set
+        = table ∧ (range[scan..sort] ∨ window) ∧ ¬key."""
+        from lucene_ray.search.xmlparser import parse_xml_query
+
+        s = _searcher(sf)
+        xml = """
+        <BooleanQuery minimumNumberShouldMatch="1">
+          <Clause occurs="must"><TermQuery>table</TermQuery></Clause>
+          <Clause occurs="should">
+            <RangeQuery lowerTerm="scan" upperTerm="sort"/>
+          </Clause>
+          <Clause occurs="should"><TermQuery>window</TermQuery></Clause>
+          <Clause occurs="mustNot"><TermQuery>key</TermQuery></Clause>
+        </BooleanQuery>"""
+        docs, _sc = s.search_all(parse_xml_query(xml))
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["xml_parser_query"] = _xml_parser
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -3517,6 +3539,16 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["xml_parser_query"] = (
+        _PRELUDE
+        + """ SELECT DISTINCT doc_id FROM tok
+              WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'table')
+                AND doc_id IN (SELECT doc_id FROM tok
+                               WHERE (term >= 'scan' AND term <= 'sort')
+                                  OR term = 'window')
+                AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'key')
+              ORDER BY doc_id"""
     )
     o["per_field_codec_query"] = (
         f"""

@@ -85,3 +85,46 @@ def test_groups_and_boost():
 def test_empty_and_bare_connectors():
     assert isinstance(parse_flexible(""), Q.MatchAllDocsQuery)
     assert isinstance(parse_flexible("AND OR"), Q.MatchAllDocsQuery)
+
+
+def test_xml_parser_builders(built_index):
+    """XML CoreParser role (queryparser/xml/CoreParser.java:48): the
+    builder registry maps elements to Query dataclasses; a parsed
+    BooleanQuery matches exactly what the equivalent programmatic query
+    matches; unknown elements and malformed XML raise."""
+    import pytest
+
+    from lucene_ray.search.searcher import Searcher
+    from lucene_ray.search.xmlparser import (XMLParseError,
+                                             parse_xml_query,
+                                             register_builder)
+
+    s = Searcher(built_index[0])
+    xml = """
+    <BooleanQuery>
+      <Clause occurs="must"><TermQuery>table</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>key</TermQuery></Clause>
+    </BooleanQuery>"""
+    want_q = Q.BooleanQuery(must=(Q.TermQuery("table"),),
+                            must_not=(Q.TermQuery("key"),))
+    dx, sx = s.search_all(parse_xml_query(xml))
+    dw, sw = s.search_all(want_q)
+    assert dx.tolist() == dw.tolist()
+    assert np.allclose(sx, sw)
+
+    # UserQuery delegates to the classic parser
+    du, _ = s.search_all(parse_xml_query("<UserQuery>+table -key</UserQuery>"))
+    assert du.tolist() == dw.tolist()
+
+    with pytest.raises(XMLParseError):
+        parse_xml_query("<WhatQuery/>")
+    with pytest.raises(XMLParseError):
+        parse_xml_query("<BooleanQuery><TermQuery>x</TermQuery></BooleanQuery>")
+    with pytest.raises(XMLParseError):
+        parse_xml_query("not xml at all <")
+
+    # extension point: a custom builder registers and dispatches
+    register_builder("EverythingQuery",
+                     lambda el, a, f, child: Q.MatchAllDocsQuery())
+    de, _ = s.search_all(parse_xml_query("<EverythingQuery/>"))
+    assert de.shape[0] == s.count(Q.MatchAllDocsQuery())
