@@ -898,6 +898,224 @@ def french_stem(word: str) -> str:
     return w.replace("U", "u").replace("I", "i").replace("Y", "y")
 
 
+# ---------------------------------------------------------------------------
+# Russian
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PGERUND_1 = ("вшись", "вши", "в")           # require preceding а/я
+_RU_PGERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJ = ("ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые",
+           "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их",
+           "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PART_1 = ("ем", "нн", "вш", "ющ", "щ")      # require preceding а/я
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = ("ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло",
+              "но", "ет", "ют", "ны", "ть", "й", "л", "н")
+_RU_VERB_2 = ("ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+              "ило", "ыло", "ено", "ует", "уют", "ены", "ить", "ыть",
+              "ишь", "ует", "ей", "уй", "ил", "ыл", "им", "ым", "ен",
+              "ят", "ит", "ыт", "ую", "ю")
+_RU_NOUN = ("иями", "ями", "ами", "ией", "иям", "ием", "иях", "ию",
+            "ья", "ия", "ью", "ев", "ов", "ие", "ье", "еи", "ии", "ей",
+            "ой", "ий", "ям", "ем", "ам", "ом", "ах", "ях", "ы", "ь",
+            "ю", "я", "а", "е", "и", "й", "о", "у")
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian stemmer (snowballstem.org/algorithms/russian/);
+    every step operates inside RV (the region after the first vowel)."""
+    w = word.replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i, ch in enumerate(w):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _r1_r2(w, _RU_VOWELS)
+    c = _Ctx(w, r1, r2, rv)
+
+    def ends_rv(sufs, require_ay: bool = False) -> "str | None":
+        best = None
+        for s in sufs:
+            if not c.w.endswith(s) or not c.in_rv(s):
+                continue
+            if require_ay:
+                k = len(c.w) - len(s)
+                if k < 1 or c.w[k - 1] not in "ая":
+                    continue
+            if best is None or len(s) > len(best):
+                best = s
+        return best
+
+    # step 1: perfective gerund, else (reflexive; adjectival | verb | noun)
+    s = ends_rv(_RU_PGERUND_2) or ends_rv(_RU_PGERUND_1, require_ay=True)
+    if s:
+        c.drop(len(s))
+    else:
+        s = ends_rv(("ся", "сь"))
+        if s:
+            c.drop(len(s))
+        s = ends_rv(_RU_ADJ)
+        if s:
+            c.drop(len(s))
+            s2 = ends_rv(_RU_PART_2) or ends_rv(_RU_PART_1, require_ay=True)
+            if s2:
+                c.drop(len(s2))
+        else:
+            s = ends_rv(_RU_VERB_2) or ends_rv(_RU_VERB_1, require_ay=True)
+            if s:
+                c.drop(len(s))
+            else:
+                s = ends_rv(_RU_NOUN)
+                if s:
+                    c.drop(len(s))
+
+    # step 2: final и
+    if c.w.endswith("и") and c.in_rv("и"):
+        c.drop(1)
+    # step 3: derivational ость/ост in R2
+    s = c.ends("ость", "ост")
+    if s and c.in_r2(s):
+        c.drop(len(s))
+    # step 4: нн undouble | superlative ейш(е) then нн | final ь
+    if c.w.endswith("нн"):
+        c.drop(1)
+    else:
+        s = c.ends("ейше", "ейш")
+        if s and c.in_rv(s):
+            c.drop(len(s))
+            if c.w.endswith("нн"):
+                c.drop(1)
+        if c.w.endswith("ь") and c.in_rv("ь"):
+            c.drop(1)
+    return c.w
+
+
+# ---------------------------------------------------------------------------
+# Swedish / Norwegian / Danish (shared Scandinavian shape)
+# ---------------------------------------------------------------------------
+
+def _scand_r1(w: str, vowels: str) -> int:
+    r1 = _r_after_nonvowel_after_vowel(w, vowels)
+    return max(r1, 3 if len(w) >= 3 else len(w))
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_STEP1 = ("heterna", "hetens", "arnas", "ernas", "ornas", "anden",
+             "heten", "heter", "andes", "arens", "arna", "erna", "orna",
+             "ande", "arne", "aste", "aren", "ades", "erns", "andet",
+             "ade", "are", "ern", "ens", "het", "ast", "ad", "en", "ar",
+             "er", "or", "as", "es", "at", "a", "e")
+_SV_S_END = "bcdfghjklmnoprtvy"
+
+
+def swedish_stem(word: str) -> str:
+    """Snowball Swedish stemmer (snowballstem.org/algorithms/swedish/)."""
+    w = word
+    r1 = _scand_r1(w, _SV_VOWELS)
+    c = _Ctx(w, r1, len(w), 0)
+    s = c.ends(*_SV_STEP1)
+    if s and c.in_r1(s):
+        c.drop(len(s))
+    elif c.w.endswith("s") and c.in_r1("s") and len(c.w) >= 2 \
+            and c.w[-2] in _SV_S_END:
+        c.drop(1)
+    for pair in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if c.w.endswith(pair) and c.in_r1(pair[-1]):
+            c.drop(1)
+            break
+    s = c.ends("lig", "els", "ig")
+    if s and c.in_r1(s):
+        c.drop(len(s))
+    elif c.w.endswith("löst") and c.in_r1("löst"):
+        c.drop(1)  # löst -> lös
+    elif c.w.endswith("fullt") and c.in_r1("fullt"):
+        c.drop(1)  # fullt -> full
+    return c.w
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_STEP1 = ("hetenes", "hetene", "hetens", "heten", "heter", "endes",
+             "enes", "edes", "erte", "ede", "ande", "ende", "ane", "ene",
+             "ens", "ers", "ets", "het", "ast", "ert", "en", "ar", "er",
+             "as", "es", "et", "a", "e")
+_NO_S_END = "bcdfghjlmnoprtvyz"
+
+
+def norwegian_stem(word: str) -> str:
+    """Snowball Norwegian stemmer
+    (snowballstem.org/algorithms/norwegian/)."""
+    w = word
+    r1 = _scand_r1(w, _NO_VOWELS)
+    c = _Ctx(w, r1, len(w), 0)
+    s = c.ends(*_NO_STEP1)
+    if s and c.in_r1(s):
+        if s in ("erte", "ert"):
+            c.replace(s, "er")
+        else:
+            c.drop(len(s))
+    elif c.w.endswith("s") and c.in_r1("s") and len(c.w) >= 2 \
+            and (c.w[-2] in _NO_S_END
+                 or (c.w[-2] == "k" and (len(c.w) < 3
+                                         or c.w[-3] not in _NO_VOWELS))):
+        c.drop(1)
+    for pair in ("dt", "vt"):
+        if c.w.endswith(pair) and c.in_r1("t"):
+            c.drop(1)
+            break
+    s = c.ends("hetslov", "eleg", "elig", "elov", "slov", "leg", "eig",
+               "lig", "els", "lov", "ig")
+    if s and c.in_r1(s):
+        c.drop(len(s))
+    return c.w
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_STEP1 = ("erendes", "erende", "hedens", "ethed", "erede", "heden",
+             "heder", "endes", "ernes", "erens", "erets", "ered", "ende",
+             "erne", "eren", "erer", "heds", "enes", "eres", "eret",
+             "hed", "ene", "ere", "ens", "ers", "ets", "en", "er", "es",
+             "et", "e")
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+
+
+def danish_stem(word: str) -> str:
+    """Snowball Danish stemmer (snowballstem.org/algorithms/danish/)."""
+    w = word
+    r1 = _scand_r1(w, _DA_VOWELS)
+    c = _Ctx(w, r1, len(w), 0)
+    s = c.ends(*_DA_STEP1)
+    if s and c.in_r1(s):
+        c.drop(len(s))
+    elif c.w.endswith("s") and c.in_r1("s") and len(c.w) >= 2 \
+            and c.w[-2] in _DA_S_END:
+        c.drop(1)
+    # step 2: consonant-cluster tails
+    for pair in ("gd", "dt", "gt", "kt"):
+        if c.w.endswith(pair) and c.in_r1(pair[-1]):
+            c.drop(1)
+            break
+    # step 3
+    if c.w.endswith("igst"):
+        c.drop(2)
+    s = c.ends("elig", "lig", "els", "ig")
+    if s and c.in_r1(s):
+        c.drop(len(s))
+        for pair in ("gd", "dt", "gt", "kt"):  # repeat step 2
+            if c.w.endswith(pair) and c.in_r1(pair[-1]):
+                c.drop(1)
+                break
+    elif c.w.endswith("løst"):
+        c.drop(1)
+    # step 4: undouble a final double consonant in R1
+    if len(c.w) >= 2 and c.w[-1] == c.w[-2] \
+            and c.w[-1] not in _DA_VOWELS and c.in_r1(c.w[-1]):
+        c.drop(1)
+    return c.w
+
+
 STEMMERS = {
     "de": german_stem,
     "nl": dutch_stem,
@@ -905,6 +1123,10 @@ STEMMERS = {
     "pt": portuguese_stem,
     "it": italian_stem,
     "fr": french_stem,
+    "ru": russian_stem,
+    "sv": swedish_stem,
+    "no": norwegian_stem,
+    "da": danish_stem,
 }
 
 

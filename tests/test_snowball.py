@@ -116,3 +116,44 @@ def test_analyzer_for_lang_routing():
     assert analyzer_for_lang("fr").stem_lang == "fr"
     assert analyzer_for_lang("zz").stem_lang is None
     assert not analyzer_for_lang("zz").stem
+
+
+def test_snowball_round4_languages():
+    """Russian / Swedish / Norwegian / Danish stemmers (round-4 second
+    wave) — golden vectors traced through the published algorithms."""
+    from lucene_ray.analysis.snowball import (danish_stem, norwegian_stem,
+                                              russian_stem, swedish_stem)
+
+    golden = {
+        russian_stem: {
+            "книгами": "книг",          # noun -ами
+            "работающий": "работа",     # adj -ий then participle -ющ (after а)
+            "говорила": "говор",        # verb -ила
+            "красивейший": "красив",    # adj -ий then superlative -ейш
+            "возможность": "возможн",   # noun -ь then -ост in R2
+            "делаться": "дела",         # reflexive -ся then verb -ть
+            "стол": "стол",             # nothing to strip
+        },
+        swedish_stem: {
+            "flickorna": "flick",       # -orna
+            "möjligheterna": "möj",     # -heterna then -lig
+            "arbetande": "arbet",       # -ande
+            "husens": "hus",            # -ens
+            "snabbt": "snabbt",         # -bt not a step-2 cluster
+        },
+        norwegian_stem: {
+            "mulighetene": "mulig",     # -hetene
+            "arbeidende": "arbeid",     # -ende
+            "husets": "hus",            # -ets
+            "bøkene": "bøk",            # -ene
+        },
+        danish_stem: {
+            "mulighederne": "mulighed", # -erne
+            "arbejdende": "arbejd",     # -ende
+            "venligst": "ven",          # igst: -st, then -lig
+            "bøgerne": "bøg",           # -erne
+        },
+    }
+    for fn, cases in golden.items():
+        for w, want in cases.items():
+            assert fn(w) == want, (fn.__name__, w, fn(w), want)
