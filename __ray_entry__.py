@@ -1130,6 +1130,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["xml_parser_query"] = _xml_parser
 
+    def _custom_collector(sf):
+        """Public Collector/CollectorManager hook
+        (search/CollectorManager.java:42; search/collectors.py): a
+        custom per-segment histogram collector over feat_chars for the
+        docs matching 'table', reduced on the driver — the
+        user-extension path the internal collectors share."""
+        from lucene_ray.search.collectors import HistogramCollectorManager
+
+        s = _searcher(sf)
+        hist = s.search_with_collector(
+            Q.TermQuery("table"), HistogramCollectorManager("chars", 100.0))
+        return pa.table({
+            "bucket": pa.array(list(hist.keys()), pa.int64()),
+            "count": pa.array(list(hist.values()), pa.int64()),
+        })
+
+    q["custom_collector_query"] = _custom_collector
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -3541,6 +3559,14 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["custom_collector_query"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              SELECT CAST(floor(d.n_chars / 100.0) AS BIGINT) AS bucket,
+                     count(*)::BIGINT AS count
+              FROM m JOIN documents d ON m.doc_id = d.doc_id
+              GROUP BY 1 ORDER BY 1"""
     )
     o["xml_parser_query"] = (
         _PRELUDE

@@ -183,6 +183,30 @@ class Searcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(docs_parts), np.concatenate(score_parts)
 
+    def search_with_collector(self, query: "Q.Query | str", manager):
+        """The IndexSearcher.search(Query, CollectorManager) extension
+        surface (search/CollectorManager.java:42; search/collectors.py):
+        evaluate the query hit-complete per segment, hand each segment's
+        (reader, global docs, scores) to ``manager.collect_leaf`` —
+        vectorized per leaf, never per doc — and fold the partials with
+        ``manager.reduce``. Tombstones are masked before collection,
+        matching every other search path."""
+        query = self._prep(query)
+        ctx = self.make_context(query)
+        from lucene_ray.index.deletes import mask_live
+
+        partials = []
+        for reader in self.readers:
+            d, s, _ = eval_query(reader, query, ctx)
+            if d.shape[0] == 0:
+                continue
+            gdocs = d + reader.doc_base
+            live = mask_live(gdocs, self.tombstones)
+            if live.any():
+                partials.append(
+                    manager.collect_leaf(reader, gdocs[live], s[live]))
+        return manager.reduce(partials)
+
     def rescore(self, first: "Q.Query | str", second: "Q.Query | str",
                 k_first: int = 100, k: int = 10,
                 weight: float = 1.0) -> TopDocs:

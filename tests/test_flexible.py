@@ -128,3 +128,39 @@ def test_xml_parser_builders(built_index):
                      lambda el, a, f, child: Q.MatchAllDocsQuery())
     de, _ = s.search_all(parse_xml_query("<EverythingQuery/>"))
     assert de.shape[0] == s.count(Q.MatchAllDocsQuery())
+
+
+def test_collector_manager_hook(built_index):
+    """Public Collector/CollectorManager extension surface
+    (CollectorManager.java:42; search/collectors.py): built-in managers
+    agree with the native paths, and a custom manager collects
+    per-segment partials that reduce correctly."""
+    from lucene_ray.search.collectors import (CollectorManager,
+                                              TopScoreDocCollectorManager,
+                                              TotalHitCountCollectorManager)
+    from lucene_ray.search.searcher import Searcher
+
+    s = Searcher(built_index[0])
+    q = Q.BooleanQuery(should=(Q.TermQuery("table"), Q.TermQuery("key")))
+
+    n = s.search_with_collector(q, TotalHitCountCollectorManager())
+    assert n == s.count(q)
+
+    docs, scores = s.search_with_collector(q, TopScoreDocCollectorManager(5))
+    td = s.search(q, k=5, prune=False)
+    assert docs.tolist() == td.doc_ids.tolist()
+    assert np.allclose(scores, td.scores)
+
+    class EvenOddCounter(CollectorManager):
+        def collect_leaf(self, _reader, d, _s):
+            return int((d % 2 == 0).sum()), int((d % 2 == 1).sum())
+
+        def reduce(self, partials):
+            return (sum(p[0] for p in partials),
+                    sum(p[1] for p in partials))
+
+    all_docs, _ = s.search_all(q)
+    even, odd = s.search_with_collector(q, EvenOddCounter())
+    assert even == int((all_docs % 2 == 0).sum())
+    assert odd == int((all_docs % 2 == 1).sum())
+    assert even + odd == s.count(q)
