@@ -1148,6 +1148,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["custom_collector_query"] = _custom_collector
 
+    def _lm_perplexity(sf):
+        """CCNet-style LM quality signal (Wenzek et al. LREC 2020;
+        pipelines/lm.py): bigram stupid-backoff model (Brants et al.
+        2007) trained distributed on the corpus with min_count=2 (so
+        singleton n-grams back off), then every doc scored by mean
+        transition log-prob + perplexity."""
+        import ray.data
+
+        from lucene_ray.pipelines.lm import (score_perplexity,
+                                             train_bigram_lm)
+
+        docs = os.path.join(sf, "documents.parquet")
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+        model = train_bigram_lm(ds, min_count=2)
+        out = score_perplexity(
+            ray.data.read_parquet(docs, columns=["doc_id", "text"]), model)
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                              batch_size=1 << 16))
+        t = pa.table({
+            "doc_id": t["doc_id"],
+            "avg_logprob": _round4(t["avg_logprob"].to_numpy()),
+            "perplexity": _round4(t["perplexity"].to_numpy()),
+        })
+        return t.sort_by("doc_id")
+
+    q["lm_perplexity"] = _lm_perplexity
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -3559,6 +3586,36 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["lm_perplexity"] = (
+        """
+WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p
+        FROM toklist),
+uni AS (SELECT term, count(*)::DOUBLE AS c FROM pos GROUP BY term),
+unip AS (SELECT * FROM uni WHERE c >= 2),
+tot AS (SELECT count(*)::DOUBLE AS t FROM pos),
+big AS (SELECT a.term AS w1, b.term AS w2, count(*)::DOUBLE AS c
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY 1, 2),
+bigp AS (SELECT bg.* FROM big bg
+         JOIN unip u1 ON bg.w1 = u1.term
+         JOIN unip u2 ON bg.w2 = u2.term
+         WHERE bg.c >= 2),
+trans AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+lps AS (SELECT t.doc_id,
+          CASE WHEN bg.c IS NOT NULL AND u1.c IS NOT NULL
+               THEN ln(bg.c / u1.c)
+               ELSE ln(0.4 * coalesce(u2.c, 1.0) / tot.t) END AS lp
+        FROM trans t
+        LEFT JOIN bigp bg ON t.w1 = bg.w1 AND t.w2 = bg.w2
+        LEFT JOIN unip u1 ON t.w1 = u1.term
+        LEFT JOIN unip u2 ON t.w2 = u2.term
+        CROSS JOIN tot)
+SELECT doc_id, ROUND(avg(lp), 4) AS avg_logprob,
+       ROUND(exp(-avg(lp)), 4) AS perplexity
+FROM lps GROUP BY doc_id ORDER BY doc_id"""
     )
     o["custom_collector_query"] = (
         _PRELUDE

@@ -235,3 +235,44 @@ def test_dedup_clusters_many_partitions_deep_chain(ray_session):
     expect = {i: 0 for i in range(n)}
     expect.update({1000: 1000, 1001: 1000})
     assert got == expect
+
+
+def test_bigram_lm_backoff_and_pruning(ray_session):
+    """CCNet-style LM scoring (pipelines/lm.py): stupid-backoff math on
+    the seen path, the backoff path for unseen bigrams, OOV floor, and
+    min_count pruning forcing singletons to back off."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.lm import (BACKOFF, score_perplexity,
+                                         train_bigram_lm)
+
+    texts = ["the cat sat", "the cat ran", "cat the", "the the the"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    m = train_bigram_lm(ray.data.from_arrow(t).repartition(2))
+    out = {r["doc_id"]: r["avg_logprob"]
+           for r in score_perplexity(ray.data.from_arrow(t), m).take_all()}
+    # doc 0: ln(P(cat|the)) + ln(P(sat|cat)); the->cat seen twice, the x6
+    want0 = (math.log(2 / 6) + math.log(1 / 3)) / 2
+    assert abs(out[0] - want0) < 1e-12
+
+    # scoring NEW text: unseen bigram backs off, OOV hits the floor
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["sat zebra"])})
+    r = score_perplexity(ray.data.from_arrow(t2), m).take_all()[0]
+    total = 11.0
+    want = (math.log(BACKOFF * 1.0 / total)) / 1  # zebra OOV -> floor
+    assert abs(r["avg_logprob"] - want) < 1e-12
+    assert abs(r["perplexity"] - math.exp(-want)) < 1e-9
+
+    # min_count=2 prunes singleton grams: 'sat' leaves the vocab, so
+    # cat->sat backs off to the OOV floor
+    m2 = train_bigram_lm(ray.data.from_arrow(t), min_count=2)
+    out2 = {r["doc_id"]: r["avg_logprob"]
+            for r in score_perplexity(ray.data.from_arrow(t), m2).take_all()}
+    want0b = (math.log(2 / 6) + math.log(BACKOFF * 1.0 / 11.0)) / 2
+    assert abs(out2[0] - want0b) < 1e-12
