@@ -1175,6 +1175,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lm_perplexity"] = _lm_perplexity
 
+    def _phonetic_query(sf):
+        """PhoneticFilter inject=true (phonetic/PhoneticFilter.java:33 +
+        Soundex; analysis/phonetic.py): the index carries every surface
+        token AND its Soundex code at the same position; querying the
+        code of a MISSPELLED word ('tabel') reaches the docs containing
+        the sound-alike 'table'/'tabel'-coded tokens."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.analysis.phonetic import soundex
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:ph1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx,
+                        analyzer=Analyzer(phonetic="soundex",
+                                          keyword_repeat=True),
+                        num_segments=4, stored_source=docs)
+        s = Searcher(idx, mode="f64")
+        d, _sc = s.search_all(Q.TermQuery(soundex("tabel")))
+        return pa.table({"doc_id": np.sort(d)})
+
+    q["phonetic_search_query"] = _phonetic_query
+
+    def _icu_fold_query(sf):
+        """ICUFoldingFilter role (icu/ICUFoldingFilter.java:51): the
+        text column's accents/case fold to a canonical form at index AND
+        query time — querying the folded form of an accented variant
+        ('tablé') meets plain 'table'."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:icu1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx, analyzer=Analyzer(icu_fold=True),
+                        num_segments=4, stored_source=docs)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize("tablé")))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["icu_fold_query"] = _icu_fold_query
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -4875,6 +4932,26 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN df d CROSS JOIN dstats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
+    # phonetic inject (Soundex): docs holding any token whose code
+    # equals soundex('tabel') — codes computed by the same encoder
+    from lucene_ray.analysis.phonetic import soundex as _sx
+
+    _sx_rows = [f"('{w}', '{_sx(w)}')" for w in sorted(vocab) if w]
+    _sx_vals = ", ".join(_sx_rows) if _sx_rows else "('', '')"
+    o["phonetic_search_query"] = (
+        f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, code) AS (VALUES {_sx_vals})
+SELECT DISTINCT t.doc_id FROM tok t JOIN smap s ON t.term = s.sterm
+WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
+    )
+    # ICU fold: identity on the (ASCII, lowercase) corpus, so the folded
+    # query term 'tablé' -> 'table' scores exactly the standard BM25
+    o["icu_fold_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t ORDER BY doc_id"
+    )
+
     # Hunspell analyzer: smap from the SAME corpus-derived dictionary the
     # fixture indexes with (union vocab — see _hunspell_vocab), query
     # term through the same chain

@@ -48,6 +48,18 @@ class Analyzer:
     # per process (analysis/hunspell.load_cached).
     hunspell: "tuple[str, str] | None" = None
     ascii_fold: bool = False  # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java)
+    # ICUFoldingFilter role (analysis/icu/ICUFoldingFilter.java:51):
+    # full-Unicode fold — NFKD compatibility decomposition, combining
+    # marks stripped, case fold — so café/CAFÉ/ｃａｆé all index as cafe.
+    # Strictly stronger than ascii_fold (which maps a Latin-1/Ext-A
+    # subset); vocabulary-mapped like every other token filter.
+    icu_fold: bool = False
+    # PhoneticFilter role (analysis/phonetic/PhoneticFilter.java:33):
+    # 'soundex' | 'nysiis' (analysis/phonetic.py) maps each token to its
+    # sound-alike code. Pair with keyword_repeat=True for the filter's
+    # inject=true mode (surface token AND code at the same position);
+    # without it tokens are REPLACED by codes (inject=false).
+    phonetic: "str | None" = None
     # index-side synonym injection at the SAME position
     # (SynonymGraphFilter, analysis/common/.../synonym/SynonymGraphFilter.java:78):
     # tuple of (source, (injected_terms, ...)), matched AFTER the other
@@ -129,7 +141,14 @@ class Analyzer:
         return self.length_max is None or len(term) <= self.length_max
 
     def transform_token(self, term: str) -> str:
-        """Post-stop per-token filters (fold, then stem)."""
+        """Post-stop per-token filters (fold, then stem, then phonetic)."""
+        if self.icu_fold:
+            import unicodedata
+
+            term = "".join(
+                ch for ch in unicodedata.normalize("NFKD", term)
+                if not unicodedata.combining(ch)
+            ).casefold()
         if self.ascii_fold:
             from lucene_ray.analysis.stem import ascii_fold
 
@@ -146,12 +165,17 @@ class Analyzer:
             from lucene_ray.analysis.hunspell import load_cached
 
             term = load_cached(*self.hunspell).stem_one(term)
+        if self.phonetic:
+            from lucene_ray.analysis.phonetic import encode
+
+            term = encode(term, self.phonetic)
         return term
 
     @property
     def has_token_filters(self) -> bool:
-        return (self.stem or self.ascii_fold or bool(self.stem_lang)
-                or bool(self.hunspell))
+        return (self.stem or self.ascii_fold or self.icu_fold
+                or bool(self.stem_lang) or bool(self.hunspell)
+                or bool(self.phonetic))
 
     def _raw_stream(self, text: str):
         """(term, position, start, end) of the raw tokenizer stage — the

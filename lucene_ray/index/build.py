@@ -368,6 +368,8 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "stem_lang": analyzer.stem_lang,
         "hunspell": list(analyzer.hunspell) if analyzer.hunspell else None,
         "ascii_fold": analyzer.ascii_fold,
+        "icu_fold": analyzer.icu_fold,
+        "phonetic": analyzer.phonetic,
         "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         "payload_delimiter": analyzer.payload_delimiter,
         "word_delimiter": analyzer.word_delimiter,
@@ -388,6 +390,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         stem_lang=a.get("stem_lang"),
         hunspell=tuple(a["hunspell"]) if a.get("hunspell") else None,
         ascii_fold=a.get("ascii_fold", False),
+        icu_fold=a.get("icu_fold", False),
+        phonetic=a.get("phonetic"),
         synonyms=tuple(
             (src, tuple(dsts)) for src, dsts in a.get("synonyms", [])
         ),

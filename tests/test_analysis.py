@@ -577,3 +577,57 @@ def test_unicode_batch_path_fuzz_parity():
         for i, txt in enumerate(rows):
             want = [tuple(w) for w in SA.tokens_with_offsets(txt)]
             assert got.get(i, []) == want, repr(txt)
+
+
+def test_phonetic_encoders_golden():
+    """Soundex (Russell/Odell, commons-codec vectors incl. the
+    transparent-H/W cases) and NYSIIS (Taft 1970) golden vectors."""
+    from lucene_ray.analysis.phonetic import encode, nysiis, soundex
+
+    for w, want in {"robert": "R163", "rupert": "R163",
+                    "ashcraft": "A261", "ashcroft": "A261",
+                    "tymczak": "T522", "pfister": "P236",
+                    "honeyman": "H555", "smith": "S530", "smyth": "S530",
+                    "lee": "L000", "jackson": "J250"}.items():
+        assert soundex(w) == want, (w, soundex(w))
+    for w, want in {"bridgewater": "BRADGATAR", "brown": "BRAN",
+                    "macdonald": "MCDANALD", "knight": "NAGT",
+                    "smith": "SNAT", "schmidt": "SNAD",
+                    "phillipson": "FALAPSAN", "mitchell": "MATCAL"}.items():
+        assert nysiis(w) == want, (w, nysiis(w))
+    assert soundex("123") == "123"  # non-alpha passes through
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode("x", "metaphone")
+
+
+def test_phonetic_and_icu_fold_analyzer_plumbing():
+    """PhoneticFilter inject via keyword_repeat; ICU fold folds
+    accents/case/width; both round-trip the manifest and keep batch ==
+    per-row parity (house pattern)."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    ph = Analyzer(phonetic="soundex", keyword_repeat=True)
+    toks = ph.tokens("smith smyth")
+    assert toks == ["S530", "S530", "smith", "smyth"]  # codes + surfaces
+    assert analyzer_from_dict(analyzer_dict(ph)).phonetic == "soundex"
+
+    icu = Analyzer(icu_fold=True)
+    assert icu.transform_token("Café") == "cafe"
+    assert icu.transform_token("ＣＡＦＥ") == "cafe"  # NFKC width fold
+    assert icu.transform_token("straße") == "strasse"  # ß casefold
+    assert analyzer_from_dict(analyzer_dict(icu)).icu_fold
+
+    for an in (ph, icu):
+        rows = ["smith called café", "Smyth STRAßE here"]
+        flat, doc, _p = tokenize_column(pa.array(rows), an)
+        got = {}
+        for t, d in zip(flat.to_pylist(), doc):
+            got.setdefault(int(d), []).append(t)
+        for i, txt in enumerate(rows):
+            assert got.get(i, []) == an.tokens(txt), (an, txt)
