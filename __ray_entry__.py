@@ -2766,6 +2766,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_sessionization"] = _events_sessions
 
+    def _events_asof(sf):
+        """AS-OF join (pipelines/events.asof_join — the temporal join Ray
+        Data lacks): every purchase matched to the same user's LATEST
+        signup at or before it; one co-location shuffle, per-key
+        searchsorted probe."""
+        import pyarrow.compute as pc
+        import ray.data
+
+        from lucene_ray.pipelines.events import asof_join
+
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        ev = os.path.join(sf, "events.parquet")
+        left = ray.data.read_parquet(ev, columns=cols).filter(
+            lambda r: r["event_type"] == "purchase")
+        right = ray.data.read_parquet(ev, columns=cols).filter(
+            lambda r: r["event_type"] == "signup")
+        t = pa.concat_tables(
+            asof_join(left, right)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        t = pa.table({
+            "user_id": t["user_id"],
+            "left_id": t["left_id"],
+            "right_ts_us": pc.coalesce(t["right_ts_us"],
+                                       pa.scalar(0, pa.int64())),
+            "right_value": _round4(pc.coalesce(
+                t["right_value"], pa.scalar(0.0)).to_numpy(
+                zero_copy_only=False)),
+        })
+        return t.sort_by("left_id")
+
+    q["asof_join_events"] = _events_asof
+
+    def _events_range_join(sf):
+        """RANGE join (pipelines/events.range_join): per purchase, count
+        + value-sum of the same user's error events in the preceding 10
+        minutes — two searchsorted bounds + a prefix-sum difference per
+        key, never per-pair work."""
+        import ray.data
+
+        from lucene_ray.pipelines.events import range_join
+
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        ev = os.path.join(sf, "events.parquet")
+        left = ray.data.read_parquet(ev, columns=cols).filter(
+            lambda r: r["event_type"] == "purchase")
+        right = ray.data.read_parquet(ev, columns=cols).filter(
+            lambda r: r["event_type"] == "error")
+        t = pa.concat_tables(
+            range_join(left, right, lo_s=-600, hi_s=0)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        t = pa.table({
+            "user_id": t["user_id"],
+            "left_id": t["left_id"],
+            "n_right": t["n_right"],
+            "sum_right": _round4(t["sum_right"].to_numpy()),
+        })
+        return t.sort_by("left_id")
+
+    q["range_join_events"] = _events_range_join
+
     def _events_json(sf):
         """Vectorized JSON field extraction from the events props column
         (RE2 kernel, no per-row json.loads) + aggregate by extracted key."""
@@ -4721,6 +4781,31 @@ SELECT doc_id, query_id FROM (
                   count(*)::BIGINT AS n,
                   sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k
            FROM events GROUP BY event_type ORDER BY event_type"""
+    )
+    o["asof_join_events"] = (
+        """
+WITH r0 AS (SELECT user_id, ts, max(value) AS value FROM events
+            WHERE event_type = 'signup' GROUP BY user_id, ts),
+l AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT l.user_id, l.event_id AS left_id,
+       coalesce(epoch_us(r.ts), 0)::BIGINT AS right_ts_us,
+       ROUND(coalesce(r.value, 0), 4) AS right_value
+FROM l ASOF LEFT JOIN r0 r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY left_id"""
+    )
+    o["range_join_events"] = (
+        """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT l.user_id, l.event_id AS left_id,
+       count(r.ts)::BIGINT AS n_right,
+       ROUND(coalesce(sum(r.value), 0), 4) AS sum_right
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+   AND r.ts >= l.ts - INTERVAL 600 SECONDS AND r.ts <= l.ts
+GROUP BY l.user_id, l.event_id
+ORDER BY left_id"""
     )
     o["events_sessionization"] = (
         """WITH e AS (

