@@ -1232,6 +1232,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["icu_fold_query"] = _icu_fold_query
 
+    def _compound_query(sf):
+        """DictionaryCompoundWordTokenFilter (compound/
+        DictionaryCompoundWordTokenFilter.java:40): compounds inject
+        their dictionary subwords at the same position — querying 'wind'
+        reaches every 'window' occurrence; BM25 doclens include the
+        injected subwords (the filter's keepOriginal+inject shape)."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:cw1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(
+                docs, idx,
+                analyzer=Analyzer(compound_dict=("custom", "ream", "wind"),
+                                  compound_min_word=5, compound_min_sub=4,
+                                  compound_max_sub=6),
+                num_segments=4, stored_source=docs)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery("wind"))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["compound_word_query"] = _compound_query
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -5035,6 +5067,45 @@ WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
     o["icu_fold_query"] = (
         _PRELUDE + _term_cte("t", "table")
         + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t ORDER BY doc_id"
+    )
+
+    # compound decomposition: tok stream = base tokens UNION their
+    # injected subwords (same decomposer as the engine over the vocab);
+    # doclens include injections
+    from lucene_ray.analysis.compound import decompose as _dc
+
+    _cw_rows = [
+        f"('{w}', '{s}')" for w in sorted(vocab) if w
+        for s in _dc(w, frozenset(("custom", "ream", "wind")),
+                     min_word=5, min_sub=4, max_sub=6)
+    ]
+    _cw_vals = ", ".join(_cw_rows) if _cw_rows else "('', '')"
+    o["compound_word_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+inj(sterm, sub) AS (VALUES {_cw_vals}),
+tok AS (SELECT doc_id, term FROM tok0
+        UNION ALL
+        SELECT t.doc_id, i.sub FROM tok0 t JOIN inj i ON t.term = i.sterm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'wind' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
     )
 
     # Hunspell analyzer: smap from the SAME corpus-derived dictionary the

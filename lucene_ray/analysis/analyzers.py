@@ -60,6 +60,27 @@ class Analyzer:
     # inject=true mode (surface token AND code at the same position);
     # without it tokens are REPLACED by codes (inject=false).
     phonetic: "str | None" = None
+    # DictionaryCompoundWordTokenFilter (analysis/compound/
+    # DictionaryCompoundWordTokenFilter.java:40): dictionary words whose
+    # occurrences INSIDE long tokens inject as subwords at the SAME
+    # position (German-style compound splitting). Runs LAST in the
+    # chain, over filtered + synonym-injected tokens.
+    compound_dict: "tuple[str, ...] | None" = None
+    compound_min_word: int = 5
+    compound_min_sub: int = 2
+    compound_max_sub: int = 15
+    compound_longest: bool = False
+
+    @property
+    def compound_set(self) -> frozenset:
+        return frozenset(self.compound_dict or ())
+
+    def decompose_token(self, term: str) -> list:
+        from lucene_ray.analysis.compound import decompose
+
+        return decompose(term, self.compound_set, self.compound_min_word,
+                         self.compound_min_sub, self.compound_max_sub,
+                         self.compound_longest)
     # index-side synonym injection at the SAME position
     # (SynonymGraphFilter, analysis/common/.../synonym/SynonymGraphFilter.java:78):
     # tuple of (source, (injected_terms, ...)), matched AFTER the other
@@ -225,6 +246,8 @@ class Analyzer:
         if self.synonyms:
             syn = self.synonym_map
             toks = toks + [s for t in toks for s in syn.get(t, ())]
+        if self.compound_dict:
+            toks = toks + [s for t in toks for s in self.decompose_token(t)]
         return toks
 
     def _multi_matches(self, out: list) -> list:
@@ -269,6 +292,9 @@ class Analyzer:
                 for s in dsts
             ]
             out = out + extra
+        if self.compound_dict:
+            out = out + [(s, p) for t, p in out
+                         for s in self.decompose_token(t)]
         return out
 
     def tokens_with_offsets(self, text: str) -> list[tuple[str, int, int, int]]:
@@ -303,6 +329,11 @@ class Analyzer:
                 for sy in dsts
             ]
             out = out + extra
+        if self.compound_dict:
+            # subwords carry the COMPOUND's offsets (the reference base
+            # class leaves offsets at the original token)
+            out = out + [(sub, p, s, e) for t, p, s, e in out
+                         for sub in self.decompose_token(t)]
         return out
 
     def normalize(self, term: str) -> str:

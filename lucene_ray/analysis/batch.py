@@ -443,13 +443,53 @@ def _carve_ideographs(parts, want_offsets: bool):
 
 
 def _post_filters(parts, analyzer: Analyzer):
-    """Token filters (fold/stem) then index-side synonym injection."""
+    """Token filters (fold/stem) then index-side synonym injection,
+    then compound subword injection (chain order mirrors the per-row
+    analyzer exactly)."""
     if (analyzer.keyword_repeat and analyzer.has_token_filters
             and len(parts[0])):
         parts = _keyword_repeat(parts, analyzer)
     else:
         parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
-    return _apply_synonyms(parts, analyzer)
+    parts = _apply_synonyms(parts, analyzer)
+    return _apply_compounds(parts, analyzer)
+
+
+def _apply_compounds(parts, analyzer: Analyzer):
+    """DictionaryCompoundWordTokenFilter (compound/
+    DictionaryCompoundWordTokenFilter.java:40): dictionary subwords of
+    each token inject at the SAME position (and the compound's
+    offsets). Vocabulary-mapped like the synonym injector: Python
+    decomposition touches only unique terms; occurrence expansion is
+    numpy repeat + one stable doc-major sort."""
+    if not analyzer.compound_dict or len(parts[0]) == 0:
+        return parts
+    flat = parts[0]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = pc.dictionary_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary.to_pylist()
+    subs = [analyzer.decompose_token(v) for v in vocab]
+    n_sub = np.array([len(s) for s in subs], dtype=np.int64)
+    occ = n_sub[codes]
+    if occ.sum() == 0:
+        return parts
+    sel = np.nonzero(occ > 0)[0]
+    rep = occ[sel]
+    add_terms = pa.array(
+        [t for i in sel for t in subs[codes[i]]], type=pa.string())
+    first = np.repeat(sel, rep)
+    flat2 = pa.concat_arrays([flat, add_terms])
+    others = []
+    for arr in parts[1:]:
+        others.append(None if arr is None
+                      else np.concatenate([arr, arr[first]]))
+    order = np.argsort(others[0], kind="stable")
+    if not (np.diff(order) >= 0).all():
+        flat2 = flat2.take(pa.array(order))
+        others = [a[order] if a is not None else None for a in others]
+    return (flat2, *others)
 
 
 def _keyword_repeat(parts, analyzer: Analyzer):

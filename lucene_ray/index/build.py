@@ -370,6 +370,12 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "ascii_fold": analyzer.ascii_fold,
         "icu_fold": analyzer.icu_fold,
         "phonetic": analyzer.phonetic,
+        "compound_dict": (sorted(analyzer.compound_dict)
+                          if analyzer.compound_dict else None),
+        "compound_min_word": analyzer.compound_min_word,
+        "compound_min_sub": analyzer.compound_min_sub,
+        "compound_max_sub": analyzer.compound_max_sub,
+        "compound_longest": analyzer.compound_longest,
         "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         "payload_delimiter": analyzer.payload_delimiter,
         "word_delimiter": analyzer.word_delimiter,
@@ -392,6 +398,12 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         ascii_fold=a.get("ascii_fold", False),
         icu_fold=a.get("icu_fold", False),
         phonetic=a.get("phonetic"),
+        compound_dict=(tuple(a["compound_dict"])
+                       if a.get("compound_dict") else None),
+        compound_min_word=a.get("compound_min_word", 5),
+        compound_min_sub=a.get("compound_min_sub", 2),
+        compound_max_sub=a.get("compound_max_sub", 15),
+        compound_longest=a.get("compound_longest", False),
         synonyms=tuple(
             (src, tuple(dsts)) for src, dsts in a.get("synonyms", [])
         ),

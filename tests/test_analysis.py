@@ -631,3 +631,43 @@ def test_phonetic_and_icu_fold_analyzer_plumbing():
             got.setdefault(int(d), []).append(t)
         for i, txt in enumerate(rows):
             assert got.get(i, []) == an.tokens(txt), (an, txt)
+
+
+def test_compound_word_decomposition():
+    """DictionaryCompoundWordTokenFilter (compound/
+    DictionaryCompoundWordTokenFilter.java:40): subwords inject at the
+    compound's position; min/max sizes, only-longest mode, manifest
+    round-trip and batch parity."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.analysis.compound import decompose
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    d = frozenset({"dampf", "schiff", "fahrt", "wein", "schwein"})
+    assert decompose("dampfschifffahrt", d) == ["dampf", "schiff", "fahrt"]
+    assert decompose("kurz", d) == []  # below min_word
+    # 'schwein' contains 'wein': all matches vs only-longest per start
+    assert decompose("hausschwein", d) == ["schwein", "wein"]
+    assert decompose("hausschwein", d, only_longest=True) == \
+        ["schwein", "wein"]  # longest per START offset; wein starts later
+
+    an = Analyzer(compound_dict=tuple(sorted(d)))
+    toks = an.tokens("die dampfschifffahrt beginnt")
+    assert toks == ["die", "dampfschifffahrt", "beginnt",
+                    "dampf", "schiff", "fahrt"]
+    tp = an.tokens_with_positions("die dampfschifffahrt")
+    assert ("dampf", 1) in tp and ("schiff", 1) in tp  # same position
+
+    b = analyzer_from_dict(analyzer_dict(an))
+    assert b.compound_dict == an.compound_dict
+
+    rows = ["die dampfschifffahrt beginnt", "ein hausschwein hier",
+            "la dampfschifffahrt arrivée"]  # non-ASCII row: unicode path
+    flat, doc, pos = tokenize_column(pa.array(rows), an)
+    got = {}
+    for t, dd, p in zip(flat.to_pylist(), doc, pos):
+        got.setdefault(int(dd), []).append((t, int(p)))
+    for i, txt in enumerate(rows):
+        assert got.get(i, []) == an.tokens_with_positions(txt), txt
