@@ -1264,6 +1264,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["compound_word_query"] = _compound_query
 
+    def _common_grams(sf):
+        """CommonGramsFilter (commongrams/CommonGramsFilter.java:63):
+        'key' registers as a common word, so every adjacent pair
+        touching it indexes a gram beside the unigrams; the phrase-speed
+        query hits ONE gram posting ('key_value') instead of
+        intersecting two positional lists."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:cg1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx,
+                        analyzer=Analyzer(common_grams=("key",)),
+                        num_segments=4, stored_source=docs)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery("key_value"))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["common_grams_phrase"] = _common_grams
+
     def _phrase(sf):
         s = _searcher(sf)
         docs, freqs = s.phrase_freqs(("key", "value"))
@@ -5100,6 +5129,39 @@ stats AS (
   SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
          (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
 tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'wind' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+
+    o["common_grams_phrase"] = (
+        f"""
+WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+posn AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p
+         FROM toklist),
+grams AS (SELECT a.doc_id, a.term || '_' || b.term AS term
+          FROM posn a JOIN posn b
+            ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          WHERE a.term = 'key' OR b.term = 'key'),
+tok AS (SELECT doc_id, term FROM posn
+        UNION ALL SELECT doc_id, term FROM grams),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = 'key_value' GROUP BY doc_id),
 df AS (SELECT count(*)::DOUBLE AS df FROM tf)
 SELECT t.doc_id,
        ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /

@@ -60,6 +60,15 @@ class Analyzer:
     # inject=true mode (surface token AND code at the same position);
     # without it tokens are REPLACED by codes (inject=false).
     phonetic: "str | None" = None
+    # CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java:63):
+    # adjacent token pairs where EITHER member is a common word inject a
+    # "w1_w2" gram at the first word's position alongside the unigrams —
+    # phrase queries over stopword-grade terms then hit one precomputed
+    # posting instead of two huge ones. Grams form over the
+    # POST-token-filter stream (stemmed forms), before synonym/compound
+    # injection; common_grams_query() gives the CommonGramsQueryFilter
+    # rewrite for the query side.
+    common_grams: "tuple[str, ...] | None" = None
     # DictionaryCompoundWordTokenFilter (analysis/compound/
     # DictionaryCompoundWordTokenFilter.java:40): dictionary words whose
     # occurrences INSIDE long tokens inject as subwords at the SAME
@@ -70,6 +79,16 @@ class Analyzer:
     compound_min_sub: int = 2
     compound_max_sub: int = 15
     compound_longest: bool = False
+
+    def __post_init__(self):
+        if self.common_grams and self.keyword_repeat:
+            raise ValueError(
+                "common_grams and keyword_repeat cannot combine: the gram "
+                "pass needs the un-injected position-ordered stream")
+
+    @property
+    def common_set(self) -> frozenset:
+        return frozenset(self.common_grams or ())
 
     @property
     def compound_set(self) -> frozenset:
@@ -220,8 +239,8 @@ class Analyzer:
 
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
-        if self.synonyms and self.multi_synonym_rules:
-            # multi-word rules need position adjacency: delegate
+        if (self.synonyms and self.multi_synonym_rules) or self.common_grams:
+            # multi-word rules and common grams need position adjacency
             return [t for t, _p in self.tokens_with_positions(text)]
         if self.char_filters:
             text = self.apply_char_filters(text)
@@ -282,6 +301,13 @@ class Analyzer:
                 if self.keyword_repeat and orig != term:
                     repeats.append((orig, pos))
             out.append((term, pos))
+        if self.common_grams:
+            cs = self.common_set
+            out = out + [
+                (f"{t1}_{t2}", p1)
+                for (t1, p1), (t2, p2) in zip(out, out[1:])
+                if p2 == p1 + 1 and (t1 in cs or t2 in cs)
+            ]
         out = out + repeats  # KeywordRepeat originals, same positions
         if self.synonyms:
             syn = self.synonym_map
@@ -315,6 +341,14 @@ class Analyzer:
                 if self.keyword_repeat and orig != term:
                     repeats.append((orig, pos, s, e))
             out.append((term, pos, s, e))
+        if self.common_grams:
+            cs = self.common_set
+            out = out + [
+                (f"{t1}_{t2}", p1, s1, e2)
+                for (t1, p1, s1, _e1), (t2, p2, _s2, e2)
+                in zip(out, out[1:])
+                if p2 == p1 + 1 and (t1 in cs or t2 in cs)
+            ]
         out = out + repeats  # KeywordRepeat originals, same positions
         if self.synonyms:
             syn = self.synonym_map
@@ -354,6 +388,23 @@ EnglishAnalyzer = Analyzer(stop_words=ENGLISH_STOP_WORDS)
 EnglishStemAnalyzer = Analyzer(
     stop_words=ENGLISH_STOP_WORDS, stem=True, ascii_fold=True
 )
+
+
+def common_grams_query(tokens: "list[str]", common: "frozenset | set") \
+        -> "list[str]":
+    """CommonGramsQueryFilter (commongrams/CommonGramsQueryFilter.java:64):
+    output bigrams whenever possible; a unigram survives only when it is
+    not a member of any gram. 'the rain in spain falls mainly' →
+    [the_rain, rain_in, in_spain, falls, mainly]."""
+    out: list[str] = []
+    in_gram = [False] * len(tokens)
+    for i, t in enumerate(tokens):
+        if i + 1 < len(tokens) and (t in common or tokens[i + 1] in common):
+            out.append(f"{t}_{tokens[i + 1]}")
+            in_gram[i] = in_gram[i + 1] = True
+        if not in_gram[i]:
+            out.append(t)
+    return out
 
 
 def analyzer_for_lang(lang: str) -> Analyzer:

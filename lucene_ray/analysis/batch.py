@@ -451,8 +451,50 @@ def _post_filters(parts, analyzer: Analyzer):
         parts = _keyword_repeat(parts, analyzer)
     else:
         parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
+    parts = _apply_common_grams(parts, analyzer)
     parts = _apply_synonyms(parts, analyzer)
     return _apply_compounds(parts, analyzer)
+
+
+def _apply_common_grams(parts, analyzer: Analyzer):
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:63):
+    adjacent pairs with a common-word member inject a ``w1_w2`` gram at
+    the first word's position (offsets spanning both). Runs over the
+    filtered base stream, which is doc-major position-ordered, so
+    consecutive positions are consecutive rows — the same adjacency
+    shortcut the multi-word synonym matcher uses."""
+    if not analyzer.common_grams or len(parts[0]) < 2:
+        return parts
+    flat = parts[0]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    doc_idx, pos = parts[1], parts[2]
+    cs = pa.array(sorted(analyzer.common_set), type=pa.string())
+    is_common = pc.is_in(flat, value_set=cs).to_numpy(zero_copy_only=False)
+    adj = (doc_idx[1:] == doc_idx[:-1]) & (pos[1:] == pos[:-1] + 1)
+    mask = adj & (is_common[:-1] | is_common[1:])
+    idxs = np.nonzero(mask)[0]
+    if idxs.size == 0:
+        return parts
+    w1 = flat.take(pa.array(idxs))
+    w2 = flat.take(pa.array(idxs + 1))
+    grams = pc.binary_join_element_wise(w1, w2, "_")
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    flat2 = pa.concat_arrays([flat, grams])
+    others = []
+    for i, arr in enumerate(parts[1:], start=1):
+        if arr is None:
+            others.append(None)
+            continue
+        src = idxs + 1 if i == 4 else idxs  # end offsets span to w2
+        others.append(np.concatenate([arr, arr[src]]))
+    order = np.argsort(others[0], kind="stable")
+    if not (np.diff(order) >= 0).all():
+        flat2 = flat2.take(pa.array(order))
+        others = [a[order] if a is not None else None for a in others]
+    return (flat2, *others)
 
 
 def _apply_compounds(parts, analyzer: Analyzer):

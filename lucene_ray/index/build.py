@@ -370,6 +370,8 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "ascii_fold": analyzer.ascii_fold,
         "icu_fold": analyzer.icu_fold,
         "phonetic": analyzer.phonetic,
+        "common_grams": (sorted(analyzer.common_grams)
+                         if analyzer.common_grams else None),
         "compound_dict": (sorted(analyzer.compound_dict)
                           if analyzer.compound_dict else None),
         "compound_min_word": analyzer.compound_min_word,
@@ -398,6 +400,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         ascii_fold=a.get("ascii_fold", False),
         icu_fold=a.get("icu_fold", False),
         phonetic=a.get("phonetic"),
+        common_grams=(tuple(a["common_grams"])
+                      if a.get("common_grams") else None),
         compound_dict=(tuple(a["compound_dict"])
                        if a.get("compound_dict") else None),
         compound_min_word=a.get("compound_min_word", 5),

@@ -671,3 +671,43 @@ def test_compound_word_decomposition():
         got.setdefault(int(dd), []).append((t, int(p)))
     for i, txt in enumerate(rows):
         assert got.get(i, []) == an.tokens_with_positions(txt), txt
+
+
+def test_common_grams_filter_and_query_rewrite():
+    """CommonGramsFilter + CommonGramsQueryFilter (commongrams/
+    CommonGramsFilter.java:63, CommonGramsQueryFilter.java:64): grams
+    inject beside unigrams at index time; the query rewrite outputs
+    bigrams whenever possible (the javadoc example, order included);
+    batch == per-row parity."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import (Analyzer,
+                                               common_grams_query)
+    from lucene_ray.analysis.batch import tokenize_column
+
+    common = ("the", "in", "of")
+    an = Analyzer(common_grams=common)
+    tp = an.tokens_with_positions("the rain in spain falls")
+    assert ("the_rain", 0) in tp and ("rain_in", 1) in tp \
+        and ("in_spain", 2) in tp
+    assert ("rain", 1) in tp and ("falls", 4) in tp  # unigrams kept
+
+    # the reference javadoc example, including order
+    toks = "the rain in spain falls mainly".split()
+    assert common_grams_query(toks, frozenset(common)) == [
+        "the_rain", "rain_in", "in_spain", "falls", "mainly"]
+
+    rows = ["the rain in spain falls", "no common words here",
+            "thé rain in späin"]  # non-ASCII row exercises unicode path
+    flat, doc, pos, st, en = tokenize_column(pa.array(rows), an,
+                                             want_offsets=True)
+    got = {}
+    for t, d, p, s, e in zip(flat.to_pylist(), doc, pos, st, en):
+        got.setdefault(int(d), []).append((t, int(p), int(s), int(e)))
+    for i, txt in enumerate(rows):
+        assert got.get(i, []) == an.tokens_with_offsets(txt), txt
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Analyzer(common_grams=common, keyword_repeat=True)
