@@ -157,3 +157,38 @@ def test_snowball_round4_languages():
     for fn, cases in golden.items():
         for w, want in cases.items():
             assert fn(w) == want, (fn.__name__, w, fn(w), want)
+
+
+def test_new_analyzer_options_through_distributed_searcher(
+        ray_session, tmp_path_factory, sf_dir):
+    """Round-4 analyzer options (stem_lang / phonetic / common_grams /
+    compound_dict) must round-trip the manifest into the DISTRIBUTED
+    executor path — actors rebuild the analyzer from the manifest, so a
+    field missing from the round-trip would silently mis-analyze."""
+    import os
+
+    import ray
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.executor import DistributedSearcher
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path_factory.mktemp("r4an") / "idx")
+    build_index(docs, idx,
+                analyzer=Analyzer(stem_lang="de",
+                                  common_grams=("key",),
+                                  compound_dict=("wind",),
+                                  compound_min_word=5,
+                                  compound_min_sub=4,
+                                  compound_max_sub=6),
+                num_segments=2)
+    local = Searcher(idx)
+    dist = DistributedSearcher(idx, num_executors=2)
+    for qtext in ["tables", "key_value", "wind"]:
+        q = local.parse(qtext)
+        want = local.search(q, k=10)
+        got = dist.search(qtext, k=10)
+        assert got.doc_ids.tolist() == want.doc_ids.tolist(), qtext
+        assert got.total_hits == want.total_hits, qtext
