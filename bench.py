@@ -273,7 +273,24 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
+    # --- multi-term queries, cold vs LRUQueryCache-warm: the dictionary
+    # scans + doc-set unions memoize per serving actor after the
+    # usage-tracking policy admits them (search/querycache.py) ---
+    mt_queries = ["w0001*", "w012*", "+w00042 w000*"]
+    def _mt_run() -> float:
+        t0 = time.perf_counter()
+        for q in mt_queries * 5:
+            searcher.search(q, k=10)
+        return time.perf_counter() - t0
+
+    timings["query_multiterm_cold"] = round(_mt_run(), 3)
+    timings["query_multiterm_cached"] = round(_mt_run(), 3)
+
     # --- pipeline stages over the sf dir ---
+    # release the serving actors first: on a small CPU budget a lingering
+    # replica pool starves the pipeline stages' actor pools (deadlock at
+    # num_cpus=8 — every CPU held by retired QueryExecutors)
+    searcher.shutdown()
     import ray.data as rd
 
     from lucene_ray.data.webpages import webpages_dataset
@@ -288,25 +305,28 @@ def run_bench() -> dict:
         fn()
         timings[name] = round(time.perf_counter() - t, 3)
 
-    timed("html_extract", lambda: extract_text(webpages_dataset(SF_DIR), concurrency=min(8, NUM_CPUS)).count())
+    # actor-pool concurrency must leave CPUs for the upstream read tasks
+    # — a pool sized to the whole cluster deadlocks an 8-CPU run (every
+    # CPU held by waiting actors, the ReadParquet task never schedules)
+    timed("html_extract", lambda: extract_text(
+        webpages_dataset(SF_DIR),
+        concurrency=min(8, max(1, NUM_CPUS - 2))).count())
     timed("dedup_exact", lambda: dedup_exact(webpages_dataset(SF_DIR)).count())
     timed("minhash_lsh", lambda: minhash_lsh_candidates(webpages_dataset(SF_DIR)).count())
     timed("shared_windows", lambda: shared_window_pairs(
         webpages_dataset(SF_DIR), k=6).count())
     timed("quality_scores", lambda: quality_scores(webpages_dataset(SF_DIR)).count())
 
-    # --- multi-term queries, cold vs LRUQueryCache-warm: the dictionary
-    # scans + doc-set unions memoize per serving actor after the
-    # usage-tracking policy admits them (search/querycache.py) ---
-    mt_queries = ["w0001*", "w012*", "+w00042 w000*"]
-    def _mt_run() -> float:
-        t0 = time.perf_counter()
-        for q in mt_queries * 5:
-            searcher.search(q, k=10)
-        return time.perf_counter() - t0
+    def lm_score():
+        from lucene_ray.pipelines.lm import score_perplexity, train_bigram_lm
 
-    timings["query_multiterm_cold"] = round(_mt_run(), 3)
-    timings["query_multiterm_cached"] = round(_mt_run(), 3)
+        docs = os.path.join(SF_DIR, "documents.parquet")
+        m = train_bigram_lm(rd.read_parquet(docs, columns=["doc_id", "text"]),
+                            min_count=2)
+        return score_perplexity(
+            rd.read_parquet(docs, columns=["doc_id", "text"]), m).count()
+
+    timed("lm_perplexity", lm_score)
 
     def knn():
         import pyarrow.parquet as pq

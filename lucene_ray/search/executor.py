@@ -194,6 +194,21 @@ class DistributedSearcher:
         self._rr = 0
         self._stats_cache: dict[str, tuple[int, int]] = {}
 
+    def shutdown(self) -> None:
+        """Kill the executor/frontend actors and release their CPUs —
+        on a small cluster a retired serving pool that lingers can
+        starve later actor-pool stages into deadlock (the IndexSearcher
+        close() analog; bench.py calls this between the serving window
+        and the pipeline stages)."""
+        import ray as _ray
+
+        for f in getattr(self, "frontends", []):
+            _ray.kill(f, no_restart=True)
+        for pool in getattr(self, "pools", []):
+            for e in pool:
+                _ray.kill(e, no_restart=True)
+        self.pools, self.executors, self.frontends = [], [], []
+
     def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
