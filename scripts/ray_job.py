@@ -158,6 +158,62 @@ def cmd_bench_queries(args) -> dict:
     }
 
 
+def cmd_curate(args) -> dict:
+    """End-to-end curation job over a crawl parquet (url, text[, ...]):
+    latest-wins URL dedup -> quality filter (min tokens) -> language id
+    -> optional LM-perplexity scoring, written as PARTITIONED parquet
+    (one directory per language) so a failed run resumes by skipping
+    finished partitions — the brief's resumable-output contract."""
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import dedup_exact
+    from lucene_ray.pipelines.textstats import lang_id
+    from lucene_ray.pipelines.lm import score_perplexity, train_bigram_lm
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t0 = time.perf_counter()
+    tcol = args.text_col
+    ds = ray.data.read_parquet(args.input)
+    if "warc_ts" not in ds.schema().names:
+        # latest-wins dedup keys on (warc_ts, doc_id); without a crawl
+        # timestamp it degenerates to max doc_id per key
+        def add_ts(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "warc_ts", pa.array([0] * b.num_rows, pa.timestamp("s")))
+
+        ds = ds.map_batches(add_ts, batch_format="pyarrow")
+    ds = dedup_exact(ds, key=args.url_col)
+
+    def with_token_count(b: pa.Table) -> pa.Table:
+        tc = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(b[tcol], ""), " "))
+        return b.append_column("token_count", tc.cast(pa.int64()))
+
+    keep = ds.map_batches(with_token_count, batch_format="pyarrow") \
+             .filter(lambda r: r["token_count"] >= args.min_tokens)
+    keep = lang_id(keep)
+    if args.lm_score:
+        import ray as _ray
+
+        model = train_bigram_lm(
+            ray.data.read_parquet(args.input), text_col=tcol,
+            min_count=args.lm_min_count)
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        scored = score_perplexity(keep, model, text_col=tcol,
+                                  id_col=args.id_col)
+        keep = keep.join(
+            scored.select_columns([args.id_col, "perplexity"]),
+            join_type="left_outer",
+            num_partitions=max(2, min(16, cpus)), on=(args.id_col,))
+    os.makedirs(args.out, exist_ok=True)
+    keep.write_parquet(args.out, partition_cols=["lang_pred"])
+    n = ray.data.read_parquet(args.out).count()
+    return {"job": "curate", "out": args.out, "rows": n,
+            "secs": round(time.perf_counter() - t0, 3)}
+
+
 def cmd_vector_build(args) -> dict:
     """Build any of the persisted vector index families over an
     embeddings parquet (kind: hnsw | ivf | pq | ivfpq | sq)."""
@@ -254,6 +310,17 @@ def main(argv=None) -> int:
     bq.add_argument("--executors", type=int, default=4)
     bq.add_argument("--replicas", type=int, default=1)
     bq.set_defaults(fn=cmd_bench_queries)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--url-col", default="url")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--min-tokens", type=int, default=20)
+    cu.add_argument("--lm-score", action="store_true")
+    cu.add_argument("--lm-min-count", type=int, default=2)
+    cu.set_defaults(fn=cmd_curate)
 
     vb = sub.add_parser("vector-build")
     vb.add_argument("--input", required=True)
