@@ -16,10 +16,11 @@ reference's Stemmer exercises for stemming:
 
 Stemming mirrors Stemmer.java's order: dictionary hit first, then
 suffix rules (condition re-checked against the RECONSTRUCTED base, flag
-must be on the base entry), then prefix rules, then prefix+suffix when
-both rules allow cross-product. Documented subset: no continuation
-classes (two-level affixes), no compounding (COMPOUNDRULE), no
-REP/ICONV suggestion tables — those serve spell-suggesting, not the
+must be on the base entry), then TWO-LEVEL suffixes via continuation
+classes (``affix/Flags`` entries — base+s1+s2 analyses where s1's rule
+licenses s2), then prefix rules, then prefix+suffix when both rules
+allow cross-product. Documented subset: no compounding (COMPOUNDRULE),
+no REP/ICONV suggestion tables — those serve spell-suggesting, not the
 stem filter.
 
 The dictionary object is heavy; analyzers reference it by FILE PATHS
@@ -41,6 +42,7 @@ class _Affix:
     affix: str
     cond: "re.Pattern[str] | None"  # anchored at the stripped base
     cross: bool
+    cont: frozenset = frozenset()  # continuation classes (affix/Flags)
 
 
 class HunspellDictionary:
@@ -92,10 +94,12 @@ class HunspellDictionary:
                     if len(ep) < 4 or ep[0] != kind or ep[1] != flag:
                         continue
                     strip = "" if ep[2] == "0" else ep[2]
-                    affix = "" if ep[3] == "0" else ep[3].split("/", 1)[0]
+                    aff_raw, _, contflags = ep[3].partition("/")
+                    affix = "" if aff_raw == "0" else aff_raw
                     cond = None if len(ep) < 5 or ep[4] == "." \
                         else _compile_condition(ep[4], kind)
-                    a = _Affix(flag, strip, affix, cond, cross)
+                    a = _Affix(flag, strip, affix, cond, cross,
+                               frozenset(d._parse_flags(contflags)))
                     (d.suffixes if kind == "SFX" else d.prefixes).append(a)
         first = True
         for line in dic.splitlines():
@@ -141,6 +145,29 @@ class HunspellDictionary:
         for base in self._suffix_bases(word, require=None):
             if base not in out:
                 out.append(base)
+        # two-level suffixes (continuation classes): word = base+s1+s2
+        # where s2's rule B attached to the form rule A produced, and A
+        # carries B among its continuation flags (`affix/Flags` in the
+        # .aff entry — Dictionary.java's affix condition chain)
+        for b_rule in self.suffixes:
+            if b_rule.affix and not word.endswith(b_rule.affix):
+                continue
+            mid = word[: len(word) - len(b_rule.affix)] + b_rule.strip
+            if not mid or (b_rule.cond is not None
+                           and not b_rule.cond.search(mid)):
+                continue
+            for a_rule in self.suffixes:
+                if b_rule.flag not in a_rule.cont:
+                    continue
+                if a_rule.affix and not mid.endswith(a_rule.affix):
+                    continue
+                base = mid[: len(mid) - len(a_rule.affix)] + a_rule.strip
+                if not base or (a_rule.cond is not None
+                                and not a_rule.cond.search(base)):
+                    continue
+                fl = self._entry_flags(base)
+                if fl is not None and a_rule.flag in fl and base not in out:
+                    out.append(base)
         for pbase, paff in self._prefix_bases(word):
             fl = self._entry_flags(pbase)
             if fl is not None and paff.flag in fl and pbase not in out:

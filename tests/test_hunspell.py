@@ -120,3 +120,21 @@ def test_analyzer_plumbing_and_manifest_round_trip(tmp_path):
         got.setdefault(int(dd), []).append(t)
     for i, txt in enumerate(rows):
         assert got.get(i, []) == an.tokens(txt), txt
+
+
+def test_continuation_classes_two_level_suffix():
+    """affix/Flags continuation: 'walkables' = walk + able (rule A,
+    carrying continuation B) + s (rule B) — neither single strip reaches
+    the dictionary, the two-level chain does."""
+    aff = """\
+SFX A Y 1
+SFX A 0 able/B .
+
+SFX B Y 1
+SFX B 0 s .
+"""
+    d = HunspellDictionary.parse(aff, "1\nwalk/A\n")
+    assert d.stem("walkable") == ["walk"]      # single level via A
+    assert d.stem("walkables") == ["walk"]     # two-level via A→B
+    assert d.stem("walks") == []               # B alone never licensed
+    assert d.stem_one("walkables") == "walk"
