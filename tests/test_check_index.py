@@ -244,3 +244,38 @@ def test_exorcise_drops_corrupt_segment_and_serves_rest(corruptible):
     # idempotent: nothing else to drop
     rep2 = exorcise_index(corruptible)
     assert rep2["dropped"] == []
+
+
+def test_exorcise_drops_whole_shard_group(built_index, tmp_path):
+    """Term-sharded (force_merge) segments split the DICTIONARY, not the
+    doc space — dropping one corrupt shard alone would silently lose
+    terms. Exorcise must drop the whole shard group (segments sharing
+    docs_path)."""
+    from lucene_ray.index.check import exorcise_index
+    from lucene_ray.index.merge import force_merge
+
+    idx, _ = built_index
+    fm = str(tmp_path / "forced")
+    force_merge(idx, fm, hot_term_df=100, salt_buckets=3,
+                terms_per_shard=64)
+    m = json.load(open(os.path.join(fm, "manifest.json")))
+    groups = {}
+    for s in m["segments"]:
+        groups.setdefault(s.get("docs_path") or s["path"], []).append(s)
+    gk, members = max(groups.items(), key=lambda kv: len(kv[1]))
+    assert len(members) >= 2, "fixture must produce a multi-shard group"
+
+    victim = members[0]
+    pbin = os.path.join(victim["path"], "postings.bin")
+    with open(pbin, "r+b") as f:
+        f.seek(os.path.getsize(pbin) // 2)
+        b = f.read(1)
+        f.seek(-1, 1)
+        f.write(bytes([b[0] ^ 0xFF]))
+
+    rep = exorcise_index(fm)
+    # every member of the victim's group dropped, nothing else
+    assert set(rep["dropped"]) == {s["path"] for s in members}
+    m2 = json.load(open(os.path.join(fm, "manifest.json")))
+    assert len(m2["segments"]) == len(m["segments"]) - len(members)
+    check_index(fm)  # clean again
