@@ -291,14 +291,18 @@ def _es_deaccent(w: str) -> str:
 
 _ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
             "me", "se", "la", "le", "lo")
+# the exact published step-2b suffix set (snowballstem.org/algorithms/
+# spanish/ — conditional/imperfect/preterite/participle/infinitive
+# paradigms); longest-match dispatch makes order irrelevant
 _ES_STEP2B = (
-    "aríamos eríamos iríamos iéramos iésemos ábamos aríais aseis eseis "
-    "ieseis asteis isteis íamos emos arían arías aréis erían erías eréis "
-    "irían irías iréis ieran iesen ieron iendo ieras ieses abais arais "
-    "aseis íais aremos eremos iremos asen ases aban aran asen aron ando "
-    "abas adas idas aras ases íais ados idos amos imos ará aré erá eré "
-    "irá iré aba ada ida ara ase ían ado ido ías áis éis ía ad ed id an "
-    "ió ar er ir as ís en es".split()
+    "arían arías arán arás aríais aría aréis aríamos aremos ará aré "
+    "erían erías erán erás eríais ería eréis eríamos eremos erá eré "
+    "irían irías irán irás iríais iría iréis iríamos iremos irá iré "
+    "aba ada ida ía ara iera ad ed id ase iese aste iste an aban ían "
+    "aran ieran asen iesen aron ieron ado ido ando iendo ió ar er ir "
+    "as abas adas idas ías aras ieras ases ieses ís áis abais íais "
+    "arais ierais aseis ieseis asteis isteis ados idos amos ábamos "
+    "íamos imos áramos iéramos iésemos ásemos en es éis emos".split()
 )
 
 
@@ -425,12 +429,12 @@ _PT_STEP2 = (
     "iríeis ásseis ésseis ísseis áramos éramos íramos ávamos aremos "
     "eremos iremos ariam eriam iriam assem essem issem ara~o era~o "
     "ira~o arias erias irias ardes erdes irdes asses esses isses astes "
-    "estes istes áreis areis éreis ereis íreis ireis aveis íamos armos "
+    "estes istes áreis areis éreis ereis íreis ireis áveis íamos armos "
     "ermos irmos aria eria iria asse esse isse aste este iste arei erei "
     "irei aram eram iram avam arem erem irem ando endo indo adas idas "
-    "arás aras erás eras irás avas ares eres ires ados idos ámos amos "
+    "arás aras erás eras irás avas ares eres ires ados idos amos "
     "emos imos iras ada ida ará ara erá era irá ava iam ado ido ias ais "
-    "eis ia ei am em ar er ir as es is eu iu ou".split()
+    "iais ia ei am em ar er ir as es is eu iu ou".split()
 )
 
 

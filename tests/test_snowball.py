@@ -192,3 +192,18 @@ def test_new_analyzer_options_through_distributed_searcher(
         got = dist.search(qtext, k=10)
         assert got.doc_ids.tolist() == want.doc_ids.tolist(), qtext
         assert got.total_hits == want.total_hits, qtext
+
+
+def test_spanish_portuguese_verb_paradigm_coverage():
+    """Round-4 audit fix: the full published step-2 verb suffix sets —
+    conditionals, imperfect subjunctives and the accented 2nd-person
+    plurals that the first list missed."""
+    from lucene_ray.analysis.snowball import portuguese_stem, spanish_stem
+
+    for w, want in {"comiera": "com", "comiese": "com",
+                    "cantaría": "cant", "cantarán": "cant",
+                    "viviría": "viv"}.items():
+        assert spanish_stem(w) == want, (w, spanish_stem(w))
+    for w, want in {"cantáveis": "cant", "falamos": "fal",
+                    "partiríeis": "part"}.items():
+        assert portuguese_stem(w) == want, (w, portuguese_stem(w))
