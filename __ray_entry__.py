@@ -464,7 +464,7 @@ def _snowball_index_dir(sf_dir: str, lang: str) -> str:
     docs = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha1(
         f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
-        f":c{CODEC_VERSION}:sb_{lang}1".encode()
+        f":c{CODEC_VERSION}:sb_{lang}2".encode()
     ).hexdigest()[:12]
     idx = os.path.join(_CACHE_ROOT, tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
