@@ -732,7 +732,7 @@ def french_stem(word: str) -> str:
                "istes", "ateur", "ation", "logie", "usion", "ution",
                "ences", "ement", "euses", "ment", "ance", "iqUe", "isme",
                "able", "iste", "ence", "ités", "ives", "eaux", "euse",
-               "oux", "aux", "eux", "ité", "ive", "ifs", "if")
+               "aux", "eux", "ité", "ive", "ifs", "if")
     if s:
         if s in ("ance", "iqUe", "isme", "able", "iste", "eux", "ances",
                  "iqUes", "ismes", "ables", "istes"):
@@ -826,10 +826,7 @@ def french_stem(word: str) -> str:
             if k >= 1 and c.w[k - 1].lower() in vowels and k - 1 >= rv:
                 c.drop(len(s))
                 did_mentions = True
-        elif s == "oux":
-            pass  # not a French suffix rule; never reached
 
-    step1_changed = len(c.w) != n0 or c.w != word[: len(c.w)]
     step1_changed = (len(c.w) != n0) or did_mentions
 
     # ---- step 2a: verb suffixes beginning i ----
