@@ -9,8 +9,9 @@ engine serves as MoreLikeThis):
 
     TermQuery, TermsQuery, BooleanQuery (Clause occurs=
     must|should|mustNot|filter), MatchAllDocsQuery, ConstantScoreQuery,
-    DisjunctionMaxQuery (tieBreaker), RangeQuery, PointRangeQuery,
-    BoostingTermQuery (-> FeatureQuery-free boosted term),
+    DisjunctionMaxQuery (tieBreaker), RangeQuery (terms),
+    BoostingTermQuery (-> boosted term; payload scoring needs a payload
+    field),
     UserQuery (delegates to the classic parser, the reference's
     UserInputQueryBuilder), PhraseQuery (convenience), SpanTerm /
     SpanNear / SpanOr (mapped to the engine's span/interval queries).
@@ -134,12 +135,12 @@ def _b_range(el, analyzer, _fields, _child):
 
 
 def _b_point_range(el, _analyzer, _fields, _child):
-    lo, hi = el.get("lowerTerm"), el.get("upperTerm")
-    return Q.PointRangeQuery(
-        _field(el) or "point",
-        float(lo) if lo is not None else None,
-        float(hi) if hi is not None else None,
-    )
+    # numeric point ranges are served by parquet predicate pushdown in
+    # this engine (the survey's BKD mapping), not a Query-tree leaf
+    raise XMLParseError(
+        "<PointRangeQuery> is not a Query-tree leaf here: numeric ranges "
+        "run as parquet filter pushdown (index/sorted.py, "
+        "sorted_range_count) — filter the Dataset instead")
 
 
 def _b_boosting_term(el, analyzer, _fields, _child):
