@@ -83,11 +83,10 @@ class HistogramCollectorManager(CollectorManager):
         self.width = float(width)
 
     def collect_leaf(self, reader, docs, _scores):
-        local = docs - reader.doc_base
         rows = np.searchsorted(reader.doc_ids, docs)
         rows = np.clip(rows, 0, max(reader.doc_ids.shape[0] - 1, 0))
         sel = reader.doc_ids[rows] == docs if reader.doc_ids.shape[0] \
-            else np.zeros(local.shape[0], dtype=bool)
+            else np.zeros(docs.shape[0], dtype=bool)
         v = reader.feature(self.feature)[rows[sel]]
         buckets = np.floor(v / self.width).astype(np.int64)
         ub, cnt = np.unique(buckets, return_counts=True)
