@@ -135,3 +135,93 @@ def resize_metadata(media_ds, max_side: int = 256):
         )
 
     return media_ds.map_batches(plan, batch_format="pyarrow")
+
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("duration_ms", pa.int64()),
+    ]
+)
+
+
+def synth_video_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic fake video rows (binary payloads + duration)."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    sizes = rng.integers(1024, 8192, size=n)
+    payloads = [rng.integers(0, 256, size=s, dtype=np.uint8).tobytes()
+                for s in sizes]
+    dur = rng.integers(1_000, 120_000, size=n).astype(np.int64)
+    return pa.table({
+        "media_id": ids,
+        "mime": np.full(n, "video/mp4", dtype=object),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "duration_ms": dur,
+    }, schema=VIDEO_SCHEMA)
+
+
+class SampleFramesStub:
+    """Actor-pool frame-sampling stage — the video leg of the brief's
+    decode/feature-extract/resize/frame-sample set. ``__init__`` is
+    where a real build would open the demuxer once per actor; the frame
+    PLAN (which timestamps to sample) is real, the decoded frame is a
+    deterministic fake slice of the payload (or ``NotImplementedError``
+    in strict mode, the honest production stub)."""
+
+    def __init__(self, every_ms: int = 10_000, max_frames: int = 16,
+                 strict: bool = False):
+        self.every_ms = int(every_ms)
+        self.max_frames = int(max_frames)
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "no video codec in this environment; run with strict=False "
+                "for the deterministic fake-frame plumbing")
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        pay = batch["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        # frame plan: one frame per every_ms, capped — vectorized counts,
+        # per-frame rows via repeat + intra index
+        n_frames = np.minimum(dur // self.every_ms + 1,
+                              self.max_frames).astype(np.int64)
+        out_id = np.repeat(ids, n_frames)
+        starts = np.cumsum(n_frames) - n_frames
+        intra = (np.arange(int(n_frames.sum()), dtype=np.int64)
+                 - np.repeat(starts, n_frames))
+        ts = intra * self.every_ms
+        # deterministic fake frame: a 32-byte payload slice keyed by the
+        # frame index (a real stage would decode at ts)
+        frames = []
+        for row, k in zip(range(batch.num_rows), n_frames):
+            raw = pay[row].as_py()
+            for j in range(int(k)):
+                off = (j * 37) % max(1, len(raw) - 32)
+                frames.append(raw[off:off + 32])
+        return pa.table({
+            "media_id": pa.array(out_id),
+            "frame_idx": pa.array(intra),
+            "ts_ms": pa.array(ts),
+            "frame": pa.array(frames, type=pa.binary()),
+        })
+
+
+def sample_frames(video_ds, every_ms: int = 10_000, max_frames: int = 16,
+                  concurrency: int = 2, batch_size: int = 16,
+                  strict: bool = False):
+    """Frame-sample a video Dataset: one output row per planned frame.
+    Small batches (blobs are MBs) on a stateful actor pool, like the
+    image decode stage."""
+    return video_ds.map_batches(
+        SampleFramesStub,
+        fn_constructor_kwargs={"every_ms": every_ms,
+                               "max_frames": max_frames, "strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

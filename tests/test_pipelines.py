@@ -666,3 +666,43 @@ def test_asof_and_range_join(ray_session):
     assert rj[100]["n_right"] == 3 and rj[100]["sum_right"] == 8.0
     assert rj[101]["n_right"] == 0 and rj[101]["sum_right"] == 0.0
     assert rj[102]["n_right"] == 0
+
+
+def test_video_frame_sampling_plumbing(ray_session):
+    """Frame sampling (the video leg of the multimodal set): the frame
+    PLAN is exact (one frame per interval, capped), rows are
+    deterministic across runs, and strict mode stays the honest stub."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.multimodal import (SampleFramesStub,
+                                                 sample_frames,
+                                                 synth_video_table)
+
+    vids = synth_video_table(24)
+    out = pa.concat_tables(
+        sample_frames(ray.data.from_arrow(vids), every_ms=10_000,
+                      max_frames=4, concurrency=2, batch_size=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    ).sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+
+    dur = vids["duration_ms"].to_numpy()
+    want = np.minimum(dur // 10_000 + 1, 4)
+    got_counts = np.bincount(out["media_id"].to_numpy(), minlength=24)
+    assert got_counts.tolist() == want.tolist()
+    # timestamps are the plan, frames 32-byte deterministic slices
+    assert out["ts_ms"].to_pylist()[:4] == [0, 10_000, 20_000, 30_000][: int(want[0])]
+    out2 = pa.concat_tables(
+        sample_frames(ray.data.from_arrow(vids), every_ms=10_000,
+                      max_frames=4).iter_batches(batch_format="pyarrow",
+                                                 batch_size=1 << 16)
+    ).sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+    assert out["frame"].to_pylist() == out2["frame"].to_pylist()
+
+    import pytest
+
+    with pytest.raises(Exception):
+        pa.concat_tables(
+            sample_frames(ray.data.from_arrow(vids), strict=True)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
