@@ -254,10 +254,15 @@ def run_bench() -> dict:
             searcher.search(q, k=10)
             lat.append(time.perf_counter() - tq)
     lat_ms = np.array(lat) * 1000.0
-    # throughput: concurrent clients (QPS is a parallel-serving metric)
+    # throughput: concurrent clients at SATURATION load — client count
+    # scales with the serving capacity (a 4N cluster faces 4N load; a
+    # fixed client count underdrives the bigger level and reads as fake
+    # sub-linear query scaling). Latency is measured separately above,
+    # so QPS here is saturated closed-loop throughput by design.
+    n_clients = max(4 * n_replicas, min(2 * NUM_CPUS, 32))
     n_queries = 40 * len(BENCH_QUERIES)
     qlist = (BENCH_QUERIES * 40)[:n_queries]
-    with ThreadPoolExecutor(max_workers=4 * n_replicas) as pool:
+    with ThreadPoolExecutor(max_workers=n_clients) as pool:
         t0 = time.perf_counter()
         list(pool.map(lambda q: searcher.search(q, k=10), qlist))
         t_query = time.perf_counter() - t0

@@ -190,7 +190,14 @@ class DistributedSearcher:
         ]
         self.executors = self.pools[0]  # back-compat: first replica
         ray.get([e.ping.remote() for pool in self.pools for e in pool])
-        self.frontends = [SearchFrontend.remote(pool) for pool in self.pools]
+        # merge frontends are stateless num_cpus=0 glue — ONE per pool
+        # serializes the per-query scatter/gather at higher executor
+        # counts (round-4 scaling finding: the single frontend capped
+        # query throughput exactly where executor parallelism grew), so
+        # their count scales with the pool
+        n_fe = max(1, min(4, len(self.pools[0]) // 2))
+        self.frontends = [SearchFrontend.remote(pool)
+                          for pool in self.pools for _ in range(n_fe)]
         self._rr = 0
         self._stats_cache: dict[str, tuple[int, int]] = {}
 
