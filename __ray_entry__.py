@@ -1232,6 +1232,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["icu_fold_query"] = _icu_fold_query
 
+    def _chunk_documents(sf):
+        """Token-window chunking (pipelines/textstats.chunk_documents):
+        the pretraining-data shaping step — 32-token windows with
+        8-token overlap, one row per (doc, chunk), exact slice
+        semantics."""
+        import ray.data
+
+        from lucene_ray.pipelines.textstats import chunk_documents
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "text"])
+        t = pa.concat_tables(
+            chunk_documents(ds, chunk_tokens=32, overlap=8)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        return t.sort_by([("doc_id", "ascending"),
+                          ("chunk_idx", "ascending")])
+
+    q["chunk_documents"] = _chunk_documents
+
     def _compound_query(sf):
         """DictionaryCompoundWordTokenFilter (compound/
         DictionaryCompoundWordTokenFilter.java:40): compounds inject
@@ -3764,6 +3784,19 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["chunk_documents"] = (
+        """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+c AS (SELECT doc_id, l, n,
+             unnest(range(CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) + 1))
+               AS ci
+      FROM n)
+SELECT doc_id, ci AS chunk_idx,
+       (least(ci * 24 + 32, n) - ci * 24)::BIGINT AS n_tokens,
+       array_to_string(l[ci * 24 + 1 : least(ci * 24 + 32, n)], ' ') AS text
+FROM c ORDER BY doc_id, ci"""
     )
     o["lm_perplexity"] = (
         """

@@ -298,3 +298,81 @@ def bpe_ish_token_count(pages, text_col: str = "text"):
         return pa.table({"doc_id": b["doc_id"], "bpe_tokens": counts})
 
     return pages.map_batches(count, batch_format="pyarrow")
+
+
+def chunk_documents(pages, chunk_tokens: int = 512, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-token-window chunks (optionally
+    overlapping) — the pretraining-data shaping step between curation
+    and tokenization: rows (doc_id, chunk_idx, n_tokens, text), chunk i
+    covering tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk is the first one
+    reaching the document end.
+
+    Fully vectorized: tokens flatten once, each token expands to the
+    chunks containing it (one repeat — at most ceil(chunk/stride)
+    copies), and the per-(doc, chunk) strings rebuild through ONE Arrow
+    ListArray + binary_join. No per-chunk Python."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+        flat = pc.list_flatten(lists)
+        raw_n = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_row = np.repeat(np.arange(b.num_rows, dtype=np.int64), raw_n)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            doc_row = doc_row[keep]
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_tok = np.bincount(doc_row, minlength=b.num_rows).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(n_tok)))
+        pos = np.arange(doc_row.shape[0], dtype=np.int64) - offs[doc_row]
+        # chunks per doc: first chunk + one per stride past the window
+        n_chunks = np.where(
+            n_tok > 0,
+            -(-np.maximum(n_tok - chunk_tokens, 0) // stride) + 1, 0)
+        # token at pos p lives in chunks lo..hi
+        lo = np.maximum(0, -(-(pos - chunk_tokens + 1) // stride))
+        hi = np.minimum(pos // stride, n_chunks[doc_row] - 1)
+        k = hi - lo + 1
+        rep_tok = flat.take(pa.array(np.repeat(
+            np.arange(doc_row.shape[0], dtype=np.int64), k)))
+        rep_doc = np.repeat(doc_row, k)
+        cum = np.cumsum(k) - k
+        intra = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(cum, k)
+        rep_chunk = np.repeat(lo, k) + intra
+        # (doc, chunk, pos) order — pos order is preserved within each
+        # (doc, chunk) by a stable sort on (doc, chunk)
+        key = rep_doc * np.int64(1 << 32) + rep_chunk
+        order = np.argsort(key, kind="stable")
+        rep_tok = rep_tok.take(pa.array(order))
+        key = key[order]
+        starts = np.nonzero(np.diff(key, prepend=key[0] - 1))[0] \
+            if key.shape[0] else np.empty(0, np.int64)
+        bounds = np.concatenate((starts, [key.shape[0]])).astype(np.int32)
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()),
+            rep_tok.combine_chunks() if isinstance(rep_tok, pa.ChunkedArray)
+            else rep_tok)
+        joined = pc.binary_join(chunk_lists, " ")
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[(key[starts] >> 32).astype(np.int64)]
+                             if starts.shape[0] else
+                             np.empty(0, dtype=ids.dtype)),
+            "chunk_idx": pa.array(
+                (key[starts] & ((1 << 32) - 1)).astype(np.int64)
+                if starts.shape[0] else np.empty(0, np.int64)),
+            "n_tokens": pa.array(np.diff(bounds).astype(np.int64)),
+            "text": joined,
+        })
+
+    return pages.map_batches(chunk, batch_format="pyarrow")

@@ -276,3 +276,33 @@ def test_bigram_lm_backoff_and_pruning(ray_session):
             for r in score_perplexity(ray.data.from_arrow(t), m2).take_all()}
     want0b = (math.log(2 / 6) + math.log(BACKOFF * 1.0 / 11.0)) / 2
     assert abs(out2[0] - want0b) < 1e-12
+
+
+def test_chunk_documents_windows(ray_session):
+    """Token-window chunking: exact window coverage with overlap, the
+    final chunk reaches the doc end, empty docs emit nothing, and
+    overlap=0 partitions exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.textstats import chunk_documents
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c d e f g h i j", "x y z", ""])})
+    out = sorted(chunk_documents(ray.data.from_arrow(t), chunk_tokens=4,
+                                 overlap=1).take_all(),
+                 key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    assert [(r["doc_id"], r["chunk_idx"], r["text"]) for r in out] == [
+        (1, 0, "a b c d"), (1, 1, "d e f g"), (1, 2, "g h i j"),
+        (2, 0, "x y z"),
+    ]
+    # overlap=0 partitions: concatenation reproduces the doc
+    out0 = sorted(chunk_documents(ray.data.from_arrow(t), chunk_tokens=3)
+                  .take_all(), key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    d1 = " ".join(r["text"] for r in out0 if r["doc_id"] == 1)
+    assert d1 == "a b c d e f g h i j"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(t), chunk_tokens=4, overlap=4)
