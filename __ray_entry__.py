@@ -1061,6 +1061,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_values_binary_update"] = _dv_binary_update
 
+    def _sort_string_dv(sf):
+        """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
+        through the public collector hook): top-10 docs matching 'table'
+        ordered by the 'src' string DV — with the committed update
+        generations overlaid, so the sort keys include 'updated-*'."""
+        from lucene_ray.search.collectors import \
+            TopFieldStringDVCollectorManager
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_sdvu_index_dir(sf), mode="f64")
+        pairs = s.search_with_collector(
+            Q.TermQuery("table"),
+            TopFieldStringDVCollectorManager("src", k=10))
+        return pa.table({
+            "rank": pa.array(range(1, len(pairs) + 1), pa.int64()),
+            "value": pa.array([p[0] for p in pairs], pa.string()),
+            "doc_id": pa.array([p[1] for p in pairs], pa.int64()),
+        })
+
+    q["sort_by_string_dv"] = _sort_string_dv
+
     def _flexible_parser(sf):
         """Flexible/precedence parser (queryparser/flexible/standard/
         StandardQueryParser.java:71): 'table AND key OR window' parses
@@ -3871,6 +3892,19 @@ ORDER BY t.doc_id"""
                  OR (doc_id IN (SELECT doc_id FROM tok WHERE term = 'table')
                      AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'key'))
               ORDER BY doc_id"""
+    )
+    o["sort_by_string_dv"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       CASE WHEN doc_id % 14 = 0 THEN 'updated-b'
+                            WHEN doc_id % 7 = 0 THEN 'updated-a'
+                            ELSE source END AS value
+                      FROM documents)
+              SELECT row_number() OVER (ORDER BY v.value, v.doc_id) AS rank,
+                     v.value, v.doc_id
+              FROM m JOIN v ON m.doc_id = v.doc_id
+              ORDER BY v.value, v.doc_id LIMIT 10"""
     )
     o["doc_values_binary_update"] = (
         _PRELUDE

@@ -98,3 +98,38 @@ class HistogramCollectorManager(CollectorManager):
             for b, c in zip(ub.tolist(), cnt.tolist()):
                 out[b] = out.get(b, 0) + c
         return dict(sorted(out.items()))
+
+
+class TopFieldStringDVCollectorManager(CollectorManager):
+    """Top-k by a STRING doc-values field (the SortedDocValues sort,
+    TopFieldCollector role) with committed string-DV update overlays
+    applied — per-segment partial top-k, merged with (value, doc)
+    tie-break. Ascending by default, like Sort.STRING."""
+
+    def __init__(self, name: str, k: int = 10, ascending: bool = True):
+        self.name = name
+        self.k = k
+        self.ascending = ascending
+
+    def _key(self, p):
+        # tie-break doc ASC in both directions (TopFieldCollector's
+        # stable secondary order)
+        return (p[0], p[1]) if self.ascending else (p[0], -p[1])
+
+    def collect_leaf(self, reader, docs, _scores):
+        import pyarrow as pa
+
+        rows = np.searchsorted(reader.doc_ids, docs)
+        rows = np.clip(rows, 0, max(reader.doc_ids.shape[0] - 1, 0))
+        sel = reader.doc_ids[rows] == docs if reader.doc_ids.shape[0] \
+            else np.zeros(docs.shape[0], dtype=bool)
+        vals = reader.string_values(self.name).take(
+            pa.array(rows[sel])).to_pylist()
+        pairs = sorted(zip(vals, (int(x) for x in docs[sel])),
+                       key=self._key, reverse=not self.ascending)
+        return pairs[: self.k]
+
+    def reduce(self, partials):
+        pairs = [p for part in partials for p in part]
+        pairs.sort(key=self._key, reverse=not self.ascending)
+        return pairs[: self.k]

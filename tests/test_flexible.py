@@ -164,3 +164,37 @@ def test_collector_manager_hook(built_index):
     assert even == int((all_docs % 2 == 0).sum())
     assert odd == int((all_docs % 2 == 1).sum())
     assert even + odd == s.count(q)
+
+
+def test_string_dv_sort_collector(tmp_path, ray_session, sf_dir):
+    """Sort by string doc values through the collector hook, descending
+    included, with update overlays in the keys."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.docvalues import update_string_doc_values
+    from lucene_ray.search.collectors import TopFieldStringDVCollectorManager
+    from lucene_ray.search.searcher import Searcher
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "sdvsort")
+    build_index(docs, idx, num_segments=2, string_values={"src": "source"})
+    ids = pq.read_table(docs, columns=["doc_id"])["doc_id"].to_numpy()
+    sel = ids[ids % 9 == 0]
+    update_string_doc_values(idx, "src", sel, ["zzz-last"] * sel.shape[0])
+
+    s = Searcher(idx)
+    asc = s.search_with_collector(
+        Q.MatchAllDocsQuery(), TopFieldStringDVCollectorManager("src", k=5))
+    vals = [p[0] for p in asc]
+    assert vals == sorted(vals)
+    desc = s.search_with_collector(
+        Q.MatchAllDocsQuery(),
+        TopFieldStringDVCollectorManager("src", k=5, ascending=False))
+    dvals = [p[0] for p in desc]
+    assert dvals == sorted(dvals, reverse=True)
+    assert dvals[0] == "zzz-last"          # the overlay value sorts last
+    ddocs = [p[1] for p in desc if p[0] == "zzz-last"]
+    assert ddocs == sorted(ddocs)          # doc-asc tie-break both ways
