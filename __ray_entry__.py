@@ -453,7 +453,7 @@ def _stem_index_dir(sf_dir: str) -> str:
 _SNOWBALL_LANGS = {"german": "de", "french": "fr", "spanish": "es",
                    "portuguese": "pt", "italian": "it", "dutch": "nl",
                    "russian": "ru", "swedish": "sv", "norwegian": "no",
-                   "danish": "da"}
+                   "danish": "da", "porter2": "en"}
 
 
 def _snowball_index_dir(sf_dir: str, lang: str) -> str:

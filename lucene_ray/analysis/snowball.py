@@ -1136,3 +1136,176 @@ def snowball_stem(term: str, lang: str) -> str:
     identity (the analyzer routes only configured languages here)."""
     fn = STEMMERS.get(lang)
     return fn(term) if fn else term
+
+
+# ---------------------------------------------------------------------------
+# English (Porter2 — the SnowballFilter("English") algorithm, distinct
+# from the 1980 Porter in analysis/stem.py)
+# ---------------------------------------------------------------------------
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_END = "cdeghkmnrt"
+_EN_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXCEPTIONS2 = frozenset((
+    "inning", "outing", "canning", "herring", "earring", "proceed",
+    "exceed", "succeed"))
+
+
+def _en_is_short_syllable(w: str, i: int) -> bool:
+    """Short syllable at index i (the vowel's index)."""
+    if i == 0:
+        return (len(w) >= 2 and w[0] in _EN_VOWELS
+                and w[1] not in _EN_VOWELS)
+    return (0 < i < len(w) - 1 and w[i] in _EN_VOWELS
+            and w[i + 1] not in _EN_VOWELS and w[i + 1] not in "wxY"
+            and w[i - 1] not in _EN_VOWELS)
+
+
+def _en_is_short(w: str, r1: int) -> bool:
+    return r1 >= len(w) and _en_is_short_syllable(w, len(w) - 2)
+
+
+def english_stem(word: str) -> str:
+    """Snowball English / Porter2
+    (snowballstem.org/algorithms/english/) — the algorithm behind the
+    reference's SnowballFilter("English"); differs from the 1980 Porter
+    (analysis/stem.py) in R-regions, the li-rule and short-word
+    handling."""
+    w = word
+    if len(w) <= 2:
+        return w
+    if w.startswith("'"):
+        w = w[1:]
+    if w in _EN_EXCEPTIONS:
+        return _EN_EXCEPTIONS[w]
+    # y after vowel (or initial) is a consonant: mark Y
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_VOWELS:
+            chars[i] = "Y"
+    w = "".join(chars)
+
+    r1 = None
+    for pref in ("gener", "commun", "arsen"):
+        if w.startswith(pref):
+            r1 = len(pref)
+            break
+    if r1 is None:
+        r1 = _r_after_nonvowel_after_vowel(w, _EN_VOWELS)
+    r2 = _r_after_nonvowel_after_vowel(w, _EN_VOWELS, r1)
+    c = _Ctx(w, r1, r2, 0)
+
+    # step 0: trailing apostrophe forms
+    s = c.ends("'s'", "'s", "'")
+    if s:
+        c.drop(len(s))
+
+    # step 1a
+    if c.w.endswith("sses"):
+        c.drop(2)
+    elif c.w.endswith(("ied", "ies")):
+        # -> i when preceded by more than one letter, else -> ie
+        c.replace(c.w[-3:], "i" if len(c.w) > 4 else "ie")
+    elif c.w.endswith(("us", "ss")):
+        pass
+    elif c.w.endswith("s"):
+        if any(ch in _EN_VOWELS for ch in c.w[:-2]):
+            c.drop(1)
+
+    if c.w in _EN_EXCEPTIONS2:
+        return c.w.replace("Y", "y")
+
+    # step 1b
+    s = c.ends("eedly", "eed")
+    if s:
+        if c.in_r1(s):
+            c.replace(s, "ee")
+    else:
+        s = c.ends("ingly", "edly", "ing", "ed")
+        if s and any(ch in _EN_VOWELS
+                     for ch in c.w[: len(c.w) - len(s)]):
+            c.drop(len(s))
+            if c.w.endswith(("at", "bl", "iz")):
+                c.w += "e"
+            elif c.w.endswith(_EN_DOUBLES):
+                c.drop(1)
+            elif _en_is_short(c.w, c.r1):
+                c.w += "e"
+
+    # step 1c: y -> i after a non-vowel that is not the first letter
+    if c.w.endswith(("y", "Y")) and len(c.w) > 2 \
+            and c.w[-2] not in _EN_VOWELS:
+        c.replace(c.w[-1], "i")
+
+    # step 2 (in R1)
+    for suf, rep in (
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"),
+    ):
+        if c.w.endswith(suf):
+            if c.in_r1(suf):
+                c.replace(suf, rep)
+            break
+    else:
+        if c.w.endswith("ogi"):
+            if c.in_r1("ogi") and len(c.w) >= 4 and c.w[-4] == "l":
+                c.drop(1)
+        elif c.w.endswith("li"):
+            if c.in_r1("li") and len(c.w) >= 3 and c.w[-3] in _EN_LI_END:
+                c.drop(2)
+
+    # step 3 (in R1; ative needs R2)
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+        ("ness", ""), ("ful", ""),
+    ):
+        if c.w.endswith(suf):
+            if c.in_r1(suf):
+                c.replace(suf, rep)
+            break
+    else:
+        if c.w.endswith("ative") and c.in_r2("ative"):
+            c.drop(5)
+
+    # step 4 (in R2)
+    for suf in ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+                "ent", "ism", "ate", "iti", "ous", "ive", "ize", "al",
+                "er", "ic"):
+        if c.w.endswith(suf):
+            if c.in_r2(suf):
+                c.drop(len(suf))
+            break
+    else:
+        if c.w.endswith("ion") and c.in_r2("ion") and len(c.w) >= 4 \
+                and c.w[-4] in "st":
+            c.drop(3)
+
+    # step 5
+    if c.w.endswith("e"):
+        if c.in_r2("e") or (c.in_r1("e")
+                            and not _en_is_short_syllable(c.w, len(c.w) - 3)):
+            c.drop(1)
+    elif c.w.endswith("l") and c.in_r2("l") and len(c.w) >= 2 \
+            and c.w[-2] == "l":
+        c.drop(1)
+
+    return c.w.replace("Y", "y")
+
+
+STEMMERS["en"] = english_stem  # Porter2; analyzer_for_lang('en') still prefers the stop-worded Porter1 chain

@@ -207,3 +207,27 @@ def test_spanish_portuguese_verb_paradigm_coverage():
     for w, want in {"cantáveis": "cant", "falamos": "fal",
                     "partiríeis": "part"}.items():
         assert portuguese_stem(w) == want, (w, portuguese_stem(w))
+
+
+def test_porter2_english_golden():
+    """Porter2 (SnowballFilter('English')) golden vectors, including the
+    R1-prefix exceptions (gener/commun/arsen), exceptional forms and the
+    short-word e-restore — distinct from the 1980 Porter in stem.py."""
+    from lucene_ray.analysis.snowball import english_stem as e
+
+    for w, want in {
+        "flies": "fli", "ties": "tie", "dying": "die", "skies": "sky",
+        "agreed": "agre", "feed": "feed", "agreement": "agreement",
+        "hopping": "hop", "hoping": "hope",
+        "generalization": "general", "generously": "generous",
+        "communism": "communism", "arsenal": "arsenal",
+        "controlling": "control", "roll": "roll",
+        "conditional": "condit", "rational": "ration",
+        "early": "earli", "happily": "happili", "crying": "cri",
+        "proceed": "proceed", "bias": "bias",
+    }.items():
+        assert e(w) == want, (w, e(w), want)
+    # porter1 vs porter2 divergence example: 'generously'
+    from lucene_ray.analysis.stem import porter_stem
+
+    assert porter_stem("generously") != e("generously")
