@@ -1,4 +1,5 @@
-"""Snowball stemmers for the top crawl languages (de, fr, es, pt, it, nl).
+"""Snowball stemmers for the top crawl languages (en Porter2, de, fr,
+es, pt, it, nl, ru, sv, no, da).
 
 Fresh Python implementations of the published Snowball algorithms
 (M.F. Porter, snowballstem.org algorithm descriptions) — the role of the
