@@ -1273,6 +1273,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["chunk_documents"] = _chunk_documents
 
+    def _tfidf_top_terms(sf):
+        """Per-doc TF-IDF keyword extraction
+        (pipelines/textstats.top_terms_per_doc): top-3 terms per doc by
+        tf*ln(N/df), ties (score desc, term asc) — df reduced from
+        per-batch DISTINCT partials, scored in one vectorized pass."""
+        import ray.data
+
+        from lucene_ray.pipelines.textstats import top_terms_per_doc
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "text"])
+        t = pa.concat_tables(
+            top_terms_per_doc(ds, k=3)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        return t.sort_by([("doc_id", "ascending"), ("rank", "ascending")])
+
+    q["tfidf_top_terms"] = _tfidf_top_terms
+
     def _compound_query(sf):
         """DictionaryCompoundWordTokenFilter (compound/
         DictionaryCompoundWordTokenFilter.java:40): compounds inject
@@ -3805,6 +3824,22 @@ SELECT '{_qid}' AS qid,
                      max(v.val)::DOUBLE AS vmax,
                      sum(v.val)::DOUBLE AS vsum
               FROM m JOIN v ON m.doc_id = v.doc_id"""
+    )
+    o["tfidf_top_terms"] = (
+        """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+sc AS (SELECT t.doc_id, t.term,
+              ROUND(t.tf * ln(n.n / d.df), 4) AS score
+       FROM tf t JOIN df d USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM sc)
+SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+ORDER BY doc_id, rank"""
     )
     o["chunk_documents"] = (
         """

@@ -376,3 +376,119 @@ def chunk_documents(pages, chunk_tokens: int = 512, overlap: int = 0,
         })
 
     return pages.map_batches(chunk, batch_format="pyarrow")
+
+
+def top_terms_per_doc(pages, k: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id", min_df: int = 1):
+    """Per-document TF-IDF keyword extraction — the doc-labeling /
+    summarization helper every curation stack carries: for each doc the
+    top-``k`` terms by tf·ln(N/df), ties (score, then term asc)
+    deterministic. Returns rows (doc_id, rank, term, score).
+
+    Scale shape: document frequencies reduce from per-batch DISTINCT
+    (doc, term) partials (the shuffle moves vocab-sized rows, never the
+    corpus) with an optional ``min_df`` prune bounding the broadcast
+    df map; scoring is one vectorized pass per batch with a lexsort
+    top-k — no per-doc Python."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens_col(b[text_col])
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        key = pa.table({"d": pa.array(doc_idx), "t": flat})
+        dd = key.group_by(["d", "t"]).aggregate([])
+        vc = pc.value_counts(dd["t"].combine_chunks()
+                             if isinstance(dd["t"], pa.ChunkedArray)
+                             else dd["t"])
+        return pa.table({
+            "term": pa.concat_arrays([vc.field("values"),
+                                      pa.array([""], pa.string())]),
+            "df": pa.concat_arrays([vc.field("counts").cast(pa.int64()),
+                                    pa.array([0], pa.int64())]),
+            "nd": pa.concat_arrays([
+                pa.array([0] * len(vc), pa.int64()),
+                pa.array([b.num_rows], pa.int64())]),
+        })
+
+    agg = (pages.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"), Sum("nd", alias_name="nd")))
+    rows = pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
+                                             batch_size=1 << 16))
+    terms = rows["term"].to_pylist()
+    dfs = rows["df"].to_numpy()
+    n_docs = int(rows["nd"].to_numpy().sum())
+    dfmap = {t: int(d) for t, d, in zip(terms, dfs)
+             if t and d >= min_df}
+    sorted_terms = sorted(dfmap)
+    import numpy as _np
+
+    df_arr = _np.array([dfmap[t] for t in sorted_terms], dtype=_np.float64)
+    vocab_arr = pa.array(sorted_terms, pa.string())
+    ref = ray.put((vocab_arr, df_arr, float(n_docs)))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab, df_a, n = ray.get(ref)
+        flat, doc_idx = _flat_tokens_col(b[text_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        code = pc.fill_null(pc.index_in(flat, value_set=vocab), -1)
+        code_np = code.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = code_np >= 0
+        code_np, doc_idx2 = code_np[keep], doc_idx[keep]
+        # tf per (doc, term-code) via one unique over a fused key
+        fused = doc_idx2.astype(np.int64) * np.int64(len(df_a)) + code_np
+        uk, tf = np.unique(fused, return_counts=True)
+        ud = (uk // len(df_a)).astype(np.int64)
+        uc = (uk % len(df_a)).astype(np.int64)
+        # round BEFORE ranking so the (score desc, term asc) tie-break
+        # matches the SQL twin's ROUND(score, 4) ordering exactly (house
+        # oracle-compare convention)
+        scores = np.round(tf * np.log(n / df_a[uc]), 4)
+        term_sort = np.asarray(
+            [vocab[int(i)].as_py() for i in uc], dtype=object)
+        order = np.lexsort((term_sort, -scores, ud))
+        ud, uc, scores = ud[order], uc[order], scores[order]
+        starts = np.nonzero(np.diff(ud, prepend=ud[0] - 1))[0] \
+            if ud.shape[0] else np.empty(0, np.int64)
+        run_start = np.zeros(ud.shape[0], dtype=np.int64)
+        run_start[starts] = starts
+        run_start = np.maximum.accumulate(run_start)
+        rank = np.arange(ud.shape[0], dtype=np.int64) - run_start
+        sel = rank < k
+        return pa.table({
+            id_col: pa.array(ids[ud[sel]].astype(np.int64)),
+            "rank": pa.array(rank[sel] + 1),
+            "term": vocab.take(pa.array(uc[sel])),
+            "score": pa.array(scores[sel]),
+        })
+
+    return pages.map_batches(score, batch_format="pyarrow")
+
+
+def _flat_tokens_col(texts):
+    """(flat tokens, doc index) of a whitespace-split column, empties
+    dropped."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    flat = pc.list_flatten(lists)
+    n_per = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_per)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.all():
+        flat = pc.filter(flat, keep)
+        doc_idx = doc_idx[keep_np]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, doc_idx

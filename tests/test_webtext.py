@@ -306,3 +306,41 @@ def test_chunk_documents_windows(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(ray.data.from_arrow(t), chunk_tokens=4, overlap=4)
+
+
+def test_tfidf_top_terms(ray_session):
+    """Per-doc TF-IDF keywords: brute-force parity including the
+    (score desc, term asc) tie-break and min_df pruning."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.textstats import top_terms_per_doc
+
+    texts = ["a b a c", "b b d", "a d d e", ""]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    out = sorted(top_terms_per_doc(ray.data.from_arrow(t).repartition(2),
+                                   k=2).take_all(),
+                 key=lambda r: (r["doc_id"], r["rank"]))
+    df = Counter()
+    for s in texts:
+        for w in set(x for x in s.split() if x):
+            df[w] += 1
+    want = []
+    for d, s in enumerate(texts):
+        tf = Counter(x for x in s.split() if x)
+        scored = sorted(
+            ((w, round(c * math.log(4 / df[w]), 4)) for w, c in tf.items()),
+            key=lambda p: (-p[1], p[0]))[:2]
+        want += [(d, r, w, sc) for r, (w, sc) in enumerate(scored, 1)]
+    got = [(r["doc_id"], r["rank"], r["term"], round(r["score"], 4))
+           for r in out]
+    assert got == want
+
+    # min_df prunes hapaxes out of the model entirely
+    out2 = top_terms_per_doc(ray.data.from_arrow(t), k=2,
+                             min_df=2).take_all()
+    assert all(r["term"] in {"a", "b", "d"} for r in out2)
