@@ -1253,6 +1253,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["icu_fold_query"] = _icu_fold_query
 
+    def _icu_normalizer_query(sf):
+        """ICUNormalizer2Filter role (icu/ICUNormalizer2Filter.java:40;
+        analyzers.Analyzer.icu_normalize): nfkc_cf normalization at
+        index AND query time — unlike the fold it keeps combining marks
+        but unifies compatibility variants + case, so a fullwidth
+        'Ｔａｂｌｅ' query meets plain 'table'."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:icun1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx,
+                        analyzer=Analyzer(icu_normalize="nfkc_cf"),
+                        num_segments=4, stored_source=docs)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(
+            Q.TermQuery(s.analyzer.normalize("Ｔａｂｌｅ")))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["icu_normalizer_query"] = _icu_normalizer_query
+
     def _chunk_documents(sf):
         """Token-window chunking (pipelines/textstats.chunk_documents):
         the pretraining-data shaping step — 32-token windows with
@@ -2138,11 +2168,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def _mk_snowball_query(lang: str):
         def _snowball_q(sf):
-            """BM25 over a SnowballFilter(%s) index (snowball/
-            SnowballFilter.java:48; fresh implementation of the published
-            Snowball algorithm in analysis/snowball.py): the query term
-            stems through the same language chain to meet the index's
-            stemmed dictionary.""" % lang
             from lucene_ray.search.searcher import Searcher
 
             s = Searcher(_snowball_index_dir(sf, lang), mode="f64")
@@ -2151,6 +2176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.argsort(docs)
             return pa.table({"doc_id": docs[order],
                              "score": _round4(scores[order])})
+        _snowball_q.__doc__ = (
+            "BM25 over a SnowballFilter(%s) index (snowball/"
+            "SnowballFilter.java:48; fresh implementation of the published "
+            "Snowball algorithm in analysis/snowball.py): the query term "
+            "stems through the same language chain to meet the index's "
+            "stemmed dictionary." % lang)
         return _snowball_q
 
     for _name, _lang in _SNOWBALL_LANGS.items():
@@ -3843,7 +3874,8 @@ ORDER BY doc_id, rank"""
     )
     o["chunk_documents"] = (
         """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE text <> ''),
 n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
 c AS (SELECT doc_id, l, n,
              unnest(range(CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) + 1))
@@ -5196,6 +5228,13 @@ WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
     # ICU fold: identity on the (ASCII, lowercase) corpus, so the folded
     # query term 'tablé' -> 'table' scores exactly the standard BM25
     o["icu_fold_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t ORDER BY doc_id"
+    )
+    # ICU nfkc_cf normalization: identity on the (ASCII, lowercase)
+    # corpus, so the normalized fullwidth query term 'Ｔａｂｌｅ' ->
+    # 'table' scores exactly the standard BM25
+    o["icu_normalizer_query"] = (
         _PRELUDE + _term_cte("t", "table")
         + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t ORDER BY doc_id"
     )

@@ -54,6 +54,13 @@ class Analyzer:
     # Strictly stronger than ascii_fold (which maps a Latin-1/Ext-A
     # subset); vocabulary-mapped like every other token filter.
     icu_fold: bool = False
+    # ICUNormalizer2Filter role (analysis/icu/ICUNormalizer2Filter.java:40):
+    # Unicode normalization PROPER — 'nfc' | 'nfkc' | 'nfkc_cf' — applied
+    # to every token before the other filters. Unlike icu_fold it does
+    # NOT strip combining marks: café(NFD) and café(NFC) unify without
+    # losing the accent. 'nfkc_cf' adds the Unicode case fold (the
+    # filter's default normalizer in the reference). Vocabulary-mapped.
+    icu_normalize: "str | None" = None
     # PhoneticFilter role (analysis/phonetic/PhoneticFilter.java:33):
     # 'soundex' | 'nysiis' (analysis/phonetic.py) maps each token to its
     # sound-alike code. Pair with keyword_repeat=True for the filter's
@@ -181,7 +188,20 @@ class Analyzer:
         return self.length_max is None or len(term) <= self.length_max
 
     def transform_token(self, term: str) -> str:
-        """Post-stop per-token filters (fold, then stem, then phonetic)."""
+        """Post-stop per-token filters (normalize, then fold, then stem,
+        then phonetic)."""
+        if self.icu_normalize:
+            import unicodedata
+
+            form = self.icu_normalize.upper()
+            if form == "NFKC_CF":
+                term = unicodedata.normalize("NFKC", term).casefold()
+                # casefold can denormalize (e.g. İ → i + U+0307); the
+                # reference's nfkc_cf is a single closed normalizer, so
+                # re-normalize after the fold
+                term = unicodedata.normalize("NFKC", term)
+            else:
+                term = unicodedata.normalize(form, term)
         if self.icu_fold:
             import unicodedata
 
@@ -214,8 +234,8 @@ class Analyzer:
     @property
     def has_token_filters(self) -> bool:
         return (self.stem or self.ascii_fold or self.icu_fold
-                or bool(self.stem_lang) or bool(self.hunspell)
-                or bool(self.phonetic))
+                or bool(self.icu_normalize) or bool(self.stem_lang)
+                or bool(self.hunspell) or bool(self.phonetic))
 
     def _raw_stream(self, text: str):
         """(term, position, start, end) of the raw tokenizer stage — the

@@ -369,6 +369,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "hunspell": list(analyzer.hunspell) if analyzer.hunspell else None,
         "ascii_fold": analyzer.ascii_fold,
         "icu_fold": analyzer.icu_fold,
+        "icu_normalize": analyzer.icu_normalize,
         "phonetic": analyzer.phonetic,
         "common_grams": (sorted(analyzer.common_grams)
                          if analyzer.common_grams else None),
@@ -399,6 +400,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         hunspell=tuple(a["hunspell"]) if a.get("hunspell") else None,
         ascii_fold=a.get("ascii_fold", False),
         icu_fold=a.get("icu_fold", False),
+        icu_normalize=a.get("icu_normalize"),
         phonetic=a.get("phonetic"),
         common_grams=(tuple(a["common_grams"])
                       if a.get("common_grams") else None),

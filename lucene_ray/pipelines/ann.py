@@ -276,9 +276,28 @@ def _near_dup_lsh_join(embeddings, threshold, id_col, vec_col, n_planes,
     vec_b = embeddings.map_batches(
         lambda b: _pack(b, "b", "_vb"), batch_format="pyarrow"
     )
-    joined = cand.join(
-        vec_a, join_type="inner", num_partitions=nparts, on=("a",)
-    ).join(vec_b, join_type="inner", num_partitions=nparts, on=("b",))
+    # Every join input is scrubbed of zero-row blocks
+    # (lucene_ray/data/blocks.py): `cand` is a hash-aggregate output
+    # (zero-row empty-schema blocks), and the first join's output carries
+    # zero-row blocks that would lose the second join's schema broadcast.
+    from lucene_ray.data.blocks import safe_inner_join
+
+    id_t = pa.int64()
+    try:
+        from lucene_ray.data.blocks import _ray_schema_to_arrow
+        es = _ray_schema_to_arrow(embeddings.schema(fetch_if_missing=True))
+        if es is not None:
+            id_t = es.field(id_col).type
+    except Exception:
+        pass
+    vec_t = pa.binary(d * 4)
+    joined = safe_inner_join(
+        safe_inner_join(
+            cand, vec_a, on=("a",), num_partitions=nparts,
+            left_schema=pa.schema([("a", id_t), ("b", id_t)]),
+            right_schema=pa.schema([("a", id_t), ("_va", vec_t)])),
+        vec_b, on=("b",), num_partitions=nparts,
+        right_schema=pa.schema([("b", id_t), ("_vb", vec_t)]))
 
     def _unpack(col) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):

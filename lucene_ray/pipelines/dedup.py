@@ -130,18 +130,28 @@ def dedup_exact(pages, key: str = "url", strategy: str = "auto",
         strategy = "broadcast" if winners.count() <= broadcast_max else "join"
 
     if strategy == "join":
+        from lucene_ray.data.blocks import safe_inner_join
+
         num_partitions = num_partitions or _default_partitions()
         # distributed hash semi-join on the (globally unique) fused rank —
-        # nothing accumulates on the driver or in worker heaps
+        # nothing accumulates on the driver or in worker heaps. Both join
+        # inputs are scrubbed of zero-row blocks (data/blocks.py): the
+        # keepers side is a hash-aggregate output (emits zero-row
+        # empty-schema blocks), and the corpus side may carry zero-row
+        # blocks from an upstream filter — either one can lose the join's
+        # schema broadcast. The join is a barrier that pins its inputs in
+        # aggregator partitions anyway, so the scrub adds a store pass,
+        # not a new barrier.
         def add_rank(b: pa.Table) -> pa.Table:
             return b.append_column("_fused", pa.array(_fused(b)))
 
         keepers = winners.map_batches(
             lambda b: pa.table({"_fused": b["_keep"]}), batch_format="pyarrow"
         )
-        joined = pages.map_batches(add_rank, batch_format="pyarrow").join(
-            keepers, join_type="inner", num_partitions=num_partitions,
-            on=("_fused",),
+        joined = safe_inner_join(
+            pages.map_batches(add_rank, batch_format="pyarrow"),
+            keepers, on=("_fused",), num_partitions=num_partitions,
+            right_schema=pa.schema([("_fused", pa.int64())]),
         )
         return joined.map_batches(
             lambda b: b.drop_columns(["_fused"]), batch_format="pyarrow"
@@ -466,8 +476,14 @@ def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
         strategy = "broadcast" if sizes_ds.count() <= broadcast_max else "join"
 
     if strategy == "join":
+        from lucene_ray.data.blocks import safe_inner_join
+
         num_partitions = num_partitions or _default_partitions()
-        # sizes attach via two distributed hash joins — O(1) driver memory
+        # sizes attach via two distributed hash joins — O(1) driver memory.
+        # Every join input is scrubbed of zero-row blocks (data/blocks.py):
+        # `inter` and `sizes_ds` are hash-aggregate outputs, and the first
+        # join's output carries zero-row (schema-full) blocks that would
+        # lose the second join's schema broadcast.
         sz_a = sizes_ds.map_batches(
             lambda b: pa.table({"a": b["doc_id"], "_sz_a": b["count()"]}),
             batch_format="pyarrow",
@@ -476,9 +492,16 @@ def jaccard_pairs(pages, text_col: str = "text", shingle_n: int = 2,
             lambda b: pa.table({"b": b["doc_id"], "_sz_b": b["count()"]}),
             batch_format="pyarrow",
         )
-        joined = inter.join(
-            sz_a, join_type="inner", num_partitions=num_partitions, on=("a",)
-        ).join(sz_b, join_type="inner", num_partitions=num_partitions, on=("b",))
+        pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                 ("count()", pa.int64())])
+        sz_schema = lambda k, c: pa.schema([(k, pa.int64()), (c, pa.int64())])
+        joined = safe_inner_join(
+            safe_inner_join(inter, sz_a, on=("a",),
+                            num_partitions=num_partitions,
+                            left_schema=pair_schema,
+                            right_schema=sz_schema("a", "_sz_a")),
+            sz_b, on=("b",), num_partitions=num_partitions,
+            right_schema=sz_schema("b", "_sz_b"))
 
         def finish_joined(b: pa.Table) -> pa.Table:
             a = b["a"].to_numpy()
@@ -617,30 +640,25 @@ def dedup_clusters(pairs, max_iters: int = 50):
     Convergence = a tiny aggregate (sum of labels) reaching a fixpoint —
     no driver-side materialization of the label table.
 
-    Robustness notes (the round-3 failure modes): ``edges`` is
+    Robustness notes (the round-3/4 failure modes): ``edges`` is
     materialized ONCE before the loop — otherwise the whole upstream
     pair-generation pipeline (shingle → window-hash → sort → pair scan)
-    re-executes every iteration. And Ray's hash aggregate can emit
-    zero-row blocks with an EMPTY schema; acero's hash join cannot
-    resolve the key column in those, so every stage that feeds a join or
-    groupby normalizes empty blocks to schema-full tables.
+    re-executes every iteration. And every join input is scrubbed of
+    zero-row blocks (``lucene_ray.data.blocks``): Ray's hash aggregates
+    emit zero-row empty-schema blocks, map_batches forwards them without
+    invoking the UDF, and a zero-row FIRST block loses the join's schema
+    broadcast — so any aggregator partition that receives no real rows
+    dies in acero with an unresolvable key. Block-level scrubbing is the
+    only guard that can actually fire.
     """
     from ray.data.aggregate import Min, Sum
+
+    from lucene_ray.data.blocks import safe_inner_join, scrub_empty_blocks
 
     label_schema = pa.schema([("doc_id", pa.int64()),
                               ("cluster", pa.int64())])
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     src_lab_schema = pa.schema([("src", pa.int64()), ("lab", pa.int64())])
-
-    def _guarded(fn, schema):
-        """Wrap a batch fn so schema-less empty blocks (which Ray's hash
-        aggregate emits for empty partitions) map to schema-full empty
-        tables instead of KeyErrors / unresolvable join keys."""
-        def inner(b: pa.Table) -> pa.Table:
-            if b.num_columns == 0 or b.num_rows == 0:
-                return schema.empty_table()
-            return fn(b)
-        return inner
 
     def both_dirs(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy()
@@ -651,28 +669,37 @@ def dedup_clusters(pairs, max_iters: int = 50):
         })
 
     # ONE execution of the candidate-pair pipeline; the loop below
-    # re-reads the materialized blocks only.
-    edges = pairs.map_batches(
-        _guarded(both_dirs, edge_schema), batch_format="pyarrow",
-    ).materialize()
+    # re-reads the scrubbed, pinned blocks only.
+    edges = scrub_empty_blocks(
+        pairs.map_batches(both_dirs, batch_format="pyarrow"),
+        schema=edge_schema,
+    )
+    if edges.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(label_schema.empty_table())
 
     def norm_labels(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
                          "cluster": b["cluster"].cast(pa.int64())})
 
+    def relabel(ds):
+        """groupby-min over candidate labels; the aggregate output is
+        scrubbed so the next iteration's join never sees zero-row
+        blocks (this doubles as the per-iteration materialize that the
+        convergence checksum needs)."""
+        agg = (
+            ds.groupby("doc_id")
+            .aggregate(Min("cluster", alias_name="cluster"))
+            .map_batches(norm_labels, batch_format="pyarrow")
+        )
+        return scrub_empty_blocks(agg, schema=label_schema)
+
     # initial labels: every endpoint labels itself
-    labels = (
+    labels = relabel(
         edges.map_batches(
-            _guarded(lambda b: pa.table({"doc_id": b["src"],
-                                         "cluster": b["src"]}),
-                     label_schema),
+            lambda b: pa.table({"doc_id": b["src"], "cluster": b["src"]}),
             batch_format="pyarrow",
         )
-        .groupby("doc_id")
-        .aggregate(Min("cluster", alias_name="cluster"))
-        .map_batches(_guarded(norm_labels, label_schema),
-                     batch_format="pyarrow")
-        .materialize()
     )
 
     def checksum(lb) -> int:
@@ -684,26 +711,25 @@ def dedup_clusters(pairs, max_iters: int = 50):
     for _ in range(max_iters):
         # neighbor labels flow along edges: join labels onto edge sources,
         # retarget to the destination, keep own label via union, min-reduce
-        neigh = edges.join(labels.map_batches(
-            _guarded(lambda b: pa.table({"src": b["doc_id"],
-                                         "lab": b["cluster"]}),
-                     src_lab_schema),
-            batch_format="pyarrow",
-        ), join_type="inner", num_partitions=_default_partitions(),
-            on=("src",))
+        neigh = safe_inner_join(
+            edges,
+            labels.map_batches(
+                lambda b: pa.table({"src": b["doc_id"],
+                                    "lab": b["cluster"]}),
+                batch_format="pyarrow",
+            ),
+            on=("src",), num_partitions=_default_partitions(),
+            # edges is already scrubbed and pinned; labels comes out of
+            # relabel() scrubbed but its map_batches projection runs
+            # lazily, so scrub the projected side again (cheap: label
+            # table only)
+            scrub_left=False, right_schema=src_lab_schema,
+        )
         cand = neigh.map_batches(
-            _guarded(lambda b: pa.table({"doc_id": b["dst"],
-                                         "cluster": b["lab"]}),
-                     label_schema),
+            lambda b: pa.table({"doc_id": b["dst"], "cluster": b["lab"]}),
             batch_format="pyarrow",
         ).union(labels)
-        labels = (
-            cand.groupby("doc_id")
-            .aggregate(Min("cluster", alias_name="cluster"))
-            .map_batches(_guarded(norm_labels, label_schema),
-                         batch_format="pyarrow")
-            .materialize()
-        )
+        labels = relabel(cand)
         cur = checksum(labels)
         if cur == prev:
             break

@@ -158,16 +158,61 @@ def _epoch_us(col) -> np.ndarray:
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
-def _dedup_right(rts: np.ndarray, rval: np.ndarray):
-    """One right row per timestamp: keep the MAX value (the documented
-    tie rule — both the engine and the SQL twin apply it, since 'which
-    of several equal-ts rows wins' is otherwise unspecified)."""
-    if rts.shape[0] == 0:
-        return rts, rval
-    order = np.lexsort((rval, rts))
-    rts, rval = rts[order], rval[order]
-    last = np.concatenate((rts[1:] != rts[:-1], [True]))
-    return rts[last], rval[last]
+def _tag_union(left, right, on, ts_col, id_col, value_col):
+    """Tag both sides (left=1, right=0) and union into one Dataset of
+    (on, _id, _ts_us, _val, _side) rows."""
+    sides = []
+    for tag, ds in ((1, left), (0, right)):
+        def tag_side(b: pa.Table, _t=tag) -> pa.Table:
+            return pa.table({
+                on: b[on].cast(pa.int64()),
+                "_id": b[id_col].cast(pa.int64()),
+                "_ts_us": pa.array(_epoch_us(b[ts_col])),
+                "_val": b[value_col].cast(pa.float64()),
+                "_side": pa.array(np.full(b.num_rows, _t, np.int8)),
+            })
+        sides.append(ds.map_batches(tag_side, batch_format="pyarrow"))
+    return sides[0].union(sides[1])
+
+
+def _searchsorted_by_key(rk: np.ndarray, rts: np.ndarray,
+                         qk: np.ndarray, qts: np.ndarray,
+                         side: str) -> np.ndarray:
+    """Vectorized PER-KEY searchsorted over MANY keys at once: for each
+    query (qk[i], qts[i]), the insertion index into the (rk, rts) rows
+    — which are sorted by (key, ts) — as if ``np.searchsorted`` ran on
+    the query's key segment alone (the returned index is global into the
+    right arrays, and always lands inside that key's segment because the
+    composite (key, ts) order bounds it). One lexsort of the merged
+    arrays replaces a Python loop over keys: O((m+q) log(m+q))."""
+    m, q = rk.shape[0], qk.shape[0]
+    all_k = np.concatenate([rk, qk])
+    all_t = np.concatenate([rts, qts])
+    # at equal (key, ts): side='left' places the query BEFORE right rows,
+    # side='right' after — same semantics as np.searchsorted's `side`
+    qflag = np.empty(m + q, np.int8)
+    qflag[:m] = 1 if side == "left" else 0
+    qflag[m:] = 0 if side == "left" else 1
+    order = np.lexsort((qflag, all_t, all_k))
+    rank = np.empty(m + q, np.int64)
+    rank[order] = np.arange(m + q)
+    queries_at_or_before = np.cumsum(order >= m)
+    qpos = rank[m:]
+    return qpos - (queries_at_or_before[qpos] - 1)
+
+
+def _split_mixed(ds, result_cols: list):
+    """(interior results, deferred raw rows) from a mixed scan output."""
+    interior = ds.map_batches(
+        lambda b: b.filter(pc.invert(b["_edge"])).select(result_cols),
+        batch_format="pyarrow",
+    )
+    deferred_rows = ds.map_batches(
+        lambda b: b.filter(b["_edge"]).select(
+            [result_cols[0], "_id", "_ts_us", "_val", "_side"]),
+        batch_format="pyarrow",
+    ).repartition(1)
+    return interior, deferred_rows
 
 
 def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
@@ -179,61 +224,116 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
     ``tolerance_s``). Returns (on, left id, left ts_us, right ts_us,
     right value) with nulls when no prior right row exists.
 
-    Distributed shape + partitioning assumption: both sides tag and
-    union into ONE dataset, then ``groupby(on).map_groups`` co-locates
-    each key's rows (one shuffle); the per-group probe is a single
-    ``searchsorted`` over the key's sorted right timestamps. Per-key
-    volume must fit a worker (true for per-user event streams; salt the
-    key upstream if a key is pathological). Equal-ts right duplicates
-    resolve to the max value (documented tie rule)."""
-    sides = []
-    for tag, ds in ((1, left), (0, right)):
-        def tag_side(b: pa.Table, _t=tag) -> pa.Table:
-            return pa.table({
-                on: b[on].cast(pa.int64()),
-                "_id": b[id_col].cast(pa.int64()),
-                "_ts_us": pa.array(_epoch_us(b[ts_col])),
-                "_val": b[value_col].cast(pa.float64()),
-                "_side": pa.array(np.full(b.num_rows, _t, np.int8)),
-            })
-        sides.append(ds.map_batches(tag_side, batch_format="pyarrow"))
-    both = sides[0].union(sides[1])
+    Distributed shape (the sessionization pattern, NOT per-key
+    map_groups — per-group UDF dispatch pays one Python call per key and
+    dominates at millions of keys): both sides tag and union, ONE global
+    sort on (key, ts, side, value) co-locates and orders everything,
+    then a single vectorized pass per block matches every left row to
+    the latest preceding right row of ITS key via one
+    ``np.maximum.accumulate`` (a right row from an earlier key can never
+    shadow a same-key one — keys are contiguous in sort order, so a
+    cross-key last-seen index simply fails the key-equality check).
+    Only the rows of each block's FIRST and LAST key — the keys that can
+    straddle a block boundary — defer to a small second pass; interior
+    keys are provably complete in-block. Equal-ts right duplicates
+    resolve to the max value (the sort puts it last; documented tie
+    rule). Skew caveat: one pathological key's rows all land in the
+    boundary pass — salt upstream if a single key exceeds a worker."""
+    both = _tag_union(left, right, on, ts_col, id_col, value_col)
+    tol_us = None if tolerance_s is None else tolerance_s * 1_000_000
 
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g["_side"].to_numpy(zero_copy_only=False)
-        ts = g["_ts_us"].to_numpy(zero_copy_only=False)
-        val = g["_val"].to_numpy(zero_copy_only=False)
-        ids = g["_id"].to_numpy(zero_copy_only=False)
-        lmask = side == 1
-        lts, lids = ts[lmask], ids[lmask]
-        rts, rval = _dedup_right(ts[~lmask], val[~lmask])
-        if rts.shape[0]:
-            idx = np.searchsorted(rts, lts, side="right") - 1
-            ok = idx >= 0
-            idx_c = np.clip(idx, 0, rts.shape[0] - 1)
-            if tolerance_s is not None:
-                ok &= lts - rts[idx_c] <= tolerance_s * 1_000_000
-            mt = np.where(ok, rts[idx_c], 0)
-            mv = np.where(ok, rval[idx_c], 0.0)
-        else:
-            ok = np.zeros(lts.shape[0], dtype=bool)
-            mt = np.zeros(lts.shape[0], dtype=np.int64)
-            mv = np.zeros(lts.shape[0], dtype=np.float64)
-        order = np.argsort(lids)
-        key = g[on].to_numpy(zero_copy_only=False)[lmask]
+    def scan(key, ts, val, ids, side):
+        """Per sorted-run AS-OF matching; returns left-row result arrays."""
+        n = key.shape[0]
+        idx = np.arange(n)
+        is_right = side == 0
+        last_r = np.maximum.accumulate(np.where(is_right, idx, -1))
+        lmask = ~is_right
+        lr = last_r[lmask]
+        ok = lr >= 0
+        lr_c = np.clip(lr, 0, max(n - 1, 0))
+        ok &= key[lr_c] == key[lmask]
+        mt, mv = ts[lr_c], val[lr_c]
+        if tol_us is not None:
+            ok &= ts[lmask] - mt <= tol_us
+        return key[lmask], ids[lmask], ts[lmask], ok, mt, mv
+
+    def result_table(k, i, t, ok, mt, mv,
+                     edge_keys: "np.ndarray | None" = None) -> pa.Table:
+        # the `on` column doubles as the raw key for deferred edge rows —
+        # the boundary pass re-reads it, so it must NOT be zero-padded
+        if edge_keys is None:
+            edge_keys = np.empty(0, np.int64)
+        edge_pad = edge_keys.shape[0]
+        pad = np.zeros(edge_pad, np.int64)
         return pa.table({
-            on: pa.array(key[order]),
-            "left_id": pa.array(lids[order]),
-            "left_ts_us": pa.array(lts[order]),
+            on: pa.array(np.concatenate([k, edge_keys])),
+            "left_id": pa.array(np.concatenate([i, pad])),
+            "left_ts_us": pa.array(np.concatenate([t, pad])),
             "right_ts_us": pc.if_else(
-                pa.array(ok[order]), pa.array(mt[order], pa.int64()),
+                pa.array(np.concatenate([ok, np.zeros(edge_pad, bool)])),
+                pa.array(np.concatenate([mt, pad]), pa.int64()),
                 pa.scalar(None, pa.int64())),
             "right_value": pc.if_else(
-                pa.array(ok[order]), pa.array(mv[order], pa.float64()),
+                pa.array(np.concatenate([ok, np.zeros(edge_pad, bool)])),
+                pa.array(np.concatenate([mv, pad.astype(np.float64)]),
+                         pa.float64()),
                 pa.scalar(None, pa.float64())),
         })
 
-    return both.groupby(on).map_groups(per_key, batch_format="pyarrow")
+    def _unpack(b: pa.Table):
+        return (b[on].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["_ts_us"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["_val"].to_numpy(zero_copy_only=False).astype(np.float64),
+                b["_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["_side"].to_numpy(zero_copy_only=False).astype(np.int8))
+
+    def block_scan(b: pa.Table) -> pa.Table:
+        key, ts, val, ids, side = _unpack(b)
+        n = key.shape[0]
+        if n == 0:
+            t = result_table(*(np.empty(0, np.int64),) * 3,
+                             np.empty(0, bool), np.empty(0, np.int64),
+                             np.empty(0, np.float64))
+            return t.append_column("_edge", pa.array([], pa.bool_())) \
+                    .append_column("_id", pa.array([], pa.int64())) \
+                    .append_column("_ts_us", pa.array([], pa.int64())) \
+                    .append_column("_val", pa.array([], pa.float64())) \
+                    .append_column("_side", pa.array([], pa.int8()))
+        edge = (key == key[0]) | (key == key[-1])
+        k, i, t, ok, mt, mv = scan(key[~edge], ts[~edge], val[~edge],
+                                   ids[~edge], side[~edge])
+        n_edge = int(edge.sum())
+        res = result_table(k, i, t, ok, mt, mv, edge_keys=key[edge])
+        n_int = res.num_rows - n_edge
+        z = np.zeros(n_int, np.int64)
+        return (res
+                .append_column("_edge", pa.array(np.concatenate(
+                    [np.zeros(n_int, bool), np.ones(n_edge, bool)])))
+                .append_column("_id", pa.array(np.concatenate([z, ids[edge]])))
+                .append_column("_ts_us", pa.array(np.concatenate([z, ts[edge]])))
+                .append_column("_val", pa.array(np.concatenate(
+                    [z.astype(np.float64), val[edge]])))
+                .append_column("_side", pa.array(np.concatenate(
+                    [np.zeros(n_int, np.int8), side[edge]]))))
+
+    mixed = (
+        both.sort([on, "_ts_us", "_side", "_val"])
+        .map_batches(block_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    result_cols = [on, "left_id", "left_ts_us", "right_ts_us", "right_value"]
+    interior, deferred_rows = _split_mixed(mixed, result_cols)
+
+    def boundary(b: pa.Table) -> pa.Table:
+        key, ts, val, ids, side = _unpack(b)
+        order = np.lexsort((val, side, ts, key))
+        return result_table(*scan(key[order], ts[order], val[order],
+                                  ids[order], side[order]))
+
+    deferred = deferred_rows.map_batches(boundary, batch_size=None,
+                                         batch_format="pyarrow")
+    return interior.union(deferred)
 
 
 def range_join(left, right, on: str = "user_id", ts_col: str = "ts",
@@ -241,44 +341,91 @@ def range_join(left, right, on: str = "user_id", ts_col: str = "ts",
                lo_s: int = -600, hi_s: int = 0):
     """RANGE join (count + sum form): for each LEFT row, the number and
     value-sum of RIGHT rows of the same key with ts in
-    [left_ts + lo_s, left_ts + hi_s]. Same co-location shape and
-    assumption as :func:`asof_join`; the per-group probe is two
-    ``searchsorted`` bounds + a prefix-sum difference (no per-pair
-    work, so an N x M windowed join costs O((N+M) log M) per key)."""
-    sides = []
-    for tag, ds in ((1, left), (0, right)):
-        def tag_side(b: pa.Table, _t=tag) -> pa.Table:
-            return pa.table({
-                on: b[on].cast(pa.int64()),
-                "_id": b[id_col].cast(pa.int64()),
-                "_ts_us": pa.array(_epoch_us(b[ts_col])),
-                "_val": b[value_col].cast(pa.float64()),
-                "_side": pa.array(np.full(b.num_rows, _t, np.int8)),
-            })
-        sides.append(ds.map_batches(tag_side, batch_format="pyarrow"))
-    both = sides[0].union(sides[1])
+    [left_ts + lo_s, left_ts + hi_s].
 
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g["_side"].to_numpy(zero_copy_only=False)
-        ts = g["_ts_us"].to_numpy(zero_copy_only=False)
-        val = g["_val"].to_numpy(zero_copy_only=False)
-        ids = g["_id"].to_numpy(zero_copy_only=False)
-        lmask = side == 1
-        lts, lids = ts[lmask], ids[lmask]
-        order_r = np.argsort(ts[~lmask], kind="stable")
-        rts = ts[~lmask][order_r]
-        rcs = np.concatenate(([0.0], np.cumsum(val[~lmask][order_r])))
-        lo = np.searchsorted(rts, lts + lo_s * 1_000_000, side="left")
-        hi = np.searchsorted(rts, lts + hi_s * 1_000_000, side="right")
-        n = (hi - lo).astype(np.int64)
-        s = rcs[hi] - rcs[lo]
-        order = np.argsort(lids)
-        key = g[on].to_numpy(zero_copy_only=False)[lmask]
+    Same sessionization-shaped distributed plan as :func:`asof_join`
+    (one global (key, ts) sort, vectorized per-block pass, first/last
+    key of each block deferred to a small boundary pass — NOT per-key
+    map_groups). The per-block probe runs one
+    :func:`_searchsorted_by_key` per bound over ALL keys at once, then a
+    prefix-sum difference: an N x M windowed join costs
+    O((N+M) log(N+M)) per block with zero per-key Python."""
+    both = _tag_union(left, right, on, ts_col, id_col, value_col)
+    lo_us, hi_us = lo_s * 1_000_000, hi_s * 1_000_000
+
+    def scan(key, ts, val, ids, side):
+        """Rows sorted by (key, ts); returns left-row result arrays."""
+        is_right = side == 0
+        rk, rts, rval = key[is_right], ts[is_right], val[is_right]
+        lk, lts, lids = key[~is_right], ts[~is_right], ids[~is_right]
+        rcs = np.concatenate(([0.0], np.cumsum(rval)))
+        lo = _searchsorted_by_key(rk, rts, lk, lts + lo_us, side="left")
+        hi = _searchsorted_by_key(rk, rts, lk, lts + hi_us, side="right")
+        return lk, lids, (hi - lo).astype(np.int64), rcs[hi] - rcs[lo]
+
+    def result_table(k, i, n, s,
+                     edge_keys: "np.ndarray | None" = None) -> pa.Table:
+        # the `on` column doubles as the raw key for deferred edge rows
+        if edge_keys is None:
+            edge_keys = np.empty(0, np.int64)
+        edge_pad = edge_keys.shape[0]
+        pad = np.zeros(edge_pad, np.int64)
         return pa.table({
-            on: pa.array(key[order]),
-            "left_id": pa.array(lids[order]),
-            "n_right": pa.array(n[order]),
-            "sum_right": pa.array(s[order]),
+            on: pa.array(np.concatenate([k, edge_keys])),
+            "left_id": pa.array(np.concatenate([i, pad])),
+            "n_right": pa.array(np.concatenate([n, pad])),
+            "sum_right": pa.array(np.concatenate([s, pad.astype(np.float64)])),
         })
 
-    return both.groupby(on).map_groups(per_key, batch_format="pyarrow")
+    def _unpack(b: pa.Table):
+        return (b[on].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["_ts_us"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["_val"].to_numpy(zero_copy_only=False).astype(np.float64),
+                b["_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["_side"].to_numpy(zero_copy_only=False).astype(np.int8))
+
+    def block_scan(b: pa.Table) -> pa.Table:
+        key, ts, val, ids, side = _unpack(b)
+        n = key.shape[0]
+        if n == 0:
+            t = result_table(np.empty(0, np.int64), np.empty(0, np.int64),
+                             np.empty(0, np.int64), np.empty(0, np.float64))
+            return t.append_column("_edge", pa.array([], pa.bool_())) \
+                    .append_column("_id", pa.array([], pa.int64())) \
+                    .append_column("_ts_us", pa.array([], pa.int64())) \
+                    .append_column("_val", pa.array([], pa.float64())) \
+                    .append_column("_side", pa.array([], pa.int8()))
+        edge = (key == key[0]) | (key == key[-1])
+        k, i, cnt, s = scan(key[~edge], ts[~edge], val[~edge],
+                            ids[~edge], side[~edge])
+        n_edge = int(edge.sum())
+        res = result_table(k, i, cnt, s, edge_keys=key[edge])
+        n_int = res.num_rows - n_edge
+        z = np.zeros(n_int, np.int64)
+        return (res
+                .append_column("_edge", pa.array(np.concatenate(
+                    [np.zeros(n_int, bool), np.ones(n_edge, bool)])))
+                .append_column("_id", pa.array(np.concatenate([z, ids[edge]])))
+                .append_column("_ts_us", pa.array(np.concatenate([z, ts[edge]])))
+                .append_column("_val", pa.array(np.concatenate(
+                    [z.astype(np.float64), val[edge]])))
+                .append_column("_side", pa.array(np.concatenate(
+                    [np.zeros(n_int, np.int8), side[edge]]))))
+
+    mixed = (
+        both.sort([on, "_ts_us"])
+        .map_batches(block_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    interior, deferred_rows = _split_mixed(
+        mixed, [on, "left_id", "n_right", "sum_right"])
+
+    def boundary(b: pa.Table) -> pa.Table:
+        key, ts, val, ids, side = _unpack(b)
+        order = np.lexsort((ts, key))
+        return result_table(*scan(key[order], ts[order], val[order],
+                                  ids[order], side[order]))
+
+    deferred = deferred_rows.map_batches(boundary, batch_size=None,
+                                         batch_format="pyarrow")
+    return interior.union(deferred)

@@ -78,10 +78,17 @@ class BigramLM:
         to BACKOFF / total (an unseen-word floor)."""
         v = len(self.vocab)
         fused = id1 * v + id2
-        pos = np.searchsorted(self.bi_keys, fused)
-        pos_c = np.clip(pos, 0, max(self.bi_keys.shape[0] - 1, 0))
-        hit = (self.bi_keys.shape[0] > 0) & (self.bi_keys[pos_c] == fused) \
-            & (id1 >= 0) & (id2 >= 0)
+        if self.bi_keys.shape[0] == 0:
+            # numpy & does not short-circuit — indexing an empty bi_keys
+            # below would raise, and an empty bigram table is reachable
+            # via train_bigram_lm(min_count>=2) on a corpus with no
+            # repeated bigrams
+            hit = np.zeros(id1.shape[0], dtype=bool)
+            pos_c = np.zeros(id1.shape[0], dtype=np.int64)
+        else:
+            pos = np.searchsorted(self.bi_keys, fused)
+            pos_c = np.clip(pos, 0, self.bi_keys.shape[0] - 1)
+            hit = (self.bi_keys[pos_c] == fused) & (id1 >= 0) & (id2 >= 0)
         out = np.empty(id1.shape[0], dtype=np.float64)
         c1 = self.uni[np.clip(id1, 0, len(self.uni) - 1)]
         out[hit] = np.log(self.bi[pos_c[hit]] / c1[hit])
@@ -94,9 +101,14 @@ class BigramLM:
 
 
 def train_bigram_lm(pages, text_col: str = "text", min_count: int = 1,
-                    max_ngrams: "int | None" = None) -> BigramLM:
-    """Distributed count + small reduce; bounded collection (min_count
-    prune, then top-``max_ngrams`` by count per kind when set)."""
+                    max_ngrams: "int | None" = 2_000_000) -> BigramLM:
+    """Distributed count + small reduce; bounded collection: min_count
+    prune, then top-``max_ngrams`` by count per kind. The cap is ON by
+    default (2M unigrams + 2M bigrams ≈ a few hundred MB of driver
+    model — CCNet prunes its LM vocabulary the same way) so a 100-TB
+    corpus cannot silently OOM the driver; pass ``max_ngrams=None`` for
+    an exact unbounded model on corpora known to be small. The final
+    model size is logged either way."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -146,6 +158,11 @@ def train_bigram_lm(pages, text_col: str = "text", min_count: int = 1,
         agg = grouped_top_k(agg, "kind", "n", max_ngrams)
     rows = pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
                                              batch_size=1 << 16))
+    import logging
+    logging.getLogger(__name__).info(
+        "train_bigram_lm: collected %d n-gram rows (%.1f MB) onto the "
+        "driver (min_count=%d, max_ngrams=%s)",
+        rows.num_rows, rows.nbytes / 1e6, min_count, max_ngrams)
     kind = rows["kind"].to_numpy(zero_copy_only=False)
     uni_mask = kind == "u"
     bi_mask = kind == "b"

@@ -309,6 +309,10 @@ def chunk_documents(pages, chunk_tokens: int = 512, overlap: int = 0,
     stride = chunk_tokens - overlap; the final chunk is the first one
     reaching the document end.
 
+    Empty-text contract: documents with no tokens (empty or
+    whitespace-only text) emit NO chunk rows — empty tokens are dropped
+    before windowing, so there is no 0-token or ''-token chunk.
+
     Fully vectorized: tokens flatten once, each token expands to the
     chunks containing it (one repeat — at most ceil(chunk/stride)
     copies), and the per-(doc, chunk) strings rebuild through ONE Arrow
@@ -396,9 +400,11 @@ def top_terms_per_doc(pages, k: int = 5, text_col: str = "text",
     def df_partial(b: pa.Table) -> pa.Table:
         flat, doc_idx = _flat_tokens_col(b[text_col])
         if len(flat) == 0:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64()),
-                             "nd": pa.array([], pa.int64())})
+            # still emit the ('', 0, num_rows) sentinel — a batch whose
+            # rows are all token-less must count toward N or idf inflates
+            return pa.table({"term": pa.array([""], pa.string()),
+                             "df": pa.array([0], pa.int64()),
+                             "nd": pa.array([b.num_rows], pa.int64())})
         key = pa.table({"d": pa.array(doc_idx), "t": flat})
         dd = key.group_by(["d", "t"]).aggregate([])
         vc = pc.value_counts(dd["t"].combine_chunks()

@@ -1,6 +1,10 @@
-"""Flexible query parser — the StandardQueryParser role
+"""Flexible query parser — the flexible framework's config-pipeline role
 (lucene/queryparser/src/java/org/apache/lucene/queryparser/flexible/
-standard/StandardQueryParser.java:71).
+standard/StandardQueryParser.java:71) with PRECEDENCE semantics — the
+AND-over-OR folding below is PrecedenceQueryParser's behavior
+(queryparser/flexible/precedence/PrecedenceQueryParser.java:38 and its
+BooleanModifiersQueryNodeProcessor), not StandardQueryParser's, which
+reproduces the classic parser's modifier rewrite.
 
 The reference's flexible framework parses to a query-node tree and runs
 a CONFIG-DRIVEN processor pipeline over it (default operator, phrase

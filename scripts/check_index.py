@@ -32,14 +32,17 @@ def main(argv: list[str]) -> int:
 
     exorcise = "--exorcise" in argv
     argv = [a for a in argv if a != "--exorcise"]
-    rc = 0
+    # per-directory success flags: a later directory's successful
+    # exorcise+recheck must not mask an earlier directory's failure
+    ok = {}
     for d in argv:
         try:
             rep = (check_vector_index(d) if _is_vector(d)
                    else check_index(d, verbose=True))
             print(f"OK    {d}: {rep}")
+            ok[d] = True
         except CheckIndexError as e:
-            rc = 1
+            ok[d] = False
             print(f"FAIL  {d}:\n{e}")
             if exorcise and not _is_vector(d):
                 from lucene_ray.index.check import exorcise_index
@@ -50,10 +53,10 @@ def main(argv: list[str]) -> int:
                       f"{rep['doc_count']} docs")
                 try:
                     check_index(d)
-                    rc = 0
+                    ok[d] = True
                 except CheckIndexError as e2:
                     print(f"STILL FAIL  {d}:\n{e2}")
-    return rc
+    return 0 if all(ok.values()) else 1
 
 
 if __name__ == "__main__":

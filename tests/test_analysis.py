@@ -711,3 +711,47 @@ def test_common_grams_filter_and_query_rewrite():
 
     with pytest.raises(ValueError):
         Analyzer(common_grams=common, keyword_repeat=True)
+
+
+def test_icu_normalize_filter_parity_and_semantics():
+    """ICUNormalizer2Filter role (Analyzer.icu_normalize): fuzzed
+    combining sequences normalize identically through the per-row
+    Analyzer and the vocabulary-mapped batch path, and nfkc_cf unifies
+    compatibility variants + case WITHOUT stripping marks."""
+    import random
+    import unicodedata
+
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    a_cf = Analyzer(icu_normalize="nfkc_cf")
+    # compatibility + case unification, marks kept
+    assert a_cf.tokens("Ｔａｂｌｅ") == ["table"]
+    assert a_cf.tokens("ﬁre") == ["fire"]            # ligature
+    assert a_cf.tokens("café") == ["café"]  # NFD -> NFC, accent kept
+    a_nfc = Analyzer(icu_normalize="nfc")
+    assert a_nfc.tokens("café") == ["café"]  # NFD input composes
+    # idempotence (a closed normalizer)
+    for w in ("İstanbul", "ΣΊΣΥΦΟΣ", "ǅungla", "ẛ"):
+        once = a_cf.transform_token(w)
+        assert a_cf.transform_token(once) == once
+
+    random.seed(20260818)
+    pool = "é å ﬁ Ｋ 中 ½ é Å x ' ."
+    toks_pool = pool.split(" ")
+    for _ in range(60):
+        rows = [" ".join(random.choice(toks_pool)
+                         for _ in range(random.randint(0, 12)))
+                for _ in range(random.randint(1, 4))]
+        col = pa.array(rows)
+        flat, doc, pos = tokenize_column(col, a_cf)[:3]
+        got = {}
+        for t, d, p in zip(flat.to_pylist(), doc, pos):
+            got.setdefault(int(d), []).append((t, int(p)))
+        for i, txt in enumerate(rows):
+            want = [tuple(w) for w in a_cf.tokens_with_positions(txt)]
+            assert got.get(i, []) == want, repr(txt)
+        for t in flat.to_pylist():
+            assert unicodedata.is_normalized("NFKC", t), repr(t)
