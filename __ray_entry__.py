@@ -453,7 +453,10 @@ def _stem_index_dir(sf_dir: str) -> str:
 _SNOWBALL_LANGS = {"german": "de", "french": "fr", "spanish": "es",
                    "portuguese": "pt", "italian": "it", "dutch": "nl",
                    "russian": "ru", "swedish": "sv", "norwegian": "no",
-                   "danish": "da", "porter2": "en"}
+                   "danish": "da", "porter2": "en",
+                   # round 5 (VERDICT #6)
+                   "romanian": "ro", "finnish": "fi", "hungarian": "hu",
+                   "turkish": "tr"}
 
 
 def _snowball_index_dir(sf_dir: str, lang: str) -> str:

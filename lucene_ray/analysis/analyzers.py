@@ -440,6 +440,14 @@ def analyzer_for_lang(lang: str) -> Analyzer:
         return EnglishStemAnalyzer
     from lucene_ray.analysis.snowball import STEMMERS
 
+    if lang == "tr":
+        # Turkish dotted/dotless i casing (TurkishLowerCaseFilter role,
+        # analysis/tr/TurkishLowerCaseFilter.java:36): İ→i and I→ı must
+        # fold BEFORE the generic lowercase (str.lower turns İ into
+        # i+combining-dot and I into plain i, both wrong for Turkish);
+        # a char-filter pair keeps the rule manifest-serializable.
+        return Analyzer(stem_lang="tr",
+                        char_filters=(("İ", "i"), ("I", "ı")))
     if lang in STEMMERS:
         return Analyzer(stem_lang=lang)
     return StandardAnalyzer

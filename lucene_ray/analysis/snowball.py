@@ -1,5 +1,5 @@
 """Snowball stemmers for the top crawl languages (en Porter2, de, fr,
-es, pt, it, nl, ru, sv, no, da).
+es, pt, it, nl, ru, sv, no, da + round 5: ro, fi, hu, tr).
 
 Fresh Python implementations of the published Snowball algorithms
 (M.F. Porter, snowballstem.org algorithm descriptions) — the role of the
@@ -1310,3 +1310,595 @@ def english_stem(word: str) -> str:
 
 
 STEMMERS["en"] = english_stem  # Porter2; analyzer_for_lang('en') still prefers the stop-worded Porter1 chain
+
+
+# ---------------------------------------------------------------------------
+# Romanian (round 5)
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = "aăâeiîou"
+
+_RO_STEP1 = {
+    # repeat-until-fixpoint combining-suffix reductions (R1)
+    "abilitate": "abil", "abilitati": "abil", "abilităi": "abil",
+    "abilităţi": "abil",
+    "ibilitate": "ibil",
+    "ivitate": "iv", "ivitati": "iv", "ivităi": "iv", "ivităţi": "iv",
+    "icitate": "ic", "icitati": "ic", "icităi": "ic", "icităţi": "ic",
+    "icator": "ic", "icatori": "ic",
+    "iciv": "ic", "iciva": "ic", "icive": "ic", "icivi": "ic",
+    "icivă": "ic",
+    "ical": "ic", "icala": "ic", "icale": "ic", "icali": "ic",
+    "icală": "ic",
+    "ativ": "at", "ativa": "at", "ative": "at", "ativi": "at",
+    "ativă": "at", "aţiune": "at", "atoare": "at", "ator": "at",
+    "atori": "at", "ătoare": "at", "ător": "at", "ători": "at",
+    "itiv": "it", "itiva": "it", "itive": "it", "itivi": "it",
+    "itivă": "it", "iţiune": "it", "itoare": "it", "itor": "it",
+    "itori": "it",
+}
+
+_RO_STEP2_DELETE = (
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oşi",
+    "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+    "itate", "itati", "ităi", "ităţi",
+    "iv", "iva", "ive", "ivi", "ivă",
+)
+
+_RO_VERB_A = (
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc", "ăşti",
+    "ăşte", "am", "ai", "au", "eam", "eai", "ea", "eaţi", "eau", "iam",
+    "iai", "ia", "iaţi", "iau", "ui", "aşi", "arăm", "arăţi", "ară",
+    "uşi", "urăm", "urăţi", "ură", "işi", "irăm", "irăţi", "iră", "âi",
+    "âşi", "ârăm", "ârăţi", "âră", "asem", "aseşi", "ase", "aserăm",
+    "aserăţi", "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi",
+    "iseră", "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră",
+)
+_RO_VERB_B = (
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi", "seşi", "serăm",
+    "serăţi", "seră", "sei", "se", "sesem", "seseşi", "sese", "seserăm",
+    "seserăţi", "seseră",
+)
+
+
+def romanian_stem(word: str) -> str:
+    """Snowball Romanian stemmer
+    (snowballstem.org/algorithms/romanian/; reference
+    org/tartarus/snowball/ext/RomanianStemmer.java role). Modern
+    comma-below ş/ţ variants normalize to the algorithm's cedilla forms
+    on entry."""
+    w = word.replace("ș", "ş").replace("ț", "ţ")
+    # prelude: i/u between vowels are consonants (marked uppercase)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS \
+                and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _r1_r2(w.lower(), _RO_VOWELS)
+    rv = _rv_romance(w.lower(), _RO_VOWELS)
+    c = _Ctx(w, r1, r2, rv)
+
+    # step 0: removal of plurals (R1)
+    s = c.ends("ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua",
+               "iei", "iile", "iilor", "ilor", "ile", "atei", "aţie",
+               "aţia")
+    if s and c.in_r1(s):
+        if s in ("ul", "ului"):
+            c.drop(len(s))
+        elif s == "aua":
+            c.replace(s, "a")
+        elif s in ("ea", "ele", "elor"):
+            c.replace(s, "e")
+        elif s in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+            c.replace(s, "i")
+        elif s == "ile":
+            if not c.w[: len(c.w) - 3].endswith("ab"):
+                c.replace(s, "i")
+        elif s == "atei":
+            c.replace(s, "at")
+        else:  # aţie / aţia
+            c.replace(s, "aţi")
+
+    # step 1: combining suffixes, repeat to fixpoint (R1)
+    standard_removed = False
+    while True:
+        s = c.ends(*_RO_STEP1)
+        if s and c.in_r1(s):
+            c.replace(s, _RO_STEP1[s])
+            standard_removed = True
+            continue
+        break
+
+    # step 2: standard suffixes (R2)
+    s = c.ends(*_RO_STEP2_DELETE, "iune", "iuni", "ism", "isme", "ist",
+               "ista", "iste", "isti", "istă", "işti")
+    if s and c.in_r2(s):
+        if s in ("iune", "iuni"):
+            if c.w[: len(c.w) - len(s)].endswith("ţ"):
+                c.replace(s, "")
+                c.w = c.w[:-1] + "t"
+                standard_removed = True
+        elif s in ("ism", "isme", "ist", "ista", "iste", "isti", "istă",
+                   "işti"):
+            c.replace(s, "ist")
+            standard_removed = True
+        else:
+            c.drop(len(s))
+            standard_removed = True
+
+    # step 3: verb suffixes (RV) — only if steps 1-2 removed nothing
+    if not standard_removed:
+        s = c.ends(*_RO_VERB_A, *_RO_VERB_B)
+        if s and c.in_rv(s):
+            if s in _RO_VERB_B:
+                c.drop(len(s))
+            else:
+                prev = c.w[: len(c.w) - len(s)]
+                # group (a) deletes only after a consonant or 'u' in RV
+                if prev and len(prev) > c.rv \
+                        and (prev[-1] == "u" or prev[-1] not in _RO_VOWELS
+                             and prev[-1] not in "IU"):
+                    c.drop(len(s))
+
+    # step 4: final vowel (RV)
+    s = c.ends("ie", "a", "e", "i", "ă")
+    if s and c.in_rv(s):
+        c.drop(len(s))
+    return c.w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Finnish (round 5)
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = "aeiouyäö"
+_FI_RESTRICTED = "aeiouäö"  # V without y
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_CASES = ("ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+             "lta", "ltä", "lle", "na", "nä", "ksi", "ine")
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish stemmer
+    (snowballstem.org/algorithms/finnish/; reference
+    org/tartarus/snowball/ext/FinnishStemmer.java role)."""
+    w = word
+    r1, r2 = _r1_r2(w, _FI_VOWELS)
+    c = _Ctx(w, r1, r2, 0)
+
+    # step 1: particles
+    s = c.ends("kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa",
+               "pä", "sti")
+    if s:
+        if s == "sti":
+            if c.in_r2(s):
+                c.drop(len(s))
+        elif c.in_r1(s):
+            prev = c.w[: len(c.w) - len(s)]
+            if prev and prev[-1] in ("n" + "t" + _FI_RESTRICTED):
+                c.drop(len(s))
+
+    # step 2: possessives (R1)
+    s = c.ends("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en")
+    if s and c.in_r1(s):
+        prev = c.w[: len(c.w) - len(s)]
+        if s == "si":
+            if not prev.endswith("k"):
+                c.drop(2)
+        elif s == "ni":
+            c.drop(2)
+            if c.w.endswith("kse"):
+                c.replace("kse", "ksi")
+        elif s in ("nsa", "nsä", "mme", "nne"):
+            c.drop(len(s))
+        elif s == "an":
+            if prev.endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                c.drop(2)
+        elif s == "än":
+            if prev.endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                c.drop(2)
+        elif s == "en":
+            if prev.endswith(("lle", "ine")):
+                c.drop(2)
+
+    # step 3: cases (R1)
+    ending_removed = False
+    hxn = None
+    for x in _FI_RESTRICTED + "y":
+        suf = "h" + x + "n"
+        if c.w.endswith(suf) and c.in_r1(suf) \
+                and c.w[: len(c.w) - 3].endswith(x):
+            hxn = suf
+            break
+    s = c.ends("siin", "seen", "tten", "den", "tta", "ttä", "n", "a",
+               "ä", *_FI_CASES)
+    if hxn and (s is None or len(hxn) >= len(s)):
+        c.drop(3)
+        ending_removed = True
+    elif s and c.in_r1(s):
+        prev = c.w[: len(c.w) - len(s)]
+        if s in ("siin", "den", "tten"):
+            # preceded by Vi (restricted vowel + i)
+            if len(prev) >= 2 and prev[-1] == "i" \
+                    and prev[-2] in _FI_RESTRICTED:
+                c.drop(len(s))
+                ending_removed = True
+        elif s == "seen":
+            if prev.endswith(_FI_LONG):
+                c.drop(4)
+                ending_removed = True
+        elif s in ("a", "ä"):
+            # preceded by cv (consonant then the same vowel family)
+            if len(prev) >= 2 and prev[-1] in _FI_VOWELS \
+                    and prev[-2] not in _FI_VOWELS:
+                c.drop(1)
+                ending_removed = True
+        elif s in ("tta", "ttä"):
+            if prev.endswith("e"):
+                c.drop(3)
+                ending_removed = True
+        elif s in _FI_CASES:
+            c.drop(len(s))
+            ending_removed = True
+        elif s == "n":
+            c.drop(1)
+            ending_removed = True
+            if c.w.endswith(_FI_LONG) or c.w.endswith("ie"):
+                c.drop(1)
+
+    # step 4: other endings (R2)
+    s = c.ends("mpi", "mpa", "mpä", "mmi", "mma", "mmä", "impi", "impa",
+               "impä", "immi", "imma", "immä", "eja", "ejä")
+    if s and c.in_r2(s):
+        if len(s) == 3 and s[0] == "m":
+            if not c.w[: len(c.w) - 3].endswith("po"):
+                c.drop(3)
+        else:
+            c.drop(len(s))
+
+    # step 5: plurals
+    if ending_removed:
+        if c.w.endswith(("i", "j")) and c.in_r1(c.w[-1]):
+            c.drop(1)
+    else:
+        if c.w.endswith("t") and c.in_r1("t") and len(c.w) >= 2 \
+                and c.w[-2] in _FI_VOWELS:
+            c.drop(1)
+            if c.w.endswith("imma") and c.in_r2("imma"):
+                c.drop(4)
+            elif c.w.endswith("mma") and c.in_r2("mma") \
+                    and not c.w[: len(c.w) - 3].endswith("po"):
+                c.drop(3)
+
+    # step 6: tidying
+    if c.w.endswith(_FI_LONG) and c.in_r1(c.w[-1]):
+        c.drop(1)  # 6a: shorten final long vowel in R1
+    if len(c.w) >= 2 and c.w[-1] in "aäei" \
+            and c.w[-2] not in _FI_VOWELS and c.in_r1(c.w[-1]):
+        c.drop(1)  # 6b: cX tail
+    if c.w.endswith(("oj", "uj")) and c.in_r1("j"):
+        c.drop(1)  # 6c
+    if c.w.endswith("jo") and c.in_r1("o"):
+        c.drop(1)  # 6d
+    # 6e: undouble a final double consonant (possibly before trailing
+    # vowels)
+    i = len(c.w)
+    while i > 0 and c.w[i - 1] in _FI_VOWELS:
+        i -= 1
+    if i >= 2 and c.w[i - 1] == c.w[i - 2] \
+            and c.w[i - 1] not in _FI_VOWELS:
+        c.w = c.w[: i - 1] + c.w[i:]
+    return c.w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (round 5)
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("cs", "dzs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+
+
+def _hu_r1(w: str) -> int:
+    """Hungarian R1 (snowballstem.org/algorithms/hungarian/): after the
+    first consonant-or-digraph if the word begins with a vowel, after
+    the first vowel if it begins with a consonant."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:  # digraph consonant counts as one unit
+            if w.startswith(d, i):
+                return min(i + len(d), n)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return min(i + 1, n) if i < n else n
+
+
+def _hu_undouble(w: str) -> str:
+    """Remove one of a doubled final consonant (digraph-aware: 'ssz' is
+    doubled 'sz')."""
+    for d in _HU_DIGRAPHS:
+        if w.endswith(d[0] + d):
+            return w[: len(w) - len(d) - 1] + d
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _HU_VOWELS:
+        return w[:-1]
+    return w
+
+
+def _hu_ends_double_cons(w: str) -> bool:
+    for d in _HU_DIGRAPHS:
+        if w.endswith(d[0] + d):
+            return True
+    return len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _HU_VOWELS
+
+
+_HU_CASES = ("ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val",
+             "vel", "tól", "től", "ról", "ről", "ból", "ből", "hoz",
+             "hez", "höz", "nál", "nél", "ig", "at", "et", "ot", "öt",
+             "ért", "képp", "képpen", "kor", "ul", "ül", "vá", "vé",
+             "onként", "enként", "anként", "ként", "en", "on", "an",
+             "ön", "n", "t")
+
+# owner / plural suffix → replacement ('' = delete, 'a'/'e' restore the
+# shortened stem vowel); longest match wins
+_HU_OWNED = {
+    "áké": "a", "ééi": "e", "áéi": "a", "éké": "e",
+    "oké": "", "öké": "", "aké": "", "eké": "", "ké": "",
+    "éi": "", "é": "",
+}
+_HU_OWNER = {
+    "ánk": "a", "énk": "e", "unk": "", "ünk": "", "nk": "",
+    "ájuk": "a", "éjük": "e", "juk": "", "jük": "", "uk": "", "ük": "",
+    "ám": "a", "ém": "e", "om": "", "am": "", "em": "", "öm": "",
+    "m": "",
+    "ád": "a", "éd": "e", "od": "", "ad": "", "ed": "", "öd": "",
+    "d": "",
+    "ja": "", "je": "", "a": "", "e": "", "o": "", "á": "a", "é": "e",
+    "jaim": "", "jeim": "", "aim": "", "eim": "", "im": "",
+    "áim": "a", "éim": "e",
+    "jaid": "", "jeid": "", "aid": "", "eid": "", "id": "",
+    "áid": "a", "éid": "e",
+    "jai": "", "jei": "", "ai": "", "ei": "", "i": "",
+    "ái": "a", "éi": "e",
+    "jaink": "", "jeink": "", "aink": "", "eink": "", "ink": "",
+    "áink": "a", "éink": "e",
+    "jaitok": "", "jeitek": "", "aitok": "", "eitek": "", "itek": "",
+    "áitok": "a", "éitek": "e",
+    "jaik": "", "jeik": "", "aik": "", "eik": "", "ik": "",
+    "áik": "a", "éik": "e",
+}
+_HU_PLURAL = {"ák": "a", "ék": "e", "ök": "", "ok": "", "ek": "",
+              "ak": "", "k": ""}
+
+
+def hungarian_stem(word: str) -> str:
+    """Snowball Hungarian stemmer role
+    (snowballstem.org/algorithms/hungarian/; reference
+    org/tartarus/snowball/ext/HungarianStemmer.java). Follows the
+    published step structure — instrumental, case, case-special,
+    case-other, factive, owned, owner, plural, each in R1 with the
+    á→a / é→e stem-vowel restoration and digraph-aware undoubling; the
+    owner/owned suffix inventories are reconstructed from the published
+    algorithm description."""
+    w = word
+    r1 = _hu_r1(w)
+    c = _Ctx(w, r1, len(w), 0)
+
+    def v_ending():
+        if c.w.endswith("á"):
+            c.replace("á", "a")
+        elif c.w.endswith("é"):
+            c.replace("é", "e")
+
+    # step 1: instrumental (al/el after a double consonant)
+    s = c.ends("al", "el")
+    if s and c.in_r1(s) and _hu_ends_double_cons(c.w[: len(c.w) - 2]):
+        c.drop(2)
+        c.w = _hu_undouble(c.w)
+
+    # step 2: frequent cases
+    s = c.ends(*_HU_CASES)
+    if s and c.in_r1(s):
+        c.drop(len(s))
+        v_ending()
+
+    # step 3: special cases
+    s = c.ends("én", "án", "ánként")
+    if s and c.in_r1(s):
+        c.replace(s, "e" if s == "én" else "a")
+
+    # step 4: other cases
+    s = c.ends("astul", "estül", "stul", "stül", "ástul", "éstül")
+    if s and c.in_r1(s):
+        if s == "ástul":
+            c.replace(s, "a")
+        elif s == "éstül":
+            c.replace(s, "e")
+        else:
+            c.drop(len(s))
+
+    # step 5: factive (á/é after a double consonant)
+    s = c.ends("á", "é")
+    if s and c.in_r1(s) and _hu_ends_double_cons(c.w[: len(c.w) - 1]):
+        c.drop(1)
+        c.w = _hu_undouble(c.w)
+
+    # step 6: owned
+    s = c.ends(*_HU_OWNED)
+    if s and c.in_r1(s):
+        c.replace(s, _HU_OWNED[s])
+
+    # step 7: owner suffixes
+    s = c.ends(*_HU_OWNER)
+    if s and c.in_r1(s):
+        c.replace(s, _HU_OWNER[s])
+
+    # step 8: plural
+    s = c.ends(*_HU_PLURAL)
+    if s and c.in_r1(s):
+        c.replace(s, _HU_PLURAL[s])
+    return c.w
+
+
+# ---------------------------------------------------------------------------
+# Turkish (round 5)
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = "aeıioöuü"
+# vowel-harmony successor classes: the first suffix vowel must follow
+# the stem's last vowel per two/four-fold harmony
+_TR_HARMONY = {
+    "a": "aı", "e": "ei", "ı": "aı", "i": "ei",
+    "o": "au", "ö": "eü", "u": "au", "ü": "eü",
+}
+
+
+def _tr_last_vowel(w: str) -> "str | None":
+    for ch in reversed(w):
+        if ch in _TR_VOWELS:
+            return ch
+    return None
+
+
+def _tr_first_vowel(s: str) -> "str | None":
+    for ch in s:
+        if ch in _TR_VOWELS:
+            return ch
+    return None
+
+
+def _tr_harmonic(stem: str, suffix: str) -> bool:
+    # 'ki' (and its buffered 'yken' form) is invariant in Turkish — the
+    # only common suffixes exempt from vowel harmony
+    if suffix in ("ki", "ken", "yken"):
+        return True
+    lv = _tr_last_vowel(stem)
+    fv = _tr_first_vowel(suffix)
+    if lv is None or fv is None:
+        return True
+    return fv in _TR_HARMONY[lv]
+
+
+def _tr_expand(pattern: str) -> "list[str]":
+    """Expand a suffix pattern: A → a/e (two-fold), I → ı/i,
+    U → ı/i/u/ü (four-fold), D → d/t, C → c/ç; a parenthesised leading
+    buffer letter is optional: '(y)lA' → ['yla','yle','la','le'].
+    Harmony-invalid cross products are rejected at match time."""
+    outs = [""]
+    i = 0
+    opt = None
+    if pattern.startswith("("):
+        opt = pattern[1]
+        pattern = pattern[3:]
+    while i < len(pattern):
+        ch = pattern[i]
+        subs = {"A": "ae", "I": "ıi", "U": "ıiuü",
+                "D": "dt", "C": "cç"}.get(ch, ch)
+        outs = [o + s for o in outs for s in subs]
+        i += 1
+    if opt is not None:
+        outs = [opt + o for o in outs] + outs
+    # longest first so ends() picks maximal forms
+    return sorted(set(outs), key=len, reverse=True)
+
+
+# nominal verb suffixes, stripped first (longest chain wins per pass)
+_TR_NOMINAL_VERB = [
+    _tr_expand(p) for p in (
+        "(y)mUş", "(y)DU", "(y)sA", "(y)ken", "cAsInA", "sUnUz", "nUz",
+        "sUn", "(y)Uz", "(y)Um", "DUr", "lAr", "m", "n", "k",
+    )
+]
+# noun (inflectional) suffixes
+_TR_NOUN = [
+    _tr_expand(p) for p in (
+        "lArI", "ndAn", "(n)Un", "(y)lA", "(y)A", "nA", "ndA", "DAn",
+        "DA", "(s)U", "lAr", "(U)mUz", "(U)nUz", "(U)m", "(U)n", "ki",
+        "(y)U", "(n)cA",
+    )
+]
+_TR_BUFFERS = "yns"
+
+
+def _tr_strip_group(w: str, groups) -> "tuple[str, bool]":
+    """One longest-suffix strip from any pattern group, with vowel
+    harmony and buffer-letter validity (a consonant buffer like y/n/s
+    must follow a vowel, a vowel-initial suffix must follow a
+    consonant-compatible boundary)."""
+    best = None
+    for forms in groups:
+        for f in forms:
+            if len(f) >= len(w):
+                continue
+            if not w.endswith(f):
+                continue
+            stem = w[: len(w) - len(f)]
+            if not _tr_harmonic(stem, f):
+                continue
+            if f[0] in _TR_BUFFERS and f[0] not in _TR_VOWELS:
+                # buffer consonant requires a vowel before it
+                if not stem or stem[-1] not in _TR_VOWELS:
+                    continue
+            if f[0] in _TR_VOWELS:
+                # vowel-initial suffix after a vowel needs a buffer —
+                # reject direct vowel-vowel boundaries
+                if stem and stem[-1] in _TR_VOWELS:
+                    continue
+            if best is None or len(f) > len(best):
+                best = f
+    if best is None:
+        return w, False
+    return w[: len(w) - len(best)], True
+
+
+def turkish_stem(word: str) -> str:
+    """Snowball Turkish stemmer role
+    (snowballstem.org/algorithms/turkish/, Kapusuz Çilden's algorithm;
+    reference org/tartarus/snowball/ext/TurkishStemmer.java). The
+    published architecture — strip nominal-verb then noun inflections,
+    each gated on two/four-fold vowel harmony and buffer-letter (y/n/s)
+    validity, then restore final-consonant devoicing (b/c/d/ğ →
+    p/ç/t/k surface forms invert) — over a reconstructed inflectional
+    suffix inventory. Words of <= 2 letters pass through, as in the
+    reference."""
+    w = word
+    if len(w) <= 2:
+        return w
+    w, stripped = _tr_strip_group(w, _TR_NOMINAL_VERB)
+    # noun suffixes strip repeatedly (agglutination), bounded to keep a
+    # 2+-letter stem that still contains a vowel
+    for _ in range(4):
+        if len(w) <= 2:
+            break
+        w2, changed = _tr_strip_group(w, _TR_NOUN)
+        if not changed or len(w2) < 2 or _tr_last_vowel(w2) is None:
+            break
+        w = w2
+    # post-process: undo final devoicing introduced by suffixation
+    if len(w) >= 3:
+        soft = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+        if w[-1] in soft:
+            w = w[:-1] + soft[w[-1]]
+    return w
+
+
+STEMMERS["ro"] = romanian_stem
+STEMMERS["fi"] = finnish_stem
+STEMMERS["hu"] = hungarian_stem
+STEMMERS["tr"] = turkish_stem

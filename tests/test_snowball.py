@@ -231,3 +231,70 @@ def test_porter2_english_golden():
     from lucene_ray.analysis.stem import porter_stem
 
     assert porter_stem("generously") != e("generously")
+
+
+def test_snowball_round5_languages():
+    """Round-5 Snowball languages (ro/fi/hu/tr) — golden vectors traced
+    through the published step structures, plus the Turkish
+    dotted/dotless-i casing route."""
+    from lucene_ray.analysis.snowball import (finnish_stem,
+                                              hungarian_stem,
+                                              romanian_stem,
+                                              turkish_stem)
+
+    for w, want in {
+        "lucrurile": "lucrur",       # step0 ile->i, step4 final i
+        "naţionalitate": "naţional",  # itate in R2
+        "contabilitate": "contabil",  # abilitate -> abil (step 1)
+        "lucrând": "lucr",            # verb ând after consonant
+        "românească": "român",        # verb ească
+        "frumoasă": "frumoas",        # final ă in RV
+        "naționalitate": "naţional",  # comma-below ț normalizes
+    }.items():
+        assert romanian_stem(w) == want, (w, romanian_stem(w))
+
+    for w, want in {
+        "kirjastoissa": "kirjasto",   # case -ssa, plural i
+        "taloissa": "talo",
+        "edellytyksellä": "edellytyks",  # case -llä, tidy final e
+        "suurimmat": "suurim",        # plural t, superlative mma, undouble
+        "kaupungeissa": "kaupung",    # case -ssa, plural i, tidy e
+        "koirankin": "koir",          # particle -kin, case -n, tidy a
+    }.items():
+        assert finnish_stem(w) == want, (w, finnish_stem(w))
+
+    for w, want in {
+        "házakban": "ház",            # case -ban, plural -ak
+        "kertjeink": "kert",          # owner -jeink
+        "asztalon": "asztal",         # case -on
+        "könyveiket": "könyv",        # case -t, owner -eik
+        "emberekkel": "ember",        # instrumental -kel after kk, undouble
+        "szépségét": "szépség",       # case -ét chain
+    }.items():
+        assert hungarian_stem(w) == want, (w, hungarian_stem(w))
+
+    for w, want in {
+        "kitaplardan": "kitap",       # -lar-dan chain
+        "evlerinde": "ev",            # -ler-i-nde chain
+        "kitabı": "kitap",            # accusative -ı, b->p devoicing undo
+        "çocuklarımız": "çocuk",      # -lar-ımız
+        "ağaçlarındaki": "ağaç",      # harmony-exempt -ki
+        "gözlükler": "gözlük",
+    }.items():
+        assert turkish_stem(w) == want, (w, turkish_stem(w))
+
+    # vowel harmony must block a non-harmonic strip (English vocab
+    # passing through the Turkish chain stays intact)
+    assert turkish_stem("table") == "table"
+
+    # Turkish casing: İ->i, I->ı BEFORE generic lowercase
+    from lucene_ray.analysis.analyzers import analyzer_for_lang
+
+    a = analyzer_for_lang("tr")
+    assert a.tokens("İstanbulda EVLERİNDE") == ["istanbul", "ev"]
+    assert a.tokens("KITAPLARDAN")[0] == turkish_stem("kıtaplardan")
+
+    # routing: all four languages reach their stemmer
+    assert analyzer_for_lang("ro").transform_token("lucrurile") == "lucrur"
+    assert analyzer_for_lang("fi").transform_token("taloissa") == "talo"
+    assert analyzer_for_lang("hu").transform_token("házakban") == "ház"
