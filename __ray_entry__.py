@@ -43,6 +43,21 @@ QUALITY_TOPICS = (
 
 _CACHE_ROOT = "/tmp/lucene_ray_idx"
 
+# deterministic synthetic Japanese corpus for the kuromoji-role entry:
+# every sentence segments to <= 7 tokens so dl * 3 stays under the
+# smallfloat-norm identity region (dl < 24 — no dlq quantization needed
+# in the SQL twin)
+_JA_SENTENCES = (
+    "東京都に住んでいます",
+    "日本語の検索エンジン",
+    "新しい技術の研究です",
+    "京都府と大阪市",
+    "私は東京が良い",
+    "映画と音楽が良い",
+    "学生は学校で学習する",
+    "東京の天気は良い",
+)
+
 
 def _index_dir(sf_dir: str) -> str:
     """Multi-field index (default body field + derived ``title`` field =
@@ -2189,6 +2204,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     for _name, _lang in _SNOWBALL_LANGS.items():
         q[f"{_name}_analyzer_query"] = _mk_snowball_query(_lang)
+
+    def _japanese_analyzer_query(sf):
+        """Kuromoji JapaneseTokenizer role (kuromoji/JapaneseTokenizer
+        .java:63; analysis/japanese.py Viterbi lattice over the reduced
+        built-in lexicon): a deterministic synthetic Japanese corpus
+        (doc i = sentence[i%8] repeated i%3+1 times) indexes through
+        analyzer_for_lang('ja') and BM25-scores TermQuery('東京'); the
+        SQL twin reconstructs the same token streams from the engine's
+        segmenter output (house compound_word_query pattern)."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import analyzer_for_lang
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(docs, columns=["doc_id"])["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        texts = [" ".join([_JA_SENTENCES[int(i) % len(_JA_SENTENCES)]]
+                          * (int(i) % 3 + 1)) for i in ids_np]
+        tag = hashlib.sha1(
+            f"{docs}:{len(ids_np)}:c{CODEC_VERSION}:ja1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            ds = ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(ids_np), "text": pa.array(texts)}))
+            build_index(ds, idx, analyzer=analyzer_for_lang("ja"),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize("東京")))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["japanese_analyzer_query"] = _japanese_analyzer_query
 
     def _per_field_analyzer(sf):
         """PerFieldAnalyzerWrapper (analysis/miscellaneous/
@@ -5389,6 +5442,38 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
         )
+
+    # Japanese (kuromoji role): the SQL twin reconstructs the synthetic
+    # corpus's token streams from the engine segmenter's own output over
+    # the 8 fixed sentences (compound_word_query precedent); dl < 24
+    # throughout, so smallfloat norm quantization is the identity
+    from lucene_ray.analysis.japanese import ja_tokenize as _ja_tok
+
+    _ja_rows = [f"({pid}, '{t}')"
+                for pid, sent in enumerate(_JA_SENTENCES)
+                for t in _ja_tok(sent)]
+    o["japanese_analyzer_query"] = (
+        f"""
+WITH pat(pid, term) AS (VALUES {', '.join(_ja_rows)}),
+d AS (SELECT doc_id, doc_id % {len(_JA_SENTENCES)} AS pid,
+             doc_id % 3 + 1 AS reps FROM documents),
+plen AS (SELECT pid, count(*) AS sl FROM pat GROUP BY pid),
+doclen AS (SELECT d.doc_id, p.sl * d.reps AS dl
+           FROM d JOIN plen p USING (pid)),
+stats AS (SELECT (SELECT count(*) FROM d)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT d.doc_id, (cnt.c * d.reps)::DOUBLE AS f
+       FROM d JOIN (SELECT pid, count(*) AS c FROM pat
+                    WHERE term = '東京' GROUP BY pid) cnt USING (pid)),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))), 4)
+         AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s
+JOIN doclen q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
 
     o["english_analyzer_query"] = (
         f"""

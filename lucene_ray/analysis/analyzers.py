@@ -130,6 +130,13 @@ class Analyzer:
     # transitions, possessive 's dropped) at consecutive positions BEFORE
     # lowercase/stop/stem run. Tokens that dissolve entirely leave no gap.
     word_delimiter: bool = False
+    # JapaneseTokenizer role (kuromoji/JapaneseTokenizer.java:63,
+    # analysis/japanese.py): tokenization is a Viterbi lattice over the
+    # built-in reduced lexicon with char-class unknown words, instead of
+    # the UAX#29 chain. Inherently per-string — the batch path runs the
+    # shared per-row tokenizer for every row (the reference's kuromoji
+    # is also per-document); downstream filters stay vocabulary-mapped.
+    ja_segment: bool = False
     # LengthFilter (analysis/common/.../miscellaneous/LengthFilter.java:31):
     # drop tokens whose char length is outside [length_min, length_max]
     # (None = unbounded), leaving position gaps like StopFilter. Applied
@@ -243,6 +250,12 @@ class Analyzer:
         char filters run first (offsets refer to the filtered text)."""
         if self.char_filters:
             text = self.apply_char_filters(text)
+        if self.ja_segment:
+            from lucene_ray.analysis.japanese import ja_tokenize_with_offsets
+
+            for pos, (t, s, e) in enumerate(ja_tokenize_with_offsets(text)):
+                yield t, pos, s, e
+            return
         if not self.word_delimiter:
             yield from tokenize_with_offsets(text, self.max_token_length)
             return
@@ -264,7 +277,11 @@ class Analyzer:
             return [t for t, _p in self.tokens_with_positions(text)]
         if self.char_filters:
             text = self.apply_char_filters(text)
-        if self.word_delimiter:
+        if self.ja_segment:
+            from lucene_ray.analysis.japanese import ja_tokenize
+
+            toks = ja_tokenize(text)
+        elif self.word_delimiter:
             from lucene_ray.analysis.worddelim import wdgf_parts
 
             toks = [p for t in text.split(" ") if t for p in wdgf_parts(t)]
@@ -440,6 +457,10 @@ def analyzer_for_lang(lang: str) -> Analyzer:
         return EnglishStemAnalyzer
     from lucene_ray.analysis.snowball import STEMMERS
 
+    if lang == "ja":
+        # kuromoji JapaneseAnalyzer role (ja/JapaneseAnalyzer.java:43):
+        # morphological Viterbi segmentation (analysis/japanese.py)
+        return Analyzer(ja_segment=True)
     if lang == "tr":
         # Turkish dotted/dotless i casing (TurkishLowerCaseFilter role,
         # analysis/tr/TurkishLowerCaseFilter.java:36): İ→i and I→ı must

@@ -94,6 +94,14 @@ def tokenize_column(
             texts = pc.replace_substring_regex(texts, _pat, _rep)
         analyzer = dataclasses.replace(analyzer, char_filters=())
 
+    if analyzer.ja_segment:
+        # Viterbi morphological segmentation (analysis/japanese.py) is
+        # inherently per-string — kuromoji is per-document in the
+        # reference too. One shared implementation keeps batch/per-row
+        # parity by construction.
+        parts = _tokenize_all_rows_python(texts, analyzer, want_offsets)
+        return parts if want_offsets else parts[:3]
+
     if analyzer.word_delimiter:
         parts = _tokenize_word_delimiter(texts, analyzer, want_offsets)
         return parts if want_offsets else parts[:3]
@@ -649,6 +657,36 @@ def _apply_synonyms(parts, analyzer: Analyzer):
         flat2 = flat2.take(pa.array(order))
         others = [a[order] if a is not None else None for a in others]
     return (flat2, *others)
+
+
+def _tokenize_all_rows_python(texts: pa.Array, analyzer: Analyzer,
+                              want_offsets: bool):
+    """Every row through the per-row analyzer (the full filter chain
+    runs inside tokens_with_offsets) — the path for tokenizers that
+    cannot vectorize (ja_segment's Viterbi lattice)."""
+    terms: list = []
+    sd, sp, ss, se = [], [], [], []
+    for row in range(len(texts)):
+        v = texts[row].as_py()
+        tp = analyzer.tokens_with_offsets(v if v is not None else "")
+        terms.extend(t for t, _p, _s, _e in tp)
+        sd.append(np.full(len(tp), row, dtype=np.int64))
+        sp.append(np.fromiter((p for _t, p, _s, _e in tp),
+                              dtype=np.int32, count=len(tp)))
+        if want_offsets:
+            ss.append(np.fromiter((s for _t, _p, s, _e in tp),
+                                  dtype=np.int32, count=len(tp)))
+            se.append(np.fromiter((e for _t, _p, _s, e in tp),
+                                  dtype=np.int32, count=len(tp)))
+    flat = pa.array(terms, type=pa.string())
+    doc_idx = np.concatenate(sd) if sd else np.empty(0, np.int64)
+    positions = (np.concatenate(sp) if sp else np.empty(0, np.int32))
+    if want_offsets:
+        starts = np.concatenate(ss) if ss else np.empty(0, np.int32)
+        ends = np.concatenate(se) if se else np.empty(0, np.int32)
+        return flat, doc_idx, positions.astype(np.int32), \
+            starts.astype(np.int32), ends.astype(np.int32)
+    return flat, doc_idx, positions.astype(np.int32)
 
 
 def _apply_token_filters(flat: pa.Array, analyzer: Analyzer) -> pa.Array:

@@ -382,6 +382,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "synonyms": [[src, list(dsts)] for src, dsts in analyzer.synonyms],
         "payload_delimiter": analyzer.payload_delimiter,
         "word_delimiter": analyzer.word_delimiter,
+        "ja_segment": analyzer.ja_segment,
         "length_min": analyzer.length_min,
         "length_max": analyzer.length_max,
         "keyword_repeat": analyzer.keyword_repeat,
@@ -415,6 +416,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         ),
         payload_delimiter=a.get("payload_delimiter"),
         word_delimiter=a.get("word_delimiter", False),
+        ja_segment=a.get("ja_segment", False),
         length_min=a.get("length_min", 0),
         length_max=a.get("length_max"),
         keyword_repeat=a.get("keyword_repeat", False),

@@ -755,3 +755,50 @@ def test_icu_normalize_filter_parity_and_semantics():
             assert got.get(i, []) == want, repr(txt)
         for t in flat.to_pylist():
             assert unicodedata.is_normalized("NFKC", t), repr(t)
+
+
+def test_japanese_segmentation():
+    """Kuromoji JapaneseTokenizer role (analysis/japanese.py): Viterbi
+    lattice golden vectors, char-class unknown grouping, offsets,
+    analyzer routing, manifest round-trip and batch/per-row parity."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import analyzer_for_lang
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.analysis.japanese import (ja_tokenize,
+                                              ja_tokenize_with_offsets)
+
+    assert ja_tokenize("東京都に住んでいます") == \
+        ["東京", "都", "に", "住んで", "います"]
+    assert ja_tokenize("日本語の検索エンジンを作った") == \
+        ["日本", "語", "の", "検索", "エンジン", "を", "作った"]
+    assert ja_tokenize("京都府と大阪市") == ["京都", "府", "と", "大阪", "市"]
+    # unknown-word runs: katakana, latin and digits group; punctuation
+    # and whitespace drop
+    assert ja_tokenize("カタカナとABC123の混在") == \
+        ["カタカナ", "と", "ABC", "123", "の", "混在"]
+    assert ja_tokenize("") == []
+    assert ja_tokenize("。、！") == []
+    # offsets span the surface forms
+    assert ja_tokenize_with_offsets("東京都に 住む。") == \
+        [("東京", 0, 2), ("都", 2, 3), ("に", 3, 4), ("住む", 5, 7)]
+
+    a = analyzer_for_lang("ja")
+    assert a.ja_segment
+    # lowercase still applies to embedded latin
+    assert a.tokens("東京のABC") == ["東京", "の", "abc"]
+
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    assert analyzer_from_dict(analyzer_dict(a)).ja_segment
+
+    texts = ["東京都に住んでいます", "日本語の検索エンジン",
+             "Hello 世界 ABC", "", "私は毎日電車で会社に行きます"]
+    flat, d, p, s, e = tokenize_column(pa.array(texts), a,
+                                       want_offsets=True)
+    got = {}
+    for t, dd, pp, ss, ee in zip(flat.to_pylist(), d, p, s, e):
+        got.setdefault(int(dd), []).append((t, int(pp), int(ss), int(ee)))
+    for i, txt in enumerate(texts):
+        want = [tuple(w) for w in a.tokens_with_offsets(txt)]
+        assert got.get(i, []) == want, (i, txt)
