@@ -870,6 +870,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["curation_pipeline"] = _curation
 
+    def _curation_multilingual(sf):
+        """Multilingual curation end-to-end (VERDICT r4 #8): crawl with
+        re-crawls -> latest-wins URL dedup (pipelines/dedup.dedup_exact)
+        -> quality filter (>= 20 tokens) -> language routing
+        (analyzers.analyzer_for_lang: en Porter+stop chain, de/es/fr
+        Snowball chains, zh StandardAnalyzer fallback) -> one STEMMED
+        index per language -> per-language BM25 TermQuery('table'
+        through each chain's own normalize). Rows (lang, doc_id,
+        score)."""
+        import pyarrow.compute as pc
+
+        from lucene_ray.analysis.analyzers import analyzer_for_lang
+        from lucene_ray.analysis.batch import tokenize_column
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.pipelines.dedup import dedup_exact
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        langs = ("de", "en", "es", "fr", "zh")
+
+        def qfilter(b: pa.Table) -> pa.Table:
+            b = b.select(["doc_id", "text", "lang"])
+            texts = b["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            _flat, di, _pos = tokenize_column(texts)
+            tc = np.zeros(b.num_rows, dtype=np.int64)
+            np.add.at(tc, di, 1)
+            return b.filter(pa.array(tc >= 20))
+
+        out_lang, out_doc, out_score = [], [], []
+        curated = None
+        for lang in langs:
+            tag = hashlib.sha1(
+                f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+                f":c{CODEC_VERSION}:curml1:{lang}".encode()
+            ).hexdigest()[:12]
+            idx = os.path.join(_CACHE_ROOT, tag)
+            if not os.path.exists(os.path.join(idx, "manifest.json")):
+                if curated is None:
+                    # ONE streaming pass: dedup + quality, reused by
+                    # every per-language build
+                    curated = dedup_exact(_pages_ds(sf), key="url") \
+                        .map_batches(qfilter, batch_format="pyarrow") \
+                        .materialize()
+                ds_lang = curated.filter(
+                    expr=f"lang == '{lang}'").select_columns(
+                    ["doc_id", "text"])
+                build_index(ds_lang, idx,
+                            analyzer=analyzer_for_lang(lang),
+                            num_segments=2)
+            s = Searcher(idx, mode="f64")
+            d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize("table")))
+            order = np.argsort(d)
+            out_lang += [lang] * d.shape[0]
+            out_doc.append(d[order])
+            out_score.append(_round4(sc[order]))
+        return pa.table({
+            "lang": pa.array(out_lang, pa.string()),
+            "doc_id": pa.array(np.concatenate(out_doc)
+                               if out_doc else np.empty(0, np.int64)),
+            "score": pa.array(np.concatenate(out_score)
+                              if out_score else np.empty(0, np.float64)),
+        })
+
+    q["curation_multilingual"] = _curation_multilingual
+
     def _url_canon(sf):
         """URL canonicalization (RFC 3986 syntax-based normalization +
         tracking-param strip): messy URLs synthesized deterministically
@@ -5442,6 +5510,81 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
         )
+
+    # multilingual curation: dedup+quality base, then one BM25 block per
+    # language over that language's routed token stream (en = stop +
+    # Porter smap, de/es/fr = Snowball smaps, zh = StandardAnalyzer
+    # passthrough), each with ITS OWN index stats and dlq quantization
+    _ml_dlq = """
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq"""
+    _ml_parts = []
+    _ml_sel = []
+    for _lg in ("de", "en", "es", "fr", "zh"):
+        if _lg == "en":
+            from lucene_ray.analysis.stem import porter_stem as _pstem
+
+            _base = (f"base_{_lg} AS (SELECT doc_id, term FROM base0_{_lg} "
+                     f"WHERE term NOT IN ({_STOPWORDS_SQL}))")
+            _smap = f"smap_{_lg}(sterm, stem) AS (VALUES {smap_values})"
+            _qt = _pstem("table")
+        elif _lg == "zh":
+            _base = f"base_{_lg} AS (SELECT doc_id, term FROM base0_{_lg})"
+            _smap = None
+            _qt = "table"
+        else:
+            _fn = _SB[_lg]
+            _rows = [f"('{w}', '{_fn(w)}')" for w in sorted(vocab)
+                     if w and _fn(w) != w]
+            _smap = (f"smap_{_lg}(sterm, stem) AS "
+                     f"(VALUES {', '.join(_rows) if _rows else chr(39)*2})")
+            _base = f"base_{_lg} AS (SELECT doc_id, term FROM base0_{_lg})"
+            _qt = _fn("table")
+        _tok = (f"tok_{_lg} AS (SELECT b.doc_id, coalesce(s.stem, b.term) "
+                f"AS term FROM base_{_lg} b LEFT JOIN smap_{_lg} s "
+                f"ON b.term = s.sterm)") if _smap else \
+               (f"tok_{_lg} AS (SELECT doc_id, term FROM base_{_lg})")
+        _ml_parts.append(f"""
+base0_{_lg} AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM kept WHERE lang = '{_lg}'),
+{_base},
+{(_smap + ',') if _smap else ''}
+{_tok},
+dl_{_lg} AS (SELECT doc_id, count(*) AS dl FROM tok_{_lg} GROUP BY doc_id),
+dlq_{_lg} AS ({_ml_dlq} FROM dl_{_lg}),
+st_{_lg} AS (SELECT (SELECT count(*) FROM dl_{_lg})::DOUBLE AS n,
+                    (SELECT sum(dl) FROM dl_{_lg})::DOUBLE AS sttf),
+tf_{_lg} AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok_{_lg}
+             WHERE term = '{_qt}' GROUP BY doc_id),
+dfc_{_lg} AS (SELECT count(*)::DOUBLE AS df FROM tf_{_lg})""")
+        _ml_sel.append(f"""
+SELECT '{_lg}' AS lang, t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4)
+         AS score
+FROM tf_{_lg} t CROSS JOIN dfc_{_lg} d CROSS JOIN st_{_lg} s
+JOIN dlq_{_lg} q ON t.doc_id = q.doc_id""")
+    o["curation_multilingual"] = (
+        _pages_prelude()
+        + """
+, win AS (SELECT * FROM (
+    SELECT doc_id, text, lang,
+           row_number() OVER (PARTITION BY url
+                              ORDER BY warc_ts DESC, doc_id DESC) AS rn
+    FROM pages) WHERE rn = 1)
+, tokall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM win)
+, tcnt AS (SELECT doc_id, count(*) AS n FROM tokall GROUP BY doc_id)
+, kept AS (SELECT w.doc_id, w.lang, w.text FROM win w
+           JOIN tcnt c USING (doc_id) WHERE c.n >= 20),
+"""
+        + ",".join(_ml_parts)
+        + "\n" + "\nUNION ALL".join(_ml_sel)
+        + "\nORDER BY lang, doc_id"
+    )
 
     # Japanese (kuromoji role): the SQL twin reconstructs the synthetic
     # corpus's token streams from the engine segmenter's own output over
