@@ -149,6 +149,18 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # silence the harmless per-stage "Failed to hash the schemas (for
+    # deduplication): unhashable type: 'dict'" warning spam
+    # (ray.data transform_pyarrow) so real signals stay readable
+    import logging
+
+    class _NoSchemaHashNoise(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_NoSchemaHashNoise())
 
     from lucene_ray.index.build import build_index
     from lucene_ray.search.executor import DistributedSearcher
@@ -332,6 +344,28 @@ def run_bench() -> dict:
             rd.read_parquet(docs, columns=["doc_id", "text"]), m).count()
 
     timed("lm_perplexity", lm_score)
+
+    def asof_highcard():
+        """AS-OF join over a high-cardinality-key fixture (100k keys,
+        500k rows/side) — the sorted-run scan that replaced per-key
+        map_groups in round 5 (pipelines/events.py)."""
+        import pyarrow as pa
+
+        from lucene_ray.pipelines.events import asof_join
+
+        rng = np.random.default_rng(42)
+        n_keys, n_rows = 100_000, 500_000
+        mk = lambda base: pa.table({
+            "user_id": rng.integers(0, n_keys, n_rows),
+            "event_id": np.arange(n_rows, dtype=np.int64) + base,
+            "ts": rng.integers(0, 10**9, n_rows),
+            "value": rng.random(n_rows),
+        })
+        left = rd.from_arrow(mk(0)).repartition(NUM_CPUS)
+        right = rd.from_arrow(mk(10**9)).repartition(NUM_CPUS)
+        assert asof_join(left, right).count() == n_rows
+
+    timed("asof_join_highcard", asof_highcard)
 
     def knn():
         import pyarrow.parquet as pq
