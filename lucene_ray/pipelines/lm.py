@@ -90,6 +90,11 @@ class BigramLM:
             pos_c = np.clip(pos, 0, self.bi_keys.shape[0] - 1)
             hit = (self.bi_keys[pos_c] == fused) & (id1 >= 0) & (id2 >= 0)
         out = np.empty(id1.shape[0], dtype=np.float64)
+        if len(self.uni) == 0:
+            # min_count can empty the unigram table too (every token a
+            # singleton) — every position is then OOV at the floor
+            out[:] = np.log(BACKOFF / max(self.total, 1.0))
+            return out
         c1 = self.uni[np.clip(id1, 0, len(self.uni) - 1)]
         out[hit] = np.log(self.bi[pos_c[hit]] / c1[hit])
         miss = ~hit

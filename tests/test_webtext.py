@@ -344,3 +344,46 @@ def test_tfidf_top_terms(ray_session):
     out2 = top_terms_per_doc(ray.data.from_arrow(t), k=2,
                              min_df=2).take_all()
     assert all(r["term"] in {"a", "b", "d"} for r in out2)
+
+
+def test_bigram_lm_empty_table_and_bounded_model(ray_session):
+    """ADVICE r4: an empty bigram table (min_count=2 on a corpus with no
+    repeated bigram) must score without crashing; and the default
+    max_ngrams cap bounds the driver-side model on a ~10^6-distinct-
+    bigram corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.lm import score_perplexity, train_bigram_lm
+
+    # every bigram unique -> min_count=2 empties the bigram table
+    # (ADVICE repro: repeated unigrams, no repeated bigram)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b a c a d", "e f e g e h"])})
+    m = train_bigram_lm(ray.data.from_arrow(t), min_count=2)
+    assert m.bi_keys.shape[0] == 0 and len(m.vocab) > 0
+    out = score_perplexity(ray.data.from_arrow(t), m).take_all()
+    assert len(out) == 2 and all(np.isfinite(r["perplexity"]) for r in out)
+
+    # min_count can empty the UNIGRAM table too — still no crash
+    t0 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["a b c d"])})
+    m0 = train_bigram_lm(ray.data.from_arrow(t0), min_count=2)
+    assert len(m0.vocab) == 0
+    out0 = score_perplexity(ray.data.from_arrow(t0), m0).take_all()
+    assert len(out0) == 1 and np.isfinite(out0[0]["perplexity"])
+
+    # ~10^6 distinct bigrams (1.2M tokens over a 2000-token vocab);
+    # cap at 50k per kind
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 2000, size=(400, 3000))
+    texts = [" ".join(f"w{v}" for v in row) for row in toks]
+    big = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    m2 = train_bigram_lm(ray.data.from_arrow(big).repartition(4),
+                         max_ngrams=50_000)
+    assert len(m2.vocab) <= 50_000
+    assert m2.bi_keys.shape[0] <= 50_000
+    scored = score_perplexity(ray.data.from_arrow(t), m2).take_all()
+    assert len(scored) == 2
