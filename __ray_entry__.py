@@ -58,6 +58,36 @@ _JA_SENTENCES = (
     "東京の天気は良い",
 )
 
+# deterministic synthetic Korean corpus (nori-role entry): every
+# sentence segments to <= 5 surviving morphemes, so dl * 3 < 24 keeps
+# the smallfloat norm identity (same budget as _JA_SENTENCES)
+_KO_SENTENCES = (
+    "학교에서 학생이 공부합니다",
+    "한국의 검색 엔진 기술",
+    "서울에서 회사원이 일합니다",
+    "친구와 영화를 보고 음악을 듣습니다",
+    "오늘 날씨가 좋습니다",
+    "컴퓨터와 기계 학습 연구",
+    "학생은 학교에서 책을 읽습니다",
+    "서울의 지하철과 기차",
+)
+
+# deterministic synthetic Chinese corpus (smartcn-role entry, <= 5
+# words per sentence) — also reused by the CJKBigramFilter entry, where
+# each sentence's <= 9 Han chars yield <= 8 bigrams (reps = 1 there:
+# repetition joined by spaces would chain bigrams across the seam,
+# since the tokenizer leaves no position gap at whitespace)
+_ZH_SENTENCES = (
+    "我们在北京工作",
+    "中文处理和搜索引擎",
+    "机器学习模型的开发",
+    "今天天气很好",
+    "学生在学校学习中文",
+    "上海的地铁和火车",
+    "搜索引擎使用索引技术",
+    "我们研究计算机科学",
+)
+
 
 def _index_dir(sf_dir: str) -> str:
     """Multi-field index (default body field + derived ``title`` field =
@@ -2310,6 +2340,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
 
     q["japanese_analyzer_query"] = _japanese_analyzer_query
+
+    def _korean_analyzer_query(sf):
+        """Nori KoreanTokenizer + KoreanPartOfSpeechStopFilter roles
+        (nori/KoreanTokenizer.java:69, ko/KoreanPartOfSpeechStopFilter
+        .java:34; analysis/korean.py eojeol lattice with josa/eomi POS
+        drop): a deterministic synthetic Korean corpus (doc i =
+        sentence[i%8] repeated i%3+1 times) indexes through
+        analyzer_for_lang('ko') and BM25-scores TermQuery('학교'); the
+        SQL twin reconstructs the token streams from the engine
+        segmenter's output (japanese_analyzer_query pattern)."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import analyzer_for_lang
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(docs, columns=["doc_id"])["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        texts = [" ".join([_KO_SENTENCES[int(i) % len(_KO_SENTENCES)]]
+                          * (int(i) % 3 + 1)) for i in ids_np]
+        tag = hashlib.sha1(
+            f"{docs}:{len(ids_np)}:c{CODEC_VERSION}:ko1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            ds = ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(ids_np), "text": pa.array(texts)}))
+            build_index(ds, idx, analyzer=analyzer_for_lang("ko"),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize("학교")))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["korean_analyzer_query"] = _korean_analyzer_query
+
+    def _chinese_analyzer_query(sf):
+        """Smartcn HMMChineseTokenizer role (smartcn/HMMChineseTokenizer
+        .java:33, hhmm/HHMMSegmenter.java:39; analysis/chinese.py
+        minimum-cost lattice with per-Hanzi OOV): synthetic Chinese
+        corpus (doc i = sentence[i%8] repeated i%3+1 times) indexes
+        through analyzer_for_lang('zh') and BM25-scores
+        TermQuery('搜索'); SQL twin from the engine segmenter's own
+        token streams (japanese_analyzer_query pattern)."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import analyzer_for_lang
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(docs, columns=["doc_id"])["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        texts = [" ".join([_ZH_SENTENCES[int(i) % len(_ZH_SENTENCES)]]
+                          * (int(i) % 3 + 1)) for i in ids_np]
+        tag = hashlib.sha1(
+            f"{docs}:{len(ids_np)}:c{CODEC_VERSION}:zh1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            ds = ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(ids_np), "text": pa.array(texts)}))
+            build_index(ds, idx, analyzer=analyzer_for_lang("zh"),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize("搜索")))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["chinese_analyzer_query"] = _chinese_analyzer_query
+
+    def _cjk_bigram_query(sf):
+        """CJKBigramFilter / CJKAnalyzer roles (cjk/CJKBigramFilter
+        .java:66, cjk/CJKAnalyzer.java:41; analyzers.py
+        _cjk_bigram_stream): the Chinese corpus (reps = 1 — see
+        _ZH_SENTENCES note) indexes through Analyzer(cjk_bigrams=True),
+        so Han runs become overlapping character bigrams, and
+        BM25-scores TermQuery('索引') — tf = 2 in sentence 6 ('使用索引'
+        and '搜索引擎' both contain the 索引 char pair)."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(docs, columns=["doc_id"])["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        texts = [_ZH_SENTENCES[int(i) % len(_ZH_SENTENCES)]
+                 for i in ids_np]
+        tag = hashlib.sha1(
+            f"{docs}:{len(ids_np)}:c{CODEC_VERSION}:cjkb1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            ds = ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(ids_np), "text": pa.array(texts)}))
+            build_index(ds, idx, analyzer=Analyzer(cjk_bigrams=True),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery("索引"))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["cjk_bigram_query"] = _cjk_bigram_query
 
     def _per_field_analyzer(sf):
         """PerFieldAnalyzerWrapper (analysis/miscellaneous/
@@ -5617,6 +5762,48 @@ FROM tf t CROSS JOIN df d CROSS JOIN stats s
 JOIN doclen q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
     )
+
+    # Korean (nori role), Chinese (smartcn role) and CJK-bigram
+    # (CJKBigramFilter role) twins share the Japanese template: the
+    # fixed 8-sentence corpora reconstruct from the engine segmenter's
+    # own token streams; dl < 24 throughout keeps smallfloat norms the
+    # identity. reps_sql parameterizes the repetition factor (1 for the
+    # bigram corpus — see _ZH_SENTENCES note).
+    def _cjk_oracle(sentences, tok, term, reps_sql):
+        rows = [f"({pid}, '{t}')"
+                for pid, sent in enumerate(sentences)
+                for t in tok(sent)]
+        return f"""
+WITH pat(pid, term) AS (VALUES {', '.join(rows)}),
+d AS (SELECT doc_id, doc_id % {len(sentences)} AS pid,
+             {reps_sql} AS reps FROM documents),
+plen AS (SELECT pid, count(*) AS sl FROM pat GROUP BY pid),
+doclen AS (SELECT d.doc_id, p.sl * d.reps AS dl
+           FROM d JOIN plen p USING (pid)),
+stats AS (SELECT (SELECT count(*) FROM d)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT d.doc_id, (cnt.c * d.reps)::DOUBLE AS f
+       FROM d JOIN (SELECT pid, count(*) AS c FROM pat
+                    WHERE term = '{term}' GROUP BY pid) cnt USING (pid)),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))), 4)
+         AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s
+JOIN doclen q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+
+    from lucene_ray.analysis.analyzers import Analyzer as _An
+    from lucene_ray.analysis.chinese import zh_tokenize as _zh_tok
+    from lucene_ray.analysis.korean import ko_tokenize as _ko_tok
+
+    o["korean_analyzer_query"] = _cjk_oracle(
+        _KO_SENTENCES, _ko_tok, "학교", "doc_id % 3 + 1")
+    o["chinese_analyzer_query"] = _cjk_oracle(
+        _ZH_SENTENCES, _zh_tok, "搜索", "doc_id % 3 + 1")
+    o["cjk_bigram_query"] = _cjk_oracle(
+        _ZH_SENTENCES, _An(cjk_bigrams=True).tokens, "索引", "1")
 
     o["english_analyzer_query"] = (
         f"""

@@ -25,6 +25,57 @@ from lucene_ray.analysis.tokenizer import (
 )
 
 
+def _segment_with_offsets(lang: str, text: str):
+    """Dispatch to the morphological segmenter for `lang` — each returns
+    [(surface, start, end)] (analysis/japanese.py, korean.py, chinese.py)."""
+    if lang == "ja":
+        from lucene_ray.analysis.japanese import ja_tokenize_with_offsets
+
+        return ja_tokenize_with_offsets(text)
+    if lang == "ko":
+        from lucene_ray.analysis.korean import ko_tokenize_with_offsets
+
+        return ko_tokenize_with_offsets(text)
+    if lang == "zh":
+        from lucene_ray.analysis.chinese import zh_tokenize_with_offsets
+
+        return zh_tokenize_with_offsets(text)
+    raise ValueError(f"no segmenter for language {lang!r}")
+
+
+def _cjk_bigram_stream(stream):
+    """CJKBigramFilter rewrite (cjk/CJKBigramFilter.java:66) over a raw
+    (term, pos, start, end) stream: runs of >=2 adjacent single-Han
+    tokens become overlapping bigrams; positions renumber sequentially
+    (every input token has posInc 1, and the default outputUnigrams=false
+    stream keeps posInc 1 per bigram)."""
+    from lucene_ray.analysis.tokenizer import _IDEO_RE
+
+    toks = list(stream)
+    out = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t, p, s, e = toks[i]
+        if len(t) == 1 and _IDEO_RE.match(t):
+            j = i + 1
+            while (j < n and len(toks[j][0]) == 1
+                   and _IDEO_RE.match(toks[j][0])
+                   and toks[j][1] == toks[j - 1][1] + 1):
+                j += 1
+            if j - i >= 2:
+                for k in range(i, j - 1):
+                    out.append((toks[k][0] + toks[k + 1][0],
+                                toks[k][2], toks[k + 1][3]))
+            else:
+                out.append((t, s, e))
+            i = j
+        else:
+            out.append((t, s, e))
+            i += 1
+    return [(t, pos, s, e) for pos, (t, s, e) in enumerate(out)]
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Configurable analyzer chain
@@ -92,6 +143,22 @@ class Analyzer:
             raise ValueError(
                 "common_grams and keyword_repeat cannot combine: the gram "
                 "pass needs the un-injected position-ordered stream")
+        if self.ja_segment and self.segment_lang not in (None, "ja"):
+            raise ValueError(
+                "ja_segment=True conflicts with segment_lang="
+                f"{self.segment_lang!r}")
+        if self.cjk_bigrams and (self.ja_segment or self.segment_lang
+                                 or self.word_delimiter):
+            raise ValueError(
+                "cjk_bigrams pairs with the StandardTokenizer stream only "
+                "(the CJKAnalyzer chain) — not with a morphological "
+                "segmenter or word_delimiter")
+
+    @property
+    def effective_segment_lang(self) -> "str | None":
+        """'ja'|'ko'|'zh' when a morphological segmenter replaces the
+        UAX#29 tokenizer (ja_segment is the legacy 'ja' spelling)."""
+        return "ja" if self.ja_segment else self.segment_lang
 
     @property
     def common_set(self) -> frozenset:
@@ -137,6 +204,28 @@ class Analyzer:
     # shared per-row tokenizer for every row (the reference's kuromoji
     # is also per-document); downstream filters stay vocabulary-mapped.
     ja_segment: bool = False
+    # Morphological segmenter selection, generalizing ja_segment to the
+    # other CJK analyzers: 'ja' (kuromoji, analysis/japanese.py), 'ko'
+    # (nori KoreanTokenizer + KoreanPartOfSpeechStopFilter roles,
+    # analysis/nori/.../ko/KoreanTokenizer.java:69; analysis/korean.py),
+    # 'zh' (smartcn HMMChineseTokenizer role, analysis/smartcn/.../cn/
+    # smart/HMMChineseTokenizer.java:33; analysis/chinese.py). Like
+    # ja_segment these are inherently per-string lattices (the reference
+    # tokenizers are per-document too); the batch path runs the shared
+    # per-row tokenizer. ja_segment=True is the legacy spelling of
+    # segment_lang='ja'.
+    segment_lang: "str | None" = None
+    # CJKBigramFilter role (analysis/cjk/CJKBigramFilter.java:66, the
+    # CJKAnalyzer chain cjk/CJKAnalyzer.java:41): maximal runs of
+    # single-Han-character tokens at consecutive positions re-emit as
+    # overlapping character bigrams REPLACING the unigrams (the filter's
+    # outputUnigrams=false default); a lone Han char stays a unigram.
+    # Scope reduction (documented): bigrams form over the HAN flag only —
+    # our StandardTokenizer emits Hangul/Katakana as word runs, so the
+    # reference's HIRAGANA/KATAKANA/HANGUL flags have no single-char
+    # stream to pair here. Positions renumber sequentially after the
+    # rewrite (every raw token has posInc 1, as in the reference stream).
+    cjk_bigrams: bool = False
     # LengthFilter (analysis/common/.../miscellaneous/LengthFilter.java:31):
     # drop tokens whose char length is outside [length_min, length_max]
     # (None = unbounded), leaving position gaps like StopFilter. Applied
@@ -250,14 +339,17 @@ class Analyzer:
         char filters run first (offsets refer to the filtered text)."""
         if self.char_filters:
             text = self.apply_char_filters(text)
-        if self.ja_segment:
-            from lucene_ray.analysis.japanese import ja_tokenize_with_offsets
-
-            for pos, (t, s, e) in enumerate(ja_tokenize_with_offsets(text)):
+        seg = self.effective_segment_lang
+        if seg:
+            for pos, (t, s, e) in enumerate(
+                    _segment_with_offsets(seg, text)):
                 yield t, pos, s, e
             return
         if not self.word_delimiter:
-            yield from tokenize_with_offsets(text, self.max_token_length)
+            stream = tokenize_with_offsets(text, self.max_token_length)
+            if self.cjk_bigrams:
+                stream = _cjk_bigram_stream(stream)
+            yield from stream
             return
         from lucene_ray.analysis.worddelim import wdgf_parts_offsets
 
@@ -272,15 +364,16 @@ class Analyzer:
 
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
-        if (self.synonyms and self.multi_synonym_rules) or self.common_grams:
-            # multi-word rules and common grams need position adjacency
+        if ((self.synonyms and self.multi_synonym_rules)
+                or self.common_grams or self.cjk_bigrams):
+            # multi-word rules, common grams and CJK bigrams need
+            # position adjacency
             return [t for t, _p in self.tokens_with_positions(text)]
         if self.char_filters:
             text = self.apply_char_filters(text)
-        if self.ja_segment:
-            from lucene_ray.analysis.japanese import ja_tokenize
-
-            toks = ja_tokenize(text)
+        seg = self.effective_segment_lang
+        if seg:
+            toks = [t for t, _s, _e in _segment_with_offsets(seg, text)]
         elif self.word_delimiter:
             from lucene_ray.analysis.worddelim import wdgf_parts
 
@@ -461,6 +554,16 @@ def analyzer_for_lang(lang: str) -> Analyzer:
         # kuromoji JapaneseAnalyzer role (ja/JapaneseAnalyzer.java:43):
         # morphological Viterbi segmentation (analysis/japanese.py)
         return Analyzer(ja_segment=True)
+    if lang == "ko":
+        # nori KoreanAnalyzer role (ko/KoreanAnalyzer.java:38): lattice
+        # segmentation within each eojeol + POS stop of josa/eomi
+        # (analysis/korean.py)
+        return Analyzer(segment_lang="ko")
+    if lang == "zh":
+        # smartcn SmartChineseAnalyzer role (cn/smart/
+        # SmartChineseAnalyzer.java:67): HMM-shaped lattice over the
+        # seed lexicon with per-Hanzi OOV fallback (analysis/chinese.py)
+        return Analyzer(segment_lang="zh")
     if lang == "tr":
         # Turkish dotted/dotless i casing (TurkishLowerCaseFilter role,
         # analysis/tr/TurkishLowerCaseFilter.java:36): İ→i and I→ı must

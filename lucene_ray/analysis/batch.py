@@ -94,11 +94,13 @@ def tokenize_column(
             texts = pc.replace_substring_regex(texts, _pat, _rep)
         analyzer = dataclasses.replace(analyzer, char_filters=())
 
-    if analyzer.ja_segment:
-        # Viterbi morphological segmentation (analysis/japanese.py) is
-        # inherently per-string — kuromoji is per-document in the
-        # reference too. One shared implementation keeps batch/per-row
-        # parity by construction.
+    if analyzer.effective_segment_lang or analyzer.cjk_bigrams:
+        # Viterbi morphological segmentation (analysis/japanese.py,
+        # korean.py, chinese.py) is inherently per-string — the
+        # reference's kuromoji/nori/smartcn are per-document too — and
+        # the CJK bigram rewrite renumbers positions over the whole
+        # stream. One shared implementation keeps batch/per-row parity
+        # by construction.
         parts = _tokenize_all_rows_python(texts, analyzer, want_offsets)
         return parts if want_offsets else parts[:3]
 

@@ -383,6 +383,8 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "payload_delimiter": analyzer.payload_delimiter,
         "word_delimiter": analyzer.word_delimiter,
         "ja_segment": analyzer.ja_segment,
+        "segment_lang": analyzer.segment_lang,
+        "cjk_bigrams": analyzer.cjk_bigrams,
         "length_min": analyzer.length_min,
         "length_max": analyzer.length_max,
         "keyword_repeat": analyzer.keyword_repeat,
@@ -417,6 +419,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         payload_delimiter=a.get("payload_delimiter"),
         word_delimiter=a.get("word_delimiter", False),
         ja_segment=a.get("ja_segment", False),
+        segment_lang=a.get("segment_lang"),
+        cjk_bigrams=a.get("cjk_bigrams", False),
         length_min=a.get("length_min", 0),
         length_max=a.get("length_max"),
         keyword_repeat=a.get("keyword_repeat", False),

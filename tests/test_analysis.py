@@ -802,3 +802,137 @@ def test_japanese_segmentation():
     for i, txt in enumerate(texts):
         want = [tuple(w) for w in a.tokens_with_offsets(txt)]
         assert got.get(i, []) == want, (i, txt)
+
+
+def test_korean_segmentation():
+    """Nori KoreanTokenizer + KoreanPartOfSpeechStopFilter roles
+    (analysis/korean.py): lattice golden vectors, josa/eomi POS drop,
+    offsets, analyzer routing, manifest round-trip, batch parity."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import analyzer_for_lang
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.analysis.korean import (ko_tokenize,
+                                            ko_tokenize_with_offsets)
+
+    # particles (josa) and verb endings (eomi) are consumed by the
+    # lattice and dropped — the default POS stop set
+    assert ko_tokenize("학교에서 학생이 공부합니다") == ["학교", "학생", "공부"]
+    assert ko_tokenize("한국의 검색 엔진") == ["한국", "검색", "엔진"]
+    # 있습니다 = 있 (existence-verb stem, kept) + 습니다 (ending, dropped)
+    assert ko_tokenize("서울에 살고 있습니다") == ["서울", "살", "있"]
+    # latin/digit runs group whole; punctuation/whitespace drop
+    assert ko_tokenize("ABC 123 서울!") == ["ABC", "123", "서울"]
+    assert ko_tokenize("") == []
+    # offsets span the SURFACE of surviving morphemes
+    assert ko_tokenize_with_offsets("학교에서 일") == \
+        [("학교", 0, 2), ("일", 5, 6)]
+    # an eojeol-initial josa surface prefers the content reading
+    assert "은" not in set("".join(ko_tokenize("은행에 갔다"))) or \
+        ko_tokenize("은행에 갔다")[0].startswith("은")
+
+    a = analyzer_for_lang("ko")
+    assert a.segment_lang == "ko" and a.effective_segment_lang == "ko"
+    assert a.tokens("서울의 ABC") == ["서울", "abc"]
+
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    assert analyzer_from_dict(analyzer_dict(a)).segment_lang == "ko"
+
+    texts = ["학교에서 학생이 공부합니다", "한국의 검색 엔진",
+             "Hello 세계 ABC", "", "회사원은 매일 지하철로 출근합니다"]
+    flat, d, p, s, e = tokenize_column(pa.array(texts), a, want_offsets=True)
+    got = {}
+    for t, dd, pp, ss, ee in zip(flat.to_pylist(), d, p, s, e):
+        got.setdefault(int(dd), []).append((t, int(pp), int(ss), int(ee)))
+    for i, txt in enumerate(texts):
+        want = [tuple(w) for w in a.tokens_with_offsets(txt)]
+        assert got.get(i, []) == want, (i, txt)
+
+
+def test_chinese_segmentation():
+    """Smartcn HMMChineseTokenizer role (analysis/chinese.py): lattice
+    golden vectors, per-Hanzi OOV fallback, offsets, analyzer routing,
+    manifest round-trip, batch parity."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import analyzer_for_lang
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.analysis.chinese import (zh_tokenize,
+                                             zh_tokenize_with_offsets)
+
+    assert zh_tokenize("中文处理和搜索引擎") == \
+        ["中文", "处理", "和", "搜索", "引擎"]
+    assert zh_tokenize("我们在北京工作") == ["我们", "在", "北京", "工作"]
+    # unknown Hanzi fall out per character (smartcn OOV behavior)
+    assert zh_tokenize("氢氦锂铍") == ["氢", "氦", "锂", "铍"]
+    assert zh_tokenize("ABC 123 中国!") == ["ABC", "123", "中国"]
+    assert zh_tokenize("") == []
+    assert zh_tokenize_with_offsets("中文处理") == \
+        [("中文", 0, 2), ("处理", 2, 4)]
+
+    a = analyzer_for_lang("zh")
+    assert a.segment_lang == "zh"
+    assert a.tokens("中国的ABC") == ["中国", "的", "abc"]
+
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    assert analyzer_from_dict(analyzer_dict(a)).segment_lang == "zh"
+
+    texts = ["中文处理和搜索引擎技术", "我们在北京工作",
+             "Hello 世界 ABC", "", "机器学习模型的开发"]
+    flat, d, p, s, e = tokenize_column(pa.array(texts), a, want_offsets=True)
+    got = {}
+    for t, dd, pp, ss, ee in zip(flat.to_pylist(), d, p, s, e):
+        got.setdefault(int(dd), []).append((t, int(pp), int(ss), int(ee)))
+    for i, txt in enumerate(texts):
+        want = [tuple(w) for w in a.tokens_with_offsets(txt)]
+        assert got.get(i, []) == want, (i, txt)
+
+
+def test_cjk_bigram_filter():
+    """CJKBigramFilter role (cjk/CJKBigramFilter.java:66): Han unigram
+    runs re-emit as overlapping bigrams replacing the unigrams
+    (outputUnigrams=false default); lone Han chars stay unigrams;
+    positions renumber sequentially; batch parity; config validation."""
+    import pyarrow as pa
+    import pytest
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    a = Analyzer(cjk_bigrams=True)
+    assert a.tokens("一二三") == ["一二", "二三"]
+    assert a.tokens("一") == ["一"]
+    # non-Han tokens break runs and pass through; positions compact
+    assert a.tokens_with_positions("一二三 x 四五") == \
+        [("一二", 0), ("二三", 1), ("x", 2), ("四五", 3)]
+    # offsets span both chars of the bigram
+    assert a.tokens_with_offsets("中文处理")[:2] == \
+        [("中文", 0, 0, 2), ("文处", 1, 1, 3)]
+    # punctuation emits no token and no position gap in the tokenizer,
+    # so the bigram DOES form across it (the reference stream behaves
+    # the same way — 中 and 文 are consecutive HAN tokens)
+    assert a.tokens("中、文") == ["中文"]
+    # latin mixed in
+    assert a.tokens("hello 世界") == ["hello", "世界"]
+
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    assert analyzer_from_dict(analyzer_dict(a)).cjk_bigrams
+
+    with pytest.raises(ValueError):
+        Analyzer(cjk_bigrams=True, ja_segment=True)
+    with pytest.raises(ValueError):
+        Analyzer(cjk_bigrams=True, word_delimiter=True)
+    with pytest.raises(ValueError):
+        Analyzer(ja_segment=True, segment_lang="ko")
+
+    texts = ["中文处理和搜索", "一二三 x 四五", "hello 世界", "", "中、文"]
+    flat, d, p, s, e = tokenize_column(pa.array(texts), a, want_offsets=True)
+    got = {}
+    for t, dd, pp, ss, ee in zip(flat.to_pylist(), d, p, s, e):
+        got.setdefault(int(dd), []).append((t, int(pp), int(ss), int(ee)))
+    for i, txt in enumerate(texts):
+        want = [tuple(w) for w in a.tokens_with_offsets(txt)]
+        assert got.get(i, []) == want, (i, txt)
