@@ -88,6 +88,88 @@ _ZH_SENTENCES = (
     "我们研究计算机科学",
 )
 
+# round-5 language-analyzer corpora (same deterministic doc i =
+# sentence[i%8] × (i%3+1) scheme, <= 7 analyzed tokens per sentence so
+# dl*3 < 24 keeps the smallfloat norm identity): Thai (dictionary
+# word-break — no inter-word spaces), Greek / Arabic / Hindi /
+# Indonesian (light-stemmer chains, analysis/light_stemmers.py)
+_TH_SENTENCES = (
+    "นักเรียนอ่านหนังสือในโรงเรียน",
+    "ครูเขียนหนังสือใหม่",
+    "ประเทศไทยมีภาษาไทย",
+    "เราไปตลาดซื้ออาหาร",
+    "พ่อและแม่รักลูก",
+    "นักเรียนเรียนในโรงเรียนใหญ่",
+    "เราอ่านหนังสือวันนี้",
+    "ระบบค้นหาข้อมูลคอมพิวเตอร์",
+)
+_EL_SENTENCES = (
+    "ο καλος ανθρωπος γραφει τραγουδια",
+    "η πολη εχει καλα σπιτια",
+    "το παιδι διαβαζει βιβλια",
+    "οι καλοι φιλοι ταξιδευουν μαζι",
+    "η θαλασσα ειναι μεγαλη",
+    "ο δασκαλος γραφει στον πινακα",
+    "τα τραγουδια της πολης",
+    "το βιβλιο ειναι μικρο",
+)
+_AR_SENTENCES = (
+    "الطالب يقرأ الكتاب في المدرسة",
+    "الكتاب الجديد على الطاولة",
+    "المعلم يكتب الدرس",
+    "الطلاب يذهبون الى المدرسة",
+    "هذا كتابها المفضل",
+    "المدينة كبيرة وجميلة",
+    "نقرأ الكتب في المكتبة",
+    "الولد يلعب في الحديقة",
+)
+_HI_SENTENCES = (
+    "लड़के किताब पढ़ते हैं",
+    "लड़कियों ने खाना खाया",
+    "वह स्कूल जाता है",
+    "लड़का घर में सोता है",
+    "हम बाजार जाते हैं",
+    "अध्यापक पाठ पढ़ाते हैं",
+    "बच्चे बगीचे में खेलते हैं",
+    "माता पिता बच्चों से प्यार करते हैं",
+)
+_ID_SENTENCES = (
+    "dia mengambil bukunya di sekolah",
+    "guru menulis buku baru",
+    "mereka belajar bahasa indonesia",
+    "anak itu membaca buku di rumah",
+    "kami pergi ke pasar pagi",
+    "pemerintah membangun jalan baru",
+    "perbaikan jalan itu selesai",
+    "teman saya bekerja di kota",
+)
+
+# (lang, sentences, query surface form, reference role) for the
+# generic per-language corpus entries below
+_LANG_CORPORA = {
+    "thai": ("th", _TH_SENTENCES, "หนังสือ",
+             "ThaiTokenizer dictionary word-break (analysis/common/"
+             "th/ThaiTokenizer.java:38 and the ICU dictionary "
+             "segmentation role icu/segmentation/ICUTokenizer.java:48; "
+             "analysis/thai.py min-cost lattice)"),
+    "greek": ("el", _EL_SENTENCES, "καλος",
+              "GreekLowerCaseFilter + GreekStemmer roles (analysis/el/"
+              "GreekLowerCaseFilter.java:30, GreekStemmer.java:39; "
+              "Ntais's algorithm, analysis/light_stemmers.py)"),
+    "arabic": ("ar", _AR_SENTENCES, "الكتاب",
+               "ArabicNormalizer + ArabicStemmer roles (analysis/ar/"
+               "ArabicNormalizer.java:30, ArabicStemmer.java:33; "
+               "Larkey's light10, analysis/light_stemmers.py)"),
+    "hindi": ("hi", _HI_SENTENCES, "लड़के",
+              "HindiNormalizer + HindiStemmer roles (analysis/hi/"
+              "HindiNormalizer.java:34, HindiStemmer.java:27; "
+              "Ramanathan & Rao, analysis/light_stemmers.py)"),
+    "indonesian": ("id", _ID_SENTENCES, "bukunya",
+                   "IndonesianStemmer role (analysis/id/"
+                   "IndonesianStemmer.java:27; Tala's algorithm, "
+                   "analysis/light_stemmers.py)"),
+}
+
 
 def _index_dir(sf_dir: str) -> str:
     """Multi-field index (default body field + derived ``title`` field =
@@ -2455,6 +2537,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
 
     q["cjk_bigram_query"] = _cjk_bigram_query
+
+    def _mk_lang_corpus_query(name: str, lang: str, sentences, term: str,
+                              role: str):
+        def _lq(sf):
+            import ray.data
+
+            from lucene_ray.analysis.analyzers import analyzer_for_lang
+            from lucene_ray.codec.postings import CODEC_VERSION
+            from lucene_ray.index.build import build_index
+            from lucene_ray.search.searcher import Searcher
+
+            docs = os.path.join(sf, "documents.parquet")
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(docs, columns=["doc_id"])["doc_id"]
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            texts = [" ".join([sentences[int(i) % len(sentences)]]
+                              * (int(i) % 3 + 1)) for i in ids_np]
+            tag = hashlib.sha1(
+                f"{docs}:{len(ids_np)}:c{CODEC_VERSION}:{lang}1".encode()
+            ).hexdigest()[:12]
+            idx = os.path.join(_CACHE_ROOT, tag)
+            if not os.path.exists(os.path.join(idx, "manifest.json")):
+                ds = ray.data.from_arrow(pa.table({
+                    "doc_id": pa.array(ids_np), "text": pa.array(texts)}))
+                build_index(ds, idx, analyzer=analyzer_for_lang(lang),
+                            num_segments=4)
+            s = Searcher(idx, mode="f64")
+            d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize(term)))
+            order = np.argsort(d)
+            return pa.table({"doc_id": d[order],
+                             "score": _round4(sc[order])})
+
+        _lq.__doc__ = (
+            f"{role}: deterministic synthetic {name} corpus (doc i = "
+            f"sentence[i%8] repeated i%3+1 times) indexes through "
+            f"analyzer_for_lang({lang!r}) and BM25-scores "
+            f"TermQuery(normalize({term!r})); the SQL twin reconstructs "
+            f"the token streams from the engine analyzer's own output "
+            f"(japanese_analyzer_query pattern).")
+        return _lq
+
+    for _nm, (_lg, _sents, _term, _role) in _LANG_CORPORA.items():
+        q[f"{_nm}_analyzer_query"] = _mk_lang_corpus_query(
+            _nm, _lg, _sents, _term, _role)
 
     def _per_field_analyzer(sf):
         """PerFieldAnalyzerWrapper (analysis/miscellaneous/
@@ -5804,6 +5931,17 @@ ORDER BY t.doc_id"""
         _ZH_SENTENCES, _zh_tok, "搜索", "doc_id % 3 + 1")
     o["cjk_bigram_query"] = _cjk_oracle(
         _ZH_SENTENCES, _An(cjk_bigrams=True).tokens, "索引", "1")
+
+    # round-5 language-analyzer twins (Thai dictionary break; Greek /
+    # Arabic / Hindi / Indonesian light-stemmer chains): same template —
+    # token streams reconstruct from the engine analyzer's own output,
+    # the BM25 math is DuckDB's
+    from lucene_ray.analysis.analyzers import analyzer_for_lang as _afl
+
+    for _nm, (_lg, _sents, _term, _role) in _LANG_CORPORA.items():
+        _an5 = _afl(_lg)
+        o[f"{_nm}_analyzer_query"] = _cjk_oracle(
+            _sents, _an5.tokens, _an5.normalize(_term), "doc_id % 3 + 1")
 
     o["english_analyzer_query"] = (
         f"""

@@ -40,6 +40,10 @@ def _segment_with_offsets(lang: str, text: str):
         from lucene_ray.analysis.chinese import zh_tokenize_with_offsets
 
         return zh_tokenize_with_offsets(text)
+    if lang == "th":
+        from lucene_ray.analysis.thai import th_tokenize_with_offsets
+
+        return th_tokenize_with_offsets(text)
     raise ValueError(f"no segmenter for language {lang!r}")
 
 
@@ -564,6 +568,11 @@ def analyzer_for_lang(lang: str) -> Analyzer:
         # SmartChineseAnalyzer.java:67): HMM-shaped lattice over the
         # seed lexicon with per-Hanzi OOV fallback (analysis/chinese.py)
         return Analyzer(segment_lang="zh")
+    if lang == "th":
+        # ThaiAnalyzer role (th/ThaiAnalyzer.java:33): dictionary-driven
+        # word break (ThaiTokenizer / ICU dictionary segmentation role,
+        # analysis/thai.py) — Thai has no inter-word spaces
+        return Analyzer(segment_lang="th")
     if lang == "tr":
         # Turkish dotted/dotless i casing (TurkishLowerCaseFilter role,
         # analysis/tr/TurkishLowerCaseFilter.java:36): İ→i and I→ı must

@@ -1902,3 +1902,11 @@ STEMMERS["ro"] = romanian_stem
 STEMMERS["fi"] = finnish_stem
 STEMMERS["hu"] = hungarian_stem
 STEMMERS["tr"] = turkish_stem
+
+# Light (non-Snowball) stemmers — the ArabicStemmer / HindiStemmer /
+# IndonesianStemmer / GreekStemmer roles (analysis/light_stemmers.py).
+# They share the stem_lang dispatch so analyzer plumbing (manifest
+# round-trip, vocabulary mapping, query-side normalize) is identical.
+from lucene_ray.analysis.light_stemmers import LIGHT_STEMMERS as _LIGHT  # noqa: E402
+
+STEMMERS.update(_LIGHT)
