@@ -938,6 +938,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["trec_source_stats"] = _trec
 
+    def _bench_alg(sf):
+        """Benchmark .alg task algebra (benchmark/byTask/Benchmark
+        .java:48, utils/Algorithm.java, tasks/TaskSequence.java;
+        pipelines/taskalg.py): the indexing-multithreaded.alg shape —
+        2 rounds of (erase -> populate with a 4-worker parallel AddDoc
+        group until the content source drains -> ForceMerge(2) ->
+        CloseIndex builds the REAL index -> 10 searches) — then
+        RepSumByName's per-task counts. Counts are deterministic in
+        the table size (the SQL twin derives them from count(*));
+        elapsed is dropped from the oracle-checked output."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.pipelines.taskalg import engine_tasks, run_alg
+
+        docs = os.path.join(sf, "documents.parquet")
+        tbl = pq.read_table(docs, columns=["doc_id", "text"])
+        idx = os.path.join(_CACHE_ROOT, "alg_run_idx")
+        script = """
+log.step=2000
+{ "Rounds"
+    ResetSystemErase
+    { "Populate" CreateIndex [ { AddDoc } : * ] : 4 ForceMerge(2) CloseIndex }
+    OpenReader
+    { "Searching" Search } : 10
+    NewRound
+} : 2
+RepSumByName
+"""
+        rows, _ctx = run_alg(script, engine_tasks(
+            tbl, idx, queries=("table", "key", "value")))
+        return pa.table({
+            "task": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        })
+
+    q["bench_alg_report"] = _bench_alg
+
     def _curation(sf):
         """End-to-end curation composition — ONE streaming Dataset
         pipeline chaining the training-data ops: crawl (with re-crawls)
@@ -4066,6 +4103,23 @@ ORDER BY t.doc_id"""
     o["trec_source_stats"] = (
         """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
            FROM documents ORDER BY doc_id"""
+    )
+
+    # per-task counts of the fixed 2-round .alg script: AddDoc drains
+    # the shared content cursor once per round (= count(*) each), every
+    # other task count is a script constant
+    o["bench_alg_report"] = (
+        """SELECT task, n FROM (
+             SELECT 'AddDoc' AS task, 2 * count(*)::BIGINT AS n FROM documents
+             UNION ALL SELECT 'CloseIndex', 2
+             UNION ALL SELECT 'CreateIndex', 2
+             UNION ALL SELECT 'ForceMerge', 2
+             UNION ALL SELECT 'NewRound', 2
+             UNION ALL SELECT 'OpenReader', 2
+             UNION ALL SELECT 'RepSumByName', 1
+             UNION ALL SELECT 'ResetSystemErase', 2
+             UNION ALL SELECT 'Search', 20
+           ) ORDER BY task"""
     )
 
     o["curation_pipeline"] = (
