@@ -146,6 +146,12 @@ _ID_SENTENCES = (
 
 # (lang, sentences, query surface form, reference role) for the
 # generic per-language corpus entries below
+# deterministic accented-German vocabulary for the ICU-collation
+# entry + its DuckDB COLLATE de twin (word = vocab[doc_id % 17])
+_COLLATE_VOCAB = ("zebra", "Äpfel", "apfel", "östlich", "ångström",
+                  "Ober", "oben", "uber", "über", "schon", "schön",
+                  "Haus", "hause", "häuser", "bar", "bär", "baren")
+
 _LANG_CORPORA = {
     "thai": ("th", _TH_SENTENCES, "หนังสือ",
              "ThaiTokenizer dictionary word-break (analysis/common/"
@@ -974,6 +980,42 @@ RepSumByName
         })
 
     q["bench_alg_report"] = _bench_alg
+
+    def _collation_sort(sf):
+        """ICUCollationKeyAnalyzer / ICUCollationDocValuesField roles
+        (collation/ICUCollationKeyAnalyzer.java:43,
+        ICUCollationDocValuesField.java:34; analysis/collation.py UCA
+        three-level keys): a deterministic accented-German word column
+        (word = vocab[doc_id % 17]) gets a binary collation key as a
+        Dataset stage, a plain ds.sort on the key column is then the
+        locale-collated sort. Top-40 (key, doc_id) with ranks; the SQL
+        twin is DuckDB's INDEPENDENT ICU collation (ORDER BY word
+        COLLATE de)."""
+        import ray.data
+
+        from lucene_ray.analysis.collation import add_collation_key
+
+        docs = os.path.join(sf, "documents.parquet")
+        ds = ray.data.read_parquet(docs, columns=["doc_id"])
+        vocab = np.array(_COLLATE_VOCAB)
+
+        def add_word(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "word", pa.array(vocab[ids % len(vocab)]))
+
+        ds = add_collation_key(
+            ds.map_batches(add_word, batch_format="pyarrow"),
+            "word", locale="de")
+        top = pa.Table.from_pylist(
+            ds.sort(["sort_key", "doc_id"]).limit(40).take_all())
+        return pa.table({
+            "rank": np.arange(1, top.num_rows + 1, dtype=np.int64),
+            "doc_id": top["doc_id"],
+            "word": top["word"],
+        })
+
+    q["collation_sort_query"] = _collation_sort
 
     def _curation(sf):
         """End-to-end curation composition — ONE streaming Dataset
@@ -4120,6 +4162,18 @@ ORDER BY t.doc_id"""
              UNION ALL SELECT 'ResetSystemErase', 2
              UNION ALL SELECT 'Search', 20
            ) ORDER BY task"""
+    )
+
+    # the INDEPENDENT ICU collation check: DuckDB's own COLLATE de
+    # orders the same synthetic word column; rank pins the ORDER into
+    # the value hash (the compare canonicalizes row order)
+    _cv = ", ".join(f"({i}, '{w}')" for i, w in enumerate(_COLLATE_VOCAB))
+    o["collation_sort_query"] = (
+        f"""WITH w(i, word) AS (VALUES {_cv}),
+d AS (SELECT doc_id, word FROM documents JOIN w ON doc_id % 17 = w.i)
+SELECT row_number() OVER (ORDER BY word COLLATE de, doc_id) AS rank,
+       doc_id, word
+FROM d ORDER BY word COLLATE de, doc_id LIMIT 40"""
     )
 
     o["curation_pipeline"] = (
