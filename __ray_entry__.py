@@ -133,6 +133,16 @@ _HI_SENTENCES = (
     "बच्चे बगीचे में खेलते हैं",
     "माता पिता बच्चों से प्यार करते हैं",
 )
+_FA_SENTENCES = (
+    "دانش‌آموز کتاب می‌خواند",
+    "کتاب جدید روی میز است",
+    "معلم درس می‌دهد",
+    "ما به مدرسه می‌رویم",
+    "این کتاب اوست",
+    "شهر بزرگ و زیباست",
+    "ما در کتابخانه هستیم",
+    "پدر و مادر فرزند را دوست دارند",
+)
 _ID_SENTENCES = (
     "dia mengambil bukunya di sekolah",
     "guru menulis buku baru",
@@ -146,6 +156,21 @@ _ID_SENTENCES = (
 
 # (lang, sentences, query surface form, reference role) for the
 # generic per-language corpus entries below
+# deterministic 10-script corpus for the lang_id_script entry: the SQL
+# twin knows each row's language BY CONSTRUCTION (doc_id % 10)
+_SCRIPT_ROUTE_ROWS = (
+    ("en", "the quick brown fox jumps over the lazy dog"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund"),
+    ("zh", _ZH_SENTENCES[1]),
+    ("ja", _JA_SENTENCES[1]),
+    ("ko", _KO_SENTENCES[0]),
+    ("th", _TH_SENTENCES[0]),
+    ("el", _EL_SENTENCES[0]),
+    ("ar", _AR_SENTENCES[0]),
+    ("hi", _HI_SENTENCES[0]),
+    ("ru", "быстрая коричневая лиса прыгает через ленивую собаку"),
+)
+
 # deterministic accented-German vocabulary for the ICU-collation
 # entry + its DuckDB COLLATE de twin (word = vocab[doc_id % 17])
 _COLLATE_VOCAB = ("zebra", "Äpfel", "apfel", "östlich", "ångström",
@@ -174,6 +199,11 @@ _LANG_CORPORA = {
                    "IndonesianStemmer role (analysis/id/"
                    "IndonesianStemmer.java:27; Tala's algorithm, "
                    "analysis/light_stemmers.py)"),
+    "persian": ("fa", _FA_SENTENCES, "کتاب",
+                "PersianAnalyzer chain roles (analysis/fa/"
+                "PersianAnalyzer.java:41, PersianNormalizer.java:31, "
+                "PersianCharFilter.java:26 ZWNJ split; "
+                "analysis/light_stemmers.py)"),
 }
 
 
@@ -1016,6 +1046,35 @@ RepSumByName
         })
 
     q["collation_sort_query"] = _collation_sort
+
+    def _lang_id_script(sf):
+        """Writing-system routing prior of the language identifier
+        (pipelines/textstats.LangId._script_route — the CLD-style
+        script heuristic feeding analyzer_for_lang's 23-language
+        registry): a deterministic 10-script corpus (row i = sample
+        text of script[i%10]) classifies per row; the SQL twin knows
+        each row's script by construction (VALUES join on doc_id % 10
+        — fully independent of the classifier)."""
+        import ray.data
+
+        from lucene_ray.pipelines.textstats import lang_id
+
+        docs = os.path.join(sf, "documents.parquet")
+        ds = ray.data.read_parquet(docs, columns=["doc_id"])
+        texts = np.array([t for _lg, t in _SCRIPT_ROUTE_ROWS])
+
+        def add_text(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "text", pa.array(texts[ids % len(texts)]))
+
+        out = lang_id(ds.map_batches(add_text, batch_format="pyarrow"),
+                      concurrency=2).select_columns(["doc_id", "lang_pred"])
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                              batch_size=1 << 16))
+        return t.sort_by([("doc_id", "ascending")])
+
+    q["lang_id_script"] = _lang_id_script
 
     def _curation(sf):
         """End-to-end curation composition — ONE streaming Dataset
@@ -4174,6 +4233,16 @@ d AS (SELECT doc_id, word FROM documents JOIN w ON doc_id % 17 = w.i)
 SELECT row_number() OVER (ORDER BY word COLLATE de, doc_id) AS rank,
        doc_id, word
 FROM d ORDER BY word COLLATE de, doc_id LIMIT 40"""
+    )
+
+    # the twin knows each row's language by construction — no
+    # classifier logic reproduced, a genuinely independent check
+    _sr = ", ".join(f"({i}, '{lg}')"
+                    for i, (lg, _t) in enumerate(_SCRIPT_ROUTE_ROWS))
+    o["lang_id_script"] = (
+        f"""WITH m(i, lang_pred) AS (VALUES {_sr})
+SELECT doc_id, lang_pred FROM documents JOIN m ON doc_id % 10 = m.i
+ORDER BY doc_id"""
     )
 
     o["curation_pipeline"] = (

@@ -544,12 +544,17 @@ def common_grams_query(tokens: "list[str]", common: "frozenset | set") \
 def analyzer_for_lang(lang: str) -> Analyzer:
     """Language-routed analyzer selection — the role of the reference's
     per-language analyzer registry (GermanAnalyzer, FrenchAnalyzer, … in
-    lucene/analysis/common): 'en' gets stop words + Porter, the Snowball
-    languages (de/fr/es/pt/it/nl, analysis/snowball.py) get their
-    stemmer, anything else falls back to StandardAnalyzer. Pair with the
-    `lang` column (pipelines/textstats.lang_id) to route a multilingual
-    crawl — e.g. as PerFieldAnalyzerWrapper-style field_analyzers or one
-    index per language partition."""
+    lucene/analysis/{common,icu,kuromoji,nori,smartcn}). 23 routes:
+    'en' gets stop words + Porter; the 14 Snowball languages
+    (analysis/snowball.py) get their stemmer (tr additionally gets the
+    dotted/dotless-i casing); el/ar/hi/id get the light-stemmer chains
+    (analysis/light_stemmers.py); ja/ko/zh get morphological lattice
+    segmentation (analysis/japanese.py, korean.py, chinese.py); th gets
+    the dictionary word-break (analysis/thai.py); anything else falls
+    back to StandardAnalyzer. Pair with the `lang` column
+    (pipelines/textstats.lang_id — script prior + trigram profiles) to
+    route a multilingual crawl, e.g. as PerFieldAnalyzerWrapper-style
+    field_analyzers or one index per language partition."""
     if lang == "en":
         return EnglishStemAnalyzer
     from lucene_ray.analysis.snowball import STEMMERS
@@ -581,6 +586,12 @@ def analyzer_for_lang(lang: str) -> Analyzer:
         # a char-filter pair keeps the rule manifest-serializable.
         return Analyzer(stem_lang="tr",
                         char_filters=(("İ", "i"), ("I", "ı")))
+    if lang == "fa":
+        # PersianAnalyzer chain (fa/PersianAnalyzer.java:41): the ZWNJ
+        # -> space rewrite (PersianCharFilter.java:26) splits Persian
+        # compound verbs before tokenization; Arabic+Persian
+        # normalization then runs as the 'fa' token filter
+        return Analyzer(stem_lang="fa", char_filters=(("‌", " "),))
     if lang in STEMMERS:
         return Analyzer(stem_lang=lang)
     return StandardAnalyzer

@@ -102,6 +102,30 @@ def arabic_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Persian
+# ---------------------------------------------------------------------------
+
+_FA_MAP = {
+    "ی": "ي",   # farsi yeh -> arabic yeh
+    "ے": "ي",   # yeh barree -> arabic yeh
+    "ک": "ك",   # keheh -> kaf
+    "ۀ": "ه",   # heh + yeh above -> heh
+    "ہ": "ه",   # heh goal -> heh
+}
+
+
+def persian_normalize(word: str) -> str:
+    """PersianNormalizer role (analysis/fa/PersianNormalizer.java:31):
+    farsi yeh / yeh barree -> yeh, keheh -> kaf, heh variants -> heh,
+    hamza-above removed — composed AFTER arabic_normalize, mirroring
+    the PersianAnalyzer chain (fa/PersianAnalyzer.java:41: Arabic then
+    Persian normalization, NO stemmer). The chain's ZWNJ -> space
+    rewrite (PersianCharFilter.java:26) lives in the analyzer's
+    char_filters, not here."""
+    return "".join(_FA_MAP.get(c, c) for c in word if c != "ٔ")
+
+
+# ---------------------------------------------------------------------------
 # Hindi
 # ---------------------------------------------------------------------------
 
@@ -464,6 +488,7 @@ def greek_stem(word: str) -> str:
 # registered into analysis/snowball.STEMMERS by analysis/__init__ hook
 LIGHT_STEMMERS = {
     "ar": lambda w: arabic_stem(arabic_normalize(w)),
+    "fa": lambda w: persian_normalize(arabic_normalize(w)),
     "hi": lambda w: hindi_stem(hindi_normalize(w)),
     "id": indonesian_stem,
     "el": greek_stem,

@@ -157,7 +157,55 @@ class LangId:
             ]
             self.ascii_codes.append(np.array(sorted(codes), dtype=np.int64))
 
+    # writing-system fast path (the CLD-style script prior): a row whose
+    # letters are dominantly one non-Latin script routes by script alone —
+    # Han+kana -> ja, Han -> zh, Hangul -> ko, Thai -> th, Greek -> el,
+    # Arabic -> ar, Devanagari -> hi, Cyrillic -> ru — feeding the full
+    # analyzer_for_lang registry (CJK lattices, Thai dictionary break,
+    # light stemmers). Latin text (incl. accented de/fr/es) never enters
+    # this path, so trigram behavior (and its SQL twin) is unchanged.
+    _SCRIPTS = (
+        ("han", ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))),
+        ("kana", ((0x3040, 0x30FF),)),
+        ("hangul", ((0xAC00, 0xD7AF), (0x1100, 0x11FF))),
+        ("thai", ((0x0E00, 0x0E7F),)),
+        ("greek", ((0x0370, 0x03FF), (0x1F00, 0x1FFF))),
+        ("arabic", ((0x0600, 0x06FF), (0x0750, 0x077F))),
+        ("devanagari", ((0x0900, 0x097F),)),
+        ("cyrillic", ((0x0400, 0x04FF),)),
+    )
+    _SCRIPT_LANG = {"han": "zh", "kana": "ja", "hangul": "ko",
+                    "thai": "th", "greek": "el", "arabic": "ar",
+                    "devanagari": "hi", "cyrillic": "ru"}
+
+    def _script_route(self, text: str) -> "str | None":
+        counts = dict.fromkeys(self._SCRIPT_LANG, 0)
+        latin = 0
+        for ch in text[:400]:
+            o = ord(ch)
+            if o < 0x80:
+                if ch.isalpha():
+                    latin += 1
+                continue
+            if o < 0x370 and ch.isalpha():   # Latin-1/Ext accents stay Latin
+                latin += 1
+                continue
+            for name, ranges in self._SCRIPTS:
+                if any(lo <= o <= hi for lo, hi in ranges):
+                    counts[name] += 1
+                    break
+        top = max(counts, key=counts.get)
+        if counts[top] == 0 or counts[top] <= latin:
+            return None
+        if counts["kana"] > 0 and (counts["kana"] + counts["han"]
+                                   >= counts[top]):
+            return "ja"          # Japanese mixes kanji + kana
+        return self._SCRIPT_LANG[top]
+
     def classify(self, text: str) -> str:
+        routed = self._script_route(text)
+        if routed:
+            return routed
         s = f"  {text[:400].lower()}  "
         grams = {s[i : i + 3] for i in range(len(s) - 2)}
         best, score = "und", 0

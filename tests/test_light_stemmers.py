@@ -46,6 +46,23 @@ class TestArabic:
         assert arabic_stem("ما") == "ما"
 
 
+class TestPersian:
+    def test_normalize(self):
+        from lucene_ray.analysis.light_stemmers import persian_normalize
+
+        assert persian_normalize("کتاب") == "كتاب"   # keheh -> kaf
+        assert persian_normalize("می") == "مي"         # farsi yeh -> yeh
+        assert persian_normalize("ۀ") == "ه"           # heh+yeh -> heh
+
+    def test_analyzer_chain_zwnj_split(self):
+        from lucene_ray.analysis.analyzers import analyzer_for_lang
+
+        an = analyzer_for_lang("fa")
+        # ZWNJ inside می‌خواند splits (PersianCharFilter role)
+        assert an.tokens("دانش‌آموز می‌خواند") == [
+            "دانش", "اموز", "مي", "خواند"]
+
+
 class TestHindi:
     def test_normalize(self):
         assert hindi_normalize("लड़का") == "लडका"        # nukta composite
@@ -132,6 +149,36 @@ class TestThai:
 
     def test_empty(self):
         assert th_tokenize("") == []
+
+
+class TestScriptRouting:
+    """LangId's writing-system prior (pipelines/textstats.py
+    _script_route) — feeds the 23-language analyzer registry."""
+
+    @pytest.mark.parametrize("text,lang", [
+        ("我们在北京工作搜索引擎技术", "zh"),
+        ("東京都に住んでいます日本語の検索", "ja"),   # kanji+kana -> ja
+        ("학교에서 학생이 공부합니다", "ko"),
+        ("นักเรียนอ่านหนังสือในโรงเรียน", "th"),
+        ("ο καλος ανθρωπος γραφει τραγουδια", "el"),
+        ("الطالب يقرأ الكتاب في المدرسة", "ar"),
+        ("लड़के किताब पढ़ते हैं", "hi"),
+        ("быстрая коричневая лиса прыгает", "ru"),
+    ])
+    def test_scripts(self, text, lang):
+        from lucene_ray.pipelines.textstats import LangId
+
+        assert LangId().classify(text) == lang
+
+    def test_latin_accents_stay_on_trigram_path(self):
+        from lucene_ray.pipelines.textstats import LangId
+
+        lid = LangId()
+        # German umlauts must NOT trip the script prior
+        assert lid._script_route(
+            "der schnelle braune fuchs springt über den faulen hund") is None
+        assert lid.classify(
+            "der schnelle braune fuchs springt über den faulen hund") == "de"
 
 
 class TestAnalyzerRouting:
