@@ -134,6 +134,18 @@ def _materialize_multilingual_corpus(corpus_path: str) -> str:
     return path
 
 
+def _silence_worker_schema_noise():
+    """Worker-process setup hook: the 'Failed to hash the schemas (for
+    deduplication)' warning streams from WORKERS through raylet log
+    forwarding, which bypasses driver-side logging filters — raise that
+    one logger's threshold inside every worker instead."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
@@ -144,6 +156,8 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={
+            "worker_process_setup_hook": _silence_worker_schema_noise},
     )
     from ray.data import DataContext
 
