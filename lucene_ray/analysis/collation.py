@@ -30,6 +30,9 @@ Locale tailorings (the ICU locale data this module carries):
 * ``da`` / ``no`` — æ, ø, å after z; aa = å (the digraph rule IS
   carried for da, where ICU applies it).
 * ``fi`` — å, ä, ö after z (like sv).
+* ``tr`` — ç/ğ/ı/ö/ş/ü as distinct primaries in Turkish alphabet
+  order, with the Turkish casing rule (I is the uppercase of dotless
+  ı; İ of i).
 
 The key layout is the UCA standard: all primary weights (2 bytes
 each), a 0x00 0x01 level separator, secondary weights, separator,
@@ -65,15 +68,25 @@ _MARK_WEIGHT = {
     "̨": 21,  # ogonek
 }
 
+def _lat(c: str, half: bool = False) -> int:
+    """Primary weight of a base Latin letter; half=True lands BETWEEN
+    this letter and the next (for tailored letters like ç after c)."""
+    return _LATIN_BASE + (ord(c) - 97) * 16 + (8 if half else 0)
+
+
 # per-locale primary tailoring: char (lowercase, NFC) -> primary weight
 _TAILOR = {
     "sv": {"å": _AFTER_Z + 1, "ä": _AFTER_Z + 2, "ö": _AFTER_Z + 3},
     "fi": {"å": _AFTER_Z + 1, "ä": _AFTER_Z + 2, "ö": _AFTER_Z + 3},
     "da": {"æ": _AFTER_Z + 1, "ø": _AFTER_Z + 2, "å": _AFTER_Z + 3},
     "no": {"æ": _AFTER_Z + 1, "ø": _AFTER_Z + 2, "å": _AFTER_Z + 3},
+    # Turkish alphabet order: c ç d … g ğ h ı i … o ö … s ş … u ü
+    "tr": {"ç": _lat("c", True), "ğ": _lat("g", True),
+           "ı": _lat("h", True), "ö": _lat("o", True),
+           "ş": _lat("s", True), "ü": _lat("u", True)},
 }
 
-SUPPORTED_LOCALES = ("root", "en", "de", "sv", "fi", "da", "no")
+SUPPORTED_LOCALES = ("root", "en", "de", "sv", "fi", "da", "no", "tr")
 
 
 def _weights(text: str, locale: str):
@@ -85,7 +98,12 @@ def _weights(text: str, locale: str):
     # collate as single primaries; untailored chars decompose
     i_sec = 0
     for ch in unicodedata.normalize("NFC", text):
-        low = ch.lower()
+        if locale == "tr" and ch in "Iİ":
+            # Turkish casing: I is the UPPERCASE of dotless ı (so it
+            # collates at ı's tailored primary), İ the uppercase of i
+            low = "ı" if ch == "I" else "i"
+        else:
+            low = ch.lower()
         if low in tailor:
             prim.append(tailor[low])
             sec.append(1)  # baseline secondary for a primary position

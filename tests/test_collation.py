@@ -22,6 +22,11 @@ VOCAB = {
     "en": ["resume", "résumé", "Resume", "cote", "côte", "coté",
            "côté", "cotée"],
     "fi": ["zebra", "äiti", "apu", "öljy", "åland"],
+    # Turkish alphabet order + the I/ı casing rule: Istanbul (capital
+    # dotless-I word) sorts at ı, İzmir at i
+    "tr": ["cam", "çam", "dag", "gol", "hal", "ılık", "ince", "otel",
+           "öte", "su", "şu", "ucuz", "üzüm", "zebra", "Istanbul",
+           "istanbul", "İzmir", "izmir"],
 }
 
 
