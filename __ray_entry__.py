@@ -156,6 +156,20 @@ _ID_SENTENCES = (
 
 # (lang, sentences, query surface form, reference role) for the
 # generic per-language corpus entries below
+# width-mixed corpus for the CJKWidthFilter entry: halfwidth katakana
+# (with voiced marks), fullwidth ASCII, and canonical forms that must
+# all meet at the same folded terms
+_WIDTH_SENTENCES = (
+    "ﾃﾞｰﾀ 処理 ｼｽﾃﾑ",
+    "データ 解析 ツール",
+    "ＡＢＣ ｶﾞｲﾄﾞ 123",
+    "ﾊﾟﾝ と ﾐﾙｸ",
+    "system data ＴＥＳＴ",
+    "ツール の ガイド",
+    "ﾃﾞｰﾀ ﾍﾞｰｽ 設計",
+    "テスト データ 管理",
+)
+
 # deterministic 10-script corpus for the lang_id_script entry: the SQL
 # twin knows each row's language BY CONSTRUCTION (doc_id % 10)
 _SCRIPT_ROUTE_ROWS = (
@@ -2675,6 +2689,44 @@ RepSumByName
         return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
 
     q["cjk_bigram_query"] = _cjk_bigram_query
+
+    def _cjk_width_query(sf):
+        """CJKWidthFilter role (cjk/CJKWidthFilter.java:36;
+        analysis/stem.cjk_width_fold): a width-mixed corpus (halfwidth
+        katakana with voiced marks, fullwidth ASCII) indexes through
+        Analyzer(cjk_width=True), so ﾃﾞｰﾀ / データ meet at one folded
+        term; BM25-scores TermQuery(normalize('ﾃﾞｰﾀ')). SQL twin from
+        the analyzer's own token streams (japanese_analyzer_query
+        pattern)."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(docs, columns=["doc_id"])["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        texts = [" ".join([_WIDTH_SENTENCES[int(i) % len(_WIDTH_SENTENCES)]]
+                          * (int(i) % 3 + 1)) for i in ids_np]
+        tag = hashlib.sha1(
+            f"{docs}:{len(ids_np)}:c{CODEC_VERSION}:cjkw1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            ds = ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(ids_np), "text": pa.array(texts)}))
+            build_index(ds, idx, analyzer=Analyzer(cjk_width=True),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize("ﾃﾞｰﾀ")))
+        order = np.argsort(d)
+        return pa.table({"doc_id": d[order], "score": _round4(sc[order])})
+
+    q["cjk_width_query"] = _cjk_width_query
 
     def _mk_lang_corpus_query(name: str, lang: str, sentences, term: str,
                               role: str):
@@ -6119,6 +6171,11 @@ ORDER BY t.doc_id"""
         _an5 = _afl(_lg)
         o[f"{_nm}_analyzer_query"] = _cjk_oracle(
             _sents, _an5.tokens, _an5.normalize(_term), "doc_id % 3 + 1")
+
+    _wan = _An(cjk_width=True)
+    o["cjk_width_query"] = _cjk_oracle(
+        _WIDTH_SENTENCES, _wan.tokens, _wan.normalize("ﾃﾞｰﾀ"),
+        "doc_id % 3 + 1")
 
     o["english_analyzer_query"] = (
         f"""

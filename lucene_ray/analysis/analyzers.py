@@ -103,6 +103,12 @@ class Analyzer:
     # per process (analysis/hunspell.load_cached).
     hunspell: "tuple[str, str] | None" = None
     ascii_fold: bool = False  # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java)
+    # CJKWidthFilter role (analysis/cjk/CJKWidthFilter.java:36): fold
+    # fullwidth ASCII to Basic Latin and halfwidth Katakana to
+    # fullwidth (voiced marks composing: ﾃﾞ -> デ) — part of the
+    # reference JapaneseAnalyzer chain. Runs FIRST among the token
+    # filters so downstream filters see canonical widths.
+    cjk_width: bool = False
     # ICUFoldingFilter role (analysis/icu/ICUFoldingFilter.java:51):
     # full-Unicode fold — NFKD compatibility decomposition, combining
     # marks stripped, case fold — so café/CAFÉ/ｃａｆé all index as cafe.
@@ -288,8 +294,12 @@ class Analyzer:
         return self.length_max is None or len(term) <= self.length_max
 
     def transform_token(self, term: str) -> str:
-        """Post-stop per-token filters (normalize, then fold, then stem,
-        then phonetic)."""
+        """Post-stop per-token filters (width fold, then normalize, then
+        fold, then stem, then phonetic)."""
+        if self.cjk_width:
+            from lucene_ray.analysis.stem import cjk_width_fold
+
+            term = cjk_width_fold(term)
         if self.icu_normalize:
             import unicodedata
 
@@ -334,6 +344,7 @@ class Analyzer:
     @property
     def has_token_filters(self) -> bool:
         return (self.stem or self.ascii_fold or self.icu_fold
+                or self.cjk_width
                 or bool(self.icu_normalize) or bool(self.stem_lang)
                 or bool(self.hunspell) or bool(self.phonetic))
 
@@ -561,8 +572,10 @@ def analyzer_for_lang(lang: str) -> Analyzer:
 
     if lang == "ja":
         # kuromoji JapaneseAnalyzer role (ja/JapaneseAnalyzer.java:43):
-        # morphological Viterbi segmentation (analysis/japanese.py)
-        return Analyzer(ja_segment=True)
+        # morphological Viterbi segmentation (analysis/japanese.py) +
+        # the chain's CJKWidthFilter (halfwidth kana / fullwidth ASCII
+        # canonicalization)
+        return Analyzer(ja_segment=True, cjk_width=True)
     if lang == "ko":
         # nori KoreanAnalyzer role (ko/KoreanAnalyzer.java:38): lattice
         # segmentation within each eojeol + POS stop of josa/eomi

@@ -188,3 +188,35 @@ for _src, _dst in _FOLD_PAIRS.items():
 def ascii_fold(w: str) -> str:
     """Fold accented Latin characters to their ASCII base form."""
     return w.translate(_FOLD_TABLE)
+
+
+def cjk_width_fold(w: str) -> str:
+    """CJKWidthFilter role (analysis/cjk/CJKWidthFilter.java:36): fold
+    fullwidth ASCII variants (U+FF01-FF5E) to Basic Latin and halfwidth
+    Katakana (U+FF66-FF9F) to fullwidth, COMPOSING the halfwidth
+    voiced/semi-voiced marks (U+FF9E/FF9F) with the preceding kana
+    (ﾃﾞ -> デ) — exactly the filter's scope, NOT a general NFKC (which
+    would also rewrite ㈱/ﬁ-style compatibility chars the filter leaves
+    alone). NFKC is applied per halfwidth-kana char/pair only."""
+    import unicodedata
+
+    out: list[str] = []
+    for ch in w:
+        o = ord(ch)
+        if 0xFF01 <= o <= 0xFF5E:
+            out.append(chr(o - 0xFEE0))
+        elif o == 0x3000:                      # ideographic space
+            out.append(" ")
+        elif o in (0xFF9E, 0xFF9F):            # voiced marks compose
+            if out:
+                combined = unicodedata.normalize("NFKC", out[-1] + ch)
+                if len(combined) == 1:
+                    out[-1] = combined
+                    continue
+            # leading / uncombinable: the standalone fullwidth mark
+            out.append(unicodedata.normalize("NFKC", ch))
+        elif 0xFF66 <= o <= 0xFF9D:
+            out.append(unicodedata.normalize("NFKC", ch))
+        else:
+            out.append(ch)
+    return "".join(out)

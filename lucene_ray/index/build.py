@@ -368,6 +368,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "stem_lang": analyzer.stem_lang,
         "hunspell": list(analyzer.hunspell) if analyzer.hunspell else None,
         "ascii_fold": analyzer.ascii_fold,
+        "cjk_width": analyzer.cjk_width,
         "icu_fold": analyzer.icu_fold,
         "icu_normalize": analyzer.icu_normalize,
         "phonetic": analyzer.phonetic,
@@ -402,6 +403,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         stem_lang=a.get("stem_lang"),
         hunspell=tuple(a["hunspell"]) if a.get("hunspell") else None,
         ascii_fold=a.get("ascii_fold", False),
+        cjk_width=a.get("cjk_width", False),
         icu_fold=a.get("icu_fold", False),
         icu_normalize=a.get("icu_normalize"),
         phonetic=a.get("phonetic"),

@@ -151,6 +151,41 @@ class TestThai:
         assert th_tokenize("") == []
 
 
+class TestCJKWidth:
+    """CJKWidthFilter role (analysis/stem.cjk_width_fold)."""
+
+    @pytest.mark.parametrize("raw,folded", [
+        ("ﾃﾞｰﾀ", "データ"),     # halfwidth + voiced mark composes
+        ("ﾊﾟﾝ", "パン"),           # semi-voiced
+        ("ｼｽﾃﾑ", "システム"),
+        ("ＡＢＣ", "ABC"),         # fullwidth ASCII -> Basic Latin
+        ("ﾞ", "゙"),            # leading mark: standalone combining
+        ("データabc", "データabc"),  # canonical text is a no-op
+    ])
+    def test_fold(self, raw, folded):
+        from lucene_ray.analysis.stem import cjk_width_fold
+
+        assert cjk_width_fold(raw) == folded
+
+    def test_not_general_nfkc(self):
+        # compatibility chars OUTSIDE the filter's scope stay put
+        from lucene_ray.analysis.stem import cjk_width_fold
+
+        assert cjk_width_fold("㈱ﬁ") == "㈱ﬁ"
+
+    def test_analyzer_unifies_widths(self):
+        from lucene_ray.analysis.analyzers import Analyzer
+
+        an = Analyzer(cjk_width=True)
+        assert an.tokens("ﾃﾞｰﾀ") == an.tokens("データ")
+        assert an.normalize("ＡＢＣ") == "abc"
+
+    def test_ja_chain_includes_width(self):
+        from lucene_ray.analysis.analyzers import analyzer_for_lang
+
+        assert analyzer_for_lang("ja").cjk_width
+
+
 class TestScriptRouting:
     """LangId's writing-system prior (pipelines/textstats.py
     _script_route) — feeds the 23-language analyzer registry."""
