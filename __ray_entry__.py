@@ -154,6 +154,91 @@ _ID_SENTENCES = (
     "teman saya bekerja di kota",
 )
 
+# round-5 second-wave light-stemmer corpora (same scheme): Bulgarian /
+# Czech / Latvian / Galician / Bengali / Sorani / Telugu light stems,
+# Serbian dual-script normalization (Cyrillic and Latin rows meet at
+# the same bald-Latin terms)
+_BG_SENTENCES = (
+    "ученикът чете книгата в училището",
+    "новата книга е на масата",
+    "учителят пише урока",
+    "учениците отиват на училище",
+    "градът е голям и красив",
+    "четем книгите в библиотеката",
+    "момчето играе в градината",
+    "хубавите книги са тук",
+)
+_CS_SENTENCES = (
+    "student čte knihu ve škole",
+    "nová kniha je na stole",
+    "učitel píše lekci",
+    "studenti jdou do školy",
+    "město je velké a krásné",
+    "čteme knihy v knihovně",
+    "chlapec hraje na zahradě",
+    "pěkné knihy jsou tady",
+)
+_LV_SENTENCES = (
+    "skolēns lasa grāmatu skolā",
+    "jaunā grāmata ir uz galda",
+    "skolotājs raksta stundu",
+    "skolēni iet uz skolu",
+    "pilsēta ir liela un skaista",
+    "mēs lasām grāmatas bibliotēkā",
+    "zēns spēlējas dārzā",
+    "labas grāmatas ir šeit",
+)
+_GL_SENTENCES = (
+    "o estudante le libros na escola",
+    "os libros novos están na mesa",
+    "o profesor escribe a lección",
+    "os estudantes van á escola",
+    "a cidade é grande e fermosa",
+    "lemos os libros na biblioteca",
+    "o neno xoga no xardín",
+    "as palabras son importantes",
+)
+_BN_SENTENCES = (
+    "ছাত্র স্কুলে বই পড়ে",
+    "নতুন বইটা টেবিলে আছে",
+    "শিক্ষক পাঠ লেখেন",
+    "ছাত্ররা স্কুলে যায়",
+    "শহরটা বড় এবং সুন্দর",
+    "আমরা বইগুলো পড়ি",
+    "ছেলেটা বাগানে খেলে",
+    "ভালো বইগুলি এখানে আছে",
+)
+_CKB_SENTENCES = (
+    "قوتابی کتێب دەخوێنێتەوە",
+    "کتێبەکە لەسەر مێزە",
+    "مامۆستا وانەکە دەنووسێت",
+    "قوتابییەکان دەچنە قوتابخانە",
+    "شارەکە گەورە و جوانە",
+    "ئێمە کتێبەکان دەخوێنین",
+    "منداڵەکە لە باخچە یاری دەکات",
+    "کتێبە باشەکان لێرەن",
+)
+_TE_SENTENCES = (
+    "విద్యార్థి పుస్తకము చదువుతాడు",
+    "కొత్త పుస్తకము బల్లపై ఉంది",
+    "గురువు పాఠము వ్రాస్తాడు",
+    "విద్యార్థులు పాఠశాలకు వెళతారు",
+    "నగరము పెద్దది మరియు అందమైనది",
+    "మేము పుస్తకములు చదువుతాము",
+    "బాలుడు తోటలో ఆడతాడు",
+    "మంచి పుస్తకములు ఇక్కడ ఉన్నాయి",
+)
+_SR_SENTENCES = (
+    "студент чита књигу у школи",
+    "student čita knjigu u školi",
+    "нова књига је на столу",
+    "nova knjiga je na stolu",
+    "учитељ пише лекцију",
+    "grad je velik i lep",
+    "читамо књиге у библиотеци",
+    "dobre knjige su ovde",
+)
+
 # (lang, sentences, query surface form, reference role) for the
 # generic per-language corpus entries below
 # width-mixed corpus for the CJKWidthFilter entry: halfwidth katakana
@@ -217,6 +302,41 @@ _LANG_CORPORA = {
                 "PersianAnalyzer chain roles (analysis/fa/"
                 "PersianAnalyzer.java:41, PersianNormalizer.java:31, "
                 "PersianCharFilter.java:26 ZWNJ split; "
+                "analysis/light_stemmers.py)"),
+    # round-5 second wave
+    "bulgarian": ("bg", _BG_SENTENCES, "книгата",
+                  "BulgarianStemmer role (analysis/bg/"
+                  "BulgarianStemmer.java:36; Savoy's light stemmer, "
+                  "analysis/light_stemmers.py)"),
+    "czech": ("cs", _CS_SENTENCES, "knihu",
+              "CzechStemmer role (analysis/cz/CzechStemmer.java:36; "
+              "Dolamic & Savoy's light stemmer, "
+              "analysis/light_stemmers.py)"),
+    "latvian": ("lv", _LV_SENTENCES, "grāmatu",
+                "LatvianStemmer role (analysis/lv/LatvianStemmer.java:36; "
+                "Kreslins' light declension strip, "
+                "analysis/light_stemmers.py)"),
+    "galician": ("gl", _GL_SENTENCES, "libros",
+                 "GalicianMinimalStemmer role (analysis/gl/"
+                 "GalicianMinimalStemmer.java:29; RSLP-S plural step, "
+                 "analysis/light_stemmers.py)"),
+    "bengali": ("bn", _BN_SENTENCES, "বইটা",
+                "BengaliNormalizer + BengaliStemmer roles (analysis/bn/"
+                "BengaliNormalizer.java:28, BengaliStemmer.java:30; "
+                "UzZaman & Khan folding + Sengupta & Chaudhuri "
+                "suffixes, analysis/light_stemmers.py)"),
+    "sorani": ("ckb", _CKB_SENTENCES, "کتێبەکە",
+               "SoraniNormalizer + SoraniStemmer roles (analysis/ckb/"
+               "SoraniNormalizer.java:37, SoraniStemmer.java:22; "
+               "analysis/light_stemmers.py)"),
+    "telugu": ("te", _TE_SENTENCES, "పుస్తకము",
+               "TeluguNormalizer + TeluguStemmer roles (analysis/te/"
+               "TeluguNormalizer.java:29, TeluguStemmer.java:27; "
+               "analysis/light_stemmers.py)"),
+    "serbian": ("sr", _SR_SENTENCES, "књигу",
+                "SerbianNormalizationFilter role (analysis/sr/"
+                "SerbianNormalizationFilter.java:32: Cyrillic and "
+                "diacritic Latin fold to one bald-Latin term space; "
                 "analysis/light_stemmers.py)"),
 }
 

@@ -555,10 +555,11 @@ def common_grams_query(tokens: "list[str]", common: "frozenset | set") \
 def analyzer_for_lang(lang: str) -> Analyzer:
     """Language-routed analyzer selection — the role of the reference's
     per-language analyzer registry (GermanAnalyzer, FrenchAnalyzer, … in
-    lucene/analysis/{common,icu,kuromoji,nori,smartcn}). 24 routes:
+    lucene/analysis/{common,icu,kuromoji,nori,smartcn}). 32 routes:
     'en' gets stop words + Porter; the 14 Snowball languages
     (analysis/snowball.py) get their stemmer (tr additionally gets the
-    dotted/dotless-i casing); el/ar/hi/id/fa get the light-stemmer/normalizer chains
+    dotted/dotless-i casing); el/ar/hi/id/fa and the second wave
+    bg/cs/lv/gl/bn/ckb/te/sr get the light-stemmer/normalizer chains
     (analysis/light_stemmers.py); ja/ko/zh get morphological lattice
     segmentation (analysis/japanese.py, korean.py, chinese.py); th gets
     the dictionary word-break (analysis/thai.py); anything else falls

@@ -27,6 +27,17 @@ of the reference's hand-written stemmer classes in analysis/common:
   The behavior is deterministic and both index and query sides share
   it, so scoring parity holds for any corpus.
 
+Second wave (round 5): Bulgarian (analysis/bg/BulgarianStemmer.java:36,
+Savoy 2007), Czech (analysis/cz/CzechStemmer.java:36, Dolamic & Savoy
+2009), Latvian (analysis/lv/LatvianStemmer.java:36, Kreslins), Galician
+(analysis/gl/GalicianMinimalStemmer.java:29, RSLP-S plural step),
+Bengali (analysis/bn/BengaliNormalizer.java:28 + BengaliStemmer.java:30,
+UzZaman & Khan + Sengupta & Chaudhuri), Sorani Kurdish
+(analysis/ckb/SoraniNormalizer.java:37 + SoraniStemmer.java:22), Telugu
+(analysis/te/TeluguNormalizer.java:29 + TeluguStemmer.java:27), and the
+Serbian dual-script normalization
+(analysis/sr/SerbianNormalizationFilter.java:32).
+
 All functions are pure ``str -> str`` and plug into the analyzer's
 vocabulary-mapped filter path (analysis/batch.py): per-token Python
 only ever touches the batch's UNIQUE terms, so per-call cost is
@@ -485,6 +496,506 @@ def greek_stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Bulgarian (Savoy) — BulgarianStemmer role
+# (analysis/bg/BulgarianStemmer.java:36; "Searching Strategies for the
+# Bulgarian Language", Savoy 2007)
+# ---------------------------------------------------------------------------
+
+
+def _bg_article(w: str) -> str:
+    """Strip the postfixed definite article (-ът/-ят/-та/-то/-те and the
+    long-form -ият/-ия)."""
+    if len(w) > 6 and w.endswith("ият"):
+        return w[:-3]
+    if len(w) > 5 and w[-2:] in ("ът", "то", "те", "та", "ия"):
+        return w[:-2]
+    if len(w) > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _bg_plural(w: str) -> str:
+    """Undo plural formation, restoring the singular's final consonant
+    where pluralization mutated it (к↔ц, г↔з, х↔с, я↔е ablaut)."""
+    n = len(w)
+    if n > 6:
+        if w.endswith("овци"):
+            return w[:-3]           # -овци -> -о
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"     # -еве -> -й
+    if n > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"     # ц -> к before the dropped -и
+        if w.endswith("зи"):
+            return w[:-2] + "г"     # з -> г
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]   # е..и -> я.. (ablaut)
+    if n > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"     # с -> х
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+def bulgarian_stem(word: str) -> str:
+    """Savoy's light stemmer for Bulgarian: no stem under 4 chars; the
+    -ища suffix wins outright; otherwise article strip, plural undo,
+    final-vowel (-я/-а/-о/-е) strip, -ен -> -н recoding, and the
+    fleeting-ъ (ъN -> N) contraction."""
+    w = word
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _bg_article(w)
+    w = _bg_plural(w)
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w and w[-1] in "аое":
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Czech (Dolamic & Savoy) — CzechStemmer role
+# (analysis/cz/CzechStemmer.java:36; "Indexing and stemming approaches
+# for the Czech language", Dolamic & Savoy 2009)
+# ---------------------------------------------------------------------------
+
+_CS_CASE_4 = ("ětem", "etem", "atům")
+_CS_CASE_3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte",
+              "ete", "ěti", "eti", "ího", "iho", "ími", "ímu", "imu",
+              "ách", "ata", "aty", "ých", "ama", "ami", "ové", "ovi",
+              "ými")
+_CS_CASE_2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us",
+              "ým", "mi", "ou")
+_CS_CASE_1 = "aeiouůyáéíýě"
+
+
+def _cs_case(w: str) -> str:
+    n = len(w)
+    if n > 7 and w.endswith("atech"):
+        return w[:-5]
+    if n > 6 and w[-4:] in _CS_CASE_4:
+        return w[:-4]
+    if n > 5 and w[-3:] in _CS_CASE_3:
+        return w[:-3]
+    if n > 4 and w[-2:] in _CS_CASE_2:
+        return w[:-2]
+    if n > 3 and w[-1] in _CS_CASE_1:
+        return w[:-1]
+    return w
+
+
+def _cs_normalize(w: str) -> str:
+    """Palatalization undo on the exposed stem end: čt->ck, št->sk,
+    c/č->k, z/ž->h, trailing e-infix elision, ů->o shortening."""
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+def czech_stem(word: str) -> str:
+    """Dolamic & Savoy's light stemmer for Czech: longest case ending
+    (noun/adjective declension), then possessive -ov/-in/-ův, then the
+    palatalization normalization. Expects lowercased input WITH
+    diacritics (the analyzer chain lowercases first)."""
+    w = _cs_case(word)
+    if len(w) > 5 and w[-2:] in ("ov", "in", "ův"):
+        w = w[:-2]
+    return _cs_normalize(w) if w else w
+
+
+# ---------------------------------------------------------------------------
+# Latvian (Kreslins) — LatvianStemmer role
+# (analysis/lv/LatvianStemmer.java:36; light version of Karlis Kreslins'
+# PhD thesis "A stemming algorithm for Latvian": noun + adjective
+# declension only, with palatalization undo on declension II/V/VI strips)
+# ---------------------------------------------------------------------------
+
+_LV_VOWELS = frozenset("aeiouāēīū")
+
+# (suffix, vowels the suffix itself contributes, fires palatalization)
+# — a strip is accepted only if the word has MORE vowels than the
+# suffix (>=1 vowel stays in the stem) and >=3 chars remain.
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+
+
+def _lv_unpalatalize(stem: str, removed_first: str) -> str:
+    """Undo stem-final palatalization exposed by a declension II/V/VI
+    strip. The genitive-plural -u strips additionally restore kš->kst
+    and ņņ->nn; the ambiguous s/t/d mutations (s->š, t->š, d->ž, z->ž)
+    are left alone, as in the thesis's light variant."""
+    if removed_first == "u":
+        if stem.endswith("kš"):
+            return stem[:-2] + "kst"
+        if stem.endswith("ņņ"):
+            return stem[:-2] + "nn"
+    if stem[-2:] in ("pj", "bj", "mj", "vj"):    # labial + j: drop j
+        return stem[:-1]
+    for pal, plain in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                       ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if stem.endswith(pal):
+            return stem[:-2] + plain
+    if stem.endswith("č"):
+        return stem[:-1] + "c"
+    if stem.endswith("ļ"):
+        return stem[:-1] + "l"
+    if stem.endswith("ņ"):
+        return stem[:-1] + "n"
+    return stem
+
+
+def latvian_stem(word: str) -> str:
+    """Strip the single longest matching declension ending (the affix
+    table is ordered longest-first), requiring >=3 chars and >=1 vowel
+    in the remaining stem; undo palatalization where flagged."""
+    nv = sum(1 for c in word if c in _LV_VOWELS)
+    for suf, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and len(word) >= len(suf) + 3 and word.endswith(suf):
+            stem = word[: -len(suf)]
+            return _lv_unpalatalize(stem, suf[0]) if palatalizes else stem
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Galician (RSLP-S) — GalicianMinimalStemmer role
+# (analysis/gl/GalicianMinimalStemmer.java:29: the plural-reduction step
+# of "Regras do lematizador para o galego", the RSLP-S variant of
+# Orengo & Huyck's "A stemming algorithm for the Portuguese language")
+# ---------------------------------------------------------------------------
+
+# (suffix, min stem chars that must precede it, replacement,
+#  whole-word exceptions). First match wins, one strip only.
+# Documented reduction (greek_stem precedent): the published rule set's
+# proper-noun/loan-word exception lists are carried for the most common
+# entries only.
+_GL_PLURAL_RULES = (
+    ("ns", 1, "n", ("luns",)),
+    ("ós", 3, "ón", ()),
+    ("ões", 3, "ón", ()),
+    ("ães", 1, "ão", ("mães",)),
+    ("ais", 2, "al", ("cais", "tais", "mais", "pais", "ademais")),
+    ("áis", 2, "al", ("máis",)),
+    ("éis", 2, "el", ()),
+    ("eis", 2, "el", ()),
+    ("óis", 2, "ol", ()),
+    ("ois", 2, "ol", ()),
+    ("ís", 2, "il", ("país",)),
+    ("is", 2, "il", ("pais",)),
+    ("les", 2, "l", ("ingles",)),
+    ("res", 3, "r", ("venres", "mércores")),
+    ("ces", 2, "z", ()),
+    ("zes", 2, "z", ()),
+    ("ises", 3, "z", ()),
+    ("ás", 1, "al", ("más",)),
+    ("ses", 2, "s", ()),
+    ("s", 2, "", ("xoves", "martes", "menos", "atenas", "mas",
+                  "óculos", "país", "francés", "lápis")),
+)
+
+
+def galician_minimal_stem(word: str) -> str:
+    """RSLP-S plural step for Galician: only words of >=3 chars ending
+    in -s are candidates; apply the first matching suffix rule whose
+    stem keeps the required minimum length and whose word is not a
+    listed exception (bons->bon, normais->normal, luces->luz,
+    casas->casa)."""
+    if len(word) < 3 or not word.endswith("s"):
+        return word
+    for suf, min_stem, repl, exceptions in _GL_PLURAL_RULES:
+        if word.endswith(suf) and len(word) - len(suf) >= min_stem \
+                and word not in exceptions:
+            return word[: -len(suf)] + repl
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Bengali — BengaliNormalizer + BengaliStemmer roles
+# (analysis/bn/BengaliNormalizer.java:28: "A Double Metaphone encoding
+# for Bangla and its application in spelling checker", UzZaman & Khan;
+# analysis/bn/BengaliStemmer.java:30: Sengupta & Chaudhuri's verb-phrase
+# suffix analysis with Savoy's light-stemmer criteria)
+# ---------------------------------------------------------------------------
+
+_BN_HOSONTO = "্"
+
+
+def bengali_normalize(word: str) -> str:
+    """Spelling-variant folding for Bengali: chandrabindu drop, long
+    i/u-kar -> short, khanda-ta -> ta, nga -> anusvara, ন়/ণ -> ন,
+    ড়/ঢ় -> র, শ/ষ -> স, the ja-phala and ba-phala conjunct rewrites,
+    and the positional visarga rule."""
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "ঁ":                      # chandrabindu: drop
+            del s[i]
+            continue
+        if c == "ী":                      # dirgho i-kar -> rossho
+            s[i] = "ি"
+        elif c == "ূ":                    # dirgho u-kar -> rossho
+            s[i] = "ু"
+        elif c == "ক" and i + 2 < len(s) and s[i + 1] == _BN_HOSONTO \
+                and s[i + 2] == "ষ":      # ক্ষ (khio) -> খ
+            if i == 0:
+                s[i: i + 3] = ["খ"]
+            else:
+                s[i + 1: i + 3] = ["খ"]
+            i += 1
+            continue
+        elif c == "ঙ":                    # nga -> anusvara
+            s[i] = "ং"
+        elif c == "য" and i >= 1 and s[i - 1] == _BN_HOSONTO:
+            # ja-phala: word-initial C + ্য reads as e-kar on the
+            # consonant; elsewhere the conjunct drops entirely
+            if i == 2:
+                s[i - 1] = "ে"
+                if i + 1 < len(s) and s[i + 1] == "া":
+                    del s[i + 1]
+                del s[i]
+                continue
+            del s[i - 1: i + 1]
+            i -= 1
+            continue
+        elif c == "ব" and i >= 1 and s[i - 1] == _BN_HOSONTO:
+            # ba-phala: silent after an initial or clustered consonant,
+            # gemination of the preceding consonant otherwise
+            if i == 2 or (i >= 5 and s[i - 3] == _BN_HOSONTO):
+                del s[i - 1: i + 1]
+                i -= 1
+                continue
+            if i >= 2:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                continue
+        elif c == "ঃ":                    # visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "হ"            # short word: read as হ
+                else:
+                    del s[i]
+                    continue
+            else:
+                s[i] = s[i + 1]                # geminate the next char
+        elif c in ("শ", "ষ"):        # শ/ষ -> স
+            s[i] = "স"
+        elif c == "ণ":                    # ণ -> ন
+            s[i] = "ন"
+        elif c in ("ড়", "ঢ়"):        # ড়/ঢ় -> র
+            s[i] = "র"
+        elif c == "ৎ":                    # khanda-ta -> ta
+            s[i] = "ত"
+        i += 1
+    return "".join(s)
+
+
+_BN_SUFFIXES = {
+    8: ("িয়াছিলাম", "িতেছিলাম", "িতেছিলেন", "ইতেছিলেন", "িয়াছিলেন",
+        "ইয়াছিলেন"),
+    7: ("িতেছিলি", "িতেছিলে", "িয়াছিলা", "িয়াছিলে", "িতেছিলা",
+        "িয়াছিলি", "য়েদেরকে"),
+    6: ("িতেছিস", "িতেছেন", "িয়াছিস", "িয়াছেন", "েছিলাম", "েছিলেন",
+        "েদেরকে"),
+    5: ("িতেছি", "িতেছা", "িতেছে", "ছিলাম", "ছিলেন", "িয়াছি", "িয়াছা",
+        "িয়াছে", "েছিলে", "েছিলা", "য়েদের", "দেরকে"),
+    4: ("িলাম", "িলেন", "িতাম", "িতেন", "িবেন", "ছিলি", "ছিলে", "ছিলা",
+        "তেছে", "িতেছ", "খানা", "খানি", "গুলো", "গুলি", "য়েরা", "েদের"),
+    3: ("লাম", "িলি", "ইলি", "িলে", "ইলে", "লেন", "িলা", "ইলা", "তাম",
+        "িতি", "ইতি", "িতে", "ইতে", "তেন", "িতা", "িবা", "ইবা", "িবি",
+        "ইবি", "বেন", "িবে", "ইবে", "ছেন", "য়োন", "য়ের", "েরা", "দের"),
+    2: ("িস", "েন", "লি", "লে", "লা", "তি", "তে", "তা", "বি", "বে", "বা",
+        "ছি", "ছা", "ছে", "ুন", "ুক", "টা", "টি", "নি", "ের", "রা", "কে"),
+    1: ("ি", "ী", "া", "ো", "ে", "ব", "ত"),
+}
+
+
+def bengali_stem(word: str) -> str:
+    """Strip the single longest matching verb/case/classifier suffix
+    (8 -> 1 chars), requiring >=2 chars to remain."""
+    for length in range(8, 0, -1):
+        if len(word) > length + 1:
+            for suf in _BN_SUFFIXES[length]:
+                if word.endswith(suf):
+                    return word[:-length]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish — SoraniNormalizer + SoraniStemmer roles
+# (analysis/ckb/SoraniNormalizer.java:37, SoraniStemmer.java:22)
+# ---------------------------------------------------------------------------
+
+import unicodedata as _ud
+
+
+def sorani_normalize(word: str) -> str:
+    """Unicode-representation folding for Sorani: yeh forms -> farsi
+    yeh, kaf -> keheh, heh variants/teh-marbuta -> ae (word-final heh
+    and heh+ZWNJ included), initial reh -> rreh, harakat/tatweel/
+    formatting characters dropped."""
+    out = []
+    for ch in word:
+        if ch in "يى":               # yeh, dotless yeh
+            out.append("ی")
+        elif ch == "ك":                   # kaf -> keheh
+            out.append("ک")
+        elif ch == "‌":                   # ZWNJ: heh before it -> ae
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+        elif ch == "ة":                   # teh marbuta -> ae
+            out.append("ە")
+        elif ch == "ھ":                   # heh doachashmee -> heh
+            out.append("ه")
+        elif ch == "ر":                   # word-initial reh -> rreh
+            out.append("ڕ" if not out else ch)
+        elif ch == "ڒ":                   # reh with v above -> rreh
+            out.append("ڕ")
+        elif ch in "ـًٌٍَُِّْ":
+            continue                           # tatweel + harakat
+        elif _ud.category(ch) == "Cf":
+            continue                           # directional controls etc.
+        else:
+            out.append(ch)
+    if out and out[-1] == "ه":            # word-final heh -> ae
+        out[-1] = "ە"
+    return "".join(out)
+
+
+def sorani_stem(word: str) -> str:
+    """Light suffix strip for Sorani: postposition (-دا/-نا/-ەوە), then
+    possessive pronoun (-مان/-یان/-تان), then the longest matching
+    ezafe/definiteness/number marker."""
+    w = word
+    if len(w) > 5 and w.endswith("دا"):
+        w = w[:-2]
+    elif len(w) > 4 and w.endswith("نا"):
+        w = w[:-1]
+    elif len(w) > 6 and w.endswith("ەوە"):
+        w = w[:-3]
+    if len(w) > 6 and w[-3:] in ("مان", "یان", "تان"):
+        w = w[:-3]
+    # (suffix, min word length, chars to strip) — the demonstrative
+    # singular -ایە/-ەیە keeps its leading vowel (strips 2 of 3)
+    for suf, min_len, strip in (("ێکی", 7, 3), ("یەکی", 8, 4),
+                                ("ێک", 6, 2), ("یەک", 7, 3),
+                                ("ەکە", 7, 3), ("کە", 6, 2),
+                                ("ەکان", 8, 4), ("کان", 7, 3),
+                                ("یانی", 8, 4), ("انی", 7, 3),
+                                ("یان", 7, 3), ("ان", 6, 2),
+                                ("یانە", 8, 4), ("انە", 7, 3),
+                                ("ایە", 6, 2), ("ەیە", 6, 2),
+                                ("ە", 5, 1), ("ی", 5, 1)):
+        if len(w) >= min_len and w.endswith(suf):
+            return w[:-strip]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Telugu — TeluguNormalizer + TeluguStemmer roles
+# (analysis/te/TeluguNormalizer.java:29, TeluguStemmer.java:27)
+# ---------------------------------------------------------------------------
+
+_TE_MAP = str.maketrans({
+    "ఀ": "ం", "ఁ": "ం",    # candrabindu -> bindu
+    "ఔ": "ఓ", "ఐ": "ఏ",    # long -> short vowels
+    "ఆ": "అ", "ఈ": "ఇ", "ఊ": "ఉ",
+    "ీ": "ి", "ూ": "ు",    # long -> short matras
+    "ే": "ె", "ో": "ొ",
+    "ః": None, "‌": None, "‍": None,  # visarga, ZW(N)J
+})
+
+
+def telugu_normalize(word: str) -> str:
+    """Spelling-variant folding for Telugu: candrabindu -> bindu, long
+    vowels and matras -> short, visarga and ZW(N)J dropped, the
+    decomposed ai/au diphthongs recomposed."""
+    w = word.translate(_TE_MAP)
+    # decomposed ai diphthong (ె + ai length mark ౖ) -> precomposed ై
+    return w.replace("ై", "ై")
+
+
+_TE_SUFFIXES_2 = ("డు", "ము", "వు", "లు", "ని", "ను", "చే", "కై", "లో",
+                  "ది", "కి", "సు", "వై", "పై")
+_TE_MATRAS_1 = ("ి", "ీ", "ు", "ూ", "ె",
+                "ే", "ొ", "ో", "ా")
+
+
+def telugu_stem(word: str) -> str:
+    """Strip the single longest matching case/number/postposition
+    suffix (plural -ళ్ళు/-డ్లు, then the 2-char markers, then a bare
+    final matra)."""
+    if len(word) > 5 and (word.endswith("ళ్ళు") or word.endswith("డ్లు")):
+        return word[:-4]
+    if len(word) > 3 and word[-2:] in _TE_SUFFIXES_2:
+        return word[:-2]
+    if len(word) > 2 and word[-1] in _TE_MATRAS_1:
+        return word[:-1]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Serbian — SerbianNormalizationFilter role
+# (analysis/sr/SerbianNormalizationFilter.java:32: Cyrillic -> Latin,
+# then Latin diacritics -> "bald" Latin, đ -> dj, with the digraph
+# letters љ/њ/џ expanding to lj/nj/dz)
+# ---------------------------------------------------------------------------
+
+_SR_MAP = str.maketrans({
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj",
+    "е": "e", "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "c", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "c", "џ": "dz", "ш": "s",
+    "đ": "dj", "ž": "z", "ć": "c", "č": "c", "š": "s",
+})
+
+
+def serbian_normalize(word: str) -> str:
+    """Fold Serbian Cyrillic and diacritic Latin to one bald-Latin
+    form, so књига and knjiga index (and query) as the same term.
+    Expects lowercased input (the analyzer lowercases first)."""
+    return word.translate(_SR_MAP)
+
+
 # registered into analysis/snowball.STEMMERS by analysis/__init__ hook
 LIGHT_STEMMERS = {
     "ar": lambda w: arabic_stem(arabic_normalize(w)),
@@ -492,4 +1003,13 @@ LIGHT_STEMMERS = {
     "hi": lambda w: hindi_stem(hindi_normalize(w)),
     "id": indonesian_stem,
     "el": greek_stem,
+    # round-5 second wave
+    "bg": bulgarian_stem,
+    "cs": czech_stem,
+    "lv": latvian_stem,
+    "gl": galician_minimal_stem,
+    "bn": lambda w: bengali_stem(bengali_normalize(w)),
+    "ckb": lambda w: sorani_stem(sorani_normalize(w)),
+    "te": lambda w: telugu_stem(telugu_normalize(w)),
+    "sr": serbian_normalize,
 }

@@ -244,3 +244,176 @@ class TestAnalyzerRouting:
         for t, d in zip(terms, list(docidx)):
             got[int(d)].append(t)
         assert got == [an.tokens(t) for t in texts]
+
+
+class TestBulgarian:
+    """Savoy's light stemmer (analysis/bg/BulgarianStemmer.java:36)."""
+
+    def test_article_and_plural_unify(self):
+        from lucene_ray.analysis.light_stemmers import bulgarian_stem
+
+        assert bulgarian_stem("книгата") == "книг"   # -та article
+        assert bulgarian_stem("книгите") == "книг"   # -те article + -и plural
+        assert bulgarian_stem("книга") == "книг"     # bare -а
+        assert bulgarian_stem("градът") == "град"    # -ът article
+        assert bulgarian_stem("ища") == "ища"        # < 4 chars: untouched
+
+    def test_consonant_restoration(self):
+        from lucene_ray.analysis.light_stemmers import bulgarian_stem
+
+        # ц -> к before the dropped plural -и (ученици -> ученик)
+        assert bulgarian_stem("ученици") == "ученик"
+        # з -> г (подвизи -> подвиг), с -> х (власи -> влах)
+        assert bulgarian_stem("подвизи") == "подвиг"
+        assert bulgarian_stem("власи") == "влах"
+        # -ове plural (градове -> град)
+        assert bulgarian_stem("градове") == "град"
+
+
+class TestCzech:
+    """Dolamic & Savoy's light stemmer (analysis/cz/CzechStemmer.java:36)."""
+
+    def test_case_endings_unify(self):
+        from lucene_ray.analysis.light_stemmers import czech_stem
+
+        assert czech_stem("knihu") == czech_stem("knihy") == "knih"
+        assert czech_stem("knihách") == "knih"
+        assert czech_stem("studenti") == "student"
+
+    def test_palatalization_normalize(self):
+        from lucene_ray.analysis.light_stemmers import czech_stem
+
+        assert czech_stem("otcův") == "otcov"       # possessive + ů -> o
+        # c -> k on the exposed stem end
+        assert czech_stem("matce")[-1] == "k"
+
+
+class TestLatvian:
+    """Kreslins' light declension strip (analysis/lv/LatvianStemmer.java:36)."""
+
+    def test_declensions_unify(self):
+        from lucene_ray.analysis.light_stemmers import latvian_stem
+
+        assert latvian_stem("grāmatu") == latvian_stem("grāmata") \
+            == latvian_stem("grāmatas") == "grāmat"
+        assert latvian_stem("skolā") == "skol"
+
+    def test_vowel_guard(self):
+        from lucene_ray.analysis.light_stemmers import latvian_stem
+
+        # the remaining stem must keep >= 1 vowel and >= 3 chars
+        assert latvian_stem("tas") == "tas"
+
+    def test_unpalatalize(self):
+        from lucene_ray.analysis.light_stemmers import latvian_stem
+
+        # ņ -> n when a palatalizing suffix strips (ceļš decl. II)
+        assert latvian_stem("celiņu") == "celin"
+
+
+class TestGalician:
+    """RSLP-S plural step (analysis/gl/GalicianMinimalStemmer.java:29)."""
+
+    def test_plural_rules(self):
+        from lucene_ray.analysis.light_stemmers import galician_minimal_stem
+
+        assert galician_minimal_stem("libros") == "libro"
+        assert galician_minimal_stem("normais") == "normal"
+        assert galician_minimal_stem("luces") == "luz"
+        assert galician_minimal_stem("bons") == "bon"
+
+    def test_exceptions_and_guards(self):
+        from lucene_ray.analysis.light_stemmers import galician_minimal_stem
+
+        assert galician_minimal_stem("país") == "país"   # exception
+        assert galician_minimal_stem("non") == "non"     # no final -s
+        assert galician_minimal_stem("as") == "as"       # min stem guard
+
+
+class TestBengali:
+    """UzZaman & Khan folding + Sengupta & Chaudhuri suffixes
+    (analysis/bn/BengaliNormalizer.java:28, BengaliStemmer.java:30)."""
+
+    def test_normalize(self):
+        from lucene_ray.analysis.light_stemmers import bengali_normalize
+
+        assert bengali_normalize("বী") == "বি"       # dirgho i-kar -> rossho
+        assert bengali_normalize("চাঁদ") == "চাদ"    # chandrabindu drop
+        assert bengali_normalize("শসা") == "সসা"     # শ -> স
+
+    def test_classifier_and_plural_unify(self):
+        from lucene_ray.analysis.light_stemmers import (bengali_normalize,
+                                                        bengali_stem)
+
+        stem = lambda w: bengali_stem(bengali_normalize(w))
+        assert stem("বইটা") == stem("বইগুলো") == stem("বইগুলি") == "বই"
+        assert stem("ছাত্ররা") == "ছাত্র"
+
+
+class TestSorani:
+    """analysis/ckb/SoraniNormalizer.java:37 + SoraniStemmer.java:22."""
+
+    def test_normalize(self):
+        from lucene_ray.analysis.light_stemmers import sorani_normalize
+
+        assert sorani_normalize("كتيب") == "کتیب"   # kaf/yeh unify
+        assert sorani_normalize("ره") == "ڕە"       # initial reh, final heh
+
+    def test_definiteness_unifies(self):
+        from lucene_ray.analysis.light_stemmers import (sorani_normalize,
+                                                        sorani_stem)
+
+        stem = lambda w: sorani_stem(sorani_normalize(w))
+        assert stem("کتێبەکە") == stem("کتێبەکان") == "کتێب"
+
+
+class TestTelugu:
+    """analysis/te/TeluguNormalizer.java:29 + TeluguStemmer.java:27."""
+
+    def test_normalize(self):
+        from lucene_ray.analysis.light_stemmers import telugu_normalize
+
+        assert telugu_normalize("ఆట") == "అట"       # long -> short vowel
+        assert telugu_normalize("పీ") == "పి"        # long -> short matra
+
+    def test_suffix_strip(self):
+        from lucene_ray.analysis.light_stemmers import (telugu_normalize,
+                                                        telugu_stem)
+
+        stem = lambda w: telugu_stem(telugu_normalize(w))
+        assert stem("పుస్తకము") == "పుస్తక"
+        assert stem("నగరము") == "నగర"
+
+
+class TestSerbian:
+    """analysis/sr/SerbianNormalizationFilter.java:32."""
+
+    def test_dual_script_meets(self):
+        from lucene_ray.analysis.light_stemmers import serbian_normalize
+
+        assert serbian_normalize("књигу") == serbian_normalize("knjigu") \
+            == "knjigu"
+        assert serbian_normalize("чита") == serbian_normalize("čita") == "cita"
+        assert serbian_normalize("ђак") == serbian_normalize("đak") == "djak"
+        assert serbian_normalize("џез") == "dzez"
+
+    def test_analyzer_routes_and_batch_parity(self):
+        from lucene_ray.analysis.batch import tokenize_column
+
+        an = analyzer_for_lang("sr")
+        texts = ["студент чита књигу", "student čita knjigu"]
+        terms, docidx, _pos = tokenize_column(pa.array(texts), an)[:3]
+        terms = pa.array(terms).to_pylist()
+        got = [[], []]
+        for t, d in zip(terms, list(docidx)):
+            got[int(d)].append(t)
+        assert got == [an.tokens(t) for t in texts]
+        assert got[0] == got[1]          # both scripts meet
+
+
+class TestSecondWaveRouting:
+    @pytest.mark.parametrize("lang", ["bg", "cs", "lv", "gl", "bn",
+                                      "ckb", "te", "sr"])
+    def test_stem_lang_routes(self, lang):
+        an = analyzer_for_lang(lang)
+        assert an.stem_lang == lang
