@@ -4101,6 +4101,28 @@ RepSumByName
 
     q["force_merge_term_query"] = _merged
 
+    def _replicated(sf):
+        """Replicator roles (replicator/nrt/PrimaryNode.java:52,
+        ReplicaNode.java:63, CopyState.java): one ReplicaNode sync of
+        the cached primary index into a replica directory (delta copy
+        by file identity, manifest-last activation, stale-file delete
+        — index/replicator.py), then the reference term query served
+        FROM THE REPLICA; scores must equal the primary's, so the SQL
+        twin is term_query's."""
+        from lucene_ray.index.replicator import replicate
+        from lucene_ray.search.searcher import Searcher
+
+        idx = _index_dir(sf)
+        replica = idx + "-replica"
+        replicate(idx, replica)
+        s = Searcher(replica, mode="f64")
+        docs, scores = s.search_all(Q.TermQuery("table"))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order],
+                         "score": _round4(scores[order])})
+
+    q["replicated_search_query"] = _replicated
+
     def _media(sf):
         import ray.data
 
@@ -5764,6 +5786,7 @@ ORDER BY left_id"""
            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
     )
     o["force_merge_term_query"] = o["term_query"]
+    o["replicated_search_query"] = o["term_query"]
     o["knn_ivf_full_probe"] = o["knn_cosine_topk"]
     # the persisted bucket-partitioned IVF index at full probe must also
     # equal brute-force cosine top-k (proves the partitioned layout +
