@@ -276,6 +276,66 @@ _COLLATE_VOCAB = ("zebra", "Äpfel", "apfel", "östlich", "ångström",
                   "Ober", "oben", "uber", "über", "schon", "schön",
                   "Haus", "hause", "häuser", "bar", "bär", "baren")
 
+# round-5 token-filter corpora: (analyzer kwargs, sentences, query
+# surface form, reference role) — entries/oracles generate like
+# _LANG_CORPORA but with an explicit Analyzer config instead of a
+# language route
+_FR_EL_SENTENCES = (
+    "l'étudiant lit le livre",
+    "l'école est grande",
+    "il va à l'école",
+    "d'autres livres sont ici",
+    "qu'elle écrit la leçon",
+    "l'avion vole vite",
+    "c'est un bon livre",
+    "j'aime l'école",
+)
+_DD_SENTENCES = (
+    "room ٣٤٥ is open",
+    "room 345 is open",
+    "room ३४५ is open",
+    "block ７７ east wing",
+    "block 77 east wing",
+    "room ৯৯ is closed",
+    "room 99 is closed",
+    "gate ٥ north side",
+)
+_SCAND_SENTENCES = (
+    "blåbær syltetøj på bordet",
+    "blåbär syltetöj på bordet",
+    "blaabaer syltetoej paa bordet",
+    "vi køber blåbær i dag",
+    "vi köper blåbär i dag",
+    "smörgås med ost og brød",
+    "smoergaas med ost og broed",
+    "en grøn ø i havet",
+)
+_FLAG_CORPORA = {
+    "french_elision": (
+        {"stem_lang": "fr",
+         "elision": ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                     "jusqu", "quoiqu", "lorsqu", "puisqu")},
+        _FR_EL_SENTENCES, "l'école",
+        "ElisionFilter in the FrenchAnalyzer chain (analysis/util/"
+        "ElisionFilter.java:35, fr/FrenchAnalyzer.java:56,131: "
+        "l'école -> école before the Snowball stemmer; "
+        "analysis/stem.elide)"),
+    "decimal_digit": (
+        {"decimal_digit": True},
+        _DD_SENTENCES, "٣٤٥",
+        "DecimalDigitFilter (analysis/core/DecimalDigitFilter.java:31: "
+        "every Unicode Nd digit folds to ASCII, so ٣٤٥ / 345 / ३४५ "
+        "meet at one term; analysis/stem.decimal_digit_fold)"),
+    "scandinavian_normalize": (
+        {"scandinavian": "normalize"},
+        _SCAND_SENTENCES, "blåbär",
+        "ScandinavianNormalizationFilter (miscellaneous/"
+        "ScandinavianNormalizationFilter.java:38 + "
+        "ScandinavianNormalizer.java:28 ALL_FOLDINGS: ä->æ, ö->ø, "
+        "aa->å, ae->æ, oe/oo->ø; "
+        "analysis/stem.scandinavian_normalize_token)"),
+}
+
 _LANG_CORPORA = {
     "thai": ("th", _TH_SENTENCES, "หนังสือ",
              "ThaiTokenizer dictionary word-break (analysis/common/"
@@ -2893,6 +2953,53 @@ RepSumByName
         q[f"{_nm}_analyzer_query"] = _mk_lang_corpus_query(
             _nm, _lg, _sents, _term, _role)
 
+    def _mk_flag_corpus_query(name: str, an_kwargs: dict, sentences,
+                              term: str, role: str):
+        """Like _mk_lang_corpus_query but with an explicit Analyzer
+        config (token-filter entries) instead of a language route."""
+        def _fq(sf):
+            import ray.data
+
+            from lucene_ray.analysis.analyzers import Analyzer
+            from lucene_ray.codec.postings import CODEC_VERSION
+            from lucene_ray.index.build import build_index
+            from lucene_ray.search.searcher import Searcher
+
+            docs = os.path.join(sf, "documents.parquet")
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(docs, columns=["doc_id"])["doc_id"]
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            texts = [" ".join([sentences[int(i) % len(sentences)]]
+                              * (int(i) % 3 + 1)) for i in ids_np]
+            tag = hashlib.sha1(
+                f"{docs}:{len(ids_np)}:c{CODEC_VERSION}:{name}1".encode()
+            ).hexdigest()[:12]
+            idx = os.path.join(_CACHE_ROOT, tag)
+            if not os.path.exists(os.path.join(idx, "manifest.json")):
+                ds = ray.data.from_arrow(pa.table({
+                    "doc_id": pa.array(ids_np), "text": pa.array(texts)}))
+                build_index(ds, idx, analyzer=Analyzer(**an_kwargs),
+                            num_segments=4)
+            s = Searcher(idx, mode="f64")
+            d, sc = s.search_all(Q.TermQuery(s.analyzer.normalize(term)))
+            order = np.argsort(d)
+            return pa.table({"doc_id": d[order],
+                             "score": _round4(sc[order])})
+
+        _fq.__doc__ = (
+            f"{role}: deterministic synthetic corpus (doc i = "
+            f"sentence[i%8] repeated i%3+1 times) indexes through "
+            f"Analyzer({an_kwargs!r}) and BM25-scores "
+            f"TermQuery(normalize({term!r})); the SQL twin reconstructs "
+            f"the token streams from the engine analyzer's own output "
+            f"(japanese_analyzer_query pattern).")
+        return _fq
+
+    for _nm, (_kw, _sents, _term, _role) in _FLAG_CORPORA.items():
+        q[f"{_nm}_query"] = _mk_flag_corpus_query(
+            _nm, _kw, _sents, _term, _role)
+
     def _per_field_analyzer(sf):
         """PerFieldAnalyzerWrapper (analysis/miscellaneous/
         PerFieldAnalyzerWrapper.java:51): the title field indexes AND
@@ -3258,6 +3365,23 @@ RepSumByName
         return t.sort_by("doc_id")
 
     q["dedup_exact_content"] = _dedup_content
+
+    def _fingerprint_dedup(sf):
+        """FingerprintFilter duplicate groups (miscellaneous/
+        FingerprintFilter.java:44 — one sorted de-duplicated token-set
+        key per doc; pipelines/dedup.token_fingerprints): docs with
+        equal token SETS (any order/repetition) group; returns
+        (fingerprint, n_docs, keeper) for groups of 2+. Key-only
+        groupby shuffle, vectorized fingerprint map."""
+        from lucene_ray.pipelines.dedup import fingerprint_dedup
+
+        t = pa.concat_tables(
+            fingerprint_dedup(_pages_ds(sf))
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        )
+        return t.sort_by("fingerprint")
+
+    q["fingerprint_dedup"] = _fingerprint_dedup
 
     def _jaccard(sf):
         from lucene_ray.pipelines.dedup import jaccard_pairs
@@ -5565,6 +5689,17 @@ SELECT doc_id FROM (
          row_number() OVER (PARTITION BY text ORDER BY warc_ts DESC, doc_id DESC) AS rn
   FROM pages) WHERE rn = 1 ORDER BY doc_id"""
     )
+    o["fingerprint_dedup"] = (
+        _pages_prelude()
+        + """
+, fp AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS fingerprint
+  FROM pages)
+SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+FROM fp GROUP BY fingerprint HAVING count(*) >= 2 ORDER BY fingerprint"""
+    )
     o["jaccard_pairs"] = (
         _pages_prelude()
         + """
@@ -6319,6 +6454,13 @@ ORDER BY t.doc_id"""
     o["cjk_width_query"] = _cjk_oracle(
         _WIDTH_SENTENCES, _wan.tokens, _wan.normalize("ﾃﾞｰﾀ"),
         "doc_id % 3 + 1")
+
+    # round-5 token-filter twins (elision / decimal-digit /
+    # scandinavian-normalization): same engine-reconstructed template
+    for _nm, (_kw, _sents, _term, _role) in _FLAG_CORPORA.items():
+        _fan = _An(**_kw)
+        o[f"{_nm}_query"] = _cjk_oracle(
+            _sents, _fan.tokens, _fan.normalize(_term), "doc_id % 3 + 1")
 
     o["english_analyzer_query"] = (
         f"""

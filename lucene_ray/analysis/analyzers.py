@@ -147,6 +147,33 @@ class Analyzer:
     compound_min_sub: int = 2
     compound_max_sub: int = 15
     compound_longest: bool = False
+    # ElisionFilter (analysis/util/ElisionFilter.java:35): tuple of
+    # articles whose leading "article'" strips off the token
+    # ("l'avion" -> "avion"); the reference French/Italian/Catalan/Irish
+    # chains run it right after the tokenizer. Here it runs FIRST among
+    # the token filters (post-stop): with the engine's default empty
+    # stop sets the streams agree; when combining with stop_words, list
+    # the post-elision forms (documented order deviation).
+    elision: "tuple[str, ...] | None" = None
+    # DecimalDigitFilter (analysis/core/DecimalDigitFilter.java:31):
+    # fold any Unicode decimal digit to ASCII 0-9 (٣/３/३ -> 3) — the
+    # reference includes it in the Arabic/Persian/Hindi/Bengali/Thai
+    # analyzer chains.
+    decimal_digit: bool = False
+    # ScandinavianNormalizationFilter / ScandinavianFoldingFilter
+    # (miscellaneous/ScandinavianNormalizationFilter.java:38,
+    # ScandinavianFoldingFilter.java:38): 'normalize' unifies the
+    # interchangeable å/æ/ø spellings (ä->æ, ö->ø, aa->å, ae->æ,
+    # oe/oo->ø); 'fold' additionally flattens å/æ->a, ø->o.
+    scandinavian: "str | None" = None
+    # TruncateTokenFilter (miscellaneous/TruncateTokenFilter.java:28):
+    # keep only the first N chars of each token (a crude prefix
+    # stemmer); runs AFTER stem, before phonetic.
+    truncate_length: "int | None" = None
+    # KeepWordFilter (miscellaneous/KeepWordFilter.java:27): the inverse
+    # of StopFilter — only tokens IN the set survive, with position
+    # gaps. Applied with the length filter (after stop, before stem).
+    keep_words: "frozenset[str] | None" = None
 
     def __post_init__(self):
         if self.common_grams and self.keyword_repeat:
@@ -287,15 +314,31 @@ class Analyzer:
             text = _re.sub(pat, rep, text)
         return text
 
+    @property
+    def elision_set(self) -> frozenset:
+        return frozenset(self.elision or ())
+
     def _length_ok(self, term: str) -> bool:
-        """LengthFilter predicate (LengthFilter.java:31)."""
+        """LengthFilter + KeepWordFilter predicate (LengthFilter.java:31,
+        KeepWordFilter.java:27) — both drop with position gaps."""
         if len(term) < self.length_min:
             return False
-        return self.length_max is None or len(term) <= self.length_max
+        if self.length_max is not None and len(term) > self.length_max:
+            return False
+        return self.keep_words is None or term in self.keep_words
 
     def transform_token(self, term: str) -> str:
-        """Post-stop per-token filters (width fold, then normalize, then
-        fold, then stem, then phonetic)."""
+        """Post-stop per-token filters (elision, then digit/width folds,
+        then normalize, then fold, then stem, then truncate, then
+        phonetic)."""
+        if self.elision:
+            from lucene_ray.analysis.stem import elide
+
+            term = elide(term, self.elision_set)
+        if self.decimal_digit:
+            from lucene_ray.analysis.stem import decimal_digit_fold
+
+            term = decimal_digit_fold(term)
         if self.cjk_width:
             from lucene_ray.analysis.stem import cjk_width_fold
 
@@ -323,6 +366,13 @@ class Analyzer:
             from lucene_ray.analysis.stem import ascii_fold
 
             term = ascii_fold(term)
+        if self.scandinavian:
+            from lucene_ray.analysis.stem import (scandinavian_fold_token,
+                                                  scandinavian_normalize_token)
+
+            term = (scandinavian_fold_token(term)
+                    if self.scandinavian == "fold"
+                    else scandinavian_normalize_token(term))
         if self.stem:
             from lucene_ray.analysis.stem import porter_stem
 
@@ -335,6 +385,8 @@ class Analyzer:
             from lucene_ray.analysis.hunspell import load_cached
 
             term = load_cached(*self.hunspell).stem_one(term)
+        if self.truncate_length is not None:
+            term = term[: self.truncate_length]
         if self.phonetic:
             from lucene_ray.analysis.phonetic import encode
 
@@ -346,7 +398,10 @@ class Analyzer:
         return (self.stem or self.ascii_fold or self.icu_fold
                 or self.cjk_width
                 or bool(self.icu_normalize) or bool(self.stem_lang)
-                or bool(self.hunspell) or bool(self.phonetic))
+                or bool(self.hunspell) or bool(self.phonetic)
+                or bool(self.elision) or self.decimal_digit
+                or bool(self.scandinavian)
+                or self.truncate_length is not None)
 
     def _raw_stream(self, text: str):
         """(term, position, start, end) of the raw tokenizer stage — the
@@ -400,7 +455,8 @@ class Analyzer:
         if self.stop_words:
             sw = self.stop_words
             toks = [t for t in toks if t not in sw]
-        if self.length_min > 1 or self.length_max is not None:
+        if (self.length_min > 1 or self.length_max is not None
+                or self.keep_words is not None):
             toks = [t for t in toks if self._length_ok(t)]
         if self.has_token_filters:
             orig = toks
@@ -606,6 +662,20 @@ def analyzer_for_lang(lang: str) -> Analyzer:
         # compound verbs before tokenization; Arabic+Persian
         # normalization then runs as the 'fa' token filter
         return Analyzer(stem_lang="fa", char_filters=(("‌", " "),))
+    if lang == "fr":
+        # FrenchAnalyzer chain (fr/FrenchAnalyzer.java:56,131): the
+        # ElisionFilter with DEFAULT_ARTICLES runs before the stemmer
+        # (l'avion -> avion); see analysis/stem.elide for the order note
+        return Analyzer(stem_lang="fr", elision=(
+            "l", "m", "t", "qu", "n", "s", "j", "d", "c",
+            "jusqu", "quoiqu", "lorsqu", "puisqu"))
+    if lang == "it":
+        # ItalianAnalyzer chain (it/ItalianAnalyzer.java:52): its own
+        # article set (dell'arte -> arte)
+        return Analyzer(stem_lang="it", elision=(
+            "c", "l", "all", "dall", "dell", "nell", "sull", "coll",
+            "pell", "gl", "agl", "dagl", "degl", "negl", "sugl",
+            "un", "m", "t", "s", "v", "d"))
     if lang in STEMMERS:
         return Analyzer(stem_lang=lang)
     return StandardAnalyzer

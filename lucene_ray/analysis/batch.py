@@ -724,17 +724,23 @@ def _stop_filter(parts, stop_words):
 
 
 def _length_filter(parts, analyzer: Analyzer):
-    """Vectorized LengthFilter (miscellaneous/LengthFilter.java:31): drop
-    tokens with char length outside [length_min, length_max], keeping
-    position gaps like StopFilter. Runs after stop, before stem/fold."""
+    """Vectorized LengthFilter + KeepWordFilter (miscellaneous/
+    LengthFilter.java:31, KeepWordFilter.java:27): drop tokens with char
+    length outside [length_min, length_max] or (when keep_words is set)
+    outside the keep set, keeping position gaps like StopFilter. Runs
+    after stop, before stem/fold."""
     lo, hi = analyzer.length_min, analyzer.length_max
-    if lo <= 1 and hi is None:
+    if lo <= 1 and hi is None and analyzer.keep_words is None:
         return parts
     flat = parts[0]
     ln = pc.utf8_length(flat)
     keep = pc.greater_equal(ln, lo)
     if hi is not None:
         keep = pc.and_(keep, pc.less_equal(ln, hi))
+    if analyzer.keep_words is not None:
+        keep = pc.and_(keep, pc.is_in(
+            flat, value_set=pa.array(sorted(analyzer.keep_words),
+                                     type=pa.string())))
     keep_np = keep.to_numpy(zero_copy_only=False)
     if keep_np.all():
         return parts

@@ -220,3 +220,82 @@ def cjk_width_fold(w: str) -> str:
         else:
             out.append(ch)
     return "".join(out)
+
+
+def elide(w: str, articles: frozenset) -> str:
+    """ElisionFilter (analysis/util/ElisionFilter.java:35): strip a
+    leading article + apostrophe ("l'avion" -> "avion") when the prefix
+    before the FIRST apostrophe (ASCII ' or typographic ’) is in the
+    articles set. Expects lowercased input (the French chain lowercases
+    after elision in the reference; with lowercase articles the streams
+    agree)."""
+    for apos in ("'", "’"):
+        i = w.find(apos)
+        if i >= 0:
+            return w[i + 1:] if w[:i] in articles else w
+    return w
+
+
+def decimal_digit_fold(w: str) -> str:
+    """DecimalDigitFilter (analysis/core/DecimalDigitFilter.java:31):
+    fold every Unicode decimal digit (Nd) to its ASCII 0-9 form, so
+    ٣ / ３ / ३ all index as 3."""
+    if w.isascii():
+        return w
+    import unicodedata
+
+    out = []
+    for ch in w:
+        d = unicodedata.decimal(ch, None)
+        out.append(chr(0x30 + d) if d is not None else ch)
+    return "".join(out)
+
+
+_SCAND_SE = {"ä": "æ", "Ä": "Æ", "ö": "ø", "Ö": "Ø"}
+
+
+def scandinavian_normalize_token(w: str) -> str:
+    """ScandinavianNormalizationFilter (miscellaneous/
+    ScandinavianNormalizationFilter.java:38 + ScandinavianNormalizer
+    .java:28, ALL_FOLDINGS): unify the interchangeable Scandinavian
+    letters and digraph spellings onto å/æ/ø — ä->æ, ö->ø, aa/ao->å,
+    ae->æ, oe/oo->ø (case-preserving) — so blåbærsyltetøj,
+    blåbärsyltetöj and blaabaarsyltetoej meet at one term."""
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        ch = w[i]
+        if ch in _SCAND_SE:
+            out.append(_SCAND_SE[ch])
+        elif i + 1 < n and ch in "aAoO":
+            nxt = w[i + 1].lower()
+            if ch in "aA" and nxt in "ao":
+                out.append("å" if ch == "a" else "Å")
+                i += 2
+                continue
+            if ch in "aA" and nxt == "e":
+                out.append("æ" if ch == "a" else "Æ")
+                i += 2
+                continue
+            if ch in "oO" and nxt in "eo":
+                out.append("ø" if ch == "o" else "Ø")
+                i += 2
+                continue
+            out.append(ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def scandinavian_fold_token(w: str) -> str:
+    """ScandinavianFoldingFilter (miscellaneous/
+    ScandinavianFoldingFilter.java:38): the more aggressive variant —
+    normalize as above, then flatten å/æ->a and ø->o (and their
+    capitals), so raksmorgas matches räksmörgås."""
+    w = scandinavian_normalize_token(w)
+    return w.translate(_SCAND_FLAT)
+
+
+_SCAND_FLAT = str.maketrans({"å": "a", "Å": "A", "æ": "a", "Æ": "A",
+                             "ø": "o", "Ø": "O"})

@@ -391,6 +391,12 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "keyword_repeat": analyzer.keyword_repeat,
         "char_filters": [[p, r] for p, r in analyzer.char_filters],
         "discount_overlaps": analyzer.discount_overlaps,
+        "elision": sorted(analyzer.elision) if analyzer.elision else None,
+        "decimal_digit": analyzer.decimal_digit,
+        "scandinavian": analyzer.scandinavian,
+        "truncate_length": analyzer.truncate_length,
+        "keep_words": (sorted(analyzer.keep_words)
+                       if analyzer.keep_words is not None else None),
     }
 
 
@@ -428,6 +434,12 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         keyword_repeat=a.get("keyword_repeat", False),
         char_filters=tuple((p, r) for p, r in a.get("char_filters", [])),
         discount_overlaps=a.get("discount_overlaps", False),
+        elision=tuple(a["elision"]) if a.get("elision") else None,
+        decimal_digit=a.get("decimal_digit", False),
+        scandinavian=a.get("scandinavian"),
+        truncate_length=a.get("truncate_length"),
+        keep_words=(frozenset(a["keep_words"])
+                    if a.get("keep_words") is not None else None),
     )
 
 

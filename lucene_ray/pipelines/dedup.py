@@ -735,3 +735,89 @@ def dedup_clusters(pairs, max_iters: int = 50):
             break
         prev = cur
     return labels
+
+
+def token_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                       separator: str = " ", max_output_size: int = 1024,
+                       analyzer=None):
+    """FingerprintFilter (miscellaneous/FingerprintFilter.java:44) over a
+    document column: each doc collapses to ONE fingerprint string — its
+    sorted, de-duplicated analyzed terms joined by ``separator``. A doc
+    whose fingerprint would exceed ``max_output_size`` chars yields NULL
+    (the reference filter emits no token past maxOutputTokenSize); a
+    token-less doc yields the empty string.
+
+    Vectorized per batch: one tokenize_column pass, lexsort on
+    (doc, term), run-edge de-duplication, ListArray rebuild and
+    ``binary_join`` — no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    an = analyzer or StandardAnalyzer
+
+    def fp(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = b[id_col]
+        flat, doc_idx, _pos = tokenize_column(b[text_col], an)
+        if len(flat) == 0:
+            return pa.table({id_col: ids,
+                             "fingerprint": pa.array([""] * n,
+                                                     type=pa.string())})
+        terms = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, doc_idx))
+        d_s, t_s = doc_idx[order], terms[order]
+        keep = np.ones(d_s.size, dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        d_k, t_k = d_s[keep], t_s[keep]
+        counts = np.bincount(d_k, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(pa.array(offsets),
+                                       pa.array(t_k, type=pa.string()))
+        out = pc.binary_join(lst, separator)
+        too_big = pc.greater(pc.utf8_length(out), max_output_size)
+        out = pc.if_else(too_big, pa.nulls(n, pa.string()), out)
+        return pa.table({id_col: ids, "fingerprint": out})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def fingerprint_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                      separator: str = " ", max_output_size: int = 1024,
+                      analyzer=None, min_group: int = 2):
+    """Token-set duplicate groups via FingerprintFilter keys — the
+    clustering/linking use the reference filter documents
+    (FingerprintFilter.java:27): docs whose analyzed token SETS are
+    equal (any order, any repetition) share a fingerprint. Returns
+    (fingerprint, n_docs, keeper=min doc id) for groups of
+    ``min_group``+ docs.
+
+    Scale shape: the per-batch fingerprint map keeps full rows on their
+    blocks; only (fingerprint, id) pairs enter the one
+    ``groupby(fingerprint)`` exchange — the dedup_exact key-only shuffle
+    story."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    fps = token_fingerprints(ds, text_col=text_col, id_col=id_col,
+                             separator=separator,
+                             max_output_size=max_output_size,
+                             analyzer=analyzer)
+    agg = (fps.map_batches(
+               lambda b: b.filter(pc.is_valid(b["fingerprint"])),
+               batch_format="pyarrow")
+           .groupby("fingerprint")
+           .aggregate(Count(), Min(id_col)))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "fingerprint": b["fingerprint"],
+            "n_docs": b["count()"].cast(pa.int64()),
+            "keeper": b[f"min({id_col})"],
+        })
+        return t.filter(pc.greater_equal(t["n_docs"], min_group))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

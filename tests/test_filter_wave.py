@@ -1,0 +1,232 @@
+"""Round-5 token-filter wave: ElisionFilter, DecimalDigitFilter,
+ScandinavianNormalization/FoldingFilter, TruncateTokenFilter,
+KeepWordFilter (analysis/analyzers.py flags + analysis/stem.py kernels)
+and the FingerprintFilter dedup pipeline (pipelines/dedup.py) — golden
+vectors from the reference filter javadocs, batch/per-row parity, the
+manifest round-trip, and the fingerprint grouping semantics."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis.analyzers import Analyzer, analyzer_for_lang
+from lucene_ray.analysis.batch import tokenize_column
+from lucene_ray.analysis.stem import (decimal_digit_fold, elide,
+                                      scandinavian_fold_token,
+                                      scandinavian_normalize_token)
+
+FR_ARTICLES = frozenset(
+    ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"))
+
+
+class TestElision:
+    def test_golden(self):
+        # ElisionFilter.java:35 — strip "article'" prefixes
+        assert elide("l'avion", FR_ARTICLES) == "avion"
+        assert elide("qu'elle", FR_ARTICLES) == "elle"
+        assert elide("jusqu'au", FR_ARTICLES) == "au"
+        # typographic apostrophe U+2019 counts too
+        assert elide("l’école", FR_ARTICLES) == "école"
+        # non-article prefix keeps the token whole
+        assert elide("aujourd'hui", FR_ARTICLES) == "aujourd'hui"
+        # no apostrophe: unchanged
+        assert elide("avion", FR_ARTICLES) == "avion"
+        # only the FIRST apostrophe is considered
+        assert elide("l'an'vieux", FR_ARTICLES) == "an'vieux"
+
+    def test_french_route(self):
+        an = analyzer_for_lang("fr")
+        # l'école -> école -> Snowball(fr) stem; the stream must equal
+        # the elided surface form fed through the same chain
+        assert an.tokens("l'école est grande") == an.tokens(
+            "école est grande")
+        assert an.tokens("l'avion") == an.tokens("avion")
+        # and differ from the unelided token
+        assert Analyzer(stem_lang="fr").tokens("l'avion") != an.tokens(
+            "l'avion")
+
+    def test_italian_route(self):
+        an = analyzer_for_lang("it")
+        assert an.tokens("dell'arte moderna") == an.tokens("arte moderna")
+
+
+class TestDecimalDigit:
+    def test_golden(self):
+        # DecimalDigitFilter.java:31 — every Nd digit folds to ASCII
+        assert decimal_digit_fold("٣٤٥") == "345"        # Arabic-Indic
+        assert decimal_digit_fold("३४५") == "345"        # Devanagari
+        assert decimal_digit_fold("７７") == "77"         # fullwidth
+        assert decimal_digit_fold("৯৯") == "99"          # Bengali
+        assert decimal_digit_fold("room٥a") == "room5a"  # mixed in place
+        assert decimal_digit_fold("abc123") == "abc123"  # ASCII fast path
+        assert decimal_digit_fold("Ⅻ") == "Ⅻ"            # Roman: No, not Nd
+
+    def test_analyzer_meets_at_one_term(self):
+        an = Analyzer(decimal_digit=True)
+        assert (an.tokens("room ٣٤٥") == an.tokens("room 345")
+                == an.tokens("room ３４５") == ["room", "345"])
+
+
+class TestScandinavian:
+    def test_normalize_golden(self):
+        # ScandinavianNormalizer.java:28 ALL_FOLDINGS
+        assert scandinavian_normalize_token("blåbärsyltetöj") \
+            == "blåbærsyltetøj"
+        assert scandinavian_normalize_token("blaabaersyltetoej") \
+            == "blåbærsyltetøj"
+        assert scandinavian_normalize_token("smoergaas") == "smørgås"
+        assert scandinavian_normalize_token("aokande") == "åkande"  # ao
+        assert scandinavian_normalize_token("roo") == "rø"          # oo
+        # case preserved
+        assert scandinavian_normalize_token("Äpple") == "Æpple"
+        assert scandinavian_normalize_token("AEble") == "Æble"
+        # untouched letters stay
+        assert scandinavian_normalize_token("bord") == "bord"
+
+    def test_fold_golden(self):
+        # ScandinavianFoldingFilter.java:38 — normalize then flatten
+        assert scandinavian_fold_token("räksmörgås") == "raksmorgas"
+        assert scandinavian_fold_token("blåbær") == "blabar"
+        assert scandinavian_fold_token("blaabaer") == "blabar"
+        assert scandinavian_fold_token("Østergade") == "Ostergade"
+
+    def test_analyzer_meets_at_one_term(self):
+        an = Analyzer(scandinavian="normalize")
+        assert (an.tokens("blåbær") == an.tokens("blåbär")
+                == an.tokens("blaabaer") == ["blåbær"])
+        af = Analyzer(scandinavian="fold")
+        assert af.tokens("räksmörgås") == af.tokens("raksmorgas") \
+            == ["raksmorgas"]
+
+
+class TestTruncateAndKeep:
+    def test_truncate(self):
+        # TruncateTokenFilter.java:28 — prefix-only crude stemmer
+        an = Analyzer(truncate_length=4)
+        assert an.tokens("information informing inform in") \
+            == ["info", "info", "info", "in"]
+
+    def test_truncate_runs_after_stem(self):
+        an = Analyzer(stem=True, truncate_length=3)
+        # porter: "running" -> "run"; truncate leaves it; "coordinates"
+        # -> "coordin" -> "coo"
+        assert an.tokens("running coordinates") == ["run", "coo"]
+
+    def test_keep_words_with_position_gaps(self):
+        # KeepWordFilter.java:27 — inverse StopFilter, gaps like stop
+        an = Analyzer(keep_words=frozenset({"quick", "fox"}))
+        assert an.tokens("the quick brown fox jumps") == ["quick", "fox"]
+        wp = an.tokens_with_positions("the quick brown fox jumps")
+        assert wp == [("quick", 1), ("fox", 3)]
+
+    def test_keep_words_batch_parity(self):
+        an = Analyzer(keep_words=frozenset({"quick", "fox", "345"}),
+                      decimal_digit=True)
+        texts = ["the quick brown fox", "room ٣٤٥ is open", "", "no hits"]
+        flat, doc_idx, pos = tokenize_column(pa.array(texts), an)
+        got = {}
+        for t, d, p in zip(flat.to_pylist(), doc_idx, pos):
+            got.setdefault(int(d), []).append((t, int(p)))
+        for i, txt in enumerate(texts):
+            assert got.get(i, []) == an.tokens_with_positions(txt), txt
+
+
+@pytest.mark.parametrize("an", [
+    Analyzer(elision=tuple(sorted(FR_ARTICLES)), stem_lang="fr"),
+    Analyzer(decimal_digit=True),
+    Analyzer(scandinavian="normalize"),
+    Analyzer(scandinavian="fold"),
+    Analyzer(truncate_length=4),
+    Analyzer(keep_words=frozenset({"blåbær", "345", "l", "école"}),
+             decimal_digit=True, scandinavian="normalize"),
+])
+def test_batch_per_row_parity(an):
+    """House parity pattern: the vectorized tokenize_column stream must
+    equal the per-row Analyzer.tokens stream for every new flag."""
+    texts = [
+        "l'école est grande",
+        "qu'elle écrit d'autres leçons",
+        "room ٣٤٥ and ３４５ and 345",
+        "blåbær blåbär blaabaer räksmörgås",
+        "the quick brown fox information",
+        "",
+        "aujourd'hui l’avion",
+    ]
+    flat, doc_idx, _ = tokenize_column(pa.array(texts), an)
+    got = {}
+    for t, d in zip(flat.to_pylist(), doc_idx):
+        got.setdefault(int(d), []).append(t)
+    for i, txt in enumerate(texts):
+        assert got.get(i, []) == an.tokens(txt), (an, txt)
+
+
+def test_manifest_round_trip():
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    an = Analyzer(elision=("l", "d"), decimal_digit=True,
+                  scandinavian="fold", truncate_length=5,
+                  keep_words=frozenset({"a", "b"}))
+    rt = analyzer_from_dict(analyzer_dict(an))
+    assert rt.elision_set == an.elision_set
+    assert rt.decimal_digit and rt.scandinavian == "fold"
+    assert rt.truncate_length == 5
+    assert rt.keep_words == an.keep_words
+    for txt in ("l'avion ٣٤٥ blåbär informations", "d'une maison"):
+        assert rt.tokens(txt) == an.tokens(txt)
+
+
+class TestFingerprint:
+    def _ds(self):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": pa.array([
+                "b a c",            # {a,b,c}
+                "c c b a a",        # same set, other order/reps
+                "a b c d",          # superset: different
+                "",                 # token-less
+                "d c b a",          # = doc 3's set
+                " ".join(f"w{i}" for i in range(10)),  # oversize -> NULL
+            ]),
+        }))
+
+    def test_token_fingerprints(self, ray_session):
+        from lucene_ray.pipelines.dedup import token_fingerprints
+
+        t = pa.concat_tables(token_fingerprints(
+            self._ds(), max_output_size=16).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 10))
+        fp = dict(zip(t["doc_id"].to_pylist(),
+                      t["fingerprint"].to_pylist()))
+        assert fp[1] == fp[2] == "a b c"
+        assert fp[3] == fp[5] == "a b c d"
+        assert fp[4] == ""            # token-less -> empty string
+        assert fp[6] is None          # > max_output_size -> NULL
+
+    def test_fingerprint_dedup_groups(self, ray_session):
+        from lucene_ray.pipelines.dedup import fingerprint_dedup
+
+        t = pa.concat_tables(fingerprint_dedup(
+            self._ds(), max_output_size=16).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 10)
+        ).sort_by("fingerprint")
+        assert t["fingerprint"].to_pylist() == ["a b c", "a b c d"]
+        assert t["n_docs"].to_pylist() == [2, 2]
+        assert t["keeper"].to_pylist() == [1, 3]
+
+    def test_custom_separator_and_analyzer(self, ray_session):
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.pipelines.dedup import token_fingerprints
+
+        an = Analyzer(stem=True)
+        import ray.data
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["running runs run"]),
+        }))
+        t = pa.concat_tables(token_fingerprints(
+            ds, separator="_", analyzer=an).iter_batches(
+                batch_format="pyarrow", batch_size=4))
+        assert t["fingerprint"].to_pylist() == ["run"]
