@@ -508,6 +508,42 @@ def _wd_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _ue_index_dir(sf_dir: str) -> str:
+    """UAX29URLEmailTokenizer index (standard/UAX29URLEmailTokenizer
+    .java:52, analysis/urlemail.py): derived column
+    ``uetext = 'Visit https://site<k7>.example.com/p<k3> contact
+    user<k5>@mail.example.org ok'`` (k_m = doc_id % m) analyzed with
+    Analyzer(url_email=True) -> the URL and the email each index as ONE
+    token, dl=5 for every doc."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:ue1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        def _mk(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            ue = pa.array([
+                f"Visit https://site{d % 7}.example.com/p{d % 3} "
+                f"contact user{d % 5}@mail.example.org ok"
+                for d in did])
+            return b.select(["doc_id"]).append_column("uetext", ue)
+
+        ds = ray.data.read_parquet(docs, columns=["doc_id"]) \
+            .map_batches(_mk, batch_format="pyarrow")
+        build_index(ds, idx, analyzer=Analyzer(url_email=True),
+                    text_col="uetext", num_segments=4)
+    return idx
+
+
 def _sq_index_dir(sf_dir: str) -> str:
     """Scalar-quantized (int8) vector index, cached per corpus."""
     emb = os.path.join(sf_dir, "embeddings.parquet")
@@ -1476,6 +1512,30 @@ RepSumByName
         })
 
     q["word_delimiter_query"] = _word_delim
+
+    def _uax29_urlemail(sf):
+        """UAX29URLEmailTokenizer (standard/UAX29URLEmailTokenizer
+        .java:52; analysis/urlemail.py): URL and EMAIL productions index
+        as single tokens. BM25 term queries for one full URL token and
+        one full email token over the derived uetext corpus."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_ue_index_dir(sf), mode="f64")
+        parts = []
+        for tag, term in (("url", "https://site3.example.com/p1"),
+                          ("email", "user2@mail.example.org")):
+            docs, scores = s.search_all(Q.TermQuery(term))
+            order = np.argsort(docs)
+            parts.append(pa.table({
+                "q": pa.array([tag] * len(docs)),
+                "doc_id": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(_round4(scores[order]),
+                                  type=pa.float64()),
+            }))
+        return pa.concat_tables(parts).sort_by(
+            [("q", "ascending"), ("doc_id", "ascending")])
+
+    q["uax29_urlemail_query"] = _uax29_urlemail
 
     def _quality(sf):
         """Relevance-quality harness (benchmark/quality/QualityBenchmark
@@ -4648,6 +4708,29 @@ cc(node, label) AS (
 )
 SELECT node AS doc_id, min(label)::BIGINT AS cluster
 FROM cc GROUP BY node ORDER BY doc_id"""
+    )
+
+    # uax29_urlemail_query: uetext tokens are exactly
+    # ['visit', 'https://site<k7>.example.com/p<k3>', 'contact',
+    #  'user<k5>@mail.example.org', 'ok'] with dl=5 for every doc, so
+    # avgdl=5 and the BM25 length term collapses to 1/(1+K1); f=1.
+    o["uax29_urlemail_query"] = (
+        f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+u AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3 AND doc_id % 3 = 1),
+e AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 2),
+du AS (SELECT count(*)::DOUBLE AS df FROM u),
+de AS (SELECT count(*)::DOUBLE AS df FROM e)
+SELECT * FROM (
+  SELECT 'email' AS q, doc_id::BIGINT AS doc_id,
+         ROUND(ln(1 + (n.n - de.df + 0.5) / (de.df + 0.5)) / (1 + {K1}), 4)
+           AS score
+  FROM e CROSS JOIN n CROSS JOIN de
+  UNION ALL
+  SELECT 'url', doc_id::BIGINT,
+         ROUND(ln(1 + (n.n - du.df + 0.5) / (du.df + 0.5)) / (1 + {K1}), 4)
+  FROM u CROSS JOIN n CROSS JOIN du)
+ORDER BY q, doc_id"""
     )
 
     o["word_delimiter_query"] = (

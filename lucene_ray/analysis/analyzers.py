@@ -174,6 +174,11 @@ class Analyzer:
     # of StopFilter — only tokens IN the set survive, with position
     # gaps. Applied with the length filter (after stop, before stem).
     keep_words: "frozenset[str] | None" = None
+    # UAX29URLEmailTokenizer role (standard/UAX29URLEmailTokenizer
+    # .java:52, analysis/urlemail.py): URLs (http/https/ftp schemes or
+    # scheme-less www.) and RFC-5321-style emails emit as SINGLE tokens;
+    # text between the protected spans runs the standard UAX#29 chain.
+    url_email: bool = False
 
     def __post_init__(self):
         if self.common_grams and self.keyword_repeat:
@@ -190,6 +195,13 @@ class Analyzer:
                 "cjk_bigrams pairs with the StandardTokenizer stream only "
                 "(the CJKAnalyzer chain) — not with a morphological "
                 "segmenter or word_delimiter")
+        if self.url_email and (self.ja_segment or self.segment_lang
+                               or self.word_delimiter or self.cjk_bigrams
+                               or self.payload_delimiter):
+            raise ValueError(
+                "url_email replaces the raw tokenizer stage — it cannot "
+                "combine with word_delimiter, payloads, cjk_bigrams or a "
+                "morphological segmenter")
 
     @property
     def effective_segment_lang(self) -> "str | None":
@@ -415,6 +427,13 @@ class Analyzer:
                     _segment_with_offsets(seg, text)):
                 yield t, pos, s, e
             return
+        if self.url_email:
+            from lucene_ray.analysis.urlemail import \
+                urlemail_tokenize_with_offsets
+
+            yield from urlemail_tokenize_with_offsets(
+                text, self.max_token_length)
+            return
         if not self.word_delimiter:
             stream = tokenize_with_offsets(text, self.max_token_length)
             if self.cjk_bigrams:
@@ -435,9 +454,10 @@ class Analyzer:
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
         if ((self.synonyms and self.multi_synonym_rules)
-                or self.common_grams or self.cjk_bigrams):
-            # multi-word rules, common grams and CJK bigrams need
-            # position adjacency
+                or self.common_grams or self.cjk_bigrams
+                or self.url_email):
+            # multi-word rules, common grams, CJK bigrams and the
+            # URL/EMAIL tokenizer need the full raw-stream path
             return [t for t, _p in self.tokens_with_positions(text)]
         if self.char_filters:
             text = self.apply_char_filters(text)

@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
+from lucene_ray.analysis.urlemail import URLEMAIL_HINT_RE2
 
 # placeholders for protected joiner chars (excluded from the fast-path mask)
 _P_DOT, _P_APOS, _P_COMMA, _P_TAPOS = "\x02", "\x03", "\x04", "\x05"
@@ -93,6 +94,46 @@ def tokenize_column(
         for _pat, _rep in analyzer.char_filters:
             texts = pc.replace_substring_regex(texts, _pat, _rep)
         analyzer = dataclasses.replace(analyzer, char_filters=())
+
+    if analyzer.url_email:
+        # UAX29URLEmailTokenizer (standard/UAX29URLEmailTokenizer.java:52):
+        # only rows that can possibly hold a URL/EMAIL production pay the
+        # per-row protected-span scan; the rest of the column tokenizes
+        # through the ordinary vectorized chain (identical stream by
+        # construction — no scheme/www./atext@ means no protected span).
+        import dataclasses
+
+        if texts.null_count:
+            texts = pc.fill_null(texts, "")
+        hint = pc.fill_null(
+            pc.match_substring_regex(texts, URLEMAIL_HINT_RE2), False)
+        hint_np = hint.to_numpy(zero_copy_only=False)
+        plain = dataclasses.replace(analyzer, url_email=False)
+        if not hint_np.any():
+            return tokenize_column(texts, plain, want_offsets)
+        if hint_np.all():
+            parts = _tokenize_all_rows_python(texts, analyzer, want_offsets)
+            return parts if want_offsets else parts[:3]
+        rows_u = np.nonzero(hint_np)[0]
+        rows_p = np.nonzero(~hint_np)[0]
+        up = _pad5(_tokenize_all_rows_python(
+            texts.take(pa.array(rows_u)), analyzer, want_offsets))
+        pp = _pad5(tokenize_column(
+            texts.take(pa.array(rows_p)), plain, want_offsets))
+        flat = pa.concat_arrays([
+            p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+            for p in (up[0], pp[0])])
+        doc_idx = np.concatenate([rows_u[up[1]], rows_p[pp[1]]])
+        positions = np.concatenate([up[2], pp[2]]).astype(np.int32)
+        order = np.argsort(doc_idx, kind="stable")
+        flat = flat.take(pa.array(order))
+        doc_idx = doc_idx[order]
+        positions = positions[order]
+        if want_offsets:
+            starts = np.concatenate([up[3], pp[3]]).astype(np.int32)[order]
+            ends = np.concatenate([up[4], pp[4]]).astype(np.int32)[order]
+            return flat, doc_idx, positions, starts, ends
+        return flat, doc_idx, positions
 
     if analyzer.effective_segment_lang or analyzer.cjk_bigrams:
         # Viterbi morphological segmentation (analysis/japanese.py,

@@ -936,3 +936,86 @@ def test_cjk_bigram_filter():
     for i, txt in enumerate(texts):
         want = [tuple(w) for w in a.tokens_with_offsets(txt)]
         assert got.get(i, []) == want, (i, txt)
+
+
+def test_uax29_urlemail_tokenizer_golden():
+    """UAX29URLEmailTokenizer role (standard/UAX29URLEmailTokenizer
+    .java:52): URL and EMAIL productions emit as single tokens; gaps run
+    the standard UAX#29 chain; trailing sentence punctuation trims off a
+    URL; matches anchor at word-break boundaries."""
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    a = Analyzer(url_email=True)
+    assert a.tokens(
+        "Visit https://Site3.Example.com/p1 contact "
+        "User2@Mail.example.org ok") == [
+        "visit", "https://site3.example.com/p1", "contact",
+        "user2@mail.example.org", "ok"]
+    # scheme-less www. authority; query+fragment swallowed; trailing
+    # punctuation excluded
+    assert a.tokens("see www.foo-bar.com. and http://a.com/x?q=1#frag, "
+                    "done") == [
+        "see", "www.foo-bar.com", "and", "http://a.com/x?q=1#frag", "done"]
+    assert a.tokens("trailing http://a.com/x.") == [
+        "trailing", "http://a.com/x"]
+    # RFC 5321 dot-atom local parts with atext specials
+    assert a.tokens("email first.last+tag@sub.domain.co.uk!") == [
+        "email", "first.last+tag@sub.domain.co.uk"]
+    # word-boundary anchoring: a letter glued to the scheme keeps the
+    # word-chain reading
+    assert a.tokens("xhttps://a.com but ftp://h.io/z ok") == [
+        "xhttps", "a.com", "but", "ftp://h.io/z", "ok"]
+    # port survives; bare 'www.' is not a URL
+    assert a.tokens("port http://h.example:8080/p and www. dot") == [
+        "port", "http://h.example:8080/p", "and", "www", "dot"]
+    # offsets span the original (pre-lowercase) surface form
+    assert a.tokens_with_offsets("At Http://A.com/Z end") == [
+        ("at", 0, 0, 2), ("http://a.com/z", 1, 3, 17), ("end", 2, 18, 21)]
+
+
+def test_uax29_urlemail_batch_parity_and_routing():
+    """Batch path: rows without a scheme/www./atext@ hint go down the
+    ordinary vectorized chain; candidate rows pay the per-row scan; the
+    stitched stream matches the per-row analyzer exactly (including
+    stop/stem filters, nulls and unicode rows)."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    a = Analyzer(url_email=True, stop_words=frozenset({"and"}), stem=True)
+    rows = [
+        "Visit https://Site3.Example.com/p1 contact User2@Mail.example.org",
+        "plain running words only here",
+        None,
+        "see www.foo-bar.com. and http://a.com/x?q=1#frag, done",
+        "",
+        "café résumé naïve",
+        "unicode café at http://cafe-host.com nope but admin@x.org yes",
+        "numbers 1,000.5 and b.com style",
+    ]
+    texts = pa.array(rows, type=pa.string())
+    flat, doc, pos, st, en = tokenize_column(texts, a, want_offsets=True)
+    exp = [(i, t, p, s, e) for i, r in enumerate(rows)
+           for t, p, s, e in a.tokens_with_offsets(r or "")]
+    got = list(zip(doc.tolist(), flat.to_pylist(), pos.tolist(),
+                   st.tolist(), en.tolist()))
+    assert got == exp
+    # all-plain batch short-circuits to the vectorized path and still
+    # agrees with the per-row stream
+    plain = pa.array(["plain words", "more words here"] * 50)
+    f2, d2, p2 = tokenize_column(plain, a)
+    exp2 = [(i, t, p) for i in range(len(plain))
+            for t, p in a.tokens_with_positions(plain[i].as_py())]
+    assert list(zip(d2.tolist(), f2.to_pylist(), p2.tolist())) == exp2
+
+
+def test_uax29_urlemail_conflicts():
+    import pytest
+
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    with pytest.raises(ValueError):
+        Analyzer(url_email=True, word_delimiter=True)
+    with pytest.raises(ValueError):
+        Analyzer(url_email=True, segment_lang="ja")
