@@ -544,6 +544,34 @@ def _ue_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _rev_index_dir(sf_dir: str) -> str:
+    """Reversed-token companion field (ReverseStringFilter,
+    analysis/reverse/ReverseStringFilter.java:44): the documents text
+    indexes twice — default field through StandardAnalyzer, field 'rev'
+    through Analyzer(reverse_tokens=True) — so leading wildcards serve
+    as prefix range scans (query.rewrite_leading_wildcard)."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:rev1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"]) \
+            .map_batches(lambda b: b.append_column("rtext", b["text"]),
+                         batch_format="pyarrow")
+        build_index(ds, idx, num_segments=4,
+                    extra_fields={"rev": "rtext"},
+                    field_analyzers={"rev": Analyzer(reverse_tokens=True)})
+    return idx
+
+
 def _sq_index_dir(sf_dir: str) -> str:
     """Scalar-quantized (int8) vector index, cached per corpus."""
     emb = os.path.join(sf_dir, "embeddings.parquet")
@@ -1992,6 +2020,22 @@ RepSumByName
     q["fuzzy_query"] = lambda sf: _docs_only(
         sf, Q.FuzzyQuery("tble", max_edits=1, transpositions=False)
     )
+    def _reverse_wildcard(sf):
+        """Leading wildcard *ble served as a PREFIX range scan over a
+        ReverseStringFilter companion field (analysis/reverse/
+        ReverseStringFilter.java:44; the reversed-wildcard serving
+        pattern) — rank-identical to the full-dictionary wildcard scan
+        but O(log |dict|) at the term dictionary."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_rev_index_dir(sf), mode="f64")
+        rq = Q.rewrite_leading_wildcard("*ble", "rev")
+        assert isinstance(rq, Q.PrefixQuery) and rq.field == "rev"
+        docs, _sc = s.search_all(rq)
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["reverse_wildcard_query"] = _reverse_wildcard
+
     q["term_range_query"] = lambda sf: _docs_only(sf, Q.TermRangeQuery("scan", "sort"))
     q["term_in_set"] = lambda sf: _docs_only(sf, Q.TermInSetQuery(("spark", "window")))
     q["synonym_query"] = lambda sf: _all_hits_table(
@@ -5581,6 +5625,10 @@ GROUP BY d.lang ORDER BY votes DESC, label""",
     o["regexp_query"] = (
         _PRELUDE
         + " SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, '^(?:s.*k)$') ORDER BY doc_id"
+    )
+    o["reverse_wildcard_query"] = (
+        _PRELUDE
+        + " SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%ble' ORDER BY doc_id"
     )
     o["fuzzy_query"] = (
         _PRELUDE

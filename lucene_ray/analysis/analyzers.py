@@ -179,6 +179,13 @@ class Analyzer:
     # scheme-less www.) and RFC-5321-style emails emit as SINGLE tokens;
     # text between the protected spans runs the standard UAX#29 chain.
     url_email: bool = False
+    # ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:44):
+    # every token indexes reversed. Index the same text into a second
+    # field with this filter and a LEADING wildcard (*suffix) becomes a
+    # PREFIX range scan over that field (query.rewrite_leading_wildcard —
+    # the reversed-wildcard serving pattern) instead of a full-dictionary
+    # regex scan. Runs LAST in the filter chain (reverse of the stem).
+    reverse_tokens: bool = False
 
     def __post_init__(self):
         if self.common_grams and self.keyword_repeat:
@@ -403,6 +410,8 @@ class Analyzer:
             from lucene_ray.analysis.phonetic import encode
 
             term = encode(term, self.phonetic)
+        if self.reverse_tokens:
+            term = term[::-1]
         return term
 
     @property
@@ -412,7 +421,7 @@ class Analyzer:
                 or bool(self.icu_normalize) or bool(self.stem_lang)
                 or bool(self.hunspell) or bool(self.phonetic)
                 or bool(self.elision) or self.decimal_digit
-                or bool(self.scandinavian)
+                or bool(self.scandinavian) or self.reverse_tokens
                 or self.truncate_length is not None)
 
     def _raw_stream(self, text: str):

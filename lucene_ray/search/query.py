@@ -139,6 +139,24 @@ class WildcardQuery(Query):
                 "boost": self.boost, "field": self.field}
 
 
+def rewrite_leading_wildcard(pattern: str,
+                             reverse_field: str) -> "Query":
+    """Reversed-wildcard serving pattern: when a second field indexes the
+    same text through ReverseStringFilter
+    (analysis/reverse/ReverseStringFilter.java:44), a pure LEADING
+    wildcard ``*suffix`` rewrites to ``PrefixQuery(suffix[::-1],
+    field=reverse_field)`` — a contiguous term-dictionary range scan
+    instead of a full-dictionary regex scan (the dominant cost at a
+    10^9-term dictionary). Patterns that aren't a pure leading ``*``
+    (interior ``*``/``?``) fall back to the ordinary WildcardQuery over
+    the default field."""
+    body = pattern[1:]
+    if pattern.startswith("*") and body and "*" not in body \
+            and "?" not in body:
+        return PrefixQuery(prefix=body[::-1], field=reverse_field)
+    return WildcardQuery(pattern=pattern)
+
+
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     """search/RegexpQuery.java — anchored regex over the term dict."""

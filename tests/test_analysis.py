@@ -1019,3 +1019,32 @@ def test_uax29_urlemail_conflicts():
         Analyzer(url_email=True, word_delimiter=True)
     with pytest.raises(ValueError):
         Analyzer(url_email=True, segment_lang="ja")
+
+
+def test_reverse_string_filter_and_leading_wildcard_rewrite():
+    """ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:44)
+    + the reversed-wildcard serving rewrite: a pure leading wildcard
+    becomes a PrefixQuery over the reversed field; anything else falls
+    back to WildcardQuery."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+    from lucene_ray.search import query as Q
+
+    a = Analyzer(reverse_tokens=True)
+    assert a.tokens("Table stable BLEND") == ["elbat", "elbats", "dnelb"]
+    # filter chain order: reverse runs LAST (after stem)
+    s = Analyzer(reverse_tokens=True, stem=True)
+    assert s.tokens("running") == ["nur"]
+    # batch path parity (vocabulary-mapped like every token filter)
+    flat, _d, _p = tokenize_column(
+        pa.array(["Table stable", "BLEND go"]), a)
+    assert flat.to_pylist() == ["elbat", "elbats", "dnelb", "og"]
+
+    rq = Q.rewrite_leading_wildcard("*ble", "rev")
+    assert isinstance(rq, Q.PrefixQuery)
+    assert rq.prefix == "elb" and rq.field == "rev"
+    for pat in ("s?ow", "*b?e", "ta*le", "*"):
+        fq = Q.rewrite_leading_wildcard(pat, "rev")
+        assert isinstance(fq, Q.WildcardQuery) and fq.pattern == pat
