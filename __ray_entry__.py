@@ -572,6 +572,52 @@ def _rev_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _alt_tok_index_dir(sf_dir: str) -> str:
+    """One index exercising the alternative raw tokenizers as extra
+    fields (core/WhitespaceTokenizer-family, path/PathHierarchyTokenizer
+    .java:40, pattern/PatternTokenizer.java:53): derived columns
+    ``upath = '/cat<k4>/sub<k3>/page<k5>'`` (path_hierarchy field),
+    ``kw = 'cat <k10>'`` (keyword field — the KeywordAnalyzer exact-match
+    role; the space proves no splitting), ``csvc = 'a<k3>;b<k4>;c<k5>'``
+    (pattern field split on ';'), with k_m = doc_id % m."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:alttok1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.index.build import build_index
+
+        def _mk(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            return (b.select(["doc_id", "text"])
+                    .append_column("upath", pa.array(
+                        [f"/cat{d % 4}/sub{d % 3}/page{d % 5}"
+                         for d in did]))
+                    .append_column("kw", pa.array(
+                        [f"cat {d % 10}" for d in did]))
+                    .append_column("csvc", pa.array(
+                        [f"a{d % 3};b{d % 4};c{d % 5}" for d in did])))
+
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"]) \
+            .map_batches(_mk, batch_format="pyarrow")
+        build_index(
+            ds, idx, num_segments=4,
+            extra_fields={"upath": "upath", "kw": "kw", "csvc": "csvc"},
+            field_analyzers={
+                "upath": Analyzer(tokenizer="path_hierarchy"),
+                "kw": Analyzer(tokenizer="keyword"),
+                "csvc": Analyzer(tokenizer="pattern",
+                                 tokenizer_pattern=(";", -1)),
+            })
+    return idx
+
+
 def _sq_index_dir(sf_dir: str) -> str:
     """Scalar-quantized (int8) vector index, cached per corpus."""
     emb = os.path.join(sf_dir, "embeddings.parquet")
@@ -1564,6 +1610,38 @@ RepSumByName
             [("q", "ascending"), ("doc_id", "ascending")])
 
     q["uax29_urlemail_query"] = _uax29_urlemail
+
+    def _mk_alt_tok_query(fieldname, term, doc):
+        def _alt_q(sf):
+            from lucene_ray.search.searcher import Searcher
+
+            s = Searcher(_alt_tok_index_dir(sf), mode="f64")
+            docs, scores = s.search_all(
+                Q.TermQuery(term, field=fieldname))
+            order = np.argsort(docs)
+            return pa.table({
+                "doc_id": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(_round4(scores[order]),
+                                  type=pa.float64())})
+        _alt_q.__doc__ = doc
+        return _alt_q
+
+    q["path_hierarchy_query"] = _mk_alt_tok_query(
+        "upath", "/cat2/sub1",
+        "PathHierarchyTokenizer (path/PathHierarchyTokenizer.java:40): "
+        "every path prefix of '/cat<k4>/sub<k3>/page<k5>' indexes at "
+        "position 0; BM25 TermQuery for the two-component prefix "
+        "'/cat2/sub1' (dl=3 per doc).")
+    q["keyword_analyzer_query"] = _mk_alt_tok_query(
+        "kw", "cat 7",
+        "KeywordTokenizer (core/KeywordTokenizer.java:28 — the "
+        "KeywordAnalyzer exact-match role): 'cat <k10>' indexes as ONE "
+        "token, space included; BM25 TermQuery for the exact value.")
+    q["pattern_tokenizer_query"] = _mk_alt_tok_query(
+        "csvc", "b2",
+        "PatternTokenizer split mode (pattern/PatternTokenizer.java:53): "
+        "'a<k3>;b<k4>;c<k5>' splits on ';' into three tokens; BM25 "
+        "TermQuery for 'b2'.")
 
     def _quality(sf):
         """Relevance-quality harness (benchmark/quality/QualityBenchmark
@@ -4753,6 +4831,30 @@ cc(node, label) AS (
 SELECT node AS doc_id, min(label)::BIGINT AS cluster
 FROM cc GROUP BY node ORDER BY doc_id"""
     )
+
+    # alt-tokenizer fields: dl is CONSTANT per field (3 / 1 / 3), so
+    # dl=avgdl and the BM25 length term collapses to 1/(1+K1); f=1.
+    _ALT_TOK_SCORE = (
+        "ROUND(ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) / (1 + %s), 4)"
+        % K1)
+    o["path_hierarchy_query"] = f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+m AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2 AND doc_id % 3 = 1),
+d AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT doc_id::BIGINT AS doc_id, {_ALT_TOK_SCORE} AS score
+FROM m CROSS JOIN n CROSS JOIN d ORDER BY doc_id"""
+    o["keyword_analyzer_query"] = f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+m AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+d AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT doc_id::BIGINT AS doc_id, {_ALT_TOK_SCORE} AS score
+FROM m CROSS JOIN n CROSS JOIN d ORDER BY doc_id"""
+    o["pattern_tokenizer_query"] = f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+m AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+d AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT doc_id::BIGINT AS doc_id, {_ALT_TOK_SCORE} AS score
+FROM m CROSS JOIN n CROSS JOIN d ORDER BY doc_id"""
 
     # uax29_urlemail_query: uetext tokens are exactly
     # ['visit', 'https://site<k7>.example.com/p<k3>', 'contact',

@@ -179,6 +179,22 @@ class Analyzer:
     # scheme-less www.) and RFC-5321-style emails emit as SINGLE tokens;
     # text between the protected spans runs the standard UAX#29 chain.
     url_email: bool = False
+    # Alternative raw tokenizer stage (replaces the UAX#29 chain):
+    # 'whitespace' (core/WhitespaceTokenizer.java:28), 'letter'
+    # (core/LetterTokenizer.java:29), 'keyword'
+    # (core/KeywordTokenizer.java:28 — whole input = one token),
+    # 'path_hierarchy' (path/PathHierarchyTokenizer.java:40 — every
+    # path prefix emits at position 0), 'pattern'
+    # (pattern/PatternTokenizer.java:53 — requires tokenizer_pattern).
+    tokenizer: "str | None" = None
+    # PatternTokenizer config: (regex, group). group=-1 -> the regex is
+    # the SEPARATOR (split mode); group>=0 -> emit that capture group of
+    # every match.
+    tokenizer_pattern: "tuple[str, int] | None" = None
+    # PathHierarchyTokenizer knobs (delimiter / replacement / skip).
+    path_delimiter: str = "/"
+    path_replacement: "str | None" = None
+    path_skip: int = 0
     # ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:44):
     # every token indexes reversed. Index the same text into a second
     # field with this filter and a LEADING wildcard (*suffix) becomes a
@@ -209,6 +225,20 @@ class Analyzer:
                 "url_email replaces the raw tokenizer stage — it cannot "
                 "combine with word_delimiter, payloads, cjk_bigrams or a "
                 "morphological segmenter")
+        if self.tokenizer:
+            if self.tokenizer not in ("whitespace", "letter", "keyword",
+                                      "path_hierarchy", "pattern"):
+                raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
+            if self.tokenizer == "pattern" and not self.tokenizer_pattern:
+                raise ValueError("tokenizer='pattern' needs "
+                                 "tokenizer_pattern=(regex, group)")
+            if (self.ja_segment or self.segment_lang or self.word_delimiter
+                    or self.cjk_bigrams or self.payload_delimiter
+                    or self.url_email):
+                raise ValueError(
+                    "tokenizer= replaces the raw tokenizer stage — it "
+                    "cannot combine with word_delimiter, payloads, "
+                    "cjk_bigrams, url_email or a morphological segmenter")
 
     @property
     def effective_segment_lang(self) -> "str | None":
@@ -443,6 +473,9 @@ class Analyzer:
             yield from urlemail_tokenize_with_offsets(
                 text, self.max_token_length)
             return
+        if self.tokenizer:
+            yield from self._alt_tokenize(text)
+            return
         if not self.word_delimiter:
             stream = tokenize_with_offsets(text, self.max_token_length)
             if self.cjk_bigrams:
@@ -460,11 +493,32 @@ class Analyzer:
                     pos += 1
             col += len(raw) + 1
 
+    def _alt_tokenize(self, text: str):
+        """Dispatch the alternative raw tokenizers (tokenizer=...)."""
+        from lucene_ray.analysis import tokenizer as tk
+
+        kind = self.tokenizer
+        if kind == "whitespace":
+            return tk.whitespace_tokenize_with_offsets(
+                text, self.max_token_length)
+        if kind == "letter":
+            return tk.letter_tokenize_with_offsets(
+                text, self.max_token_length)
+        if kind == "keyword":
+            return tk.keyword_tokenize_with_offsets(
+                text, self.max_token_length)
+        if kind == "path_hierarchy":
+            return tk.path_hierarchy_tokenize_with_offsets(
+                text, self.path_delimiter, self.path_replacement,
+                self.path_skip)
+        pat, grp = self.tokenizer_pattern
+        return tk.pattern_tokenize_with_offsets(text, pat, grp)
+
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
         if ((self.synonyms and self.multi_synonym_rules)
                 or self.common_grams or self.cjk_bigrams
-                or self.url_email):
+                or self.url_email or self.tokenizer):
             # multi-word rules, common grams, CJK bigrams and the
             # URL/EMAIL tokenizer need the full raw-stream path
             return [t for t, _p in self.tokens_with_positions(text)]

@@ -135,6 +135,10 @@ def tokenize_column(
             return flat, doc_idx, positions, starts, ends
         return flat, doc_idx, positions
 
+    if analyzer.tokenizer:
+        parts = _tokenize_alt(texts, analyzer, want_offsets)
+        return parts if want_offsets else parts[:3]
+
     if analyzer.effective_segment_lang or analyzer.cjk_bigrams:
         # Viterbi morphological segmentation (analysis/japanese.py,
         # korean.py, chinese.py) is inherently per-string — the
@@ -700,6 +704,78 @@ def _apply_synonyms(parts, analyzer: Analyzer):
         flat2 = flat2.take(pa.array(order))
         others = [a[order] if a is not None else None for a in others]
     return (flat2, *others)
+
+
+def _tokenize_alt(texts: pa.Array, analyzer: Analyzer, want_offsets: bool):
+    """Alternative raw tokenizers (Analyzer(tokenizer=...)).
+
+    'keyword' vectorizes fully (offsets included: one token spanning the
+    row). 'whitespace'/'letter' vectorize through one RE2 split kernel in
+    the no-offsets case (variable-width separators make offsets
+    non-prefix-summable — the offsets case and any row with an over-long
+    run pay the per-row path). 'path_hierarchy'/'pattern' are per-row by
+    nature (like the reference's char-at-a-time tokenizers); positions
+    and term streams match the per-row analyzer by construction."""
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    kind = analyzer.tokenizer
+
+    if kind == "keyword":
+        if analyzer.lowercase and pc.any(pc.fill_null(
+                pc.match_substring_regex(texts, "İ"), False)).as_py():
+            # utf8_lower vs Python .lower() diverge on U+0130 (İ)
+            return _tokenize_all_rows_python(texts, analyzer, want_offsets)
+        keep = pc.not_equal(texts, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        rows = np.nonzero(keep_np)[0]
+        flat = texts.filter(keep)
+        if analyzer.lowercase:
+            flat = pc.utf8_lower(flat)
+        doc_idx = rows.astype(np.int64)
+        positions = np.zeros(rows.shape[0], dtype=np.int32)
+        parts = (flat, doc_idx, positions)
+        if want_offsets:
+            ends = pc.utf8_length(texts.filter(keep)) \
+                .to_numpy(zero_copy_only=False).astype(np.int32)
+            parts = (*parts, np.zeros_like(ends), ends)
+        parts = _stop_filter(parts, analyzer.stop_words)
+        parts = _length_filter(parts, analyzer)
+        parts = _post_filters(parts, analyzer)
+        return _pad5(parts) if want_offsets else parts
+
+    if kind in ("whitespace", "letter") and not want_offsets:
+        sep = r"\s+" if kind == "whitespace" else r"[^\p{L}]+"
+        maxlen = analyzer.max_token_length
+        # rows with an over-long run need the reference's chopping; rows
+        # with U+0130 İ diverge between utf8_lower and Python .lower()
+        # (İ → 'i' vs 'i̇') — both go per-row, like the main path
+        runpat = (r"\S{%d}" % (maxlen + 1) if kind == "whitespace"
+                  else r"\p{L}{%d}" % (maxlen + 1))
+        slow = pc.any(pc.fill_null(pc.match_substring_regex(
+            texts, runpat + ("|İ" if analyzer.lowercase else "")),
+            False)).as_py()
+        if not slow:
+            lists = pc.split_pattern_regex(texts, sep)
+            flat = pc.list_flatten(lists)
+            lengths = pc.list_value_length(lists) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_idx = np.repeat(
+                np.arange(len(texts), dtype=np.int64), lengths)
+            keep = pc.not_equal(flat, "")
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            if not keep_np.all():
+                flat = pc.filter(flat, keep)
+                doc_idx = doc_idx[keep_np]
+            if analyzer.lowercase:
+                flat = pc.utf8_lower(flat)
+            parts = (flat.combine_chunks()
+                     if isinstance(flat, pa.ChunkedArray) else flat,
+                     doc_idx, _dense_positions(doc_idx))
+            parts = _stop_filter(parts, analyzer.stop_words)
+            parts = _length_filter(parts, analyzer)
+            return _post_filters(parts, analyzer)
+
+    return _tokenize_all_rows_python(texts, analyzer, want_offsets)
 
 
 def _tokenize_all_rows_python(texts: pa.Array, analyzer: Analyzer,

@@ -162,3 +162,136 @@ ENGLISH_STOP_WORDS = frozenset(
         "or such that the their then there these they this to was will with"
     ).split()
 )
+
+
+# ---------------------------------------------------------------------------
+# Alternative raw tokenizers (Analyzer(tokenizer=...)):
+# core/WhitespaceTokenizer.java:28, core/LetterTokenizer.java:29,
+# core/KeywordTokenizer.java:28, path/PathHierarchyTokenizer.java:40,
+# pattern/PatternTokenizer.java:53. Each returns the same
+# (term, position, start, end) stream shape as tokenize_with_offsets.
+
+_WS_TOK_RE = re.compile(r"\S+")
+_LETTER_TOK_RE = re.compile(r"[^\W\d_]+")  # Unicode letters only
+
+
+def _chopped(tok: str, pos: int, start: int, max_token_length: int):
+    """maxTokenLen chopping shared by the whitespace/letter tokenizers
+    (the reference's CharTokenizer buffer split)."""
+    if len(tok) <= max_token_length:
+        yield tok, pos, start, start + len(tok)
+        return
+    for i in range(0, len(tok), max_token_length):
+        p = tok[i:i + max_token_length]
+        yield p, pos, start + i, start + i + len(p)
+        pos += 1
+
+
+def whitespace_tokenize_with_offsets(
+    text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+) -> list[tuple[str, int, int, int]]:
+    """WhitespaceTokenizer: maximal runs of non-whitespace."""
+    out: list[tuple[str, int, int, int]] = []
+    for m in _WS_TOK_RE.finditer(text):
+        for part in _chopped(m.group(0), len(out), m.start(),
+                             max_token_length):
+            out.append(part)
+    return out
+
+
+def letter_tokenize_with_offsets(
+    text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+) -> list[tuple[str, int, int, int]]:
+    """LetterTokenizer: maximal runs of Unicode letters (digits,
+    underscore and joiners all split)."""
+    out: list[tuple[str, int, int, int]] = []
+    for m in _LETTER_TOK_RE.finditer(text):
+        for part in _chopped(m.group(0), len(out), m.start(),
+                             max_token_length):
+            out.append(part)
+    return out
+
+
+def keyword_tokenize_with_offsets(
+    text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+) -> list[tuple[str, int, int, int]]:
+    """KeywordTokenizer: the entire input is ONE token (no chopping —
+    the reference emits the whole buffer regardless of length)."""
+    if not text:
+        return []
+    return [(text, 0, 0, len(text))]
+
+
+def path_hierarchy_tokenize_with_offsets(
+    text: str, delimiter: str = "/", replacement: "str | None" = None,
+    skip: int = 0,
+) -> list[tuple[str, int, int, int]]:
+    """PathHierarchyTokenizer: '/a/b/c' emits '/a', '/a/b', '/a/b/c' —
+    every prefix at position 0 (the reference's first token has
+    posInc=1, the rest posInc=0). ``skip`` drops that many leading
+    components from every emitted token (tokens then start at the
+    first kept delimiter, as in the reference); ``replacement``
+    rewrites the delimiter in the EMITTED terms (offsets still refer
+    to the original text)."""
+    if not text:
+        return []
+    rep = delimiter if replacement is None else replacement
+    # component boundaries: every delimiter position + end of string
+    ends = [i for i, ch in enumerate(text) if ch == delimiter
+            and i != 0] + [len(text)]
+    # a leading delimiter belongs to the first component
+    out: list[tuple[str, int, int, int]] = []
+    base = 0
+    if skip:
+        # start after `skip` delimiter-separated components
+        seen = 0
+        for i, ch in enumerate(text):
+            if ch == delimiter:
+                seen += 1
+                if seen == skip + (1 if text.startswith(delimiter) else 0):
+                    base = i
+                    break
+        else:
+            return []
+        ends = [e for e in ends if e > base]
+    for e in ends:
+        if e == base:
+            continue
+        term = text[base:e]
+        if rep != delimiter:
+            term = term.replace(delimiter, rep)
+        out.append((term, 0, base, e))
+    # drop a trailing empty component ('/a/' -> '/a' once, not twice)
+    dedup: list[tuple[str, int, int, int]] = []
+    for t in out:
+        if dedup and t[0] == dedup[-1][0]:
+            continue
+        dedup.append(t)
+    return dedup
+
+
+def pattern_tokenize_with_offsets(
+    text: str, pattern: str, group: int = -1
+) -> list[tuple[str, int, int, int]]:
+    """PatternTokenizer: ``group=-1`` treats the pattern as the
+    SEPARATOR (split mode); ``group>=0`` emits that capture group of
+    every match."""
+    rx = re.compile(pattern)
+    out: list[tuple[str, int, int, int]] = []
+    if group < 0:
+        last = 0
+        for m in rx.finditer(text):
+            if m.start() > last:
+                out.append((text[last:m.start()], len(out), last,
+                            m.start()))
+            last = max(last, m.end())
+            if m.end() == m.start():  # zero-width separator: advance
+                last += 1
+        if last < len(text):
+            out.append((text[last:], len(out), last, len(text)))
+        return out
+    for m in rx.finditer(text):
+        tok = m.group(group)
+        if tok:
+            out.append((tok, len(out), m.start(group), m.end(group)))
+    return out

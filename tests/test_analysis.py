@@ -1048,3 +1048,95 @@ def test_reverse_string_filter_and_leading_wildcard_rewrite():
     for pat in ("s?ow", "*b?e", "ta*le", "*"):
         fq = Q.rewrite_leading_wildcard(pat, "rev")
         assert isinstance(fq, Q.WildcardQuery) and fq.pattern == pat
+
+
+def test_alternative_tokenizers_golden():
+    """core/WhitespaceTokenizer.java:28, core/LetterTokenizer.java:29,
+    core/KeywordTokenizer.java:28, path/PathHierarchyTokenizer.java:40,
+    pattern/PatternTokenizer.java:53 — golden streams, matching the
+    reference's published test vectors where cited."""
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.tokenizer import \
+        path_hierarchy_tokenize_with_offsets as path_tok
+
+    assert Analyzer(tokenizer="whitespace").tokens("Foo  bar-Baz q9x") == [
+        "foo", "bar-baz", "q9x"]
+    assert Analyzer(tokenizer="letter").tokens("foo2Bar x_y café") == [
+        "foo", "bar", "x", "y", "café"]
+    assert Analyzer(tokenizer="keyword").tokens("One Whole Token") == [
+        "one whole token"]
+    # PathHierarchyTokenizer reference vectors
+    # (TestPathHierarchyTokenizer: testBasicPath / testEndOfDelimiter /
+    # testBasicSkip): all prefixes, trailing delimiter kept, skip drops
+    # leading components
+    assert [t for t, *_ in path_tok("/a/b/c")] == ["/a", "/a/b", "/a/b/c"]
+    assert [t for t, *_ in path_tok("/a/b/c/")] == [
+        "/a", "/a/b", "/a/b/c", "/a/b/c/"]
+    assert [t for t, *_ in path_tok("/a/b/c", skip=1)] == ["/b", "/b/c"]
+    assert [t for t, *_ in path_tok("/a/b", replacement="-")] == [
+        "-a", "-a-b"]
+    # every prefix shares position 0 (posInc 0 after the first)
+    assert [p for _t, p, *_ in path_tok("/a/b/c")] == [0, 0, 0]
+    # PatternTokenizer: split mode and group mode
+    pat = Analyzer(tokenizer="pattern", tokenizer_pattern=(";", -1))
+    assert pat.tokens("a;b;;c") == ["a", "b", "c"]
+    grp = Analyzer(tokenizer="pattern",
+                   tokenizer_pattern=(r"'([^']*)'", 1))
+    assert grp.tokens("'quoted' and 'more'") == ["quoted", "more"]
+
+
+def test_alternative_tokenizers_batch_parity():
+    """Batch path parity for every alt tokenizer, offsets and not —
+    incl. nulls, empties, over-long runs (chopping) and İ rows (the
+    utf8_lower divergence routes per-row)."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    cases = {
+        "whitespace": (Analyzer(tokenizer="whitespace",
+                                stop_words=frozenset({"and"})),
+                       ["Foo  bar-Baz and Q", None, "",
+                        "İstanbul tricky ẞ case", "a " * 300, "x" * 300]),
+        "letter": (Analyzer(tokenizer="letter", stem=True),
+                   ["foo2Bar running café x_y", "", None, "İstanbul",
+                    "y" * 300]),
+        "keyword": (Analyzer(tokenizer="keyword"),
+                    ["One Whole Token", "", None, "another doc"]),
+        "keyword_i": (Analyzer(tokenizer="keyword"),
+                      ["İstanbul doc", "plain"]),
+        "path": (Analyzer(tokenizer="path_hierarchy", lowercase=False),
+                 ["/a/b/c", "a/b/c/", "", None, "/x"]),
+        "pattern": (Analyzer(tokenizer="pattern",
+                             tokenizer_pattern=(";", -1)),
+                    ["a;b;;c", "", None, "xx;yy"]),
+    }
+    for name, (a, rows) in cases.items():
+        texts = pa.array(rows, type=pa.string())
+        for wo in (False, True):
+            res = tokenize_column(texts, a, want_offsets=wo)
+            exp = [(i, t, p, s, e) if wo else (i, t, p)
+                   for i, r in enumerate(rows)
+                   for t, p, s, e in a.tokens_with_offsets(r or "")]
+            if wo:
+                got = list(zip(res[1].tolist(), res[0].to_pylist(),
+                               res[2].tolist(), res[3].tolist(),
+                               res[4].tolist()))
+            else:
+                got = list(zip(res[1].tolist(), res[0].to_pylist(),
+                               res[2].tolist()))
+            assert got == exp, (name, wo)
+
+
+def test_alternative_tokenizer_conflicts():
+    import pytest
+
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    with pytest.raises(ValueError):
+        Analyzer(tokenizer="nope")
+    with pytest.raises(ValueError):
+        Analyzer(tokenizer="pattern")  # needs tokenizer_pattern
+    with pytest.raises(ValueError):
+        Analyzer(tokenizer="keyword", word_delimiter=True)
