@@ -1922,6 +1922,42 @@ RepSumByName
 
     q["phonetic_search_query"] = _phonetic_query
 
+    def _mk_phonetic_query(encoder, tag):
+        def _phon_q(sf):
+            from lucene_ray.analysis.analyzers import Analyzer
+            from lucene_ray.analysis.phonetic import encode
+            from lucene_ray.codec.postings import CODEC_VERSION
+            from lucene_ray.index.build import build_index
+            from lucene_ray.search.searcher import Searcher
+
+            docs = os.path.join(sf, "documents.parquet")
+            t = hashlib.sha1(
+                f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+                f":c{CODEC_VERSION}:{tag}".encode()).hexdigest()[:12]
+            idx = os.path.join(_CACHE_ROOT, t)
+            if not os.path.exists(os.path.join(idx, "manifest.json")):
+                build_index(docs, idx,
+                            analyzer=Analyzer(phonetic=encoder,
+                                              keyword_repeat=True),
+                            num_segments=4, stored_source=docs)
+            s = Searcher(idx, mode="f64")
+            d, _sc = s.search_all(Q.TermQuery(encode("tabel", encoder)))
+            return pa.table({"doc_id": np.sort(d)})
+        _phon_q.__doc__ = (
+            "PhoneticFilter inject=true (phonetic/PhoneticFilter.java:33) "
+            "with the %s encoder (analysis/phonetic.py — fresh "
+            "implementation of the published algorithm): querying the "
+            "code of the misspelled 'tabel' reaches its sound-alikes."
+            % encoder)
+        return _phon_q
+
+    q["metaphone_search_query"] = _mk_phonetic_query(
+        "metaphone", "phm1")
+    q["caverphone_search_query"] = _mk_phonetic_query(
+        "caverphone2", "phc1")
+    q["refined_soundex_search_query"] = _mk_phonetic_query(
+        "refined_soundex", "phr1")
+
     def _icu_fold_query(sf):
         """ICUFoldingFilter role (icu/ICUFoldingFilter.java:51): the
         text column's accents/case fold to a canonical form at index AND
@@ -6361,6 +6397,23 @@ smap(sterm, code) AS (VALUES {_sx_vals})
 SELECT DISTINCT t.doc_id FROM tok t JOIN smap s ON t.term = s.sterm
 WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
     )
+    # same vocabulary-mapped pattern for the round-5 encoders
+    from lucene_ray.analysis.phonetic import encode as _ph_enc
+
+    for _enc, _ename in (("metaphone", "metaphone_search_query"),
+                         ("caverphone2", "caverphone_search_query"),
+                         ("refined_soundex",
+                          "refined_soundex_search_query")):
+        _rows = [f"('{w}', '{_ph_enc(w, _enc)}')"
+                 for w in sorted(vocab) if w]
+        _vals = ", ".join(_rows) if _rows else "('', '')"
+        o[_ename] = (
+            f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, code) AS (VALUES {_vals})
+SELECT DISTINCT t.doc_id FROM tok t JOIN smap s ON t.term = s.sterm
+WHERE s.code = '{_ph_enc("tabel", _enc)}' ORDER BY t.doc_id"""
+        )
     # ICU fold: identity on the (ASCII, lowercase) corpus, so the folded
     # query term 'tablé' -> 'table' scores exactly the standard BM25
     o["icu_fold_query"] = (

@@ -599,7 +599,7 @@ def test_phonetic_encoders_golden():
     import pytest
 
     with pytest.raises(ValueError):
-        encode("x", "metaphone")
+        encode("x", "beidermorse")  # not implemented
 
 
 def test_phonetic_and_icu_fold_analyzer_plumbing():
@@ -1140,3 +1140,41 @@ def test_alternative_tokenizer_conflicts():
         Analyzer(tokenizer="pattern")  # needs tokenizer_pattern
     with pytest.raises(ValueError):
         Analyzer(tokenizer="keyword", word_delimiter=True)
+
+
+def test_phonetic_round5_encoders_golden():
+    """Metaphone (Philips 1990), Refined Soundex and Caverphone 2.0
+    (Hood 2004) against published test vectors."""
+    from lucene_ray.analysis.phonetic import (caverphone2, encode,
+                                              metaphone, refined_soundex)
+
+    # the commons-codec Metaphone doc sentence
+    sent = {"The": "0", "quick": "KK", "brown": "BRN", "fox": "FKS",
+            "jumped": "JMPT", "over": "OFR", "lazy": "LS", "dogs": "TKS"}
+    for w, c in sent.items():
+        assert metaphone(w) == c, w
+    assert metaphone("knight") == metaphone("night") == "NT"
+    assert metaphone("phone") == "FN"
+    assert metaphone("school") == "SKL"   # SCH hard K
+    assert metaphone("tough") == "T"      # final GH silent
+    assert metaphone("xavier") == "SFR"   # initial X -> S
+    assert metaphone("she") == "X"
+    assert metaphone("judge") == "JJ"
+    assert metaphone("testing") == "TSTN"  # 4-char cap
+
+    assert refined_soundex("testing") == "T6036084"
+    assert refined_soundex("TESTING") == "T6036084"
+    # adjacent equal codes collapse, vowels keep their 0
+    assert refined_soundex("smith") == refined_soundex("smyth")
+
+    # Caverphone 2.0 spec examples (Hood 2004)
+    assert caverphone2("Stevenson") == "STFNSN1111"
+    assert caverphone2("Peter") == "PTA1111111"
+    assert caverphone2("Thompson") == "TMPSN11111"
+    assert caverphone2("Stephenson") == caverphone2("Stevenson")
+    # all three are reachable through the analyzer chain
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    a = Analyzer(phonetic="metaphone")
+    assert a.tokens("quick brown") == ["KK", "BRN"]
+    assert encode("tabel", "caverphone2") == caverphone2("tabel")
