@@ -1951,6 +1951,36 @@ RepSumByName
             % encoder)
         return _phon_q
 
+    def _mapping_char_filter_query(sf):
+        """MappingCharFilter (charfilter/MappingCharFilter.java:44 +
+        NormalizeCharMap): raw text rewrites {'table'->'tbl',
+        'tab'->'x'} in one greedy longest-match pass BEFORE
+        tokenization ('tables'->'tbls', never 'xles'); BM25 TermQuery
+        for the mapped 'tbl'."""
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        t = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:mcf1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, t)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx,
+                        analyzer=Analyzer(mapping_char_filter=(
+                            ("table", "tbl"), ("tab", "x"))),
+                        num_segments=4, stored_source=docs)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery("tbl"))
+        order = np.argsort(d)
+        return pa.table({"doc_id": pa.array(d[order], type=pa.int64()),
+                         "score": pa.array(_round4(sc[order]),
+                                           type=pa.float64())})
+
+    q["mapping_char_filter_query"] = _mapping_char_filter_query
+
     q["metaphone_search_query"] = _mk_phonetic_query(
         "metaphone", "phm1")
     q["caverphone_search_query"] = _mk_phonetic_query(
@@ -6397,6 +6427,20 @@ smap(sterm, code) AS (VALUES {_sx_vals})
 SELECT DISTINCT t.doc_id FROM tok t JOIN smap s ON t.term = s.sterm
 WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
     )
+    # mapping char filter: the SQL twin applies the same longest-match
+    # rewrite at the char level ('table' before 'tab' — sequential
+    # longest-source-first replace equals the simultaneous pass when no
+    # replacement output re-matches a source, as here)
+    o["mapping_char_filter_query"] = (
+        _PRELUDE.replace(
+            "string_split(text, ' ')",
+            "string_split(replace(replace(text, 'table', 'tbl'), "
+            "'tab', 'x'), ' ')", 1)
+        + _term_cte("t", "tbl")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
+          " ORDER BY doc_id"
+    )
+
     # same vocabulary-mapped pattern for the round-5 encoders
     from lucene_ray.analysis.phonetic import encode as _ph_enc
 

@@ -331,6 +331,14 @@ class Analyzer:
     # token offsets refer to the FILTERED text, not the original (the
     # reference maintains an offset-correction map; documented).
     char_filters: tuple = ()
+    # MappingCharFilter (charfilter/MappingCharFilter.java:44 +
+    # NormalizeCharMap): ((source, replacement), ...) literal rewrites
+    # applied to the raw text BEFORE char_filters and tokenization, in
+    # ONE simultaneous pass with greedy longest-match at each position
+    # (the NormalizeCharMap FST semantics) and no re-scan of replacement
+    # output. Offsets refer to the mapped text (same documented
+    # deviation as char_filters).
+    mapping_char_filter: tuple = ()
     # Similarity.computeNorm's discountOverlaps=true default
     # (similarities/BM25Similarity.java:72, Similarity.java:151): when
     # set, field length counts UNIQUE positions, so same-position injected
@@ -354,11 +362,33 @@ class Analyzer:
             if " " in src
         ]
 
-    def apply_char_filters(self, text: str) -> str:
-        """PatternReplaceCharFilter chain over one raw text (index-side;
-        query analysis is per-term and skips char filters)."""
+    @property
+    def mapping_regex(self):
+        """One alternation regex over the mapping sources, longest first
+        (leftmost alternative wins in both Python re and RE2 — greedy
+        longest-match at each position), plus the replacement lookup."""
         import re as _re
 
+        srcs = sorted((s for s, _r in self.mapping_char_filter),
+                      key=len, reverse=True)
+        rx = _re.compile("|".join(_re.escape(s) for s in srcs))
+        table = dict(self.mapping_char_filter)
+        return rx, table
+
+    def apply_mapping(self, text: str) -> str:
+        """MappingCharFilter pass (one simultaneous longest-match sub)."""
+        if not self.mapping_char_filter:
+            return text
+        rx, table = self.mapping_regex
+        return rx.sub(lambda m: table[m.group(0)], text)
+
+    def apply_char_filters(self, text: str) -> str:
+        """MappingCharFilter + PatternReplaceCharFilter chain over one
+        raw text (index-side; query analysis is per-term and skips char
+        filters)."""
+        import re as _re
+
+        text = self.apply_mapping(text)
         for pat, rep in self.char_filters:
             text = _re.sub(pat, rep, text)
         return text
@@ -458,7 +488,7 @@ class Analyzer:
         """(term, position, start, end) of the raw tokenizer stage — the
         UAX#29-ish tokenizer, or whitespace+WDGF when word_delimiter;
         char filters run first (offsets refer to the filtered text)."""
-        if self.char_filters:
+        if self.char_filters or self.mapping_char_filter:
             text = self.apply_char_filters(text)
         seg = self.effective_segment_lang
         if seg:
@@ -522,7 +552,7 @@ class Analyzer:
             # multi-word rules, common grams, CJK bigrams and the
             # URL/EMAIL tokenizer need the full raw-stream path
             return [t for t, _p in self.tokens_with_positions(text)]
-        if self.char_filters:
+        if self.char_filters or self.mapping_char_filter:
             text = self.apply_char_filters(text)
         seg = self.effective_segment_lang
         if seg:

@@ -82,6 +82,34 @@ def tokenize_column(
     if n == 0:
         out = (pa.array([], type=pa.string()), *_EMPTY5[1:])
         return out if want_offsets else out[:3]
+    if texts.null_count:
+        # a null text is an empty document everywhere (the per-row
+        # paths' `v or ""` contract); fixed here once so the mixed
+        # ASCII/Unicode slow-row stitch never sees None
+        texts = pc.fill_null(texts, "")
+
+    if analyzer.mapping_char_filter:
+        # MappingCharFilter (charfilter/MappingCharFilter.java:44): one
+        # simultaneous longest-match pass. Only rows containing any
+        # mapping source pay the per-row sub; the alternation regex and
+        # table compile once per batch. Stripped from the analyzer so
+        # per-row fallbacks don't re-apply (same contract as
+        # char_filters below).
+        import dataclasses
+
+        rx, table = analyzer.mapping_regex
+        hit = pc.fill_null(pc.match_substring_regex(
+            texts, "|".join(__import__("re").escape(s)
+                            for s, _ in analyzer.mapping_char_filter)),
+            False).to_numpy(zero_copy_only=False)
+        if hit.any():
+            vals = texts.to_pylist()
+            sub = rx.sub
+            repl = lambda m: table[m.group(0)]  # noqa: E731
+            for i in np.nonzero(hit)[0]:
+                vals[i] = sub(repl, vals[i])
+            texts = pa.array(vals, type=pa.string())
+        analyzer = dataclasses.replace(analyzer, mapping_char_filter=())
 
     if analyzer.char_filters:
         # PatternReplaceCharFilter chain (pattern/PatternReplaceCharFilter

@@ -1178,3 +1178,38 @@ def test_phonetic_round5_encoders_golden():
     a = Analyzer(phonetic="metaphone")
     assert a.tokens("quick brown") == ["KK", "BRN"]
     assert encode("tabel", "caverphone2") == caverphone2("tabel")
+
+
+def test_mapping_char_filter():
+    """MappingCharFilter (charfilter/MappingCharFilter.java:44): one
+    simultaneous longest-match pass, no re-scan of replacement output;
+    batch path matches per-row; nulls tokenize as empty docs."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer, StandardAnalyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    a = Analyzer(mapping_char_filter=(
+        ("table", "tbl"), ("tab", "x"), ("ß", "ss")))
+    # longest match wins at each position
+    assert a.tokens("tab tabs tables") == ["x", "xs", "tbls"]
+    assert a.tokens("straße") == ["strasse"]
+    # no re-scan: a replacement output never re-matches
+    b = Analyzer(mapping_char_filter=(("ab", "ba"),))
+    assert b.tokens("aab") == ["aba"]
+    rows = ["the table is set", "tab and tabs", None, "",
+            "straße table", "plain words"]
+    texts = pa.array(rows, type=pa.string())
+    res = tokenize_column(texts, a)
+    exp = [(i, t, p) for i, r in enumerate(rows)
+           for t, p in a.tokens_with_positions(r or "")]
+    assert list(zip(res[1].tolist(), res[0].to_pylist(),
+                    res[2].tolist())) == exp
+    # regression: nulls through the mixed ASCII/Unicode stitch path
+    res2 = tokenize_column(pa.array(["straße café", None, "plain"]),
+                           StandardAnalyzer)
+    assert res2[0].to_pylist() == ["straße", "café", "plain"]
+    # mapping + regex char filters chain in order (mapping first)
+    c = Analyzer(mapping_char_filter=(("q", "k"),),
+                 char_filters=((r"k+", "k"),))
+    assert c.tokens("qk qq") == ["k", "k"]
