@@ -1981,6 +1981,115 @@ RepSumByName
 
     q["mapping_char_filter_query"] = _mapping_char_filter_query
 
+    def _scored_filter_index(sf, tag, analyzer_kw, term, text_expr=None):
+        """Shared helper: cached index over documents (optionally a
+        derived text column) with the given analyzer kwargs; BM25
+        TermQuery(term) -> (doc_id, score)."""
+        import pyarrow.compute as _pcc
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        t = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:{tag}".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, t)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            src = docs
+            kw = {}
+            if text_expr is not None:
+                def _mk(b: pa.Table) -> pa.Table:
+                    return (b.select(["doc_id"])
+                            .append_column("ftext", text_expr(b, _pcc)))
+                src = ray.data.read_parquet(
+                    docs, columns=["doc_id", "text"]) \
+                    .map_batches(_mk, batch_format="pyarrow")
+                kw["text_col"] = "ftext"
+            build_index(src, idx, analyzer=Analyzer(**analyzer_kw),
+                        num_segments=4, **kw)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery(term))
+        order = np.argsort(d)
+        return pa.table({"doc_id": pa.array(d[order], type=pa.int64()),
+                         "score": pa.array(_round4(sc[order]),
+                                           type=pa.float64())})
+
+    def _apostrophe_q(sf):
+        """ApostropheFilter (tr/ApostropheFilter.java:30): every token
+        except the last carries a Turkish-possessive-style 'x suffix
+        (derived column); the filter strips at the apostrophe, so the
+        stream — and the BM25 scores for 'table' — equal the plain
+        corpus exactly."""
+        return _scored_filter_index(
+            sf, "apf1", {"apostrophe": True}, "table",
+            text_expr=lambda b, pcc: pcc.replace_substring(
+                b["text"], " ", "'x "))
+
+    q["apostrophe_filter_query"] = _apostrophe_q
+
+    def _capitalization_q(sf):
+        """CapitalizationFilter (miscellaneous/CapitalizationFilter
+        .java:41): lowercase off, every token Title-cased; querying
+        'Table' scores exactly like 'table' over the plain chain."""
+        return _scored_filter_index(
+            sf, "capf1", {"capitalization": True, "lowercase": False},
+            "Table")
+
+    q["capitalization_query"] = _capitalization_q
+
+    def _limit_count_q(sf):
+        """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter
+        .java:29): only each document's first 5 tokens index; BM25 for
+        'table' (dl=5, df/tf over the truncated streams)."""
+        return _scored_filter_index(
+            sf, "ltc1", {"limit_token_count": 5}, "table")
+
+    q["limit_token_count_query"] = _limit_count_q
+
+    def _stemmer_override_q(sf):
+        """StemmerOverrideFilter + SetKeywordMarkerFilter
+        (miscellaneous/StemmerOverrideFilter.java:37,
+        SetKeywordMarkerFilter.java:27) over PorterStemFilter:
+        'table'->'tbl0' by dictionary (stemmer skipped), 'values'
+        protected from stemming (stays 'values' instead of 'valu');
+        BM25 for both, tagged."""
+        import pyarrow.compute as _pcc  # noqa: F401
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        t = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:sov1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, t)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx,
+                        analyzer=Analyzer(
+                            stem=True,
+                            stem_overrides=(("table", "tbl0"),),
+                            keyword_set=frozenset({"values"})),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        parts = []
+        for tag2, term in (("keyword", "values"), ("override", "tbl0")):
+            d, sc = s.search_all(Q.TermQuery(term))
+            order = np.argsort(d)
+            parts.append(pa.table({
+                "q": pa.array([tag2] * len(d), type=pa.string()),
+                "doc_id": pa.array(d[order], type=pa.int64()),
+                "score": pa.array(_round4(sc[order]), type=pa.float64())}))
+        return pa.concat_tables(parts).sort_by(
+            [("q", "ascending"), ("doc_id", "ascending")])
+
+    q["stemmer_override_query"] = _stemmer_override_q
+
     q["metaphone_search_query"] = _mk_phonetic_query(
         "metaphone", "phm1")
     q["caverphone_search_query"] = _mk_phonetic_query(
@@ -6439,6 +6548,95 @@ WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
         + _term_cte("t", "tbl")
         + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
           " ORDER BY doc_id"
+    )
+
+    # apostrophe filter: the derived corpus suffixes every token with
+    # 'x (replace ' '->"'x "); stripping at the apostrophe restores the
+    # plain stream exactly, so the twin is the standard BM25
+    o["apostrophe_filter_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
+          " ORDER BY doc_id"
+    )
+    # capitalization filter (lowercase off): Title-casing the all-lower
+    # ASCII corpus then querying 'Table' is term-for-term the plain
+    # lowercase chain scoring 'table'
+    o["capitalization_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
+          " ORDER BY doc_id"
+    )
+    # limit-token-count: only the first 5 raw tokens of each doc index;
+    # doclen/norms computed over the truncated streams, N over all docs
+    o["limit_token_count_query"] = (
+        f"""
+WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tok AS (SELECT doc_id, term FROM (
+  SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p FROM toklist)
+  WHERE p < 5),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+lstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = 'table' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN lstats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+    # stemmer override + keyword marker: porter map over the vocab but
+    # 'table' -> 'tbl0' (dictionary override) and 'values' removed from
+    # the map (keyword-protected, stemmer skipped); two tagged queries
+    _sov_rows = []
+    for _w in sorted(vocab):
+        if not _w:
+            continue
+        if _w == "table":
+            _sov_rows.append("('table', 'tbl0')")
+        elif _w == "values":
+            continue
+        elif _ps(_w) != _w:
+            _sov_rows.append(f"('{_w}', '{_ps(_w)}')")
+    _sov_vals = ", ".join(_sov_rows) if _sov_rows else "('', '')"
+    o["stemmer_override_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, stem) AS (VALUES {_sov_vals}),
+tok AS (SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+        FROM tok0 t LEFT JOIN smap s ON t.term = s.sterm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok0 GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+ostats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+qt(q, term) AS (VALUES ('keyword', 'values'), ('override', 'tbl0')),
+tf AS (SELECT qt.q, t.doc_id, count(*)::DOUBLE AS f
+       FROM tok t JOIN qt ON t.term = qt.term GROUP BY qt.q, t.doc_id),
+df AS (SELECT q, count(*)::DOUBLE AS df FROM tf GROUP BY q)
+SELECT t.q, t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t JOIN df d ON t.q = d.q CROSS JOIN ostats s
+JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.q, t.doc_id"""
     )
 
     # same vocabulary-mapped pattern for the round-5 encoders

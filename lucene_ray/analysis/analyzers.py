@@ -195,6 +195,28 @@ class Analyzer:
     path_delimiter: str = "/"
     path_replacement: "str | None" = None
     path_skip: int = 0
+    # ApostropheFilter (analysis/tr/ApostropheFilter.java:30): strip the
+    # apostrophe and everything after it (Turkish possessive suffixes:
+    # "türkiye'den" -> "türkiye"); runs FIRST among the token filters,
+    # as in the reference TurkishAnalyzer chain. Handles both ' and ’.
+    apostrophe: bool = False
+    # CapitalizationFilter (miscellaneous/CapitalizationFilter.java:41,
+    # factory defaults): uppercase the first letter, lowercase the rest.
+    # Runs after stem, before truncate/phonetic.
+    capitalization: bool = False
+    # SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter.java:27):
+    # terms in the set are PROTECTED from the stemmers (stem/stem_lang/
+    # hunspell); every other filter still applies.
+    keyword_set: "frozenset[str] | None" = None
+    # StemmerOverrideFilter (miscellaneous/StemmerOverrideFilter.java:37):
+    # ((term, stem), ...) dictionary applied INSTEAD of the stemmer for
+    # listed terms (and marking them keyword so the stemmer skips, as in
+    # the reference).
+    stem_overrides: tuple = ()
+    # LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:29):
+    # only the first N tokens of the raw stream survive (applied before
+    # the other filters, so stop-word gaps don't extend the window).
+    limit_token_count: "int | None" = None
     # ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:44):
     # every token indexes reversed. Index the same text into a second
     # field with this filter and a LEADING wildcard (*suffix) becomes a
@@ -225,6 +247,11 @@ class Analyzer:
                 "url_email replaces the raw tokenizer stage — it cannot "
                 "combine with word_delimiter, payloads, cjk_bigrams or a "
                 "morphological segmenter")
+        if self.limit_token_count is not None and (
+                self.word_delimiter or self.payload_delimiter):
+            raise ValueError(
+                "limit_token_count pairs with position-ordered raw "
+                "streams only — not word_delimiter or payloads")
         if self.tokenizer:
             if self.tokenizer not in ("whitespace", "letter", "keyword",
                                       "path_hierarchy", "pattern"):
@@ -406,10 +433,22 @@ class Analyzer:
             return False
         return self.keep_words is None or term in self.keep_words
 
+    @property
+    def override_map(self) -> dict:
+        return dict(self.stem_overrides)
+
     def transform_token(self, term: str) -> str:
-        """Post-stop per-token filters (elision, then digit/width folds,
-        then normalize, then fold, then stem, then truncate, then
-        phonetic)."""
+        """Post-stop per-token filters (apostrophe, then elision, then
+        digit/width folds, then normalize, then fold, then stem —
+        subject to keyword marking / overrides — then capitalization,
+        truncate, phonetic, reverse)."""
+        if self.apostrophe:
+            # ApostropheFilter (tr/ApostropheFilter.java:30)
+            for ap in ("'", "’"):
+                j = term.find(ap)
+                if j >= 0:
+                    term = term[:j]
+                    break
         if self.elision:
             from lucene_ray.analysis.stem import elide
 
@@ -452,7 +491,13 @@ class Analyzer:
             term = (scandinavian_fold_token(term)
                     if self.scandinavian == "fold"
                     else scandinavian_normalize_token(term))
-        if self.stem:
+        if self.stem_overrides and term in self.override_map:
+            # StemmerOverrideFilter: dictionary form replaces the
+            # stemmer and marks keyword
+            term = self.override_map[term]
+        elif self.keyword_set is not None and term in self.keyword_set:
+            pass  # SetKeywordMarkerFilter: protected from the stemmers
+        elif self.stem:
             from lucene_ray.analysis.stem import porter_stem
 
             term = porter_stem(term)
@@ -464,6 +509,9 @@ class Analyzer:
             from lucene_ray.analysis.hunspell import load_cached
 
             term = load_cached(*self.hunspell).stem_one(term)
+        if self.capitalization and term:
+            # CapitalizationFilter factory defaults
+            term = term[0].upper() + term[1:].lower()
         if self.truncate_length is not None:
             term = term[: self.truncate_length]
         if self.phonetic:
@@ -482,6 +530,8 @@ class Analyzer:
                 or bool(self.hunspell) or bool(self.phonetic)
                 or bool(self.elision) or self.decimal_digit
                 or bool(self.scandinavian) or self.reverse_tokens
+                or self.apostrophe or self.capitalization
+                or bool(self.stem_overrides)
                 or self.truncate_length is not None)
 
     def _raw_stream(self, text: str):
@@ -548,7 +598,8 @@ class Analyzer:
         """Analyzed terms of one document (order = position order)."""
         if ((self.synonyms and self.multi_synonym_rules)
                 or self.common_grams or self.cjk_bigrams
-                or self.url_email or self.tokenizer):
+                or self.url_email or self.tokenizer
+                or self.limit_token_count is not None):
             # multi-word rules, common grams, CJK bigrams and the
             # URL/EMAIL tokenizer need the full raw-stream path
             return [t for t, _p in self.tokens_with_positions(text)]
@@ -602,7 +653,10 @@ class Analyzer:
         """(term, position) pairs; stop-filtered tokens leave position gaps."""
         out = []
         repeats = []
+        lim = self.limit_token_count
         for term, pos, _s, _e in self._raw_stream(text):
+            if lim is not None and pos >= lim:
+                break  # LimitTokenCountFilter: raw positions ascend
             if self.lowercase:
                 term = term.lower()
             if self.stop_words and term in self.stop_words:
@@ -642,7 +696,10 @@ class Analyzer:
         ORIGINAL surface form (filters may rewrite the term)."""
         out = []
         repeats = []
+        lim = self.limit_token_count
         for term, pos, s, e in self._raw_stream(text):
+            if lim is not None and pos >= lim:
+                break  # LimitTokenCountFilter: raw positions ascend
             if self.lowercase:
                 term = term.lower()
             if self.stop_words and term in self.stop_words:

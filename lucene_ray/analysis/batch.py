@@ -874,6 +874,17 @@ def _length_filter(parts, analyzer: Analyzer):
     length outside [length_min, length_max] or (when keep_words is set)
     outside the keep set, keeping position gaps like StopFilter. Runs
     after stop, before stem/fold."""
+    if analyzer.limit_token_count is not None and len(parts[0]):
+        # LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter
+        # .java:29): positions here are still RAW token indices (stop
+        # and length filters keep gaps), so a position mask equals
+        # limiting the raw stream
+        mask = parts[2] < analyzer.limit_token_count
+        if not mask.all():
+            parts = tuple(
+                pc.filter(parts[0], pa.array(mask)) if i == 0
+                else (arr[mask] if arr is not None else None)
+                for i, arr in enumerate(parts))
     lo, hi = analyzer.length_min, analyzer.length_max
     if lo <= 1 and hi is None and analyzer.keep_words is None:
         return parts
