@@ -923,7 +923,11 @@ _SNOWBALL_LANGS = {"german": "de", "french": "fr", "spanish": "es",
                    "danish": "da", "porter2": "en",
                    # round 5 (VERDICT #6)
                    "romanian": "ro", "finnish": "fi", "hungarian": "hu",
-                   "turkish": "tr"}
+                   "turkish": "tr",
+                   # round 5 second wave (analysis/snowball_more.py)
+                   "armenian": "hy", "irish": "ga", "lithuanian": "lt",
+                   "basque": "eu", "catalan": "ca", "estonian": "et",
+                   "nepali": "ne"}
 
 
 def _snowball_index_dir(sf_dir: str, lang: str) -> str:

@@ -781,10 +781,11 @@ def common_grams_query(tokens: "list[str]", common: "frozenset | set") \
 def analyzer_for_lang(lang: str) -> Analyzer:
     """Language-routed analyzer selection — the role of the reference's
     per-language analyzer registry (GermanAnalyzer, FrenchAnalyzer, … in
-    lucene/analysis/{common,icu,kuromoji,nori,smartcn}). 32 routes:
-    'en' gets stop words + Porter; the 14 Snowball languages
-    (analysis/snowball.py) get their stemmer (tr additionally gets the
-    dotted/dotless-i casing); el/ar/hi/id/fa and the second wave
+    lucene/analysis/{common,icu,kuromoji,nori,smartcn}). 39 routes:
+    'en' gets stop words + Porter; the 21 Snowball languages
+    (analysis/snowball.py + snowball_more.py: + hy/ga/lt/eu/ca/et/ne)
+    get their stemmer (tr additionally gets the dotted/dotless-i
+    casing, ca/ga their article elision); el/ar/hi/id/fa and the wave
     bg/cs/lv/gl/bn/ckb/te/sr get the light-stemmer/normalizer chains
     (analysis/light_stemmers.py); ja/ko/zh get morphological lattice
     segmentation (analysis/japanese.py, korean.py, chinese.py); th gets
@@ -846,6 +847,17 @@ def analyzer_for_lang(lang: str) -> Analyzer:
             "c", "l", "all", "dall", "dell", "nell", "sull", "coll",
             "pell", "gl", "agl", "dagl", "degl", "negl", "sugl",
             "un", "m", "t", "s", "v", "d"))
+    if lang == "ca":
+        # CatalanAnalyzer chain (ca/CatalanAnalyzer.java:121): the
+        # ElisionFilter with its article set (l'home -> home) runs
+        # before the Catalan Snowball stemmer
+        return Analyzer(stem_lang="ca",
+                        elision=("d", "l", "m", "n", "s", "t"))
+    if lang == "ga":
+        # IrishAnalyzer chain (ga/IrishAnalyzer.java:126): ElisionFilter
+        # with d/m/b (d'fhear -> fhear; the stemmer then undoes the
+        # lenition) before the Irish Snowball stemmer
+        return Analyzer(stem_lang="ga", elision=("d", "m", "b"))
     if lang in STEMMERS:
         return Analyzer(stem_lang=lang)
     return StandardAnalyzer

@@ -1910,3 +1910,17 @@ STEMMERS["tr"] = turkish_stem
 from lucene_ray.analysis.light_stemmers import LIGHT_STEMMERS as _LIGHT  # noqa: E402
 
 STEMMERS.update(_LIGHT)
+
+# Snowball second wave (analysis/snowball_more.py): Armenian, Irish,
+# Lithuanian, Basque, Catalan, Estonian, Nepali.
+from lucene_ray.analysis.snowball_more import (  # noqa: E402
+    armenian_stem, basque_stem, catalan_stem, estonian_stem, irish_stem,
+    lithuanian_stem, nepali_stem)
+
+STEMMERS["hy"] = armenian_stem
+STEMMERS["ga"] = irish_stem
+STEMMERS["lt"] = lithuanian_stem
+STEMMERS["eu"] = basque_stem
+STEMMERS["ca"] = catalan_stem
+STEMMERS["et"] = estonian_stem
+STEMMERS["ne"] = nepali_stem

@@ -1,0 +1,106 @@
+"""Second-wave Snowball stemmers (analysis/snowball_more.py) — golden
+vectors traced through the published algorithms (snowballstem.org) plus
+analyzer plumbing (stem_lang round-trip, elision chains for ca/ga)."""
+
+from lucene_ray.analysis.analyzers import analyzer_for_lang
+from lucene_ray.analysis.snowball import STEMMERS, snowball_stem
+from lucene_ray.analysis.snowball_more import (armenian_stem, basque_stem,
+                                               catalan_stem, estonian_stem,
+                                               irish_stem, lithuanian_stem,
+                                               nepali_stem)
+
+GOLDEN = {
+    armenian_stem: {
+        # ներին (ending, R2) then nothing further applies
+        "ժողովուրդներին": "ժողովուրդ",
+        # ները (ending, R2)
+        "ուսանողները": "ուսանող",
+        # ը is R2-protected on a short word (p2 = end)
+        "գիրքը": "գիրքը",
+        # ություն (noun) after երին? ending first: համալսարաններում
+        "համալսարաններում": "համալսար",
+    },
+    irish_stem: {
+        "bhfeirm": "feirm",          # eclipsis bhf -> f
+        "géaraíocht": "géar",        # noun suffix -aíocht in R1
+        "arcachtaí": "arc",          # deriv replacement
+        "siopadóireacht": "siopadóir",  # -eacht in R2
+        "d'fhualaing": "fualaing",   # d'fh -> f
+        "feirmeoireacht": "feirmeoir",
+    },
+    lithuanian_stem: {
+        "vaikams": "vaik",           # dative plural -ams in R1
+        "mokyklose": "mokykl",       # locative plural -ose
+        "gražiausias": "graž",       # superlative: -ias, then -iaus
+        "didžiausia": "did",         # -ia, -iaus, then dž -> d
+        "lietuviškas": "lietuv",     # -as, then -išk
+        "ėjimas": "ėjim",            # R1 skips nothing (no leading a)
+    },
+    basque_stem: {
+        "etxeak": "etxe",            # absolutive plural -ak
+        "gizonak": "gizon",
+        "liburuetan": "liburu",      # locative plural -etan
+        "handiena": "handi",         # superlative -ena
+        "etxea": "etxea",            # RV blocks -a on short stem
+    },
+    catalan_stem: {
+        "nacions": "nacion",         # plural -s in R1
+        "nacionalitat": "nacional",  # -itat in R2
+        "rapidament": "rapid",       # adverb -ament
+        "treballant": "treball",     # gerund -ant
+        "cançons": "cançon",
+        "importants": "import",      # -ant + -s
+    },
+    estonian_stem: {
+        "koolides": "kooli",         # plural locative -des
+        "õpetajatele": "õpetaja",    # -te + -le
+        "laulsime": "laul",          # past 1pl -sime
+        "kirjutakse": "kirju",       # impersonal -takse
+        "hüppama": "hüpa",           # -ma, then pp undouble
+        "tegime": "tegi",            # whole-word irregular verb
+    },
+    nepali_stem: {
+        "नेपालको": "नेपाल",            # possessive postposition -को
+        "पुस्तकहरू": "पुस्तक",          # plural -हरू
+        "गरेको": "गर",               # participle -ेको
+        "विद्यालयहरुमा": "विद्यालय",     # -मा then -हरु
+    },
+}
+
+
+def test_golden_vectors():
+    for fn, cases in GOLDEN.items():
+        for word, want in cases.items():
+            got = fn(word)
+            assert got == want, f"{fn.__name__}({word!r}) = {got!r} != {want!r}"
+
+
+def test_registry_routing():
+    for lang in ("hy", "ga", "lt", "eu", "ca", "et", "ne"):
+        assert lang in STEMMERS
+        a = analyzer_for_lang(lang)
+        assert a.stem_lang == lang
+    assert snowball_stem("nacions", "ca") == "nacion"
+
+
+def test_catalan_elision_chain():
+    # CatalanAnalyzer: l'home elides to home before stemming (home then
+    # loses its residual -e in R1; parla loses the attached-pronoun la)
+    a = analyzer_for_lang("ca")
+    assert a.tokens("l'home parla") == ["hom", "par"]
+
+
+def test_irish_elision_and_mutation():
+    a = analyzer_for_lang("ga")
+    # d'fhear: the analyzer's elision strips d'; the stemmer undoes
+    # the lenition fh -> f
+    assert a.tokens("d'fhear")[0] == irish_stem("fhear")
+
+
+def test_idempotent_on_stems():
+    # re-stemming a stem must not oscillate for the analyzer cache
+    for fn, cases in GOLDEN.items():
+        if fn is nepali_stem:
+            continue  # repeat-loop stemmers strip further by design
+        for _w, s in cases.items():
+            assert isinstance(fn(s), str)
