@@ -1924,3 +1924,7 @@ STEMMERS["eu"] = basque_stem
 STEMMERS["ca"] = catalan_stem
 STEMMERS["et"] = estonian_stem
 STEMMERS["ne"] = nepali_stem
+
+from lucene_ray.analysis.snowball_more import tamil_chain  # noqa: E402
+
+STEMMERS["ta"] = tamil_chain

@@ -964,3 +964,269 @@ def nepali_stem(word: str) -> str:
             break
         w = w[: len(w) - len(s)]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Tamil — snowballstem.org/algorithms/tamil/stemmer.html
+# (reference: org/tartarus/snowball/ext/TamilStemmer.java)
+# Damodharan's algorithm: prefix strips (question/pronoun), then a
+# battery of suffix rules (plural, question, um, common endings,
+# vetrumai urupukal case markers, tense), with an ending-normalization
+# fixpoint after most rules. Marks: ் = pulli (virama).
+# ---------------------------------------------------------------------------
+
+_TA_PULLI = "்"              # ்
+_TA_AI = "ை"                 # ை
+
+_TA_QUESTION_CONS = "கஙசஞதநபமயவ"   # after the எ question prefix
+_TA_PRONOUN_V = "அஇஉ"              # pronoun prefix vowels
+_TA_HARD_CONS = "கசடதபற"           # vallinam consonants
+_TA_SOFT_CONS = "ஞணநனமயரலளழவ"      # mellinam/idaiyinam consonants
+_TA_VOWEL_SIGNS = "ாிீுூெேை"
+_TA_IND_VOWELS = "அஆஇஈஉஊஎஏஐஒஓஔ"
+
+# fix_va_start rewrites (word-initial)
+_TA_VA_START = {"வோ": "ஓ", "வொ": "ஒ", "வு": "உ", "வூ": "ஊ"}
+
+# fix_ending among: suffix -> action
+_TA_FIX = {"ந்த": 1, "ய": 1, "வ": 1, "ந்த்": 1, "ந்": 1, "வ்": 1,
+           "ய்": 2, "ட்க்": 3, "ட்ப்": 3, "ற்க்": 4, "ன்ற்": 4,
+           "ட்ட்": 5, "த்த்": 6, "ுக்": 7, "ுக்க்": 7, "ங்": 8,
+           "னு": 9}
+
+# common word endings: action 1 -> pulli, 2 (ல்ல) conditional -> pulli,
+# 3 -> delete
+_TA_COMMON = {"ென": 1, "ாகிய": 1, "ுடைய": 1, "ுள்ள": 1, "ாகி": 1,
+              "ின்றி": 1, "ென்று": 1, "ுடை": 1, "ில்லை": 1, "ுடன்": 1,
+              "ிடம்": 1, "ெனும்": 1, "ல்ல": 2,
+              "பட்ட": 3, "பட்டண": 3, "தான": 3, "படிதான": 3, "குரிய": 3,
+              "படி": 3, "பற்றி": 3, "படு": 3, "விடு": 3, "பட்டு": 3,
+              "விட்டு": 3, "பட்டது": 3, "ெல்லாம்": 3}
+
+# vetrumai urupukal (case markers)
+_TA_VETRUMAI = {"னை": 1, "கண்": 1, "முன்": 1, "மேற்": 1, "மேல்": 1,
+                "கீழ்": 1,
+                "விட": 2, "ொடு": 2, "ோடு": 2, "ிருந்து": 2, "ின்று": 2,
+                "ுடை": 2, "ிற்": 2, "ாமல்": 2, "ால்": 2, "ில்": 2,
+                "ுள்": 2,
+                "ின்": 3, "ிடம்": 4, "ல்": 5, "து": 6, "ீ": 7}
+
+# tense suffixes
+_TA_TENSE = {"க": 1, "த": 1, "ன": 1, "ப": 1, "ய": 1, "படு": 1,
+             "ிற்று": 1, "னை": 1, "வை": 1, "னன்": 1, "பன்": 1,
+             "னான்": 1, "மின்": 1, "னென்": 1, "னம்": 1, "பம்": 1,
+             "கும்": 1, "தும்": 1, "றும்": 1, "னர்": 1, "பர்": 1,
+             "வர்": 1, "னார்": 1, "மார்": 1, "கொண்டிர்": 1, "னள்": 1,
+             "பள்": 1, "வள்": 1, "னாள்": 1,
+             "வன்": 2, "து": 3, "ான்": 4,
+             "ா": 5, "ேன்": 5, "ாம்": 5, "டும்": 5, "ெம்": 5, "ேம்": 5,
+             "ோம்": 5, "ாய்": 5, "ீயர்": 5, "ார்": 5, "னிர்": 5,
+             "ீர்": 5, "ாள்": 5,
+             "கு": 6}
+
+_TA_TENSE2 = ("கிற", "கின்ற", "ாநின்ற", "கிற்", "கின்ற்", "ாநின்ற்")
+
+
+def _ta_fix_va_start(w: str) -> str:
+    p = _longest_prefix(w, _TA_VA_START)
+    return _TA_VA_START[p] + w[len(p):] if p is not None else w
+
+
+def _ta_fix_ending(w: str, found_vetrumai: bool) -> "tuple[str, bool]":
+    """One ending-normalization pass; returns (word, changed)."""
+    if len(w) <= 3:
+        return w, False
+    s = _longest_suffix(w, _TA_FIX)
+    if s is not None:
+        act = _TA_FIX[s]
+        base = len(w) - len(s)
+        pre = w[base - 1: base]
+        if act == 1:
+            return w[:base], True
+        if act == 2:
+            if pre in "ிீை":     # ி ீ ை
+                return w[:base], True
+        elif act == 3:
+            return w[:base] + "ள்", True
+        elif act == 4:
+            return w[:base] + "ல்", True
+        elif act == 5:
+            return w[:base] + "டு", True
+        elif act == 6:
+            if found_vetrumai and pre != _TA_AI:
+                return w[:base] + "ம்", True
+        elif act == 7:
+            return w[:base] + _TA_PULLI, True
+        elif act == 8:
+            if pre not in _TA_VOWEL_SIGNS:
+                return w[:base], True
+        elif act == 9:
+            if pre in (_TA_AI, _TA_PULLI):
+                return w[:base], True
+            return w[:base] + "ம்", True
+        # a conditional case failed: fall through to the pulli rules
+    if not w.endswith(_TA_PULLI):
+        return w, False
+    # trailing ் after consonant clusters
+    if len(w) >= 2 and w[-2] in _TA_HARD_CONS:
+        cut = 2
+        if len(w) >= 4 and w[-3] == _TA_PULLI and w[-4] in _TA_HARD_CONS:
+            cut = 4
+        return w[:-cut], True
+    if (len(w) >= 3 and w[-2] in _TA_SOFT_CONS
+            and w[-3] == _TA_PULLI):
+        return w[:-2], True
+    if len(w) >= 2 and (w[-2] in _TA_VOWEL_SIGNS or w[-2] == _TA_PULLI):
+        return w[:-1], True
+    return w, False
+
+
+def _ta_fix_endings(w: str, found_vetrumai: bool) -> str:
+    while True:
+        w, changed = _ta_fix_ending(w, found_vetrumai)
+        if not changed:
+            return w
+
+
+def tamil_stem(word: str) -> str:
+    """Tamil Snowball (Damodharan): see the per-rule comments; each
+    rule runs once in the published order, tense suffixes to fixpoint."""
+    w, _ = _ta_fix_ending(word, False)
+    if len(w) <= 4:
+        return w
+
+    # question prefix: எ + consonant + ்
+    if (len(w) >= 3 and w[0] == "எ" and w[1] in _TA_QUESTION_CONS
+            and w[2] == _TA_PULLI):
+        w = _ta_fix_va_start(w[3:])
+    # pronoun prefix: அ/இ/உ + consonant + ்
+    if (len(w) >= 3 and w[0] in _TA_PRONOUN_V
+            and w[1] in _TA_QUESTION_CONS and w[2] == _TA_PULLI):
+        w = _ta_fix_va_start(w[3:])
+
+    # question suffixes ா/ே/ோ -> ்
+    if len(w) > 4:
+        if w[-1] in "ாேோ":
+            w = w[:-1] + _TA_PULLI
+        w = _ta_fix_endings(w, False)
+
+    # ும் -> ்
+    if len(w) > 4 and w.endswith("ும்"):
+        w = w[:-3] + _TA_PULLI
+        w, _ = _ta_fix_ending(w, False)
+
+    # common word endings
+    if len(w) > 4:
+        s = _longest_suffix(w, _TA_COMMON)
+        if s is not None:
+            act = _TA_COMMON[s]
+            base = len(w) - len(s)
+            if act == 1:
+                w = w[:base] + _TA_PULLI
+                w = _ta_fix_endings(w, False)
+            elif act == 2:
+                if w[base - 1: base] not in _TA_VOWEL_SIGNS:
+                    w = w[:base] + _TA_PULLI
+                    w = _ta_fix_endings(w, False)
+            else:
+                w = w[:base]
+                w = _ta_fix_endings(w, False)
+
+    # vetrumai urupukal (case markers)
+    found_vetrumai = False
+    if len(w) > 4:
+        done = False
+        s = _longest_suffix(w, _TA_VETRUMAI)
+        if s is not None:
+            act = _TA_VETRUMAI[s]
+            base = len(w) - len(s)
+            pre = w[base - 1: base]
+            if act == 1:
+                w, done = w[:base], True
+            elif act == 2:
+                w, done = w[:base] + _TA_PULLI, True
+            elif act == 3:
+                if pre != "ம":
+                    w, done = w[:base] + _TA_PULLI, True
+            elif act == 4:
+                if len(w) >= 7:
+                    w, done = w[:base] + _TA_PULLI, True
+            elif act == 5:
+                if pre not in _TA_VOWEL_SIGNS:
+                    w, done = w[:base] + _TA_PULLI, True
+            elif act == 6:
+                if pre not in _TA_VOWEL_SIGNS:
+                    w, done = w[:base], True
+            else:
+                w, done = w[:base] + "ி", True
+        if not done and w.endswith(_TA_AI):
+            pre = w[-2:-1]
+            if pre not in _TA_HARD_CONS or (
+                    len(w) >= 3 and w[-3] == _TA_PULLI):
+                w, done = w[:-1] + _TA_PULLI, True
+        if done:
+            found_vetrumai = True
+            if w.endswith("ின்"):
+                w = w[:-3] + _TA_PULLI
+            w = _ta_fix_endings(w, found_vetrumai)
+
+    # plural suffixes (no min-length gate in the reference)
+    s = _longest_suffix(w, ("கள்", "ுங்கள்", "ட்கள்", "ற்கள்"))
+    if s is not None:
+        base = len(w) - len(s)
+        if s == "ுங்கள்":
+            if w[base - 1: base] in _TA_HARD_CONS:
+                w = w[:base] + "ுங்"
+            else:
+                w = w[:base] + _TA_PULLI
+        elif s == "ற்கள்":
+            w = w[:base] + "ல்"
+        elif s == "ட்கள்":
+            w = w[:base] + "ள்"
+        else:
+            w = w[:base]
+
+    # command suffixes பி/வி
+    if len(w) > 4 and w.endswith(("பி", "வி")):
+        w = w[:-2]
+
+    # tense suffixes, to fixpoint
+    while len(w) > 4:
+        matched = False
+        s = _longest_suffix(w, _TA_TENSE)
+        if s is not None:
+            act = _TA_TENSE[s]
+            base = len(w) - len(s)
+            pre = w[base - 1: base]
+            if act == 1:
+                w, matched = w[:base], True
+            elif act == 2:
+                if pre not in _TA_IND_VOWELS:
+                    w, matched = w[:base], True
+            elif act == 3:
+                if pre not in _TA_VOWEL_SIGNS:
+                    w, matched = w[:base], True
+            elif act == 4:
+                if pre != "ச":
+                    w, matched = w[:base] + _TA_PULLI, True
+            elif act == 5:
+                w, matched = w[:base] + _TA_PULLI, True
+            elif pre == _TA_PULLI:
+                w, matched = w[:base], True
+        s = _longest_suffix(w, _TA_TENSE2)
+        if s is not None:
+            w, matched = w[: len(w) - len(s)], True
+        w = _ta_fix_endings(w, found_vetrumai)
+        if not matched:
+            break
+    return w
+
+
+def tamil_chain(word: str) -> str:
+    """TamilAnalyzer chain core (ta/TamilAnalyzer.java:121): NFC
+    composition covers the IndicNormalizationFilter's canonical Tamil
+    split-vowel rules (e.g. ெ+ா -> ொ) ahead of the
+    Snowball stemmer."""
+    import unicodedata
+
+    return tamil_stem(unicodedata.normalize("NFC", word))

@@ -7,7 +7,7 @@ from lucene_ray.analysis.snowball import STEMMERS, snowball_stem
 from lucene_ray.analysis.snowball_more import (armenian_stem, basque_stem,
                                                catalan_stem, estonian_stem,
                                                irish_stem, lithuanian_stem,
-                                               nepali_stem)
+                                               nepali_stem, tamil_stem)
 
 GOLDEN = {
     armenian_stem: {
@@ -59,6 +59,13 @@ GOLDEN = {
         "hüppama": "hüpa",           # -ma, then pp undouble
         "tegime": "tegi",            # whole-word irregular verb
     },
+    tamil_stem: {
+        "புத்தகங்கள்": "புத்தக",        # plural -கள், then ங் ending fix
+        "வீடுகளில்": "வீடு",            # locative -இல் case + -கள்
+        "படித்தான்": "படி",             # past 3sg -ான், த்த் ending
+        "செய்கிறேன்": "செய்",           # present 1sg, கிற tense marker
+        "அவர்களுடைய": "அவர்",          # possessive -உடைய + plural
+    },
     nepali_stem: {
         "नेपालको": "नेपाल",            # possessive postposition -को
         "पुस्तकहरू": "पुस्तक",          # plural -हरू
@@ -76,7 +83,7 @@ def test_golden_vectors():
 
 
 def test_registry_routing():
-    for lang in ("hy", "ga", "lt", "eu", "ca", "et", "ne"):
+    for lang in ("hy", "ga", "lt", "eu", "ca", "et", "ne", "ta"):
         assert lang in STEMMERS
         a = analyzer_for_lang(lang)
         assert a.stem_lang == lang
