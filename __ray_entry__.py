@@ -2094,6 +2094,56 @@ RepSumByName
 
     q["stemmer_override_query"] = _stemmer_override_q
 
+    def _word_break_q(sf):
+        """WordBreakSpellChecker (suggest/spell/WordBreakSpellChecker
+        .java:74 suggestWordBreaks, :148 suggestWordCombinations) over
+        an index whose docs carry ' win dow' fragments: break
+        'keyvalue' (one bisect), break 'bigdatascan' (two changes via
+        the recursive right-side split), combine win+dow -> 'window'."""
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        t = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:wbs1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, t)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            import pyarrow.compute as _pcc
+
+            def _mk(b: pa.Table) -> pa.Table:
+                return (b.select(["doc_id"]).append_column(
+                    "ftext", _pcc.binary_join_element_wise(
+                        b["text"].cast(pa.string()), "win dow", " ")))
+            src = ray.data.read_parquet(
+                docs, columns=["doc_id", "text"]).map_batches(
+                _mk, batch_format="pyarrow")
+            build_index(src, idx, analyzer=Analyzer(), num_segments=4,
+                        text_col="ftext")
+        s = Searcher(idx, mode="f64")
+        rows = []
+        for parts, changes, freq in s.suggest_word_breaks("keyvalue"):
+            rows.append(("break1", " ".join(parts), changes, freq))
+        for parts, changes, freq in s.suggest_word_breaks(
+                "bigdatascan", max_changes=2):
+            rows.append(("break2", " ".join(parts), changes, freq))
+        for comb, i, j, freq in s.suggest_word_combinations(
+                ["win", "dow"], mode="always"):
+            rows.append(("combine", comb, j - i, freq))
+        rows.sort(key=lambda r: (r[0], r[2], -r[3], r[1]))
+        return pa.table({
+            "kind": pa.array([r[0] for r in rows], type=pa.string()),
+            "suggestion": pa.array([r[1] for r in rows],
+                                   type=pa.string()),
+            "changes": pa.array([r[2] for r in rows], type=pa.int64()),
+            "freq": pa.array([r[3] for r in rows], type=pa.int64())})
+
+    q["word_break_suggest"] = _word_break_q
+
     q["metaphone_search_query"] = _mk_phonetic_query(
         "metaphone", "phm1")
     q["caverphone_search_query"] = _mk_phonetic_query(
@@ -6641,6 +6691,42 @@ SELECT t.q, t.doc_id,
 FROM tf t JOIN df d ON t.q = d.q CROSS JOIN ostats s
 JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.q, t.doc_id"""
+    )
+
+    # word-break spell checker: the twin enumerates split positions
+    # against the derived dictionary (docs carry ' win dow' fragments)
+    o["word_break_suggest"] = (
+        """
+WITH tok AS (SELECT doc_id, unnest(string_split(text || ' win dow', ' ')) AS term
+             FROM documents),
+dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+b1 AS (
+  SELECT 'break1' AS kind, l.term || ' ' || r.term AS suggestion,
+         1::BIGINT AS changes, greatest(l.df, r.df) AS freq
+  FROM range(1, 8) t(i)
+  JOIN dict l ON l.term = substr('keyvalue', 1, i::INT)
+  JOIN dict r ON r.term = substr('keyvalue', i::INT + 1)),
+b2a AS (
+  SELECT 'break2' AS kind, l.term || ' ' || r.term AS suggestion,
+         1::BIGINT AS changes, greatest(l.df, r.df) AS freq
+  FROM range(1, 11) t(i)
+  JOIN dict l ON l.term = substr('bigdatascan', 1, i::INT)
+  JOIN dict r ON r.term = substr('bigdatascan', i::INT + 1)),
+b2b AS (
+  SELECT 'break2' AS kind,
+         l.term || ' ' || m.term || ' ' || r.term AS suggestion,
+         2::BIGINT AS changes, greatest(l.df, m.df, r.df) AS freq
+  FROM range(1, 11) t(i) CROSS JOIN range(1, 11) u(j)
+  JOIN dict l ON t.i < u.j AND l.term = substr('bigdatascan', 1, i::INT)
+  JOIN dict m ON m.term = substr('bigdatascan', i::INT + 1, (j - i)::INT)
+  JOIN dict r ON r.term = substr('bigdatascan', j::INT + 1)),
+comb AS (
+  SELECT 'combine' AS kind, d.term AS suggestion, 1::BIGINT AS changes,
+         d.df AS freq
+  FROM dict d WHERE d.term = 'window')
+SELECT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2a
+               UNION ALL SELECT * FROM b2b UNION ALL SELECT * FROM comb)
+ORDER BY kind, changes, freq DESC, suggestion"""
     )
 
     # same vocabulary-mapped pattern for the round-5 encoders

@@ -720,6 +720,109 @@ class Searcher:
             }
         )
 
+    def _global_df(self) -> dict:
+        """{term: df} over the default field's global term stats, loaded
+        once per searcher (the WordBreakSpellChecker dictionary role)."""
+        if not hasattr(self, "_gdf_cache"):
+            from lucene_ray.index.build import read_global_term_stats
+            from lucene_ray.index.fields import FIELD_MARK
+
+            t = read_global_term_stats(self.index_dir,
+                                       manifest=self.manifest)
+            self._gdf_cache = {
+                term: int(df)
+                for term, df in zip(t["term"].to_pylist(),
+                                    t["df"].to_pylist())
+                if not term.startswith(FIELD_MARK)
+            }
+        return self._gdf_cache
+
+    def suggest_word_breaks(self, term: str, k: int = 5,
+                            max_changes: int = 1,
+                            min_break_length: int = 1,
+                            min_freq: int = 1,
+                            mode: str = "not_in_index",
+                            max_evaluations: int = 1000):
+        """WordBreakSpellChecker.suggestWordBreaks role (suggest/spell/
+        WordBreakSpellChecker.java:74): split ``term`` into dictionary
+        words — bisects first, then recursive splits of the right side
+        of any valid left part, up to ``max_changes`` breaks — ranked
+        NUM_CHANGES_THEN_MAX_FREQUENCY (fewer breaks, then higher max
+        component df). Returns [(parts, changes, max_freq), ...]."""
+        df = self._global_df()
+        orig = df.get(term, 0)
+        if orig > 0 and mode == "not_in_index":
+            return []
+        floor = max(min_freq, 1)
+        if mode == "more_popular":
+            floor = orig if orig else 1
+        out = []
+        evals = 0
+
+        def rec(text: str, breaks: int, prefix: tuple, maxfreq: int):
+            nonlocal evals
+            n = len(text)
+            if n < min_break_length * 2:
+                return
+            valid_lefts = []
+            for i in range(min_break_length, n - min_break_length + 1):
+                if evals >= max_evaluations:
+                    return
+                evals += 1
+                left, right = text[:i], text[i:]
+                ldf = df.get(left, 0)
+                if ldf >= floor:
+                    valid_lefts.append((i, ldf))
+                    rdf = df.get(right, 0)
+                    if rdf >= floor:
+                        out.append((prefix + (left, right), breaks,
+                                    max(maxfreq, ldf, rdf)))
+            if breaks + 1 > max_changes:
+                return
+            for i, ldf in valid_lefts:
+                rec(text[i:], breaks + 1, prefix + (text[:i],),
+                    max(maxfreq, ldf))
+                if evals >= max_evaluations:
+                    return
+
+        rec(term, 1, (), 0)
+        out.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return out[:k]
+
+    def suggest_word_combinations(self, terms: list, k: int = 5,
+                                  max_changes: int = 1,
+                                  max_combined_length: int = 20,
+                                  min_freq: int = 1,
+                                  mode: str = "not_in_index"):
+        """WordBreakSpellChecker.suggestWordCombinations role
+        (suggest/spell/WordBreakSpellChecker.java:148): combine up to
+        ``max_changes``+1 adjacent terms into one dictionary word.
+        Returns [(combined, first_index, last_index, freq), ...] ranked
+        by (combinations asc, freq desc)."""
+        df = self._global_df()
+        origs = [df.get(t, 0) for t in terms]
+        out = []
+        for i in range(len(terms) - 1):
+            combined = terms[i]
+            if len(combined) > max_combined_length:
+                continue
+            maxf = minf = origs[i]
+            for j in range(i + 1, min(len(terms), i + 1 + max_changes)):
+                combined += terms[j]
+                if len(combined) > max_combined_length:
+                    break
+                maxf = max(maxf, origs[j])
+                minf = min(minf, origs[j])
+                cf = df.get(combined, 0)
+                if mode == "more_popular" and cf < maxf:
+                    continue
+                if mode == "not_in_index" and minf != 0:
+                    continue
+                if cf >= min_freq:
+                    out.append((combined, i, j, cf, j - i))
+        out.sort(key=lambda r: (r[4], -r[3], r[0]))
+        return [(c, i, j, f) for c, i, j, f, _ in out[:k]]
+
     def multi_phrase_freqs(self, positions: tuple):
         """(global doc_ids, occurrence counts) for a multi-phrase — each
         position accepts any of its alternative terms."""

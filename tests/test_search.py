@@ -896,3 +896,28 @@ def test_alternative_similarities(built_index, brute_force):
     assert set(got) == set(want)
     for d in want:
         assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_word_break_spell_checker(built_index):
+    """WordBreakSpellChecker roles (suggest/spell/WordBreakSpellChecker
+    .java:74,148): break a concatenation into dictionary words; combine
+    adjacent fragments into a dictionary word."""
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    breaks = s.suggest_word_breaks("keyvalue")
+    assert breaks and breaks[0][0] == ("key", "value")
+    assert breaks[0][1] == 1  # one break
+    # term present in the index -> no suggestions in not_in_index mode
+    assert s.suggest_word_breaks("table") == []
+    # two-change recursive split
+    b2 = s.suggest_word_breaks("bigdatascan", max_changes=2)
+    assert ("big", "data", "scan") in [p for p, _c, _f in b2]
+    assert s.suggest_word_breaks("bigdatascan", max_changes=1) == []
+    # combinations: adjacent fragments forming an indexed term
+    combos = s.suggest_word_combinations(["win", "dow"], mode="always")
+    assert combos and combos[0][0] == "window"
+    # not_in_index mode requires an absent fragment among the originals
+    assert s.suggest_word_combinations(
+        ["table", "window"], mode="not_in_index") == []
