@@ -2144,6 +2144,19 @@ RepSumByName
 
     q["word_break_suggest"] = _word_break_q
 
+    def _hyphenated_q(sf):
+        """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter
+        .java:57) over WhitespaceTokenizer: every 'table' is line-break
+        hyphenated to 'ta- ble' in the derived corpus; the filter joins
+        the parts back, so BM25('table') equals the plain corpus."""
+        return _scored_filter_index(
+            sf, "hyw1", {"tokenizer": "whitespace",
+                         "hyphenated_words": True}, "table",
+            text_expr=lambda b, pcc: pcc.replace_substring(
+                b["text"], "table", "ta- ble"))
+
+    q["hyphenated_words_query"] = _hyphenated_q
+
     q["metaphone_search_query"] = _mk_phonetic_query(
         "metaphone", "phm1")
     q["caverphone_search_query"] = _mk_phonetic_query(
@@ -6604,6 +6617,13 @@ WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
           " ORDER BY doc_id"
     )
 
+    # hyphenated-words filter: joining 'ta- ble' back restores the
+    # plain stream exactly, so the twin is the standard BM25
+    o["hyphenated_words_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
+          " ORDER BY doc_id"
+    )
     # apostrophe filter: the derived corpus suffixes every token with
     # 'x (replace ' '->"'x "); stripping at the apostrophe restores the
     # plain stream exactly, so the twin is the standard BM25

@@ -217,6 +217,11 @@ class Analyzer:
     # only the first N tokens of the raw stream survive (applied before
     # the other filters, so stop-word gaps don't extend the window).
     limit_token_count: "int | None" = None
+    # HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:57):
+    # a raw token ending in '-' joins with the following token(s) —
+    # line-break hyphenation repair. Pair with tokenizer="whitespace"
+    # (the standard tokenizer already drops the hyphen).
+    hyphenated_words: bool = False
     # ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:44):
     # every token indexes reversed. Index the same text into a second
     # field with this filter and a LEADING wildcard (*suffix) becomes a
@@ -535,6 +540,13 @@ class Analyzer:
                 or self.truncate_length is not None)
 
     def _raw_stream(self, text: str):
+        """(term, position, start, end) of the raw tokenizer stage, with
+        the optional hyphenation repair applied on top."""
+        if self.hyphenated_words:
+            return _hyphenated_merge(self._raw_stream0(text))
+        return self._raw_stream0(text)
+
+    def _raw_stream0(self, text: str):
         """(term, position, start, end) of the raw tokenizer stage — the
         UAX#29-ish tokenizer, or whitespace+WDGF when word_delimiter;
         char filters run first (offsets refer to the filtered text)."""
@@ -599,7 +611,8 @@ class Analyzer:
         if ((self.synonyms and self.multi_synonym_rules)
                 or self.common_grams or self.cjk_bigrams
                 or self.url_email or self.tokenizer
-                or self.limit_token_count is not None):
+                or self.limit_token_count is not None
+                or self.hyphenated_words):
             # multi-word rules, common grams, CJK bigrams and the
             # URL/EMAIL tokenizer need the full raw-stream path
             return [t for t, _p in self.tokens_with_positions(text)]
@@ -776,6 +789,32 @@ def common_grams_query(tokens: "list[str]", common: "frozenset | set") \
         if not in_gram[i]:
             out.append(t)
     return out
+
+
+def _hyphenated_merge(stream):
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:
+    57): raw tokens ending in '-' accumulate (hyphen dropped) and join
+    with the next plain token; a chain of hyphen-ending tokens joins
+    into one word. The merged token keeps the first part's start offset
+    and the last part's end; positions renumber sequentially (each
+    merge consumes one position, as the reference's single-token
+    emission does). A trailing unpaired part gets its hyphen back."""
+    pos = 0
+    buf = None          # (accumulated text, start offset)
+    last_end = 0
+    for t, _p, s, e in stream:
+        last_end = e
+        if t.endswith("-"):
+            buf = (t[:-1], s) if buf is None else (buf[0] + t[:-1], buf[1])
+            continue
+        if buf is not None:
+            yield buf[0] + t, pos, buf[1], e
+            buf = None
+        else:
+            yield t, pos, s, e
+        pos += 1
+    if buf is not None:
+        yield buf[0] + "-", pos, buf[1], last_end
 
 
 def analyzer_for_lang(lang: str) -> Analyzer:

@@ -163,6 +163,12 @@ def tokenize_column(
             return flat, doc_idx, positions, starts, ends
         return flat, doc_idx, positions
 
+    if analyzer.hyphenated_words:
+        # token-merging changes positions over the whole stream; go
+        # per-row (one shared implementation keeps batch parity)
+        parts = _tokenize_all_rows_python(texts, analyzer, want_offsets)
+        return parts if want_offsets else parts[:3]
+
     if analyzer.tokenizer:
         parts = _tokenize_alt(texts, analyzer, want_offsets)
         return parts if want_offsets else parts[:3]

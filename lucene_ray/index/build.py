@@ -397,6 +397,23 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "truncate_length": analyzer.truncate_length,
         "keep_words": (sorted(analyzer.keep_words)
                        if analyzer.keep_words is not None else None),
+        "tokenizer": analyzer.tokenizer,
+        "tokenizer_pattern": analyzer.tokenizer_pattern,
+        "path_delimiter": analyzer.path_delimiter,
+        "path_replacement": analyzer.path_replacement,
+        "path_skip": analyzer.path_skip,
+        "url_email": analyzer.url_email,
+        "reverse_tokens": analyzer.reverse_tokens,
+        "mapping_char_filter": ([[s, r] for s, r in
+                                 analyzer.mapping_char_filter]
+                                if analyzer.mapping_char_filter else None),
+        "apostrophe": analyzer.apostrophe,
+        "capitalization": analyzer.capitalization,
+        "keyword_set": (sorted(analyzer.keyword_set)
+                        if analyzer.keyword_set is not None else None),
+        "stem_overrides": [[t, s] for t, s in analyzer.stem_overrides],
+        "limit_token_count": analyzer.limit_token_count,
+        "hyphenated_words": analyzer.hyphenated_words,
     }
 
 
@@ -440,6 +457,25 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         truncate_length=a.get("truncate_length"),
         keep_words=(frozenset(a["keep_words"])
                     if a.get("keep_words") is not None else None),
+        tokenizer=a.get("tokenizer"),
+        tokenizer_pattern=(tuple(a["tokenizer_pattern"])
+                           if a.get("tokenizer_pattern") else None),
+        path_delimiter=a.get("path_delimiter", "/"),
+        path_replacement=a.get("path_replacement"),
+        path_skip=a.get("path_skip", 0),
+        url_email=a.get("url_email", False),
+        reverse_tokens=a.get("reverse_tokens", False),
+        mapping_char_filter=(tuple((s, r) for s, r in
+                                   a["mapping_char_filter"])
+                             if a.get("mapping_char_filter") else ()),
+        apostrophe=a.get("apostrophe", False),
+        capitalization=a.get("capitalization", False),
+        keyword_set=(frozenset(a["keyword_set"])
+                     if a.get("keyword_set") is not None else None),
+        stem_overrides=tuple(
+            (t, s) for t, s in a.get("stem_overrides", [])),
+        limit_token_count=a.get("limit_token_count"),
+        hyphenated_words=a.get("hyphenated_words", False),
     )
 
 

@@ -230,3 +230,59 @@ class TestFingerprint:
             ds, separator="_", analyzer=an).iter_batches(
                 batch_format="pyarrow", batch_size=4))
         assert t["fingerprint"].to_pylist() == ["run"]
+
+
+def test_hyphenated_words_filter():
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter
+    .java:57): join line-break-hyphenated parts; chains join fully;
+    a trailing unpaired part keeps its hyphen."""
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    a = Analyzer(tokenizer="whitespace", hyphenated_words=True)
+    assert a.tokens("hyphen- ated word") == ["hyphenated", "word"]
+    assert a.tokens("one- two- three") == ["onetwothree"]
+    assert a.tokens("trail-") == ["trail-"]
+    # positions renumber sequentially after merges
+    assert a.tokens_with_positions("a hy- phen b") == [
+        ("a", 0), ("hyphen", 1), ("b", 2)]
+
+
+def test_hyphenated_words_batch_parity():
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    a = Analyzer(tokenizer="whitespace", hyphenated_words=True)
+    rows = ["hyphen- ated word", "plain text", "one- two- three", ""]
+    flat, d, p = tokenize_column(pa.array(rows), a)
+    got = list(zip(flat.to_pylist(), d.tolist(), p.tolist()))
+    want = []
+    for i, r in enumerate(rows):
+        want += [(t, i, pos) for t, pos in a.tokens_with_positions(r)]
+    assert got == want
+
+
+def test_analyzer_manifest_round_trip_new_flags():
+    """Every Analyzer field must survive the manifest round-trip
+    (index/build.py analyzer_dict/analyzer_from_dict)."""
+    import dataclasses
+    import json
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import analyzer_dict, analyzer_from_dict
+
+    persisted = set(analyzer_dict(Analyzer()).keys())
+    fields = {f.name for f in dataclasses.fields(Analyzer)}
+    missing = fields - persisted
+    assert not missing, f"analyzer fields not persisted: {missing}"
+
+    a = Analyzer(tokenizer="whitespace", hyphenated_words=True,
+                 apostrophe=True, limit_token_count=7,
+                 stem=True, stem_overrides=(("table", "tbl0"),),
+                 keyword_set=frozenset({"values"}),
+                 reverse_tokens=True,
+                 mapping_char_filter=(("table", "tbl"),))
+    b = analyzer_from_dict(json.loads(json.dumps(analyzer_dict(a))))
+    for f in dataclasses.fields(Analyzer):
+        assert getattr(a, f.name) == getattr(b, f.name), f.name
