@@ -927,7 +927,7 @@ _SNOWBALL_LANGS = {"german": "de", "french": "fr", "spanish": "es",
                    # round 5 second wave (analysis/snowball_more.py)
                    "armenian": "hy", "irish": "ga", "lithuanian": "lt",
                    "basque": "eu", "catalan": "ca", "estonian": "et",
-                   "nepali": "ne", "tamil": "ta"}
+                   "nepali": "ne", "tamil": "ta", "polish": "pl"}
 
 
 def _snowball_index_dir(sf_dir: str, lang: str) -> str:

@@ -1928,3 +1928,7 @@ STEMMERS["ne"] = nepali_stem
 from lucene_ray.analysis.snowball_more import tamil_chain  # noqa: E402
 
 STEMMERS["ta"] = tamil_chain
+
+from lucene_ray.analysis.snowball_more import polish_stem  # noqa: E402
+
+STEMMERS["pl"] = polish_stem

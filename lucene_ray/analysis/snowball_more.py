@@ -1230,3 +1230,92 @@ def tamil_chain(word: str) -> str:
     import unicodedata
 
     return tamil_stem(unicodedata.normalize("NFC", word))
+
+
+# ---------------------------------------------------------------------------
+# Polish — snowballstem.org/algorithms/polish/stemmer.html
+# (reference: org/tartarus/snowball/ext/PolishStemmer.java; the stempel
+# statistical stemmer is the pl module's other engine — this is the
+# Snowball one, PolishSnowballAnalyzer role)
+# ---------------------------------------------------------------------------
+
+_PL_VOWELS = "aeiouyóąę"
+
+# conditional clitic (deleted first, within R1)
+_PL_CLITIC = ("byście", "bym", "by", "byśmy", "byś")
+
+# main inflection endings: 1 = delete, 2 = -> s, 3 = delete in R1 else
+# -> s, 4 = -> ł, 5 = delete then try the secondary participle strip
+_PL_MAIN = {
+    "ąca": 1, "ająca": 1, "sza": 1, "iejsza": 1, "ała": 1, "iała": 1,
+    "iła": 1, "ąc": 1, "ając": 1, "ące": 1, "ające": 1, "cie": 1,
+    "acie": 1, "ecie": 1, "icie": 1, "ajcie": 1, "aliście": 1,
+    "ieliście": 1, "iliście": 1, "ałyście": 1, "iałyście": 1,
+    "iłyście": 1, "sze": 1, "iejsze": 1, "ali": 1, "ieli": 1, "ili": 1,
+    "aj": 1, "am": 1, "ałam": 1, "iałam": 1, "iłam": 1, "ałem": 1,
+    "iałem": 1, "iłem": 1, "ało": 1, "iało": 1, "iło": 1, "amy": 1,
+    "emy": 1, "imy": 1, "aliśmy": 1, "ieliśmy": 1, "iliśmy": 1,
+    "ałyśmy": 1, "iałyśmy": 1, "iłyśmy": 1, "ały": 1, "iały": 1,
+    "iły": 1, "asz": 1, "esz": 1, "isz": 1, "ącą": 1, "ającą": 1,
+    "ają": 1, "iejszą": 1, "ać": 1, "ieć": 1, "ić": 1, "ąć": 1,
+    "aść": 1, "eść": 1, "ę": 1, "ał": 1, "iał": 1, "ił": 1, "ałaś": 1,
+    "iałaś": 1, "iłaś": 1, "ałeś": 1, "iałeś": 1, "iłeś": 1,
+    "sząca": 2, "szące": 2, "szącą": 2, "szę": 2,
+    "szą": 3,
+    "liście": 4, "łyście": 4, "liśmy": 4, "łyśmy": 4, "łaś": 4,
+    "łeś": 4,
+    "ich": 5, "ych": 5, "imi": 5, "ymi": 5, "ej": 5, "iej": 5, "im": 5,
+    "ym": 5, "ego": 5, "iego": 5, "emu": 5, "iemu": 5, "y": 5,
+}
+
+# secondary participle/comparative strip after a case-5 deletion
+_PL_SECONDARY = {"ąc": 1, "ając": 1, "sz": 1, "iejsz": 1, "sząc": 2}
+
+# word-final palatal consonant normalization
+_PL_FINAL = {"ć": "c", "ń": "n", "ś": "s", "ź": "z"}
+
+
+def polish_stem(word: str) -> str:
+    """Polish Snowball: clitic strip (R1), one main inflection ending
+    (floor 2), optional secondary strip after -ych/-ego/... deletions;
+    when no ending matches, normalize a final palatal consonant."""
+    w = word
+    n = len(w)
+    i = 0
+    p1 = n
+    while i < n and w[i] not in _PL_VOWELS:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in _PL_VOWELS:
+            i += 1
+        if i < n:
+            p1 = i + 1
+
+    ended = False
+    if len(w) >= 2:
+        s = _longest_suffix(w, _PL_CLITIC, p1)
+        if s is not None:
+            w = w[: len(w) - len(s)]
+        s = _longest_suffix(w, _PL_MAIN, 2)
+        if s is not None:
+            act = _PL_MAIN[s]
+            base = len(w) - len(s)
+            if act == 1:
+                w = w[:base]
+            elif act == 2:
+                w = w[:base] + "s"
+            elif act == 3:
+                w = w[:base] if base >= p1 else w[:base] + "s"
+            elif act == 4:
+                w = w[:base] + "ł"
+            else:
+                w = w[:base]
+                s2 = _longest_suffix(w, _PL_SECONDARY, 2)
+                if s2 is not None:
+                    w = (w[: len(w) - len(s2)]
+                         + ("s" if _PL_SECONDARY[s2] == 2 else ""))
+            ended = True
+    if not ended and len(w) >= 2 and w[-1] in _PL_FINAL:
+        w = w[:-1] + _PL_FINAL[w[-1]]
+    return w

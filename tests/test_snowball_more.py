@@ -7,7 +7,8 @@ from lucene_ray.analysis.snowball import STEMMERS, snowball_stem
 from lucene_ray.analysis.snowball_more import (armenian_stem, basque_stem,
                                                catalan_stem, estonian_stem,
                                                irish_stem, lithuanian_stem,
-                                               nepali_stem, tamil_stem)
+                                               nepali_stem, polish_stem,
+                                               tamil_stem)
 
 GOLDEN = {
     armenian_stem: {
@@ -66,6 +67,13 @@ GOLDEN = {
         "செய்கிறேன்": "செய்",           # present 1sg, கிற tense marker
         "அவர்களுடைய": "அவர்",          # possessive -உடைய + plural
     },
+    polish_stem: {
+        "pisałem": "pis",            # past 1sg -ałem
+        "robiliśmy": "rob",          # past 1pl -iliśmy
+        "najlepszych": "najlep",     # -ych, then the -sz strip
+        "dzień": "dzien",            # final palatal normalization
+        "polskich": "polsk",         # -ich
+    },
     nepali_stem: {
         "नेपालको": "नेपाल",            # possessive postposition -को
         "पुस्तकहरू": "पुस्तक",          # plural -हरू
@@ -83,7 +91,7 @@ def test_golden_vectors():
 
 
 def test_registry_routing():
-    for lang in ("hy", "ga", "lt", "eu", "ca", "et", "ne", "ta"):
+    for lang in ("hy", "ga", "lt", "eu", "ca", "et", "ne", "ta", "pl"):
         assert lang in STEMMERS
         a = analyzer_for_lang(lang)
         assert a.stem_lang == lang
