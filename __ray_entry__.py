@@ -2157,6 +2157,46 @@ RepSumByName
 
     q["hyphenated_words_query"] = _hyphenated_q
 
+    def _delimited_tf_q(sf):
+        """DelimitedTermFrequencyTokenFilter (miscellaneous/
+        DelimitedTermFrequencyTokenFilter.java:37): every 'table' in the
+        derived corpus carries '|3' — the custom term frequency both
+        triples f(table, doc) and extends the field length, exactly the
+        reference's TermFrequencyAttribute accounting (DOCS_AND_FREQS
+        index; BM25 over the adjusted stats)."""
+        import pyarrow.compute as _pcc
+        import ray.data
+
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        t = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}"
+            f":c{CODEC_VERSION}:dtf1".encode()).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, t)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            def _mk(b: pa.Table) -> pa.Table:
+                return (b.select(["doc_id"]).append_column(
+                    "ftext", _pcc.replace_substring(
+                        b["text"], "table", "table|3")))
+            src = ray.data.read_parquet(
+                docs, columns=["doc_id", "text"]).map_batches(
+                _mk, batch_format="pyarrow")
+            build_index(src, idx, analyzer=Analyzer(tf_delimiter="|"),
+                        num_segments=4, text_col="ftext",
+                        with_positions=False)
+        s = Searcher(idx, mode="f64")
+        d, sc = s.search_all(Q.TermQuery("table"))
+        order = np.argsort(d)
+        return pa.table({"doc_id": pa.array(d[order], type=pa.int64()),
+                         "score": pa.array(_round4(sc[order]),
+                                           type=pa.float64())})
+
+    q["delimited_tf_query"] = _delimited_tf_q
+
     q["metaphone_search_query"] = _mk_phonetic_query(
         "metaphone", "phm1")
     q["caverphone_search_query"] = _mk_phonetic_query(
@@ -6624,6 +6664,35 @@ WHERE s.code = '{_sx("tabel")}' ORDER BY t.doc_id"""
         + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
           " ORDER BY doc_id"
     )
+    # delimited term frequency: f(table) triples and the field length
+    # grows by 2 per occurrence; every other term's f is unchanged but
+    # its norms shift through the adjusted doc lengths
+    o["delimited_tf_query"] = (
+        f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+base AS (SELECT doc_id,
+                count(*) + 2 * count(*) FILTER (term = 'table') AS dl,
+                3 * count(*) FILTER (term = 'table') AS f
+         FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl, f,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM base),
+tstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM base)::DOUBLE AS sttf),
+df AS (SELECT count(*)::DOUBLE AS df FROM base WHERE f > 0)
+SELECT q.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * q.f /
+             (q.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM dlq q CROSS JOIN df d CROSS JOIN tstats s
+WHERE q.f > 0 ORDER BY q.doc_id"""
+    )
+
     # apostrophe filter: the derived corpus suffixes every token with
     # 'x (replace ' '->"'x "); stripping at the apostrophe restores the
     # plain stream exactly, so the twin is the standard BM25

@@ -217,6 +217,13 @@ class Analyzer:
     # only the first N tokens of the raw stream survive (applied before
     # the other filters, so stop-word gaps don't extend the window).
     limit_token_count: "int | None" = None
+    # DelimitedTermFrequencyTokenFilter (miscellaneous/
+    # DelimitedTermFrequencyTokenFilter.java:37): token "term<delim>N"
+    # indexes term with frequency N (client-supplied tf, e.g. sparse
+    # feature vectors). Like the reference's custom-term-frequency rule
+    # (index/IndexingChain), only DOCS_AND_FREQS indexes allow it —
+    # build_index rejects with_positions=True.
+    tf_delimiter: "str | None" = None
     # HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:57):
     # a raw token ending in '-' joins with the following token(s) —
     # line-break hyphenation repair. Pair with tokenizer="whitespace"

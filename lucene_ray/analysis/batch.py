@@ -1068,3 +1068,46 @@ def _dense_positions(doc_idx: np.ndarray) -> np.ndarray:
     run_starts[starts] = starts
     run_starts = np.maximum.accumulate(run_starts)
     return (np.arange(doc_idx.shape[0]) - run_starts).astype(np.int32)
+
+
+def tokenize_with_tf(texts: "pa.ChunkedArray | pa.Array",
+                     analyzer: Analyzer):
+    """DelimitedTermFrequencyTokenFilter over a whitespace tokenizer
+    (miscellaneous/DelimitedTermFrequencyTokenFilter.java:37): each
+    token ``term<delim>N`` splits at the LAST delimiter into the term
+    and an integer term frequency; tokens without a delimiter carry
+    tf 1. Lowercase and stop filters apply after the strip. Returns
+    (flat_terms, doc_idx, tfs) with tfs int64 row-aligned; all-Arrow
+    kernels (one extract_regex + one cast), no per-token Python."""
+    import re as _re
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    flat, doc_idx, _pos = _split_ws(texts, False)
+    d = _re.escape(analyzer.tf_delimiter)
+    ext = pc.extract_regex(flat, f"^(?P<t>.*){d}(?P<p>[0-9]+)$")
+    has = pc.is_valid(ext)
+    terms = pc.if_else(has, pc.struct_field(ext, "t"), flat)
+    tfs = pc.if_else(
+        has,
+        pc.cast(pc.struct_field(ext, "p"), pa.int64()),
+        pa.scalar(1, pa.int64()),
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    if analyzer.lowercase:
+        terms = pc.utf8_lower(terms)
+    if analyzer.stop_words:
+        keep = pc.invert(pc.is_in(
+            terms, value_set=pa.array(sorted(analyzer.stop_words)))) \
+            .to_numpy(zero_copy_only=False)
+        keep &= pc.not_equal(terms, "").to_numpy(zero_copy_only=False)
+        terms = terms.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        tfs = tfs[keep]
+    else:
+        keep = pc.not_equal(terms, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            terms = terms.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+            tfs = tfs[keep]
+    return terms, doc_idx, tfs

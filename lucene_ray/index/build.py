@@ -413,6 +413,7 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
                         if analyzer.keyword_set is not None else None),
         "stem_overrides": [[t, s] for t, s in analyzer.stem_overrides],
         "limit_token_count": analyzer.limit_token_count,
+        "tf_delimiter": analyzer.tf_delimiter,
         "hyphenated_words": analyzer.hyphenated_words,
     }
 
@@ -475,6 +476,7 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         stem_overrides=tuple(
             (t, s) for t, s in a.get("stem_overrides", [])),
         limit_token_count=a.get("limit_token_count"),
+        tf_delimiter=a.get("tf_delimiter"),
         hyphenated_words=a.get("hyphenated_words", False),
     )
 

@@ -301,7 +301,23 @@ class SegmentBuilder:
         analyzer = (self.field_analyzers.get(field, self.analyzer)
                     if field is not None else self.analyzer)
         payloads = None
-        if analyzer.payload_delimiter is not None:
+        tfs = None
+        if analyzer.tf_delimiter is not None:
+            # DelimitedTermFrequencyTokenFilter (miscellaneous/
+            # DelimitedTermFrequencyTokenFilter.java:37): client-supplied
+            # per-occurrence term frequencies; DOCS_AND_FREQS only, like
+            # the reference's custom-term-frequency rule (IndexingChain
+            # rejects positions with custom frequencies)
+            from lucene_ray.analysis.batch import tokenize_with_tf
+
+            if self.with_positions:
+                raise ValueError(
+                    "tf_delimiter requires with_positions=False "
+                    "(custom term frequencies allow DOCS_AND_FREQS only)")
+            flat_terms, doc_idx, tfs = tokenize_with_tf(texts, analyzer)
+            positions = np.zeros(len(flat_terms), dtype=np.int32)
+            off_starts = off_ends = None
+        elif analyzer.payload_delimiter is not None:
             from lucene_ray.analysis.batch import tokenize_with_payloads
 
             (flat_terms, doc_idx, positions, off_starts, off_ends,
@@ -330,6 +346,11 @@ class SegmentBuilder:
             doc_len = np.bincount(
                 (np.unique(fused) // stride).astype(np.int64),
                 minlength=n_docs).astype(np.int64)
+        elif tfs is not None:
+            # field length accumulates the custom frequencies, exactly
+            # as the reference's invert does with TermFrequencyAttribute
+            doc_len = np.bincount(doc_idx, weights=tfs.astype(np.float64),
+                                  minlength=n_docs).astype(np.int64)
         else:
             doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
         norms = int_to_byte4_array(doc_len)
@@ -357,7 +378,12 @@ class SegmentBuilder:
             ].astype(np.uint32)
         else:
             key = codes.astype(np.int64) * n_docs + doc_idx[:n_tok]
-        ukey, freqs = np.unique(key, return_counts=True)
+        if tfs is not None:
+            ukey, inv = np.unique(key, return_inverse=True)
+            freqs = np.bincount(inv, weights=tfs.astype(np.float64),
+                                minlength=ukey.shape[0]).astype(np.int64)
+        else:
+            ukey, freqs = np.unique(key, return_counts=True)
         p_codes = (ukey // n_docs).astype(np.int64)
         doc_of = (ukey % n_docs).astype(np.int64)
         p_docs = local_ids[doc_of]
