@@ -482,10 +482,21 @@ def run_scaling() -> dict:
     parallel scalability — on the rule's actual setting (N vs 4N *nodes*)
     every node brings its own memory bus. 2->8 keeps both levels in the
     unsaturated regime. Override with BENCH_SCALE_LEVELS="8,32".
+
+    Each level's WHOLE process tree (driver, raylet, workers) is pinned to
+    exactly N physical cores with ``taskset -c 0-(N-1)`` (BENCH_SCALE_PIN=0
+    to disable). Without pinning, ``ray.init(num_cpus=N)`` only caps Ray's
+    scheduler — the driver's per-query Python (parse, stats lookup, RPC
+    round-trips) and Ray's control plane run FREE on the box's other
+    physical cores, which inflates the small leg's throughput and reads as
+    fake sub-linear scaling: on the rule's real N-node cluster the driver
+    and control plane compete for the same N nodes' cores. Pinning is the
+    faithful single-box emulation of a fixed-size cluster.
     """
     levels = tuple(
         int(x) for x in os.environ.get("BENCH_SCALE_LEVELS", "2,8").split(",")
     )
+    pin = os.environ.get("BENCH_SCALE_PIN", "1") == "1" and shutil.which("taskset")
     out = {}
     for ncpu in levels:
         env = dict(
@@ -496,8 +507,11 @@ def run_scaling() -> dict:
             BENCH_SERVE_TIERED="0",
             BENCH_REALTEXT="0",
         )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -522,6 +536,7 @@ def run_scaling() -> dict:
         f"query_qps_{hi}": out[hi]["query_qps"],
         "scaling_efficiency_build": round(eff, 3),
         "scaling_efficiency_query": round(qeff, 3),
+        "pinned": bool(pin),
         f"sec_{lo}": out[lo]["queries"]["index_build"],
         f"sec_{hi}": out[hi]["queries"]["index_build"],
     }
