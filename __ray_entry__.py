@@ -2369,6 +2369,21 @@ RepSumByName
 
     q["phrase_query"] = _phrase
 
+    def _term_automaton(sf):
+        """TermAutomatonQuery (sandbox/src/java/org/apache/lucene/search/
+        TermAutomatonQuery.java:59): 'key value' OR 'key ? value' — an
+        optional middle token, i.e. accepted paths of two DIFFERENT
+        lengths, which no MultiPhraseQuery can express. Freq counts
+        distinct accepted end positions per doc."""
+        s = _searcher(sf)
+        docs, freqs = s.term_automaton_freqs(
+            4, ((0, 1, "key"), (1, 3, "value"),
+                (1, 2, None), (2, 3, "value")), (3,))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order], "ta_freq": freqs[order]})
+
+    q["term_automaton_query"] = _term_automaton
+
     def _docs_only(sf, query):
         s = _searcher(sf)
         docs, _sc = s.search_all(query)
@@ -4027,6 +4042,27 @@ RepSumByName
 
     q["geo_nearest_topk"] = _geo_nearest
 
+    def _geo_polygon(sf):
+        """LatLonPoint.newPolygonQuery (LatLonPoint.java:239,
+        LatLonPointInPolygonQuery; geo/Polygon.java shell+holes model):
+        points inside a convex pentagon shell and outside a rectangular
+        hole. Vertices sit off the derived 0.01-degree lattice so no
+        point lands exactly on an edge (the oracle's half-plane SQL and
+        the even-odd kernel then agree on every row)."""
+        from lucene_ray.pipelines.geo import geo_polygon
+
+        shell = ([10.005, 40.005, 60.005, 40.005, 10.005],
+                 [-20.005, -40.005, 0.005, 40.005, 20.005])
+        hole = ([30.005, 40.005, 40.005, 30.005],
+                [-10.005, -10.005, 10.005, 10.005])
+        t = geo_polygon(_geo_points(sf), shell[0], shell[1],
+                        holes=[hole]).to_pandas().sort_values("doc_id")
+        return pa.table({"doc_id": t["doc_id"].to_numpy(np.int64),
+                         "lat": t["lat"].to_numpy(),
+                         "lon": t["lon"].to_numpy()})
+
+    q["geo_polygon_query"] = _geo_polygon
+
     def _distinct(sf):
         import ray.data
 
@@ -5624,6 +5660,16 @@ ORDER BY child_id"""
               WHERE a.term = 'key' AND b.term = 'value'
               GROUP BY a.doc_id ORDER BY a.doc_id"""
     )
+    # automaton 'key value' | 'key ? value': ends at b.p+1; DISTINCT folds
+    # the two path lengths converging on one end (e.g. 'key key value')
+    o["term_automaton_query"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """ SELECT a.doc_id, count(DISTINCT b.p)::BIGINT AS ta_freq
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                   AND (b.p = a.p + 1 OR b.p = a.p + 2)
+              WHERE a.term = 'key' AND b.term = 'value'
+              GROUP BY a.doc_id ORDER BY a.doc_id"""
+    )
     o["multi_phrase_query"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE
         + """ SELECT a.doc_id, count(*)::BIGINT AS phrase_freq
@@ -6310,6 +6356,33 @@ ORDER BY doc_id"""
         + f"""SELECT row_number() OVER (ORDER BY d, doc_id) AS rank, doc_id
 FROM (SELECT doc_id, {_geo_hav(40.7, -74.0)} AS d FROM pts)
 ORDER BY d, doc_id LIMIT 20"""
+    )
+    # convex ring -> inside = strictly the same side of every edge
+    # (cross product sign; ring below is clockwise so inside is < 0).
+    # Mirrors the geo_polygon_query entry's pentagon + rectangular hole.
+    def _geo_halfplanes(lats, lons) -> str:
+        terms = []
+        n = len(lats)
+        for j in range(n):
+            y1, x1 = lats[j], lons[j]
+            y2, x2 = lats[(j + 1) % n], lons[(j + 1) % n]
+            terms.append(
+                f"(({x2} - ({x1})) * (lat - ({y1}))"
+                f" - ({y2} - ({y1})) * (lon - ({x1}))) < 0"
+            )
+        return "(" + " AND ".join(terms) + ")"
+
+    _poly_shell = _geo_halfplanes(
+        [10.005, 40.005, 60.005, 40.005, 10.005],
+        [-20.005, -40.005, 0.005, 40.005, 20.005])
+    _poly_hole = _geo_halfplanes(
+        [30.005, 40.005, 40.005, 30.005],
+        [-10.005, -10.005, 10.005, 10.005])
+    o["geo_polygon_query"] = (
+        _GEO_PTS
+        + f"""SELECT doc_id, lat, lon FROM pts
+WHERE {_poly_shell} AND NOT {_poly_hole}
+ORDER BY doc_id"""
     )
     o["geo_distance_feature_topk"] = (
         _GEO_PTS

@@ -123,6 +123,67 @@ def geo_distance(source, lat: float, lon: float, radius_m: float,
     return ds.map_batches(refine, batch_format="pyarrow")
 
 
+def point_in_polygon(lat, lon, poly_lats, poly_lons) -> np.ndarray:
+    """Vectorized even-odd crossing test (the PNPOLY algorithm Lucene's
+    geo/GeoUtils cites; the reference evaluates it through the Polygon2D
+    component tree, geo/Polygon2D — same predicate, tree-free here): one
+    boolean per input point. The loop is over polygon EDGES (a handful);
+    every point is tested in one numpy expression per edge, so the hot
+    axis stays vectorized."""
+    y = np.asarray(lat, dtype=np.float64)
+    x = np.asarray(lon, dtype=np.float64)
+    py = np.asarray(poly_lats, dtype=np.float64)
+    px = np.asarray(poly_lons, dtype=np.float64)
+    if py[0] == py[-1] and px[0] == px[-1]:  # accept closed rings too
+        py, px = py[:-1], px[:-1]
+    inside = np.zeros(y.shape, dtype=bool)
+    n = py.shape[0]
+    for j in range(n):
+        y1, x1 = py[j], px[j]
+        y2, x2 = py[(j + 1) % n], px[(j + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses the horizontal ray
+        crosses = (y1 > y) != (y2 > y)
+        # lon of the edge at the point's lat; guarded by `crosses`
+        xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        inside ^= crosses & (x < xint)
+    return inside
+
+
+def polygon_bounding_box(poly_lats, poly_lons):
+    """(min_lat, max_lat, min_lon, max_lon) of the ring — the coarse
+    phase LatLonPointInPolygonQuery prunes BKD cells with (the columnar
+    analog prunes parquet row groups)."""
+    py = np.asarray(poly_lats, dtype=np.float64)
+    px = np.asarray(poly_lons, dtype=np.float64)
+    return float(py.min()), float(py.max()), float(px.min()), float(px.max())
+
+
+def geo_polygon(source, poly_lats, poly_lons,
+                holes: "list[tuple]" = (),
+                lat_col: str = "lat", lon_col: str = "lon",
+                columns: "list[str] | None" = None) -> ray.data.Dataset:
+    """LatLonPoint.newPolygonQuery (LatLonPoint.java:239,
+    LatLonPointInPolygonQuery): rows whose point falls inside the
+    polygon ring and outside every hole (geo/Polygon.java's
+    shell-plus-holes model). Bounding-box prune at the read, exact
+    even-odd refine per batch — the box-then-refine shape of the BKD
+    walk. ``holes`` is a list of (hole_lats, hole_lons) rings."""
+    box = polygon_bounding_box(poly_lats, poly_lons)
+    ds = geo_box(source, *box, lat_col=lat_col, lon_col=lon_col,
+                 columns=columns)
+
+    def refine(b: pa.Table) -> pa.Table:
+        y = b[lat_col].to_numpy(zero_copy_only=False)
+        x = b[lon_col].to_numpy(zero_copy_only=False)
+        mask = point_in_polygon(y, x, poly_lats, poly_lons)
+        for hy, hx in holes:
+            mask &= ~point_in_polygon(y, x, hy, hx)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(refine, batch_format="pyarrow")
+
+
 def distance_feature(source, lat: float, lon: float, pivot_m: float,
                      k: int = 10, boost: float = 1.0,
                      lat_col: str = "lat", lon_col: str = "lon",

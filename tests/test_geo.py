@@ -100,3 +100,61 @@ def test_geo_box_prunes_row_groups(geo_parquet):
     # box that excludes everything to guarantee stat-level pruning works
     got = geo_box(path, 91, 92, 0, 1).count()
     assert got == 0
+
+
+def _pnpoly_ref(y, x, py, px):
+    # per-point scalar PNPOLY (W. R. Franklin), the independent oracle
+    inside = False
+    n = len(py)
+    j = n - 1
+    for i in range(n):
+        if (py[i] > y) != (py[j] > y):
+            xint = (px[j] - px[i]) * (y - py[i]) / (py[j] - py[i]) + px[i]
+            if x < xint:
+                inside = not inside
+        j = i
+    return inside
+
+
+def test_geo_polygon_concave_matches_scalar(geo_parquet):
+    from lucene_ray.pipelines.geo import geo_polygon, point_in_polygon
+
+    path, ids, lat, lon = geo_parquet
+    # concave "arrow" polygon (not convex — exercises even-odd proper)
+    py = [0.005, 50.005, 20.005, 50.005, 0.005]
+    px = [-40.005, -30.005, 0.005, 30.005, 40.005]
+    got = set(geo_polygon(path, py, px).to_pandas()["doc_id"])
+    want = {int(i) for i, y, x in zip(ids, lat, lon)
+            if _pnpoly_ref(y, x, py, px)}
+    assert got == want and got
+    # vectorized kernel agrees point-for-point with the scalar reference
+    mask = point_in_polygon(lat, lon, py, px)
+    assert all(bool(m) == _pnpoly_ref(y, x, py, px)
+               for m, y, x in zip(mask, lat, lon))
+
+
+def test_geo_polygon_with_hole(geo_parquet):
+    from lucene_ray.pipelines.geo import geo_polygon
+
+    path, ids, lat, lon = geo_parquet
+    shell = ([10.005, 40.005, 60.005, 40.005, 10.005],
+             [-20.005, -40.005, 0.005, 40.005, 20.005])
+    hole = ([30.005, 40.005, 40.005, 30.005],
+            [-10.005, -10.005, 10.005, 10.005])
+    got = set(geo_polygon(path, shell[0], shell[1],
+                          holes=[hole]).to_pandas()["doc_id"])
+    want = {int(i) for i, y, x in zip(ids, lat, lon)
+            if _pnpoly_ref(y, x, shell[0], shell[1])
+            and not _pnpoly_ref(y, x, hole[0], hole[1])}
+    assert got == want and got
+
+
+def test_geo_polygon_closed_ring_equivalent(geo_parquet):
+    from lucene_ray.pipelines.geo import geo_polygon
+
+    path, *_ = geo_parquet
+    py = [10.005, 40.005, 60.005, 40.005, 10.005]
+    px = [-20.005, -40.005, 0.005, 40.005, 20.005]
+    a = set(geo_polygon(path, py, px).to_pandas()["doc_id"])
+    b = set(geo_polygon(path, py + py[:1], px + px[:1]).to_pandas()["doc_id"])
+    assert a == b and a
