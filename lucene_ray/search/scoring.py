@@ -1284,3 +1284,115 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
     if q.boost != 1.0:
         scores = scores * q.boost
     return docs, scores, exact
+
+
+# ---------------------------------------------------------------------------
+# TermAutomatonQuery (sandbox/src/java/org/apache/lucene/search/
+# TermAutomatonQuery.java:59, TermAutomatonScorer.java): a positional
+# automaton over terms — states, term transitions, ANY transitions — that
+# accepts a document wherever some path through the automaton matches
+# consecutive token positions. Generalizes phrase/multi-phrase to paths of
+# DIFFERENT lengths (optional tokens, synonym runs), which MultiPhraseQuery
+# cannot express. The reference runs an NFA per document position; the
+# columnar re-expression is one dynamic-programming pass over the automaton's
+# states in topological order, where each state's reach set is a sorted
+# int64 key array (doc << 32 | next_position) and every transition is one
+# vectorized intersect/shift — no per-document work.
+# ---------------------------------------------------------------------------
+
+def automaton_from_token_stream(tokens):
+    """TokenStreamToTermAutomatonQuery.java:38 role: build (n_states,
+    transitions, accept) from ``(term, position_increment)`` pairs — a
+    posinc of 0 adds a synonym edge in parallel with the previous token,
+    a posinc of k > 1 inserts k-1 ANY edges (holes left by stop removal).
+    Returns a linear DAG."""
+    transitions: list[tuple[int, int, "str | None"]] = []
+    state = 0
+    last_from = 0
+    for term, posinc in tokens:
+        if posinc == 0:
+            transitions.append((last_from, state, term))  # synonym edge
+            continue
+        for _ in range(int(posinc) - 1):
+            transitions.append((state, state + 1, None))  # hole -> ANY
+            state += 1
+        transitions.append((state, state + 1, term))
+        last_from = state
+        state += 1
+    return state + 1, tuple(transitions), (state,)
+
+
+def _eval_term_automaton_freqs(reader, n_states: int, transitions,
+                               accept) -> tuple:
+    """(local docs, accepted-occurrence freqs) for a term automaton on one
+    segment. Freq counts DISTINCT accepted end positions per doc (two
+    paths converging on the same end count once), matching the dedup the
+    exact-phrase matcher applies to occurrence keys."""
+    # topological order (Kahn); token streams are finite so the automata
+    # TokenStreamToTermAutomatonQuery emits are always DAGs
+    indeg = np.zeros(n_states, np.int64)
+    for f, t, _term in transitions:
+        indeg[t] += 1
+    order, queue = [], [s for s in range(n_states) if indeg[s] == 0]
+    out_edges: dict[int, list] = {}
+    for f, t, term in transitions:
+        out_edges.setdefault(f, []).append((t, term))
+    while queue:
+        s = queue.pop()
+        order.append(s)
+        for t, _term in out_edges.get(s, ()):
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                queue.append(t)
+    if len(order) != n_states:
+        raise ValueError("term automaton must be acyclic")
+    if any(term is None for t, term in out_edges.get(0, ())):
+        raise NotImplementedError(
+            "ANY transition out of the initial state (a leading hole) is "
+            "not supported — anchor the automaton on a real term")
+
+    terms = sorted({term for _f, _t, term in transitions if term is not None})
+    tbl = reader.positions_table(terms)
+    empty = np.empty(0, np.int64)
+    if tbl.num_rows == 0:
+        return empty, empty
+    t_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    d_arr = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
+    p_arr = tbl["pos"].to_numpy().astype(np.int64)
+    term_keys = {
+        term: np.unique(d_arr[t_arr == term] * _DOC_SHIFT
+                        + p_arr[t_arr == term])
+        for term in terms
+    }
+    doc_len = None  # lazy: only ANY edges need it
+
+    reach: dict[int, np.ndarray] = {s: empty for s in range(n_states)}
+    for s in order:
+        for t, term in out_edges.get(s, ()):
+            if s == 0:
+                contrib = term_keys[term] + 1  # (doc, pos) -> (doc, pos+1)
+            elif term is not None:
+                src = reach[s]
+                contrib = np.intersect1d(
+                    src, term_keys[term], assume_unique=True) + 1
+            else:  # ANY: consumes whatever token sits at pos
+                src = reach[s]
+                if src.shape[0] == 0:
+                    continue
+                if doc_len is None:
+                    doc_len = reader.doc_len_for(None)
+                docs_of = (src >> np.int64(32)).astype(np.int64)
+                pos_of = src & np.int64(0xFFFFFFFF)
+                rows = np.searchsorted(reader.doc_ids,
+                                       docs_of + reader.doc_base)
+                contrib = src[pos_of < doc_len[rows]] + 1
+            if contrib.shape[0]:
+                reach[t] = (contrib if reach[t].shape[0] == 0
+                            else np.union1d(reach[t], contrib))
+
+    acc_parts = [reach[a] for a in accept if reach[a].shape[0]]
+    if not acc_parts:
+        return empty, empty
+    acc = np.unique(np.concatenate(acc_parts))
+    docs, freqs = np.unique(acc >> np.int64(32), return_counts=True)
+    return docs.astype(np.int64), freqs.astype(np.int64)

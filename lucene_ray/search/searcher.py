@@ -863,6 +863,28 @@ class Searcher:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(docs_parts), np.concatenate(freq_parts)
 
+    def term_automaton_freqs(self, n_states: int, transitions, accept):
+        """TermAutomatonQuery (sandbox/src/java/org/apache/lucene/search/
+        TermAutomatonQuery.java:59): a positional automaton over terms —
+        ``transitions`` is ``(from_state, to_state, term_or_None)`` with
+        ``None`` meaning ANY (the hole transition
+        TokenStreamToTermAutomatonQuery emits for position gaps), state 0
+        initial, ``accept`` the accepting states. Generalizes phrase /
+        multi-phrase to paths of different lengths. Returns (global
+        doc_ids, distinct accepted-occurrence counts)."""
+        from lucene_ray.search.scoring import _eval_term_automaton_freqs
+
+        docs_parts, freq_parts = [], []
+        for reader in self.readers:
+            d, f = _eval_term_automaton_freqs(reader, n_states,
+                                              transitions, accept)
+            if d.shape[0]:
+                docs_parts.append(d + reader.doc_base)
+                freq_parts.append(f)
+        if not docs_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(docs_parts), np.concatenate(freq_parts)
+
     def diversified_topk(self, query, key_col: str, k: int,
                          max_per_key: int = 1):
         """DiversifiedTopDocsCollector (misc/src/java/org/apache/lucene/
