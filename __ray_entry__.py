@@ -927,7 +927,11 @@ _SNOWBALL_LANGS = {"german": "de", "french": "fr", "spanish": "es",
                    # round 5 second wave (analysis/snowball_more.py)
                    "armenian": "hy", "irish": "ga", "lithuanian": "lt",
                    "basque": "eu", "catalan": "ca", "estonian": "et",
-                   "nepali": "ne", "tamil": "ta", "polish": "pl"}
+                   "nepali": "ne", "tamil": "ta", "polish": "pl",
+                   # round 5 third wave: the last two of the reference's
+                   # snowball/ext directory (EsperantoStemmer.java,
+                   # YiddishStemmer.java)
+                   "esperanto": "eo", "yiddish": "yi"}
 
 
 def _snowball_index_dir(sf_dir: str, lang: str) -> str:

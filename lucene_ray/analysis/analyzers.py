@@ -828,9 +828,9 @@ def analyzer_for_lang(lang: str) -> Analyzer:
     """Language-routed analyzer selection — the role of the reference's
     per-language analyzer registry (GermanAnalyzer, FrenchAnalyzer, … in
     lucene/analysis/{common,icu,kuromoji,nori,smartcn}). 39 routes:
-    'en' gets stop words + Porter; the 21 Snowball languages
-    (analysis/snowball.py + snowball_more.py: + hy/ga/lt/eu/ca/et/ne)
-    get their stemmer (tr additionally gets the dotted/dotless-i
+    'en' gets stop words + Porter; the 23 Snowball languages
+    (analysis/snowball.py + snowball_more.py: + hy/ga/lt/eu/ca/et/ne,
+    eo/yi — the full snowball/ext directory) get their stemmer (tr additionally gets the dotted/dotless-i
     casing, ca/ga their article elision); el/ar/hi/id/fa and the wave
     bg/cs/lv/gl/bn/ckb/te/sr get the light-stemmer/normalizer chains
     (analysis/light_stemmers.py); ja/ko/zh get morphological lattice

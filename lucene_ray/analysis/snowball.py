@@ -1932,3 +1932,9 @@ STEMMERS["ta"] = tamil_chain
 from lucene_ray.analysis.snowball_more import polish_stem  # noqa: E402
 
 STEMMERS["pl"] = polish_stem
+
+from lucene_ray.analysis.snowball_more import (  # noqa: E402
+    esperanto_stem, yiddish_stem)
+
+STEMMERS["eo"] = esperanto_stem
+STEMMERS["yi"] = yiddish_stem

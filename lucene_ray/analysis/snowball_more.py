@@ -1319,3 +1319,354 @@ def polish_stem(word: str) -> str:
     if not ended and len(w) >= 2 and w[-1] in _PL_FINAL:
         w = w[:-1] + _PL_FINAL[w[-1]]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Esperanto — snowballstem.org/algorithms/esperanto/stemmer.html
+# (reference: org/tartarus/snowball/ext/EsperantoStemmer.java, generated
+# from esperanto.sbl; fresh implementation of the published algorithm)
+# ---------------------------------------------------------------------------
+
+_EO_DIGRAPH = {"cx": "ĉ", "gx": "ĝ", "hx": "ĥ",
+               "jx": "ĵ", "sx": "ŝ", "ux": "ŭ"}
+_EO_ACCENT = {"á": "a", "é": "e", "í": "i",
+              "ó": "o", "ú": "u"}
+_EO_FOREIGN_CHARS = set("qwxy")
+_EO_PRONOUNS = ("ci", "gi", "hi", "li", "ili", "ŝli", "mi", "ni",
+                "oni", "ri", "si", "vi", "ivi", "ĝi", "ŝi",
+                "iŝi", "malŝi")
+_EO_APOS_ADVERBS = ("amb", "bald", "malbald", "morg", "postmorg", "adi",
+                    "hodi", "ank", "ĉirk", "tutĉirk", "presk",
+                    "almen", "apen", "hier", "antaŭhier", "malgr",
+                    "ankor", "kontr", "anstat", "kvaz")
+_EO_UNINFLECTED = ("aha", "haha", "haleluja", "hola", "hosana", "maltra",
+                   "hura", "ĥaĥa", "ekde", "elde", "disde",
+                   "ehe", "maltre", "dirlididi", "malpli", "malĉi",
+                   "malkaj", "amen", "tamen", "oho", "maltro", "minus",
+                   "uhu", "muu")
+_EO_CORR_PREFIX = ("k", "kelk", "nen", "t", "mult", "samt", "ĉ")
+_EO_NUM_LOW = ("tri", "du", "unu")
+_EO_NUM_HIGH = ("dek", "cent")
+_EO_UJN_BASE = ("aliu", "unu")
+_EO_VERB_ENDS = ("as", "i", "is", "os", "u", "us")
+# grammatical endings; j/n/jn only strip after '-' or a digit
+_EO_SUFFIXES = ("a", "e", "i", "j", "aj", "oj", "n", "an", "en", "jn",
+                "ajn", "ojn", "on", "o", "as", "is", "os", "us", "u")
+
+
+def _eo_canonical(w: str) -> "tuple[str, bool]":
+    """x-digraphs to circumflexed letters; accented vowels and q/w/x/y
+    mark the word foreign (a '-' resets the flag)."""
+    out = []
+    foreign = False
+    i, n = 0, len(w)
+    while i < n:
+        two = w[i:i + 2]
+        c = w[i]
+        if two in _EO_DIGRAPH:
+            out.append(_EO_DIGRAPH[two])
+            i += 2
+            continue
+        if c == "-":
+            foreign = False
+        elif c in _EO_ACCENT:
+            c = _EO_ACCENT[c]
+            foreign = True
+        elif c in _EO_FOREIGN_CHARS:
+            foreign = True
+        out.append(c)
+        i += 1
+    return "".join(out), foreign
+
+
+def _eo_anchored(w: str, end: int) -> bool:
+    """Suffix [end:] sits at word start or right after '-'."""
+    return end == 0 or w[end - 1] == "-"
+
+
+def _eo_is_correlative(w: str) -> bool:
+    """ki-/ti-/i-/ĉi-/neni- table words in any case: optional prefix,
+    'i', then e | [aou] j? n? (both branches allow trailing 'n')."""
+    for branch in ("e", "aou"):
+        i = len(w)
+        if i and w[i - 1] == "n":
+            i -= 1
+        if branch == "e":
+            if not (i and w[i - 1] == "e"):
+                continue
+            i -= 1
+        else:
+            if i and w[i - 1] == "j":
+                i -= 1
+            if not (i and w[i - 1] in "aou"):
+                continue
+            i -= 1
+        if not (i and w[i - 1] == "i"):
+            continue
+        i -= 1
+        s = _longest_suffix(w[:i], _EO_CORR_PREFIX)
+        if s is not None:
+            i -= len(s)
+        if _eo_anchored(w, i):
+            return True
+    return False
+
+
+def esperanto_stem(word: str) -> str:
+    """Esperanto Snowball stemmer. Grammar endings (-o/-a/-e/-j/-n,
+    verb tenses) strip after canonicalizing x-digraphs; pronouns,
+    correlatives, merged numerals and interjections are left whole;
+    words flagged foreign (q/w/x/y, accented vowels) are not stemmed.
+    On any abort the ORIGINAL token is returned (SnowballFilter keeps
+    the input term when stem() reports failure)."""
+    w, foreign = _eo_canonical(word)
+    if foreign:
+        return word
+    # 'st[as|i|is|os|u|us] -> est...: restore the elided initial e
+    if w.startswith("'st") and w[3:] in _EO_VERB_ENDS:
+        w = "e" + w[1:]
+    # pronouns (with optional accusative -n) are never stemmed
+    base = w[:-1] if w.endswith("n") else w
+    s = _longest_suffix(base, _EO_PRONOUNS)
+    if s is not None and _eo_anchored(base, len(base) - len(s)):
+        return word
+    # final apostrophe: l' -> la, un' -> unu, adverb' -> ...aŭ, else -o
+    if w.endswith("'"):
+        if w == "l'":
+            w = "la"
+        elif w == "un'":
+            w = "unu"
+        else:
+            s = _longest_suffix(w[:-1], _EO_APOS_ADVERBS)
+            if s is not None and _eo_anchored(w, len(w) - 1 - len(s)):
+                w = w[:-1] + "aŭ"
+            else:
+                w = w[:-1] + "o"
+    if _eo_is_correlative(w):
+        return word
+    s = _longest_suffix(w, _EO_UNINFLECTED)
+    if s is not None and _eo_anchored(w, len(w) - len(s)):
+        return word
+    low = _longest_suffix(w, _EO_NUM_LOW)
+    if low is not None and _longest_suffix(
+            w[: len(w) - len(low)], _EO_NUM_HIGH) is not None:
+        return word
+    i = len(w)
+    if i and w[i - 1] == "n":
+        i -= 1
+    if i and w[i - 1] == "j":
+        i -= 1
+    s = _longest_suffix(w[:i], _EO_UJN_BASE)
+    if s is not None and _eo_anchored(w, i - len(s)):
+        return word
+    # long-word gate: >= 2 plain vowels, or an interior '-', or a digit
+    nv = sum(1 for c in w if c in "aeiou")
+    if not (nv >= 2 or "-" in w[1:] or any(c.isdigit() for c in w)):
+        return word
+    s = _longest_suffix(w, _EO_SUFFIXES)
+    if s is None:
+        return word
+    end = len(w) - len(s)
+    if s in ("j", "n", "jn") and not (
+            end and (w[end - 1] == "-" or w[end - 1].isdigit())):
+        return word
+    if end and w[end - 1] == "-":
+        end -= 1
+    return w[:end]
+
+
+# ---------------------------------------------------------------------------
+# Yiddish — snowballstem.org/algorithms/yiddish/stemmer.html
+# (reference: org/tartarus/snowball/ext/YiddishStemmer.java, generated from
+# yiddish.sbl; fresh implementation of the published algorithm)
+# ---------------------------------------------------------------------------
+
+_YI_VOWELS = set("אויעױײ")  # א ו י ע ױ ײ
+_YI_CONSONANTS = set(
+    "בגדהזחט"       # ב ג ד ה ז ח ט
+    "ךכלםמןנ"       # ך כ ל ם מ ן נ
+    "ספףצץקר"       # ס פ ף צ ץ ק ר
+    "שתװ")                              # ש ת װ
+_YI_NIKED = set("ְֱֲֳִֵֶַ"
+                "ָֹֻּֿׁׂ")
+_YI_FINAL = {"ך": "כ", "ם": "מ", "ן": "נ",
+             "ף": "פ", "ץ": "צ"}
+# digraph -> (ligature, blocking nikud following the pair)
+_YI_DIGRAPH = {"וו": ("װ", "ּ"),
+               "וי": ("ױ", "ִ"),
+               "יי": ("ײ", "ִ")}
+
+_YI_PREFIXES = (
+    "אדורכ", "אהינ", "אהער", "אהײמ", "אומ", "אונטער", "איבער", "אנ",
+    "אנט", "אנטקעגנ", "אנידער", "אפ", "אפיר", "אקעגנ", "אראפ", "ארומ",
+    "ארונטער", "אריבער", "ארױס", "ארױפ", "ארײנ", "אװעק", "אױס", "אױפ",
+    "אײנ", "בא", "בײ", "דורכ", "דער", "מיט", "נאכ", "פאר", "פארבײ",
+    "פארױס", "פונאנדער", "צו", "צוזאמענ", "צונױפ", "צוריק", "צע")
+_YI_CLUSTERS = ("דזש", "שטר", "שטש", "שפר")
+
+# strong-verb participle stems -> base (shared by the ...ענ and ...נ maps)
+_YI_STRONG = {
+    "קליב": "קלײב", "ריב": "רײב", "טריב": "טרײב", "שריב": "שרײב",
+    "הױב": "הײב", "שװיג": "שװײג", "גאנג": "גײ", "זונג": "זינג",
+    "שלונג": "שלינג", "צװונג": "צװינג", "בױג": "בײג", "בונד": "בינד",
+    "װיז": "װײז", "ביט": "בײט", "ליט": "לײט", "מיט": "מײד",
+    "שניט": "שנײד", "נומ": "נעמ", "שטאנ": "שטײ", "ביס": "בײס",
+    "שמיס": "שמײס", "ריס": "רײס", "טרונק": "טרינק",
+    "פארלױר": "פארליר", "שװױר": "שװער", "װוטש": "װיטש"}
+
+# main suffix table: suffix -> action.  'del' = delete in R1; 'T' = the
+# ge...t participle family (delete in R1 else keep a bare ט, then the
+# irregular בראכ -> ברענג); ('stem', base) = delete + strong-verb
+# replacement; other strings = unconditional replacement; None = protected
+# (longest match blocks shorter suffixes, no change)
+_YI_SUF = {
+    "ונג": "del", "סטו": "del", "ט": "del", "בראכט": "ברענג",
+    "סט": "del", "יסט": "IST", "עט": "del", "שאפט": "del",
+    "הײט": "del", "קײט": "del", "יקײט": "del", "לעכ": "del",
+    "עלעכ": "del", "יזמ": "del", "ימ": "del", "עמ": "del",
+    "ענעמ": "EN", "טענעמ": "T", "נ": "del",
+    "קליבנ": "קלײב", "ריבנ": "רײב", "טריבנ": "טרײב", "שריבנ": "שרײב",
+    "הױבנ": "הײב", "שװיגנ": "שװײג", "זונגנ": "זינג", "שלונגנ": "שלינג",
+    "צװונגנ": "צװינג", "בױגנ": "בײג", "בונדנ": "בינד", "װיזנ": "װײז",
+    "טנ": "T", "GEביטנ": "בײט", "GEליטנ": "לײט", "GEמיטנ": "מײד",
+    "שניטנ": "שנײד", "סטנ": "del", "יסטנ": "del", "עטנ": "del",
+    "GEביסנ": "בײס", "שמיסנ": "שמײס", "GEריסנ": "רײס", "ענ": "del",
+    "גאנגענ": "גײ", "עלענ": "del", "נומענ": "נעמ", "יזמענ": "del",
+    "שטאנענ": "שטײ", "טרונקנ": "טרינק", "פארלױרנ": "פארליר",
+    "שװױרנ": "שװער", "װוטשנ": "װיטש", "גײנ": "גײ",
+    "ס": "del", "טס": "T", "עטס": "del", "נס": "del", "טנס": "T",
+    "ענס": "EN", "עס": "del", "יעס": "יע", "עלעס": "del", "ערס": "del",
+    "ענערס": "del", "ע": "del", "טע": "T", "סטע": "del", "עטע": "del",
+    "יע": None, "עלע": "del", "ענע": "EN", "טענע": "T", "ער": "del",
+    "טער": "T", "סטער": "del", "עטער": "del", "ענער": "EN",
+    "טענער": "T", "ות": "HEY"}
+_YI_SUF2 = {"ונג": 1, "שאפט": 1, "הײט": 1, "קײט": 1, "יקײט": 1, "ל": 2}
+_YI_SUF3 = {"יג": 1, "יק": 1, "דיק": 1, "נדיק": 1, "ענדיק": 1,
+            "בליק": 0, "גליק": 0, "ניק": 1, "יש": 1}
+
+
+def _yi_prelude(w: str) -> str:
+    """Fold double-vav/vav-yod/yod-yod to ligatures (unless a nikud marks
+    them as separate), normalize final letter forms, drop nikud points."""
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        two = w[i:i + 2]
+        c = w[i]
+        if two in _YI_DIGRAPH:
+            lig, block = _YI_DIGRAPH[two]
+            if w[i + 2:i + 3] != block:
+                out.append(lig)
+                i += 2
+                continue
+        out.append(_YI_FINAL.get(c, c))
+        i += 1
+    return "".join(ch for ch in out if ch not in _YI_NIKED)
+
+
+def _yi_mark(w: str) -> int:
+    """p1 per the published region rule: verbal prefixes גע/צו rewrite to
+    ASCII GE/TSU markers first (done by the caller); here compute p1 =
+    after an initial consonant cluster, after three consonants, or after
+    the first vowel run — never earlier than prefix + 3."""
+    raise NotImplementedError  # folded into yiddish_stem for cursor fidelity
+
+
+def yiddish_stem(word: str) -> str:
+    """Yiddish Snowball stemmer: nikud/ligature normalization, GE/TSU
+    verbal-prefix marking, plural/diminutive/inflection suffix removal
+    with strong-verb participle restoration, then marker removal."""
+    w = _yi_prelude(word)
+    # --- mark_regions: prefix rewrites + p1 ---
+    cursor = 0
+    if w.startswith("גע"):
+        rest = w[2:]
+        if not (rest.startswith("לט") or rest.startswith("בנ")
+                or rest == ""):
+            w = "GE" + rest
+            cursor = 2
+    pfx = _longest_prefix(w[cursor:], _YI_PREFIXES)
+    if pfx is not None:
+        after = cursor + len(pfx)
+        rest = w[after:]
+        if rest in ("צוגנ", "צוקט", "צוקנ"):
+            cursor = after
+        elif rest.startswith("געבנ"):
+            cursor = after
+        elif rest.startswith("גע"):
+            w = w[:after] + "GE" + w[after + 2:]
+            cursor = after + 2
+        elif rest.startswith("צו"):
+            w = w[:after] + "TSU" + w[after + 2:]
+            cursor = after + 3
+        # else: prefix not followed by a verbal marker -> no rewrite,
+        # cursor stays (the reference restores to the pre-prefix cursor)
+    p1 = len(w)
+    x = cursor + 3
+    if x <= len(w):
+        c = cursor
+        cl = _longest_prefix(w[c:], _YI_CLUSTERS)
+        if cl is not None:
+            c += len(cl)
+        if (len(w) - c >= 3
+                and all(ch in _YI_CONSONANTS for ch in w[c:c + 3])):
+            p1 = c + 3
+        else:
+            while c < len(w) and w[c] not in _YI_VOWELS:
+                c += 1
+            if c < len(w):
+                c += 1
+                while c < len(w) and w[c] in _YI_VOWELS:
+                    c += 1
+                if c < len(w):
+                    p1 = max(c, x)
+    # --- standard_suffix ---
+    s = _longest_suffix(w, _YI_SUF)
+    if s is not None:
+        act = _YI_SUF[s]
+        base = len(w) - len(s)
+        in_r1 = base >= p1
+        if act == "del":
+            if in_r1:
+                w = w[:base]
+        elif act == "EN":
+            if in_r1:
+                w = w[:base]
+                st = _longest_suffix(w, _YI_STRONG)
+                if st is not None:
+                    w = w[: len(w) - len(st)] + _YI_STRONG[st]
+        elif act == "T":
+            w = w[:base] if in_r1 else w[:base] + "ט"
+            tail = w[: len(w) - 1] if not in_r1 else w
+            if tail.endswith("בראכ"):
+                cut = len(tail) - 4
+                if tail[:cut].endswith("גע"):
+                    cut -= 2
+                w = tail[:cut] + "ברענג" + ("ט" if not in_r1 else "")
+        elif act == "IST":  # יסט
+            if base and w[base - 1] in ("ג", "ש"):
+                if base + 3 >= p1:  # R1plus3
+                    w = w[:base] + "יס"
+            elif in_r1:
+                w = w[:base]
+        elif act == "HEY":  # ות -> ה
+            if in_r1:
+                w = w[:base] + "ה"
+        elif act is None:
+            pass  # protected (יע)
+        else:  # unconditional replacement (strong forms, בראכט)
+            w = w[:base] + act
+    s = _longest_suffix(w, _YI_SUF2)
+    if s is not None:
+        base = len(w) - len(s)
+        if base >= p1:
+            if _YI_SUF2[s] == 1:
+                w = w[:base]
+            elif base and w[base - 1] in _YI_CONSONANTS:
+                w = w[:base]
+    s = _longest_suffix(w, _YI_SUF3)
+    if s is not None:
+        base = len(w) - len(s)
+        if _YI_SUF3[s] == 1 and base >= p1:
+            w = w[:base]
+    return w.replace("GE", "").replace("TSU", "")

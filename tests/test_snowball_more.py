@@ -119,3 +119,49 @@ def test_idempotent_on_stems():
             continue  # repeat-loop stemmers strip further by design
         for _w, s in cases.items():
             assert isinstance(fn(s), str)
+
+
+def test_esperanto_golden():
+    from lucene_ray.analysis.snowball_more import esperanto_stem as eo
+
+    cases = {
+        "hundo": "hund", "hundojn": "hund", "belaj": "bel",
+        "estas": "est", "kuris": "kur", "parolu": "parol",
+        "katoj": "kat", "sxipo": "ŝip",       # x-digraph canonical form
+        "gxardeno": "ĝarden",
+        "'stas": "est",                        # elided initial e restored
+        "3-an": "3",                           # ordinal after a digit
+        # aborts: pronouns / correlatives / numerals / interjections /
+        # foreign-marked words surface unchanged
+        "mi": "mi", "vin": "vin", "ilin": "ilin",
+        "kio": "kio", "tiujn": "tiujn", "dekdu": "dekdu",
+        "unuj": "unuj", "tamen": "tamen", "hura": "hura",
+        "xylofono": "xylofono", "kaj": "kaj", "la": "la",
+    }
+    for w, want in cases.items():
+        assert eo(w) == want, (w, eo(w), want)
+
+
+def test_yiddish_golden():
+    from lucene_ray.analysis.snowball_more import yiddish_stem as yi
+
+    cases = {
+        "געזאגט": "זאג",          # ge- prefix marked, -t dropped
+        "קינדער": "קינד",          # plural -er
+        "שרייבן": "שרײב",         # yod-yod ligature + -n
+        "געשריבן": "שרײב",        # strong participle restored
+        "געגאנגען": "גײ",         # gegangen -> gey
+        "געבראכט": "ברענג",       # gebracht -> breng
+        "זינגען": "זינג",
+        "גענומען": "נעמ",          # genumen -> nem
+        "פריילעך": "פרײ",          # -lekh suffix
+        "קיילעכדיק": "קײלעכ",      # -dik adjective suffix
+    }
+    for w, want in cases.items():
+        assert yi(w) == want, (w, yi(w), want)
+
+
+def test_eo_yi_registered():
+    for lang in ("eo", "yi"):
+        assert lang in STEMMERS
+        assert analyzer_for_lang(lang).stem_lang == lang
