@@ -1115,6 +1115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Axiomatic F2EXP (AxiomaticF2EXP.java:30)
     q["ax_f2exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f2exp", Q.TermQuery("table"))
+    # SweetSpotSimilarity (misc/SweetSpotSimilarity.java:47): Classic tf/idf
+    # with a plateau length norm — no penalty inside [30, 70] tokens.
+    q["sweetspot_topk"] = lambda sf: _sim_topk(
+        sf, "sweetspot:30:70", Q.TermQuery("table"))
 
     def _char_filter(sf):
         """PatternReplaceCharFilter (pattern/PatternReplaceCharFilter
@@ -4952,6 +4956,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT t.doc_id,
                        pow((s.n + 1) / x.df, 0.35) * t.f
                          / (t.f + 0.5 + 0.5 * q.dlq / (s.sttf / s.n)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS score FROM sc
+              ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
+    o["sweetspot_topk"] = (
+        _PRELUDE
+        + """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                       WHERE term = 'table' GROUP BY doc_id)
+              , ts AS (SELECT count(*)::DOUBLE AS df FROM tf)
+              , sc AS (
+                SELECT t.doc_id,
+                       (ln((s.n + 1) / (x.df + 1)) + 1) * sqrt(t.f)
+                         / sqrt(0.5 * (abs(q.dlq - 30) + abs(q.dlq - 70)
+                                       - 40) + 1) AS score
                 FROM tf t CROSS JOIN ts x CROSS JOIN stats s
                 JOIN dlq q ON t.doc_id = q.doc_id)
               SELECT doc_id, ROUND(score, 4) AS score FROM sc

@@ -116,10 +116,12 @@ class EvalContext:
                 for sub in s.subs:
                     sub.boost = float(boost) * sub.boost
             return s
-        if base_mode == "classic":
-            from lucene_ray.search.similarity import ClassicScorer
-
-            s = ClassicScorer(1, self.doc_count, sttf, boost=boost)
+        if base_mode in ("classic", "sweetspot"):
+            # TFIDFSimilarity subclasses: phrase idf sums
+            # (TFIDFSimilarity.idfExplain(termStats[])); SweetSpot keeps
+            # its plateau norm table (misc/SweetSpotSimilarity.java:47)
+            s = make_scorer(1, self.doc_count, sttf, mode=self.mode,
+                            boost=boost)
             s.idf = float(sum(
                 np.log((self.doc_count + 1) / (df + 1.0)) + 1.0 for df in dfs
             ))

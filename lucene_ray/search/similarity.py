@@ -332,6 +332,46 @@ class AxiomaticF2EXPScorer:
         return s.max(axis=-1) if s.ndim == 2 else s
 
 
+class SweetSpotScorer:
+    """SweetSpotSimilarity (misc/src/java/org/apache/lucene/misc/
+    SweetSpotSimilarity.java:47): ClassicSimilarity with a plateau
+    length normalization — documents whose length falls inside the
+    [ln_min, ln_max] "sweet spot" are not penalized at all, outside it
+    the penalty ramps with ``steepness``:
+
+        lengthNorm(L) = 1/sqrt(steepness*(|L-min|+|L-max|-(max-min))+1)
+
+    tf stays the baseline sqrt(freq) (baselineTf with base=0, min=0,
+    the class default). With min=max=1, steepness=0.5 this reduces
+    exactly to ClassicSimilarity's 1/sqrt(L) — tested invariant."""
+
+    __slots__ = ("idf", "boost", "norm_table")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, boost: float = 1.0, ln_min: float = 1.0,
+                 ln_max: float = 1.0, steepness: float = 0.5) -> None:
+        self.idf = np.log((doc_count + 1) / (doc_freq + 1.0)) + 1.0
+        self.boost = float(boost)
+        L = LENGTH_TABLE_INT.astype(np.float64)
+        raw = steepness * (np.abs(L - ln_min) + np.abs(L - ln_max)
+                           - (ln_max - ln_min)) + 1.0
+        nt = 1.0 / np.sqrt(raw)
+        nt[0] = 1.0 / nt[255]  # byte 0 = missing norm, Classic convention
+        self.norm_table = nt
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        nv = self.norm_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        f = np.asarray(freqs).astype(np.float64)
+        return self.boost * self.idf * np.sqrt(f) * nv
+
+    def max_score(self, max_freq, min_norm):
+        # the plateau makes the table non-monotone in the norm byte, so
+        # the per-block bound uses the table's global max (safe, loose)
+        f = np.asarray(max_freq).astype(np.float64)
+        s = self.boost * self.idf * np.sqrt(f) * self.norm_table[1:].max()
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
 class SumScorer:
     """MultiSimilarity.MultiSimScorer (similarities/MultiSimilarity.java:65):
     the sum of sub-scorers applied to the same (freq, norm) stream — how
@@ -357,10 +397,12 @@ class SumScorer:
 
 
 def _parse_mode(mode: str) -> tuple[str, float | None]:
-    """``'lm_dirichlet:500'`` -> ('lm_dirichlet', 500.0)."""
+    """``'lm_dirichlet:500'`` -> ('lm_dirichlet', 500.0); multi-arg
+    modes (``'sweetspot:30:70'``) -> (name, None) — make_scorer parses
+    those itself."""
     if ":" in mode:
         name, arg = mode.split(":", 1)
-        return name, float(arg)
+        return (name, None) if ":" in arg else (name, float(arg))
     return mode, None
 
 
@@ -378,6 +420,15 @@ def make_scorer(
     ``'f32'`` = Lucene-exact BM25, ``'f64'`` = oracle-SQL-exact BM25,
     ``'lm_dirichlet[:mu]'``, ``'lm_jm[:lambda]'``, ``'classic'``,
     ``'boolean'`` = the similarities package ports above."""
+    if mode.split(":", 1)[0] == "sweetspot":
+        # 'sweetspot[:min[:max[:steepness]]]' — the one multi-arg mode
+        parts = mode.split(":")[1:]
+        ln_min = float(parts[0]) if len(parts) > 0 else 1.0
+        ln_max = float(parts[1]) if len(parts) > 1 else ln_min
+        steep = float(parts[2]) if len(parts) > 2 else 0.5
+        return SweetSpotScorer(doc_freq, doc_count, sum_total_term_freq,
+                               ttf=ttf, boost=boost, ln_min=ln_min,
+                               ln_max=ln_max, steepness=steep)
     name, arg = _parse_mode(mode)
     if name == "f32":
         return BM25Scorer(doc_freq, doc_count, sum_total_term_freq,

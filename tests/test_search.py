@@ -835,6 +835,13 @@ def test_alternative_similarities(built_index, brute_force):
     expect["ib_ll"] = np.log(1 + tfn / ((df + 1.0) / (N + 1.0)))
     expect["ax_f2exp"] = ((N + 1.0) / df) ** 0.35 * freqs / (
         freqs + 0.5 + 0.5 * dl / avgdl)
+    # SweetSpotSimilarity (misc/SweetSpotSimilarity.java:47): plateau
+    # length norm; with min=max=1 steepness=0.5 it reduces to Classic
+    # because 0.5*(2|dl-1|)+1 == dl for dl >= 1.
+    expect["sweetspot:3:8"] = (
+        (np.log((N + 1) / (df + 1)) + 1) * np.sqrt(freqs)
+        / np.sqrt(0.5 * (np.abs(dl - 3) + np.abs(dl - 8) - 5) + 1))
+    expect["sweetspot:1:1:0.5"] = expect["classic"]
     for mode, exp in expect.items():
         s = Searcher(idx, mode=mode)
         docs, scores = s.search_all(Q.TermQuery("table"))
