@@ -1119,6 +1119,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # with a plateau length norm — no penalty inside [30, 70] tokens.
     q["sweetspot_topk"] = lambda sf: _sim_topk(
         sf, "sweetspot:30:70", Q.TermQuery("table"))
+    # DFI (DFISimilarity.java:54) with ChiSquared / Standardized measures
+    q["dfi_chisquared_topk"] = lambda sf: _sim_topk(
+        sf, "dfi_chisquared", Q.TermQuery("table"))
+    q["dfi_standardized_topk"] = lambda sf: _sim_topk(
+        sf, "dfi_standardized", Q.TermQuery("table"))
+    # IndriDirichlet (IndriDirichletSimilarity.java:38) — negative logprobs
+    q["indri_dirichlet_topk"] = lambda sf: _sim_topk(
+        sf, "indri_dirichlet", Q.TermQuery("table"))
+    # Axiomatic F1EXP / F2LOG / F3EXP (AxiomaticF1EXP.java:28 et al.)
+    q["ax_f1exp_topk"] = lambda sf: _sim_topk(
+        sf, "ax_f1exp", Q.TermQuery("table"))
+    q["ax_f2log_topk"] = lambda sf: _sim_topk(
+        sf, "ax_f2log", Q.TermQuery("table"))
+    q["ax_f3exp_topk"] = lambda sf: _sim_topk(
+        sf, "ax_f3exp", Q.TermQuery("table"))
+    # DFR GB2 (BasicModelG + AfterEffectB + NormalizationH2)
+    q["dfr_gb2_topk"] = lambda sf: _sim_topk(
+        sf, "dfr_g_b_h2", Q.TermQuery("table"))
+    # IB SPL distribution + LambdaTTF (DistributionSPL.java:29)
+    q["ib_spl_topk"] = lambda sf: _sim_topk(
+        sf, "ib_spl_ttf", Q.TermQuery("table"))
 
     def _char_filter(sf):
         """PatternReplaceCharFilter (pattern/PatternReplaceCharFilter
@@ -4975,6 +4996,113 @@ def oracle_sql() -> dict[str, str]:
                 JOIN dlq q ON t.doc_id = q.doc_id)
               SELECT doc_id, ROUND(score, 4) AS score FROM sc
               ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    )
+    _TF_TS = """ , tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+                          WHERE term = 'table' GROUP BY doc_id)
+                 , ts AS (SELECT count(*)::DOUBLE AS df,
+                                 sum(f)::DOUBLE AS ttf FROM tf)"""
+    _TOPK_TAIL = """ SELECT doc_id, ROUND(score, 4) AS score FROM sc
+                     ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10"""
+    o["dfi_chisquared_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       CASE WHEN t.f <= (x.ttf + 1) * q.dlq / (s.sttf + 1)
+                            THEN 0.0
+                            ELSE log2((t.f - (x.ttf + 1) * q.dlq / (s.sttf + 1))
+                                      * (t.f - (x.ttf + 1) * q.dlq / (s.sttf + 1))
+                                      / ((x.ttf + 1) * q.dlq / (s.sttf + 1)) + 1)
+                       END AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["dfi_standardized_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       CASE WHEN t.f <= (x.ttf + 1) * q.dlq / (s.sttf + 1)
+                            THEN 0.0
+                            ELSE log2((t.f - (x.ttf + 1) * q.dlq / (s.sttf + 1))
+                                      / sqrt((x.ttf + 1) * q.dlq / (s.sttf + 1))
+                                      + 1)
+                       END AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["indri_dirichlet_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       ln((t.f + 2000 * ((x.ttf + 1) / (s.sttf + 1)))
+                          / (q.dlq + 2000)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["ax_f1exp_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       (1 + ln(1 + ln(t.f + 1)))
+                       * ((s.sttf / s.n + 0.25)
+                          / (s.sttf / s.n + q.dlq * 0.25))
+                       * pow((s.n + 1) / x.df, 0.35) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["ax_f2log_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       ln((s.n + 1) / x.df) * t.f
+                       / (t.f + 0.25 + 0.25 * q.dlq / (s.sttf / s.n)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["ax_f3exp_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       GREATEST(0, (1 + ln(1 + ln(t.f + 1)))
+                                   * pow((s.n + 1) / x.df, 0.35)
+                                   - (q.dlq - 1) * 0.25 * 1.0
+                                     / (s.sttf / s.n)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["dfr_gb2_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       (log2((1 + (x.ttf + 1) / (s.n + (x.ttf + 1)))
+                             / ((x.ttf + 1) / (s.n + (x.ttf + 1))))
+                        - (log2((1 + (x.ttf + 1) / (s.n + (x.ttf + 1)))
+                                / ((x.ttf + 1) / (s.n + (x.ttf + 1))))
+                           - log2((x.ttf + 1) / (s.n + (x.ttf + 1)) + 1))
+                          / (1 + t.f * log2(1 + (s.sttf / s.n) / q.dlq)))
+                       * ((x.ttf + 2) / (x.df + 1)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["ib_spl_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       -ln((pow(CAST((x.ttf + 1) / (s.n + 1) AS REAL),
+                                1 - 1 / (t.f * log2(1 + (s.sttf / s.n) / q.dlq)
+                                         + 1))
+                            - CAST((x.ttf + 1) / (s.n + 1) AS REAL))
+                           / (1 - CAST((x.ttf + 1) / (s.n + 1) AS REAL)))
+                         AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
     )
     o["boolean_sim_scores"] = (
         _PRELUDE

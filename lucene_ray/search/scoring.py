@@ -97,8 +97,10 @@ class EvalContext:
         from lucene_ray.search.similarity import _parse_mode
 
         base_mode, _arg = _parse_mode(self.mode)
-        if base_mode in ("lm_dirichlet", "lm_jm", "boolean",
-                         "dfr_inl2", "ib_ll", "ax_f2exp"):
+        if (base_mode in ("lm_dirichlet", "lm_jm", "boolean",
+                          "dfr_inl2", "ib_ll", "ib_spl_ttf",
+                          "ax_f2exp", "indri_dirichlet")
+                or base_mode.startswith(("dfi_", "ax_f", "dfr_"))):
             # every SimilarityBase-family model scores a phrase as the SUM
             # of its per-term scorers over the shared phrase freq
             # (MultiSimilarity.MultiSimScorer) — DFR/IB/Axiomatic included

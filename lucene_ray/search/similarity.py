@@ -332,6 +332,224 @@ class AxiomaticF2EXPScorer:
         return s.max(axis=-1) if s.ndim == 2 else s
 
 
+class DFIScorer:
+    """Divergence-from-Independence (similarities/DFISimilarity.java:54,
+    Kocabas/Dincer/Karaoglan IRJ 2014): expected = (ttf+1) * dl /
+    (sumTtf+1); score = boost * log2(measure(f, expected) + 1), zero when
+    f <= expected. Measures (Independence{Standardized,Saturated,
+    ChiSquared}.java): (f-e)/sqrt(e), (f-e)/e, (f-e)^2/e."""
+
+    __slots__ = ("measure", "ttf", "sttf", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, measure: str = "chisquared",
+                 boost: float = 1.0) -> None:
+        self.measure = measure
+        self.ttf = float(ttf)
+        self.sttf = float(sum_total_term_freq)
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        e = (self.ttf + 1.0) * dl / (self.sttf + 1.0)
+        if self.measure == "standardized":
+            m = (f - e) / np.sqrt(e)
+        elif self.measure == "saturated":
+            m = (f - e) / e
+        else:  # chisquared
+            m = (f - e) * (f - e) / e
+        return np.where(f <= e, 0.0, self.boost * np.log2(m + 1.0))
+
+    def max_score(self, max_freq, min_norm):
+        # monotone: increasing in f, decreasing in dl for every measure
+        # on the scored branch (f > e)
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class IndriDirichletScorer:
+    """IndriDirichletSimilarity (similarities/IndriDirichletSimilarity
+    .java:38): ln((f + mu*p) / (dl + mu)) with p = (ttf+1)/(sumTtf+1),
+    mu = 2000 — Indri's query-likelihood variant, which (unlike Lucene's
+    LMDirichlet) keeps the NEGATIVE log-probability; no clamp."""
+
+    __slots__ = ("mu", "p", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, mu: float = 2000.0, boost: float = 1.0) -> None:
+        self.mu = float(mu)
+        self.p = (ttf + 1.0) / (sum_total_term_freq + 1.0)
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        return self.boost * np.log((f + self.mu * self.p) / (dl + self.mu))
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class AxiomaticScorer:
+    """The remaining Axiomatic family F1EXP/F1LOG/F2LOG/F3EXP/F3LOG
+    (similarities/Axiomatic.java:104 score = tf*ln*tfln*idf - gamma,
+    clamped at 0; subclasses fix the components, defaults s=0.25,
+    k=0.35, queryLen=1). F2EXP lives in AxiomaticF2EXPScorer above."""
+
+    __slots__ = ("variant", "s", "k", "qlen", "df", "n", "avgdl", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, variant: str = "f2log", s: float = 0.25,
+                 k: float = 0.35, query_len: int = 1,
+                 boost: float = 1.0) -> None:
+        self.variant = variant
+        self.s = float(s)
+        self.k = float(k)
+        self.qlen = float(query_len)
+        self.df = float(max(doc_freq, 1))
+        self.n = float(doc_count)
+        self.avgdl = sum_total_term_freq / doc_count
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        v, s_, avg = self.variant, self.s, self.avgdl
+        tf = 1.0 + np.log(1.0 + np.log(f + 1.0))
+        if v == "f1exp":
+            sc = (tf * ((avg + s_) / (avg + dl * s_))
+                  * ((self.n + 1.0) / self.df) ** self.k)
+        elif v == "f1log":
+            sc = (tf * ((avg + s_) / (avg + dl * s_))
+                  * np.log((self.n + 1.0) / self.df))
+        elif v == "f2log":
+            sc = (np.log((self.n + 1.0) / self.df)
+                  * f / (f + s_ + s_ * dl / avg))
+        elif v == "f3exp":
+            sc = (tf * ((self.n + 1.0) / self.df) ** self.k
+                  - (dl - self.qlen) * s_ * self.qlen / avg)
+        else:  # f3log
+            sc = (tf * np.log((self.n + 1.0) / self.df)
+                  - (dl - self.qlen) * s_ * self.qlen / avg)
+        return np.maximum(0.0, self.boost * sc)
+
+    def max_score(self, max_freq, min_norm):
+        # every component is non-decreasing in f and non-increasing in dl
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class DFRScorer:
+    """Generic DFR (similarities/DFRSimilarity.java:77: boost *
+    basicModel.score(stats, tfn, aeTimes1pTfn)) over the full component
+    grid — BasicModel{In,Ine,G,IF}.java, AfterEffect{L,B}.java,
+    Normalization{H1,H2,H3,Z}.java. The common InL2 pairing keeps its
+    dedicated DFRInL2Scorer; this scorer serves the remaining combos via
+    mode 'dfr_<model>_<ae>_<norm>[:c]' (c doubles as mu for H3 and z
+    for Z, matching the reference's per-normalization parameter)."""
+
+    __slots__ = ("model", "ae", "norm", "c", "df", "ttf", "n", "avgdl",
+                 "p", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, model: str = "g", ae: str = "b",
+                 norm: str = "h2", c: float | None = None,
+                 boost: float = 1.0) -> None:
+        self.model = model
+        self.ae = ae
+        self.norm = norm
+        if c is None:
+            c = {"h1": 1.0, "h2": 1.0, "h3": 800.0, "z": 0.30}[norm]
+        self.c = float(c)
+        self.df = float(doc_freq)
+        self.ttf = float(ttf)
+        self.n = float(doc_count)
+        self.avgdl = sum_total_term_freq / doc_count
+        self.p = (ttf + 1.0) / (sum_total_term_freq + 1.0)
+        self.boost = float(boost)
+
+    def _tfn(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.norm == "h1":
+            return f * self.c * (self.avgdl / dl)
+        if self.norm == "h2":
+            return f * np.log2(1.0 + self.c * self.avgdl / dl)
+        if self.norm == "h3":
+            return (f + self.c * self.p) / (dl + self.c) * self.c
+        return f * (self.avgdl / dl) ** self.c  # z
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        tfn = self._tfn(f, dl)
+        ae1p = 1.0 if self.ae == "l" else (self.ttf + 2.0) / (self.df + 1.0)
+        if self.model == "g":
+            F = self.ttf + 1.0
+            lam = F / (self.n + F)
+            A = np.log2(lam + 1.0)
+            B = np.log2((1.0 + lam) / lam)
+            sc = (B - (B - A) / (1.0 + tfn)) * ae1p
+        else:
+            if self.model == "in":
+                A = np.log2((self.n + 1.0) / (self.df + 0.5))
+            elif self.model == "ine":
+                ne = self.n * (1.0 - ((self.n - 1.0) / self.n) ** self.ttf)
+                A = np.log2((self.n + 1.0) / (ne + 0.5))
+            else:  # if
+                A = np.log2(1.0 + (self.n + 1.0) / (self.ttf + 0.5))
+            sc = A * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+        return self.boost * sc
+
+    def max_score(self, max_freq, min_norm):
+        # tfn is increasing in f, decreasing in dl for every norm; the
+        # model scores are non-decreasing in tfn by construction
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
+class IBSPLTTFScorer:
+    """IB with the SPL distribution and total-term-frequency lambda
+    (similarities/DistributionSPL.java:29, LambdaTTF.java:30,
+    IBSimilarity.java:102): lambda = float32((ttf+1)/(N+1)), tfn via
+    NormalizationH2, q = 1 - 1/(tfn+1),
+    score = -ln((lambda^q - lambda)/(1 - lambda))."""
+
+    __slots__ = ("lam", "c", "avgdl", "boost")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+                 ttf: int = 0, c: float = 1.0, boost: float = 1.0) -> None:
+        # the reference casts lambda to float (LambdaTTF.java:33)
+        self.lam = float(np.float32((ttf + 1.0) / (doc_count + 1.0)))
+        if self.lam == 1.0:
+            self.lam = float(np.nextafter(np.float32(1.0), np.float32(2.0)))
+        self.c = float(c)
+        self.avgdl = sum_total_term_freq / doc_count
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE_INT[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        tfn = f * np.log2(1.0 + self.c * self.avgdl / dl)
+        q = 1.0 - 1.0 / (tfn + 1.0)
+        q = np.minimum(q, np.nextafter(1.0, 0.0))
+        pw = self.lam ** q
+        # guard pow collapsing onto lambda (DistributionSPL.java:41-52)
+        pw = np.where(pw == self.lam,
+                      np.nextafter(self.lam, 2.0) if self.lam < 1
+                      else np.nextafter(self.lam, 0.0), pw)
+        return self.boost * -np.log((pw - self.lam) / (1.0 - self.lam))
+
+    def max_score(self, max_freq, min_norm):
+        s = self.score(np.asarray(max_freq), np.asarray(min_norm))
+        return s.max(axis=-1) if s.ndim == 2 else s
+
+
 class SweetSpotScorer:
     """SweetSpotSimilarity (misc/src/java/org/apache/lucene/misc/
     SweetSpotSimilarity.java:47): ClassicSimilarity with a plateau
@@ -463,6 +681,27 @@ def make_scorer(
         return AxiomaticF2EXPScorer(doc_freq, doc_count, sum_total_term_freq,
                                     ttf=ttf, k=arg if arg is not None else 0.35,
                                     boost=boost)
+    if name in ("dfi_standardized", "dfi_saturated", "dfi_chisquared"):
+        return DFIScorer(doc_freq, doc_count, sum_total_term_freq, ttf=ttf,
+                         measure=name.split("_", 1)[1], boost=boost)
+    if name == "indri_dirichlet":
+        return IndriDirichletScorer(doc_freq, doc_count, sum_total_term_freq,
+                                    ttf=ttf,
+                                    mu=arg if arg is not None else 2000.0,
+                                    boost=boost)
+    if name in ("ax_f1exp", "ax_f1log", "ax_f2log", "ax_f3exp", "ax_f3log"):
+        return AxiomaticScorer(doc_freq, doc_count, sum_total_term_freq,
+                               ttf=ttf, variant=name.split("_", 1)[1],
+                               s=arg if arg is not None else 0.25, boost=boost)
+    if name.startswith("dfr_") and name.count("_") == 3:
+        # 'dfr_<model>_<ae>_<norm>[:c]' over the full component grid
+        _, model, ae, norm = name.split("_")
+        return DFRScorer(doc_freq, doc_count, sum_total_term_freq, ttf=ttf,
+                         model=model, ae=ae, norm=norm, c=arg, boost=boost)
+    if name == "ib_spl_ttf":
+        return IBSPLTTFScorer(doc_freq, doc_count, sum_total_term_freq,
+                              ttf=ttf, c=arg if arg is not None else 1.0,
+                              boost=boost)
     raise ValueError(f"unknown similarity mode {mode!r}")
 
 

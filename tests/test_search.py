@@ -842,6 +842,47 @@ def test_alternative_similarities(built_index, brute_force):
         (np.log((N + 1) / (df + 1)) + 1) * np.sqrt(freqs)
         / np.sqrt(0.5 * (np.abs(dl - 3) + np.abs(dl - 8) - 5) + 1))
     expect["sweetspot:1:1:0.5"] = expect["classic"]
+    # DFI (DFISimilarity.java:54): expected = (ttf+1)*dl/(sumTtf+1),
+    # score = log2(measure + 1) on the f > expected branch
+    e_dfi = (ttf + 1.0) * dl / (sum_ttf + 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        expect["dfi_chisquared"] = np.where(
+            freqs <= e_dfi, 0.0,
+            np.log2((freqs - e_dfi) ** 2 / e_dfi + 1))
+        expect["dfi_saturated"] = np.where(
+            freqs <= e_dfi, 0.0, np.log2((freqs - e_dfi) / e_dfi + 1))
+    # IndriDirichlet (IndriDirichletSimilarity.java:38): unclamped logprob
+    expect["indri_dirichlet"] = np.log(
+        (freqs + 2000.0 * p) / (dl + 2000.0))
+    # Axiomatic F1/F2LOG/F3 (Axiomatic.java:104), s=0.25 k=0.35 qlen=1
+    tf_ax = 1 + np.log(1 + np.log(freqs + 1))
+    expect["ax_f1exp"] = (tf_ax * (avgdl + 0.25) / (avgdl + dl * 0.25)
+                          * ((N + 1.0) / df) ** 0.35)
+    expect["ax_f1log"] = (tf_ax * (avgdl + 0.25) / (avgdl + dl * 0.25)
+                          * np.log((N + 1.0) / df))
+    expect["ax_f2log"] = (np.log((N + 1.0) / df) * freqs
+                          / (freqs + 0.25 + 0.25 * dl / avgdl))
+    expect["ax_f3exp"] = np.maximum(
+        0.0, tf_ax * ((N + 1.0) / df) ** 0.35 - (dl - 1) * 0.25 / avgdl)
+    expect["ax_f3log"] = np.maximum(
+        0.0, tf_ax * np.log((N + 1.0) / df) - (dl - 1) * 0.25 / avgdl)
+    # DFR grid (BasicModelG/IF/Ine × AfterEffectL/B × NormalizationH1/H2)
+    ae_b = (ttf + 2.0) / (df + 1.0)
+    tfn_h1 = freqs * 1.0 * (avgdl / np.where(dl > 0, dl, 1))
+    lam_g = (ttf + 1.0) / (N + (ttf + 1.0))
+    A_g, B_g = np.log2(lam_g + 1), np.log2((1 + lam_g) / lam_g)
+    expect["dfr_g_b_h2"] = (B_g - (B_g - A_g) / (1 + tfn)) * ae_b
+    expect["dfr_g_l_h1"] = B_g - (B_g - A_g) / (1 + tfn_h1)
+    expect["dfr_if_b_h2"] = (np.log2(1 + (N + 1) / (ttf + 0.5))
+                             * ae_b * (1 - 1 / (1 + tfn)))
+    ne = N * (1 - ((N - 1) / N) ** ttf)
+    expect["dfr_ine_l_h2"] = (np.log2((N + 1) / (ne + 0.5))
+                              * (1 - 1 / (1 + tfn)))
+    # IB SPL + LambdaTTF (DistributionSPL.java:29, float32 lambda)
+    lam_spl = float(np.float32((ttf + 1.0) / (N + 1.0)))
+    q_spl = 1 - 1 / (tfn + 1)
+    expect["ib_spl_ttf"] = -np.log(
+        (lam_spl ** q_spl - lam_spl) / (1 - lam_spl))
     for mode, exp in expect.items():
         s = Searcher(idx, mode=mode)
         docs, scores = s.search_all(Q.TermQuery("table"))
