@@ -2310,6 +2310,27 @@ RepSumByName
 
     q["chunk_documents"] = _chunk_documents
 
+    def _pack_sequences(sf):
+        """Sequence packing (pipelines/packing.pack_sequences): concat
+        the corpus token stream in doc_id order, cut every 256 tokens;
+        one (pack_id, doc_id, begin_tok, end_tok) segment per overlap.
+        Distributed two-level prefix sum (bucketed partial sums +
+        driver cumsum of the tiny bucket table)."""
+        import ray.data
+
+        from lucene_ray.pipelines.packing import pack_sequences
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "text"])
+        t = pa.concat_tables(
+            pack_sequences(ds, budget=256, bucket_docs=512)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        return t.sort_by([("pack_id", "ascending"),
+                          ("doc_id", "ascending")])
+
+    q["pack_sequences"] = _pack_sequences
+
     def _tfidf_top_terms(sf):
         """Per-doc TF-IDF keyword extraction
         (pipelines/textstats.top_terms_per_doc): top-3 terms per doc by
@@ -5461,6 +5482,26 @@ r AS (SELECT doc_id, term, score,
 SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
 ORDER BY doc_id, rank"""
     )
+    o["pack_sequences"] = """
+WITH doclen AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+o AS (
+  SELECT doc_id, dl,
+         CAST(COALESCE(sum(dl) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM doclen
+),
+seg AS (
+  SELECT doc_id, dl, off,
+         unnest(generate_series(off // 256, (off + dl - 1) // 256)) AS pack_id
+  FROM o
+)
+SELECT pack_id, doc_id,
+       GREATEST(off, pack_id * 256) - off AS begin_tok,
+       LEAST(off + dl, (pack_id + 1) * 256) - off AS end_tok
+FROM seg ORDER BY pack_id, doc_id"""
     o["chunk_documents"] = (
         """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l

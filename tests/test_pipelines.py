@@ -706,3 +706,62 @@ def test_video_frame_sampling_plumbing(ray_session):
         pa.concat_tables(
             sample_frames(ray.data.from_arrow(vids), strict=True)
             .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+
+
+def test_pack_sequences_semantics_and_block_invariance(ray_session):
+    """pipelines/packing.pack_sequences: concat-and-chunk packing —
+    every pack except the last is exactly `budget` tokens, segments
+    tile each document without gaps, docs straddle boundaries, and the
+    result is independent of input block structure and bucket size."""
+    import ray.data
+
+    from lucene_ray.pipelines.packing import pack_sequences
+
+    # doc 0: 3 tokens, doc 1: 10 (straddles B=8), doc 2: 20 (spans 3 packs)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "a b c",
+            " ".join(f"t{i}" for i in range(10)),
+            " ".join(f"u{i}" for i in range(20)),
+        ]),
+    })
+    out = pa.concat_tables(
+        pack_sequences(ray.data.from_arrow(docs), budget=8, bucket_docs=2)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    ).sort_by([("pack_id", "ascending"), ("doc_id", "ascending")])
+    rows = list(zip(out["pack_id"].to_pylist(), out["doc_id"].to_pylist(),
+                    out["begin_tok"].to_pylist(), out["end_tok"].to_pylist()))
+    # offsets: doc0 [0,3), doc1 [3,13), doc2 [13,33); packs of 8
+    assert rows == [
+        (0, 0, 0, 3), (0, 1, 0, 5),          # pack 0 = tokens 0..8
+        (1, 1, 5, 10), (1, 2, 0, 3),          # pack 1 = tokens 8..16
+        (2, 2, 3, 11),                        # pack 2 = tokens 16..24
+        (3, 2, 11, 19),                       # pack 3 = tokens 24..32
+        (4, 2, 19, 20),                       # tail pack
+    ]
+    # per-pack token totals: all full except the tail
+    sizes = {}
+    for p, _d, b, e in rows:
+        sizes[p] = sizes.get(p, 0) + (e - b)
+    assert [sizes[p] for p in sorted(sizes)] == [8, 8, 8, 8, 1]
+
+    # block-structure + bucket-size invariance on a larger random corpus
+    rng = np.random.default_rng(7)
+    big = pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "text": pa.array([
+            " ".join(f"w{j}" for j in range(int(rng.integers(1, 40))))
+            for _ in range(200)
+        ]),
+    })
+
+    def run(ds, **kw):
+        return pa.concat_tables(
+            pack_sequences(ds, budget=64, **kw)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ).sort_by([("pack_id", "ascending"), ("doc_id", "ascending")])
+
+    a = run(ray.data.from_arrow(big), bucket_docs=16)
+    b = run(ray.data.from_arrow(big).repartition(13), bucket_docs=64)
+    assert a.equals(b)
