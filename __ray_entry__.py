@@ -2331,6 +2331,22 @@ RepSumByName
 
     q["pack_sequences"] = _pack_sequences
 
+    def _profile(sf):
+        """Query profiler (sandbox/search/QueryProfilerIndexSearcher
+        .java:36, ProfilerCollector.java:31 — search/profiler.py):
+        per-node breakdown of '+table +window -key'; deterministic
+        columns only (time_ns is wall time, projected out)."""
+        from lucene_ray.search.profiler import profile_query
+
+        s = _searcher(sf)
+        t = profile_query(
+            s, Q.BooleanQuery(must=(Q.TermQuery("table"),
+                                    Q.TermQuery("window")),
+                              must_not=(Q.TermQuery("key"),)))
+        return t.select(["node", "kind", "clause", "description", "docs"])
+
+    q["query_profiler"] = _profile
+
     def _tfidf_top_terms(sf):
         """Per-doc TF-IDF keyword extraction
         (pipelines/textstats.top_terms_per_doc): top-3 terms per doc by
@@ -5481,6 +5497,31 @@ r AS (SELECT doc_id, term, score,
       FROM sc)
 SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
 ORDER BY doc_id, rank"""
+    )
+    o["query_profiler"] = (
+        _PRELUDE
+        + """ , d AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
+              SELECT * FROM (
+                SELECT '0' AS node, 'BooleanQuery' AS kind,
+                       'ROOT' AS clause,
+                       'must=2 should=0 filter=0 must_not=1' AS description,
+                       (SELECT count(*) FROM (
+                          SELECT doc_id FROM d WHERE term = 'table'
+                          INTERSECT
+                          SELECT doc_id FROM d WHERE term = 'window'
+                          EXCEPT
+                          SELECT doc_id FROM d WHERE term = 'key'))::BIGINT
+                         AS docs
+                UNION ALL
+                SELECT '0.0', 'TermQuery', 'MUST', 'table',
+                       (SELECT count(*) FROM d WHERE term = 'table')::BIGINT
+                UNION ALL
+                SELECT '0.1', 'TermQuery', 'MUST', 'window',
+                       (SELECT count(*) FROM d WHERE term = 'window')::BIGINT
+                UNION ALL
+                SELECT '0.2', 'TermQuery', 'MUST_NOT', 'key',
+                       (SELECT count(*) FROM d WHERE term = 'key')::BIGINT
+              ) ORDER BY node"""
     )
     o["pack_sequences"] = """
 WITH doclen AS (

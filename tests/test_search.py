@@ -969,3 +969,37 @@ def test_word_break_spell_checker(built_index):
     # not_in_index mode requires an absent fragment among the originals
     assert s.suggest_word_combinations(
         ["table", "window"], mode="not_in_index") == []
+
+
+def test_query_profiler_tree(built_index, brute_force):
+    """profiler.profile_query (sandbox QueryProfilerIndexSearcher /
+    ProfilerCollector roles): per-node docs counts are the exhaustive
+    match counts, tree paths follow clause order (MUST, FILTER, SHOULD,
+    MUST_NOT), wrappers recurse, and time_ns is populated."""
+    from lucene_ray.search.profiler import profile_query
+
+    idx, _m = built_index
+    bf = brute_force
+    s = Searcher(idx)
+    has = {t: np.array([t in d for d in bf["tokens"]]) for t in
+           ("table", "window", "key")}
+    t = profile_query(
+        s, Q.BooleanQuery(must=(Q.TermQuery("table"),),
+                          should=(Q.TermQuery("window"),),
+                          must_not=(Q.TermQuery("key"),)))
+    rows = {r["node"]: r for r in t.to_pylist()}
+    assert rows["0"]["docs"] == int((has["table"] & ~has["key"]).sum())
+    assert rows["0.0"] == {**rows["0.0"], "kind": "TermQuery",
+                           "clause": "MUST", "description": "table",
+                           "docs": int(has["table"].sum())}
+    assert rows["0.1"]["clause"] == "SHOULD"
+    assert rows["0.2"]["clause"] == "MUST_NOT"
+    assert rows["0.2"]["docs"] == int(has["key"].sum())
+    assert all(r["time_ns"] > 0 for r in t.to_pylist())
+
+    # wrappers recurse: boost(const(term)) yields a 3-node chain
+    t2 = profile_query(
+        s, Q.BoostQuery(Q.ConstantScoreQuery(Q.TermQuery("table")), 2.0))
+    kinds = [r["kind"] for r in t2.sort_by("node").to_pylist()]
+    assert kinds == ["BoostQuery", "ConstantScoreQuery", "TermQuery"]
+    assert len({r["docs"] for r in t2.to_pylist()}) == 1
