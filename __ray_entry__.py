@@ -2064,6 +2064,31 @@ RepSumByName
 
     q["apostrophe_filter_query"] = _apostrophe_q
 
+    def _trim_q(sf):
+        """TrimFilter (miscellaneous/TrimFilter.java:26) over a
+        PatternTokenizer(',') stream: text re-joined with ' , ' so
+        every token carries stray spaces; trim restores the plain
+        terms, so BM25 for 'table' equals the standard chain exactly."""
+        return _scored_filter_index(
+            sf, "trim1",
+            {"tokenizer": "pattern", "tokenizer_pattern": (",", -1),
+             "trim": True},
+            "table",
+            text_expr=lambda b, pcc: pcc.replace_substring(
+                pcc.fill_null(b["text"], ""), " ", " , "))
+
+    q["trim_filter_query"] = _trim_q
+
+    def _pattern_replace_q(sf):
+        """PatternReplaceFilter (pattern/PatternReplaceFilter.java:34,
+        replaceAll) — the token-level sibling of the char filter:
+        '^table$' -> 'tbl' inside the filter chain; 'tbl' then scores
+        exactly like 'table' on the plain chain (df/tf/dl unchanged)."""
+        return _scored_filter_index(
+            sf, "prf1", {"pattern_replace": ("^table$", "tbl")}, "tbl")
+
+    q["pattern_replace_query"] = _pattern_replace_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -7003,6 +7028,19 @@ WHERE q.f > 0 ORDER BY q.doc_id"""
     # 'x (replace ' '->"'x "); stripping at the apostrophe restores the
     # plain stream exactly, so the twin is the standard BM25
     o["apostrophe_filter_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
+          " ORDER BY doc_id"
+    )
+    # trim filter over the comma-pattern stream restores the plain
+    # terms; pattern_replace maps ^table$->tbl bijectively — both score
+    # exactly like the plain chain's 'table'
+    o["trim_filter_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
+          " ORDER BY doc_id"
+    )
+    o["pattern_replace_query"] = (
         _PRELUDE + _term_cte("t", "table")
         + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
           " ORDER BY doc_id"

@@ -229,6 +229,17 @@ class Analyzer:
     # line-break hyphenation repair. Pair with tokenizer="whitespace"
     # (the standard tokenizer already drops the hyphen).
     hyphenated_words: bool = False
+    # TrimFilter (miscellaneous/TrimFilter.java:26): strip leading and
+    # trailing whitespace from each token — a no-op under the standard
+    # tokenizer (which never emits spaces) but meaningful with the
+    # 'keyword'/'pattern' raw tokenizers. Runs FIRST among the
+    # per-token filters.
+    trim: bool = False
+    # PatternReplaceFilter (pattern/PatternReplaceFilter.java:34,
+    # replaceAll mode — the TOKEN-level sibling of the
+    # PatternReplaceCharFilter): (regex, replacement) applied to every
+    # token right after trim, before the other per-token filters.
+    pattern_replace: "tuple[str, str] | None" = None
     # ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:44):
     # every token indexes reversed. Index the same text into a second
     # field with this filter and a LEADING wildcard (*suffix) becomes a
@@ -454,6 +465,14 @@ class Analyzer:
         digit/width folds, then normalize, then fold, then stem —
         subject to keyword marking / overrides — then capitalization,
         truncate, phonetic, reverse)."""
+        if self.trim:
+            # TrimFilter (miscellaneous/TrimFilter.java:26)
+            term = term.strip()
+        if self.pattern_replace:
+            import re
+
+            term = re.compile(self.pattern_replace[0]).sub(
+                self.pattern_replace[1], term)
         if self.apostrophe:
             # ApostropheFilter (tr/ApostropheFilter.java:30)
             for ap in ("'", "’"):
@@ -543,7 +562,8 @@ class Analyzer:
                 or bool(self.elision) or self.decimal_digit
                 or bool(self.scandinavian) or self.reverse_tokens
                 or self.apostrophe or self.capitalization
-                or bool(self.stem_overrides)
+                or bool(self.stem_overrides) or self.trim
+                or bool(self.pattern_replace)
                 or self.truncate_length is not None)
 
     def _raw_stream(self, text: str):

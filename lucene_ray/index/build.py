@@ -415,6 +415,9 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "limit_token_count": analyzer.limit_token_count,
         "tf_delimiter": analyzer.tf_delimiter,
         "hyphenated_words": analyzer.hyphenated_words,
+        "trim": analyzer.trim,
+        "pattern_replace": (list(analyzer.pattern_replace)
+                            if analyzer.pattern_replace else None),
     }
 
 
@@ -478,6 +481,9 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         limit_token_count=a.get("limit_token_count"),
         tf_delimiter=a.get("tf_delimiter"),
         hyphenated_words=a.get("hyphenated_words", False),
+        trim=a.get("trim", False),
+        pattern_replace=(tuple(a["pattern_replace"])
+                         if a.get("pattern_replace") else None),
     )
 
 

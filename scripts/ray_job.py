@@ -214,6 +214,38 @@ def cmd_curate(args) -> dict:
             "secs": round(time.perf_counter() - t0, 3)}
 
 
+def cmd_pack(args) -> dict:
+    """Sequence-packing job (pipelines/packing.pack_sequences): cut the
+    curated corpus token stream into fixed-budget packs, written as
+    PARTITIONED parquet (one directory per pack range) so a failed run
+    resumes by skipping finished partitions. Chain after `curate`:
+    curate --out /c && pack --input /c --out /p --budget 2048."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from lucene_ray.pipelines.packing import pack_sequences
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(args.input,
+                               columns=[args.id_col, args.text_col])
+    segs = pack_sequences(ds, budget=args.budget, text_col=args.text_col,
+                          id_col=args.id_col, bucket_docs=args.bucket_docs)
+    per = args.packs_per_part
+
+    def part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pack_part", pc.divide(b["pack_id"], per))
+
+    os.makedirs(args.out, exist_ok=True)
+    segs.map_batches(part, batch_format="pyarrow").write_parquet(
+        args.out, partition_cols=["pack_part"])
+    n = ray.data.read_parquet(args.out).count()
+    return {"job": "pack", "out": args.out, "segments": n,
+            "budget": args.budget,
+            "secs": round(time.perf_counter() - t0, 3)}
+
+
 def cmd_vector_build(args) -> dict:
     """Build any of the persisted vector index families over an
     embeddings parquet (kind: hnsw | ivf | pq | ivfpq | sq)."""
@@ -321,6 +353,16 @@ def main(argv=None) -> int:
     cu.add_argument("--lm-score", action="store_true")
     cu.add_argument("--lm-min-count", type=int, default=2)
     cu.set_defaults(fn=cmd_curate)
+
+    pk = sub.add_parser("pack")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--bucket-docs", type=int, default=65536)
+    pk.add_argument("--packs-per-part", type=int, default=4096)
+    pk.set_defaults(fn=cmd_pack)
 
     vb = sub.add_parser("vector-build")
     vb.add_argument("--input", required=True)

@@ -321,3 +321,23 @@ def test_delimited_tf_filter(tmp_path, ray_session):
         build_index(ray.data.from_arrow(t), str(tmp_path / "bad"),
                     analyzer=Analyzer(tf_delimiter="|"), num_segments=1,
                     with_positions=True)
+
+
+def test_trim_and_pattern_replace_filters():
+    """TrimFilter (miscellaneous/TrimFilter.java:26) + token-level
+    PatternReplaceFilter (pattern/PatternReplaceFilter.java:34):
+    per-token semantics and batch/per-row parity."""
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    a = Analyzer(trim=True)
+    assert a.transform_token("  spaced\t") == "spaced"
+    assert a.has_token_filters
+    b = Analyzer(pattern_replace=(r"\d+", "#"))
+    assert b.transform_token("abc123def45") == "abc#def#"
+    # replace runs before the stemmer sees the token
+    c = Analyzer(pattern_replace=("^tables$", "chairs"), stem=True)
+    assert c.transform_token("tables") == "chair"
+    # tokenizer='pattern' + trim: comma stream with stray spaces
+    d = Analyzer(tokenizer="pattern", tokenizer_pattern=(",", -1),
+                 trim=True)
+    assert d.tokens(" a , b ,c ") == ["a", "b", "c"]
