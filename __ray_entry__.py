@@ -2089,6 +2089,18 @@ RepSumByName
 
     q["pattern_replace_query"] = _pattern_replace_q
 
+    def _protected_term_q(sf):
+        """ProtectedTermFilter (miscellaneous/ProtectedTermFilter
+        .java:31): Porter stemming with 'table' protected from the
+        WHOLE chain — its postings stay the surface form, so BM25 for
+        'table' equals the plain (unstemmed) chain exactly."""
+        return _scored_filter_index(
+            sf, "prot1",
+            {"stem": True, "protected_words": frozenset({"table"})},
+            "table")
+
+    q["protected_term_query"] = _protected_term_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -7041,6 +7053,13 @@ WHERE q.f > 0 ORDER BY q.doc_id"""
           " ORDER BY doc_id"
     )
     o["pattern_replace_query"] = (
+        _PRELUDE + _term_cte("t", "table")
+        + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
+          " ORDER BY doc_id"
+    )
+    # protected 'table' skips the Porter chain: surface-form postings,
+    # dl/df/tf identical to the plain chain
+    o["protected_term_query"] = (
         _PRELUDE + _term_cte("t", "table")
         + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
           " ORDER BY doc_id"

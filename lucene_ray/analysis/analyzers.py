@@ -229,6 +229,12 @@ class Analyzer:
     # line-break hyphenation repair. Pair with tokenizer="whitespace"
     # (the standard tokenizer already drops the hyphen).
     hyphenated_words: bool = False
+    # ProtectedTermFilter (miscellaneous/ProtectedTermFilter.java:31):
+    # terms in the set skip the ENTIRE per-token filter chain (the
+    # reference's conditional wrapper with all filters inside) — a
+    # stronger guard than keyword_set, which only protects from the
+    # stemmers.
+    protected_words: "frozenset[str] | None" = None
     # TrimFilter (miscellaneous/TrimFilter.java:26): strip leading and
     # trailing whitespace from each token — a no-op under the standard
     # tokenizer (which never emits spaces) but meaningful with the
@@ -465,6 +471,9 @@ class Analyzer:
         digit/width folds, then normalize, then fold, then stem —
         subject to keyword marking / overrides — then capitalization,
         truncate, phonetic, reverse)."""
+        if self.protected_words is not None and term in self.protected_words:
+            # ProtectedTermFilter: conditional bypass of the whole chain
+            return term
         if self.trim:
             # TrimFilter (miscellaneous/TrimFilter.java:26)
             term = term.strip()

@@ -418,6 +418,9 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "trim": analyzer.trim,
         "pattern_replace": (list(analyzer.pattern_replace)
                             if analyzer.pattern_replace else None),
+        "protected_words": (sorted(analyzer.protected_words)
+                            if analyzer.protected_words is not None
+                            else None),
     }
 
 
@@ -484,6 +487,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
         trim=a.get("trim", False),
         pattern_replace=(tuple(a["pattern_replace"])
                          if a.get("pattern_replace") else None),
+        protected_words=(frozenset(a["protected_words"])
+                         if a.get("protected_words") is not None else None),
     )
 
 

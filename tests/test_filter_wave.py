@@ -341,3 +341,20 @@ def test_trim_and_pattern_replace_filters():
     d = Analyzer(tokenizer="pattern", tokenizer_pattern=(",", -1),
                  trim=True)
     assert d.tokens(" a , b ,c ") == ["a", "b", "c"]
+
+
+def test_protected_term_filter():
+    """ProtectedTermFilter (miscellaneous/ProtectedTermFilter.java:31):
+    protected terms bypass the WHOLE per-token chain, not just the
+    stemmers (contrast keyword_set)."""
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    a = Analyzer(stem=True, ascii_fold=True,
+                 protected_words=frozenset({"tables", "café"}))
+    assert a.transform_token("tables") == "tables"
+    assert a.transform_token("café") == "café"     # fold skipped too
+    assert a.transform_token("chairs") == "chair"  # others still stem
+    # keyword_set only guards the stemmer — the fold still applies
+    b = Analyzer(stem=True, ascii_fold=True,
+                 keyword_set=frozenset({"café"}))
+    assert b.transform_token("café") == "cafe"
