@@ -2101,6 +2101,17 @@ RepSumByName
 
     q["protected_term_query"] = _protected_term_q
 
+    def _pattern_capture_q(sf):
+        """PatternCaptureGroupTokenFilter (pattern/
+        PatternCaptureGroupTokenFilter.java:48, preserveOriginal):
+        '^(ta)ble$' injects capture 'ta' at 'table''s position; BM25
+        for 'ta' over the expanded stream (injections count toward dl,
+        the house discount_overlaps=False default)."""
+        return _scored_filter_index(
+            sf, "pcg1", {"pattern_capture": (r"^(ta)ble$",)}, "ta")
+
+    q["pattern_capture_query"] = _pattern_capture_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -7064,6 +7075,34 @@ WHERE q.f > 0 ORDER BY q.doc_id"""
         + " SELECT doc_id, ROUND(score, 4) AS score FROM sc_t"
           " ORDER BY doc_id"
     )
+    o["pattern_capture_query"] = f"""
+WITH tok0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok AS (SELECT * FROM tok0
+        UNION ALL SELECT doc_id, 'ta' FROM tok0 WHERE term = 'table'),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = 'ta' GROUP BY doc_id),
+ts AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n - x.df + 0.5) / (x.df + 0.5)) * t.f /
+           (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+  FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+  JOIN dlq q ON t.doc_id = q.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM sc ORDER BY doc_id"""
     # capitalization filter (lowercase off): Title-casing the all-lower
     # ASCII corpus then querying 'Table' is term-for-term the plain
     # lowercase chain scoring 'table'

@@ -229,6 +229,14 @@ class Analyzer:
     # line-break hyphenation repair. Pair with tokenizer="whitespace"
     # (the standard tokenizer already drops the hyphen).
     hyphenated_words: bool = False
+    # PatternCaptureGroupTokenFilter (pattern/
+    # PatternCaptureGroupTokenFilter.java:48), preserveOriginal=true
+    # form: every capture group of every pattern match injects as a
+    # token at the SAME position (the original always survives).
+    # Same-position duplicates collapse, the RemoveDuplicates pairing
+    # the reference recommends. Runs with the other injectors: after
+    # the per-token filters and common grams, before synonyms.
+    pattern_capture: "tuple[str, ...] | None" = None
     # ProtectedTermFilter (miscellaneous/ProtectedTermFilter.java:31):
     # terms in the set skip the ENTIRE per-token filter chain (the
     # reference's conditional wrapper with all filters inside) — a
@@ -642,6 +650,23 @@ class Analyzer:
         pat, grp = self.tokenizer_pattern
         return tk.pattern_tokenize_with_offsets(text, pat, grp)
 
+    def capture_tokens(self, term: str) -> list:
+        """PatternCaptureGroupTokenFilter injection (pattern/
+        PatternCaptureGroupTokenFilter.java:48): distinct capture-group
+        matches of every pattern, original and duplicates excluded."""
+        if not self.pattern_capture:
+            return []
+        import re
+
+        out, seen = [], {term}
+        for pat in self.pattern_capture:
+            for m in re.compile(pat).finditer(term):
+                for g in m.groups():
+                    if g and g not in seen:
+                        seen.add(g)
+                        out.append(g)
+        return out
+
     def tokens(self, text: str) -> list[str]:
         """Analyzed terms of one document (order = position order)."""
         if ((self.synonyms and self.multi_synonym_rules)
@@ -676,6 +701,8 @@ class Analyzer:
             toks = [self.transform_token(t) for t in toks]
             if self.keyword_repeat:
                 toks = toks + [o for o, t in zip(orig, toks) if o != t]
+        if self.pattern_capture:
+            toks = toks + [s for t in toks for s in self.capture_tokens(t)]
         if self.synonyms:
             syn = self.synonym_map
             toks = toks + [s for t in toks for s in syn.get(t, ())]
@@ -726,6 +753,9 @@ class Analyzer:
                 if p2 == p1 + 1 and (t1 in cs or t2 in cs)
             ]
         out = out + repeats  # KeywordRepeat originals, same positions
+        if self.pattern_capture:
+            out = out + [(s, p) for t, p in out
+                         for s in self.capture_tokens(t)]
         if self.synonyms:
             syn = self.synonym_map
             extra = [(s, p) for t, p in out for s in syn.get(t, ())]
@@ -770,6 +800,10 @@ class Analyzer:
                 if p2 == p1 + 1 and (t1 in cs or t2 in cs)
             ]
         out = out + repeats  # KeywordRepeat originals, same positions
+        if self.pattern_capture:
+            # captures carry the source token's offsets
+            out = out + [(cg, p, s, e) for t, p, s, e in out
+                         for cg in self.capture_tokens(t)]
         if self.synonyms:
             syn = self.synonym_map
             extra = [

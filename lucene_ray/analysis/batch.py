@@ -541,6 +541,7 @@ def _post_filters(parts, analyzer: Analyzer):
     else:
         parts = (_apply_token_filters(parts[0], analyzer), *parts[1:])
     parts = _apply_common_grams(parts, analyzer)
+    parts = _apply_captures(parts, analyzer)
     parts = _apply_synonyms(parts, analyzer)
     return _apply_compounds(parts, analyzer)
 
@@ -590,18 +591,32 @@ def _apply_compounds(parts, analyzer: Analyzer):
     """DictionaryCompoundWordTokenFilter (compound/
     DictionaryCompoundWordTokenFilter.java:40): dictionary subwords of
     each token inject at the SAME position (and the compound's
-    offsets). Vocabulary-mapped like the synonym injector: Python
-    decomposition touches only unique terms; occurrence expansion is
-    numpy repeat + one stable doc-major sort."""
+    offsets)."""
     if not analyzer.compound_dict or len(parts[0]) == 0:
         return parts
+    return _apply_injection(parts, analyzer.decompose_token)
+
+
+def _apply_captures(parts, analyzer: Analyzer):
+    """PatternCaptureGroupTokenFilter (pattern/
+    PatternCaptureGroupTokenFilter.java:48): capture-group matches
+    inject at the SAME position with the source token's offsets."""
+    if not analyzer.pattern_capture or len(parts[0]) == 0:
+        return parts
+    return _apply_injection(parts, analyzer.capture_tokens)
+
+
+def _apply_injection(parts, per_vocab_fn):
+    """Shared same-position injector. Vocabulary-mapped like the
+    synonym injector: Python expansion touches only unique terms;
+    occurrence expansion is numpy repeat + one stable doc-major sort."""
     flat = parts[0]
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     d = pc.dictionary_encode(flat)
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = d.dictionary.to_pylist()
-    subs = [analyzer.decompose_token(v) for v in vocab]
+    subs = [per_vocab_fn(v) for v in vocab]
     n_sub = np.array([len(s) for s in subs], dtype=np.int64)
     occ = n_sub[codes]
     if occ.sum() == 0:

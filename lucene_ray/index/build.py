@@ -421,6 +421,8 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
         "protected_words": (sorted(analyzer.protected_words)
                             if analyzer.protected_words is not None
                             else None),
+        "pattern_capture": (list(analyzer.pattern_capture)
+                            if analyzer.pattern_capture else None),
     }
 
 
@@ -489,6 +491,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
                          if a.get("pattern_replace") else None),
         protected_words=(frozenset(a["protected_words"])
                          if a.get("protected_words") is not None else None),
+        pattern_capture=(tuple(a["pattern_capture"])
+                         if a.get("pattern_capture") else None),
     )
 
 

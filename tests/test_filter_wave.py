@@ -358,3 +358,45 @@ def test_protected_term_filter():
     b = Analyzer(stem=True, ascii_fold=True,
                  keyword_set=frozenset({"café"}))
     assert b.transform_token("café") == "cafe"
+
+
+def test_pattern_capture_group_filter(ray_session, tmp_path):
+    """PatternCaptureGroupTokenFilter (pattern/
+    PatternCaptureGroupTokenFilter.java:48): capture groups inject at
+    the source position (original preserved, duplicates collapse);
+    per-row positions/offsets and the batch indexing path agree."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.searcher import Searcher
+    from lucene_ray.search import query as Q
+
+    a = Analyzer(tokenizer="whitespace",
+                 pattern_capture=(r"^(\w+)-(\w+)$", r"(\d+)"))
+    assert a.tokens("x") == ["x"]
+    assert sorted(a.tokens("foo-bar")) == ["bar", "foo", "foo-bar"]
+    # duplicate captures collapse; original never re-injects
+    assert sorted(a.tokens("a7-a7")) == ["7", "a7", "a7-a7"]
+    tp = a.tokens_with_positions("zz foo-bar")
+    assert ("foo", 1) in tp and ("bar", 1) in tp and ("foo-bar", 1) in tp
+    off = {t: (s, e) for t, _p, s, e in a.tokens_with_offsets("foo-bar")}
+    assert off["foo"] == off["foo-bar"]  # captures carry source offsets
+
+    # batch path parity: index via tokenizer whitespace keeps '-'
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["alpha foo-bar baz", "plain words here"]),
+    })
+    idx = str(tmp_path / "pcg")
+    build_index(ray.data.from_arrow(docs), idx,
+                analyzer=Analyzer(tokenizer="whitespace",
+                                  pattern_capture=(r"^(\w+)-(\w+)$",)),
+                num_segments=1, with_positions=True)
+    s = Searcher(idx)
+    d, _ = s.search_all(Q.TermQuery("foo"))
+    assert d.tolist() == [0]
+    # phrase across the injected position: 'alpha foo' adjacency holds
+    d2, _ = s.search_all(Q.PhraseQuery(("alpha", "foo")))
+    assert d2.tolist() == [0]
