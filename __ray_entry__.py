@@ -2112,6 +2112,36 @@ RepSumByName
 
     q["pattern_capture_query"] = _pattern_capture_q
 
+    def _remove_duplicates_q(sf):
+        """Standalone RemoveDuplicatesTokenFilter (miscellaneous/
+        RemoveDuplicatesTokenFilter.java:28): capture '^(tab)le$' AND
+        synonym table->tab both inject 'tab' at table's position — the
+        duplicate collapses, so exactly ONE extra 'tab' per occurrence
+        survives (the oracle counts one)."""
+        return _scored_filter_index(
+            sf, "rdup1",
+            {"pattern_capture": (r"^(tab)le$",),
+             "synonyms": (("table", ("tab",)),),
+             "remove_duplicates": True},
+            "tab")
+
+    q["remove_duplicates_query"] = _remove_duplicates_q
+
+    def _date_recognizer_q(sf):
+        """DateRecognizerFilter (miscellaneous/DateRecognizerFilter
+        .java:28): 'table' rewrites to an ISO date (derived column);
+        only strptime-valid '%Y-%m-%d' tokens survive (with gaps), so
+        dl = per-doc date count and BM25 scores over the date-only
+        stream."""
+        return _scored_filter_index(
+            sf, "dater2",
+            {"tokenizer": "whitespace", "date_recognizer": "%Y-%m-%d"},
+            "2024-05-17",
+            text_expr=lambda b, pcc: pcc.replace_substring(
+                pcc.fill_null(b["text"], ""), "table", "2024-05-17"))
+
+    q["date_recognizer_query"] = _date_recognizer_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -7095,6 +7125,69 @@ stats AS (
          (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
 tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
        WHERE term = 'ta' GROUP BY doc_id),
+ts AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n - x.df + 0.5) / (x.df + 0.5)) * t.f /
+           (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+  FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+  JOIN dlq q ON t.doc_id = q.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM sc ORDER BY doc_id"""
+    # remove_duplicates: capture + synonym both inject 'tab' at the same
+    # position; dedupe keeps one, so the stream gains exactly ONE 'tab'
+    # per 'table' occurrence — same expanded-stream shape as the capture
+    # oracle, scored for 'tab'
+    o["remove_duplicates_query"] = f"""
+WITH tok0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok AS (SELECT * FROM tok0
+        UNION ALL SELECT doc_id, 'tab' FROM tok0 WHERE term = 'table'),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = 'tab' GROUP BY doc_id),
+ts AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n - x.df + 0.5) / (x.df + 0.5)) * t.f /
+           (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))) AS score
+  FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+  JOIN dlq q ON t.doc_id = q.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM sc ORDER BY doc_id"""
+    o["date_recognizer_query"] = f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(string_split(replace(text, 'table', '2024-05-17'), ' '))
+           AS term
+  FROM documents
+),
+tok AS (SELECT * FROM tok0
+        WHERE try_strptime(term, '%Y-%m-%d') IS NOT NULL),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT COALESCE(sum(dl), 0) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok
+       WHERE term = '2024-05-17' GROUP BY doc_id),
 ts AS (SELECT count(*)::DOUBLE AS df FROM tf),
 sc AS (
   SELECT t.doc_id,

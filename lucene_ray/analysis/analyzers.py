@@ -47,6 +47,33 @@ def _segment_with_offsets(lang: str, text: str):
     raise ValueError(f"no segmenter for language {lang!r}")
 
 
+def _is_date(term: str, fmt: str) -> bool:
+    """DateRecognizerFilter predicate (miscellaneous/
+    DateRecognizerFilter.java:28): strict strptime parse."""
+    from datetime import datetime
+
+    try:
+        datetime.strptime(term, fmt)
+        return True
+    except ValueError:
+        return False
+
+
+def _dedupe_stream(out: list) -> list:
+    """RemoveDuplicatesTokenFilter rule (miscellaneous/
+    RemoveDuplicatesTokenFilter.java:28): keep the FIRST of any
+    (term, position) pair; rows may carry offsets (term, pos, ...)."""
+    seen = set()
+    kept = []
+    for row in out:
+        key = (row[0], row[1])
+        if key in seen:
+            continue
+        seen.add(key)
+        kept.append(row)
+    return kept
+
+
 def _cjk_bigram_stream(stream):
     """CJKBigramFilter rewrite (cjk/CJKBigramFilter.java:66) over a raw
     (term, pos, start, end) stream: runs of >=2 adjacent single-Han
@@ -229,6 +256,18 @@ class Analyzer:
     # line-break hyphenation repair. Pair with tokenizer="whitespace"
     # (the standard tokenizer already drops the hyphen).
     hyphenated_words: bool = False
+    # RemoveDuplicatesTokenFilter (miscellaneous/
+    # RemoveDuplicatesTokenFilter.java:28) as a standalone stage: after
+    # ALL injectors (captures, synonyms, compounds, repeats), drop any
+    # (term, position) pair already emitted — the reference's
+    # posIncrement==0 duplicate rule. (The keyword_repeat path applies
+    # the same rule implicitly to its own originals.)
+    remove_duplicates: bool = False
+    # DateRecognizerFilter (miscellaneous/DateRecognizerFilter.java:28):
+    # keep only tokens that parse under the given strptime format
+    # (e.g. '%Y-%m-%d'), with position gaps like StopFilter; runs with
+    # the length/keep-word predicate stage.
+    date_recognizer: "str | None" = None
     # PatternCaptureGroupTokenFilter (pattern/
     # PatternCaptureGroupTokenFilter.java:48), preserveOriginal=true
     # form: every capture group of every pattern match injects as a
@@ -468,6 +507,9 @@ class Analyzer:
             return False
         if self.length_max is not None and len(term) > self.length_max:
             return False
+        if self.date_recognizer is not None and not _is_date(
+                term, self.date_recognizer):
+            return False
         return self.keep_words is None or term in self.keep_words
 
     @property
@@ -673,7 +715,7 @@ class Analyzer:
                 or self.common_grams or self.cjk_bigrams
                 or self.url_email or self.tokenizer
                 or self.limit_token_count is not None
-                or self.hyphenated_words):
+                or self.hyphenated_words or self.remove_duplicates):
             # multi-word rules, common grams, CJK bigrams and the
             # URL/EMAIL tokenizer need the full raw-stream path
             return [t for t, _p in self.tokens_with_positions(text)]
@@ -768,6 +810,8 @@ class Analyzer:
         if self.compound_dict:
             out = out + [(s, p) for t, p in out
                          for s in self.decompose_token(t)]
+        if self.remove_duplicates:
+            out = _dedupe_stream(out)
         return out
 
     def tokens_with_offsets(self, text: str) -> list[tuple[str, int, int, int]]:
@@ -822,6 +866,8 @@ class Analyzer:
             # class leaves offsets at the original token)
             out = out + [(sub, p, s, e) for t, p, s, e in out
                          for sub in self.decompose_token(t)]
+        if self.remove_duplicates:
+            out = _dedupe_stream(out)
         return out
 
     def normalize(self, term: str) -> str:

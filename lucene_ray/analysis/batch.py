@@ -543,7 +543,8 @@ def _post_filters(parts, analyzer: Analyzer):
     parts = _apply_common_grams(parts, analyzer)
     parts = _apply_captures(parts, analyzer)
     parts = _apply_synonyms(parts, analyzer)
-    return _apply_compounds(parts, analyzer)
+    parts = _apply_compounds(parts, analyzer)
+    return _remove_duplicates(parts, analyzer)
 
 
 def _apply_common_grams(parts, analyzer: Analyzer):
@@ -889,6 +890,35 @@ def _stop_filter(parts, stop_words):
     return tuple(out)
 
 
+def _remove_duplicates(parts, analyzer: Analyzer):
+    """Standalone RemoveDuplicatesTokenFilter (miscellaneous/
+    RemoveDuplicatesTokenFilter.java:28): drop repeated (doc, position,
+    term) rows keeping the FIRST in stream order. One dictionary-encode
+    + one fused-key np.unique — no Python over occurrences."""
+    if (not analyzer.remove_duplicates or len(parts[0]) == 0
+            or parts[2] is None):
+        return parts
+    flat = parts[0]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = pc.dictionary_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = parts[1].astype(np.int64)
+    pos = parts[2].astype(np.int64)
+    mp = int(pos.max()) + 1
+    md = int(doc_idx.max()) + 1
+    fused = (codes * md + doc_idx) * mp + pos
+    _u, first = np.unique(fused, return_index=True)
+    if first.shape[0] == len(flat):
+        return parts
+    mask = np.zeros(len(flat), dtype=bool)
+    mask[first] = True
+    out = [pc.filter(flat, pa.array(mask))]
+    for arr in parts[1:]:
+        out.append(arr[mask] if arr is not None else None)
+    return tuple(out)
+
+
 def _length_filter(parts, analyzer: Analyzer):
     """Vectorized LengthFilter + KeepWordFilter (miscellaneous/
     LengthFilter.java:31, KeepWordFilter.java:27): drop tokens with char
@@ -907,7 +937,8 @@ def _length_filter(parts, analyzer: Analyzer):
                 else (arr[mask] if arr is not None else None)
                 for i, arr in enumerate(parts))
     lo, hi = analyzer.length_min, analyzer.length_max
-    if lo <= 1 and hi is None and analyzer.keep_words is None:
+    if (lo <= 1 and hi is None and analyzer.keep_words is None
+            and analyzer.date_recognizer is None):
         return parts
     flat = parts[0]
     ln = pc.utf8_length(flat)
@@ -918,6 +949,17 @@ def _length_filter(parts, analyzer: Analyzer):
         keep = pc.and_(keep, pc.is_in(
             flat, value_set=pa.array(sorted(analyzer.keep_words),
                                      type=pa.string())))
+    if analyzer.date_recognizer is not None:
+        # DateRecognizerFilter: strptime only on unique terms
+        from lucene_ray.analysis.analyzers import _is_date
+
+        d = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+            else flat)
+        ok = np.array([_is_date(v, analyzer.date_recognizer)
+                       for v in d.dictionary.to_pylist()], dtype=bool)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.and_(keep, pa.array(ok[codes]))
     keep_np = keep.to_numpy(zero_copy_only=False)
     if keep_np.all():
         return parts

@@ -423,6 +423,8 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
                             else None),
         "pattern_capture": (list(analyzer.pattern_capture)
                             if analyzer.pattern_capture else None),
+        "remove_duplicates": analyzer.remove_duplicates,
+        "date_recognizer": analyzer.date_recognizer,
     }
 
 
@@ -493,6 +495,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
                          if a.get("protected_words") is not None else None),
         pattern_capture=(tuple(a["pattern_capture"])
                          if a.get("pattern_capture") else None),
+        remove_duplicates=a.get("remove_duplicates", False),
+        date_recognizer=a.get("date_recognizer"),
     )
 
 

@@ -400,3 +400,48 @@ def test_pattern_capture_group_filter(ray_session, tmp_path):
     # phrase across the injected position: 'alpha foo' adjacency holds
     d2, _ = s.search_all(Q.PhraseQuery(("alpha", "foo")))
     assert d2.tolist() == [0]
+
+
+def test_remove_duplicates_and_date_recognizer():
+    """Standalone RemoveDuplicatesTokenFilter + DateRecognizerFilter
+    (miscellaneous/RemoveDuplicatesTokenFilter.java:28,
+    DateRecognizerFilter.java:28)."""
+    from lucene_ray.analysis.analyzers import Analyzer
+
+    # capture and synonym both inject 'tab' at table's position
+    a = Analyzer(pattern_capture=(r"^(tab)le$",),
+                 synonyms=(("table", ("tab",)),),
+                 remove_duplicates=True)
+    tp = a.tokens_with_positions("my table here")
+    assert tp.count(("tab", 1)) == 1        # duplicate collapsed
+    assert ("table", 1) in tp
+    a0 = Analyzer(pattern_capture=(r"^(tab)le$",),
+                  synonyms=(("table", ("tab",)),))
+    assert a0.tokens_with_positions("my table here").count(("tab", 1)) == 2
+    # duplicates at DIFFERENT positions survive
+    assert a.tokens("tab tab").count("tab") == 2
+
+    d = Analyzer(tokenizer="whitespace", date_recognizer="%Y-%m-%d")
+    assert d.tokens("on 2024-05-17 and 2024-13-40 x") == ["2024-05-17"]
+    # position gaps like StopFilter
+    tp2 = d.tokens_with_positions("word 2024-05-17")
+    assert tp2 == [("2024-05-17", 1)]
+
+
+def test_remove_duplicates_batch_parity(ray_session):
+    """Batch tokenizer applies the same (doc, pos, term) dedupe."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.batch import tokenize_column
+
+    a = Analyzer(pattern_capture=(r"^(tab)le$",),
+                 synonyms=(("table", ("tab",)),),
+                 remove_duplicates=True)
+    texts = pa.array(["my table here", "tab tab table"])
+    flat, doc_idx, pos = tokenize_column(texts, a)[:3]
+    got = sorted(zip(doc_idx.tolist(), pos.tolist(), flat.to_pylist()))
+    want = sorted(
+        [(i, p, t) for i, txt in enumerate(texts.to_pylist())
+         for t, p in a.tokens_with_positions(txt)])
+    assert got == want
