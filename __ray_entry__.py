@@ -4186,6 +4186,18 @@ RepSumByName
 
     q["geo_nearest_topk"] = _geo_nearest
 
+    def _geo_heatmap(sf):
+        """HeatmapFacetCounter (spatial-extras/.../prefix/
+        HeatmapFacetCounter.java:63): 10x12 grid counts over
+        [0.005, 50.005) x [-60.005, 59.995) — bounds sit off the
+        derived 0.01-degree lattice so no point lands on a cell edge."""
+        from lucene_ray.pipelines.geo import geo_heatmap
+
+        return geo_heatmap(_geo_points(sf), 0.005, 50.005, -60.005,
+                           59.995, grid_lat=10, grid_lon=12)
+
+    q["geo_heatmap_facets"] = _geo_heatmap
+
     def _geo_polygon(sf):
         """LatLonPoint.newPolygonQuery (LatLonPoint.java:239,
         LatLonPointInPolygonQuery; geo/Polygon.java shell+holes model):
@@ -6641,6 +6653,17 @@ WITH pts AS (
          (doc_id * 7919 % 36000) / 100.0 - 180.0 AS lon
   FROM documents)
 """
+
+    o["geo_heatmap_facets"] = _GEO_PTS + """
+SELECT CAST(floor((lat - 0.005) / ((50.005 - 0.005) / 10)) AS BIGINT)
+         AS cell_lat,
+       CAST(floor((lon - (-60.005)) / ((59.995 - (-60.005)) / 12))
+            AS BIGINT) AS cell_lon,
+       count(*)::BIGINT AS n
+FROM pts
+WHERE lat >= 0.005 AND lat < 50.005
+  AND lon >= -60.005 AND lon < 59.995
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
     def _geo_hav(clat: float, clon: float) -> str:
         return (

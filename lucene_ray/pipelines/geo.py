@@ -248,3 +248,42 @@ def geo_nearest(source, lat: float, lon: float, k: int = 10,
     out = tbl.take(pa.array(order))
     return out.add_column(0, "rank", pa.array(
         np.arange(1, out.num_rows + 1, dtype=np.int64)))
+
+
+def geo_heatmap(ds, min_lat: float, max_lat: float, min_lon: float,
+                max_lon: float, grid_lat: int = 10, grid_lon: int = 10,
+                lat_col: str = "lat", lon_col: str = "lon") -> pa.Table:
+    """HeatmapFacetCounter role (spatial-extras/src/java/org/apache/
+    lucene/spatial/prefix/HeatmapFacetCounter.java:63): per-grid-cell
+    counts of points inside [min_lat, max_lat) x [min_lon, max_lon).
+
+    Scale story: per-batch numpy bincount partials (at most
+    grid_lat*grid_lon rows each) -> ONE tiny groupby over cell ids —
+    the heatmap never exceeds the grid size no matter the corpus.
+    Returns (cell_lat, cell_lon, n) for non-empty cells."""
+    ch = (max_lat - min_lat) / grid_lat
+    cw = (max_lon - min_lon) / grid_lon
+    ncells = grid_lat * grid_lon
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat = b[lat_col].to_numpy(zero_copy_only=False)
+        lon = b[lon_col].to_numpy(zero_copy_only=False)
+        m = ((lat >= min_lat) & (lat < max_lat)
+             & (lon >= min_lon) & (lon < max_lon))
+        ci = np.floor((lat[m] - min_lat) / ch).astype(np.int64)
+        cj = np.floor((lon[m] - min_lon) / cw).astype(np.int64)
+        cnt = np.bincount(ci * grid_lon + cj, minlength=ncells)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": nz.astype(np.int64),
+                         "n_part": cnt[nz].astype(np.int64)})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell").sum("n_part").take_all())
+    rows.sort(key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    n = np.array([r["sum(n_part)"] for r in rows], dtype=np.int64)
+    return pa.table({
+        "cell_lat": cells // grid_lon,
+        "cell_lon": cells % grid_lon,
+        "n": n,
+    })

@@ -158,3 +158,31 @@ def test_geo_polygon_closed_ring_equivalent(geo_parquet):
     a = set(geo_polygon(path, py, px).to_pandas()["doc_id"])
     b = set(geo_polygon(path, py + py[:1], px + px[:1]).to_pandas()["doc_id"])
     assert a == b and a
+
+
+def test_geo_heatmap_counts(ray_session):
+    """HeatmapFacetCounter role (spatial-extras/.../
+    HeatmapFacetCounter.java:63): cell counts match a brute-force
+    histogram; out-of-box points excluded; totals preserved."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.geo import geo_heatmap
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-10, 30, 500)
+    lon = rng.uniform(-20, 40, 500)
+    pts = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64)),
+                    "lat": pa.array(lat), "lon": pa.array(lon)})
+    out = geo_heatmap(ray.data.from_arrow(pts).repartition(7),
+                      0.0, 20.0, 0.0, 30.0, grid_lat=4, grid_lon=6)
+    m = (lat >= 0) & (lat < 20) & (lon >= 0) & (lon < 30)
+    ci = np.floor(lat[m] / 5.0).astype(int)
+    cj = np.floor(lon[m] / 5.0).astype(int)
+    want = {}
+    for a, b in zip(ci, cj):
+        want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r["cell_lat"], r["cell_lon"]): r["n"] for r in out.to_pylist()}
+    assert got == want
+    assert sum(got.values()) == int(m.sum())
