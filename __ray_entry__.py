@@ -2142,6 +2142,29 @@ RepSumByName
 
     q["date_recognizer_query"] = _date_recognizer_q
 
+    def _english_possessive_q(sf):
+        """EnglishPossessiveFilter (en/EnglishPossessiveFilter.java:30):
+        'table' rewrites to \"table's\" (derived column); the filter
+        strips the possessive so BM25 for 'table' matches the oracle's
+        explicit strip (embedded 'table' inside longer words becomes
+        \"table'sX\" and is untouched on both sides)."""
+        return _scored_filter_index(
+            sf, "engp1", {"english_possessive": True}, "table",
+            text_expr=lambda b, pcc: pcc.replace_substring(
+                pcc.fill_null(b["text"], ""), "table", "table's"))
+
+    q["english_possessive_query"] = _english_possessive_q
+
+    def _minimal_stem_q(sf):
+        """EnglishMinimalStemFilter (en/EnglishMinimalStemmer.java:33 —
+        Harman's S-stemmer): plural-folded index, vocabulary-mapped
+        oracle (the smap VALUES embed the same published algorithm run
+        over the corpus vocabulary)."""
+        return _scored_filter_index(
+            sf, "mins1", {"minimal_stem": True}, "table")
+
+    q["minimal_stem_query"] = _minimal_stem_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -7514,6 +7537,72 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
         )
+
+    # EnglishMinimalStemFilter: Harman S-stemmer smap over the corpus
+    # vocabulary (same generator pattern as the Snowball entries)
+    from lucene_ray.analysis.stem import english_minimal_stem as _ems
+
+    _ems_rows = [f"('{w}', '{_ems(w)}')" for w in sorted(vocab)
+                 if w and _ems(w) != w]
+    _ems_vals = ", ".join(_ems_rows) if _ems_rows else "('', '')"
+    o["minimal_stem_query"] = (
+        f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+smap(sterm, stem) AS (VALUES {_ems_vals}),
+tok AS (SELECT t.doc_id, coalesce(s.stem, t.term) AS term
+        FROM tok0 t LEFT JOIN smap s ON t.term = s.sterm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'table' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
+    # english possessive: the twin rewrites the raw text then strips the
+    # exact token "table's" back to 'table' (embedded forms untouched)
+    o["english_possessive_query"] = (
+        f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(string_split(replace(text, 'table', 'table''s'), ' ')) AS term
+  FROM documents
+),
+tok AS (SELECT doc_id,
+               CASE WHEN term = 'table''s' THEN 'table' ELSE term END AS term
+        FROM tok0),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INT)-3))
+                    << (CAST(floor(log2(dl-24)) AS INT)-3))
+    END AS dlq
+  FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM doclen)::DOUBLE AS sttf),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS f FROM tok WHERE term = 'table' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT t.doc_id,
+       ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+             (t.f + {K1} * (1 - {B} + {B} * q.dlq / (s.sttf / s.n))), 4) AS score
+FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
+ORDER BY t.doc_id"""
+    )
 
     # multilingual curation: dedup+quality base, then one BM25 block per
     # language over that language's routed token stream (en = stop +

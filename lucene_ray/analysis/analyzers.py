@@ -256,6 +256,16 @@ class Analyzer:
     # line-break hyphenation repair. Pair with tokenizer="whitespace"
     # (the standard tokenizer already drops the hyphen).
     hyphenated_words: bool = False
+    # EnglishPossessiveFilter (en/EnglishPossessiveFilter.java:30):
+    # strip a trailing 's / ’s possessive — the EnglishAnalyzer chain
+    # runs it right after the tokenizer; here it runs first among the
+    # per-token filters (identical on the lowercased stream).
+    english_possessive: bool = False
+    # EnglishMinimalStemFilter (en/EnglishMinimalStemmer.java:33,
+    # Harman's S-stemmer): minimal plural removal — an alternative in
+    # the stemmer slot (mutually exclusive with stem/stem_lang/
+    # hunspell in practice; dispatched after them).
+    minimal_stem: bool = False
     # RemoveDuplicatesTokenFilter (miscellaneous/
     # RemoveDuplicatesTokenFilter.java:28) as a standalone stage: after
     # ALL injectors (captures, synonyms, compounds, repeats), drop any
@@ -532,6 +542,10 @@ class Analyzer:
 
             term = re.compile(self.pattern_replace[0]).sub(
                 self.pattern_replace[1], term)
+        if self.english_possessive:
+            from lucene_ray.analysis.stem import english_possessive_strip
+
+            term = english_possessive_strip(term)
         if self.apostrophe:
             # ApostropheFilter (tr/ApostropheFilter.java:30)
             for ap in ("'", "’"):
@@ -599,6 +613,10 @@ class Analyzer:
             from lucene_ray.analysis.hunspell import load_cached
 
             term = load_cached(*self.hunspell).stem_one(term)
+        elif self.minimal_stem:
+            from lucene_ray.analysis.stem import english_minimal_stem
+
+            term = english_minimal_stem(term)
         if self.capitalization and term:
             # CapitalizationFilter factory defaults
             term = term[0].upper() + term[1:].lower()
@@ -623,6 +641,7 @@ class Analyzer:
                 or self.apostrophe or self.capitalization
                 or bool(self.stem_overrides) or self.trim
                 or bool(self.pattern_replace)
+                or self.english_possessive or self.minimal_stem
                 or self.truncate_length is not None)
 
     def _raw_stream(self, text: str):

@@ -299,3 +299,31 @@ def scandinavian_fold_token(w: str) -> str:
 
 _SCAND_FLAT = str.maketrans({"å": "a", "Å": "A", "æ": "a", "Æ": "A",
                              "ø": "o", "Ø": "O"})
+
+
+def english_possessive_strip(word: str) -> str:
+    """EnglishPossessiveFilter (en/EnglishPossessiveFilter.java:30):
+    strip a trailing 's / ’s / ＇s possessive."""
+    if (len(word) >= 2 and word[-2] in ("'", "’", "＇")
+            and word[-1] in ("s", "S")):
+        return word[:-2]
+    return word
+
+
+def english_minimal_stem(word: str) -> str:
+    """Harman S-stemmer (en/EnglishMinimalStemmer.java:33 — Donna
+    Harman, "How Effective Is Suffixing?", JASIS 42(1), 1991): minimal
+    English plural removal ('ies'->'y', plain '-s' off, -ss/-us and
+    vowel-e endings protected)."""
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    p = word[-2]
+    if p in ("u", "s"):
+        return word
+    if p == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in ("a", "e"):
+            return word[:-3] + "y"
+        if word[-3] in ("i", "a", "o", "e"):
+            return word
+    return word[:-1]

@@ -425,6 +425,8 @@ def analyzer_dict(analyzer: Analyzer) -> dict:
                             if analyzer.pattern_capture else None),
         "remove_duplicates": analyzer.remove_duplicates,
         "date_recognizer": analyzer.date_recognizer,
+        "english_possessive": analyzer.english_possessive,
+        "minimal_stem": analyzer.minimal_stem,
     }
 
 
@@ -497,6 +499,8 @@ def analyzer_from_dict(a: dict) -> Analyzer:
                          if a.get("pattern_capture") else None),
         remove_duplicates=a.get("remove_duplicates", False),
         date_recognizer=a.get("date_recognizer"),
+        english_possessive=a.get("english_possessive", False),
+        minimal_stem=a.get("minimal_stem", False),
     )
 
 

@@ -445,3 +445,24 @@ def test_remove_duplicates_batch_parity(ray_session):
         [(i, p, t) for i, txt in enumerate(texts.to_pylist())
          for t, p in a.tokens_with_positions(txt)])
     assert got == want
+
+
+def test_english_possessive_and_minimal_stem():
+    """EnglishPossessiveFilter + Harman S-stemmer
+    (en/EnglishPossessiveFilter.java:30, EnglishMinimalStemmer.java:33)."""
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.stem import (english_minimal_stem,
+                                          english_possessive_strip)
+
+    assert english_possessive_strip("table's") == "table"
+    assert english_possessive_strip("john’s") == "john"
+    assert english_possessive_strip("its") == "its"      # no apostrophe
+    assert english_possessive_strip("'s") == ""
+    # S-stemmer table (Harman 1991)
+    cases = {"tables": "table", "queries": "query", "pass": "pass",
+             "corpus": "corpus", "ties": "ty", "toes": "toes",
+             "axes": "axe", "dogs": "dog", "as": "as", "is": "is"}
+    for w, want in cases.items():
+        assert english_minimal_stem(w) == want, w
+    a = Analyzer(english_possessive=True, minimal_stem=True)
+    assert a.tokens("the table's legs") == ["the", "table", "leg"]
