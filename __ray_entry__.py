@@ -4221,6 +4221,26 @@ RepSumByName
 
     q["geo_heatmap_facets"] = _geo_heatmap
 
+    _GEO_PATH = ((40.005, 45.005, 35.005), (-70.005, 0.005, 40.005))
+    _GEO_PATH_R = 1_500_000.0
+
+    def _geo_path(sf):
+        """Path-corridor query (LatLonShape LINE distance role,
+        document/LatLonShape.java; spatial3d/geom/GeoStandardPath
+        .java:42): points within 1,500 km of a 2-segment great-circle
+        route — exact cross-track distance clamped to each arc, engine
+        and SQL twin sharing the same per-segment constants."""
+        from lucene_ray.pipelines.geo import geo_path_distance
+
+        t = pa.concat_tables(
+            geo_path_distance(_geo_points(sf), *_GEO_PATH, _GEO_PATH_R)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        return pa.table({"doc_id": pa.array(
+            np.sort(t["doc_id"].to_numpy(zero_copy_only=False)),
+            type=pa.int64())})
+
+    q["geo_path_query"] = _geo_path
+
     def _geo_polygon(sf):
         """LatLonPoint.newPolygonQuery (LatLonPoint.java:239,
         LatLonPointInPolygonQuery; geo/Polygon.java shell+holes model):
@@ -6677,6 +6697,15 @@ WITH pts AS (
   FROM documents)
 """
 
+    from lucene_ray.pipelines.geo import path_distance_sql as _pd_sql
+
+    o["geo_path_query"] = (
+        _GEO_PTS
+        + "SELECT doc_id FROM pts WHERE "
+        + _pd_sql((40.005, 45.005, 35.005), (-70.005, 0.005, 40.005),
+                  1_500_000.0)
+        + " ORDER BY doc_id"
+    )
     o["geo_heatmap_facets"] = _GEO_PTS + """
 SELECT CAST(floor((lat - 0.005) / ((50.005 - 0.005) / 10)) AS BIGINT)
          AS cell_lat,

@@ -287,3 +287,94 @@ def geo_heatmap(ds, min_lat: float, max_lat: float, min_lon: float,
         "cell_lon": cells % grid_lon,
         "n": n,
     })
+
+
+def path_segment_constants(path_lats, path_lons) -> list:
+    """Per-segment spherical constants for the path-corridor query —
+    shared verbatim by the engine and the SQL twin so both sides
+    evaluate IDENTICAL float64 expression trees (the house geo-parity
+    contract). Each segment (a, b) of the polyline yields the unit
+    endpoints, the normalized great-circle normal n = a x b / |a x b|,
+    and the in-arc test vectors n x a and b x n."""
+    out = []
+    la = np.radians(np.asarray(path_lats, dtype=np.float64))
+    lo = np.radians(np.asarray(path_lons, dtype=np.float64))
+    v = np.stack([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+                  np.sin(la)], axis=-1)
+    for i in range(v.shape[0] - 1):
+        a, b = v[i], v[i + 1]
+        n = np.cross(a, b)
+        n = n / np.linalg.norm(n)
+        out.append({
+            "a": a.tolist(), "b": b.tolist(), "n": n.tolist(),
+            "na": np.cross(n, a).tolist(),   # >=0 -> past a, towards b
+            "bn": np.cross(b, n).tolist(),   # >=0 -> before b
+        })
+    return out
+
+
+def geo_path_distance(ds, path_lats, path_lons, radius_m: float,
+                      lat_col: str = "lat", lon_col: str = "lon",
+                      id_col: str = "doc_id"):
+    """Path-corridor query — the LatLonShape LINE distance role
+    (document/LatLonShape.java newDistanceQuery over Line geometries;
+    spatial3d GeoPath, spatial3d/geom/GeoStandardPath.java:42): docs
+    whose point lies within ``radius_m`` of the polyline, by exact
+    spherical cross-track distance clamped to each arc (outside the
+    arc, distance to the nearer endpoint). Explicit component
+    arithmetic (no BLAS) so the SQL twin's expression tree matches
+    term for term."""
+    R = 6371008.7714
+    segs = path_segment_constants(path_lats, path_lons)
+    thresh = radius_m / R
+
+    def part(b: pa.Table) -> pa.Table:
+        la = np.radians(b[lat_col].to_numpy(zero_copy_only=False)
+                        .astype(np.float64))
+        lo = np.radians(b[lon_col].to_numpy(zero_copy_only=False)
+                        .astype(np.float64))
+        cl = np.cos(la)
+        px, py, pz = cl * np.cos(lo), cl * np.sin(lo), np.sin(la)
+        best = np.full(px.shape[0], np.inf)
+        for s in segs:
+            (ax, ay, az), (bx, by, bz) = s["a"], s["b"]
+            (nx, ny, nz) = s["n"]
+            (cax, cay, caz), (cbx, cby, cbz) = s["na"], s["bn"]
+            sinxt = px * nx + py * ny + pz * nz
+            xt = np.abs(np.arcsin(np.minimum(1.0, np.maximum(-1.0, sinxt))))
+            in_arc = ((px * cax + py * cay + pz * caz >= 0)
+                      & (px * cbx + py * cby + pz * cbz >= 0))
+            da = np.arccos(np.minimum(1.0, np.maximum(
+                -1.0, px * ax + py * ay + pz * az)))
+            db = np.arccos(np.minimum(1.0, np.maximum(
+                -1.0, px * bx + py * by + pz * bz)))
+            best = np.minimum(best, np.where(in_arc, xt, np.minimum(da, db)))
+        keep = best <= thresh
+        return pa.table({id_col: pa.array(
+            b[id_col].to_numpy(zero_copy_only=False)[keep])})
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+def path_distance_sql(path_lats, path_lons, radius_m: float,
+                      lat_col: str = "lat", lon_col: str = "lon") -> str:
+    """The corridor predicate as a DuckDB boolean expression over
+    (lat, lon) columns — generated from the SAME path_segment_constants
+    the engine uses, term-for-term identical float64 math."""
+    R = 6371008.7714
+    segs = path_segment_constants(path_lats, path_lons)
+    thresh = repr(radius_m / R)
+    p = (f"cos(radians({lat_col})) * cos(radians({lon_col}))",
+         f"cos(radians({lat_col})) * sin(radians({lon_col}))",
+         f"sin(radians({lat_col}))")
+    terms = []
+    for s in segs:
+        dot = lambda v: (f"({p[0]} * ({v[0]!r}) + {p[1]} * ({v[1]!r})"
+                         f" + {p[2]} * ({v[2]!r}))")
+        xt = (f"abs(asin(least(1.0, greatest(-1.0, {dot(s['n'])}))))")
+        in_arc = (f"({dot(s['na'])} >= 0 AND {dot(s['bn'])} >= 0)")
+        da = f"acos(least(1.0, greatest(-1.0, {dot(s['a'])})))"
+        db = f"acos(least(1.0, greatest(-1.0, {dot(s['b'])})))"
+        terms.append(f"CASE WHEN {in_arc} THEN {xt}"
+                     f" ELSE least({da}, {db}) END")
+    return f"least({', '.join(terms)}) <= {thresh}"

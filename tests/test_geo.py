@@ -186,3 +186,30 @@ def test_geo_heatmap_counts(ray_session):
     got = {(r["cell_lat"], r["cell_lon"]): r["n"] for r in out.to_pylist()}
     assert got == want
     assert sum(got.values()) == int(m.sum())
+
+
+def test_geo_path_corridor(ray_session):
+    """Path-corridor (LatLonShape LINE distance / GeoStandardPath
+    roles): cross-track membership checks against hand-verifiable
+    geometry on the equator."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.geo import geo_path_distance
+
+    # path along the equator lon 0..10; 1 deg ~ 111.2 km
+    pts = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "lat": pa.array([0.0, 0.5, 2.0, 0.0, 0.0, 5.0]),
+        "lon": pa.array([5.0, 5.0, 5.0, -1.0, 11.5, 20.0]),
+    })
+    out = pa.concat_tables(
+        geo_path_distance(ray.data.from_arrow(pts), (0.0, 0.0),
+                          (0.0, 10.0), 120_000.0)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    got = sorted(out["doc_id"].to_pylist())
+    # on-path (0), 0.5 deg off (1) ~55km in, 2 deg off (2) out,
+    # 1 deg past start (3) ~111km endpoint distance in,
+    # 1.5 deg past end (4) out, far (5) out
+    assert got == [0, 1, 3]
