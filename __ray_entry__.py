@@ -1134,9 +1134,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "ax_f2log", Q.TermQuery("table"))
     q["ax_f3exp_topk"] = lambda sf: _sim_topk(
         sf, "ax_f3exp", Q.TermQuery("table"))
+    q["ax_f1log_topk"] = lambda sf: _sim_topk(
+        sf, "ax_f1log", Q.TermQuery("table"))
+    q["ax_f3log_topk"] = lambda sf: _sim_topk(
+        sf, "ax_f3log", Q.TermQuery("table"))
+    q["dfi_saturated_topk"] = lambda sf: _sim_topk(
+        sf, "dfi_saturated", Q.TermQuery("table"))
     # DFR GB2 (BasicModelG + AfterEffectB + NormalizationH2)
     q["dfr_gb2_topk"] = lambda sf: _sim_topk(
         sf, "dfr_g_b_h2", Q.TermQuery("table"))
+    # DFR I(ne)L2 (BasicModelIne + AfterEffectL + NormalizationH2)
+    q["dfr_ine_l2_topk"] = lambda sf: _sim_topk(
+        sf, "dfr_ine_l_h2", Q.TermQuery("table"))
     # IB SPL distribution + LambdaTTF (DistributionSPL.java:29)
     q["ib_spl_topk"] = lambda sf: _sim_topk(
         sf, "ib_spl_ttf", Q.TermQuery("table"))
@@ -5241,6 +5250,57 @@ def oracle_sql() -> dict[str, str]:
                                    * pow((s.n + 1) / x.df, 0.35)
                                    - (q.dlq - 1) * 0.25 * 1.0
                                      / (s.sttf / s.n)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["ax_f1log_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       (1 + ln(1 + ln(t.f + 1)))
+                       * ((s.sttf / s.n + 0.25)
+                          / (s.sttf / s.n + q.dlq * 0.25))
+                       * ln((s.n + 1) / x.df) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["ax_f3log_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       GREATEST(0, (1 + ln(1 + ln(t.f + 1)))
+                                   * ln((s.n + 1) / x.df)
+                                   - (q.dlq - 1) * 0.25 * 1.0
+                                     / (s.sttf / s.n)) AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["dfi_saturated_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       CASE WHEN t.f <= (x.ttf + 1) * q.dlq / (s.sttf + 1)
+                            THEN 0.0
+                            ELSE log2((t.f - (x.ttf + 1) * q.dlq / (s.sttf + 1))
+                                      / ((x.ttf + 1) * q.dlq / (s.sttf + 1))
+                                      + 1)
+                       END AS score
+                FROM tf t CROSS JOIN ts x CROSS JOIN stats s
+                JOIN dlq q ON t.doc_id = q.doc_id)"""
+        + _TOPK_TAIL
+    )
+    o["dfr_ine_l2_topk"] = (
+        _PRELUDE + _TF_TS
+        + """ , sc AS (
+                SELECT t.doc_id,
+                       log2((s.n + 1)
+                            / (s.n * (1 - pow((s.n - 1) / s.n, x.ttf))
+                               + 0.5))
+                       * (1 - 1 / (1 + t.f * log2(1 + (s.sttf / s.n)
+                                                  / q.dlq))) AS score
                 FROM tf t CROSS JOIN ts x CROSS JOIN stats s
                 JOIN dlq q ON t.doc_id = q.doc_id)"""
         + _TOPK_TAIL
