@@ -2174,6 +2174,36 @@ RepSumByName
 
     q["minimal_stem_query"] = _minimal_stem_q
 
+    def _blended_infix_q(sf):
+        """BlendedInfixSuggester (suggest/analyzing/
+        BlendedInfixSuggester.java:60, POSITION_LINEAR): suggestions
+        with a token starting 'tab', scored weight * (1 - 0.10 * first
+        match position) with weight = doc_id % 97 + 1."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import blended_infix_suggest
+
+        def w(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            return b.append_column(
+                "sweight", pa.array((ids % 97 + 1).astype(np.float64)))
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "text"]).map_batches(
+                w, batch_format="pyarrow")
+        t = blended_infix_suggest(ds, "tab", k=10, blender="linear",
+                                  weight_col="sweight")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score": pa.array(_round4(
+                t["score"].to_numpy(zero_copy_only=False)),
+                type=pa.float64()),
+        })
+
+    q["blended_infix_suggest"] = _blended_infix_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -7626,6 +7656,18 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN df d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY t.doc_id"""
         )
+
+    o["blended_infix_suggest"] = """
+WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+posn AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p
+         FROM toklist),
+m AS (SELECT doc_id, min(p) AS mp FROM posn
+      WHERE term LIKE 'tab%' GROUP BY doc_id),
+sc AS (SELECT doc_id,
+              ((doc_id % 97) + 1)
+              * (1 - CAST(0.10 AS DOUBLE) * mp) AS score FROM m)
+SELECT doc_id, ROUND(sc.score, 4) AS score FROM sc
+ORDER BY sc.score DESC, doc_id LIMIT 10"""
 
     # EnglishMinimalStemFilter: Harman S-stemmer smap over the corpus
     # vocabulary (same generator pattern as the Snowball entries)

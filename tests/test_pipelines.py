@@ -765,3 +765,42 @@ def test_pack_sequences_semantics_and_block_invariance(ray_session):
     a = run(ray.data.from_arrow(big), bucket_docs=16)
     b = run(ray.data.from_arrow(big).repartition(13), bucket_docs=64)
     assert a.equals(b)
+
+
+def test_blended_infix_suggest_blenders(ray_session):
+    """BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester
+    .java:60): first-match position drives the coefficient for all
+    three BlenderTypes; weights multiply."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.suggest import blended_infix_suggest
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "tabby cat sits",          # match at position 0
+            "the striped tabby",       # match at position 2
+            "a tab stop",              # match at position 1
+            "no match here",
+        ]),
+        "w": pa.array([10.0, 10.0, 10.0, 10.0]),
+    })
+    ds = ray.data.from_arrow(docs)
+    lin = blended_infix_suggest(ds, "tab", blender="linear",
+                                weight_col="w")
+    got = {r["doc_id"]: (r["position"], round(r["score"], 6))
+           for r in lin.to_pylist()}
+    assert got == {0: (0, 10.0), 1: (2, 8.0), 2: (1, 9.0)}
+    rec = blended_infix_suggest(ds, "tab", blender="reciprocal",
+                                weight_col="w")
+    got_r = {r["doc_id"]: round(r["score"], 6) for r in rec.to_pylist()}
+    assert got_r == {0: 10.0, 1: round(10 / 3, 6), 2: 5.0}
+    exp = blended_infix_suggest(ds, "tab", blender="exp_reciprocal",
+                                exponent=2.0, weight_col="w")
+    got_e = {r["doc_id"]: round(r["score"], 6) for r in exp.to_pylist()}
+    assert got_e == {0: 10.0, 1: round(10 / 9, 6), 2: 2.5}
+    # k cap + default weight 1
+    top1 = blended_infix_suggest(ds, "tab", k=1)
+    assert top1.num_rows == 1 and top1["doc_id"][0].as_py() == 0
