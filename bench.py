@@ -381,6 +381,19 @@ def run_bench() -> dict:
 
     timed("asof_join_highcard", asof_highcard)
 
+    def pack():
+        """Sequence packing over the synthetic corpus
+        (pipelines/packing.pack_sequences): the two-level prefix sum +
+        vectorized segment expansion at budget 2048."""
+        from lucene_ray.pipelines.packing import pack_sequences
+
+        n = pack_sequences(
+            rd.read_parquet(corpus_path, columns=["doc_id", "text"]),
+            budget=2048, bucket_docs=16384).count()
+        assert n > 0
+
+    timed("pack_sequences", pack)
+
     def knn():
         import pyarrow.parquet as pq
 

@@ -60,11 +60,28 @@ def pack_sequences(pages, budget: int = 2048, text_col: str = "text",
         lambda b: b.append_column(
             "bucket", pc.divide(b[id_col], bucket_docs)),
         batch_format="pyarrow")
-    # level-1 prefix: per-bucket token sums -> driver cumsum (tiny)
-    sums = counts.groupby("bucket").sum("ntok").take_all()
-    sums.sort(key=lambda r: r["bucket"])
-    bucket_ids = np.array([r["bucket"] for r in sums], dtype=np.int64)
-    bucket_tot = np.array([r["sum(ntok)"] for r in sums], dtype=np.int64)
+    # (doc_id, ntok, bucket) is ~24 bytes/row — materialize once so the
+    # level-1 aggregate and the expansion don't each re-run the
+    # tokenize lineage (the one safe mid-pipeline materialization:
+    # output size is corpus-row-count, not corpus-byte-count)
+    counts = counts.materialize()
+    # level-1 prefix: per-BATCH bucket partials -> driver combine + cumsum.
+    # No shuffle: each partial is at most (buckets touched by the batch)
+    # rows, and the combined table is num_docs / bucket_docs rows.
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        bk = b["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = b["ntok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(bk, return_inverse=True)
+        return pa.table({"bucket": u,
+                         "s": np.bincount(inv, weights=nt).astype(np.int64)})
+
+    parts = counts.map_batches(
+        bucket_partials, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in parts:
+        acc[r["bucket"]] = acc.get(r["bucket"], 0) + r["s"]
+    bucket_ids = np.array(sorted(acc), dtype=np.int64)
+    bucket_tot = np.array([acc[int(i)] for i in bucket_ids], dtype=np.int64)
     bucket_off = np.concatenate(([0], np.cumsum(bucket_tot[:-1])))
     offsets = dict(zip(bucket_ids.tolist(), bucket_off.tolist()))
     B = int(budget)
