@@ -2776,6 +2776,17 @@ RepSumByName
 
     q["span_first_query"] = _span_first
 
+    def _span_position_range(sf):
+        """SpanPositionRangeQuery (queries/spans/SpanPositionRangeQuery
+        .java:29): 'table' at positions [5, 20) of the document."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(
+            IV.PositionRange(IV.Term("table"), 5, 20)
+        ))
+
+    q["span_position_range_query"] = _span_position_range
+
     def _intervals_containing(sf):
         """Intervals.containing(big, small): candidate unordered windows
         of (scan, column) with <= 6 gap tokens that contain a 'window'
@@ -6186,6 +6197,12 @@ ORDER BY a.doc_id"""
         + """
 SELECT DISTINCT doc_id FROM pos
 WHERE term = 'table' AND p < 10 ORDER BY doc_id"""
+    )
+    o["span_position_range_query"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT doc_id FROM pos
+WHERE term = 'table' AND p >= 5 AND p < 20 ORDER BY doc_id"""
     )
     # intervals: ordered with maxgaps — exists p(scan) < p(column) with
     # at most 3 tokens between (gaps = p2 - p1 - 1)

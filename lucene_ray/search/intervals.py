@@ -256,6 +256,25 @@ class First(IntervalsSource):
                 "source": self.source.to_dict()}
 
 
+@dataclass(frozen=True)
+class PositionRange(IntervalsSource):
+    """SpanPositionRangeQuery semantics (queries/spans/
+    SpanPositionRangeQuery.java:29): intervals of ``source`` lying
+    fully inside positions [lo, hi) — start >= lo and end < hi.
+    First(n) is the lo=0 special case."""
+
+    source: IntervalsSource
+    lo: int
+    hi: int
+
+    def leaf_terms(self, out: set):
+        self.source.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "position_range", "lo": self.lo, "hi": self.hi,
+                "source": self.source.to_dict()}
+
+
 def phrase(*terms: str) -> Ordered:
     """Intervals.phrase — ordered with zero gaps."""
     return Ordered(tuple(Term(t) for t in terms), maxgaps=0)
@@ -295,6 +314,9 @@ def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
         return MaxWidth(rewrite_terms(source.source, fn), source.width)
     if isinstance(source, First):
         return First(rewrite_terms(source.source, fn), source.n)
+    if isinstance(source, PositionRange):
+        return PositionRange(rewrite_terms(source.source, fn),
+                             source.lo, source.hi)
     if isinstance(source, Prefix):
         return Prefix(fn(source.prefix), source.max_expansions)
     raise TypeError(type(source))
@@ -330,6 +352,9 @@ def source_from_dict(d: dict) -> IntervalsSource:
         return MaxWidth(source_from_dict(d["source"]), d["width"])
     if t == "first":
         return First(source_from_dict(d["source"]), d["n"])
+    if t == "position_range":
+        return PositionRange(source_from_dict(d["source"]),
+                             d["lo"], d["hi"])
     if t == "prefix_iv":
         return Prefix(d["prefix"], d.get("max_expansions", 128))
     raise ValueError(f"unknown intervals source type {t!r}")
@@ -423,6 +448,10 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
     if isinstance(source, First):
         iv = _eval(source.source, per_term)
         keep = iv.end < source.n
+        return _Iv(iv.doc[keep], iv.start[keep], iv.end[keep], iv.cov[keep])
+    if isinstance(source, PositionRange):
+        iv = _eval(source.source, per_term)
+        keep = (iv.start >= source.lo) & (iv.end < source.hi)
         return _Iv(iv.doc[keep], iv.start[keep], iv.end[keep], iv.cov[keep])
     raise TypeError(type(source))
 
@@ -737,6 +766,8 @@ def min_extent(source: IntervalsSource) -> int:
     if isinstance(source, MaxWidth):
         return min_extent(source.source)
     if isinstance(source, First):
+        return min_extent(source.source)
+    if isinstance(source, PositionRange):
         return min_extent(source.source)
     if isinstance(source, Prefix):
         return 1

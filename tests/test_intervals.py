@@ -242,3 +242,30 @@ def test_interval_query_serialization_round_trip():
     )
     q2 = Q.IntervalQuery(src2)
     assert Q.query_from_dict(q2.to_dict()) == q2
+
+
+def test_position_range_intervals(searcher, brute_force):
+    """SpanPositionRangeQuery (queries/spans/SpanPositionRangeQuery
+    .java:29): start >= lo and end < hi; First(n) == PositionRange(0, n)."""
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+
+    bf = brute_force
+    d, _ = searcher.search_all(Q.IntervalQuery(
+        IV.PositionRange(IV.Term("table"), 5, 20)))
+    want = {int(bf["ids"][i]) for i, toks in enumerate(bf["tokens"])
+            if any(t == "table" for t in toks[5:20])}
+    assert set(d.tolist()) == want
+    # lo=0 reduces to First
+    d1, _ = searcher.search_all(Q.IntervalQuery(
+        IV.PositionRange(IV.Term("table"), 0, 10)))
+    d2, _ = searcher.search_all(Q.IntervalQuery(
+        IV.First(IV.Term("table"), 10)))
+    assert d1.tolist() == d2.tolist()
+    # applies to composite sources: a phrase confined to a range
+    d3, _ = searcher.search_all(Q.IntervalQuery(
+        IV.PositionRange(IV.phrase("key", "value"), 3, 30)))
+    want3 = {int(bf["ids"][i]) for i, toks in enumerate(bf["tokens"])
+             if any(toks[j] == "key" and toks[j + 1] == "value"
+                    for j in range(3, min(len(toks) - 1, 29)))}
+    assert set(d3.tolist()) == want3
