@@ -2787,6 +2787,20 @@ RepSumByName
 
     q["span_position_range_query"] = _span_position_range
 
+    def _intervals_non_overlapping(sf):
+        """Intervals.nonOverlapping (search/intervals/Intervals.java:189,
+        SpanNotQuery role): unordered (scan, column) windows (<= 6 gaps)
+        that do not OVERLAP any 'key value' phrase occurrence — edge
+        straddles count as overlap (stricter than notContaining)."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(IV.NonOverlapping(
+            IV.Unordered((IV.Term("scan"), IV.Term("column")), maxgaps=6),
+            IV.phrase("key", "value"),
+        )))
+
+    q["intervals_non_overlapping"] = _intervals_non_overlapping
+
     def _intervals_containing(sf):
         """Intervals.containing(big, small): candidate unordered windows
         of (scan, column) with <= 6 gap tokens that contain a 'window'
@@ -6246,6 +6260,18 @@ ORDER BY doc_id"""
     # notContaining: same candidate windows, NOT EXISTS the small term
     o["intervals_not_containing"] = _IV_CONTAIN_SQL.replace(
         "AND EXISTS", "AND NOT EXISTS"
+    )
+    # nonOverlapping: same candidate windows; a 'key value' phrase
+    # interval [kp, kp+1] overlaps [lo, hi] iff kp <= hi AND kp+1 >= lo
+    o["intervals_non_overlapping"] = _IV_CONTAIN_SQL.replace(
+        """AND EXISTS (SELECT 1 FROM pos c
+              WHERE c.doc_id = w.doc_id AND c.term = 'window'
+                AND c.p BETWEEN w.lo AND w.hi)""",
+        """AND NOT EXISTS (SELECT 1 FROM pos k JOIN pos v
+                ON v.doc_id = k.doc_id AND v.p = k.p + 1
+              WHERE k.doc_id = w.doc_id AND k.term = 'key'
+                AND v.term = 'value'
+                AND k.p <= w.hi AND k.p + 1 >= w.lo)""",
     )
     # interval saturation scoring: per scan anchor, the earliest following
     # column forms the candidate window; freq = sum of 1/max(width-1, 1),

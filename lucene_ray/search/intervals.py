@@ -257,6 +257,27 @@ class First(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class NonOverlapping(IntervalsSource):
+    """Intervals.nonOverlapping (search/intervals/Intervals.java:189 —
+    the SpanNotQuery role, queries/spans/SpanNotQuery.java:33):
+    intervals of ``minuend`` that do not OVERLAP any interval of
+    ``subtrahend``. Stricter than NotContaining: a subtrahend interval
+    straddling the minuend's edge kills it here but survives there."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.minuend.leaf_terms(out)
+        self.subtrahend.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "non_overlapping",
+                "minuend": self.minuend.to_dict(),
+                "subtrahend": self.subtrahend.to_dict()}
+
+
+@dataclass(frozen=True)
 class PositionRange(IntervalsSource):
     """SpanPositionRangeQuery semantics (queries/spans/
     SpanPositionRangeQuery.java:29): intervals of ``source`` lying
@@ -317,6 +338,9 @@ def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
     if isinstance(source, PositionRange):
         return PositionRange(rewrite_terms(source.source, fn),
                              source.lo, source.hi)
+    if isinstance(source, NonOverlapping):
+        return NonOverlapping(rewrite_terms(source.minuend, fn),
+                              rewrite_terms(source.subtrahend, fn))
     if isinstance(source, Prefix):
         return Prefix(fn(source.prefix), source.max_expansions)
     raise TypeError(type(source))
@@ -355,6 +379,9 @@ def source_from_dict(d: dict) -> IntervalsSource:
     if t == "position_range":
         return PositionRange(source_from_dict(d["source"]),
                              d["lo"], d["hi"])
+    if t == "non_overlapping":
+        return NonOverlapping(source_from_dict(d["minuend"]),
+                              source_from_dict(d["subtrahend"]))
     if t == "prefix_iv":
         return Prefix(d["prefix"], d.get("max_expansions", 128))
     raise ValueError(f"unknown intervals source type {t!r}")
@@ -453,6 +480,25 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
         iv = _eval(source.source, per_term)
         keep = (iv.start >= source.lo) & (iv.end < source.hi)
         return _Iv(iv.doc[keep], iv.start[keep], iv.end[keep], iv.cov[keep])
+    if isinstance(source, NonOverlapping):
+        m = _eval(source.minuend, per_term)
+        s = _eval(source.subtrahend, per_term)
+        if m.size == 0 or s.size == 0:
+            return m
+        # overlap exists iff NOT (every sub ends before m.start or
+        # starts after m.end) — three searchsorted passes, no pairs
+        o1 = np.argsort(s.doc * _SHIFT + s.start, kind="stable")
+        skeys = s.doc[o1] * _SHIFT + s.start[o1]
+        ekeys = np.sort(s.doc * _SHIFT + s.end)
+        base = m.doc * _SHIFT
+        doc_lo = np.searchsorted(skeys, base)
+        doc_hi = np.searchsorted(skeys, base + _SHIFT)
+        ends_before = (np.searchsorted(ekeys, base + m.start)
+                       - np.searchsorted(ekeys, base))
+        starts_after = doc_hi - np.searchsorted(
+            skeys, base + m.end + np.int64(1))
+        keep = (ends_before + starts_after) == (doc_hi - doc_lo)
+        return _Iv(m.doc[keep], m.start[keep], m.end[keep], m.cov[keep])
     raise TypeError(type(source))
 
 
@@ -769,6 +815,8 @@ def min_extent(source: IntervalsSource) -> int:
         return min_extent(source.source)
     if isinstance(source, PositionRange):
         return min_extent(source.source)
+    if isinstance(source, NonOverlapping):
+        return min_extent(source.minuend)
     if isinstance(source, Prefix):
         return 1
     raise TypeError(type(source))

@@ -269,3 +269,28 @@ def test_position_range_intervals(searcher, brute_force):
              if any(toks[j] == "key" and toks[j + 1] == "value"
                     for j in range(3, min(len(toks) - 1, 29)))}
     assert set(d3.tolist()) == want3
+
+
+def test_non_overlapping_intervals(searcher, brute_force):
+    """Intervals.nonOverlapping (Intervals.java:189, SpanNotQuery role):
+    overlap (incl. edge straddles) kills the minuend interval; brute
+    force over the token streams."""
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+
+    bf = brute_force
+    src = IV.NonOverlapping(IV.phrase("key", "value"), IV.Term("table"))
+    d, _ = searcher.search_all(Q.IntervalQuery(src))
+    want = set()
+    for i, toks in enumerate(bf["tokens"]):
+        tpos = {j for j, t in enumerate(toks) if t == "table"}
+        for j in range(len(toks) - 1):
+            if toks[j] == "key" and toks[j + 1] == "value":
+                if not (j in tpos or j + 1 in tpos):
+                    want.add(int(bf["ids"][i]))
+                    break
+    assert set(d.tolist()) == want
+    # sanity: nonOverlapping is at most notContaining's doc set
+    d2, _ = searcher.search_all(Q.IntervalQuery(
+        IV.NotContaining(IV.phrase("key", "value"), IV.Term("table"))))
+    assert set(d.tolist()) <= set(d2.tolist())
