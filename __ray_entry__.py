@@ -2801,6 +2801,21 @@ RepSumByName
 
     q["intervals_non_overlapping"] = _intervals_non_overlapping
 
+    def _intervals_before_after(sf):
+        """Intervals.before / after (queries/intervals/Intervals
+        .java:579,585): docs where some 'scan' precedes a 'column' AND
+        some 'table' follows a 'key value' phrase — two relative-order
+        constraints conjoined."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.BooleanQuery(must=(
+            Q.IntervalQuery(IV.Before(IV.Term("scan"), IV.Term("column"))),
+            Q.IntervalQuery(IV.After(IV.Term("table"),
+                                     IV.phrase("key", "value"))),
+        )))
+
+    q["intervals_before_after"] = _intervals_before_after
+
     def _intervals_containing(sf):
         """Intervals.containing(big, small): candidate unordered windows
         of (scan, column) with <= 6 gap tokens that contain a 'window'
@@ -6260,6 +6275,21 @@ ORDER BY doc_id"""
     # notContaining: same candidate windows, NOT EXISTS the small term
     o["intervals_not_containing"] = _IV_CONTAIN_SQL.replace(
         "AND EXISTS", "AND NOT EXISTS"
+    )
+    o["intervals_before_after"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT a.doc_id FROM pos a
+WHERE a.term = 'scan'
+  AND EXISTS (SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id
+              AND b.term = 'column' AND b.p > a.p)
+  AND EXISTS (SELECT 1 FROM pos t
+              JOIN pos k ON k.doc_id = t.doc_id
+              JOIN pos v ON v.doc_id = k.doc_id AND v.p = k.p + 1
+              WHERE t.doc_id = a.doc_id AND t.term = 'table'
+                AND k.term = 'key' AND v.term = 'value'
+                AND t.p > k.p + 1)
+ORDER BY a.doc_id"""
     )
     # nonOverlapping: same candidate windows; a 'key value' phrase
     # interval [kp, kp+1] overlaps [lo, hi] iff kp <= hi AND kp+1 >= lo

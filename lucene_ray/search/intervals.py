@@ -278,6 +278,60 @@ class NonOverlapping(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class Before(IntervalsSource):
+    """Intervals.before (queries/intervals/Intervals.java:579): intervals
+    of ``source`` that END before the START of some ``reference``
+    interval in the same document."""
+
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.source.leaf_terms(out)
+        self.reference.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "before", "source": self.source.to_dict(),
+                "reference": self.reference.to_dict()}
+
+
+@dataclass(frozen=True)
+class After(IntervalsSource):
+    """Intervals.after (queries/intervals/Intervals.java:585): intervals
+    of ``source`` that START after the END of some ``reference``
+    interval in the same document."""
+
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.source.leaf_terms(out)
+        self.reference.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "after", "source": self.source.to_dict(),
+                "reference": self.reference.to_dict()}
+
+
+@dataclass(frozen=True)
+class Extend(IntervalsSource):
+    """Intervals.extend / ExtendedIntervalsSource (queries/intervals/
+    Intervals.java:409): widen every interval by ``before`` positions
+    on the left (clamped at 0) and ``after`` on the right."""
+
+    source: IntervalsSource
+    before: int
+    after: int
+
+    def leaf_terms(self, out: set):
+        self.source.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "extend", "source": self.source.to_dict(),
+                "before": self.before, "after": self.after}
+
+
+@dataclass(frozen=True)
 class PositionRange(IntervalsSource):
     """SpanPositionRangeQuery semantics (queries/spans/
     SpanPositionRangeQuery.java:29): intervals of ``source`` lying
@@ -341,6 +395,15 @@ def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
     if isinstance(source, NonOverlapping):
         return NonOverlapping(rewrite_terms(source.minuend, fn),
                               rewrite_terms(source.subtrahend, fn))
+    if isinstance(source, Before):
+        return Before(rewrite_terms(source.source, fn),
+                      rewrite_terms(source.reference, fn))
+    if isinstance(source, After):
+        return After(rewrite_terms(source.source, fn),
+                     rewrite_terms(source.reference, fn))
+    if isinstance(source, Extend):
+        return Extend(rewrite_terms(source.source, fn),
+                      source.before, source.after)
     if isinstance(source, Prefix):
         return Prefix(fn(source.prefix), source.max_expansions)
     raise TypeError(type(source))
@@ -382,6 +445,15 @@ def source_from_dict(d: dict) -> IntervalsSource:
     if t == "non_overlapping":
         return NonOverlapping(source_from_dict(d["minuend"]),
                               source_from_dict(d["subtrahend"]))
+    if t == "before":
+        return Before(source_from_dict(d["source"]),
+                      source_from_dict(d["reference"]))
+    if t == "after":
+        return After(source_from_dict(d["source"]),
+                     source_from_dict(d["reference"]))
+    if t == "extend":
+        return Extend(source_from_dict(d["source"]),
+                      d["before"], d["after"])
     if t == "prefix_iv":
         return Prefix(d["prefix"], d.get("max_expansions", 128))
     raise ValueError(f"unknown intervals source type {t!r}")
@@ -499,6 +571,30 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
             skeys, base + m.end + np.int64(1))
         keep = (ends_before + starts_after) == (doc_hi - doc_lo)
         return _Iv(m.doc[keep], m.start[keep], m.end[keep], m.cov[keep])
+    if isinstance(source, (Before, After)):
+        m = _eval(source.source, per_term)
+        s = _eval(source.reference, per_term)
+        if m.size == 0 or s.size == 0:
+            return _Iv.empty()
+        base = m.doc * _SHIFT
+        if isinstance(source, Before):
+            # EXISTS reference starting after m.end
+            skeys = np.sort(s.doc * _SHIFT + s.start)
+            hi = np.searchsorted(skeys, base + _SHIFT)
+            keep = (hi - np.searchsorted(
+                skeys, base + m.end + np.int64(1))) > 0
+        else:
+            # EXISTS reference ending before m.start
+            ekeys = np.sort(s.doc * _SHIFT + s.end)
+            keep = (np.searchsorted(ekeys, base + m.start)
+                    - np.searchsorted(ekeys, base)) > 0
+        return _Iv(m.doc[keep], m.start[keep], m.end[keep], m.cov[keep])
+    if isinstance(source, Extend):
+        iv = _eval(source.source, per_term)
+        return _Iv(iv.doc,
+                   np.maximum(iv.start - np.int64(source.before),
+                              np.int64(0)),
+                   iv.end + np.int64(source.after), iv.cov)
     raise TypeError(type(source))
 
 
@@ -817,6 +913,10 @@ def min_extent(source: IntervalsSource) -> int:
         return min_extent(source.source)
     if isinstance(source, NonOverlapping):
         return min_extent(source.minuend)
+    if isinstance(source, (Before, After)):
+        return min_extent(source.source)
+    if isinstance(source, Extend):
+        return min_extent(source.source) + source.before + source.after
     if isinstance(source, Prefix):
         return 1
     raise TypeError(type(source))

@@ -294,3 +294,34 @@ def test_non_overlapping_intervals(searcher, brute_force):
     d2, _ = searcher.search_all(Q.IntervalQuery(
         IV.NotContaining(IV.phrase("key", "value"), IV.Term("table"))))
     assert set(d.tolist()) <= set(d2.tolist())
+
+
+def test_before_after_extend_intervals(searcher, brute_force):
+    """Intervals.before / after / extend (Intervals.java:579,585,409):
+    relative-order filters + interval widening (extend shrinks the
+    scoring width denominator via min_extent)."""
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+
+    bf = brute_force
+    d, _ = searcher.search_all(Q.IntervalQuery(
+        IV.Before(IV.Term("scan"), IV.Term("column"))))
+    want = {int(bf["ids"][i]) for i, toks in enumerate(bf["tokens"])
+            if any(t == "scan" and "column" in toks[j + 1:]
+                   for j, t in enumerate(toks))}
+    assert set(d.tolist()) == want
+    d2, _ = searcher.search_all(Q.IntervalQuery(
+        IV.After(IV.Term("scan"), IV.Term("column"))))
+    want2 = {int(bf["ids"][i]) for i, toks in enumerate(bf["tokens"])
+             if any(t == "scan" and "column" in toks[:j]
+                    for j, t in enumerate(toks))}
+    assert set(d2.tolist()) == want2
+    # extend widens: an extended term can now CONTAIN a neighbour
+    d3, _ = searcher.search_all(Q.IntervalQuery(
+        IV.Containing(IV.Extend(IV.Term("scan"), 1, 1),
+                      IV.Term("column"))))
+    want3 = {int(bf["ids"][i]) for i, toks in enumerate(bf["tokens"])
+             if any(t == "scan"
+                    and ("column" in toks[max(0, j - 1):j + 2])
+                    for j, t in enumerate(toks))}
+    assert set(d3.tolist()) == want3
