@@ -2816,6 +2816,18 @@ RepSumByName
 
     q["intervals_before_after"] = _intervals_before_after
 
+    def _intervals_wildcard(sf):
+        """Intervals.wildcard leaf (queries/intervals/Intervals
+        .java:139): terms matching 'sc?n' ordered before 'column' with
+        <= 3 gaps — the multi-term leaf expands per segment like
+        Prefix."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(IV.Ordered(
+            (IV.Wildcard("sc?n"), IV.Term("column")), maxgaps=3)))
+
+    q["intervals_wildcard"] = _intervals_wildcard
+
     def _intervals_containing(sf):
         """Intervals.containing(big, small): candidate unordered windows
         of (scan, column) with <= 6 gap tokens that contain a 'window'
@@ -6275,6 +6287,14 @@ ORDER BY doc_id"""
     # notContaining: same candidate windows, NOT EXISTS the small term
     o["intervals_not_containing"] = _IV_CONTAIN_SQL.replace(
         "AND EXISTS", "AND NOT EXISTS"
+    )
+    o["intervals_wildcard"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
+  ON b.doc_id = a.doc_id AND b.p > a.p AND b.p - a.p - 1 <= 3
+WHERE a.term LIKE 'sc_n' AND b.term = 'column'
+ORDER BY a.doc_id"""
     )
     o["intervals_before_after"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE

@@ -240,6 +240,26 @@ class Prefix(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class Wildcard(IntervalsSource):
+    """Intervals.wildcard (queries/intervals/Intervals.java:139): the
+    '*'/'?' multi-term leaf — expanded per segment against the
+    dictionary into an Or of term leaves, capped at ``max_expansions``
+    (same contract as Prefix)."""
+
+    pattern: str
+    max_expansions: int = 128
+
+    def leaf_terms(self, out: set):
+        raise RuntimeError(
+            "Wildcard source must be expanded per segment before leaf "
+            "collection (eval_intervals does this)")
+
+    def to_dict(self):
+        return {"type": "wildcard_iv", "pattern": self.pattern,
+                "max_expansions": self.max_expansions}
+
+
+@dataclass(frozen=True)
 class First(IntervalsSource):
     """SpanFirstQuery semantics (queries/spans/SpanFirstQuery.java:38):
     intervals of ``source`` that END before position ``n`` (i.e. fully
@@ -406,6 +426,8 @@ def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
                       source.before, source.after)
     if isinstance(source, Prefix):
         return Prefix(fn(source.prefix), source.max_expansions)
+    if isinstance(source, Wildcard):
+        return Wildcard(fn(source.pattern), source.max_expansions)
     raise TypeError(type(source))
 
 
@@ -456,6 +478,8 @@ def source_from_dict(d: dict) -> IntervalsSource:
                       d["before"], d["after"])
     if t == "prefix_iv":
         return Prefix(d["prefix"], d.get("max_expansions", 128))
+    if t == "wildcard_iv":
+        return Wildcard(d["pattern"], d.get("max_expansions", 128))
     raise ValueError(f"unknown intervals source type {t!r}")
 
 
@@ -846,11 +870,19 @@ def _contained_by_mask(small: _Iv, big: _Iv) -> np.ndarray:
 def _expand_multiterm(source: IntervalsSource, reader) -> IntervalsSource:
     """Resolve segment-dependent leaves (Prefix) into Or-of-Terms against
     this reader's dictionary — the reference's automaton expansion."""
-    if isinstance(source, Prefix):
-        idxs = reader.terms_matching_prefix(source.prefix)
+    if isinstance(source, (Prefix, Wildcard)):
+        if isinstance(source, Prefix):
+            what = f"prefix {source.prefix!r}"
+            idxs = reader.terms_matching_prefix(source.prefix)
+        else:
+            from lucene_ray.search.scoring import _wildcard_to_regex
+
+            what = f"wildcard {source.pattern!r}"
+            idxs = reader.terms_matching_regex(
+                "^" + _wildcard_to_regex(source.pattern) + "$")
         if idxs.shape[0] > source.max_expansions:
             raise ValueError(
-                f"prefix {source.prefix!r} expands to {idxs.shape[0]} terms "
+                f"{what} expands to {idxs.shape[0]} terms "
                 f"(> max_expansions={source.max_expansions})")
         if idxs.shape[0] == 0:
             return Term("\x00\x00no-match")  # absent term: empty intervals
@@ -917,7 +949,7 @@ def min_extent(source: IntervalsSource) -> int:
         return min_extent(source.source)
     if isinstance(source, Extend):
         return min_extent(source.source) + source.before + source.after
-    if isinstance(source, Prefix):
+    if isinstance(source, (Prefix, Wildcard)):
         return 1
     raise TypeError(type(source))
 

@@ -325,3 +325,24 @@ def test_before_after_extend_intervals(searcher, brute_force):
                     and ("column" in toks[max(0, j - 1):j + 2])
                     for j, t in enumerate(toks))}
     assert set(d3.tolist()) == want3
+
+
+def test_wildcard_intervals_leaf(searcher, brute_force):
+    """Intervals.wildcard (Intervals.java:139): per-segment expansion,
+    Prefix-equivalence, and the max_expansions cap."""
+    import pytest
+
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+
+    d1, _ = searcher.search_all(Q.IntervalQuery(IV.Wildcard("tabl?")))
+    d2, _ = searcher.search_all(Q.IntervalQuery(IV.Prefix("tabl")))
+    # every 'tabl?' match is a 'tabl'-prefixed term of length 5
+    bf = brute_force
+    want = {int(bf["ids"][i]) for i, toks in enumerate(bf["tokens"])
+            if any(len(t) == 5 and t.startswith("tabl") for t in toks)}
+    assert set(d1.tolist()) == want
+    assert set(d1.tolist()) <= set(d2.tolist())
+    with pytest.raises(ValueError):
+        searcher.search_all(Q.IntervalQuery(
+            IV.Wildcard("*", max_expansions=2)))
