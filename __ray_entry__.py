@@ -2828,6 +2828,20 @@ RepSumByName
 
     q["intervals_wildcard"] = _intervals_wildcard
 
+    def _intervals_fuzzy_overlap(sf):
+        """Intervals.fuzzyTerm + overlapping (queries/intervals/
+        Intervals.java:155,196): 'key value' phrases overlapping an
+        occurrence of a term within edit distance 1 of 'valu' (no
+        transpositions, the house Levenshtein contract)."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(IV.Overlapping(
+            IV.Unordered((IV.Term("scan"), IV.Term("column")), maxgaps=6),
+            IV.FuzzyTerm("windoq", max_edits=1),
+        )))
+
+    q["intervals_fuzzy_overlap"] = _intervals_fuzzy_overlap
+
     def _intervals_containing(sf):
         """Intervals.containing(big, small): candidate unordered windows
         of (scan, column) with <= 6 gap tokens that contain a 'window'
@@ -6295,6 +6309,13 @@ SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
   ON b.doc_id = a.doc_id AND b.p > a.p AND b.p - a.p - 1 <= 3
 WHERE a.term LIKE 'sc_n' AND b.term = 'column'
 ORDER BY a.doc_id"""
+    )
+    # fuzzyTerm + overlapping: width-1 reference -> overlap ==
+    # containment, so the candidate-window SQL applies with a
+    # levenshtein leaf (DuckDB's levenshtein has no transpositions,
+    # matching the house fuzzy contract)
+    o["intervals_fuzzy_overlap"] = _IV_CONTAIN_SQL.replace(
+        "AND c.term = 'window'", "AND levenshtein(c.term, 'windoq') <= 1"
     )
     o["intervals_before_after"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE

@@ -260,6 +260,48 @@ class Wildcard(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class FuzzyTerm(IntervalsSource):
+    """Intervals.fuzzyTerm (queries/intervals/Intervals.java:155): the
+    edit-distance multi-term leaf — expanded per segment against the
+    dictionary via the banded Levenshtein scan (same accepted set as
+    the reference's automaton), capped at ``max_expansions``."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    max_expansions: int = 128
+
+    def leaf_terms(self, out: set):
+        raise RuntimeError(
+            "FuzzyTerm source must be expanded per segment before leaf "
+            "collection (eval_intervals does this)")
+
+    def to_dict(self):
+        return {"type": "fuzzy_iv", "term": self.term,
+                "max_edits": self.max_edits,
+                "prefix_length": self.prefix_length,
+                "max_expansions": self.max_expansions}
+
+
+@dataclass(frozen=True)
+class Overlapping(IntervalsSource):
+    """Intervals.overlapping (queries/intervals/Intervals.java:196):
+    intervals of ``source`` that OVERLAP some ``reference`` interval —
+    the complement filter of NonOverlapping."""
+
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def leaf_terms(self, out: set):
+        self.source.leaf_terms(out)
+        self.reference.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "overlapping", "source": self.source.to_dict(),
+                "reference": self.reference.to_dict()}
+
+
+@dataclass(frozen=True)
 class First(IntervalsSource):
     """SpanFirstQuery semantics (queries/spans/SpanFirstQuery.java:38):
     intervals of ``source`` that END before position ``n`` (i.e. fully
@@ -428,6 +470,12 @@ def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
         return Prefix(fn(source.prefix), source.max_expansions)
     if isinstance(source, Wildcard):
         return Wildcard(fn(source.pattern), source.max_expansions)
+    if isinstance(source, FuzzyTerm):
+        return FuzzyTerm(fn(source.term), source.max_edits,
+                         source.prefix_length, source.max_expansions)
+    if isinstance(source, Overlapping):
+        return Overlapping(rewrite_terms(source.source, fn),
+                           rewrite_terms(source.reference, fn))
     raise TypeError(type(source))
 
 
@@ -480,6 +528,13 @@ def source_from_dict(d: dict) -> IntervalsSource:
         return Prefix(d["prefix"], d.get("max_expansions", 128))
     if t == "wildcard_iv":
         return Wildcard(d["pattern"], d.get("max_expansions", 128))
+    if t == "fuzzy_iv":
+        return FuzzyTerm(d["term"], d.get("max_edits", 2),
+                         d.get("prefix_length", 0),
+                         d.get("max_expansions", 128))
+    if t == "overlapping":
+        return Overlapping(source_from_dict(d["source"]),
+                           source_from_dict(d["reference"]))
     raise ValueError(f"unknown intervals source type {t!r}")
 
 
@@ -581,19 +636,14 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
         s = _eval(source.subtrahend, per_term)
         if m.size == 0 or s.size == 0:
             return m
-        # overlap exists iff NOT (every sub ends before m.start or
-        # starts after m.end) — three searchsorted passes, no pairs
-        o1 = np.argsort(s.doc * _SHIFT + s.start, kind="stable")
-        skeys = s.doc[o1] * _SHIFT + s.start[o1]
-        ekeys = np.sort(s.doc * _SHIFT + s.end)
-        base = m.doc * _SHIFT
-        doc_lo = np.searchsorted(skeys, base)
-        doc_hi = np.searchsorted(skeys, base + _SHIFT)
-        ends_before = (np.searchsorted(ekeys, base + m.start)
-                       - np.searchsorted(ekeys, base))
-        starts_after = doc_hi - np.searchsorted(
-            skeys, base + m.end + np.int64(1))
-        keep = (ends_before + starts_after) == (doc_hi - doc_lo)
+        keep = ~_overlaps_any(m, s)
+        return _Iv(m.doc[keep], m.start[keep], m.end[keep], m.cov[keep])
+    if isinstance(source, Overlapping):
+        m = _eval(source.source, per_term)
+        s = _eval(source.reference, per_term)
+        if m.size == 0 or s.size == 0:
+            return _Iv.empty()
+        keep = _overlaps_any(m, s)
         return _Iv(m.doc[keep], m.start[keep], m.end[keep], m.cov[keep])
     if isinstance(source, (Before, After)):
         m = _eval(source.source, per_term)
@@ -620,6 +670,23 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
                               np.int64(0)),
                    iv.end + np.int64(source.after), iv.cov)
     raise TypeError(type(source))
+
+
+def _overlaps_any(m: "_Iv", s: "_Iv") -> np.ndarray:
+    """Per minuend interval: does ANY s interval in the same doc overlap
+    it? Overlap exists iff NOT (every sub ends before m.start or starts
+    after m.end) — three searchsorted passes, no pairwise work."""
+    o1 = np.argsort(s.doc * _SHIFT + s.start, kind="stable")
+    skeys = s.doc[o1] * _SHIFT + s.start[o1]
+    ekeys = np.sort(s.doc * _SHIFT + s.end)
+    base = m.doc * _SHIFT
+    doc_lo = np.searchsorted(skeys, base)
+    doc_hi = np.searchsorted(skeys, base + _SHIFT)
+    ends_before = (np.searchsorted(ekeys, base + m.start)
+                   - np.searchsorted(ekeys, base))
+    starts_after = doc_hi - np.searchsorted(
+        skeys, base + m.end + np.int64(1))
+    return (ends_before + starts_after) < (doc_hi - doc_lo)
 
 
 def _ordered(source: Ordered, per_term: dict) -> _Iv:
@@ -890,6 +957,23 @@ def _expand_multiterm(source: IntervalsSource, reader) -> IntervalsSource:
         if len(terms) == 1:
             return Term(terms[0])
         return Or(tuple(Term(t) for t in terms))
+    if isinstance(source, FuzzyTerm):
+        from lucene_ray.search import query as _Q
+        from lucene_ray.search.scoring import _fuzzy_expand
+
+        idxs = _fuzzy_expand(reader, _Q.FuzzyQuery(
+            source.term, max_edits=source.max_edits,
+            prefix_length=source.prefix_length))
+        if idxs.shape[0] > source.max_expansions:
+            raise ValueError(
+                f"fuzzy {source.term!r} expands to {idxs.shape[0]} terms "
+                f"(> max_expansions={source.max_expansions})")
+        if idxs.shape[0] == 0:
+            return Term("\x00\x00no-match")  # absent term: empty intervals
+        terms = [reader.terms[int(i)] for i in idxs]
+        if len(terms) == 1:
+            return Term(terms[0])
+        return Or(tuple(Term(t) for t in terms))
     if isinstance(source, Term):
         return source
     import dataclasses
@@ -949,8 +1033,10 @@ def min_extent(source: IntervalsSource) -> int:
         return min_extent(source.source)
     if isinstance(source, Extend):
         return min_extent(source.source) + source.before + source.after
-    if isinstance(source, (Prefix, Wildcard)):
+    if isinstance(source, (Prefix, Wildcard, FuzzyTerm)):
         return 1
+    if isinstance(source, Overlapping):
+        return min_extent(source.source)
     raise TypeError(type(source))
 
 

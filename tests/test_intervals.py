@@ -346,3 +346,57 @@ def test_wildcard_intervals_leaf(searcher, brute_force):
     with pytest.raises(ValueError):
         searcher.search_all(Q.IntervalQuery(
             IV.Wildcard("*", max_expansions=2)))
+
+
+def test_fuzzy_term_intervals_leaf(searcher, brute_force):
+    """Intervals.fuzzyTerm (Intervals.java:155): per-segment expansion
+    against the banded-Levenshtein accepted set (no transpositions);
+    docs == brute force edit-distance-1 membership."""
+    def levenshtein(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    bf = brute_force
+    d, _ = searcher.search_all(Q.IntervalQuery(
+        IV.FuzzyTerm("windoq", max_edits=1)))
+    want = {int(bf["ids"][i]) for i, toks in enumerate(bf["tokens"])
+            if any(levenshtein(t, "windoq") <= 1 for t in toks)}
+    assert set(d.tolist()) == want and want
+    # empty neighborhood -> empty result, not an error
+    d0, _ = searcher.search_all(Q.IntervalQuery(
+        IV.FuzzyTerm("zzzqqqxx", max_edits=1)))
+    assert d0.size == 0
+    with pytest.raises(ValueError):
+        searcher.search_all(Q.IntervalQuery(
+            IV.FuzzyTerm("windoq", max_edits=1, max_expansions=0)))
+
+
+def test_overlapping_intervals(searcher, brute_force):
+    """Intervals.overlapping (Intervals.java:196): keep source intervals
+    that straddle ANY reference interval; complement of NonOverlapping
+    on the same operands."""
+    bf = brute_force
+    src = IV.phrase("key", "value")
+    ref = IV.Term("table")
+    d, _ = searcher.search_all(Q.IntervalQuery(IV.Overlapping(src, ref)))
+    want = set()
+    for i, toks in enumerate(bf["tokens"]):
+        tpos = {j for j, t in enumerate(toks) if t == "table"}
+        for j in range(len(toks) - 1):
+            if toks[j] == "key" and toks[j + 1] == "value":
+                if j in tpos or j + 1 in tpos:
+                    want.add(int(bf["ids"][i]))
+                    break
+    assert set(d.tolist()) == want
+    # partition: overlapping ∪ nonOverlapping == all phrase docs,
+    # per-interval complement so doc sets may intersect
+    d2, _ = searcher.search_all(Q.IntervalQuery(
+        IV.NonOverlapping(src, ref)))
+    dall, _ = searcher.search_all(Q.IntervalQuery(src))
+    assert set(d.tolist()) | set(d2.tolist()) == set(dall.tolist())
