@@ -2204,6 +2204,27 @@ RepSumByName
 
     q["blended_infix_suggest"] = _blended_infix_q
 
+    def _analyzing_suggest_q(sf):
+        """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester
+        .java:100, default EXACT_FIRST | PRESERVE_SEP): surfaces = each
+        doc's leading unigram and bigram, weight = sharing-doc count,
+        completion of the analyzed query 'key' over a minimal FST
+        (util/fst/FSTCompiler.java:44, Daciuk et al. 2000 construction
+        with Mihov-Maurel output pushing) — exact analyzed matches
+        first, then weight desc, surface asc."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import (AnalyzingSuggester,
+                                                  corpus_prefix_surfaces)
+
+        pages = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["text"])
+        sug = AnalyzingSuggester(corpus_prefix_surfaces(pages,
+                                                        max_tokens=2))
+        return sug.lookup("key", k=10)
+
+    q["analyzing_suggest"] = _analyzing_suggest_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -7782,6 +7803,20 @@ sc AS (SELECT doc_id,
               * (1 - CAST(0.10 AS DOUBLE) * mp) AS score FROM m)
 SELECT doc_id, ROUND(sc.score, 4) AS score FROM sc
 ORDER BY sc.score DESC, doc_id LIMIT 10"""
+
+    # AnalyzingSuggester: analyzed == surface on this all-lowercase
+    # space-tokenized corpus, so the FST completion's contract reduces
+    # to LIKE 'key%' with the EXACT_FIRST tie layered on top
+    o["analyzing_suggest"] = """
+WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT ts[1] AS surface FROM t WHERE len(ts) >= 1 AND ts[1] <> ''
+      UNION ALL
+      SELECT ts[1] || ' ' || ts[2] FROM t WHERE len(ts) >= 2),
+w AS (SELECT surface, count(*) AS weight FROM s GROUP BY surface)
+SELECT surface, weight FROM w
+WHERE surface LIKE 'key%'
+ORDER BY (surface = 'key') DESC, weight DESC, surface ASC
+LIMIT 10"""
 
     # EnglishMinimalStemFilter: Harman S-stemmer smap over the corpus
     # vocabulary (same generator pattern as the Snowball entries)

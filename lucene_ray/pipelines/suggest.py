@@ -241,3 +241,128 @@ def blended_infix_suggest(pages, fragment: str, k: int = 10,
     sc = t["score"].to_numpy(zero_copy_only=False)
     top = np.lexsort((ids, -sc))[:k]
     return t.take(pa.array(top))
+
+
+# ---------------------------------------------------------------------------
+# AnalyzingSuggester — FST-backed analyzed completion
+# ---------------------------------------------------------------------------
+
+SEP = "\x1f"     # PRESERVE_SEP token separator (AnalyzingSuggester.java:133)
+_END = b"\x1e"   # analyzed-form / surface-form boundary inside FST keys
+
+
+class AnalyzingSuggester:
+    """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java:100):
+    analyze the surface form, key a minimal FST by
+    ``analyzed + SEP-joined + surface``, complete the analyzed query
+    prefix and rank by weight — with the reference's default
+    EXACT_FIRST | PRESERVE_SEP semantics (exact analyzed matches
+    outrank prefix matches; token boundaries are preserved in the
+    analyzed key so "key v" completes across words, while without
+    preserve_sep "keyv" would).
+
+    ``maxSurfaceFormsPerAnalyzedForm`` (AnalyzingSuggester.java:142):
+    keep only the top-weighted ``max_surface_per_analyzed`` surfaces
+    per analyzed form at build time.
+
+    Build input is a PRE-AGGREGATED, BOUNDED (surface, weight) table —
+    produce it with ``corpus_prefix_surfaces`` (a distributed Ray Data
+    aggregation); the FST itself is a driver/actor-side model like the
+    free-text suggester's, broadcast once for serving.
+    """
+
+    def __init__(self, surfaces: pa.Table, analyzer=None,
+                 preserve_sep: bool = True, exact_first: bool = True,
+                 max_surface_per_analyzed: int = 256):
+        from lucene_ray.analysis.analyzers import StandardAnalyzer
+        from lucene_ray.util.fst import build_fst
+
+        self.analyzer = analyzer or StandardAnalyzer
+        self.preserve_sep = preserve_sep
+        self.exact_first = exact_first
+        sep = SEP if preserve_sep else ""
+
+        surf = surfaces["surface"].to_pylist()
+        wt = surfaces["weight"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # vocabulary-mapped analysis: one tokens() call per unique surface
+        entries: dict[tuple[str, str], int] = {}
+        for s, w in zip(surf, wt):
+            if "\x1e" in s or "\x1f" in s:
+                raise ValueError(f"surface contains a reserved byte: {s!r}")
+            a = sep.join(self.analyzer.tokens(s))
+            k = (a, s)
+            entries[k] = entries.get(k, 0) + int(w)
+        # maxSurfaceFormsPerAnalyzedForm: top-weight surfaces per analyzed
+        rows = sorted(((a, -w, s) for (a, s), w in entries.items()))
+        kept: list[tuple[bytes, int]] = []
+        run_a, run_n = None, 0
+        for a, negw, s in rows:
+            run_n = run_n + 1 if a == run_a else 1
+            run_a = a
+            if run_n <= max_surface_per_analyzed:
+                kept.append((a.encode() + _END + s.encode(), -negw))
+        kept.sort()
+        self.fst = build_fst(kept)
+
+    def _analyze_query(self, query: str) -> bytes:
+        sep = SEP if self.preserve_sep else ""
+        toks = self.analyzer.tokens(query)
+        qa = sep.join(toks)
+        # a trailing partial token stays a PREFIX of the analyzed key
+        return qa.encode()
+
+    def lookup(self, query: str, k: int = 10,
+               max_candidates: int = 50_000) -> pa.Table:
+        """Top-k (surface, weight) completions. Candidate enumeration is
+        bounded by ``max_candidates``; the reference instead runs a
+        weighted shortest-path search over the FST (Util.java:260) —
+        with per-analyzed-form surface caps the candidate set is small
+        by construction, so a bounded enumerate-then-rank keeps the
+        same results without the admissible-heuristic machinery."""
+        qa = self._analyze_query(query)
+        cand = []
+        for key, w in self.fst.completions(qa, limit=max_candidates):
+            a, _, s = key.partition(_END)
+            cand.append((not (self.exact_first and a == qa), -w,
+                         s.decode()))
+        cand.sort()
+        top = cand[:k]
+        return pa.table({
+            "surface": pa.array([s for _, _, s in top], pa.string()),
+            "weight": pa.array([-nw for _, nw, _ in top], pa.int64()),
+        })
+
+
+def corpus_prefix_surfaces(pages, text_col: str = "text",
+                           max_tokens: int = 2,
+                           max_entries: int = 1_000_000):
+    """Distributed (surface, weight) extraction for suggester builds:
+    the leading 1..max_tokens-token prefixes of every document, weight
+    = number of documents sharing the prefix. Per-batch value_counts
+    partials, one small groupby-sum shuffle of (prefix, count) rows —
+    text never moves — then a weight-desc limit bounds the model that
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.fill_null(b[text_col], ""), " ")
+        n = pc.list_value_length(lists)
+        out_s, out_w = [], []
+        for j in range(1, max_tokens + 1):
+            has = pc.greater_equal(n, j)
+            pref = pc.binary_join(
+                pc.list_slice(pc.filter(lists, has), 0, j),
+                pa.scalar(" "))
+            vc = pc.value_counts(pref)
+            out_s.append(vc.field("values"))
+            out_w.append(pc.cast(vc.field("counts"), pa.int64()))
+        return pa.table({"surface": pa.concat_arrays(out_s),
+                         "weight": pa.concat_arrays(out_w)})
+
+    agg = (pages.map_batches(part, batch_format="pyarrow")
+           .groupby("surface").aggregate(Sum("weight", alias_name="weight"))
+           .sort("weight", descending=True).limit(max_entries))
+    t = pa.concat_tables(ref for ref in agg.iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    return t
