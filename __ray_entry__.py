@@ -707,6 +707,28 @@ def _sdvu_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _iodv_index_dir(sf_dir: str) -> str:
+    """IndexOrDocValuesQuery fixture (search/IndexOrDocValuesQuery.java:68):
+    the SAME 'source' predicate is available through TWO plans — indexed
+    as terms in field 'srcf' (extra_fields) AND as string doc values
+    'src' (string_values) — mirroring the reference's usual pairing of a
+    points/terms index query with its newSlowSetQuery DV twin."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:iodv1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.index.build import build_index
+
+        build_index(docs, idx, num_segments=4,
+                    extra_fields={"srcf": "source"},
+                    string_values={"src": "source"})
+    return idx
+
+
 # Hunspell fixture dictionary: every corpus token is a dictionary word
 # carrying the plural flag, so surface plurals analyze to their bases —
 # deterministic from the corpus alone (no external dictionary files).
@@ -1798,6 +1820,63 @@ RepSumByName
         return s.string_doc_values_counts(Q.TermQuery("table"), "src")
 
     q["doc_values_binary_update"] = _dv_binary_update
+
+    def _dv_range(sf):
+        """Slow numeric doc-values range query
+        (document/SortedNumericDocValuesField.java:108 newSlowRangeQuery,
+        executor SortedNumericDocValuesRangeQuery.java:48) used in its
+        intended role — the verification side of a conjunction: docs
+        matching 'table' whose feat_chars DV (with the two committed
+        numeric update generations overlaid: doc_id%7 -> 1000, then
+        doc_id%14 -> 2000) lies in [150, 1500]. The engine's filter loop
+        probes ONLY the term candidates (scoring._dv_mask_at)."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_dvu_index_dir(sf), mode="f64")
+        docs, _ = s.search_all(Q.BooleanQuery(filter=(
+            Q.TermQuery("table"),
+            Q.DocValuesRangeQuery("chars", 150.0, 1500.0),
+        )))
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["dv_range_query"] = _dv_range
+
+    def _dv_set(sf):
+        """Slow string doc-values set query
+        (document/SortedDocValuesField.java:126 newSlowSetQuery): docs
+        matching 'table' whose 'src' string DV (update generations
+        overlaid: doc_id%7 -> 'updated-a', then doc_id%14 ->
+        'updated-b') is in {'updated-a', 'src3'}."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_sdvu_index_dir(sf), mode="f64")
+        docs, _ = s.search_all(Q.BooleanQuery(filter=(
+            Q.TermQuery("table"),
+            Q.DocValuesSetQuery("src", ("updated-a", "src3")),
+        )))
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["dv_set_query"] = _dv_set
+
+    def _index_or_dv(sf):
+        """IndexOrDocValuesQuery (search/IndexOrDocValuesQuery.java:68):
+        one predicate, two plans — 'source in {src3, src5}' indexed as
+        terms in field 'srcf' AND as string DV 'src'. As a FILTER clause
+        of a conjunction the engine verifies the term candidates through
+        the DV column; standalone it runs the index plan (pytest asserts
+        both plans agree)."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_iodv_index_dir(sf), mode="f64")
+        iodv = Q.IndexOrDocValuesQuery(
+            Q.TermInSetQuery(("src3", "src5"), field="srcf"),
+            Q.DocValuesSetQuery("src", ("src3", "src5")),
+        )
+        docs, _ = s.search_all(Q.BooleanQuery(filter=(
+            Q.TermQuery("table"), iodv)))
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["index_or_dv_query"] = _index_or_dv
 
     def _sort_string_dv(sf):
         """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
@@ -5965,6 +6044,34 @@ ORDER BY t.doc_id"""
               SELECT v.value, count(*)::BIGINT AS count
               FROM m JOIN v ON m.doc_id = v.doc_id
               GROUP BY v.value ORDER BY v.value"""
+    )
+    o["dv_range_query"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       CASE WHEN doc_id % 14 = 0 THEN 2000.0
+                            WHEN doc_id % 7 = 0 THEN 1000.0
+                            ELSE n_chars END AS val
+                      FROM documents)
+              SELECT m.doc_id FROM m JOIN v ON m.doc_id = v.doc_id
+              WHERE v.val >= 150 AND v.val <= 1500 ORDER BY m.doc_id"""
+    )
+    o["dv_set_query"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       CASE WHEN doc_id % 14 = 0 THEN 'updated-b'
+                            WHEN doc_id % 7 = 0 THEN 'updated-a'
+                            ELSE source END AS value
+                      FROM documents)
+              SELECT m.doc_id FROM m JOIN v ON m.doc_id = v.doc_id
+              WHERE v.value IN ('updated-a', 'src3') ORDER BY m.doc_id"""
+    )
+    o["index_or_dv_query"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              SELECT m.doc_id FROM m JOIN documents d ON m.doc_id = d.doc_id
+              WHERE d.source IN ('src3', 'src5') ORDER BY m.doc_id"""
     )
     o["doc_values_stats"] = (
         _PRELUDE

@@ -588,6 +588,69 @@ class CoveringQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocValuesRangeQuery(Query):
+    """document/SortedNumericDocValuesField.java:108 ``newSlowRangeQuery``
+    (executor: document/SortedNumericDocValuesRangeQuery.java:48): match
+    every doc whose NUMERIC doc-values ``feature`` lies in
+    ``[lower, upper]`` by scanning the values, not a points index —
+    constant score = boost. ``None`` = open end. Reads through
+    ``SegmentReader.feature``, so committed numeric DV UPDATE generations
+    are visible (later generations win). An unknown feature matches
+    nothing (like an unindexed DV field). The intended role is the
+    verification side of :class:`IndexOrDocValuesQuery`: as a non-leading
+    FILTER clause the engine probes only the lead candidates."""
+
+    feature: str
+    lower: "float | None" = None
+    upper: "float | None" = None
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {"type": "dv_range", "feature": self.feature,
+                "lower": self.lower, "upper": self.upper, "boost": self.boost}
+
+
+@dataclass(frozen=True)
+class DocValuesSetQuery(Query):
+    """document/SortedDocValuesField.java:126 ``newSlowSetQuery`` (and
+    :114 ``newSlowExactQuery`` = a 1-element set): match docs whose
+    STRING doc value ``name`` equals one of ``values`` by scanning the
+    doc values — constant score = boost. String-DV update generations
+    overlay (``SegmentReader.string_values``). Unknown DV name matches
+    nothing."""
+
+    name: str
+    values: tuple  # tuple[str, ...]
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {"type": "dv_set", "name": self.name,
+                "values": list(self.values), "boost": self.boost}
+
+
+@dataclass(frozen=True)
+class IndexOrDocValuesQuery(Query):
+    """search/IndexOrDocValuesQuery.java:68 — two execution plans of the
+    SAME predicate: an index-driven query (cheap to iterate all matches)
+    and a doc-values query (cheap to verify a given doc). The reference
+    picks per-segment by lead cost (ScorerSupplier.get(leadCost)); this
+    engine's analog: evaluated standalone (it must produce the full doc
+    set) it runs ``index_query``; as a FILTER clause of a conjunction
+    that already has lead candidates it verifies only those candidates
+    through ``dv_query``'s column (scoring.py ``_dv_mask_at``). The two
+    sub-queries MUST match the same docs — that is the caller's contract,
+    exactly as in the reference."""
+
+    index_query: Query
+    dv_query: Query
+
+    def to_dict(self):
+        return {"type": "index_or_dv",
+                "index_query": self.index_query.to_dict(),
+                "dv_query": self.dv_query.to_dict()}
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """search/DisjunctionMaxQuery.java — union of disjuncts scored as
     max(sub scores) + tie_breaker * (sum of the other matching subs)."""
@@ -717,6 +780,18 @@ def query_from_dict(d: dict) -> Query:
         return CommonTermsQuery(
             tuple(d["terms"]), d.get("max_doc_freq", 1000), d.get("boost", 1.0)
         )
+    if t == "dv_range":
+        return DocValuesRangeQuery(
+            d["feature"], d.get("lower"), d.get("upper"), d.get("boost", 1.0)
+        )
+    if t == "dv_set":
+        return DocValuesSetQuery(
+            d["name"], tuple(d["values"]), d.get("boost", 1.0)
+        )
+    if t == "index_or_dv":
+        return IndexOrDocValuesQuery(
+            query_from_dict(d["index_query"]), query_from_dict(d["dv_query"])
+        )
     raise ValueError(f"unknown query type {t}")
 
 
@@ -751,6 +826,9 @@ def collect_scored_terms(q: Query, out: set[str]) -> None:
     elif isinstance(q, PayloadScoreQuery):
         if q.include_span_score:
             out.add(q.term)
+    elif isinstance(q, IndexOrDocValuesQuery):
+        collect_scored_terms(q.index_query, out)
+        collect_scored_terms(q.dv_query, out)
     elif isinstance(q, CombinedFieldQuery):
         from lucene_ray.index.fields import field_key
 
@@ -830,5 +908,10 @@ def resolve_fields(q: Query) -> Query:
     if isinstance(q, (DisjunctionMaxQuery, CoveringQuery)):
         return dataclasses.replace(
             q, queries=tuple(resolve_fields(s) for s in q.queries)
+        )
+    if isinstance(q, IndexOrDocValuesQuery):
+        return dataclasses.replace(
+            q, index_query=resolve_fields(q.index_query),
+            dv_query=resolve_fields(q.dv_query),
         )
     return q

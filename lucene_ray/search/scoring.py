@@ -273,6 +273,64 @@ def _union_maxscore(reader, term_boosts, ctx, count_matches=False):
     return docs, scores, (counts if count_matches else None), exact
 
 
+def _dv_values(reader, q):
+    """Row-aligned DV column for a dv_range/dv_set query (numeric ndarray
+    or pa.StringArray, update generations overlaid), or None when the DV
+    field was never indexed (missing feat_/sdv_ column)."""
+    try:
+        if isinstance(q, Q.DocValuesRangeQuery):
+            return reader.feature(q.feature)
+        return reader.string_values(q.name)
+    except (KeyError, pa.lib.ArrowInvalid):
+        return None
+
+
+def _dv_mask(q, vals) -> np.ndarray:
+    """Boolean match mask over a full DV column (nulls never match)."""
+    if isinstance(q, Q.DocValuesRangeQuery):
+        m = np.ones(vals.shape[0], dtype=bool)
+        if q.lower is not None:
+            m &= vals >= q.lower
+        if q.upper is not None:
+            m &= vals <= q.upper
+        return m
+    import pyarrow.compute as pc
+
+    hit = pc.is_in(vals, value_set=pa.array(list(q.values), type=pa.string()))
+    return pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+
+
+def _dv_mask_at(reader, q, docs: np.ndarray) -> np.ndarray:
+    """Verify a dv_range/dv_set predicate at lead-candidate LOCAL docs —
+    the IndexOrDocValuesQuery 'dv plan at small lead cost' side
+    (IndexOrDocValuesQuery.java:68): no full-column mask materialization,
+    no intersect1d; one searchsorted into the segment's doc_id column,
+    then a vectorized predicate on just the candidates."""
+    vals = _dv_values(reader, q)
+    if vals is None:
+        return np.zeros(docs.shape[0], dtype=bool)
+    all_ids = reader.doc_ids
+    if all_ids.shape[0] == 0 or docs.shape[0] == 0:
+        return np.zeros(docs.shape[0], dtype=bool)
+    gids = docs + reader.doc_base
+    pos = np.searchsorted(all_ids, gids)
+    pos_c = np.minimum(pos, all_ids.shape[0] - 1)
+    present = all_ids[pos_c] == gids
+    if isinstance(q, Q.DocValuesRangeQuery):
+        v = vals[pos_c]
+        m = present.copy()
+        if q.lower is not None:
+            m &= v >= q.lower
+        if q.upper is not None:
+            m &= v <= q.upper
+        return m
+    import pyarrow.compute as pc
+
+    sub = vals.take(pa.array(pos_c))
+    hit = pc.is_in(sub, value_set=pa.array(list(q.values), type=pa.string()))
+    return pc.fill_null(hit, False).to_numpy(zero_copy_only=False) & present
+
+
 def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
     """Evaluate a query on one segment -> (local_docs sorted, scores f64, exact).
 
@@ -325,6 +383,27 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)
         d = d[norms > 0]
         return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
+
+    if isinstance(q, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery)):
+        # "slow" doc-values queries (SortedNumericDocValuesField.java:108
+        # newSlowRangeQuery / SortedDocValuesField.java:126 newSlowSetQuery):
+        # full DV-column scan, constant score. Same owns_docs guard as
+        # match-all (term-sharded merges share one doc space).
+        if not reader.meta.get("owns_docs", True):
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        vals = _dv_values(reader, q)
+        if vals is None:  # DV field never indexed -> no matches
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        mask = _dv_mask(q, vals)
+        d = (reader.doc_ids - reader.doc_base).astype(np.int64)[mask]
+        return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
+
+    if isinstance(q, Q.IndexOrDocValuesQuery):
+        # standalone the full doc set is needed, so the index plan wins
+        # (IndexOrDocValuesQuery.java:68 — ScorerSupplier.get(leadCost) with
+        # leadCost = maxDoc); the DV plan fires in _eval_bool's filter loop
+        # where lead candidates already exist.
+        return eval_query(reader, q.index_query, ctx)
 
     if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                       Q.FuzzyQuery, Q.TermRangeQuery, Q.TermInSetQuery)):
@@ -1207,15 +1286,37 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
 
     _qc = get_query_cache()
     for fq in gen_filter:
+        # IndexOrDocValuesQuery / bare DV queries with lead candidates in
+        # hand: verify ONLY the candidates through the doc-values column
+        # (IndexOrDocValuesQuery.java:68 — the dv plan wins when leadCost
+        # is small), instead of scanning the index side for the full set
+        dvq = None
+        if docs is not None:
+            if isinstance(fq, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery)):
+                dvq = fq
+            elif isinstance(fq, Q.IndexOrDocValuesQuery) and isinstance(
+                    fq.dv_query, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery)):
+                dvq = fq.dv_query
+        if dvq is not None:
+            m = _dv_mask_at(reader, dvq, docs)
+            docs, scores = docs[m], scores[m]
+            if docs.shape[0] == 0:
+                return docs, np.empty(0, np.float64), exact
+            continue
         # multi-term filters cache inside their own dispatch above —
         # wrapping them here would double-count usage on the same key
         # CommonTermsQuery's doc set depends on GLOBAL df (the
         # high/low-frequency split moves as the index grows), so its
-        # cached set would go stale under an unchanged segment key
+        # cached set would go stale under an unchanged segment key.
+        # DV-backed filters stay out of the cache too: DV UPDATE
+        # generations commit without changing the segment key, so a
+        # cached doc set would serve pre-update values.
         if _qc is None or isinstance(fq, (
             Q.MatchAllDocsQuery, Q.PrefixQuery, Q.WildcardQuery,
             Q.RegexpQuery, Q.FuzzyQuery, Q.TermRangeQuery,
             Q.TermInSetQuery, Q.CommonTermsQuery,
+            Q.DocValuesRangeQuery, Q.DocValuesSetQuery,
+            Q.IndexOrDocValuesQuery,
         )):
             d, _s, _ = eval_query(reader, fq, sub_ctx)
         else:

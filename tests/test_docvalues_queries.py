@@ -1,0 +1,150 @@
+"""Slow doc-values queries + IndexOrDocValuesQuery.
+
+Roles: document/SortedNumericDocValuesField.java:108 (newSlowRangeQuery),
+document/SortedDocValuesField.java:126 (newSlowSetQuery),
+search/IndexOrDocValuesQuery.java:68 (two plans of one predicate).
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.search import query as Q
+from lucene_ray.search.searcher import Searcher
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dv_index(ray_session, tmp_path_factory):
+    """Index with the source predicate in BOTH plans: terms in field
+    'srcf' and string DV 'src'; n_chars as numeric DV 'chars'."""
+    from lucene_ray.index.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("dvq") / "index")
+    build_index(
+        os.path.join(SF_DIR, "documents.parquet"), idx, num_segments=3,
+        extra_fields={"srcf": "source"},
+        string_values={"src": "source"},
+        features={"chars": "n_chars"},
+    )
+    yield idx
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "source", "n_chars"])
+    return (t["doc_id"].to_numpy(), t["source"].to_pylist(),
+            t["n_chars"].to_numpy())
+
+
+def test_dv_range_standalone_matches_numpy(dv_index, corpus):
+    ids, _src, chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    docs, scores = s.search_all(Q.DocValuesRangeQuery("chars", 200.0, 900.0))
+    want = np.sort(ids[(chars >= 200) & (chars <= 900)])
+    assert np.array_equal(np.sort(docs), want)
+    assert np.all(scores == 1.0)  # constant score = boost
+
+
+def test_dv_range_open_ends(dv_index, corpus):
+    ids, _src, chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    lo, _ = s.search_all(Q.DocValuesRangeQuery("chars", 500.0, None))
+    hi, _ = s.search_all(Q.DocValuesRangeQuery("chars", None, 499.0))
+    assert np.array_equal(np.sort(lo), np.sort(ids[chars >= 500]))
+    assert np.array_equal(np.sort(hi), np.sort(ids[chars <= 499]))
+    both, _ = s.search_all(Q.DocValuesRangeQuery("chars", None, None))
+    assert both.shape[0] == ids.shape[0]
+
+
+def test_dv_set_standalone_matches_python(dv_index, corpus):
+    ids, src, _chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    vals = ("src1", "src4", "src19")
+    docs, _ = s.search_all(Q.DocValuesSetQuery("src", vals))
+    want = np.sort(ids[np.array([x in vals for x in src])])
+    assert np.array_equal(np.sort(docs), want)
+
+
+def test_unknown_dv_field_matches_nothing(dv_index):
+    s = Searcher(dv_index, mode="f64")
+    d1, _ = s.search_all(Q.DocValuesRangeQuery("nope", 0.0, 1e18))
+    d2, _ = s.search_all(Q.DocValuesSetQuery("nope", ("x",)))
+    assert d1.shape[0] == 0 and d2.shape[0] == 0
+
+
+def test_index_or_dv_plans_agree(dv_index):
+    """The index plan (standalone) and the dv plan (as a non-leading
+    filter clause) must produce the same doc set — the caller contract
+    of IndexOrDocValuesQuery.java:68."""
+    s = Searcher(dv_index, mode="f64")
+    iodv = Q.IndexOrDocValuesQuery(
+        Q.TermInSetQuery(("src2", "src7"), field="srcf"),
+        Q.DocValuesSetQuery("src", ("src2", "src7")),
+    )
+    standalone, _ = s.search_all(iodv)  # index plan
+    # conjunction: match-all term candidates -> dv verification plan
+    via_filter, _ = s.search_all(
+        Q.BooleanQuery(filter=(Q.MatchAllDocsQuery(), iodv)))
+    assert np.array_equal(np.sort(standalone), np.sort(via_filter))
+    assert standalone.shape[0] > 0
+
+
+def test_dv_filter_conjunction_equals_intersection(dv_index, corpus):
+    ids, _src, chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    term_docs, _ = s.search_all(Q.TermQuery("table"))
+    rng = (chars >= 100) & (chars <= 1200)
+    want = np.intersect1d(term_docs, ids[rng])
+    got, _ = s.search_all(Q.BooleanQuery(filter=(
+        Q.TermQuery("table"),
+        Q.DocValuesRangeQuery("chars", 100.0, 1200.0),
+    )))
+    assert np.array_equal(np.sort(got), want)
+
+
+def test_dv_range_sees_updates(dv_index, corpus, tmp_path):
+    """Numeric DV update generations overlay into the range query
+    (IndexWriter.updateNumericDocValue, IndexWriter.java:1892)."""
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.docvalues import update_doc_values
+
+    ids, _src, chars = corpus
+    idx = str(tmp_path / "upd")
+    build_index(os.path.join(SF_DIR, "documents.parquet"), idx,
+                num_segments=2, features={"chars": "n_chars"})
+    moved = ids[ids % 5 == 0]
+    update_doc_values(idx, "chars", moved, np.full(moved.shape[0], 1e6))
+    s = Searcher(idx, mode="f64")
+    docs, _ = s.search_all(Q.DocValuesRangeQuery("chars", 1e6, None))
+    assert np.array_equal(np.sort(docs), np.sort(moved))
+    # and the pre-update values moved OUT of their old range
+    low, _ = s.search_all(Q.DocValuesRangeQuery("chars", None, 1e6 - 1))
+    assert not np.intersect1d(low, moved).size
+
+
+def test_dict_round_trip():
+    iodv = Q.IndexOrDocValuesQuery(
+        Q.TermInSetQuery(("a", "b"), field="f"),
+        Q.DocValuesSetQuery("s", ("a", "b")),
+    )
+    for q in (Q.DocValuesRangeQuery("c", 1.0, 2.0, boost=3.0),
+              Q.DocValuesSetQuery("s", ("x", "y"), boost=0.5), iodv):
+        assert Q.query_from_dict(q.to_dict()) == q
+
+
+def test_resolve_fields_recurses_into_iodv():
+    iodv = Q.IndexOrDocValuesQuery(
+        Q.TermInSetQuery(("a",), field="f"),
+        Q.DocValuesSetQuery("s", ("a",)),
+    )
+    rq = Q.resolve_fields(iodv)
+    assert rq.index_query.field is None  # rekeyed to storage form
+    assert rq.index_query.terms[0] != "a"  # field-prefixed
+    assert rq.dv_query == iodv.dv_query  # DV side has no term keys
