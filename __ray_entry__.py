@@ -1858,6 +1858,25 @@ RepSumByName
 
     q["dv_set_query"] = _dv_set
 
+    def _dv_multi_range(sf):
+        """Multi-range doc-values query
+        (sandbox/search/SortedNumericDocValuesMultiRangeQuery.java:49,
+        DocValuesMultiRangeQuery.java builders): docs matching 'table'
+        whose overlaid feat_chars DV falls in ANY of [150,400], [380,700]
+        (overlapping — the engine merges them to [150,700] first, like
+        the reference) or [1900,2100] (catches the gen-1 2000 updates)."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_dvu_index_dir(sf), mode="f64")
+        docs, _ = s.search_all(Q.BooleanQuery(filter=(
+            Q.TermQuery("table"),
+            Q.DocValuesMultiRangeQuery(
+                "chars", ((150.0, 400.0), (380.0, 700.0), (1900.0, 2100.0))),
+        )))
+        return pa.table({"doc_id": np.sort(docs)})
+
+    q["dv_multi_range_query"] = _dv_multi_range
+
     def _index_or_dv(sf):
         """IndexOrDocValuesQuery (search/IndexOrDocValuesQuery.java:68):
         one predicate, two plans — 'source in {src3, src5}' indexed as
@@ -6055,6 +6074,20 @@ ORDER BY t.doc_id"""
                       FROM documents)
               SELECT m.doc_id FROM m JOIN v ON m.doc_id = v.doc_id
               WHERE v.val >= 150 AND v.val <= 1500 ORDER BY m.doc_id"""
+    )
+    o["dv_multi_range_query"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       CASE WHEN doc_id % 14 = 0 THEN 2000.0
+                            WHEN doc_id % 7 = 0 THEN 1000.0
+                            ELSE n_chars END AS val
+                      FROM documents)
+              SELECT m.doc_id FROM m JOIN v ON m.doc_id = v.doc_id
+              WHERE (v.val BETWEEN 150 AND 400)
+                 OR (v.val BETWEEN 380 AND 700)
+                 OR (v.val BETWEEN 1900 AND 2100)
+              ORDER BY m.doc_id"""
     )
     o["dv_set_query"] = (
         _PRELUDE

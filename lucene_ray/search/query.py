@@ -629,6 +629,25 @@ class DocValuesSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocValuesMultiRangeQuery(Query):
+    """sandbox/search/SortedNumericDocValuesMultiRangeQuery.java:49 (built
+    via DocValuesMultiRangeQuery.java:35's builder): match docs whose
+    numeric DV ``feature`` falls in ANY of the [lower, upper] ``ranges``
+    — the reference sorts and merges overlapping clauses into disjoint
+    intervals before matching; scoring._dv_mask does the same, then one
+    vectorized searchsorted per column. Constant score = boost."""
+
+    feature: str
+    ranges: tuple  # tuple[tuple[float, float], ...] inclusive bounds
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {"type": "dv_multi_range", "feature": self.feature,
+                "ranges": [list(r) for r in self.ranges],
+                "boost": self.boost}
+
+
+@dataclass(frozen=True)
 class IndexOrDocValuesQuery(Query):
     """search/IndexOrDocValuesQuery.java:68 — two execution plans of the
     SAME predicate: an index-driven query (cheap to iterate all matches)
@@ -787,6 +806,11 @@ def query_from_dict(d: dict) -> Query:
     if t == "dv_set":
         return DocValuesSetQuery(
             d["name"], tuple(d["values"]), d.get("boost", 1.0)
+        )
+    if t == "dv_multi_range":
+        return DocValuesMultiRangeQuery(
+            d["feature"], tuple(tuple(r) for r in d["ranges"]),
+            d.get("boost", 1.0),
         )
     if t == "index_or_dv":
         return IndexOrDocValuesQuery(

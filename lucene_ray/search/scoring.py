@@ -278,15 +278,51 @@ def _dv_values(reader, q):
     or pa.StringArray, update generations overlaid), or None when the DV
     field was never indexed (missing feat_/sdv_ column)."""
     try:
-        if isinstance(q, Q.DocValuesRangeQuery):
+        if isinstance(q, (Q.DocValuesRangeQuery, Q.DocValuesMultiRangeQuery)):
             return reader.feature(q.feature)
         return reader.string_values(q.name)
     except (KeyError, pa.lib.ArrowInvalid):
         return None
 
 
+def _merged_ranges(ranges):
+    """Sort + merge overlapping [lo, hi] clauses into disjoint intervals
+    (SortedNumericDocValuesMultiRangeQuery.java:49 does the same before
+    matching); returns (lowers, uppers) as float64 arrays. None bounds =
+    open ends. Empty/inverted clauses drop."""
+    iv = []
+    for lo, hi in ranges:
+        lo = -np.inf if lo is None else float(lo)
+        hi = np.inf if hi is None else float(hi)
+        if lo <= hi:
+            iv.append((lo, hi))
+    if not iv:
+        return np.empty(0), np.empty(0)
+    iv.sort()
+    out = [list(iv[0])]
+    for lo, hi in iv[1:]:
+        if lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    a = np.asarray(out, dtype=np.float64)
+    return a[:, 0], a[:, 1]
+
+
+def _multi_range_hits(vals: np.ndarray, lowers, uppers) -> np.ndarray:
+    """Vectorized membership in disjoint sorted intervals: one
+    searchsorted to the candidate interval, one upper-bound compare."""
+    if lowers.shape[0] == 0:
+        return np.zeros(vals.shape[0], dtype=bool)
+    pos = np.searchsorted(lowers, vals, side="right") - 1
+    pos_c = np.maximum(pos, 0)
+    return (pos >= 0) & (vals <= uppers[pos_c])
+
+
 def _dv_mask(q, vals) -> np.ndarray:
     """Boolean match mask over a full DV column (nulls never match)."""
+    if isinstance(q, Q.DocValuesMultiRangeQuery):
+        return _multi_range_hits(vals, *_merged_ranges(q.ranges))
     if isinstance(q, Q.DocValuesRangeQuery):
         m = np.ones(vals.shape[0], dtype=bool)
         if q.lower is not None:
@@ -316,6 +352,9 @@ def _dv_mask_at(reader, q, docs: np.ndarray) -> np.ndarray:
     pos = np.searchsorted(all_ids, gids)
     pos_c = np.minimum(pos, all_ids.shape[0] - 1)
     present = all_ids[pos_c] == gids
+    if isinstance(q, Q.DocValuesMultiRangeQuery):
+        return present & _multi_range_hits(
+            vals[pos_c], *_merged_ranges(q.ranges))
     if isinstance(q, Q.DocValuesRangeQuery):
         v = vals[pos_c]
         m = present.copy()
@@ -384,7 +423,8 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         d = d[norms > 0]
         return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
 
-    if isinstance(q, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery)):
+    if isinstance(q, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery,
+                      Q.DocValuesMultiRangeQuery)):
         # "slow" doc-values queries (SortedNumericDocValuesField.java:108
         # newSlowRangeQuery / SortedDocValuesField.java:126 newSlowSetQuery):
         # full DV-column scan, constant score. Same owns_docs guard as
@@ -1292,10 +1332,12 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
         # is small), instead of scanning the index side for the full set
         dvq = None
         if docs is not None:
-            if isinstance(fq, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery)):
+            if isinstance(fq, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery,
+                               Q.DocValuesMultiRangeQuery)):
                 dvq = fq
             elif isinstance(fq, Q.IndexOrDocValuesQuery) and isinstance(
-                    fq.dv_query, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery)):
+                    fq.dv_query, (Q.DocValuesRangeQuery, Q.DocValuesSetQuery,
+                                  Q.DocValuesMultiRangeQuery)):
                 dvq = fq.dv_query
         if dvq is not None:
             m = _dv_mask_at(reader, dvq, docs)
@@ -1316,7 +1358,7 @@ def _eval_bool(reader, q: Q.BooleanQuery, ctx):
             Q.RegexpQuery, Q.FuzzyQuery, Q.TermRangeQuery,
             Q.TermInSetQuery, Q.CommonTermsQuery,
             Q.DocValuesRangeQuery, Q.DocValuesSetQuery,
-            Q.IndexOrDocValuesQuery,
+            Q.DocValuesMultiRangeQuery, Q.IndexOrDocValuesQuery,
         )):
             d, _s, _ = eval_query(reader, fq, sub_ctx)
         else:

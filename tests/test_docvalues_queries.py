@@ -129,13 +129,47 @@ def test_dv_range_sees_updates(dv_index, corpus, tmp_path):
     assert not np.intersect1d(low, moved).size
 
 
+def test_dv_multi_range_merges_and_matches(dv_index, corpus):
+    """Overlapping clauses merge to disjoint intervals
+    (SortedNumericDocValuesMultiRangeQuery.java:49); empty/inverted
+    clauses drop; open ends work."""
+    ids, _src, chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    q = Q.DocValuesMultiRangeQuery(
+        "chars", ((200.0, 500.0), (450.0, 800.0), (900.0, 850.0),  # inverted
+                  (1200.0, None)))
+    docs, scores = s.search_all(q)
+    want = ((chars >= 200) & (chars <= 800)) | (chars >= 1200)
+    assert np.array_equal(np.sort(docs), np.sort(ids[want]))
+    assert np.all(scores == 1.0)
+    # empty clause list matches nothing
+    none, _ = s.search_all(Q.DocValuesMultiRangeQuery("chars", ()))
+    assert none.shape[0] == 0
+
+
+def test_dv_multi_range_as_filter(dv_index, corpus):
+    ids, _src, chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    term_docs, _ = s.search_all(Q.TermQuery("table"))
+    got, _ = s.search_all(Q.BooleanQuery(filter=(
+        Q.TermQuery("table"),
+        Q.DocValuesMultiRangeQuery("chars", ((0.0, 300.0), (600.0, 900.0))),
+    )))
+    want = np.intersect1d(
+        term_docs, ids[((chars >= 0) & (chars <= 300))
+                       | ((chars >= 600) & (chars <= 900))])
+    assert np.array_equal(np.sort(got), want)
+
+
 def test_dict_round_trip():
     iodv = Q.IndexOrDocValuesQuery(
         Q.TermInSetQuery(("a", "b"), field="f"),
         Q.DocValuesSetQuery("s", ("a", "b")),
     )
     for q in (Q.DocValuesRangeQuery("c", 1.0, 2.0, boost=3.0),
-              Q.DocValuesSetQuery("s", ("x", "y"), boost=0.5), iodv):
+              Q.DocValuesSetQuery("s", ("x", "y"), boost=0.5),
+              Q.DocValuesMultiRangeQuery("c", ((1.0, 2.0), (5.0, 9.0))),
+              iodv):
         assert Q.query_from_dict(q.to_dict()) == q
 
 
