@@ -1897,6 +1897,30 @@ RepSumByName
 
     q["index_or_dv_query"] = _index_or_dv
 
+    def _matches_api(sf):
+        """Matches API (search/Matches.java:33, MatchesIterator.java:38,
+        Weight#matches): every exact-phrase occurrence of "key value" —
+        start/end positions AND offsets — in the 3 lowest-id matching
+        docs. Offsets come from the positional index rows, no
+        re-analysis (ExactPhraseMatcher span shape: first token start ..
+        last token end)."""
+        s = _searcher(sf)
+        docs, _ = s.search_all(Q.PhraseQuery(("key", "value")))
+        rows = {"doc_id": [], "start_pos": [], "end_pos": [],
+                "start_off": [], "end_off": []}
+        for d in sorted(int(x) for x in docs)[:3]:
+            for _f, _label, sp, ep, so, eo in s.matches(
+                    Q.PhraseQuery(("key", "value")), d):
+                rows["doc_id"].append(d)
+                rows["start_pos"].append(sp)
+                rows["end_pos"].append(ep)
+                rows["start_off"].append(so)
+                rows["end_off"].append(eo)
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+    q["matches_api"] = _matches_api
+
     def _sort_string_dv(sf):
         """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
         through the public collector hook): top-10 docs matching 'table'
@@ -6105,6 +6129,25 @@ ORDER BY t.doc_id"""
         + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
               SELECT m.doc_id FROM m JOIN documents d ON m.doc_id = d.doc_id
               WHERE d.source IN ('src3', 'src5') ORDER BY m.doc_id"""
+    )
+    o["matches_api"] = (
+        """
+WITH toklist AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS p FROM toklist),
+ph AS (SELECT a.doc_id, a.p FROM pos a
+       JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'key' AND b.term = 'value'),
+sel AS (SELECT DISTINCT doc_id FROM ph ORDER BY doc_id LIMIT 3)
+SELECT ph.doc_id,
+       ph.p::BIGINT AS start_pos,
+       (ph.p + 1)::BIGINT AS end_pos,
+       (CASE WHEN ph.p = 0 THEN 0
+             ELSE length(array_to_string(t.ts[1:ph.p], ' ')) + 1 END)::BIGINT
+         AS start_off,
+       (length(array_to_string(t.ts[1:ph.p + 1], ' ')) + 1
+        + length(t.ts[ph.p + 2]))::BIGINT AS end_off
+FROM ph JOIN sel USING (doc_id) JOIN toklist t ON ph.doc_id = t.doc_id
+ORDER BY ph.doc_id, start_pos"""
     )
     o["doc_values_stats"] = (
         _PRELUDE

@@ -932,6 +932,18 @@ def _eval_multiterm(reader, q, ctx):
     """Multi-term queries rewrite to a constant-score union of the matching
     dictionary terms (MultiTermQuery CONSTANT_SCORE rewrite,
     search/MultiTermQuery.java:86-119)."""
+    idxs = expand_multiterm(reader, q)
+    if idxs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), True
+    parts = [docs_only(reader, int(i)) for i in idxs]
+    docs = np.unique(np.concatenate(parts))
+    return docs, np.full(docs.shape[0], float(q.boost), dtype=np.float64), True
+
+
+def expand_multiterm(reader, q) -> np.ndarray:
+    """Dictionary expansion of a multi-term query -> sorted term indexes
+    (the term-collection half of MultiTermQuery's rewrite; also the
+    Matches API's source of leaf terms, search/MatchesIterator.java)."""
     from lucene_ray.index.fields import field_prefix
 
     if isinstance(q, Q.PrefixQuery):
@@ -974,11 +986,7 @@ def _eval_multiterm(reader, q, ctx):
         clamp = q.lower is None or not q.lower.startswith(FIELD_MARK)
     if clamp:
         idxs = idxs[idxs >= reader.default_start]
-    if idxs.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64), True
-    parts = [docs_only(reader, int(i)) for i in idxs]
-    docs = np.unique(np.concatenate(parts))
-    return docs, np.full(docs.shape[0], float(q.boost), dtype=np.float64), True
+    return idxs
 
 
 def _wildcard_to_regex(pattern: str) -> str:

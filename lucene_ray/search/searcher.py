@@ -626,6 +626,16 @@ class Searcher:
             t, sort_keys=[("term", "ascending"), ("pos", "ascending")]
         ))
 
+    def matches(self, query: "Q.Query | str", doc_id: int):
+        """Matches API (search/Matches.java:33, MatchesIterator.java:38,
+        Weight#matches): every match occurrence of ``query`` in ONE doc as
+        (field, label, start_pos, end_pos, start_off, end_off) tuples
+        sorted by (field, start, end); None when the doc does not match
+        the parent query. Requires ``with_positions=True``."""
+        from lucene_ray.search.matches import doc_matches
+
+        return doc_matches(self, query, doc_id)
+
     def suggest_infix(self, fragment: str, k: int = 10):
         """Infix completion — the AnalyzingInfixSuggester's actual infix
         contract (suggest/analyzing/AnalyzingInfixSuggester.java:97:

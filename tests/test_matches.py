@@ -1,0 +1,74 @@
+"""Matches API (search/Matches.java:33, MatchesIterator.java:38,
+Weight#matches) — per-doc match positions/offsets."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.search import query as Q
+from lucene_ray.search.searcher import Searcher
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    idx, _m = built_index
+    return Searcher(idx)
+
+
+def _first_doc(s, q):
+    docs, _ = s.search_all(q)
+    assert docs.shape[0] > 0
+    return int(docs.min())
+
+
+def test_term_matches_positions_and_offsets(searcher, brute_force):
+    d = _first_doc(searcher, Q.TermQuery("table"))
+    ms = searcher.matches(Q.TermQuery("table"), d)
+    toks = brute_force["tokens"][list(brute_force["ids"]).index(d)]
+    want_pos = [i for i, t in enumerate(toks) if t == "table"]
+    assert [m[2] for m in ms] == want_pos
+    for _f, label, sp, ep, so, eo in ms:
+        assert label == "table" and sp == ep
+        assert eo - so == len("table")
+
+
+def test_non_matching_doc_returns_none(searcher):
+    docs, _ = searcher.search_all(Q.TermQuery("table"))
+    missing = sorted(set(range(500)) - set(docs.tolist()))[0]
+    assert searcher.matches(Q.TermQuery("table"), missing) is None
+
+
+def test_exact_phrase_spans(searcher, brute_force):
+    q = Q.PhraseQuery(("key", "value"))
+    d = _first_doc(searcher, q)
+    ms = searcher.matches(q, d)
+    toks = brute_force["tokens"][list(brute_force["ids"]).index(d)]
+    want = [i for i in range(len(toks) - 1)
+            if toks[i] == "key" and toks[i + 1] == "value"]
+    assert [(m[2], m[3]) for m in ms] == [(p, p + 1) for p in want]
+    # offsets cover "key value" exactly (corpus is space-joined tokens)
+    for _f, label, sp, ep, so, eo in ms:
+        assert label == "key value" and eo - so == len("key value")
+
+
+def test_boolean_unions_positive_clauses_only(searcher):
+    d = _first_doc(searcher, Q.BooleanQuery(
+        must=(Q.TermQuery("key"), Q.TermQuery("value"))))
+    both = searcher.matches(Q.BooleanQuery(
+        must=(Q.TermQuery("key"), Q.TermQuery("value"))), d)
+    labels = {m[1] for m in both}
+    assert labels == {"key", "value"}
+    # sorted by start position
+    starts = [m[2] for m in both]
+    assert starts == sorted(starts)
+
+
+def test_multiterm_expansion_matches(searcher):
+    q = Q.PrefixQuery("tab")
+    d = _first_doc(searcher, q)
+    ms = searcher.matches(q, d)
+    assert ms and all(m[1].startswith("tab") for m in ms)
+
+
+def test_match_without_positional_leaves_is_empty_list(searcher):
+    ms = searcher.matches(Q.MatchAllDocsQuery(), 0)
+    assert ms == []  # matches, but no positional terms (MATCH_WITH_NO_TERMS)
