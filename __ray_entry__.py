@@ -1921,6 +1921,20 @@ RepSumByName
 
     q["matches_api"] = _matches_api
 
+    def _function_range(sf):
+        """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:44
+        + ValueSourceScorer.java:39): docs where the computed function
+        sqrt(chars) + mm of two numeric DVs lies in [14, 22]; the score
+        IS the function value, like the reference's range scorer."""
+        s = _searcher(sf)
+        docs, scores = s.search_all(Q.FunctionRangeQuery(
+            "sqrt(chars) + mm", ("chars", "mm"), 14.0, 22.0))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order],
+                         "fval": _round4(scores[order])})
+
+    q["function_range_query"] = _function_range
+
     def _sort_string_dv(sf):
         """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
         through the public collector hook): top-10 docs matching 'table'
@@ -6148,6 +6162,14 @@ SELECT ph.doc_id,
         + length(t.ts[ph.p + 2]))::BIGINT AS end_off
 FROM ph JOIN sel USING (doc_id) JOIN toklist t ON ph.doc_id = t.doc_id
 ORDER BY ph.doc_id, start_pos"""
+    )
+    o["function_range_query"] = (
+        """
+WITH v AS (SELECT doc_id,
+                  sqrt(n_chars) + (1 + n_chars % 3) AS fval
+           FROM documents)
+SELECT doc_id, ROUND(fval, 4) AS fval FROM v
+WHERE fval >= 14 AND fval <= 22 ORDER BY doc_id"""
     )
     o["doc_values_stats"] = (
         _PRELUDE

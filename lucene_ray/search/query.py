@@ -629,6 +629,28 @@ class DocValuesSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionRangeQuery(Query):
+    """queries/function/FunctionRangeQuery.java:44 (+
+    ValueSourceScorer.java:39): match docs where a computed function of
+    per-doc numeric doc values lies in [lower, upper]; like the
+    reference's ValueSourceScorer the SCORE IS the function value
+    (× boost). ``expression`` is a search/expressions.py arithmetic
+    expression whose variables are the ``features`` (feat_ DV names) —
+    the DoubleValuesSource analog. Missing feature column -> no matches."""
+
+    expression: str
+    features: tuple  # tuple[str, ...] feat_ DV names used as variables
+    lower: "float | None" = None
+    upper: "float | None" = None
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {"type": "function_range", "expression": self.expression,
+                "features": list(self.features), "lower": self.lower,
+                "upper": self.upper, "boost": self.boost}
+
+
+@dataclass(frozen=True)
 class DocValuesMultiRangeQuery(Query):
     """sandbox/search/SortedNumericDocValuesMultiRangeQuery.java:49 (built
     via DocValuesMultiRangeQuery.java:35's builder): match docs whose
@@ -811,6 +833,11 @@ def query_from_dict(d: dict) -> Query:
         return DocValuesMultiRangeQuery(
             d["feature"], tuple(tuple(r) for r in d["ranges"]),
             d.get("boost", 1.0),
+        )
+    if t == "function_range":
+        return FunctionRangeQuery(
+            d["expression"], tuple(d["features"]), d.get("lower"),
+            d.get("upper"), d.get("boost", 1.0),
         )
     if t == "index_or_dv":
         return IndexOrDocValuesQuery(

@@ -273,6 +273,21 @@ def _union_maxscore(reader, term_boosts, ctx, count_matches=False):
     return docs, scores, (counts if count_matches else None), exact
 
 
+_EXPR_CACHE: dict = {}
+
+
+def _compiled_expr(source: str, variables: tuple):
+    """Per-process Expression compile cache (JavascriptCompiler compiles
+    once; expressions are tiny, the cache is unbounded by design)."""
+    key = (source, variables)
+    e = _EXPR_CACHE.get(key)
+    if e is None:
+        from lucene_ray.search.expressions import Expression
+
+        e = _EXPR_CACHE[key] = Expression(source, list(variables))
+    return e
+
+
 def _dv_values(reader, q):
     """Row-aligned DV column for a dv_range/dv_set query (numeric ndarray
     or pa.StringArray, update generations overlaid), or None when the DV
@@ -437,6 +452,28 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         mask = _dv_mask(q, vals)
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)[mask]
         return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
+
+    if isinstance(q, Q.FunctionRangeQuery):
+        # FunctionRangeQuery.java:44 / ValueSourceScorer.java:39 — the
+        # score IS the function value; expression compiled once per
+        # process (stateful-stage rule), evaluated vectorized over the
+        # segment's feature columns.
+        if not reader.meta.get("owns_docs", True):
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        arrays = {}
+        try:
+            for f in q.features:
+                arrays[f] = reader.feature(f)
+        except (KeyError, pa.lib.ArrowInvalid):
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        vals = _compiled_expr(q.expression, q.features).evaluate(**arrays)
+        m = np.ones(vals.shape[0], dtype=bool)
+        if q.lower is not None:
+            m &= vals >= q.lower
+        if q.upper is not None:
+            m &= vals <= q.upper
+        d = (reader.doc_ids - reader.doc_base).astype(np.int64)[m]
+        return d, vals[m] * float(q.boost), True
 
     if isinstance(q, Q.IndexOrDocValuesQuery):
         # standalone the full doc set is needed, so the index plan wins

@@ -161,6 +161,25 @@ def test_dv_multi_range_as_filter(dv_index, corpus):
     assert np.array_equal(np.sort(got), want)
 
 
+def test_function_range_scores_are_values(dv_index, corpus):
+    """ValueSourceScorer.java:39 — the score IS the function value."""
+    ids, _src, chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    docs, scores = s.search_all(
+        Q.FunctionRangeQuery("sqrt(chars)", ("chars",), 15.0, 25.0))
+    vals = np.sqrt(chars.astype(np.float64))
+    want = (vals >= 15.0) & (vals <= 25.0)
+    assert np.array_equal(np.sort(docs), np.sort(ids[want]))
+    by_id = dict(zip(ids, vals))
+    assert np.allclose(scores, [by_id[d] for d in docs])
+    # boost scales the value; missing feature matches nothing
+    _d, s2 = s.search_all(
+        Q.FunctionRangeQuery("sqrt(chars)", ("chars",), 15.0, 25.0, boost=2.0))
+    assert np.allclose(np.sort(s2), np.sort(scores * 2.0))
+    none, _ = s.search_all(Q.FunctionRangeQuery("missing", ("missing",), 0, 1))
+    assert none.shape[0] == 0
+
+
 def test_dict_round_trip():
     iodv = Q.IndexOrDocValuesQuery(
         Q.TermInSetQuery(("a", "b"), field="f"),
@@ -169,6 +188,7 @@ def test_dict_round_trip():
     for q in (Q.DocValuesRangeQuery("c", 1.0, 2.0, boost=3.0),
               Q.DocValuesSetQuery("s", ("x", "y"), boost=0.5),
               Q.DocValuesMultiRangeQuery("c", ((1.0, 2.0), (5.0, 9.0))),
+              Q.FunctionRangeQuery("sqrt(a) + b", ("a", "b"), 1.0, 2.0),
               iodv):
         assert Q.query_from_dict(q.to_dict()) == q
 
