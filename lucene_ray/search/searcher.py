@@ -35,6 +35,10 @@ class TopDocs:
     relation: str  # "EQ" exact | "GTE" lower bound (pruning engaged)
     doc_ids: np.ndarray  # global doc ids
     scores: np.ndarray
+    # IndexSearcher#setTimeout / TimeLimitingCollector role: True when the
+    # search deadline expired and unvisited segments were skipped (results
+    # are then partial; relation is forced to GTE)
+    timed_out: bool = False
 
 
 def merge_topk(
@@ -129,21 +133,37 @@ class Searcher:
             query = self.parse(query)
         return Q.resolve_fields(query)
 
-    def search(self, query: "Q.Query | str", k: int = 10, prune: bool = True) -> TopDocs:
+    def search(self, query: "Q.Query | str", k: int = 10, prune: bool = True,
+               timeout_s: "float | None" = None) -> TopDocs:
+        """``timeout_s`` is the IndexSearcher#setTimeout /
+        TimeLimitingCollector role: the deadline is checked between
+        SEGMENT evaluations (the reference's ExitableDirectoryReader
+        checks between doc blocks — segments are this engine's unit of
+        sequential work); on expiry the remaining segments are skipped
+        and the partial TopDocs returns ``timed_out=True`` with relation
+        GTE, like TopDocs after TimeExceededException."""
+        import time
+
         query = self._prep(query)
         ctx = self.make_context(query)
         if not prune:
             ctx_threshold_enabled = False
         else:
             ctx_threshold_enabled = True
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
 
         best_docs = np.empty(0, dtype=np.int64)
         best_scores = np.empty(0, dtype=np.float64)
         total = 0
         exact_all = True
+        timed_out = False
         from lucene_ray.index.deletes import mask_live
 
         for reader in self.readers:
+            if deadline is not None and time.monotonic() > deadline:
+                timed_out = True
+                exact_all = False
+                break
             d, s, exact = eval_query(reader, query, ctx)
             exact_all &= exact
             if d.shape[0]:
@@ -161,6 +181,7 @@ class Searcher:
             relation="EQ" if exact_all else "GTE",
             doc_ids=best_docs,
             scores=best_scores,
+            timed_out=timed_out,
         )
 
     def search_all(self, query: "Q.Query | str"):

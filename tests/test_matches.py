@@ -72,3 +72,18 @@ def test_multiterm_expansion_matches(searcher):
 def test_match_without_positional_leaves_is_empty_list(searcher):
     ms = searcher.matches(Q.MatchAllDocsQuery(), 0)
     assert ms == []  # matches, but no positional terms (MATCH_WITH_NO_TERMS)
+
+
+def test_search_timeout_partial_results(searcher):
+    """IndexSearcher#setTimeout / TimeLimitingCollector role: an
+    already-expired deadline skips every segment -> partial (empty)
+    TopDocs flagged timed_out with relation GTE; a generous deadline
+    changes nothing."""
+    td = searcher.search(Q.TermQuery("table"), k=5, timeout_s=0.0)
+    assert td.timed_out and td.relation == "GTE"
+    assert td.doc_ids.shape[0] == 0 and td.total_hits == 0
+    ok = searcher.search(Q.TermQuery("table"), k=5, timeout_s=60.0)
+    ref = searcher.search(Q.TermQuery("table"), k=5)
+    assert not ok.timed_out
+    assert np.array_equal(ok.doc_ids, ref.doc_ids)
+    assert ok.total_hits == ref.total_hits
