@@ -1935,6 +1935,23 @@ RepSumByName
 
     q["function_range_query"] = _function_range
 
+    def _multi_field_parser(sf):
+        """MultiFieldQueryParser (queryparser/classic/
+        MultiFieldQueryParser.java:42,118): 'table window' parsed across
+        (body, title) — each unfielded term expands to a SHOULD
+        disjunction of per-field copies; scores sum per BM25 over each
+        field's own stats (title = first 4 body tokens)."""
+        from lucene_ray.search.parser import parse_multi_field
+
+        s = _searcher(sf)
+        docs, scores = s.search_all(
+            parse_multi_field("table window", (None, "title")))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order],
+                         "score": _round4(scores[order])})
+
+    q["multi_field_parser_query"] = _multi_field_parser
+
     def _sort_string_dv(sf):
         """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
         through the public collector hook): top-10 docs matching 'table'
@@ -6170,6 +6187,33 @@ WITH v AS (SELECT doc_id,
            FROM documents)
 SELECT doc_id, ROUND(fval, 4) AS fval FROM v
 WHERE fval >= 14 AND fval <= 22 ORDER BY doc_id"""
+    )
+    o["multi_field_parser_query"] = (
+        _PRELUDE + _term_cte("a", "table") + _term_cte("b", "window")
+        + f"""
+, ttok AS (SELECT doc_id, unnest(string_split(text, ' ')[1:4]) AS term FROM documents)
+, tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id)
+, tstats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                    (SELECT sum(dl) FROM tdl)::DOUBLE AS sttf)
+, ttf_a AS (SELECT doc_id, count(*)::DOUBLE AS f FROM ttok WHERE term = 'table' GROUP BY doc_id)
+, tdf_a AS (SELECT count(*)::DOUBLE AS df FROM ttf_a)
+, tsc_a AS (SELECT t.doc_id,
+              ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+                (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))) AS score
+            FROM ttf_a t CROSS JOIN tdf_a d CROSS JOIN tstats s
+            JOIN tdl q ON t.doc_id = q.doc_id)
+, ttf_b AS (SELECT doc_id, count(*)::DOUBLE AS f FROM ttok WHERE term = 'window' GROUP BY doc_id)
+, tdf_b AS (SELECT count(*)::DOUBLE AS df FROM ttf_b)
+, tsc_b AS (SELECT t.doc_id,
+              ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.f /
+                (t.f + {K1} * (1 - {B} + {B} * q.dl / (s.sttf / s.n))) AS score
+            FROM ttf_b t CROSS JOIN tdf_b d CROSS JOIN tstats s
+            JOIN tdl q ON t.doc_id = q.doc_id)
+, uni AS (SELECT doc_id, sum(score) AS score FROM (
+    SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b
+    UNION ALL SELECT * FROM tsc_a UNION ALL SELECT * FROM tsc_b)
+  GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM uni ORDER BY doc_id"""
     )
     o["doc_values_stats"] = (
         _PRELUDE

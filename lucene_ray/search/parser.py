@@ -258,3 +258,58 @@ def _parse_atom(
     if len(terms) == 1:
         return Q.TermQuery(terms[0], field=field), boost
     return Q.PhraseQuery(tuple(terms), field=field), boost
+
+
+
+def parse_multi_field(
+    text: str,
+    mf_fields: tuple,
+    boosts: "dict | None" = None,
+    analyzer: Analyzer = StandardAnalyzer,
+    field_analyzers: "dict[str, Analyzer] | None" = None,
+) -> Q.Query:
+    """MultiFieldQueryParser (queryparser/classic/MultiFieldQueryParser.java:42,
+    getFieldQuery at :118): parse classic syntax, then expand every
+    UNFIELDED leaf clause into a SHOULD-disjunction of per-field copies —
+    ``mf_fields`` entries are field names, with ``None`` = the default
+    body field; ``boosts[field]`` multiplies that copy's boost (the
+    reference's Map<String,Float> ctor). Explicit ``field:`` atoms in the
+    text stay as written, exactly like the reference.
+
+    Deviation, documented: per-field copies reuse the default analyzer's
+    token form (the reference re-analyzes per field); identical whenever
+    the fields share one analyzer chain."""
+    import dataclasses
+
+    known = {f for f in mf_fields if f} | set(field_analyzers or ())
+    base = parse_query(text, analyzer=analyzer, fields=known,
+                       field_analyzers=field_analyzers)
+    leaf = (Q.TermQuery, Q.PhraseQuery, Q.PrefixQuery, Q.WildcardQuery,
+            Q.FuzzyQuery, Q.RegexpQuery, Q.TermRangeQuery,
+            Q.MultiPhraseQuery)
+
+    def _expand(q: Q.Query) -> Q.Query:
+        if isinstance(q, leaf) and q.field is None:
+            copies = []
+            for f in mf_fields:
+                c = q if f is None else dataclasses.replace(q, field=f)
+                b = (boosts or {}).get(f, 1.0)
+                if b != 1.0:
+                    c = dataclasses.replace(c, boost=c.boost * b)
+                copies.append(c)
+            if len(copies) == 1:
+                return copies[0]
+            return Q.BooleanQuery(should=tuple(copies))
+        if isinstance(q, Q.BooleanQuery):
+            return dataclasses.replace(
+                q,
+                must=tuple(_expand(s) for s in q.must),
+                should=tuple(_expand(s) for s in q.should),
+                must_not=tuple(_expand(s) for s in q.must_not),
+                filter=tuple(_expand(s) for s in q.filter),
+            )
+        if isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):
+            return dataclasses.replace(q, query=_expand(q.query))
+        return q
+
+    return _expand(base)

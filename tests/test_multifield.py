@@ -415,3 +415,24 @@ def test_per_field_postings_options(ray_session, tmp_path_factory, sf_dir):
         build_index(docs, str(tmp_path_factory.mktemp("pfo") / "bad"),
                     num_segments=2, with_positions=False,
                     field_options={"title": "positions"})
+
+
+def test_multi_field_parser_expands_unfielded_leaves(mf_searcher=None):
+    """MultiFieldQueryParser.java:42,118 — unfielded leaves expand to
+    per-field SHOULD copies with boosts; explicit field: atoms stay."""
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.parser import parse_multi_field
+
+    q = parse_multi_field("table window", (None, "title"))
+    assert isinstance(q, Q.BooleanQuery) and len(q.should) == 2
+    for clause in q.should:
+        fields = [c.field for c in clause.should]
+        assert fields == [None, "title"]
+    q2 = parse_multi_field("+table title:key", (None, "title"),
+                           boosts={"title": 2.0})
+    exp = q2.must[0]
+    assert exp.should[1].boost == 2.0  # title copy boosted
+    assert q2.should[0] == Q.TermQuery("key", field="title")  # stays as-is
+    # phrase leaves expand too
+    q3 = parse_multi_field('"key value"', (None, "title"))
+    assert {c.field for c in q3.should} == {None, "title"}
