@@ -707,6 +707,27 @@ def _sdvu_index_dir(sf_dir: str) -> str:
     return idx
 
 
+def _split_index_dirs(sf_dir: str) -> tuple:
+    """PKIndexSplitter fixture (misc/index/PKIndexSplitter.java:42): the
+    main index split by TermQuery('table') — side A = docs containing
+    'table', side B = the rest; both physically materialized (stats and
+    positions recomputed per side)."""
+    from lucene_ray.codec.postings import CODEC_VERSION
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:{os.path.getmtime(docs)}:c{CODEC_VERSION}:split1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(_CACHE_ROOT, tag)
+    a, b = os.path.join(root, "a"), os.path.join(root, "b")
+    if not os.path.exists(os.path.join(b, "manifest.json")):
+        from lucene_ray.index.split import split_index
+        from lucene_ray.search import query as Q
+
+        split_index(_index_dir(sf_dir), a, b, Q.TermQuery("table"))
+    return a, b
+
+
 def _iodv_index_dir(sf_dir: str) -> str:
     """IndexOrDocValuesQuery fixture (search/IndexOrDocValuesQuery.java:68):
     the SAME 'source' predicate is available through TWO plans — indexed
@@ -1951,6 +1972,30 @@ RepSumByName
                          "score": _round4(scores[order])})
 
     q["multi_field_parser_query"] = _multi_field_parser
+
+    def _index_split(sf):
+        """PKIndexSplitter (misc/index/PKIndexSplitter.java:42,105): the
+        corpus index split by TermQuery('table'); querying 'window' over
+        side A returns exactly the docs containing BOTH terms (side A =
+        the 'table' docs, physically materialized via the tombstone-
+        squeezing tiered merge — DocIDMerger role), and sides A+B
+        partition the corpus."""
+        from lucene_ray.search.searcher import Searcher
+
+        a, b = _split_index_dirs(sf)
+        sa, sb = Searcher(a, mode="f64"), Searcher(b, mode="f64")
+        w, _ = sa.search_all(Q.TermQuery("window"))
+        na, _ = sa.search_all(Q.MatchAllDocsQuery())
+        nb, _ = sb.search_all(Q.MatchAllDocsQuery())
+        return pa.table({
+            "doc_id": np.sort(w),
+            "n_first": pa.array([int(na.shape[0])] * w.shape[0],
+                                type=pa.int64()),
+            "n_second": pa.array([int(nb.shape[0])] * w.shape[0],
+                                 type=pa.int64()),
+        })
+
+    q["index_split_query"] = _index_split
 
     def _sort_string_dv(sf):
         """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
@@ -6214,6 +6259,17 @@ WHERE fval >= 14 AND fval <= 22 ORDER BY doc_id"""
     UNION ALL SELECT * FROM tsc_a UNION ALL SELECT * FROM tsc_b)
   GROUP BY doc_id)
 SELECT doc_id, ROUND(score, 4) AS score FROM uni ORDER BY doc_id"""
+    )
+    o["index_split_query"] = (
+        _PRELUDE
+        + """ , t AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , w AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+              , nn AS (SELECT (SELECT count(*) FROM t)::BIGINT AS n_first,
+                              ((SELECT count(*) FROM documents)
+                               - (SELECT count(*) FROM t))::BIGINT AS n_second)
+              SELECT t.doc_id, nn.n_first, nn.n_second
+              FROM t JOIN w ON t.doc_id = w.doc_id CROSS JOIN nn
+              ORDER BY t.doc_id"""
     )
     o["doc_values_stats"] = (
         _PRELUDE

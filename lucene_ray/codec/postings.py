@@ -62,7 +62,13 @@ _HEADER = np.dtype(np.uint32).itemsize * 2
 CODEC_VERSION = 3
 
 # per-block impact frontier points (norm-range buckets); fixed so the skip
-# arrays stay fixed-width numpy views
+# arrays stay fixed-width numpy views. Note on exactness vs the
+# reference's CompetitiveImpactAccumulator (variable-length pareto
+# pairs): any sound per-bucket upper bound must dominate EVERY posting
+# in the bucket, so (bucket max freq, bucket min norm) is the tightest
+# single dominating point — the relaxation lives only in the bucket
+# granularity (B points per block vs up to 256 exact pairs), and score
+# bounds only ever loosen, never tighten, so pruning stays safe.
 IMPACT_BUCKETS = 4
 
 
