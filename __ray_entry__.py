@@ -2972,6 +2972,30 @@ RepSumByName
 
     q["intervals_prefix_near"] = _intervals_prefix
 
+    def _intervals_at_least(sf):
+        """Intervals.atLeast (Intervals.java:89,
+        MinimumShouldMatchIntervalsSource): docs with a window of width
+        <= 8 containing at least 2 of {scan, column, window} — minimal
+        m-subset unordered windows, minimality-filtered."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(IV.MaxWidth(
+            IV.AtLeast(2, (IV.Term("scan"), IV.Term("column"),
+                           IV.Term("window"))), 8)))
+
+    q["intervals_at_least"] = _intervals_at_least
+
+    def _intervals_range(sf):
+        """Intervals.range (Intervals.java:222): 'key' followed within 2
+        gaps by any dictionary term in ['val', 'valz'] — the term-range
+        multi-term interval leaf."""
+        from lucene_ray.search import intervals as IV
+
+        return _docs_only(sf, Q.IntervalQuery(IV.Ordered(
+            (IV.Term("key"), IV.Range("val", "valz")), maxgaps=2)))
+
+    q["intervals_range_leaf"] = _intervals_range
+
     def _intervals_unordered3(sf):
         """Exact 3-way unordered (UnorderedIntervalsSource sweep): docs
         with a window of width <= 8 holding 'scan', 'column' and 'table'
@@ -6560,6 +6584,24 @@ ORDER BY t.doc_id"""
         + """
 SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'key' AND b.term LIKE 'val%'
+  AND b.p > a.p AND b.p - a.p - 1 <= 2
+ORDER BY a.doc_id"""
+    )
+    o["intervals_at_least"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+, tp AS (SELECT doc_id, term, p FROM pos
+         WHERE term IN ('scan', 'column', 'window'))
+SELECT DISTINCT a.doc_id FROM tp a JOIN tp b
+  ON a.doc_id = b.doc_id AND a.term < b.term
+WHERE abs(a.p - b.p) <= 7
+ORDER BY a.doc_id"""
+    )
+    o["intervals_range_leaf"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'key' AND b.term >= 'val' AND b.term <= 'valz'
   AND b.p > a.p AND b.p - a.p - 1 <= 2
 ORDER BY a.doc_id"""
     )

@@ -284,6 +284,75 @@ class FuzzyTerm(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class Regexp(IntervalsSource):
+    """Intervals.regexp (queries/intervals/Intervals.java:117): the
+    regular-expression multi-term leaf — expanded per segment against
+    the dictionary into an Or of term leaves, capped at
+    ``max_expansions`` (same contract as Prefix/Wildcard)."""
+
+    pattern: str
+    max_expansions: int = 128
+
+    def leaf_terms(self, out: set):
+        raise RuntimeError(
+            "Regexp source must be expanded per segment before leaf "
+            "collection (eval_intervals does this)")
+
+    def to_dict(self):
+        return {"type": "regexp_iv", "pattern": self.pattern,
+                "max_expansions": self.max_expansions}
+
+
+@dataclass(frozen=True)
+class Range(IntervalsSource):
+    """Intervals.range (queries/intervals/Intervals.java:222): the
+    term-range multi-term leaf [lower, upper] — expanded per segment via
+    the sorted dictionary (TermRangeQuery's scan), capped at
+    ``max_expansions``."""
+
+    lower: "str | None"
+    upper: "str | None"
+    include_lower: bool = True
+    include_upper: bool = True
+    max_expansions: int = 128
+
+    def leaf_terms(self, out: set):
+        raise RuntimeError(
+            "Range source must be expanded per segment before leaf "
+            "collection (eval_intervals does this)")
+
+    def to_dict(self):
+        return {"type": "range_iv", "lower": self.lower,
+                "upper": self.upper, "include_lower": self.include_lower,
+                "include_upper": self.include_upper,
+                "max_expansions": self.max_expansions}
+
+
+@dataclass(frozen=True)
+class AtLeast(IntervalsSource):
+    """Intervals.atLeast (queries/intervals/Intervals.java:89 ->
+    MinimumShouldMatchIntervalsSource): minimal intervals containing
+    intervals from at least ``min_should_match`` DISTINCT sub-sources.
+    Evaluated as the union of exact-unordered windows over every
+    m-subset of the sources, then reduced to minimal intervals (the
+    reference's iterators only ever emit minimal intervals). The
+    C(n, m) subset count is guarded — ``atLeast`` is meant for small
+    source lists, like the reference's."""
+
+    min_should_match: int
+    sources: tuple
+
+    def leaf_terms(self, out: set):
+        for s in self.sources:
+            s.leaf_terms(out)
+
+    def to_dict(self):
+        return {"type": "at_least",
+                "min_should_match": self.min_should_match,
+                "sources": [s.to_dict() for s in self.sources]}
+
+
+@dataclass(frozen=True)
 class Overlapping(IntervalsSource):
     """Intervals.overlapping (queries/intervals/Intervals.java:196):
     intervals of ``source`` that OVERLAP some ``reference`` interval —
@@ -476,6 +545,17 @@ def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
     if isinstance(source, Overlapping):
         return Overlapping(rewrite_terms(source.source, fn),
                            rewrite_terms(source.reference, fn))
+    if isinstance(source, Regexp):
+        return Regexp(fn(source.pattern), source.max_expansions)
+    if isinstance(source, Range):
+        return Range(
+            fn(source.lower) if source.lower is not None else None,
+            fn(source.upper) if source.upper is not None else None,
+            source.include_lower, source.include_upper,
+            source.max_expansions)
+    if isinstance(source, AtLeast):
+        return AtLeast(source.min_should_match,
+                       tuple(rewrite_terms(s, fn) for s in source.sources))
     raise TypeError(type(source))
 
 
@@ -535,6 +615,16 @@ def source_from_dict(d: dict) -> IntervalsSource:
     if t == "overlapping":
         return Overlapping(source_from_dict(d["source"]),
                            source_from_dict(d["reference"]))
+    if t == "regexp_iv":
+        return Regexp(d["pattern"], d.get("max_expansions", 128))
+    if t == "range_iv":
+        return Range(d.get("lower"), d.get("upper"),
+                     d.get("include_lower", True),
+                     d.get("include_upper", True),
+                     d.get("max_expansions", 128))
+    if t == "at_least":
+        return AtLeast(d["min_should_match"],
+                       tuple(source_from_dict(s) for s in d["sources"]))
     raise ValueError(f"unknown intervals source type {t!r}")
 
 
@@ -669,7 +759,61 @@ def _eval(source: IntervalsSource, per_term: dict) -> _Iv:
                    np.maximum(iv.start - np.int64(source.before),
                               np.int64(0)),
                    iv.end + np.int64(source.after), iv.cov)
+    if isinstance(source, AtLeast):
+        import itertools
+        import math
+
+        n = len(source.sources)
+        m = int(source.min_should_match)
+        if m <= 0 or m > n:
+            raise ValueError(f"atLeast({m}) over {n} sources")
+        if math.comb(n, m) > 64:
+            raise ValueError(
+                f"atLeast({m} of {n}) expands to {math.comb(n, m)} "
+                "subset windows (> 64) — use fewer sources")
+        subs = [_eval(s, per_term) for s in source.sources]
+        parts = []
+        for combo in itertools.combinations(subs, m):
+            w = combo[0] if m == 1 else _unordered_exact(list(combo))
+            if w.size:
+                parts.append(w)
+        if not parts:
+            return _Iv.empty()
+        u = _Iv(
+            np.concatenate([x.doc for x in parts]),
+            np.concatenate([x.start for x in parts]),
+            np.concatenate([x.end for x in parts]),
+            np.concatenate([x.cov for x in parts]),
+        ).sorted()
+        return _minimal_only(u)
     raise TypeError(type(source))
+
+
+def _minimal_only(iv: _Iv) -> _Iv:
+    """Keep only MINIMAL intervals per doc (drop any interval strictly
+    containing another, and exact duplicates) — interval iterators in
+    the reference only ever emit minimal intervals
+    (MinimumShouldMatchIntervalsSource contract). One lexsort + one
+    segmented suffix-min, no pairwise work."""
+    if iv.size == 0:
+        return iv
+    order = np.lexsort((iv.end, iv.start, iv.doc))
+    d = iv.doc[order]
+    s = iv.start[order]
+    e = iv.end[order]
+    c = iv.cov[order]
+    dup = np.concatenate((
+        [False], (d[1:] == d[:-1]) & (s[1:] == s[:-1]) & (e[1:] == e[:-1])))
+    d, s, e, c = d[~dup], s[~dup], e[~dup], c[~dup]
+    # sorted by (doc, start asc, end asc): j > i in the same doc has
+    # start_j >= start_i, so i strictly contains SOME interval iff the
+    # exclusive suffix-min of end (within doc) is <= end_i
+    inc = _suffix_min_within_doc(d, e)  # inclusive suffix min
+    big = np.iinfo(np.int64).max
+    excl = np.concatenate((inc[1:], [big]))
+    excl[np.concatenate((d[1:] != d[:-1], [True]))] = big
+    keep = excl > e
+    return _Iv(d[keep], s[keep], e[keep], c[keep])
 
 
 def _overlaps_any(m: "_Iv", s: "_Iv") -> np.ndarray:
@@ -937,16 +1081,29 @@ def _contained_by_mask(small: _Iv, big: _Iv) -> np.ndarray:
 def _expand_multiterm(source: IntervalsSource, reader) -> IntervalsSource:
     """Resolve segment-dependent leaves (Prefix) into Or-of-Terms against
     this reader's dictionary — the reference's automaton expansion."""
-    if isinstance(source, (Prefix, Wildcard)):
+    if isinstance(source, (Prefix, Wildcard, Regexp, Range)):
         if isinstance(source, Prefix):
             what = f"prefix {source.prefix!r}"
             idxs = reader.terms_matching_prefix(source.prefix)
+        elif isinstance(source, Regexp):
+            what = f"regexp {source.pattern!r}"
+            idxs = reader.terms_matching_regex(
+                "^(?:" + source.pattern + ")$")
+        elif isinstance(source, Range):
+            what = f"range [{source.lower!r}, {source.upper!r}]"
+            idxs = reader.term_range(source.lower, source.upper,
+                                     source.include_lower,
+                                     source.include_upper)
         else:
             from lucene_ray.search.scoring import _wildcard_to_regex
 
             what = f"wildcard {source.pattern!r}"
             idxs = reader.terms_matching_regex(
                 "^" + _wildcard_to_regex(source.pattern) + "$")
+        if isinstance(source, (Regexp, Range)):
+            # default-field scan must not leak into \x01 field sections
+            # (an open-lower range would otherwise sweep them up)
+            idxs = idxs[idxs >= reader.default_start]
         if idxs.shape[0] > source.max_expansions:
             raise ValueError(
                 f"{what} expands to {idxs.shape[0]} terms "

@@ -400,3 +400,61 @@ def test_overlapping_intervals(searcher, brute_force):
         IV.NonOverlapping(src, ref)))
     dall, _ = searcher.search_all(Q.IntervalQuery(src))
     assert set(d.tolist()) | set(d2.tolist()) == set(dall.tolist())
+
+
+def test_at_least_matches_brute_force(built_index, brute_force):
+    """Intervals.atLeast (MinimumShouldMatchIntervalsSource): doc set of
+    MaxWidth(atLeast(2 of 3), 8) == any distinct pair within |pa-pb|<=7."""
+    import numpy as np
+
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    terms = ("scan", "column", "window")
+    docs, _sc = s.search_all(Q.IntervalQuery(IV.MaxWidth(
+        IV.AtLeast(2, tuple(IV.Term(t) for t in terms)), 8)))
+    want = set()
+    for d, toks in zip(brute_force["ids"], brute_force["tokens"]):
+        pos = {t: [i for i, w in enumerate(toks) if w == t] for t in terms}
+        for i in range(3):
+            for j in range(i + 1, 3):
+                if any(abs(a - b) <= 7 for a in pos[terms[i]]
+                       for b in pos[terms[j]]):
+                    want.add(int(d))
+    assert set(docs.tolist()) == want
+    # atLeast(1) == Or (reduced to minimal intervals — same doc set)
+    d1, _ = s.search_all(Q.IntervalQuery(
+        IV.AtLeast(1, (IV.Term("scan"), IV.Term("column")))))
+    d2, _ = s.search_all(Q.IntervalQuery(
+        IV.Or((IV.Term("scan"), IV.Term("column")))))
+    assert set(d1.tolist()) == set(d2.tolist())
+    # atLeast(n) == unordered exact
+    d3, _ = s.search_all(Q.IntervalQuery(
+        IV.AtLeast(2, (IV.Term("scan"), IV.Term("column")))))
+    d4, _ = s.search_all(Q.IntervalQuery(
+        IV.Unordered((IV.Term("scan"), IV.Term("column")))))
+    assert set(d3.tolist()) == set(d4.tolist())
+
+
+def test_regexp_and_range_leaves(built_index):
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    pre, _ = s.search_all(Q.IntervalQuery(IV.Ordered(
+        (IV.Term("key"), IV.Prefix("val")), maxgaps=2)))
+    rex, _ = s.search_all(Q.IntervalQuery(IV.Ordered(
+        (IV.Term("key"), IV.Regexp("val.*")), maxgaps=2)))
+    rng, _ = s.search_all(Q.IntervalQuery(IV.Ordered(
+        (IV.Term("key"), IV.Range("val", "valz")), maxgaps=2)))
+    assert set(pre.tolist()) == set(rex.tolist()) == set(rng.tolist())
+    assert pre.shape[0] > 0
+    # dict round trip
+    for src in (IV.Regexp("a.*b"), IV.Range("a", "b", False, True),
+                IV.AtLeast(2, (IV.Term("x"), IV.Term("y"), IV.Term("z")))):
+        assert IV.source_from_dict(src.to_dict()) == src
