@@ -1997,6 +1997,33 @@ RepSumByName
 
     q["index_split_query"] = _index_split
 
+    def _quality_bench(sf):
+        """Search-quality evaluation (benchmark/quality/
+        QualityBenchmark.java:44 + QualityStats.java:27 + Judge.java:26):
+        P@10 / recall@10 / truncated AP / MRR per query term against a
+        deterministic tf>=2 Judge, ranked by (round4(BM25) desc, doc_id)."""
+        from lucene_ray.pipelines.quality_eval import quality_benchmark
+
+        s = _searcher(sf)
+        rows = quality_benchmark(s, sorted(["table", "window", "spark"]),
+                                 k=10, min_tf=2)
+        return pa.table({
+            "query": pa.array([r["query"] for r in rows]),
+            "p_at_k": pa.array([round(r["p_at_k"], 6) for r in rows],
+                               type=pa.float64()),
+            "recall_at_k": pa.array(
+                [round(r["recall_at_k"], 6) for r in rows],
+                type=pa.float64()),
+            "avg_precision": pa.array(
+                [round(r["avg_precision"], 6) for r in rows],
+                type=pa.float64()),
+            "reciprocal_rank": pa.array(
+                [round(r["reciprocal_rank"], 6) for r in rows],
+                type=pa.float64()),
+        })
+
+    q["quality_benchmark"] = _quality_bench
+
     def _sort_string_dv(sf):
         """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
         through the public collector hook): top-10 docs matching 'table'
@@ -6283,6 +6310,41 @@ WHERE fval >= 14 AND fval <= 22 ORDER BY doc_id"""
     UNION ALL SELECT * FROM tsc_a UNION ALL SELECT * FROM tsc_b)
   GROUP BY doc_id)
 SELECT doc_id, ROUND(score, 4) AS score FROM uni ORDER BY doc_id"""
+    )
+    def _quality_block(name: str, term: str) -> str:
+        """QualityStats metrics for one query term in SQL: rank by the
+        engine's deterministic (round4 desc, doc_id) order, judge by
+        tf >= 2 (tf_<name> comes from the matching _term_cte)."""
+        return f"""
+, ranked_{name} AS (SELECT doc_id,
+    row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS r
+  FROM sc_{name})
+, rel_{name} AS (SELECT doc_id FROM tf_{name} WHERE f >= 2)
+, top_{name} AS (SELECT r.r,
+    CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM ranked_{name} r LEFT JOIN rel_{name} x ON r.doc_id = x.doc_id
+  WHERE r.r <= 10)
+, prec_{name} AS (SELECT r, is_rel,
+    sum(is_rel) OVER (ORDER BY r) * 1.0 / r AS p_r FROM top_{name})
+, agg_{name} AS (SELECT '{term}' AS query,
+    ROUND(sum(is_rel) / 10.0, 6) AS p_at_k,
+    COALESCE(ROUND(sum(is_rel) * 1.0
+      / nullif((SELECT count(*) FROM rel_{name}), 0), 6), 0.0) AS recall_at_k,
+    COALESCE(ROUND(COALESCE(sum(CASE WHEN is_rel = 1 THEN p_r END), 0)
+      / nullif((SELECT count(*) FROM rel_{name}), 0), 6), 0.0)
+      AS avg_precision,
+    COALESCE(ROUND(1.0 / min(CASE WHEN is_rel = 1 THEN r END), 6), 0.0)
+      AS reciprocal_rank
+  FROM prec_{name})"""
+
+    o["quality_benchmark"] = (
+        _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "table")
+        + _term_cte("c", "window")
+        + _quality_block("a", "spark") + _quality_block("b", "table")
+        + _quality_block("c", "window")
+        + """
+SELECT * FROM agg_a UNION ALL SELECT * FROM agg_b
+UNION ALL SELECT * FROM agg_c ORDER BY query"""
     )
     o["index_split_query"] = (
         _PRELUDE

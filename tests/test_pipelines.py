@@ -804,3 +804,31 @@ def test_blended_infix_suggest_blenders(ray_session):
     # k cap + default weight 1
     top1 = blended_infix_suggest(ds, "tab", k=1)
     assert top1.num_rows == 1 and top1["doc_id"][0].as_py() == 0
+
+
+def test_quality_benchmark_stats(built_index, brute_force):
+    """QualityStats roles: P@k / recall / truncated AP / MRR against the
+    deterministic tf>=2 Judge, checked on a hand-computed fixture."""
+    import numpy as np
+
+    from lucene_ray.pipelines.quality_eval import (quality_benchmark,
+                                                   term_frequency_judgments)
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    rel = term_frequency_judgments(s, "table", min_tf=2)
+    want_rel = {int(d) for d, toks in zip(brute_force["ids"],
+                                          brute_force["tokens"])
+                if toks.count("table") >= 2}
+    assert set(rel.tolist()) == want_rel
+    rows = quality_benchmark(s, ["table"], k=10, min_tf=2)
+    r = rows[0]
+    assert 0.0 <= r["p_at_k"] <= 1.0 and 0.0 <= r["recall_at_k"] <= 1.0
+    # tf>=2 docs have high tf -> BM25 ranks them early; MRR must be 1.0
+    assert r["reciprocal_rank"] == 1.0
+    # hand-check P@10 from the brute ranking
+    from lucene_ray.search import query as Q
+    docs, scores = s.search_all(Q.TermQuery("table"))
+    top = docs[np.lexsort((docs, -np.round(scores, 4)))[:10]]
+    assert r["p_at_k"] == sum(int(d) in want_rel for d in top) / 10
