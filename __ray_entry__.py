@@ -2450,6 +2450,25 @@ RepSumByName
 
     q["analyzing_suggest"] = _analyzing_suggest_q
 
+    def _context_suggest_q(sf):
+        """ContextQuery over ContextSuggestField (suggest/document/
+        ContextQuery.java:63, ContextSuggestField.java:46): completions
+        of 'key' restricted to contexts src0 (boost 2) and src2
+        (boost 1) — context = the doc's source column, surfaces = each
+        doc's leading unigram/bigram, score = weight × context boost."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import (ContextSuggester,
+                                                  corpus_context_surfaces)
+
+        pages = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["text", "source"])
+        sug = ContextSuggester(corpus_context_surfaces(pages, "source"))
+        return sug.lookup("key", contexts={"src0": 2.0, "src2": 1.0}, k=10)
+
+    q["context_suggest"] = _context_suggest_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -8226,6 +8245,22 @@ SELECT surface, weight FROM w
 WHERE surface LIKE 'key%'
 ORDER BY (surface = 'key') DESC, weight DESC, surface ASC
 LIMIT 10"""
+
+    # ContextSuggester: analyzed == surface on this corpus (see above);
+    # contexts filter + per-context boost, ties (surface asc, context asc)
+    o["context_suggest"] = """
+WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT source AS context, ts[1] AS surface FROM t
+      WHERE len(ts) >= 1 AND ts[1] <> ''
+      UNION ALL
+      SELECT source, ts[1] || ' ' || ts[2] FROM t WHERE len(ts) >= 2),
+w AS (SELECT context, surface, count(*) AS weight FROM s GROUP BY 1, 2),
+b AS (SELECT surface, context,
+             weight * CASE context WHEN 'src0' THEN CAST(2.0 AS DOUBLE)
+                                   ELSE CAST(1.0 AS DOUBLE) END AS score
+      FROM w WHERE context IN ('src0', 'src2') AND surface LIKE 'key%')
+SELECT surface, context, score FROM b
+ORDER BY score DESC, surface ASC, context ASC LIMIT 10"""
 
     # EnglishMinimalStemFilter: Harman S-stemmer smap over the corpus
     # vocabulary (same generator pattern as the Snowball entries)

@@ -366,3 +366,117 @@ def corpus_prefix_surfaces(pages, text_col: str = "text",
     t = pa.concat_tables(ref for ref in agg.iter_batches(
         batch_format="pyarrow", batch_size=None))
     return t
+
+
+CTX_SEP = b"\x1d"  # context / analyzed-form boundary inside FST keys
+
+
+class ContextSuggester:
+    """Context-filtered completion — the ContextQuery over
+    ContextSuggestField roles (suggest/document/ContextQuery.java:63,
+    ContextSuggestField.java:46): every surface indexes under its
+    CONTEXT (the reference prepends contexts to the completion
+    automaton; here the FST key is ``context + CTX_SEP + analyzed +
+    END + surface``). Lookups filter to the requested contexts and
+    multiply each context's weights by its boost — all contexts with
+    boost 1 when none are given (ContextQuery's allContexts mode).
+
+    Build input: a pre-aggregated (context, surface, weight) table —
+    produce it with :func:`corpus_context_surfaces`."""
+
+    def __init__(self, surfaces: pa.Table, analyzer=None,
+                 preserve_sep: bool = True,
+                 max_surface_per_analyzed: int = 256):
+        from lucene_ray.analysis.analyzers import StandardAnalyzer
+        from lucene_ray.util.fst import build_fst
+
+        self.analyzer = analyzer or StandardAnalyzer
+        self.preserve_sep = preserve_sep
+        sep = SEP if preserve_sep else ""
+        ctxs = surfaces["context"].to_pylist()
+        surf = surfaces["surface"].to_pylist()
+        wt = surfaces["weight"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        entries: dict = {}
+        for c, s, w in zip(ctxs, surf, wt):
+            for txt, name in ((c, "context"), (s, "surface")):
+                if "\x1d" in txt or "\x1e" in txt or "\x1f" in txt:
+                    raise ValueError(
+                        f"{name} contains a reserved byte: {txt!r}")
+            a = sep.join(self.analyzer.tokens(s))
+            k = (c, a, s)
+            entries[k] = entries.get(k, 0) + int(w)
+        rows = sorted(((c, a, -w, s) for (c, a, s), w in entries.items()))
+        kept = []
+        run_key, run_n = None, 0
+        for c, a, negw, s in rows:
+            run_n = run_n + 1 if (c, a) == run_key else 1
+            run_key = (c, a)
+            if run_n <= max_surface_per_analyzed:
+                kept.append((c.encode() + CTX_SEP + a.encode()
+                             + _END + s.encode(), -negw))
+        kept.sort()
+        self.fst = build_fst(kept)
+        self.contexts = sorted({c for c, _a, _s in entries})
+
+    def lookup(self, query: str, contexts: "dict | None" = None,
+               k: int = 10, max_candidates: int = 50_000) -> pa.Table:
+        """Top-k (surface, context, score) where score = weight × the
+        context's boost; ties break (surface asc, context asc)."""
+        sep = SEP if self.preserve_sep else ""
+        qa = sep.join(self.analyzer.tokens(query)).encode()
+        boosts = dict(contexts) if contexts else {
+            c: 1.0 for c in self.contexts}
+        cand = []
+        for ctx in sorted(boosts):
+            boost = float(boosts[ctx])
+            prefix = ctx.encode() + CTX_SEP + qa
+            for key, w in self.fst.completions(prefix,
+                                               limit=max_candidates):
+                _c, _, rest = key.partition(CTX_SEP)
+                _a, _, s = rest.partition(_END)
+                cand.append((-(w * boost), s.decode(), ctx))
+        cand.sort()
+        top = cand[:k]
+        return pa.table({
+            "surface": pa.array([s for _n, s, _c in top], pa.string()),
+            "context": pa.array([c for _n, _s, c in top], pa.string()),
+            "score": pa.array([-n for n, _s, _c in top], pa.float64()),
+        })
+
+
+def corpus_context_surfaces(pages, context_col: str,
+                            text_col: str = "text", max_tokens: int = 2,
+                            max_entries: int = 1_000_000):
+    """Distributed (context, surface, weight) extraction: the leading
+    1..max_tokens-token prefixes of every document keyed by its context
+    column, weight = docs sharing (context, prefix). Same partial ->
+    small-groupby shape as corpus_prefix_surfaces — text never moves."""
+    from ray.data.aggregate import Sum
+
+    def _flat(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def part(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.fill_null(b[text_col], ""), " ")
+        n = pc.list_value_length(lists)
+        out_c, out_s = [], []
+        for j in range(1, max_tokens + 1):
+            has = pc.greater_equal(n, j)
+            pref = pc.binary_join(
+                pc.list_slice(pc.filter(lists, has), 0, j),
+                pa.scalar(" "))
+            out_c.append(_flat(pc.filter(b[context_col], has)))
+            out_s.append(_flat(pref))
+        t = pa.table({"context": pa.concat_arrays(out_c),
+                      "surface": pa.concat_arrays(out_s)})
+        return (t.group_by(["context", "surface"])
+                 .aggregate([("surface", "count")])
+                 .rename_columns(["context", "surface", "weight"]))
+
+    agg = (pages.map_batches(part, batch_format="pyarrow")
+           .groupby(["context", "surface"])
+           .aggregate(Sum("weight", alias_name="weight"))
+           .sort("weight", descending=True).limit(max_entries))
+    return pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))

@@ -130,3 +130,35 @@ def test_corpus_prefix_surfaces_counts(ray_session, sf_dir):
              zip(got["surface"].to_pylist(), got["weight"].to_pylist())
              if s}
     assert got_d == want
+
+
+def test_context_suggester_filters_and_boosts(ray_session):
+    """ContextQuery/ContextSuggestField roles: context filter, per-
+    context boost, allContexts mode."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.suggest import ContextSuggester
+
+    t = pa.table({
+        "context": ["us", "us", "uk", "uk", "de"],
+        "surface": ["key west", "key largo", "key largo", "keyboard",
+                    "key west"],
+        "weight": [5, 3, 7, 9, 2],
+    })
+    sug = ContextSuggester(t)
+    # filter: only 'us' entries, boosted x2
+    r = sug.lookup("key", contexts={"us": 2.0})
+    assert r.to_pylist() == [
+        {"surface": "key west", "context": "us", "score": 10.0},
+        {"surface": "key largo", "context": "us", "score": 6.0},
+    ]
+    # boost reorders across contexts
+    r2 = sug.lookup("key", contexts={"us": 1.0, "uk": 10.0})
+    assert r2.to_pylist()[0] == {
+        "surface": "keyboard", "context": "uk", "score": 90.0}
+    # allContexts mode sees every context with boost 1
+    r3 = sug.lookup("key")
+    assert {x["context"] for x in r3.to_pylist()} == {"us", "uk", "de"}
+    # multi-token analyzed prefix completes across words (PRESERVE_SEP)
+    r4 = sug.lookup("key w", contexts={"us": 1.0})
+    assert [x["surface"] for x in r4.to_pylist()] == ["key west"]
