@@ -2024,6 +2024,30 @@ RepSumByName
 
     q["quality_benchmark"] = _quality_bench
 
+    def _top_passages(sf):
+        """Scored multi-passage highlighting (UnifiedHighlighter
+        PassageScorer role, highlighter/uhighlight/PassageScorer.java:42):
+        for the 3 lowest docs containing both 'scan' and 'column', the
+        top-3 fixed 10-token windows ranked by summed tf*idf of the
+        query terms (ties -> earliest window)."""
+        from lucene_ray.search.highlight import top_passages
+
+        s = _searcher(sf)
+        docs, _ = s.search_all(Q.BooleanQuery(
+            must=(Q.TermQuery("scan"), Q.TermQuery("column"))))
+        sel = sorted(int(x) for x in docs)[:3]
+        t = top_passages(s, sel, {"scan", "column"},
+                         max_passages=3, window=10)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "win_start": t["win_start"],
+            "score": pa.array(
+                _round4(t["score"].to_numpy(zero_copy_only=False)),
+                type=pa.float64()),
+        })
+
+    q["top_passages"] = _top_passages
+
     def _sort_string_dv(sf):
         """Sort-by-SortedDocValues (TopFieldCollector + Sort.STRING role,
         through the public collector hook): top-10 docs matching 'table'
@@ -6356,6 +6380,28 @@ SELECT doc_id, ROUND(score, 4) AS score FROM uni ORDER BY doc_id"""
       AS reciprocal_rank
   FROM prec_{name})"""
 
+    o["top_passages"] = (
+        _PRELUDE + _term_cte("a", "scan") + _term_cte("b", "column")
+        + _POS_CTE
+        + """
+, sel AS (SELECT tf_a.doc_id FROM tf_a JOIN tf_b USING (doc_id)
+          ORDER BY tf_a.doc_id LIMIT 3)
+, hits AS (SELECT p.doc_id, (p.p // 10) * 10 AS ws,
+    CASE WHEN p.term = 'scan'
+         THEN (SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               FROM df_a d, stats s)
+         ELSE (SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               FROM df_b d, stats s) END AS w
+  FROM pos p JOIN sel USING (doc_id)
+  WHERE p.term IN ('scan', 'column'))
+, wins AS (SELECT doc_id, ws, sum(w) AS score FROM hits GROUP BY 1, 2)
+, ranked AS (SELECT doc_id, ws, score,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, ws) AS r
+  FROM wins)
+SELECT doc_id, ws::BIGINT AS win_start, ROUND(score, 4) AS score
+FROM ranked WHERE r <= 3 ORDER BY doc_id, score DESC, win_start"""
+    )
     o["quality_benchmark"] = (
         _PRELUDE + _term_cte("a", "spark") + _term_cte("b", "table")
         + _term_cte("c", "window")

@@ -150,3 +150,82 @@ def highlight_from_index(searcher, doc_ids, terms: set[str], window: int = 10):
             "snippet": pa.array(snippets, type=pa.string()),
         }
     )
+
+
+def top_passages(searcher, doc_ids, terms: set, max_passages: int = 3,
+                 window: int = 10):
+    """Scored multi-passage selection — the UnifiedHighlighter
+    PassageScorer role (highlighter/uhighlight/PassageScorer.java:42,
+    FieldHighlighter.highlightOffsetsEnums): rank each document's
+    passages by summed per-term weight and keep the top
+    ``max_passages``.
+
+    Adaptations, documented:
+    * passages are fixed non-overlapping ``window``-token ranges
+      (start positions 0, window, 2*window, ...) — the reference breaks
+      on sentences via BreakIterator; the synthetic corpus has no
+      sentence structure, so fixed windows stand in;
+    * passage score = sum over query terms of tf_in_passage * idf with
+      the engine's BM25 idf ln(1 + (N - df + 0.5)/(df + 0.5)) — the
+      reference's PassageScorer folds tf through a k1-saturation with a
+      passage-position norm; the idf*tf core and the ranking contract
+      (score desc, start asc) are the same.
+
+    Returns a pyarrow Table (doc_id, win_start, score, start_off,
+    end_off) — per doc up to ``max_passages`` rows ordered by
+    (doc_id, score desc, win_start)."""
+    import math
+
+    stats = searcher.term_stats(set(terms))
+    n = float(searcher.doc_count)
+    idf = {t: math.log(1 + (n - df + 0.5) / (df + 0.5))
+           for t, (df, _ttf) in stats.items()}
+    ids = sorted(int(d) for d in doc_ids)
+    rows: dict = {}
+    for reader in searcher.readers:
+        t = reader.positions_for_docs(ids)
+        if t.num_rows == 0:
+            continue
+        import pyarrow.compute as pc
+
+        from lucene_ray.index.fields import FIELD_MARK
+
+        t = t.filter(pc.invert(pc.starts_with(t["term"], FIELD_MARK)))
+        d = t["doc_id"].to_numpy()
+        tm = t["term"].to_pylist()
+        p = t["pos"].to_numpy()
+        so = t["start_offset"].to_numpy()
+        eo = t["end_offset"].to_numpy()
+        for i in range(d.shape[0]):
+            rows.setdefault(int(d[i]), []).append(
+                (int(p[i]), tm[i], int(so[i]), int(eo[i])))
+    out = {"doc_id": [], "win_start": [], "score": [],
+           "start_off": [], "end_off": []}
+    for doc in ids:
+        toks = rows.get(doc)
+        if not toks:
+            continue
+        wins: dict = {}
+        for pos, term, s_off, e_off in toks:
+            w = wins.setdefault(pos // window * window,
+                                [0.0, None, None])
+            if term in idf:
+                w[0] += idf[term]
+            # passage offsets span first..last token in the window
+            w[1] = s_off if w[1] is None else min(w[1], s_off)
+            w[2] = e_off if w[2] is None else max(w[2], e_off)
+        ranked = sorted(((ws, st) for st, (ws, _s, _e) in wins.items()
+                         if ws > 0), key=lambda x: (-x[0], x[1]))
+        for score, start in ranked[:max_passages]:
+            out["doc_id"].append(doc)
+            out["win_start"].append(start)
+            out["score"].append(score)
+            out["start_off"].append(wins[start][1])
+            out["end_off"].append(wins[start][2])
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "win_start": pa.array(out["win_start"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "start_off": pa.array(out["start_off"], pa.int64()),
+        "end_off": pa.array(out["end_off"], pa.int64()),
+    })

@@ -87,3 +87,34 @@ def test_search_timeout_partial_results(searcher):
     assert not ok.timed_out
     assert np.array_equal(ok.doc_ids, ref.doc_ids)
     assert ok.total_hits == ref.total_hits
+
+
+def test_top_passages_scoring(searcher, brute_force):
+    """PassageScorer role: windows ranked by summed tf*idf, ties ->
+    earliest window; per-doc cap; offsets cover the window's tokens."""
+    import math
+
+    from lucene_ray.search.highlight import top_passages
+
+    terms = {"scan", "column"}
+    docs, _ = searcher.search_all(Q.BooleanQuery(
+        must=(Q.TermQuery("scan"), Q.TermQuery("column"))))
+    sel = sorted(int(x) for x in docs)[:2]
+    t = top_passages(searcher, sel, terms, max_passages=2, window=10)
+    stats = searcher.term_stats(terms)
+    n = searcher.doc_count
+    idf = {k: math.log(1 + (n - df + 0.5) / (df + 0.5))
+           for k, (df, _) in stats.items()}
+    ids = list(brute_force["ids"])
+    for doc in sel:
+        toks = brute_force["tokens"][ids.index(doc)]
+        wins = {}
+        for p, w in enumerate(toks):
+            if w in terms:
+                wins[p // 10 * 10] = wins.get(p // 10 * 10, 0.0) + idf[w]
+        want = sorted(((s, ws) for ws, s in wins.items()),
+                      key=lambda x: (-x[0], x[1]))[:2]
+        got = [(r["score"], r["win_start"])
+               for r in t.to_pylist() if r["doc_id"] == doc]
+        assert [(round(a, 9), b) for a, b in got] == \
+               [(round(a, 9), b) for a, b in want]
