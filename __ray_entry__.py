@@ -4136,6 +4136,45 @@ RepSumByName
 
     q["synonym_index_query"] = _synonym_index
 
+    def _solr_synonyms(sf):
+        """SolrSynonymParser (analysis/synonym/SolrSynonymParser.java:33):
+        the analyzer's synonym rules come from parsing a synonyms.txt in
+        Solr syntax — explicit mappings 'fast => quick' and the
+        multi-word 'key value => kv'. The parsed tuple equals the
+        synonym_index_query fixture's config exactly, so the index cache
+        and the SQL twin are shared."""
+        from lucene_ray.analysis.analyzers import Analyzer
+        from lucene_ray.analysis.synparse import parse_solr_synonyms
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        syns = parse_solr_synonyms(
+            "# fixture synonyms.txt\n"
+            "fast => quick\n"
+            "key value => kv\n")
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:syn2".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(docs, idx, analyzer=Analyzer(synonyms=syns),
+                        num_segments=4)
+        s = Searcher(idx, mode="f64")
+        parts = []
+        for label in ("quick", "kv"):
+            d, sc = s.search_all(Q.TermQuery(label))
+            order = np.argsort(d)
+            parts.append(pa.table({
+                "q": pa.array([label] * d.shape[0]),
+                "doc_id": d[order],
+                "score": _round4(sc[order]),
+            }))
+        return pa.concat_tables(parts)
+
+    q["solr_synonyms_query"] = _solr_synonyms
+
     def _edge_ngrams(sf):
         import ray.data
 
@@ -8615,6 +8654,7 @@ SELECT 'kv' AS q, t.doc_id,
 FROM tf_kv t CROSS JOIN df_kv d CROSS JOIN stats s JOIN dlq q ON t.doc_id = q.doc_id
 ORDER BY q, doc_id"""
     )
+    o["solr_synonyms_query"] = o["synonym_index_query"]
 
     o["index_sorted_topk"] = (
         """SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id)) - 1 AS rank,

@@ -1213,3 +1213,49 @@ def test_mapping_char_filter():
     c = Analyzer(mapping_char_filter=(("q", "k"),),
                  char_filters=((r"k+", "k"),))
     assert c.tokens("qk qq") == ["k", "k"]
+
+
+def test_solr_synonym_parser():
+    """SolrSynonymParser.java:33: equivalence classes (expand on/off),
+    explicit mappings, comments, escapes, multi-word rules."""
+    from lucene_ray.analysis.synparse import parse_solr_synonyms
+
+    t = parse_solr_synonyms(
+        "# comment line\n"
+        "\n"
+        "fast, quick, rapid\n"
+        "new york => nyc\n"
+        "a\\, b => c\n")
+    d = dict(t)
+    assert d["fast"] == ("quick", "rapid")
+    assert d["quick"] == ("fast", "rapid")
+    assert d["new york"] == ("nyc",)
+    assert d["a, b"] == ("c",)
+    ne = parse_solr_synonyms("fast, quick, rapid\n", expand=False)
+    assert dict(ne) == {"quick": ("fast",), "rapid": ("fast",)}
+    # single-member class is a no-op, like the reference
+    assert parse_solr_synonyms("alone\n") == ()
+
+
+def test_wordnet_synonym_parser():
+    from lucene_ray.analysis.synparse import parse_wordnet_synonyms
+
+    w = parse_wordnet_synonyms(
+        "s(100001,1,'fast',a,1,0).\n"
+        "s(100001,2,'quick',a,1,0).\n"
+        "s(100002,1,'it''s',n,1,0).\n"
+        "s(100003,1,'new_york',n,1,0).\n"
+        "s(100003,2,'nyc',n,1,0).\n"
+        "junk line\n")
+    d = dict(w)
+    assert d["fast"] == ("quick",) and d["quick"] == ("fast",)
+    assert d["new york"] == ("nyc",) and d["nyc"] == ("new york",)
+    assert "it's" not in d  # single-member synset drops
+
+
+def test_parsed_synonyms_drive_analyzer():
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.analysis.synparse import parse_solr_synonyms
+
+    an = Analyzer(synonyms=parse_solr_synonyms("fast => quick\n"))
+    assert "quick" in an.tokens("a fast scan")
