@@ -92,6 +92,25 @@ def cmd_build(args) -> dict:
     }
 
 
+def cmd_split(args) -> dict:
+    """PKIndexSplitter job (misc/index/PKIndexSplitter.java:42): split
+    --index by a classic-syntax --query into --first (matching docs)
+    and --second (the rest)."""
+    t0 = time.perf_counter()
+    from lucene_ray.index.split import split_index
+    from lucene_ray.search.parser import parse_query
+
+    a, b = split_index(args.index, args.first, args.second,
+                       parse_query(args.query),
+                       group_size=args.group_size)
+    return {
+        "job": "split",
+        "first": args.first, "first_docs": a["doc_count"],
+        "second": args.second, "second_docs": b["doc_count"],
+        "secs": round(time.perf_counter() - t0, 3),
+    }
+
+
 def cmd_merge(args) -> dict:
     t0 = time.perf_counter()
     if args.mode == "tiered":
@@ -325,6 +344,14 @@ def main(argv=None) -> int:
     m.add_argument("--group-size", type=int, default=4)
     m.add_argument("--terms-per-shard", type=int, default=1 << 20)
     m.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("split")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--first", required=True)
+    sp.add_argument("--second", required=True)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--group-size", type=int, default=8)
+    sp.set_defaults(fn=cmd_split)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
