@@ -486,6 +486,33 @@ def phrase(*terms: str) -> Ordered:
     return Ordered(tuple(Term(t) for t in terms), maxgaps=0)
 
 
+def not_within(minuend: IntervalsSource, positions: int,
+               subtrahend: IntervalsSource) -> NonOverlapping:
+    """Intervals.notWithin (queries/intervals/Intervals.java:268):
+    minuend intervals with NO subtrahend interval within ``positions``
+    of them — exactly the reference's composition
+    nonOverlapping(minuend, extend(subtrahend, positions, positions))."""
+    return NonOverlapping(minuend, Extend(subtrahend, positions, positions))
+
+
+def analyzed_text(text: str, analyzer=None, maxgaps: int = 0,
+                  ordered: bool = True) -> IntervalsSource:
+    """Intervals.analyzedText (queries/intervals/Intervals.java:99):
+    analyze free text with the (default Standard) analyzer and build an
+    ordered/unordered source over the resulting term leaves — the
+    query-side entry point for 'match this phrase-ish text'."""
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+
+    toks = (analyzer or StandardAnalyzer).tokens(text)
+    if not toks:
+        return Term("\x00\x00no-match")
+    if len(toks) == 1:
+        return Term(toks[0])
+    leaves = tuple(Term(t) for t in toks)
+    return (Ordered(leaves, maxgaps=maxgaps) if ordered
+            else Unordered(leaves, maxgaps=maxgaps))
+
+
 def rewrite_terms(source: IntervalsSource, fn) -> IntervalsSource:
     """Structurally copy ``source`` with every leaf Term mapped through
     ``fn`` — how a field-scoped IntervalQuery resolves its leaves to

@@ -458,3 +458,30 @@ def test_regexp_and_range_leaves(built_index):
     for src in (IV.Regexp("a.*b"), IV.Range("a", "b", False, True),
                 IV.AtLeast(2, (IV.Term("x"), IV.Term("y"), IV.Term("z")))):
         assert IV.source_from_dict(src.to_dict()) == src
+
+
+def test_not_within_and_analyzed_text(built_index, brute_force):
+    """Intervals.notWithin == nonOverlapping(minuend, extend(sub, n, n));
+    Intervals.analyzedText builds the ordered source from analysis."""
+    from lucene_ray.search import intervals as IV
+    from lucene_ray.search import query as Q
+    from lucene_ray.search.searcher import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    nw, _ = s.search_all(Q.IntervalQuery(
+        IV.not_within(IV.Term("scan"), 3, IV.Term("column"))))
+    # brute: 'scan' occurrences with no 'column' within 3 positions
+    want = set()
+    for d, toks in zip(brute_force["ids"], brute_force["tokens"]):
+        sc = [i for i, w in enumerate(toks) if w == "scan"]
+        co = [i for i, w in enumerate(toks) if w == "column"]
+        if any(all(abs(a - b) > 3 for b in co) for a in sc):
+            want.add(int(d))
+    assert set(nw.tolist()) == want
+    at, _ = s.search_all(Q.IntervalQuery(IV.analyzed_text("key value")))
+    ph, _ = s.search_all(Q.PhraseQuery(("key", "value")))
+    assert set(at.tolist()) == set(ph.tolist())
+    assert IV.analyzed_text("key") == IV.Term("key")
+    none, _ = s.search_all(Q.IntervalQuery(IV.analyzed_text("")))
+    assert none.shape[0] == 0
