@@ -218,16 +218,19 @@ def quota_sample(pages, key_col: str, k: int, order_col: str,
     return grouped_top_k(pages, key_col, order_col, k, descending=descending)
 
 
-def nb_train(pages, label_col: str, text_col: str = "text") -> dict:
+def nb_train(pages, label_col: str, text_col: str = "text",
+             max_vocab: "int | None" = 1_000_000) -> dict:
     """Train a multinomial Naive Bayes model
     (classification/SimpleNaiveBayesClassifier.java:46 — word-frequency
     counts per class, add-one smoothing): per-(label, term) token counts
     via block-local partial counting fused into ONE small
     ``groupby().sum`` shuffle (only distinct (label, term) pairs move),
-    then the tiny model materializes. For an open vocabulary, cap with a
-    top-V selection before materializing (the model must stay
-    broadcastable); the count shuffle itself never grows past
-    |labels| x |vocab| rows."""
+    then the model materializes. ``max_vocab`` BOUNDS the driver-side
+    model on an open web-scale vocabulary: when the distinct-term count
+    exceeds it, only the globally most frequent ``max_vocab`` terms are
+    kept (one extra tiny term-total shuffle) — the same
+    bounded-by-default contract as lm.train_bigram_lm's ``max_ngrams``.
+    Pass ``None`` to disable the cap."""
 
     def partial(b: pa.Table) -> pa.Table:
         texts = b[text_col]
@@ -249,10 +252,26 @@ def nb_train(pages, label_col: str, text_col: str = "text") -> dict:
                          "term": pa.array(term, pa.string()),
                          "cnt": pa.array(counts, pa.int64())})
 
-    counts = (
-        pages.map_batches(partial, batch_format="pyarrow")
-        .groupby(["label", "term"]).sum("cnt")
-    ).to_pandas()
+    agg = (pages.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "term"]).sum("cnt"))
+    if max_vocab is not None:
+        col = "sum(cnt)"
+        totals = (agg.groupby("term").sum(col)
+                  .sort(f"sum({col})", descending=True)
+                  .limit(max_vocab).select_columns(["term"]).take_all())
+        if len(totals) >= max_vocab:  # cap actually binding
+            import ray
+
+            keep_ref = ray.put(frozenset(r["term"] for r in totals))
+
+            def prune(b: pa.Table) -> pa.Table:
+                keep = ray.get(keep_ref)
+                mask = pa.array([t in keep for t in
+                                 b["term"].to_pylist()])
+                return b.filter(mask)
+
+            agg = agg.map_batches(prune, batch_format="pyarrow")
+    counts = agg.to_pandas()
     cnt_col = "sum(cnt)" if "sum(cnt)" in counts.columns else "cnt"
 
     doc_counts = (

@@ -387,3 +387,25 @@ def test_bigram_lm_empty_table_and_bounded_model(ray_session):
     assert m2.bi_keys.shape[0] <= 50_000
     scored = score_perplexity(ray.data.from_arrow(t), m2).take_all()
     assert len(scored) == 2
+
+
+def test_nb_train_vocab_cap_binds(ray_session):
+    """max_vocab bounds the driver-side model on open vocabularies (the
+    bounded-by-default contract shared with lm.train_bigram_lm)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.webtext import nb_classify, nb_train
+
+    t = pa.table({
+        "text": ["alpha beta gamma delta"] * 6 + ["zeta eta theta"] * 6,
+        "label": ["a"] * 6 + ["b"] * 6,
+    })
+    m = nb_train(ray.data.from_arrow(t), "label", max_vocab=3)
+    assert len(m["vocab"]) == 3
+    # capped model still classifies (the kept top terms dominate)
+    import ray as _ray
+    got = nb_classify(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": ["alpha beta"],
+         "label": ["?"]})), _ray.put(m)).take_all()
+    assert got[0]["pred"] == "a"
