@@ -2069,6 +2069,27 @@ RepSumByName
 
     q["sort_by_string_dv"] = _sort_string_dv
 
+    def _sort_expression(sf):
+        """Sort by a computed expression of numeric DVs (the expressions
+        sort binding, expressions/Expression.getSortField +
+        ExpressionValueSource, through the public collector hook):
+        top-10 docs matching 'table' by chars - 2*mm descending."""
+        from lucene_ray.search.collectors import \
+            TopFieldExpressionCollectorManager
+
+        s = _searcher(sf)
+        pairs = s.search_with_collector(
+            Q.TermQuery("table"),
+            TopFieldExpressionCollectorManager(
+                "chars - 2*mm", ("chars", "mm"), k=10))
+        return pa.table({
+            "rank": pa.array(range(1, len(pairs) + 1), pa.int64()),
+            "value": pa.array([p[0] for p in pairs], pa.float64()),
+            "doc_id": pa.array([p[1] for p in pairs], pa.int64()),
+        })
+
+    q["sort_by_expression"] = _sort_expression
+
     def _flexible_parser(sf):
         """Flexible/precedence parser (queryparser/flexible/standard/
         StandardQueryParser.java:71): 'table AND key OR window' parses
@@ -6284,6 +6305,18 @@ ORDER BY t.doc_id"""
                      v.value, v.doc_id
               FROM m JOIN v ON m.doc_id = v.doc_id
               ORDER BY v.value, v.doc_id LIMIT 10"""
+    )
+    o["sort_by_expression"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       (n_chars - 2 * (1 + n_chars % 3))::DOUBLE AS value
+                      FROM documents)
+              SELECT row_number() OVER (ORDER BY v.value DESC, v.doc_id)
+                       AS rank,
+                     v.value, v.doc_id
+              FROM m JOIN v ON m.doc_id = v.doc_id
+              ORDER BY v.value DESC, v.doc_id LIMIT 10"""
     )
     o["doc_values_binary_update"] = (
         _PRELUDE

@@ -133,3 +133,42 @@ class TopFieldStringDVCollectorManager(CollectorManager):
         pairs = [p for part in partials for p in part]
         pairs.sort(key=self._key, reverse=not self.ascending)
         return pairs[: self.k]
+
+
+class TopFieldExpressionCollectorManager(CollectorManager):
+    """Top-k by a computed expression of numeric doc-values features —
+    the expressions sort binding (expressions/Expression.getSortField,
+    lucene/expressions/src/java/org/apache/lucene/expressions/
+    Expression.java:118 + ExpressionValueSource): per-segment partial
+    top-k of the compiled expression's value at the matching docs,
+    merged with (value, doc asc) tie-break. ``ascending=False`` is the
+    reference's reverse sort (largest value first)."""
+
+    def __init__(self, expression: str, features: tuple, k: int = 10,
+                 ascending: bool = False):
+        self.expression = expression
+        self.features = tuple(features)
+        self.k = k
+        self.ascending = ascending
+
+    def _sortkey(self, p):
+        return (p[0] if self.ascending else -p[0], p[1])
+
+    def collect_leaf(self, reader, docs, _scores):
+        from lucene_ray.search.scoring import _compiled_expr
+
+        rows = np.searchsorted(reader.doc_ids, docs)
+        rows = np.clip(rows, 0, max(reader.doc_ids.shape[0] - 1, 0))
+        sel = reader.doc_ids[rows] == docs if reader.doc_ids.shape[0] \
+            else np.zeros(docs.shape[0], dtype=bool)
+        arrays = {f: reader.feature(f)[rows[sel]] for f in self.features}
+        vals = _compiled_expr(self.expression, self.features).evaluate(
+            **arrays)
+        pairs = sorted(zip((float(v) for v in vals),
+                           (int(x) for x in docs[sel])), key=self._sortkey)
+        return pairs[: self.k]
+
+    def reduce(self, partials):
+        pairs = [p for part in partials for p in part]
+        pairs.sort(key=self._sortkey)
+        return pairs[: self.k]

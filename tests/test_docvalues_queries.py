@@ -202,3 +202,26 @@ def test_resolve_fields_recurses_into_iodv():
     assert rq.index_query.field is None  # rekeyed to storage form
     assert rq.index_query.terms[0] != "a"  # field-prefixed
     assert rq.dv_query == iodv.dv_query  # DV side has no term keys
+
+
+def test_expression_sort_collector(dv_index, corpus):
+    """Expression sort binding (Expression.getSortField role): top-k by
+    a computed function of features, (value, doc asc) tie-break."""
+    from lucene_ray.search.collectors import \
+        TopFieldExpressionCollectorManager
+
+    ids, _src, chars = corpus
+    s = Searcher(dv_index, mode="f64")
+    pairs = s.search_with_collector(
+        Q.MatchAllDocsQuery(),
+        TopFieldExpressionCollectorManager("sqrt(chars)", ("chars",), k=5))
+    vals = np.sqrt(chars.astype(np.float64))
+    order = np.lexsort((ids, -vals))[:5]
+    want = [(float(vals[i]), int(ids[i])) for i in order]
+    assert pairs == want
+    asc = s.search_with_collector(
+        Q.MatchAllDocsQuery(),
+        TopFieldExpressionCollectorManager("sqrt(chars)", ("chars",),
+                                           k=5, ascending=True))
+    order2 = np.lexsort((ids, vals))[:5]
+    assert asc == [(float(vals[i]), int(ids[i])) for i in order2]
