@@ -225,3 +225,28 @@ def test_expression_sort_collector(dv_index, corpus):
                                            k=5, ascending=True))
     order2 = np.lexsort((ids, vals))[:5]
     assert asc == [(float(vals[i]), int(ids[i])) for i in order2]
+
+
+def test_dv_queries_through_distributed_executor(dv_index, corpus):
+    """The new DV/function queries serialize through query_from_dict and
+    evaluate identically inside the actor-pool executors."""
+    from lucene_ray.search.executor import DistributedSearcher
+
+    ids, _src, chars = corpus
+    ds = DistributedSearcher(dv_index, num_executors=2)
+    s = Searcher(dv_index, mode="f64")
+    for q in (
+        Q.BooleanQuery(filter=(Q.TermQuery("table"),
+                               Q.DocValuesRangeQuery("chars", 100.0, 900.0))),
+        Q.DocValuesMultiRangeQuery("chars", ((0.0, 300.0), (800.0, 1000.0))),
+        Q.BooleanQuery(filter=(
+            Q.MatchAllDocsQuery(),
+            Q.IndexOrDocValuesQuery(
+                Q.TermInSetQuery(("src1", "src5"), field="srcf"),
+                Q.DocValuesSetQuery("src", ("src1", "src5"))))),
+        Q.FunctionRangeQuery("sqrt(chars)", ("chars",), 15.0, 25.0),
+    ):
+        td = ds.search(q, k=1000)
+        want, _ = s.search_all(q)
+        assert set(td.doc_ids.tolist()) == set(want.tolist()), type(q)
+    ds.shutdown()
