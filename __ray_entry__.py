@@ -2090,6 +2090,22 @@ RepSumByName
 
     q["sort_by_expression"] = _sort_expression
 
+    def _scoring_rewrite(sf):
+        """MultiTermQuery.SCORING_BOOLEAN_QUERY_REWRITE
+        (search/MultiTermQuery.java:86, ScoringRewrite.java:39): the
+        prefix 's*' rewrites against the top-level dictionary into a
+        SHOULD BooleanQuery of TermQueries — every doc scores the SUM of
+        its matched expanded terms' BM25 (vs the default constant-score
+        union)."""
+        s = _searcher(sf)
+        docs, scores = s.search_all(
+            Q.ScoringRewriteQuery(Q.PrefixQuery("s")))
+        order = np.argsort(docs)
+        return pa.table({"doc_id": docs[order],
+                         "score": _round4(scores[order])})
+
+    q["scoring_rewrite_prefix"] = _scoring_rewrite
+
     def _flexible_parser(sf):
         """Flexible/precedence parser (queryparser/flexible/standard/
         StandardQueryParser.java:71): 'table AND key OR window' parses
@@ -7766,6 +7782,19 @@ ORDER BY s4.doc_id"""
         f"('{w}', '{_ps(w)}')" for w in sorted(vocab) if w and _ps(w) != w
     ]
     smap_values = ", ".join(smap_rows) if smap_rows else "('', '')"
+    # SCORING_BOOLEAN_QUERY_REWRITE twin: one BM25 CTE per vocab term
+    # with the 's' prefix (the same union-vocabulary expansion the
+    # engine's top-level rewrite produces), scores summed per doc
+    _sr_terms = sorted(w for w in vocab if w and w.startswith("s"))
+    o["scoring_rewrite_prefix"] = (
+        _PRELUDE
+        + "".join(_term_cte(f"sr{i}", t) for i, t in enumerate(_sr_terms))
+        + ", uni AS (SELECT doc_id, sum(score) AS score FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM sc_sr{i}" for i in range(len(_sr_terms)))
+        + """) GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM uni ORDER BY doc_id"""
+    )
     # char filter: the SQL twin rewrites the raw text the same way
     o["char_filter_query"] = (
         f"""

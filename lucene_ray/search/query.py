@@ -629,6 +629,24 @@ class DocValuesSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class ScoringRewriteQuery(Query):
+    """MultiTermQuery.SCORING_BOOLEAN_REWRITE
+    (search/MultiTermQuery.java:86 ``SCORING_BOOLEAN_QUERY_REWRITE`` /
+    ScoringRewrite.java:39): instead of the default constant-score doc
+    union, the wrapped multi-term query rewrites — against the
+    TOP-LEVEL reader's dictionary, like Query.rewrite(IndexSearcher) —
+    into a BooleanQuery of SHOULD TermQueries, each BM25-scored with
+    its own global stats. The rewrite happens in ``Searcher._prep``
+    (the per-search rewrite step); the query reaching evaluation has
+    already dissolved."""
+
+    query: Query  # a Prefix/Wildcard/Regexp/Fuzzy/TermRange/TermInSet query
+
+    def to_dict(self):
+        return {"type": "scoring_rewrite", "query": self.query.to_dict()}
+
+
+@dataclass(frozen=True)
 class FunctionRangeQuery(Query):
     """queries/function/FunctionRangeQuery.java:44 (+
     ValueSourceScorer.java:39): match docs where a computed function of
@@ -834,6 +852,8 @@ def query_from_dict(d: dict) -> Query:
             d["feature"], tuple(tuple(r) for r in d["ranges"]),
             d.get("boost", 1.0),
         )
+    if t == "scoring_rewrite":
+        return ScoringRewriteQuery(query_from_dict(d["query"]))
     if t == "function_range":
         return FunctionRangeQuery(
             d["expression"], tuple(d["features"]), d.get("lower"),
@@ -965,4 +985,6 @@ def resolve_fields(q: Query) -> Query:
             q, index_query=resolve_fields(q.index_query),
             dv_query=resolve_fields(q.dv_query),
         )
+    if isinstance(q, ScoringRewriteQuery):
+        return dataclasses.replace(q, query=resolve_fields(q.query))
     return q

@@ -475,6 +475,15 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)[m]
         return d, vals[m] * float(q.boost), True
 
+    if isinstance(q, Q.ScoringRewriteQuery):
+        # must dissolve in Searcher._prep (the rewrite needs the
+        # TOP-LEVEL dictionary + global stats); reaching evaluation
+        # means a caller skipped the rewrite step
+        raise ValueError(
+            "ScoringRewriteQuery must be rewritten by Searcher._prep "
+            "before evaluation (Query.rewrite happens against the "
+            "top-level reader, search/ScoringRewrite.java:39)")
+
     if isinstance(q, Q.IndexOrDocValuesQuery):
         # standalone the full doc set is needed, so the index plan wins
         # (IndexOrDocValuesQuery.java:68 — ScorerSupplier.get(leadCost) with

@@ -128,10 +128,42 @@ class Searcher:
 
     def _prep(self, query: "Q.Query | str") -> Q.Query:
         """Parse (if a string) and rewrite field-scoped terms to storage
-        keys (query.resolve_fields) — the per-search rewrite step."""
+        keys (query.resolve_fields) — the per-search rewrite step. Also
+        dissolves ScoringRewriteQuery wrappers against the top-level
+        dictionary (MultiTermQuery.SCORING_BOOLEAN_QUERY_REWRITE,
+        search/MultiTermQuery.java:86 / ScoringRewrite.java:39)."""
         if isinstance(query, str):
             query = self.parse(query)
-        return Q.resolve_fields(query)
+        return self._scoring_rewrite(Q.resolve_fields(query))
+
+    def _scoring_rewrite(self, q: Q.Query) -> Q.Query:
+        import dataclasses
+
+        if isinstance(q, Q.ScoringRewriteQuery):
+            from lucene_ray.search.scoring import expand_multiterm
+
+            terms: set = set()
+            for reader in self.readers:
+                idxs = expand_multiterm(reader, q.query)
+                terms.update(reader.terms[int(i)] for i in idxs)
+            boost = getattr(q.query, "boost", 1.0)
+            if not terms:
+                return Q.MatchNoDocsQuery()
+            return Q.BooleanQuery(should=tuple(
+                Q.TermQuery(t, boost=boost) for t in sorted(terms)))
+        if isinstance(q, Q.BooleanQuery):
+            return dataclasses.replace(
+                q,
+                must=tuple(self._scoring_rewrite(s) for s in q.must),
+                should=tuple(self._scoring_rewrite(s) for s in q.should),
+                must_not=tuple(self._scoring_rewrite(s)
+                               for s in q.must_not),
+                filter=tuple(self._scoring_rewrite(s) for s in q.filter),
+            )
+        if isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):
+            return dataclasses.replace(
+                q, query=self._scoring_rewrite(q.query))
+        return q
 
     def search(self, query: "Q.Query | str", k: int = 10, prune: bool = True,
                timeout_s: "float | None" = None) -> TopDocs:

@@ -250,3 +250,25 @@ def test_dv_queries_through_distributed_executor(dv_index, corpus):
         want, _ = s.search_all(q)
         assert set(td.doc_ids.tolist()) == set(want.tolist()), type(q)
     ds.shutdown()
+
+
+def test_scoring_rewrite_vs_constant(dv_index, corpus):
+    """SCORING_BOOLEAN_QUERY_REWRITE: same doc set as the constant-score
+    default but scores = sum of expanded TermQuery BM25; unmatched
+    prefix rewrites to MatchNoDocs."""
+    s = Searcher(dv_index, mode="f64")
+    const_docs, const_scores = s.search_all(Q.PrefixQuery("tab"))
+    sc_docs, sc_scores = s.search_all(
+        Q.ScoringRewriteQuery(Q.PrefixQuery("tab")))
+    assert np.array_equal(np.sort(const_docs), np.sort(sc_docs))
+    assert np.all(const_scores == 1.0)
+    assert not np.all(sc_scores == 1.0)  # genuinely BM25-scored
+    # equals the explicit expansion
+    exp_docs, exp_scores = s.search_all(Q.BooleanQuery(
+        should=(Q.TermQuery("table"),)))
+    o1 = np.argsort(sc_docs)
+    o2 = np.argsort(exp_docs)
+    if exp_docs.shape[0] == sc_docs.shape[0]:  # only 'table' starts 'tab'
+        assert np.allclose(sc_scores[o1], exp_scores[o2])
+    none, _ = s.search_all(Q.ScoringRewriteQuery(Q.PrefixQuery("zzzz")))
+    assert none.shape[0] == 0
