@@ -3489,6 +3489,20 @@ RepSumByName
 
     q["payload_span_max"] = _payload_span_max
 
+    def _payload_check(sf):
+        """SpanPayloadCheckQuery (queries/payloads/
+        SpanPayloadCheckQuery.java:54): 'key value' spans accepted only
+        where the payloads are exactly (2, 3) — with the fixture's
+        payload = (position % 5) + 1 that is spans anchored at
+        p % 5 == 1; per-doc accepted-span counts."""
+        s = _payload_searcher(sf)
+        d, f = s.payload_check_freqs(("key", "value"), (2.0, 3.0))
+        o = np.argsort(d)
+        return pa.table({"doc_id": d[o],
+                         "span_freq": pa.array(f[o], type=pa.int64())})
+
+    q["payload_check_query"] = _payload_check
+
     def _rescore(sf):
         """QueryRescorer (search/QueryRescorer.java:46): term-query first
         pass re-ranked by a weighted exact-phrase second pass; k_first
@@ -6749,6 +6763,14 @@ ORDER BY child_id"""
     )
     # automaton 'key value' | 'key ? value': ends at b.p+1; DISTINCT folds
     # the two path lengths converging on one end (e.g. 'key key value')
+    o["payload_check_query"] = (
+        "WITH x AS (SELECT 1)" + _POS_CTE
+        + """ SELECT a.doc_id, count(*)::BIGINT AS span_freq
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              WHERE a.term = 'key' AND b.term = 'value'
+                AND (a.p % 5) + 1 = 2 AND (b.p % 5) + 1 = 3
+              GROUP BY a.doc_id ORDER BY a.doc_id"""
+    )
     o["term_automaton_query"] = (
         "WITH x AS (SELECT 1)" + _POS_CTE
         + """ SELECT a.doc_id, count(DISTINCT b.p)::BIGINT AS ta_freq

@@ -629,6 +629,27 @@ class DocValuesSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQuery(Query):
+    """queries/payloads/SpanPayloadCheckQuery.java:54: an exact-phrase
+    span of ``terms`` is accepted only when the payload at EACH of its
+    positions equals the expected ``payloads`` sequence (the reference
+    compares byte payloads via its PayloadMatcher; this build path's
+    payloads are the DelimitedPayloadTokenFilter floats). Constant
+    score = boost over docs with >= 1 accepted span;
+    ``Searcher.payload_check_freqs`` exposes the per-doc span counts."""
+
+    terms: tuple
+    payloads: tuple  # expected float payload per slot, len == len(terms)
+    boost: float = 1.0
+    field: str | None = None
+
+    def to_dict(self):
+        return {"type": "payload_check", "terms": list(self.terms),
+                "payloads": list(self.payloads), "boost": self.boost,
+                "field": self.field}
+
+
+@dataclass(frozen=True)
 class ScoringRewriteQuery(Query):
     """MultiTermQuery.SCORING_BOOLEAN_REWRITE
     (search/MultiTermQuery.java:86 ``SCORING_BOOLEAN_QUERY_REWRITE`` /
@@ -852,6 +873,11 @@ def query_from_dict(d: dict) -> Query:
             d["feature"], tuple(tuple(r) for r in d["ranges"]),
             d.get("boost", 1.0),
         )
+    if t == "payload_check":
+        return SpanPayloadCheckQuery(
+            tuple(d["terms"]), tuple(d["payloads"]), d.get("boost", 1.0),
+            d.get("field"),
+        )
     if t == "scoring_rewrite":
         return ScoringRewriteQuery(query_from_dict(d["query"]))
     if t == "function_range":
@@ -922,7 +948,7 @@ def resolve_fields(q: Query) -> Query:
     if isinstance(q, (TermQuery, PayloadScoreQuery)) and q.field:
         return dataclasses.replace(q, term=field_key(q.field, q.term), field=None)
     if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery, SpanNearQuery,
-                      BlendedTermQuery)) and q.field:
+                      BlendedTermQuery, SpanPayloadCheckQuery)) and q.field:
         return dataclasses.replace(
             q, terms=tuple(field_key(q.field, t) for t in q.terms), field=None
         )

@@ -475,6 +475,12 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)[m]
         return d, vals[m] * float(q.boost), True
 
+    if isinstance(q, Q.SpanPayloadCheckQuery):
+        docs, _counts = payload_check_freqs(reader, list(q.terms),
+                                            list(q.payloads))
+        return (docs, np.full(docs.shape[0], float(q.boost), np.float64),
+                True)
+
     if isinstance(q, Q.ScoringRewriteQuery):
         # must dissolve in Searcher._prep (the rewrite needs the
         # TOP-LEVEL dictionary + global stats); reaching evaluation
@@ -972,6 +978,47 @@ def _eval_payload_score(reader, q: "Q.PayloadScoreQuery", ctx):
     else:
         s = q.boost * agg
     return docs, s.astype(np.float64), True
+
+
+def payload_check_freqs(reader, terms: list, payloads: list):
+    """(local docs, span counts) for a payload-checked exact phrase —
+    queries/payloads/SpanPayloadCheckQuery.java:54: a span of the
+    consecutive ``terms`` is accepted only when the payload at each of
+    its positions equals ``payloads``. One pruned positions read, one
+    fused-key searchsorted per non-anchor slot — the house span-near
+    shape with a payload equality fused in."""
+    tbl = reader.positions_table(list(set(terms)))
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if "payload" not in tbl.column_names:
+        raise ValueError(
+            "index has no payload column — build it with "
+            "Analyzer(payload_delimiter=...) and with_positions=True")
+    t_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    d_all = tbl["doc_id"].to_numpy().astype(np.int64) - reader.doc_base
+    p_all = tbl["pos"].to_numpy().astype(np.int64)
+    pay_all = tbl["payload"].to_numpy().astype(np.float64)
+    per = {}
+    for t in set(terms):
+        sel = t_arr == t
+        d, p, pay = d_all[sel], p_all[sel], pay_all[sel]
+        o = np.lexsort((p, d))
+        d, p, pay = d[o], p[o], pay[o]
+        per[t] = (d, d * _DOC_SHIFT + p, pay)
+    d0, k0, pay0 = per[terms[0]]
+    ok = pay0 == float(payloads[0])
+    for i, t in enumerate(terms[1:], start=1):
+        _d, keys, pay = per[t]
+        tgt = k0 + np.int64(i)
+        pos = np.searchsorted(keys, tgt)
+        pos_c = np.minimum(pos, max(keys.shape[0] - 1, 0))
+        hit = (keys.shape[0] > 0) & (keys[pos_c] == tgt) \
+            & (pay[pos_c] == float(payloads[i]))
+        ok &= hit
+    if not ok.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs, counts = np.unique(d0[ok], return_counts=True)
+    return docs, counts
 
 
 def _eval_multiterm(reader, q, ctx):

@@ -988,6 +988,22 @@ class Searcher:
         top = np.lexsort((d2, -s2))[:k]
         return d2[top], s2[top], k2[top]
 
+    def payload_check_freqs(self, terms: tuple, payloads: tuple):
+        """(global doc_ids, accepted-span counts) for a payload-checked
+        exact phrase (SpanPayloadCheckQuery.java:54 — a span counts only
+        when every position's payload equals the expected sequence)."""
+        from lucene_ray.search.scoring import payload_check_freqs
+
+        docs_parts, freq_parts = [], []
+        for reader in self.readers:
+            d, f = payload_check_freqs(reader, list(terms), list(payloads))
+            if d.shape[0]:
+                docs_parts.append(d + reader.doc_base)
+                freq_parts.append(f)
+        if not docs_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(docs_parts), np.concatenate(freq_parts)
+
     def phrase_freqs(self, terms: tuple, slop: int = 0):
         """(global doc_ids, phrase occurrence counts) for a phrase."""
         from lucene_ray.search.scoring import _eval_phrase_freqs

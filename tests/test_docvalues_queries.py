@@ -272,3 +272,36 @@ def test_scoring_rewrite_vs_constant(dv_index, corpus):
         assert np.allclose(sc_scores[o1], exp_scores[o2])
     none, _ = s.search_all(Q.ScoringRewriteQuery(Q.PrefixQuery("zzzz")))
     assert none.shape[0] == 0
+
+
+def test_span_payload_check(ray_session, tmp_path):
+    """SpanPayloadCheckQuery.java:54: spans accepted only when every
+    position's payload equals the expected sequence."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import build_index
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["key|1 value|2 key|2 value|3",   # span at p2 matches (2,3)
+                 "key|2 value|3",                  # matches at p0
+                 "key|2 value|9"],                 # payload mismatch
+    })
+    idx = str(tmp_path / "pay")
+    build_index(ray.data.from_arrow(t), idx, num_segments=1,
+                with_positions=True,
+                analyzer=Analyzer(payload_delimiter="|"))
+    s = Searcher(idx, mode="f64")
+    d, f = s.payload_check_freqs(("key", "value"), (2.0, 3.0))
+    assert dict(zip(d.tolist(), f.tolist())) == {0: 1, 1: 1}
+    docs, scores = s.search_all(
+        Q.SpanPayloadCheckQuery(("key", "value"), (2.0, 3.0), boost=2.0))
+    assert set(docs.tolist()) == {0, 1} and np.all(scores == 2.0)
+    # single-term check
+    d1, f1 = s.payload_check_freqs(("key",), (2.0,))
+    assert dict(zip(d1.tolist(), f1.tolist())) == {0: 1, 1: 1, 2: 1}
+    # dict round trip
+    q = Q.SpanPayloadCheckQuery(("a", "b"), (1.0, 2.0), field="f")
+    assert Q.query_from_dict(q.to_dict()) == q
