@@ -3503,6 +3503,25 @@ RepSumByName
 
     q["payload_check_query"] = _payload_check
 
+    def _string_dv_stats(sf):
+        """SortedDocValuesStats (misc/search/DocValuesStats.java:479):
+        count / lexicographic min / max / distinct of the 'src' string
+        DV over docs matching 'table' — with the committed update
+        generations (doc_id%7 -> 'updated-a', then %14 -> 'updated-b')
+        overlaid."""
+        from lucene_ray.search.searcher import Searcher
+
+        s = Searcher(_sdvu_index_dir(sf), mode="f64")
+        st = s.string_doc_values_stats(Q.TermQuery("table"), "src")
+        return pa.table({
+            "count": pa.array([st["count"]], type=pa.int64()),
+            "vmin": pa.array([st["vmin"]], type=pa.string()),
+            "vmax": pa.array([st["vmax"]], type=pa.string()),
+            "distinct": pa.array([st["distinct"]], type=pa.int64()),
+        })
+
+    q["string_dv_stats"] = _string_dv_stats
+
     def _rescore(sf):
         """QueryRescorer (search/QueryRescorer.java:46): term-query first
         pass re-ranked by a weighted exact-phrase second pass; k_first
@@ -6359,6 +6378,19 @@ ORDER BY t.doc_id"""
               SELECT v.value, count(*)::BIGINT AS count
               FROM m JOIN v ON m.doc_id = v.doc_id
               GROUP BY v.value ORDER BY v.value"""
+    )
+    o["string_dv_stats"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , v AS (SELECT doc_id,
+                       CASE WHEN doc_id % 14 = 0 THEN 'updated-b'
+                            WHEN doc_id % 7 = 0 THEN 'updated-a'
+                            ELSE source END AS value
+                      FROM documents)
+              SELECT count(*)::BIGINT AS count,
+                     min(v.value) AS vmin, max(v.value) AS vmax,
+                     count(DISTINCT v.value)::BIGINT AS distinct
+              FROM m JOIN v ON m.doc_id = v.doc_id"""
     )
     o["dv_range_query"] = (
         _PRELUDE

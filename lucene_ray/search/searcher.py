@@ -606,6 +606,46 @@ class Searcher:
         return {"count": tot, "vmin": mn, "vmax": mx, "vsum": s,
                 "mean": mean, "variance": var, "stdev": float(np.sqrt(var))}
 
+    def string_doc_values_stats(self, query, name: str) -> dict:
+        """SortedDocValuesStats (misc/search/DocValuesStats.java:479):
+        count / lexicographic min / max / distinct values of a STRING
+        doc-values field over the docs matching ``query`` — with the
+        committed string-DV update generations overlaid. Same
+        constant-score collection shape as the numeric stats."""
+        from lucene_ray.search import query as _Q
+
+        if isinstance(query, str):
+            query = self._prep(query)
+        docs, _scores = self.search_all(_Q.ConstantScoreQuery(query))
+        tot = 0
+        vmin = vmax = None
+        distinct: set = set()
+        for r in self.readers:
+            if not r.meta.get("owns_docs", True):
+                continue
+            ids = r.doc_ids
+            if ids.shape[0] == 0:
+                continue
+            idx = np.searchsorted(ids, docs)
+            idx_c = np.clip(idx, 0, ids.shape[0] - 1)
+            sel = ids[idx_c] == docs
+            if not sel.any():
+                continue
+            import pyarrow as _pa
+
+            vals = r.string_values(name).take(
+                _pa.array(idx_c[sel])).to_pylist()
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                continue
+            tot += len(vals)
+            lo, hi = min(vals), max(vals)
+            vmin = lo if vmin is None else min(vmin, lo)
+            vmax = hi if vmax is None else max(vmax, hi)
+            distinct.update(vals)
+        return {"count": tot, "vmin": vmin, "vmax": vmax,
+                "distinct": len(distinct)}
+
     def string_doc_values_counts(self, query, name: str):
         """Value counts of a STRING doc-values field over the docs
         matching ``query`` — the SortedSetDocValues facet-count shape
