@@ -2530,6 +2530,25 @@ RepSumByName
 
     q["context_suggest"] = _context_suggest_q
 
+    def _document_dictionary_q(sf):
+        """DocumentDictionary (suggest/DocumentDictionary.java:47):
+        suggester input from stored FIELDS — surface = the doc's source
+        value, weight = sum of n_chars over docs sharing it; completions
+        of 'src1' through the AnalyzingSuggester (exact-first, then
+        weight desc, surface asc)."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import (
+            AnalyzingSuggester, document_dictionary_surfaces)
+
+        pages = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["source", "n_chars"])
+        surf = document_dictionary_surfaces(pages, "source", "n_chars")
+        return AnalyzingSuggester(surf).lookup("src1", k=10)
+
+    q["document_dictionary_suggest"] = _document_dictionary_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -8446,6 +8465,12 @@ SELECT surface, weight FROM w
 WHERE surface LIKE 'key%'
 ORDER BY (surface = 'key') DESC, weight DESC, surface ASC
 LIMIT 10"""
+
+    o["document_dictionary_suggest"] = """
+WITH w AS (SELECT source AS surface, sum(n_chars)::BIGINT AS weight
+           FROM documents GROUP BY source)
+SELECT surface, weight FROM w WHERE surface LIKE 'src1%'
+ORDER BY (surface = 'src1') DESC, weight DESC, surface ASC LIMIT 10"""
 
     # ContextSuggester: analyzed == surface on this corpus (see above);
     # contexts filter + per-context boost, ties (surface asc, context asc)

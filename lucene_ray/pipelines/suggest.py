@@ -480,3 +480,39 @@ def corpus_context_surfaces(pages, context_col: str,
            .sort("weight", descending=True).limit(max_entries))
     return pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
                                              batch_size=None))
+
+
+def document_dictionary_surfaces(pages, surface_col: str,
+                                 weight_col: "str | None" = None,
+                                 max_entries: int = 1_000_000):
+    """DocumentDictionary (suggest/DocumentDictionary.java:47): suggester
+    build input taken from stored FIELDS — surface = ``surface_col``,
+    weight = the SUM of ``weight_col`` over docs sharing the surface
+    (the reference reads a numeric weight field per doc; docs sharing a
+    surface accumulate), or the doc count when no weight field is given.
+    One small groupby shuffle of (surface, weight) rows; feeds
+    AnalyzingSuggester/ContextSuggester like corpus_prefix_surfaces."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        surf = b[surface_col]
+        if isinstance(surf, pa.ChunkedArray):
+            surf = surf.combine_chunks()
+        ok = pc.and_(pc.is_valid(surf), pc.not_equal(surf, ""))
+        if weight_col is None:
+            w = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        else:
+            w = pc.cast(b[weight_col], pa.int64())
+            if isinstance(w, pa.ChunkedArray):
+                w = w.combine_chunks()
+        t = pa.table({"surface": pc.filter(surf, ok),
+                      "weight": pc.filter(w, ok)})
+        return (t.group_by("surface").aggregate([("weight", "sum")])
+                 .rename_columns(["surface", "weight"]))
+
+    agg = (pages.map_batches(part, batch_format="pyarrow")
+           .groupby("surface").aggregate(Sum("weight", alias_name="weight"))
+           .sort("weight", descending=True).limit(max_entries))
+    return pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
