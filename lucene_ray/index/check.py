@@ -565,3 +565,69 @@ def check_vector_index(index_dir: str) -> dict:
     if problems:
         raise CheckIndexError(problems)
     return report
+
+
+def index_info(index_dir: str) -> dict:
+    """Luke-style index overview (the luke module's Overview/Documents
+    tab roles, lucene/luke/src/java/org/apache/lucene/luke/models/
+    overview/OverviewImpl.java): one summary dict from the manifest plus
+    tombstone/commit/DV-overlay facts — segment count, live/deleted
+    docs, term and postings totals, per-field options, analyzer knobs
+    that differ from defaults, commit generations, update-overlay
+    generations. Reads ONLY metadata files (no postings decode) so it is
+    instant on any index size."""
+    import dataclasses
+    import glob as _glob
+    import json
+    import os
+
+    from lucene_ray.analysis.analyzers import Analyzer
+    from lucene_ray.index.build import load_manifest
+    from lucene_ray.index.deletes import load_tombstones
+
+    m = load_manifest(index_dir)
+    segs = m["segments"]
+    tombs = load_tombstones(index_dir)
+    defaults = {f.name: getattr(Analyzer(), f.name)
+                for f in dataclasses.fields(Analyzer)}
+    an = m.get("analyzer", {})
+
+    def _norm(x):
+        # JSON round-trips tuples/frozensets to lists and () to [] —
+        # compare shape-insensitively
+        if isinstance(x, (list, tuple, set, frozenset)):
+            x = tuple(sorted(
+                (tuple(e) if isinstance(e, (list, tuple)) else e
+                 for e in x), key=repr))
+        return None if x == () else x
+
+    non_default = {k: v for k, v in an.items()
+                   if k in defaults and _norm(v) != _norm(defaults[k])}
+    commits = sorted(
+        int(os.path.basename(p).split("_")[1].split(".")[0])
+        for p in _glob.glob(os.path.join(index_dir, "commits",
+                                         "segments_*.json")))
+    dv_gens = len(_glob.glob(os.path.join(index_dir, "dv_updates",
+                                          "*_gen*.parquet")))
+    vec = os.path.join(index_dir, "vector_manifest.json")
+    info = {
+        "codec": m.get("codec"),
+        "generation": m.get("generation"),
+        "n_segments": len(segs),
+        "doc_count": m.get("doc_count"),
+        "deleted_docs": int(tombs.shape[0]),
+        "live_docs": int(m.get("doc_count", 0)) - int(tombs.shape[0]),
+        "sum_total_term_freq": m.get("sum_total_term_freq"),
+        "n_terms": int(sum(s.get("n_terms", 0) for s in segs)),
+        "postings_bytes": int(sum(s.get("postings_bytes", 0)
+                                  for s in segs)),
+        "with_positions": m.get("with_positions", False),
+        "fields": sorted(m.get("fields", {})),
+        "features": sorted(m.get("features", {})),
+        "field_options": m.get("field_options", {}),
+        "analyzer_non_default": non_default,
+        "commit_points": commits,
+        "dv_update_files": dv_gens,
+        "has_vector_index": os.path.exists(vec),
+    }
+    return info

@@ -279,3 +279,19 @@ def test_exorcise_drops_whole_shard_group(built_index, tmp_path):
     m2 = json.load(open(os.path.join(fm, "manifest.json")))
     assert len(m2["segments"]) == len(m["segments"]) - len(members)
     check_index(fm)  # clean again
+
+
+def test_index_info_overview(built_index):
+    """Luke Overview role: metadata-only summary, consistent with the
+    manifest, no postings decode."""
+    from lucene_ray.index.check import index_info
+
+    idx, m = built_index
+    info = index_info(idx)
+    assert info["n_segments"] == len(m["segments"])
+    assert info["doc_count"] == m["doc_count"] == info["live_docs"]
+    assert info["deleted_docs"] == 0
+    assert info["with_positions"] is True
+    assert info["postings_bytes"] > 0 and info["n_terms"] > 0
+    assert info["analyzer_non_default"] == {}  # default StandardAnalyzer
+    assert info["commit_points"] == [1]
