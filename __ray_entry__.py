@@ -4641,6 +4641,30 @@ RepSumByName
 
     q["taxonomy_sum_assoc"] = _taxonomy_assoc
 
+    def _taxonomy_max_assoc(sf):
+        """MAX association facets (AssociationAggregationFunction.MAX,
+        facet/taxonomy/AssociationAggregationFunction.java:31): per-node
+        MAX of n_chars over the source/lang taxonomy."""
+        import ray.data
+
+        from lucene_ray.pipelines.facets import taxonomy_max_associations
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["source", "lang", "n_chars"],
+        )
+        t = taxonomy_max_associations(ds, ["source", "lang"], "n_chars")
+        import pyarrow as _pa
+
+        rows = t.take_all()
+        return _pa.table({
+            "path": [r["path"] for r in rows],
+            "max_value": _pa.array([r["max_value"] for r in rows],
+                                   _pa.float64()),
+        })
+
+    q["taxonomy_max_assoc"] = _taxonomy_max_assoc
+
     def _long_value_facet(sf):
         """LongValueFacetCounts (facet/LongValueFacetCounts.java:48):
         top-10 n_chars values by doc count (count desc, value asc)."""
@@ -7515,6 +7539,13 @@ ORDER BY i.a, i.b"""
     )
     o["taxonomy_sum_assoc"] = (
         """SELECT path, sum(n_chars)::DOUBLE AS sum_value FROM (
+             SELECT source AS path, n_chars FROM documents
+             UNION ALL
+             SELECT source || '/' || lang AS path, n_chars FROM documents)
+           GROUP BY path ORDER BY path"""
+    )
+    o["taxonomy_max_assoc"] = (
+        """SELECT path, max(n_chars)::DOUBLE AS max_value FROM (
              SELECT source AS path, n_chars FROM documents
              UNION ALL
              SELECT source || '/' || lang AS path, n_chars FROM documents)

@@ -290,6 +290,55 @@ def taxonomy_sum_associations(ds, level_cols: list[str], value_col: str,
     )
 
 
+def taxonomy_max_associations(ds, level_cols: list[str], value_col: str,
+                              sep: str = "/"):
+    """MAX-aggregated association facets — the
+    AssociationAggregationFunction.MAX variant
+    (facet/taxonomy/AssociationAggregationFunction.java:31,
+    TaxonomyFacetFloatAssociations.java): every taxonomy node keeps the
+    MAX of the per-doc association over docs under it. Same
+    ancestor-explode + one small groupby as the SUM variant (max is a
+    combiner-friendly aggregate — partials merge exactly)."""
+    from ray.data.aggregate import Max
+
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        cols = []
+        for c in level_cols:
+            arr = b[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols.append(pc.cast(arr, pa.string()))
+        val = pc.cast(b[value_col], pa.float64())
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        paths, vals = [], []
+        prefix = None
+        for arr in cols:
+            prefix = (
+                arr if prefix is None
+                else pc.binary_join_element_wise(prefix, arr, sep)
+            )
+            paths.append(prefix)
+            vals.append(val)
+        return pa.table({
+            "path": pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in paths]),
+            "value": pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                 for v in vals]),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Max("value", alias_name="max_value"))
+        .sort("path")
+    )
+
+
 def drill_sideways_counts(ds, selections: dict, dims: "list[str] | None" = None):
     """DrillSideways (facet/DrillSideways.java:71): for every dim, facet
     counts under the drill-down query with THAT dim's own selection
