@@ -4665,6 +4665,27 @@ RepSumByName
 
     q["taxonomy_max_assoc"] = _taxonomy_max_assoc
 
+    def _spell_jw(sf):
+        """SpellChecker + JaroWinklerDistance (suggest/spell/
+        JaroWinklerDistance.java:32, setStringDistance/setAccuracy):
+        did-you-mean for 'costumer' — dictionary terms with JW
+        similarity >= 0.7 ranked (similarity desc, df desc, term asc).
+        DuckDB's built-in jaro_winkler_similarity is the exact twin."""
+        s = _searcher(sf)
+        t = s.spell_correct_jaro_winkler("costumer",
+                                         min_similarity=0.7, k=5)
+        return pa.table({
+            "rank": t["rank"],
+            "term": t["term"],
+            "similarity": pa.array(
+                [_round6(float(x)) for x in
+                 t["similarity"].to_numpy(zero_copy_only=False)],
+                type=pa.float64()),
+            "df": t["df"],
+        })
+
+    q["spell_jaro_winkler"] = _spell_jw
+
     def _long_value_facet(sf):
         """LongValueFacetCounts (facet/LongValueFacetCounts.java:48):
         top-10 n_chars values by doc count (count desc, value asc)."""
@@ -7543,6 +7564,17 @@ ORDER BY i.a, i.b"""
              UNION ALL
              SELECT source || '/' || lang AS path, n_chars FROM documents)
            GROUP BY path ORDER BY path"""
+    )
+    o["spell_jaro_winkler"] = (
+        _PRELUDE
+        + """ , v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM tok GROUP BY term)
+              , c AS (SELECT term, df,
+                       jaro_winkler_similarity(term, 'costumer') AS sim
+                      FROM v WHERE jaro_winkler_similarity(term, 'costumer') >= 0.7)
+              SELECT row_number() OVER (ORDER BY sim DESC, df DESC, term) AS rank,
+                     term, ROUND(sim, 6) AS similarity, df
+              FROM c ORDER BY sim DESC, df DESC, term LIMIT 5"""
     )
     o["taxonomy_max_assoc"] = (
         """SELECT path, max(n_chars)::DOUBLE AS max_value FROM (

@@ -823,6 +823,40 @@ class Searcher:
             }
         )
 
+    def spell_correct_jaro_winkler(self, term: str,
+                                   min_similarity: float = 0.7,
+                                   k: int = 5):
+        """Did-you-mean ranked by Jaro-Winkler similarity — the
+        SpellChecker + JaroWinklerDistance pairing
+        (suggest/spell/SpellChecker.java setStringDistance,
+        JaroWinklerDistance.java:32): dictionary terms with similarity
+        >= ``min_similarity`` (the setAccuracy role), ranked
+        (similarity desc, df desc, term asc). Same tiny global-stats
+        scan as the Levenshtein path."""
+        from lucene_ray.index.build import read_global_term_stats
+        from lucene_ray.index.fields import FIELD_MARK
+        from lucene_ray.util.strdist import jaro_winkler
+
+        t = read_global_term_stats(self.index_dir, manifest=self.manifest)
+        rows = []
+        for cand, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            if cand.startswith(FIELD_MARK):
+                continue
+            sim = jaro_winkler(term, cand)
+            if sim >= min_similarity:
+                rows.append((-sim, -int(df), cand))
+        rows.sort()
+        import pyarrow as _pa
+
+        top = rows[:k]
+        return _pa.table({
+            "rank": _pa.array(range(1, len(top) + 1), type=_pa.int64()),
+            "term": [r[2] for r in top],
+            "similarity": _pa.array([-r[0] for r in top],
+                                    type=_pa.float64()),
+            "df": _pa.array([-r[1] for r in top], type=_pa.int64()),
+        })
+
     def _global_df(self) -> dict:
         """{term: df} over the default field's global term stats, loaded
         once per searcher (the WordBreakSpellChecker dictionary role)."""

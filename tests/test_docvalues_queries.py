@@ -305,3 +305,25 @@ def test_span_payload_check(ray_session, tmp_path):
     # dict round trip
     q = Q.SpanPayloadCheckQuery(("a", "b"), (1.0, 2.0), field="f")
     assert Q.query_from_dict(q.to_dict()) == q
+
+
+def test_jaro_winkler_matches_duckdb():
+    """The engine's JW similarity is bit-identical to DuckDB's
+    jaro_winkler_similarity (the oracle dependency) on randomized pairs."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from lucene_ray.util.strdist import jaro_winkler
+
+    con = duckdb.connect()
+    random.seed(3)
+    words = ["", "a", "ab", "table", "tbale", "customer", "costumer",
+             "x" * 30] + [
+        "".join(random.choice("abcdef") for _ in range(random.randint(1, 10)))
+        for _ in range(60)]
+    for s1, s2 in itertools.product(words[:12], words):
+        ref = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                          [s1, s2]).fetchone()[0]
+        assert abs(jaro_winkler(s1, s2) - ref) < 1e-12, (s1, s2)
