@@ -53,3 +53,37 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4,
             break
         length += 1
     return j + length * p * (1 - j)
+
+
+def ngram_distance(source: str, target: str, n: int = 2) -> float:
+    """N-gram similarity (Kondrak, "N-gram similarity and distance",
+    SPIRE 2005) — the NGramDistance role
+    (suggest/spell/NGramDistance.java:43): an edit-distance DP over
+    n-gram windows with a null-prefix of n-1 so edge characters weigh
+    like middle ones, null-prefix matches discounted. Returns a
+    similarity in [0, 1] (1 = identical)."""
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        same = sum(1 for a, b in zip(source, target) if a == b)
+        return same / max(sl, tl)
+    padded = "\0" * (n - 1) + source
+    prev = list(range(sl + 1))
+    for j in range(1, tl + 1):
+        gram = ("\0" * (n - j) + target[:j]) if j < n \
+            else target[j - n:j]
+        cur = [float(j)] + [0.0] * sl
+        for i in range(1, sl + 1):
+            window = padded[i - 1:i - 1 + n]
+            cost = 0
+            denom = n
+            for a, b in zip(window, gram):
+                if a != b:
+                    cost += 1
+                elif a == "\0":
+                    denom -= 1  # discount null-prefix matches
+            ec = cost / denom
+            cur[i] = min(cur[i - 1] + 1, prev[i] + 1, prev[i - 1] + ec)
+        prev = cur
+    return 1.0 - prev[sl] / max(sl, tl)

