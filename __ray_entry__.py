@@ -2549,6 +2549,26 @@ RepSumByName
 
     q["document_dictionary_suggest"] = _document_dictionary_q
 
+    def _fuzzy_completion_q(sf):
+        """FuzzyCompletionQuery (suggest/document/FuzzyCompletionQuery
+        .java:63 / FuzzySuggester.java:80): completions of the TYPO'd
+        prefix 'kye' (1 edit from 'key'; nonFuzzyPrefix = 1, so the
+        first byte must match) over the corpus unigram/bigram surfaces,
+        ranked (edits asc, weight desc, surface asc)."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import (AnalyzingSuggester,
+                                                  FuzzySuggesterLookup,
+                                                  corpus_prefix_surfaces)
+
+        pages = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["text"])
+        sug = AnalyzingSuggester(corpus_prefix_surfaces(pages,
+                                                        max_tokens=2))
+        return FuzzySuggesterLookup(sug).lookup("kye", k=10, max_edits=1)
+
+    q["fuzzy_completion_suggest"] = _fuzzy_completion_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -8528,6 +8548,20 @@ SELECT surface, weight FROM w
 WHERE surface LIKE 'key%'
 ORDER BY (surface = 'key') DESC, weight DESC, surface ASC
 LIMIT 10"""
+
+    o["fuzzy_completion_suggest"] = """
+WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT ts[1] AS surface FROM t WHERE len(ts) >= 1 AND ts[1] <> ''
+      UNION ALL
+      SELECT ts[1] || ' ' || ts[2] FROM t WHERE len(ts) >= 2),
+w AS (SELECT surface, count(*) AS weight FROM s GROUP BY surface),
+f AS (SELECT surface, weight,
+             list_min([levenshtein('kye', surface[1:x])
+                       for x in range(1, length(surface) + 1)]) AS edits
+      FROM w WHERE surface LIKE 'k%')
+SELECT surface, edits::BIGINT AS edits, weight::BIGINT AS weight
+FROM f WHERE edits <= 1
+ORDER BY edits, weight DESC, surface LIMIT 10"""
 
     o["document_dictionary_suggest"] = """
 WITH w AS (SELECT source AS surface, sum(n_chars)::BIGINT AS weight

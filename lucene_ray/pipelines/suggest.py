@@ -516,3 +516,64 @@ def document_dictionary_surfaces(pages, surface_col: str,
            .sort("weight", descending=True).limit(max_entries))
     return pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
                                              batch_size=None))
+
+
+def _prefix_edit_distance(q: bytes, a: bytes, max_edits: int):
+    """min over prefixes a[:j] of levenshtein(q, a[:j]), or None when it
+    exceeds ``max_edits`` — the fuzzy-prefix acceptance of
+    FuzzyCompletionQuery (the reference intersects a Levenshtein
+    automaton with the FST; over a bounded suggester model a banded DP
+    per candidate is the same acceptance set)."""
+    m = len(q)
+    col = list(range(m + 1))  # distance(q[:i], "")
+    best = col[m] if col[m] <= max_edits else None
+    for j in range(1, len(a) + 1):
+        prev_diag = col[0]
+        col[0] = j if j <= m + max_edits else col[0]
+        col0 = j
+        new = [col0] + [0] * m
+        lo = max_edits + 1
+        for i in range(1, m + 1):
+            cost = 0 if q[i - 1] == a[j - 1] else 1
+            new[i] = min(new[i - 1] + 1, col[i] + 1, prev_diag + cost)
+            prev_diag = col[i]
+            lo = min(lo, new[i])
+        col = new
+        if col[m] <= max_edits:
+            best = col[m] if best is None else min(best, col[m])
+        if lo > max_edits and col0 > m + max_edits:
+            break  # the whole band exceeded; longer prefixes only grow
+    return best
+
+
+class FuzzySuggesterLookup:
+    """Fuzzy completion over an AnalyzingSuggester's FST — the
+    FuzzyCompletionQuery role (suggest/document/FuzzyCompletionQuery.java:63
+    and suggest/analyzing/FuzzySuggester.java:80): accept completions
+    whose analyzed form has SOME PREFIX within ``max_edits`` edits of
+    the analyzed query; ``prefix_length`` bytes must match exactly (the
+    reference's nonFuzzyPrefix, default 1), which also prunes the FST
+    walk to one subtree. Ranking: (edits asc, weight desc, surface asc)
+    — typo count first, like the repo's dictionary fuzzy suggester."""
+
+    def __init__(self, suggester: AnalyzingSuggester):
+        self.s = suggester
+
+    def lookup(self, query: str, k: int = 10, max_edits: int = 1,
+               prefix_length: int = 1,
+               max_candidates: int = 50_000) -> pa.Table:
+        qa = self.s._analyze_query(query)
+        pre = qa[:prefix_length]
+        rows = []
+        for key, w in self.s.fst.completions(pre, limit=max_candidates):
+            a, _, surf = key.partition(_END)
+            ed = _prefix_edit_distance(qa, a, max_edits)
+            if ed is not None:
+                rows.append((ed, -w, surf.decode()))
+        rows.sort()
+        top = rows[:k]
+        return pa.table({
+            "surface": pa.array([s for _e, _nw, s in top], pa.string()),
+            "edits": pa.array([e for e, _nw, _s in top], pa.int64()),
+            "weight": pa.array([-nw for _e, nw, _s in top], pa.int64()),
+        })

@@ -162,3 +162,34 @@ def test_context_suggester_filters_and_boosts(ray_session):
     # multi-token analyzed prefix completes across words (PRESERVE_SEP)
     r4 = sug.lookup("key w", contexts={"us": 1.0})
     assert [x["surface"] for x in r4.to_pylist()] == ["key west"]
+
+
+def test_fuzzy_completion_lookup(ray_session):
+    """FuzzyCompletionQuery role: typo'd prefixes complete; exact
+    prefix wins at 0 edits; nonFuzzyPrefix gates the first byte."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.suggest import (AnalyzingSuggester,
+                                              FuzzySuggesterLookup)
+
+    sug = AnalyzingSuggester(pa.table({
+        "surface": ["key west", "key largo", "kelp", "label"],
+        "weight": [5, 9, 3, 7],
+    }))
+    fz = FuzzySuggesterLookup(sug)
+    r = fz.lookup("kye", max_edits=1)
+    # all three 'k' entries match within 1 edit of some prefix
+    # ('kye'~'key', 'kye'~'ke'); rank = (edits, weight desc, surface)
+    assert [x["surface"] for x in r.to_pylist()] == [
+        "key largo", "key west", "kelp"]
+    assert all(x["edits"] == 1 for x in r.to_pylist())
+    # exact prefix at 0 edits sorts before fuzzier candidates
+    r2 = fz.lookup("ke", max_edits=1)
+    assert [x["edits"] for x in r2.to_pylist()][:3] == [0, 0, 0]
+    # nonFuzzyPrefix: 'label' never matches a 'k'-prefixed query
+    assert all(not x["surface"].startswith("label")
+               for x in r2.to_pylist())
+    # max_edits=0 == plain prefix completion
+    r3 = fz.lookup("key", max_edits=0)
+    assert {x["surface"] for x in r3.to_pylist()} == {"key west",
+                                                      "key largo"}
