@@ -2569,6 +2569,24 @@ RepSumByName
 
     q["fuzzy_completion_suggest"] = _fuzzy_completion_q
 
+    def _regex_completion_q(sf):
+        """RegexCompletionQuery (suggest/document/RegexCompletionQuery
+        .java:47): completions whose analyzed form starts with a match
+        of 'k[ey]+', ranked (weight desc, surface asc)."""
+        import ray.data
+
+        from lucene_ray.pipelines.suggest import (AnalyzingSuggester,
+                                                  RegexSuggesterLookup,
+                                                  corpus_prefix_surfaces)
+
+        pages = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["text"])
+        sug = AnalyzingSuggester(corpus_prefix_surfaces(pages,
+                                                        max_tokens=2))
+        return RegexSuggesterLookup(sug).lookup("k[ey]+", k=10)
+
+    q["regex_completion_suggest"] = _regex_completion_q
+
     def _capitalization_q(sf):
         """CapitalizationFilter (miscellaneous/CapitalizationFilter
         .java:41): lowercase off, every token Title-cased; querying
@@ -8548,6 +8566,16 @@ SELECT surface, weight FROM w
 WHERE surface LIKE 'key%'
 ORDER BY (surface = 'key') DESC, weight DESC, surface ASC
 LIMIT 10"""
+
+    o["regex_completion_suggest"] = """
+WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT ts[1] AS surface FROM t WHERE len(ts) >= 1 AND ts[1] <> ''
+      UNION ALL
+      SELECT ts[1] || ' ' || ts[2] FROM t WHERE len(ts) >= 2),
+w AS (SELECT surface, count(*) AS weight FROM s GROUP BY surface)
+SELECT surface, weight::BIGINT AS weight FROM w
+WHERE regexp_matches(surface, '^k[ey]+')
+ORDER BY weight DESC, surface LIMIT 10"""
 
     o["fuzzy_completion_suggest"] = """
 WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),

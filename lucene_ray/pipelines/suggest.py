@@ -577,3 +577,33 @@ class FuzzySuggesterLookup:
             "edits": pa.array([e for e, _nw, _s in top], pa.int64()),
             "weight": pa.array([-nw for _e, nw, _s in top], pa.int64()),
         })
+
+
+class RegexSuggesterLookup:
+    """Regex completion over an AnalyzingSuggester's FST — the
+    RegexCompletionQuery role (suggest/document/RegexCompletionQuery
+    .java:47): accept completions whose analyzed form STARTS WITH a
+    match of the regex (the reference intersects the regex automaton
+    with the FST; over the bounded model an anchored ``re.match`` per
+    candidate is the same acceptance set). Ranked (weight desc,
+    surface asc)."""
+
+    def __init__(self, suggester: AnalyzingSuggester):
+        self.s = suggester
+
+    def lookup(self, pattern: str, k: int = 10,
+               max_candidates: int = 50_000) -> pa.Table:
+        import re
+
+        rx = re.compile(pattern)
+        rows = []
+        for key, w in self.s.fst.completions(b"", limit=max_candidates):
+            a, _, surf = key.partition(_END)
+            if rx.match(a.decode("utf-8", "replace")):
+                rows.append((-w, surf.decode()))
+        rows.sort()
+        top = rows[:k]
+        return pa.table({
+            "surface": pa.array([s for _nw, s in top], pa.string()),
+            "weight": pa.array([-nw for nw, _s in top], pa.int64()),
+        })

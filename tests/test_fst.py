@@ -193,3 +193,20 @@ def test_fuzzy_completion_lookup(ray_session):
     r3 = fz.lookup("key", max_edits=0)
     assert {x["surface"] for x in r3.to_pylist()} == {"key west",
                                                       "key largo"}
+
+
+def test_regex_completion_lookup(ray_session):
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.suggest import (AnalyzingSuggester,
+                                              RegexSuggesterLookup)
+
+    sug = AnalyzingSuggester(pa.table({
+        "surface": ["key west", "key largo", "kelp", "label"],
+        "weight": [5, 9, 3, 7]}))
+    r = RegexSuggesterLookup(sug).lookup("k[ey]+")
+    assert [x["surface"] for x in r.to_pylist()] == [
+        "key largo", "key west", "kelp"]
+    assert RegexSuggesterLookup(sug).lookup("zz+").num_rows == 0
+    # anchored at start (regex matches a PREFIX, not anywhere)
+    assert RegexSuggesterLookup(sug).lookup("abel").num_rows == 0
