@@ -4703,6 +4703,34 @@ RepSumByName
 
     q["taxonomy_max_assoc"] = _taxonomy_max_assoc
 
+    def _facet_sets(sf):
+        """FacetSets (facet/facetset/MatchingFacetSetsCounts.java:40 +
+        Exact/RangeFacetSetMatcher): each doc's (lang, source, n_chars)
+        point counted against one exact matcher and two range matchers
+        (None = unconstrained dim)."""
+        import ray.data
+
+        from lucene_ray.pipelines.facets import facet_set_counts
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["lang", "source", "n_chars"])
+        t = facet_set_counts(ds, ["lang", "source", "n_chars"], [
+            {"label": "exact_en_src3_any",
+             "ranges": (("en", "en"), ("src3", "src3"), None)},
+            {"label": "en_chars_small",
+             "ranges": (("en", "en"), None, (None, 400))},
+            {"label": "src1_to_3_big",
+             "ranges": (None, ("src1", "src3"), (250, None))},
+        ])
+        rows = t.take_all()
+        return pa.table({
+            "label": [r["label"] for r in rows],
+            "count": pa.array([r["count"] for r in rows], pa.int64()),
+        })
+
+    q["facet_set_counts"] = _facet_sets
+
     def _spell_jw(sf):
         """SpellChecker + JaroWinklerDistance (suggest/spell/
         JaroWinklerDistance.java:32, setStringDistance/setAccuracy):
@@ -7602,6 +7630,21 @@ ORDER BY i.a, i.b"""
              UNION ALL
              SELECT source || '/' || lang AS path, n_chars FROM documents)
            GROUP BY path ORDER BY path"""
+    )
+    o["facet_set_counts"] = (
+        """SELECT * FROM (
+             SELECT 'en_chars_small' AS label,
+                    count(*) FILTER (lang = 'en' AND n_chars <= 400)::BIGINT AS count
+             FROM documents
+             UNION ALL
+             SELECT 'exact_en_src3_any',
+                    count(*) FILTER (lang = 'en' AND source = 'src3')::BIGINT
+             FROM documents
+             UNION ALL
+             SELECT 'src1_to_3_big',
+                    count(*) FILTER (source >= 'src1' AND source <= 'src3'
+                                     AND n_chars >= 250)::BIGINT
+             FROM documents) ORDER BY label"""
     )
     o["spell_jaro_winkler"] = (
         _PRELUDE

@@ -411,3 +411,53 @@ def drill_down_counts(ds, doc_ids: np.ndarray, field: str, id_col: str = "doc_id
         return b.filter(pa.array(mask))
 
     return ds.map_batches(filt, batch_format="pyarrow").groupby(field).count().sort(field)
+
+
+def facet_set_counts(ds, dim_cols: list[str], matchers: list[dict]):
+    """FacetSets counting — the facet/facetset module
+    (facetset/MatchingFacetSetsCounts.java:40, ExactFacetSetMatcher.java,
+    RangeFacetSetMatcher.java + DimRange.java): each doc carries ONE
+    multi-dimensional point (its ``dim_cols`` tuple); every matcher
+    counts the docs whose point it accepts. Matchers:
+
+    * ``{"label": L, "exact": (v1, v2, ...)}`` — exact per-dim equality
+      (ExactFacetSetMatcher);
+    * ``{"label": L, "ranges": ((lo, hi) | None, ...)}`` — inclusive
+      per-dim ranges, ``None`` = unconstrained (RangeFacetSetMatcher).
+
+    One vectorized pass per batch (a boolean mask per matcher), one
+    tiny groupby-sum — the reference iterates matchers per doc the same
+    way, just row-at-a-time. Returns (label, count) sorted by label."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c in dim_cols:
+            arr = b[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[c] = arr.to_numpy(zero_copy_only=False)
+        labels, counts = [], []
+        for m in matchers:
+            mask = np.ones(b.num_rows, dtype=bool)
+            if "exact" in m:
+                for c, v in zip(dim_cols, m["exact"]):
+                    mask &= cols[c] == v
+            else:
+                for c, r in zip(dim_cols, m["ranges"]):
+                    if r is None:
+                        continue
+                    lo, hi = r
+                    if lo is not None:
+                        mask &= cols[c] >= lo
+                    if hi is not None:
+                        mask &= cols[c] <= hi
+            labels.append(m["label"])
+            counts.append(int(mask.sum()))
+        return pa.table({"label": pa.array(labels, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("label").aggregate(Sum("n", alias_name="count"))
+            .sort("label"))
