@@ -229,3 +229,34 @@ def top_passages(searcher, doc_ids, terms: set, max_passages: int = 3,
         "start_off": pa.array(out["start_off"], pa.int64()),
         "end_off": pa.array(out["end_off"], pa.int64()),
     })
+
+
+def format_passage(text: str, matches: list, start_off: int, end_off: int,
+                   pre: str = "<b>", post: str = "</b>",
+                   ellipsis: str = "... ") -> str:
+    """Tagged snippet assembly — the DefaultPassageFormatter role
+    (highlighter/uhighlight/DefaultPassageFormatter.java:32): slice the
+    stored text to the passage's [start_off, end_off) window and wrap
+    every match's character range in pre/post tags; a passage that
+    starts mid-document is prefixed with the ellipsis. ``matches`` are
+    (start_off, end_off) pairs in ANY order (matches_api / top_passages
+    rows); overlapping ranges merge like the reference's formatter."""
+    spans = sorted((max(s, start_off), min(e, end_off + 1))
+                   for s, e in matches
+                   if s < end_off + 1 and e > start_off)
+    merged: list = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    out = [ellipsis] if start_off > 0 else []
+    cur = start_off
+    for s, e in merged:
+        out.append(text[cur:s])
+        out.append(pre)
+        out.append(text[s:e])
+        out.append(post)
+        cur = e
+    out.append(text[cur:end_off + 1])
+    return "".join(out)

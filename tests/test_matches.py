@@ -118,3 +118,22 @@ def test_top_passages_scoring(searcher, brute_force):
                for r in t.to_pylist() if r["doc_id"] == doc]
         assert [(round(a, 9), b) for a, b in got] == \
                [(round(a, 9), b) for a, b in want]
+
+
+def test_format_passage_tags_matches(searcher):
+    """DefaultPassageFormatter role: tags wrap the match offsets inside
+    the passage slice; overlaps merge; ellipsis marks mid-doc starts."""
+    from lucene_ray.search.highlight import format_passage
+
+    q = Q.PhraseQuery(("key", "value"))
+    d = _first_doc(searcher, q)
+    ms = searcher.matches(q, d)
+    text = searcher.fetch_docs([d], columns=["doc_id", "text"])["text"][0].as_py()
+    sp, ep = ms[0][4], ms[0][5]
+    snippet = format_passage(text, [(sp, ep)], max(0, sp - 10), ep + 10)
+    assert "<b>key value</b>" in snippet
+    if sp > 10:
+        assert snippet.startswith("... ")
+    # overlap merging
+    s2 = format_passage("abcdef", [(1, 4), (3, 5)], 0, 5)
+    assert s2 == "a<b>bcde</b>f"
