@@ -15,7 +15,14 @@ wrapped-liveDocs AND.
 
 Scale note: the split is two merge jobs; each is the shuffle-free
 doc-range compaction (one Ray task per segment group), so a 10^4-segment
-index splits without any all-to-all exchange.
+index splits without any all-to-all exchange. The one driver-side
+object is the matching-doc id set (and its complement as a tombstone
+list) — fine to ~10^8 matches; the 10^12-doc path evaluates the split
+query INSIDE each merge task against its own segment (per-segment
+local masks, no global id list) — the same per-leaf shape the
+reference's filtered addIndexes readers use; this module keeps the
+simple global form because the staging overlay reuses delete_docs
+unchanged.
 """
 
 from __future__ import annotations
