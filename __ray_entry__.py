@@ -4731,6 +4731,26 @@ RepSumByName
 
     q["facet_set_counts"] = _facet_sets
 
+    def _all_groups(sf):
+        """AllGroupsCollector (grouping/AllGroupsCollector.java:33): the
+        set of DISTINCT group values (source) among docs matching
+        'table' — group count plus the sorted group list head."""
+        import pyarrow.compute as pc
+
+        s = _searcher(sf)
+        docs, _ = s.search_all(Q.TermQuery("table"))
+        t = s.fetch_docs(docs.tolist(), columns=["doc_id", "source"])
+        groups = sorted(set(pc.unique(
+            t["source"].combine_chunks()
+            if isinstance(t["source"], pa.ChunkedArray)
+            else t["source"]).to_pylist()))
+        return pa.table({
+            "group": pa.array(groups, pa.string()),
+            "n_groups": pa.array([len(groups)] * len(groups), pa.int64()),
+        })
+
+    q["all_groups_query"] = _all_groups
+
     def _spell_jw(sf):
         """SpellChecker + JaroWinklerDistance (suggest/spell/
         JaroWinklerDistance.java:32, setStringDistance/setAccuracy):
@@ -7630,6 +7650,15 @@ ORDER BY i.a, i.b"""
              UNION ALL
              SELECT source || '/' || lang AS path, n_chars FROM documents)
            GROUP BY path ORDER BY path"""
+    )
+    o["all_groups_query"] = (
+        _PRELUDE
+        + """ , m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+              , g AS (SELECT DISTINCT d.source AS grp FROM m
+                      JOIN documents d ON m.doc_id = d.doc_id)
+              SELECT grp AS "group",
+                     (SELECT count(*) FROM g)::BIGINT AS n_groups
+              FROM g ORDER BY grp"""
     )
     o["facet_set_counts"] = (
         """SELECT * FROM (
