@@ -176,6 +176,18 @@ def run_bench() -> dict:
         "ray.data._internal.arrow_ops.transform_pyarrow"
     ).addFilter(_NoSchemaHashNoise())
 
+    # ... and the equally-harmless "Operator produced a RefBundle with a
+    # different schema than the previous one" warning that sort/limit
+    # chains emit when a block comes out empty (schema-less)
+    class _NoRefBundleSchemaNoise(logging.Filter):
+        def filter(self, record):
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_NoRefBundleSchemaNoise())
+
     from lucene_ray.index.build import build_index
     from lucene_ray.search.executor import DistributedSearcher
 
