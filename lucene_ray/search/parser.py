@@ -195,6 +195,20 @@ def _parse_atom(
         raw = raw[: m.start()]
     if raw.startswith('"'):
         mm = re.match(r'^"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$', raw)
+        if mm is None:
+            # unterminated / malformed quote: treat the remainder as a
+            # plain term atom (same leniency as a stray ')'; the
+            # reference throws ParseException — garbage-in never 500s
+            # here, matching the rest of this parser's error model)
+            raw = raw.strip('"')
+            if not raw:
+                return None, boost
+            terms = analyzer.tokens(raw)
+            if not terms:
+                return None, boost
+            if len(terms) == 1:
+                return Q.TermQuery(terms[0], field=field), boost
+            return Q.PhraseQuery(tuple(terms), field=field), boost
         body = mm.group(1)
         slop = int(mm.group(2) or 0)
         if mm.group(3):
