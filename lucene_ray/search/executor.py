@@ -53,8 +53,15 @@ class QueryExecutor:
 
     def search(
         self, query_dict: dict, k: int, term_stats: dict, threshold: float,
-        prune: bool = True,
+        prune: bool = True, timeout_s: "float | None" = None,
     ) -> tuple[np.ndarray, np.ndarray, int, bool]:
+        """``timeout_s``: each executor checks the deadline between ITS
+        segments (IndexSearcher#setTimeout role distributed per leaf
+        slice); on expiry the remaining segments skip and exact=False
+        marks the TopDocs partial (relation GTE at the frontend)."""
+        import time
+
+        deadline = None if timeout_s is None else             time.monotonic() + timeout_s
         query = query_from_dict(query_dict)
         ctx = EvalContext(term_stats, self.doc_count, self.sum_ttf, mode=self.mode,
                           field_ttf=self.field_ttf)
@@ -66,6 +73,9 @@ class QueryExecutor:
         from lucene_ray.index.deletes import mask_live
 
         for reader in self.readers:
+            if deadline is not None and time.monotonic() > deadline:
+                exact = False
+                break
             d, s, e = eval_query(reader, query, ctx)
             exact &= e
             if d.shape[0]:
@@ -109,11 +119,13 @@ class SearchFrontend:
         self.executors = executors
 
     async def search(self, query_dict: dict, k: int, term_stats: dict,
-                     threshold: float, prune: bool = True):
+                     threshold: float, prune: bool = True,
+                     timeout_s: "float | None" = None):
         import asyncio
 
         futs = [
-            e.search.remote(query_dict, k, term_stats, threshold, prune)
+            e.search.remote(query_dict, k, term_stats, threshold, prune,
+                            timeout_s)
             for e in self.executors
         ]
         results = await asyncio.gather(*futs)
@@ -241,7 +253,8 @@ class DistributedSearcher:
         return parse_query(text, self.analyzer, set(self.field_ttf),
                            field_analyzers_from_manifest(self.manifest))
 
-    def search(self, query: "Q.Query | str", k: int = 10) -> TopDocs:
+    def search(self, query: "Q.Query | str", k: int = 10,
+               timeout_s: "float | None" = None) -> TopDocs:
         if isinstance(query, str):
             query = self.parse(query)
         query = Q.resolve_fields(query)
@@ -251,8 +264,10 @@ class DistributedSearcher:
         qd = query.to_dict()
         fe = self.frontends[self._rr % len(self.frontends)]
         self._rr += 1
-        docs, scores, total, exact = ray.get(fe.search.remote(qd, k, stats, -np.inf))
-        return TopDocs(total, "EQ" if exact else "GTE", docs, scores)
+        docs, scores, total, exact = ray.get(
+            fe.search.remote(qd, k, stats, -np.inf, True, timeout_s))
+        return TopDocs(total, "EQ" if exact else "GTE", docs, scores,
+                       timed_out=timeout_s is not None and not exact)
 
     def msearch(self, queries: list, k: int = 10) -> "list[TopDocs]":
         """Batched top-k for many queries with ONE frontend round-trip

@@ -137,3 +137,22 @@ def test_format_passage_tags_matches(searcher):
     # overlap merging
     s2 = format_passage("abcdef", [(1, 4), (3, 5)], 0, 5)
     assert s2 == "a<b>bcde</b>f"
+
+
+def test_distributed_search_timeout(built_index):
+    """Timeout distributed per executor leaf slice: expired deadline ->
+    partial TopDocs flagged; generous deadline == no-timeout result."""
+    from lucene_ray.search.executor import DistributedSearcher
+
+    idx, _m = built_index
+    ds = DistributedSearcher(idx, num_executors=2)
+    try:
+        ref = ds.search("table", k=5)
+        ok = ds.search("table", k=5, timeout_s=60.0)
+        assert not ok.timed_out and ok.total_hits == ref.total_hits
+        assert np.array_equal(ok.doc_ids, ref.doc_ids)
+        expired = ds.search("table", k=5, timeout_s=0.0)
+        assert expired.timed_out and expired.relation == "GTE"
+        assert expired.total_hits == 0
+    finally:
+        ds.shutdown()
