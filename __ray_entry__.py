@@ -2220,6 +2220,34 @@ RepSumByName
 
     q["lm_perplexity"] = _lm_perplexity
 
+    def _ppl_buckets(sf):
+        """CCNet head/middle/tail bucketing (Wenzek et al. LREC 2020
+        §4.3): the per-doc perplexities rank-partition into three
+        NTILE-style groups (lowest perplexity = head); per-bucket count
+        and mean perplexity."""
+        import ray.data
+
+        from lucene_ray.pipelines.lm import (perplexity_buckets,
+                                             score_perplexity,
+                                             train_bigram_lm)
+
+        docs = os.path.join(sf, "documents.parquet")
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+        model = train_bigram_lm(ds, min_count=2)
+        scored = score_perplexity(
+            ray.data.read_parquet(docs, columns=["doc_id", "text"]), model)
+        t = perplexity_buckets(scored)
+        return pa.table({
+            "bucket": t["bucket"],
+            "count": t["count"],
+            "avg_perplexity": pa.array(
+                [_round4(float(x)) for x in
+                 t["avg_perplexity"].to_numpy(zero_copy_only=False)],
+                type=pa.float64()),
+        })
+
+    q["perplexity_buckets"] = _ppl_buckets
+
     def _phonetic_query(sf):
         """PhoneticFilter inject=true (phonetic/PhoneticFilter.java:33 +
         Soundex; analysis/phonetic.py): the index carries every surface
@@ -6447,6 +6475,19 @@ lps AS (SELECT t.doc_id,
 SELECT doc_id, ROUND(avg(lp), 4) AS avg_logprob,
        ROUND(exp(-avg(lp)), 4) AS perplexity
 FROM lps GROUP BY doc_id ORDER BY doc_id"""
+    )
+    o["perplexity_buckets"] = (
+        o["lm_perplexity"].rsplit("SELECT doc_id, ROUND(avg(lp), 4)", 1)[0]
+        + """
+, scored AS (SELECT doc_id, ROUND(exp(-avg(lp)), 4) AS ppl
+             FROM lps GROUP BY doc_id)
+, ranked AS (SELECT ppl,
+    ntile(3) OVER (ORDER BY ppl, doc_id) AS nt FROM scored)
+SELECT CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS count,
+       ROUND(avg(ppl), 4) AS avg_perplexity
+FROM ranked GROUP BY nt ORDER BY nt"""
     )
     o["custom_collector_query"] = (
         _PRELUDE

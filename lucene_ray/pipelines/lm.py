@@ -226,3 +226,45 @@ def score_perplexity(pages, model: BigramLM, text_col: str = "text",
         })
 
     return pages.map_batches(score, batch_format="pyarrow")
+
+
+def perplexity_buckets(scored, n_buckets: int = 3,
+                       round_decimals: int = 4):
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al.,
+    LREC 2020 §4.3 — documents split into equal-size groups by LM
+    perplexity, lowest = head = highest quality): rank-partition the
+    ``score_perplexity`` output into ``n_buckets`` NTILE-style groups
+    (the first n % b buckets take the extra row) and report per-bucket
+    count + mean perplexity.
+
+    Distributed shape: ONE global sort of the tiny per-doc score table
+    (doc_id, perplexity — never text), then ``split_at_indices`` (a
+    metadata split, no driver materialization) and per-bucket streaming
+    aggregates. Perplexities are rounded BEFORE ranking so the bucket
+    boundaries are reproducible across float orderings."""
+    import pyarrow.compute as pc
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("perplexity"), "perplexity",
+            pc.round(b["perplexity"], ndigits=round_decimals))
+
+    ds = scored.map_batches(rounded, batch_format="pyarrow")
+    n = ds.count()
+    base, extra = divmod(n, n_buckets)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_buckets)]
+    cuts = list(np.cumsum(sizes[:-1]))
+    parts = ds.sort(["perplexity", "doc_id"]).split_at_indices(cuts)
+    labels = (["head", "middle", "tail"] if n_buckets == 3
+              else [f"b{i + 1}" for i in range(n_buckets)])
+    rows = {"bucket": [], "count": [], "avg_perplexity": []}
+    for label, part, size in zip(labels, parts, sizes):
+        s = part.sum("perplexity") if size else 0.0
+        rows["bucket"].append(label)
+        rows["count"].append(size)
+        rows["avg_perplexity"].append((s / size) if size else 0.0)
+    return pa.table({
+        "bucket": pa.array(rows["bucket"], pa.string()),
+        "count": pa.array(rows["count"], pa.int64()),
+        "avg_perplexity": pa.array(rows["avg_perplexity"], pa.float64()),
+    })
