@@ -2248,6 +2248,54 @@ RepSumByName
 
     q["perplexity_buckets"] = _ppl_buckets
 
+    def _range_field(sf):
+        """Range FIELDS (document/RangeFieldQuery.java:73, DoubleRange):
+        each doc carries [rmin, rmax] = [n_chars, n_chars + 200 +
+        doc_id % 300]; the query range [300, 600] evaluated under all
+        four relations (crosses = intersects and not within,
+        RangeFieldQuery.java:260). Per relation: match count + doc-id
+        sum."""
+        import ray.data
+
+        from lucene_ray.codec.postings import CODEC_VERSION
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import Searcher
+
+        docs = os.path.join(sf, "documents.parquet")
+        tag = hashlib.sha1(
+            f"{docs}:{os.path.getsize(docs)}:c{CODEC_VERSION}:rngf1".encode()
+        ).hexdigest()[:12]
+        idx = os.path.join(_CACHE_ROOT, tag)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            def derive(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy()
+                nc = b["n_chars"].to_numpy()
+                return (b.append_column("rmin", pa.array(
+                            nc.astype(np.int64), pa.int64()))
+                         .append_column("rmax", pa.array(
+                            nc + 200 + ids % 300, pa.int64())))
+
+            ds = ray.data.read_parquet(
+                docs, columns=["doc_id", "text", "n_chars"]
+            ).map_batches(derive, batch_format="pyarrow")
+            build_index(ds, idx, num_segments=3,
+                        features={"rmin": "rmin", "rmax": "rmax"})
+        s = Searcher(idx, mode="f64")
+        rows = {"relation": [], "n_docs": [], "sum_doc_id": []}
+        for rel in ("contains", "crosses", "intersects", "within"):
+            d, _ = s.search_all(Q.RangeFieldQuery(
+                "rmin", "rmax", 300.0, 600.0, relation=rel))
+            rows["relation"].append(rel)
+            rows["n_docs"].append(int(d.shape[0]))
+            rows["sum_doc_id"].append(int(d.sum()))
+        return pa.table({
+            "relation": pa.array(rows["relation"], pa.string()),
+            "n_docs": pa.array(rows["n_docs"], pa.int64()),
+            "sum_doc_id": pa.array(rows["sum_doc_id"], pa.int64()),
+        })
+
+    q["range_field_query"] = _range_field
+
     def _phonetic_query(sf):
         """PhoneticFilter inject=true (phonetic/PhoneticFilter.java:33 +
         Soundex; analysis/phonetic.py): the index carries every surface
@@ -7691,6 +7739,29 @@ ORDER BY i.a, i.b"""
              UNION ALL
              SELECT source || '/' || lang AS path, n_chars FROM documents)
            GROUP BY path ORDER BY path"""
+    )
+    o["range_field_query"] = (
+        """
+WITH r AS (SELECT doc_id, n_chars AS rmin,
+                  n_chars + 200 + doc_id % 300 AS rmax FROM documents),
+f AS (SELECT doc_id,
+             (rmax >= 300 AND rmin <= 600) AS inter,
+             (rmin >= 300 AND rmax <= 600) AS within,
+             (rmin <= 300 AND rmax >= 600) AS contains_q
+      FROM r)
+SELECT * FROM (
+  SELECT 'contains' AS relation, count(*) FILTER (contains_q)::BIGINT AS n_docs,
+         coalesce(sum(doc_id) FILTER (contains_q), 0)::BIGINT AS sum_doc_id FROM f
+  UNION ALL
+  SELECT 'crosses', count(*) FILTER (inter AND NOT within)::BIGINT,
+         coalesce(sum(doc_id) FILTER (inter AND NOT within), 0)::BIGINT FROM f
+  UNION ALL
+  SELECT 'intersects', count(*) FILTER (inter)::BIGINT,
+         coalesce(sum(doc_id) FILTER (inter), 0)::BIGINT FROM f
+  UNION ALL
+  SELECT 'within', count(*) FILTER (within)::BIGINT,
+         coalesce(sum(doc_id) FILTER (within), 0)::BIGINT FROM f
+) ORDER BY relation"""
     )
     o["all_groups_query"] = (
         _PRELUDE

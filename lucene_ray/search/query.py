@@ -629,6 +629,36 @@ class DocValuesSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery(Query):
+    """document/RangeFieldQuery.java:73 (DoubleRange/LongRange range
+    FIELDS): every doc carries a [min, max] range (two numeric DV
+    features here); the query range [lower, upper] matches by
+    ``relation``:
+
+    * ``intersects`` — doc.max >= lower and doc.min <= upper;
+    * ``within``     — the doc range lies inside the query range;
+    * ``contains``   — the doc range contains the query range;
+    * ``crosses``    — intersects and NOT within
+      (RangeFieldQuery.java:260 — the doc-level matches() composition).
+
+    Constant score = boost; one vectorized column comparison per
+    segment (the reference walks its BKD tree to the same predicate)."""
+
+    min_feature: str
+    max_feature: str
+    lower: float
+    upper: float
+    relation: str = "intersects"
+    boost: float = 1.0
+
+    def to_dict(self):
+        return {"type": "range_field", "min_feature": self.min_feature,
+                "max_feature": self.max_feature, "lower": self.lower,
+                "upper": self.upper, "relation": self.relation,
+                "boost": self.boost}
+
+
+@dataclass(frozen=True)
 class SpanPayloadCheckQuery(Query):
     """queries/payloads/SpanPayloadCheckQuery.java:54: an exact-phrase
     span of ``terms`` is accepted only when the payload at EACH of its
@@ -872,6 +902,11 @@ def query_from_dict(d: dict) -> Query:
         return DocValuesMultiRangeQuery(
             d["feature"], tuple(tuple(r) for r in d["ranges"]),
             d.get("boost", 1.0),
+        )
+    if t == "range_field":
+        return RangeFieldQuery(
+            d["min_feature"], d["max_feature"], d["lower"], d["upper"],
+            d.get("relation", "intersects"), d.get("boost", 1.0),
         )
     if t == "payload_check":
         return SpanPayloadCheckQuery(

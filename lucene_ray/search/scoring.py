@@ -475,6 +475,31 @@ def eval_query(reader: SegmentReader, q: Q.Query, ctx: EvalContext):
         d = (reader.doc_ids - reader.doc_base).astype(np.int64)[m]
         return d, vals[m] * float(q.boost), True
 
+    if isinstance(q, Q.RangeFieldQuery):
+        # range-FIELD relations (RangeFieldQuery.java:73): one vectorized
+        # comparison over the doc's [min, max] feature columns
+        if not reader.meta.get("owns_docs", True):
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        try:
+            dmin = reader.feature(q.min_feature)
+            dmax = reader.feature(q.max_feature)
+        except (KeyError, pa.lib.ArrowInvalid):
+            return np.empty(0, np.int64), np.empty(0, np.float64), True
+        inter = (dmax >= q.lower) & (dmin <= q.upper)
+        within = (dmin >= q.lower) & (dmax <= q.upper)
+        if q.relation == "intersects":
+            m = inter
+        elif q.relation == "within":
+            m = within
+        elif q.relation == "contains":
+            m = (dmin <= q.lower) & (dmax >= q.upper)
+        elif q.relation == "crosses":
+            m = inter & ~within  # RangeFieldQuery.java:260
+        else:
+            raise ValueError(f"unknown range relation {q.relation!r}")
+        d = (reader.doc_ids - reader.doc_base).astype(np.int64)[m]
+        return d, np.full(d.shape[0], float(q.boost), dtype=np.float64), True
+
     if isinstance(q, Q.SpanPayloadCheckQuery):
         docs, _counts = payload_check_freqs(reader, list(q.terms),
                                             list(q.payloads))

@@ -347,3 +347,37 @@ def test_ngram_distance_properties():
     sims = [ngram_distance("customer", w)
             for w in ("customer", "costumer", "custard", "zebra")]
     assert sims[0] == 1.0 and sims[0] > sims[1] > sims[3]
+
+
+def test_range_field_relations(dv_index, corpus, tmp_path, ray_session):
+    """RangeFieldQuery relations on a hand-built fixture: disjoint /
+    within / contains / crossing ranges classify exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.index.build import build_index
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": ["a"] * 5,
+        "rmin": pa.array([0, 45, 10, 48, 90], pa.int64()),
+        "rmax": pa.array([5, 55, 80, 52, 95], pa.int64()),
+    })
+    idx = str(tmp_path / "rng")
+    build_index(ray.data.from_arrow(t), idx, num_segments=1,
+                features={"rmin": "rmin", "rmax": "rmax"})
+    s = Searcher(idx, mode="f64")
+    # query range [40, 60]:
+    # doc0 [0,5] disjoint; doc1 [45,55] within; doc2 [10,80] contains;
+    # doc3 [48,52] within; doc4 [90,95] disjoint
+    def docs(rel):
+        d, _ = s.search_all(Q.RangeFieldQuery("rmin", "rmax",
+                                              40.0, 60.0, relation=rel))
+        return set(d.tolist())
+
+    assert docs("intersects") == {1, 2, 3}
+    assert docs("within") == {1, 3}
+    assert docs("contains") == {2}
+    assert docs("crosses") == {2}  # intersects and not within
+    q = Q.RangeFieldQuery("a", "b", 1.0, 2.0, "within", boost=2.0)
+    assert Q.query_from_dict(q.to_dict()) == q
