@@ -2296,6 +2296,40 @@ RepSumByName
 
     q["range_field_query"] = _range_field
 
+    def _range_on_range(sf):
+        """Range-on-range facets (facet/rangeonrange/
+        RangeOnRangeFacetCounts.java:38): the same per-doc
+        [n_chars, n_chars + 200 + doc_id % 300] ranges counted against
+        three facet ranges by INTERSECTS."""
+        import ray.data
+
+        from lucene_ray.pipelines.facets import range_on_range_counts
+
+        def derive(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            nc = b["n_chars"].to_numpy()
+            return pa.table({
+                "rmin": pa.array(nc.astype(np.int64), pa.int64()),
+                "rmax": pa.array(nc + 200 + ids % 300, pa.int64()),
+            })
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "n_chars"]
+        ).map_batches(derive, batch_format="pyarrow")
+        t = range_on_range_counts(ds, "rmin", "rmax", [
+            {"label": "short", "lower": 0, "upper": 300},
+            {"label": "mid", "lower": 301, "upper": 700},
+            {"label": "long", "lower": 701, "upper": 10_000},
+        ])
+        rows = t.take_all()
+        return pa.table({
+            "label": [r["label"] for r in rows],
+            "count": pa.array([r["count"] for r in rows], pa.int64()),
+        })
+
+    q["range_on_range_facets"] = _range_on_range
+
     def _phonetic_query(sf):
         """PhoneticFilter inject=true (phonetic/PhoneticFilter.java:33 +
         Soundex; analysis/phonetic.py): the index carries every surface
@@ -7762,6 +7796,19 @@ SELECT * FROM (
   SELECT 'within', count(*) FILTER (within)::BIGINT,
          coalesce(sum(doc_id) FILTER (within), 0)::BIGINT FROM f
 ) ORDER BY relation"""
+    )
+    o["range_on_range_facets"] = (
+        """
+WITH r AS (SELECT n_chars AS rmin,
+                  n_chars + 200 + doc_id % 300 AS rmax FROM documents)
+SELECT * FROM (
+  SELECT 'long' AS label,
+         count(*) FILTER (rmax >= 701 AND rmin <= 10000)::BIGINT AS count FROM r
+  UNION ALL
+  SELECT 'mid', count(*) FILTER (rmax >= 301 AND rmin <= 700)::BIGINT FROM r
+  UNION ALL
+  SELECT 'short', count(*) FILTER (rmax >= 0 AND rmin <= 300)::BIGINT FROM r
+) ORDER BY label"""
     )
     o["all_groups_query"] = (
         _PRELUDE

@@ -461,3 +461,31 @@ def facet_set_counts(ds, dim_cols: list[str], matchers: list[dict]):
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("label").aggregate(Sum("n", alias_name="count"))
             .sort("label"))
+
+
+def range_on_range_counts(ds, min_col: str, max_col: str,
+                          ranges: list) -> "object":
+    """Range-on-range faceting — the facet/rangeonrange module
+    (rangeonrange/RangeOnRangeFacetCounts.java:38 over
+    rangeonrange/DoubleRange.java): every doc carries a [min, max]
+    RANGE; each facet range counts the docs whose range INTERSECTS it
+    (the module's queryType=INTERSECTS default). ``ranges`` =
+    [{"label": L, "lower": lo, "upper": hi}, ...]. One vectorized mask
+    per facet range per batch + one tiny groupby-sum."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        dmin = b[min_col].to_numpy(zero_copy_only=False)
+        dmax = b[max_col].to_numpy(zero_copy_only=False)
+        labels, counts = [], []
+        for r in ranges:
+            m = (dmax >= r["lower"]) & (dmin <= r["upper"])
+            labels.append(r["label"])
+            counts.append(int(m.sum()))
+        return pa.table({"label": pa.array(labels, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("label").aggregate(Sum("n", alias_name="count"))
+            .sort("label"))
