@@ -18,6 +18,24 @@ import ast
 
 import numpy as np
 
+def _haversin_m(lat1, lon1, lat2, lon2):
+    """expressions/js/ExpressionMath.java haversin binding (the
+    SloppyMath.haversinMeters contract): great-circle meters, every
+    argument scalar or vector — the same float64 formula tree as
+    pipelines/geo.haversine_meters (the house geo-parity contract)."""
+    from lucene_ray.pipelines.geo import EARTH_MEAN_RADIUS_M
+
+    x1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    x2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    h1 = 1.0 - np.cos(x1 - x2)
+    h2 = 1.0 - np.cos(np.radians(
+        np.asarray(lon1, dtype=np.float64)
+        - np.asarray(lon2, dtype=np.float64)))
+    h = h1 + np.cos(x1) * np.cos(x2) * h2
+    return EARTH_MEAN_RADIUS_M * 2.0 * np.arcsin(
+        np.minimum(1.0, np.sqrt(h * 0.5)))
+
+
 _FUNCS = {
     "log": np.log,
     "log10": np.log10,
@@ -27,6 +45,9 @@ _FUNCS = {
     "max": np.maximum,
     "pow": np.power,
     "exp": np.exp,
+    # the reference's expression language ships geo distance built in
+    # (expressions/js/ExpressionMath.java:34, haversin(lat1,lon1,lat2,lon2))
+    "haversin": _haversin_m,
 }
 
 _ALLOWED_NODES = (

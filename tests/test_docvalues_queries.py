@@ -381,3 +381,20 @@ def test_range_field_relations(dv_index, corpus, tmp_path, ray_session):
     assert docs("crosses") == {2}  # intersects and not within
     q = Q.RangeFieldQuery("a", "b", 1.0, 2.0, "within", boost=2.0)
     assert Q.query_from_dict(q.to_dict()) == q
+
+
+def test_expressions_haversin_builtin():
+    """The expression language ships geo distance built in
+    (expressions/js/ExpressionMath.java haversin binding)."""
+    import numpy as np
+
+    from lucene_ray.pipelines.geo import haversine_meters
+    from lucene_ray.search.expressions import Expression
+
+    e = Expression("haversin(40.7, -74.0, lat, lon)", ["lat", "lon"])
+    lats = np.array([40.7, 41.0, 34.05])
+    lons = np.array([-74.0, -73.0, -118.24])
+    got = e.evaluate(lat=lats, lon=lons)
+    want = haversine_meters(lats, lons, 40.7, -74.0)
+    assert np.allclose(got, want)
+    assert got[0] == 0.0 and got[2] > 3.9e6  # NYC -> LA ~3.94e6 m
