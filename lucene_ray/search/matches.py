@@ -19,8 +19,9 @@ Deviations, documented:
   rather than reordered windows — the reference's SloppyPhraseMatcher
   enumerates windows; exact phrases here report true [first..last]
   spans like ExactPhraseMatcher.
-* Interval/span queries report leaf term occurrences (the reference
-  wires IntervalsSource.matches through the same leaf iterator).
+* IntervalQuery reports its TRUE interval spans (IntervalsSource
+  .matches contract) labeled 'intervals'; SpanNearQuery still reports
+  leaf term occurrences.
 """
 
 from __future__ import annotations
@@ -93,7 +94,8 @@ def _exact_phrase_spans(rows: dict, terms: tuple) -> list:
     return out
 
 
-def _collect(reader, q: Q.Query, rows: dict, out: list) -> None:
+def _collect(reader, q: Q.Query, rows: dict, out: list,
+             ldoc: int = -1) -> None:
     """Recursive positive-clause walk (BooleanWeight.matches shape:
     prohibited clauses contribute nothing)."""
     if isinstance(q, Q.TermQuery):
@@ -118,10 +120,28 @@ def _collect(reader, q: Q.Query, rows: dict, out: list) -> None:
         for t in q.terms:
             out.extend(_term_spans(rows, t))
     elif isinstance(q, Q.IntervalQuery):
-        terms: set = set()
-        q.source.leaf_terms(terms)
-        for t in sorted(terms):
-            out.extend(_term_spans(rows, t))
+        # TRUE interval spans (IntervalsSource.matches contract) — not
+        # just leaf submatches: evaluate the source on this segment and
+        # keep this doc's intervals; offsets come from the position ->
+        # offset map of ANY token at the boundary positions
+        from lucene_ray.search.intervals import eval_intervals
+
+        d, s, e = eval_intervals(reader, q.source)
+        sel = d == ldoc
+        pos_off: dict = {}
+        for slot in rows.values():
+            for p, so, eo in zip(slot[0], slot[1], slot[2]):
+                if p not in pos_off:
+                    pos_off[p] = (so, eo)
+                else:
+                    a, b = pos_off[p]
+                    pos_off[p] = (min(a, so), max(b, eo))
+        field = None  # interval sources evaluate the default field here
+        label = "intervals"
+        for sp, ep in zip(s[sel], e[sel]):
+            so = pos_off.get(int(sp), (-1, -1))[0]
+            eo = pos_off.get(int(ep), (-1, -1))[1]
+            out.append((field, label, int(sp), int(ep), so, eo))
     elif isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                         Q.FuzzyQuery, Q.TermRangeQuery, Q.TermInSetQuery)):
         from lucene_ray.search.scoring import expand_multiterm
@@ -131,14 +151,14 @@ def _collect(reader, q: Q.Query, rows: dict, out: list) -> None:
             out.extend(_term_spans(rows, key))
     elif isinstance(q, Q.BooleanQuery):
         for sub in (*q.must, *q.should, *q.filter):
-            _collect(reader, sub, rows, out)
+            _collect(reader, sub, rows, out, ldoc)
     elif isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):
-        _collect(reader, q.query, rows, out)
+        _collect(reader, q.query, rows, out, ldoc)
     elif isinstance(q, (Q.DisjunctionMaxQuery, Q.CoveringQuery)):
         for sub in q.queries:
-            _collect(reader, sub, rows, out)
+            _collect(reader, sub, rows, out, ldoc)
     elif isinstance(q, Q.IndexOrDocValuesQuery):
-        _collect(reader, q.index_query, rows, out)
+        _collect(reader, q.index_query, rows, out, ldoc)
     elif isinstance(q, Q.CombinedFieldQuery):
         from lucene_ray.index.fields import field_key
 
@@ -176,7 +196,8 @@ def doc_matches(searcher, query, doc_id: int):
             return None
         rows = _doc_positions(reader, doc_id)
         out: list = []
-        _collect(reader, query, rows, out)
+        _collect(reader, query, rows, out,
+                 ldoc=doc_id - reader.doc_base)
         out.sort(key=lambda m: (m[0] or "", m[2], m[3], m[1]))
         return out
     return None

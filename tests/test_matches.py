@@ -156,3 +156,21 @@ def test_distributed_search_timeout(built_index):
         assert expired.total_hits == 0
     finally:
         ds.shutdown()
+
+
+def test_interval_matches_are_true_spans(searcher, brute_force):
+    """IntervalsSource.matches contract: interval queries report the
+    minimal interval spans (not just leaf term occurrences)."""
+    from lucene_ray.search import intervals as IV
+
+    q = Q.IntervalQuery(IV.Ordered((IV.Term("scan"), IV.Term("column")),
+                                   maxgaps=3))
+    docs, _ = searcher.search_all(q)
+    d = int(docs.min())
+    ms = [m for m in searcher.matches(q, d) if m[1] == "intervals"]
+    assert ms
+    toks = brute_force["tokens"][list(brute_force["ids"]).index(d)]
+    for _f, _label, sp, ep, so, eo in ms:
+        assert toks[sp] == "scan" and toks[ep] == "column"
+        assert 0 < ep - sp - 1 + 1 <= 4  # within maxgaps+1 positions
+        assert eo > so >= 0
