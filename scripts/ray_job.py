@@ -92,6 +92,29 @@ def cmd_build(args) -> dict:
     }
 
 
+def cmd_info(args) -> dict:
+    """Luke Overview job (index/check.index_info): metadata-only index
+    summary — instant on any index size."""
+    from lucene_ray.index.check import index_info
+
+    return {"job": "info", **index_info(args.index)}
+
+
+def cmd_quality(args) -> dict:
+    """QualityBenchmark job (benchmark/quality roles): P@k / recall /
+    AP / MRR for a comma-separated query list against the tf>=min-tf
+    Judge."""
+    t0 = time.perf_counter()
+    from lucene_ray.pipelines.quality_eval import quality_benchmark
+    from lucene_ray.search.searcher import Searcher
+
+    s = Searcher(args.index, mode="f64")
+    rows = quality_benchmark(s, [t for t in args.queries.split(",") if t],
+                             k=args.k, min_tf=args.min_tf)
+    return {"job": "quality", "rows": rows,
+            "secs": round(time.perf_counter() - t0, 3)}
+
+
 def cmd_split(args) -> dict:
     """PKIndexSplitter job (misc/index/PKIndexSplitter.java:42): split
     --index by a classic-syntax --query into --first (matching docs)
@@ -344,6 +367,18 @@ def main(argv=None) -> int:
     m.add_argument("--group-size", type=int, default=4)
     m.add_argument("--terms-per-shard", type=int, default=1 << 20)
     m.set_defaults(fn=cmd_merge)
+
+    info = sub.add_parser("info")
+    info.add_argument("--index", required=True)
+    info.set_defaults(fn=cmd_info)
+
+    qa = sub.add_parser("quality")
+    qa.add_argument("--index", required=True)
+    qa.add_argument("--queries", required=True,
+                    help="comma-separated query terms")
+    qa.add_argument("--k", type=int, default=10)
+    qa.add_argument("--min-tf", type=int, default=2)
+    qa.set_defaults(fn=cmd_quality)
 
     sp = sub.add_parser("split")
     sp.add_argument("--index", required=True)
